@@ -1,0 +1,79 @@
+"""Pipeline configuration.
+
+A frozen dataclass mirroring the env-driven threshold surface of the
+reference cascade (``/root/reference/langid_service/app/lang_gate.py:83-90``
+and ``app/config.py:36-61``): probability bands, token minima, stopword
+ratios and margins, plus the quality-rule and scrubber knobs this engine
+adds on top.  The config hash goes into every partition-manifest line so a
+resume can refuse to mix outputs produced under different rules
+(lineage; analog of the reference embedding its thresholds into every
+result's ``gate_meta.config`` at ``lang_gate.py:195-203``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from dataclasses import asdict, dataclass, field, fields
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    # --- language-gate thresholds (reference lang_gate.py:83-90) ---
+    mid_lower: float = 0.60          # LANG_MID_LOWER
+    mid_upper: float = 0.79          # LANG_MID_UPPER
+    min_stopword_en: float = 0.15    # LANG_MIN_STOPWORD_EN
+    min_stopword_fr: float = 0.15    # LANG_MIN_STOPWORD_FR
+    stopword_margin: float = 0.05    # LANG_STOPWORD_MARGIN
+    min_tokens: int = 10             # LANG_MIN_TOKENS (mid-zone heuristic)
+    min_tokens_speech: int = 6       # LANG_MIN_TOKENS_SPEECH
+    min_stopword_speech: float = 0.10  # LANG_MIN_STOPWORD_SPEECH
+    detect_min_prob: float = 0.60    # LANG_DETECT_MIN_PROB (second pass)
+    strict_reject: bool = False      # ENFR_STRICT_REJECT
+    allowed_langs: tuple[str, ...] = ("en", "fr")
+
+    # --- probe bounds (analog of PROBE_DURATION_S, lang_gate.py:12-13) ---
+    probe_chars: int = 4096          # classifier/heuristics read content[:probe_chars]
+
+    # --- quality rules (Gopher/RedPajama-style; this engine's addition) ---
+    max_content_bytes: int = 1_000_000   # upload-size analog (reference config.py:39)
+    max_line_length: int = 1000          # any single line longer => minified/binary-ish
+    max_mean_line_length: float = 200.0
+    min_alnum_ratio: float = 0.25
+    max_dup_line_frac: float = 0.30      # fraction of non-unique lines
+    max_dup_shingle_frac: float = 0.30   # fraction of non-unique 5-gram word shingles
+    shingle_n: int = 5
+
+    # --- output formatting (LANG_CODE_FORMAT analog, config.py:53-61) ---
+    lang_code_format: str = "iso639-1"
+
+    @classmethod
+    def from_env(cls, env: dict[str, str] | None = None) -> "PipelineConfig":
+        """Build a config from LANGFILTER_* environment variables."""
+        env = dict(os.environ if env is None else env)
+        kwargs = {}
+        for f in fields(cls):
+            key = "LANGFILTER_" + f.name.upper()
+            if key not in env:
+                continue
+            raw = env[key]
+            if f.type in ("float",):
+                kwargs[f.name] = float(raw)
+            elif f.type in ("int",):
+                kwargs[f.name] = int(raw)
+            elif f.type in ("bool",):
+                kwargs[f.name] = raw.lower() in ("1", "true", "yes")
+            elif f.name == "allowed_langs":
+                kwargs[f.name] = tuple(s.strip() for s in raw.split(",") if s.strip())
+            else:
+                kwargs[f.name] = raw
+        return cls(**kwargs)
+
+    def config_hash(self) -> str:
+        """Stable hash of every threshold — recorded in manifests for lineage."""
+        blob = json.dumps(asdict(self), sort_keys=True, default=list)
+        return hashlib.sha256(blob.encode()).hexdigest()[:16]
+
+
+DEFAULT_CONFIG = PipelineConfig()

@@ -1,0 +1,86 @@
+"""Gopher/RedPajama-style shape heuristics over source-file content.
+
+These are the engine's pre-classifier prune rules (the analog of the
+reference's upload validator, /root/reference/langid_service/app/
+utils.py:13-18, which rejects oversized/wrong-shaped inputs before any
+model work): cheap pure-Python/C string statistics that drop obviously
+unusable files so the expensive classifier stages see monotonically fewer
+rows (the cost-ladder lesson, SURVEY.md §4.2).
+
+Rules (evaluated in FIXED order; the first firing rule names the drop):
+  too_large    — content byte length over the cap (upload-size analog)
+  line_len     — any line over max_line_length, or mean line length over
+                 max_mean_line_length (minified / generated bundles)
+  alnum_ratio  — fraction of alphanumeric chars below min (binary-ish blobs)
+  repetition   — duplicate-line fraction or duplicate word-5-gram-shingle
+                 fraction over the cap (Gopher repetition signals); shingles
+                 are hashed with crc32 (xxhash-shingle analog — stable,
+                 dependency-free, and only used for within-document set
+                 membership, so 32 bits suffice)
+"""
+
+from __future__ import annotations
+
+import zlib
+
+from ..config import PipelineConfig
+
+RULE_ORDER = ("too_large", "line_len", "alnum_ratio", "repetition")
+
+
+def content_stats(text: str, cfg: PipelineConfig) -> dict[str, float]:
+    """Deterministic shape statistics for one document (probe-capped where
+    noted).  All counts are exact ints; ratios are single float divisions."""
+    nbytes = len(text.encode("utf-8", errors="surrogatepass"))
+    probe = text[: cfg.probe_chars]
+    lines = probe.split("\n")
+    n_lines = len(lines)
+    max_line = max((len(ln) for ln in lines), default=0)
+    mean_line = (sum(len(ln) for ln in lines) / n_lines) if n_lines else 0.0
+    n_chars = len(probe)
+    n_alnum = sum(ch.isalnum() for ch in probe)
+    alnum_ratio = (n_alnum / n_chars) if n_chars else 0.0
+
+    stripped = [ln.strip() for ln in lines if ln.strip()]
+    dup_line_frac = 0.0
+    if stripped:
+        dup_line_frac = 1.0 - len(set(stripped)) / len(stripped)
+
+    words = probe.split()
+    n = cfg.shingle_n
+    dup_shingle_frac = 0.0
+    if len(words) >= n:
+        total = len(words) - n + 1
+        seen: set[int] = set()
+        for i in range(total):
+            h = zlib.crc32(" ".join(words[i : i + n]).encode("utf-8"))
+            seen.add(h)
+        dup_shingle_frac = 1.0 - len(seen) / total
+
+    return {
+        "n_bytes": nbytes,
+        "max_line": max_line,
+        "mean_line": mean_line,
+        "alnum_ratio": alnum_ratio,
+        "dup_line_frac": dup_line_frac,
+        "dup_shingle_frac": dup_shingle_frac,
+        "n_chars_probe": n_chars,
+    }
+
+
+def first_failing_rule(text: str, cfg: PipelineConfig) -> tuple[str | None, dict[str, bool]]:
+    """Return (first rule that fires or None, {rule: fired} flags)."""
+    st = content_stats(text, cfg)
+    flags = {
+        "too_large": st["n_bytes"] > cfg.max_content_bytes,
+        "line_len": st["max_line"] > cfg.max_line_length
+        or st["mean_line"] > cfg.max_mean_line_length,
+        "alnum_ratio": st["n_chars_probe"] > 0
+        and st["alnum_ratio"] < cfg.min_alnum_ratio,
+        "repetition": st["dup_line_frac"] > cfg.max_dup_line_frac
+        or st["dup_shingle_frac"] > cfg.max_dup_shingle_frac,
+    }
+    for rule in RULE_ORDER:
+        if flags[rule]:
+            return rule, flags
+    return None, flags

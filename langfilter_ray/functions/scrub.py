@@ -1,0 +1,78 @@
+"""Regex PII/secret scrubber producing byte-deterministic scrubbed content.
+
+The north-star addition on top of the reference cascade: emails, IPs, API
+keys, bearer tokens and private-key blocks are replaced with fixed tokens,
+in a FIXED rule order, so the sha256 of the scrubbed content is stable
+across runs, processes and cluster sizes (the per-row invariant required
+by BASELINE.json).  Rule order and replacement strings are part of the
+config hash — changing either is a new lineage.
+
+All patterns are RE2-compatible (no backreferences/lookbehind) so the Ray
+stage can run them through ``pyarrow.compute.replace_substring_regex``
+fully vectorized; this module holds the single definition both the Arrow
+stage and the pure-Python oracle use.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+# (name, pattern, replacement) — applied strictly in this order.
+# Private-key blocks first (they may contain things that look like other
+# secrets), then specific key shapes, then generic network identifiers.
+SCRUB_RULES: list[tuple[str, str, str]] = [
+    (
+        "pii_key",  # PEM private-key block
+        r"-----BEGIN [A-Z ]*PRIVATE KEY-----(?s:.)*?-----END [A-Z ]*PRIVATE KEY-----",
+        "<PRIVATE_KEY>",
+    ),
+    (
+        "pii_key_aws",  # AWS access key id
+        r"\bAKIA[0-9A-Z]{16}\b",
+        "<AWS_KEY>",
+    ),
+    (
+        "pii_token",  # bearer / OAuth-ish tokens
+        r"\b[Bb]earer +[A-Za-z0-9_\-\.=]{16,}",
+        "Bearer <TOKEN>",
+    ),
+    (
+        "pii_secret",  # assignments of *secret*/*password*/*api_key* literals
+        r"(?i)\b(secret|password|passwd|api_key|apikey|token)(\s*[:=]\s*)[\"'][^\"'\n]{6,}[\"']",
+        r"\1\2\"<SECRET>\"",
+    ),
+    (
+        "pii_email",
+        r"\b[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}\b",
+        "<EMAIL>",
+    ),
+    (
+        "pii_ipv6",
+        r"\b(?:[0-9A-Fa-f]{1,4}:){3,7}[0-9A-Fa-f]{1,4}\b",
+        "<IP>",
+    ),
+    (
+        "pii_ip",
+        r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+        "<IP>",
+    ),
+]
+
+_COMPILED = [(name, re.compile(pat), repl) for name, pat, repl in SCRUB_RULES]
+RULE_NAMES = [name for name, _, _ in SCRUB_RULES]
+
+
+def scrub_text(text: str) -> tuple[str, dict[str, bool]]:
+    """Apply every rule in order; return (scrubbed, {rule_name: fired})."""
+    flags = {}
+    out = text
+    for name, rx, repl in _COMPILED:
+        new = rx.sub(repl, out)
+        flags[name] = new != out
+        out = new
+    return out, flags
+
+
+def sha256_hex(text: str) -> str:
+    return hashlib.sha256(text.encode("utf-8")).hexdigest()

@@ -1,0 +1,244 @@
+"""Pure-Python per-row decision oracle — the reference-semantics spec.
+
+This module IS the specification of the decision cascade: a line-for-line
+structural mirror of ``detect_lang_en_fr_only`` (/root/reference/
+langid_service/app/lang_gate.py:293-546) retargeted from audio transcripts
+to source-file content, plus the quality rules and scrubber the north star
+adds.  It runs row-by-row with no Ray anywhere, generates the committed
+golden labels, and is what the vectorized Ray stages are tested against
+(keep/drop F1 >= 0.99 is trivially exact because both share this spec).
+
+Branch map (reference line numbers in parentheses):
+  0. too_large prune            — upload validator analog (utils.py:13-18)
+  1. no-content short-circuit   — music-only short-circuit (:340-352);
+     extended: an empty/whitespace-only probe is also no-content (an empty
+     source file has nothing to keep — documented divergence, since the
+     reference lets empty transcripts fall through to the model)
+  2. shape-rule prune           — engine addition (Gopher rules), before the
+     classifier so expensive stages see fewer rows (SURVEY.md §4.2)
+  3. high-conf accept w/ speechiness guard (:354-396)
+  4. mid-zone EN / FR heuristics (:398-453)
+  5. second pass on filtered text — VAD retry analog (:455-511); the
+     accepted record keeps the FIRST-pass ratios and token count, a
+     reproduction-relevant quirk of the reference (:507-509)
+  6. strict reject (:527-531) or EN/FR forced-choice fallback (:533-546)
+     with probability=None (:538) — fallback rows are DROPPED by the
+     quality filter (FIXTURES.md §2 decision vocabulary)
+
+Kept rows are then scrubbed (functions/scrub.py) and get a sha256 of the
+scrubbed content; dropped rows carry null scrubbed fields (cost ladder:
+enrichment only on survivors, the T5 analog).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from .config import DEFAULT_CONFIG, PipelineConfig
+from .functions.classifier import TrigramLidModel, get_model
+from .functions.heuristics import first_failing_rule
+from .functions.scrub import RULE_NAMES, scrub_text, sha256_hex
+from .functions.textproc import (
+    EN_STOPWORDS,
+    FR_STOPWORDS,
+    compute_stopword_ratio_from_tokens,
+    filtered_text,
+    is_no_content,
+    tokenize_text,
+)
+
+KEPT_DECISIONS = frozenset(
+    {"kept_high_conf", "kept_mid_zone_en", "kept_mid_zone_fr", "kept_second_pass"}
+)
+
+
+def _result(
+    *,
+    cfg: PipelineConfig,
+    language: str,
+    probability: float | None,
+    method: str,
+    gate_decision: str,
+    second_pass: bool,
+    en_ratio: float,
+    fr_ratio: float,
+    token_count: int,
+    no_content: bool,
+    rule_flags: dict[str, bool],
+) -> dict[str, Any]:
+    """Assemble the flat label record (the ``_build_gate_result`` analog,
+    lang_gate.py:172-213, with the nested struct flattened into ``meta``)."""
+    prob_value = float(probability) if probability is not None else 0.0
+    return {
+        "keep": gate_decision in KEPT_DECISIONS,
+        "gate_decision": gate_decision,
+        "language": language,
+        "probability": probability,
+        "method": method,
+        "meta": {
+            "mid_zone": cfg.mid_lower <= prob_value < cfg.mid_upper,
+            "token_count": token_count,
+            "stopword_ratio_en": en_ratio,
+            "stopword_ratio_fr": fr_ratio,
+            "second_pass": second_pass,
+            "no_content": no_content,
+        },
+        "rule_flags": rule_flags,
+    }
+
+
+def decide_row(
+    content: str,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    model: TrigramLidModel | None = None,
+) -> dict[str, Any]:
+    """Run the full cascade for one document; returns the label record
+    (without scrub fields — see ``label_row`` for the scrubbed variant)."""
+    model = model or get_model()
+    probe = content[: cfg.probe_chars]
+
+    no_rule_flags = {r: False for r in ("too_large", "line_len", "alnum_ratio", "repetition")}
+
+    # 0. size prune (upload validator analog) — checked on full content bytes
+    if len(content.encode("utf-8", errors="surrogatepass")) > cfg.max_content_bytes:
+        flags = dict(no_rule_flags, too_large=True)
+        return _result(
+            cfg=cfg, language="none", probability=None, method="rules",
+            gate_decision="dropped_rule_too_large", second_pass=False,
+            en_ratio=0.0, fr_ratio=0.0, token_count=0, no_content=False,
+            rule_flags=flags,
+        )
+
+    tokens = tokenize_text(probe)
+    token_count = len(tokens)
+
+    # 1. no-content short-circuit (music-only analog, :340-352)
+    no_content = (not probe.strip()) or is_no_content(probe)
+    if no_content:
+        return _result(
+            cfg=cfg, language="none", probability=None, method="autodetect",
+            gate_decision="dropped_no_content", second_pass=False,
+            en_ratio=0.0, fr_ratio=0.0, token_count=token_count,
+            no_content=True, rule_flags=no_rule_flags,
+        )
+
+    # 2. shape-rule prune (engine addition; cheap, pre-classifier)
+    rule, rule_flags = first_failing_rule(content, cfg)
+    if rule is not None:
+        return _result(
+            cfg=cfg, language="none", probability=None, method="rules",
+            gate_decision=f"dropped_rule_{rule}", second_pass=False,
+            en_ratio=0.0, fr_ratio=0.0, token_count=token_count,
+            no_content=False, rule_flags=rule_flags,
+        )
+
+    # first-pass classification (:310-317)
+    langs, probs = model.classify([probe])
+    detected_lang, prob_value = langs[0], float(probs[0])
+
+    en_ratio = compute_stopword_ratio_from_tokens(tokens, EN_STOPWORDS)
+    fr_ratio = compute_stopword_ratio_from_tokens(tokens, FR_STOPWORDS)
+
+    if detected_lang in cfg.allowed_langs:
+        # 3. high confidence + speechiness guard (:354-396)
+        if prob_value >= cfg.mid_upper:
+            dominant_ratio = max(en_ratio, fr_ratio)
+            if (
+                token_count >= cfg.min_tokens_speech
+                and dominant_ratio >= cfg.min_stopword_speech
+            ):
+                return _result(
+                    cfg=cfg, language=detected_lang, probability=prob_value,
+                    method="autodetect", gate_decision="kept_high_conf",
+                    second_pass=False, en_ratio=en_ratio, fr_ratio=fr_ratio,
+                    token_count=token_count, no_content=False,
+                    rule_flags=rule_flags,
+                )
+            # unspeechy high-prob deliberately falls through (:383-396)
+
+        # 4. mid-zone heuristics (:398-453)
+        if prob_value >= cfg.mid_lower and detected_lang in {"en", "fr"}:
+            if (
+                detected_lang == "en"
+                and token_count >= cfg.min_tokens
+                and en_ratio >= cfg.min_stopword_en
+                and en_ratio > fr_ratio + cfg.stopword_margin
+            ):
+                return _result(
+                    cfg=cfg, language="en", probability=prob_value,
+                    method="autodetect", gate_decision="kept_mid_zone_en",
+                    second_pass=False, en_ratio=en_ratio, fr_ratio=fr_ratio,
+                    token_count=token_count, no_content=False,
+                    rule_flags=rule_flags,
+                )
+            if (
+                detected_lang == "fr"
+                and token_count >= cfg.min_tokens
+                and fr_ratio >= cfg.min_stopword_fr
+                and fr_ratio > en_ratio + cfg.stopword_margin
+            ):
+                return _result(
+                    cfg=cfg, language="fr", probability=prob_value,
+                    method="autodetect", gate_decision="kept_mid_zone_fr",
+                    second_pass=False, en_ratio=en_ratio, fr_ratio=fr_ratio,
+                    token_count=token_count, no_content=False,
+                    rule_flags=rule_flags,
+                )
+
+    # 5. second pass on filtered text (VAD retry analog, :455-511)
+    probe_filtered = filtered_text(probe)
+    if is_no_content(probe_filtered):
+        return _result(
+            cfg=cfg, language="none", probability=None, method="autodetect-vad",
+            gate_decision="dropped_no_content", second_pass=True,
+            en_ratio=0.0, fr_ratio=0.0,
+            token_count=len(tokenize_text(probe_filtered)),
+            no_content=True, rule_flags=rule_flags,
+        )
+    langs2, probs2 = model.classify([probe_filtered])
+    lang2, prob2 = langs2[0], float(probs2[0])
+    if lang2 in cfg.allowed_langs and prob2 >= cfg.detect_min_prob:
+        # quirk preserved: records FIRST-pass ratios/token count (:507-509)
+        return _result(
+            cfg=cfg, language=lang2, probability=prob2,
+            method="autodetect-vad", gate_decision="kept_second_pass",
+            second_pass=True, en_ratio=en_ratio, fr_ratio=fr_ratio,
+            token_count=token_count, no_content=False, rule_flags=rule_flags,
+        )
+
+    # 6. strict reject (:527-531) or forced-choice fallback (:533-546)
+    if cfg.strict_reject:
+        return _result(
+            cfg=cfg, language=detected_lang, probability=prob_value,
+            method="autodetect", gate_decision="rejected_strict",
+            second_pass=True, en_ratio=en_ratio, fr_ratio=fr_ratio,
+            token_count=token_count, no_content=False, rule_flags=rule_flags,
+        )
+    chosen = model.forced_choice([probe_filtered])[0]
+    return _result(
+        cfg=cfg, language=chosen, probability=None, method="fallback",
+        gate_decision="dropped_fallback", second_pass=True,
+        en_ratio=en_ratio, fr_ratio=fr_ratio, token_count=token_count,
+        no_content=False, rule_flags=rule_flags,
+    )
+
+
+def label_row(
+    content: str,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    model: TrigramLidModel | None = None,
+) -> dict[str, Any]:
+    """Full golden label: cascade decision + scrub fields on kept rows."""
+    rec = decide_row(content, cfg, model)
+    if rec["keep"]:
+        scrubbed, pii_flags = scrub_text(content)
+        rec["scrubbed_content"] = scrubbed
+        rec["content_sha256"] = sha256_hex(scrubbed)
+        rec["pii_flags"] = pii_flags
+        rec["scrubbed"] = any(pii_flags.values())
+    else:
+        rec["scrubbed_content"] = None
+        rec["content_sha256"] = None
+        rec["pii_flags"] = {name: False for name in RULE_NAMES}
+        rec["scrubbed"] = False
+    return rec
