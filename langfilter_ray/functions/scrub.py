@@ -40,7 +40,7 @@ SCRUB_RULES: list[tuple[str, str, str]] = [
     (
         "pii_secret",  # assignments of *secret*/*password*/*api_key* literals
         r"(?i)\b(secret|password|passwd|api_key|apikey|token)(\s*[:=]\s*)[\"'][^\"'\n]{6,}[\"']",
-        r"\1\2\"<SECRET>\"",
+        "\\1\\2\"<SECRET>\"",
     ),
     (
         "pii_email",

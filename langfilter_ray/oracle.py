@@ -1,42 +1,52 @@
-"""Pure-Python per-row decision oracle — the reference-semantics spec.
+"""Pure-Python decision oracle — the reference-semantics spec.
 
-This module IS the specification of the decision cascade: a line-for-line
-structural mirror of ``detect_lang_en_fr_only`` (/root/reference/
-langid_service/app/lang_gate.py:293-546) retargeted from audio transcripts
-to source-file content, plus the quality rules and scrubber the north star
-adds.  It runs row-by-row with no Ray anywhere, generates the committed
-golden labels, and is what the vectorized Ray stages are tested against
-(keep/drop F1 >= 0.99 is trivially exact because both share this spec).
+This module IS the specification of the decision cascade: a structural
+mirror of ``detect_lang_en_fr_only`` (/root/reference/langid_service/app/
+lang_gate.py:293-546) retargeted from audio transcripts to source-file
+content, plus the quality rules and scrubber the north star adds.
 
-Branch map (reference line numbers in parentheses):
-  0. too_large prune            — upload validator analog (utils.py:13-18)
-  1. no-content short-circuit   — music-only short-circuit (:340-352);
-     extended: an empty/whitespace-only probe is also no-content (an empty
-     source file has nothing to keep — documented divergence, since the
-     reference lets empty transcripts fall through to the model)
-  2. shape-rule prune           — engine addition (Gopher rules), before the
-     classifier so expensive stages see fewer rows (SURVEY.md §4.2)
+The cascade is factored into staged pure functions so the row-wise oracle
+(this file, used to produce the committed golden labels) and the batched
+Ray stage (stages/cascade.py, which scores whole Arrow batches through the
+classifier) execute the SAME branch code — decision parity is structural,
+not statistical:
+
+  cheap_features()       — steps 0-2: size prune, no-content short-circuit,
+                           shape rules, tokens/ratios  (no model)
+  first_pass_decision()  — steps 3-4: high-conf + speechiness guard,
+                           mid-zone EN/FR             (needs pass-1 scores)
+  second_pass_decision() — step 5: filtered-text retry (VAD analog)
+                           (needs pass-2 scores)
+  residual_decision()    — step 6: strict reject / EN-FR fallback
+
+Branch map (reference lines):
+  0. too_large prune          — upload validator analog (utils.py:13-18)
+  1. no-content short-circuit — music-only short-circuit (:340-352); an
+     empty/whitespace-only probe is also no-content (documented divergence:
+     an empty source file has nothing to keep)
+  2. shape-rule prune         — engine addition (Gopher rules) placed before
+     the classifier so expensive stages see fewer rows (SURVEY.md §4.2)
   3. high-conf accept w/ speechiness guard (:354-396)
   4. mid-zone EN / FR heuristics (:398-453)
-  5. second pass on filtered text — VAD retry analog (:455-511); the
-     accepted record keeps the FIRST-pass ratios and token count, a
-     reproduction-relevant quirk of the reference (:507-509)
+  5. second pass on filtered text (:455-511); the accepted record keeps the
+     FIRST-pass ratios and token count — reference quirk (:507-509)
   6. strict reject (:527-531) or EN/FR forced-choice fallback (:533-546)
-     with probability=None (:538) — fallback rows are DROPPED by the
-     quality filter (FIXTURES.md §2 decision vocabulary)
+     with probability=None (:538); fallback rows are DROPPED by the quality
+     filter (FIXTURES.md §2 decision vocabulary)
 
-Kept rows are then scrubbed (functions/scrub.py) and get a sha256 of the
-scrubbed content; dropped rows carry null scrubbed fields (cost ladder:
-enrichment only on survivors, the T5 analog).
+Kept rows are scrubbed (functions/scrub.py) and get a sha256 of the
+scrubbed content; dropped rows carry null scrub fields (cost ladder:
+enrichment only on survivors — the T5 analog).
 """
 
 from __future__ import annotations
 
+from dataclasses import dataclass
 from typing import Any
 
 from .config import DEFAULT_CONFIG, PipelineConfig
 from .functions.classifier import TrigramLidModel, get_model
-from .functions.heuristics import first_failing_rule
+from .functions.heuristics import RULE_ORDER, first_failing_rule
 from .functions.scrub import RULE_NAMES, scrub_text, sha256_hex
 from .functions.textproc import (
     EN_STOPWORDS,
@@ -50,6 +60,18 @@ from .functions.textproc import (
 KEPT_DECISIONS = frozenset(
     {"kept_high_conf", "kept_mid_zone_en", "kept_mid_zone_fr", "kept_second_pass"}
 )
+_NO_RULE_FLAGS = {r: False for r in RULE_ORDER}
+
+
+@dataclass
+class RowFeatures:
+    """Model-free features of one document (cheap_features output)."""
+
+    probe: str
+    token_count: int
+    en_ratio: float
+    fr_ratio: float
+    rule_flags: dict[str, bool]
 
 
 def _result(
@@ -66,8 +88,8 @@ def _result(
     no_content: bool,
     rule_flags: dict[str, bool],
 ) -> dict[str, Any]:
-    """Assemble the flat label record (the ``_build_gate_result`` analog,
-    lang_gate.py:172-213, with the nested struct flattened into ``meta``)."""
+    """Flat label record — the ``_build_gate_result`` analog
+    (lang_gate.py:172-213) with the nested struct flattened into ``meta``."""
     prob_value = float(probability) if probability is not None else 0.0
     return {
         "keep": gate_decision in KEPT_DECISIONS,
@@ -87,140 +109,185 @@ def _result(
     }
 
 
-def decide_row(
-    content: str,
-    cfg: PipelineConfig = DEFAULT_CONFIG,
-    model: TrigramLidModel | None = None,
-) -> dict[str, Any]:
-    """Run the full cascade for one document; returns the label record
-    (without scrub fields — see ``label_row`` for the scrubbed variant)."""
-    model = model or get_model()
-    probe = content[: cfg.probe_chars]
+# --------------------------------------------------------------------------
+# staged decision functions (shared by oracle and Ray stage)
+# --------------------------------------------------------------------------
 
-    no_rule_flags = {r: False for r in ("too_large", "line_len", "alnum_ratio", "repetition")}
-
-    # 0. size prune (upload validator analog) — checked on full content bytes
+def cheap_features(
+    content: str, cfg: PipelineConfig
+) -> tuple[RowFeatures | None, dict[str, Any] | None]:
+    """Steps 0-2.  Returns (features, None) when the row needs the
+    classifier, or (None, record) when it was decided without any model."""
+    # 0. size prune on full content bytes
     if len(content.encode("utf-8", errors="surrogatepass")) > cfg.max_content_bytes:
-        flags = dict(no_rule_flags, too_large=True)
-        return _result(
+        return None, _result(
             cfg=cfg, language="none", probability=None, method="rules",
             gate_decision="dropped_rule_too_large", second_pass=False,
             en_ratio=0.0, fr_ratio=0.0, token_count=0, no_content=False,
-            rule_flags=flags,
+            rule_flags=dict(_NO_RULE_FLAGS, too_large=True),
         )
 
+    probe = content[: cfg.probe_chars]
     tokens = tokenize_text(probe)
     token_count = len(tokens)
 
-    # 1. no-content short-circuit (music-only analog, :340-352)
-    no_content = (not probe.strip()) or is_no_content(probe)
-    if no_content:
-        return _result(
+    # 1. no-content short-circuit
+    if (not probe.strip()) or is_no_content(probe):
+        return None, _result(
             cfg=cfg, language="none", probability=None, method="autodetect",
             gate_decision="dropped_no_content", second_pass=False,
             en_ratio=0.0, fr_ratio=0.0, token_count=token_count,
-            no_content=True, rule_flags=no_rule_flags,
+            no_content=True, rule_flags=dict(_NO_RULE_FLAGS),
         )
 
-    # 2. shape-rule prune (engine addition; cheap, pre-classifier)
+    # 2. shape-rule prune
     rule, rule_flags = first_failing_rule(content, cfg)
     if rule is not None:
-        return _result(
+        return None, _result(
             cfg=cfg, language="none", probability=None, method="rules",
             gate_decision=f"dropped_rule_{rule}", second_pass=False,
             en_ratio=0.0, fr_ratio=0.0, token_count=token_count,
             no_content=False, rule_flags=rule_flags,
         )
 
-    # first-pass classification (:310-317)
-    langs, probs = model.classify([probe])
-    detected_lang, prob_value = langs[0], float(probs[0])
-
     en_ratio = compute_stopword_ratio_from_tokens(tokens, EN_STOPWORDS)
     fr_ratio = compute_stopword_ratio_from_tokens(tokens, FR_STOPWORDS)
+    return RowFeatures(probe, token_count, en_ratio, fr_ratio, rule_flags), None
 
-    if detected_lang in cfg.allowed_langs:
-        # 3. high confidence + speechiness guard (:354-396)
-        if prob_value >= cfg.mid_upper:
-            dominant_ratio = max(en_ratio, fr_ratio)
+
+def first_pass_decision(
+    cfg: PipelineConfig, f: RowFeatures, lang1: str, prob1: float
+) -> dict[str, Any] | None:
+    """Steps 3-4; None means undecided (second pass required)."""
+    if lang1 in cfg.allowed_langs:
+        if prob1 >= cfg.mid_upper:
+            dominant_ratio = max(f.en_ratio, f.fr_ratio)
             if (
-                token_count >= cfg.min_tokens_speech
+                f.token_count >= cfg.min_tokens_speech
                 and dominant_ratio >= cfg.min_stopword_speech
             ):
                 return _result(
-                    cfg=cfg, language=detected_lang, probability=prob_value,
+                    cfg=cfg, language=lang1, probability=prob1,
                     method="autodetect", gate_decision="kept_high_conf",
-                    second_pass=False, en_ratio=en_ratio, fr_ratio=fr_ratio,
-                    token_count=token_count, no_content=False,
-                    rule_flags=rule_flags,
+                    second_pass=False, en_ratio=f.en_ratio, fr_ratio=f.fr_ratio,
+                    token_count=f.token_count, no_content=False,
+                    rule_flags=f.rule_flags,
                 )
             # unspeechy high-prob deliberately falls through (:383-396)
 
-        # 4. mid-zone heuristics (:398-453)
-        if prob_value >= cfg.mid_lower and detected_lang in {"en", "fr"}:
+        if prob1 >= cfg.mid_lower and lang1 in {"en", "fr"}:
             if (
-                detected_lang == "en"
-                and token_count >= cfg.min_tokens
-                and en_ratio >= cfg.min_stopword_en
-                and en_ratio > fr_ratio + cfg.stopword_margin
+                lang1 == "en"
+                and f.token_count >= cfg.min_tokens
+                and f.en_ratio >= cfg.min_stopword_en
+                and f.en_ratio > f.fr_ratio + cfg.stopword_margin
             ):
                 return _result(
-                    cfg=cfg, language="en", probability=prob_value,
+                    cfg=cfg, language="en", probability=prob1,
                     method="autodetect", gate_decision="kept_mid_zone_en",
-                    second_pass=False, en_ratio=en_ratio, fr_ratio=fr_ratio,
-                    token_count=token_count, no_content=False,
-                    rule_flags=rule_flags,
+                    second_pass=False, en_ratio=f.en_ratio, fr_ratio=f.fr_ratio,
+                    token_count=f.token_count, no_content=False,
+                    rule_flags=f.rule_flags,
                 )
             if (
-                detected_lang == "fr"
-                and token_count >= cfg.min_tokens
-                and fr_ratio >= cfg.min_stopword_fr
-                and fr_ratio > en_ratio + cfg.stopword_margin
+                lang1 == "fr"
+                and f.token_count >= cfg.min_tokens
+                and f.fr_ratio >= cfg.min_stopword_fr
+                and f.fr_ratio > f.en_ratio + cfg.stopword_margin
             ):
                 return _result(
-                    cfg=cfg, language="fr", probability=prob_value,
+                    cfg=cfg, language="fr", probability=prob1,
                     method="autodetect", gate_decision="kept_mid_zone_fr",
-                    second_pass=False, en_ratio=en_ratio, fr_ratio=fr_ratio,
-                    token_count=token_count, no_content=False,
-                    rule_flags=rule_flags,
+                    second_pass=False, en_ratio=f.en_ratio, fr_ratio=f.fr_ratio,
+                    token_count=f.token_count, no_content=False,
+                    rule_flags=f.rule_flags,
                 )
+    return None
 
-    # 5. second pass on filtered text (VAD retry analog, :455-511)
-    probe_filtered = filtered_text(probe)
-    if is_no_content(probe_filtered):
+
+def second_pass_decision(
+    cfg: PipelineConfig,
+    f: RowFeatures,
+    filtered: str,
+    lang2: str,
+    prob2: float,
+) -> dict[str, Any] | None:
+    """Step 5; None means still undecided (strict/fallback required).
+
+    ``filtered`` must be ``filtered_text(f.probe)``; callers compute the
+    pass-2 classifier scores over it (batched in the Ray stage)."""
+    if is_no_content(filtered):
         return _result(
             cfg=cfg, language="none", probability=None, method="autodetect-vad",
             gate_decision="dropped_no_content", second_pass=True,
             en_ratio=0.0, fr_ratio=0.0,
-            token_count=len(tokenize_text(probe_filtered)),
-            no_content=True, rule_flags=rule_flags,
+            token_count=len(tokenize_text(filtered)),
+            no_content=True, rule_flags=f.rule_flags,
         )
-    langs2, probs2 = model.classify([probe_filtered])
-    lang2, prob2 = langs2[0], float(probs2[0])
     if lang2 in cfg.allowed_langs and prob2 >= cfg.detect_min_prob:
-        # quirk preserved: records FIRST-pass ratios/token count (:507-509)
+        # quirk preserved: FIRST-pass ratios/token count (:507-509)
         return _result(
             cfg=cfg, language=lang2, probability=prob2,
             method="autodetect-vad", gate_decision="kept_second_pass",
-            second_pass=True, en_ratio=en_ratio, fr_ratio=fr_ratio,
-            token_count=token_count, no_content=False, rule_flags=rule_flags,
+            second_pass=True, en_ratio=f.en_ratio, fr_ratio=f.fr_ratio,
+            token_count=f.token_count, no_content=False, rule_flags=f.rule_flags,
         )
+    return None
 
-    # 6. strict reject (:527-531) or forced-choice fallback (:533-546)
+
+def residual_decision(
+    cfg: PipelineConfig,
+    f: RowFeatures,
+    lang1: str,
+    prob1: float,
+    fallback_lang: str | None,
+) -> dict[str, Any]:
+    """Step 6.  ``fallback_lang`` is the forced-choice result; pass None only
+    under strict mode (where no fallback model call happens)."""
     if cfg.strict_reject:
         return _result(
-            cfg=cfg, language=detected_lang, probability=prob_value,
+            cfg=cfg, language=lang1, probability=prob1,
             method="autodetect", gate_decision="rejected_strict",
-            second_pass=True, en_ratio=en_ratio, fr_ratio=fr_ratio,
-            token_count=token_count, no_content=False, rule_flags=rule_flags,
+            second_pass=True, en_ratio=f.en_ratio, fr_ratio=f.fr_ratio,
+            token_count=f.token_count, no_content=False, rule_flags=f.rule_flags,
         )
-    chosen = model.forced_choice([probe_filtered])[0]
     return _result(
-        cfg=cfg, language=chosen, probability=None, method="fallback",
+        cfg=cfg, language=fallback_lang, probability=None, method="fallback",
         gate_decision="dropped_fallback", second_pass=True,
-        en_ratio=en_ratio, fr_ratio=fr_ratio, token_count=token_count,
-        no_content=False, rule_flags=rule_flags,
+        en_ratio=f.en_ratio, fr_ratio=f.fr_ratio, token_count=f.token_count,
+        no_content=False, rule_flags=f.rule_flags,
     )
+
+
+# --------------------------------------------------------------------------
+# row-wise oracle (golden-label generator; single-row model calls)
+# --------------------------------------------------------------------------
+
+def decide_row(
+    content: str,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    model: TrigramLidModel | None = None,
+) -> dict[str, Any]:
+    """Run the full cascade for one document (no scrub fields)."""
+    model = model or get_model()
+    feats, rec = cheap_features(content, cfg)
+    if rec is not None:
+        return rec
+
+    langs, probs = model.classify([feats.probe])
+    lang1, prob1 = langs[0], float(probs[0])
+    rec = first_pass_decision(cfg, feats, lang1, prob1)
+    if rec is not None:
+        return rec
+
+    filtered = filtered_text(feats.probe)
+    langs2, probs2 = model.classify([filtered])
+    rec = second_pass_decision(cfg, feats, filtered, langs2[0], float(probs2[0]))
+    if rec is not None:
+        return rec
+
+    fallback = None if cfg.strict_reject else model.forced_choice([filtered])[0]
+    return residual_decision(cfg, feats, lang1, prob1, fallback)
 
 
 def label_row(

@@ -1,0 +1,118 @@
+"""The flagship pipeline: read -> cascade actor pool -> scrub -> write.
+
+Ray-Data-first shape (SURVEY.md §7.1):
+
+    ray.data.read_parquet(corpus, columns=[...])        # prune at the read
+      .map_batches(add_partition, batch_format="pyarrow")   # repo-hash part id
+      .map_batches(CascadeScorer, concurrency=(min,max),    # stateful actor pool
+                   batch_size=B, batch_format="pyarrow")
+      .map_batches(scrub_batch, batch_format="pyarrow")     # stateless tasks
+      .write_parquet(out, partition_cols=["part"])          # resumable layout
+
+Partitioning: ``part = crc32(repo) % num_parts`` — the repo-hash
+repartition mandated by the north rule to break mega-repo skew (the
+reference's analog is node ownership by job-id prefix, cluster/
+router.py:8-35; here the hash spreads one mega-repo's files over all
+partitions because the unit of work is the FILE row, while the partition
+id keyed on repo keeps output/manifest layout stable).  crc32 stands in
+for xxhash64 (not in this sandbox); it is only a bucket id, never a
+content fingerprint.
+
+Everything streams: no materialize(), no driver-side row loops; the only
+full-dataset consumption is the final ``write_parquet`` / ``iter_batches``
+in the caller.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from ..config import DEFAULT_CONFIG, PipelineConfig
+from ..stages.cascade import CascadeScorer
+from ..stages.scrub_stage import scrub_batch
+
+CORPUS_COLUMNS = ["repo", "path", "commit", "lang", "content"]
+DEFAULT_NUM_PARTS = 64          # ~4-8x cores at test scale; a knob at cluster scale
+DEFAULT_BATCH_SIZE = 1024
+
+
+def repo_partition_ids(repos: pa.ChunkedArray | pa.Array, num_parts: int) -> pa.Array:
+    """Vectorized part id per row: crc32 over the batch's few UNIQUE repo
+    strings, scattered back through the dictionary indices (a batch holds
+    rows from few repos, so the Python loop is over uniques, not rows)."""
+    if isinstance(repos, pa.ChunkedArray):
+        repos = repos.combine_chunks()
+    enc = repos.dictionary_encode()
+    uniq = enc.dictionary.to_pylist()
+    part_of = np.array(
+        [zlib.crc32(u.encode("utf-8")) % num_parts for u in uniq], dtype=np.int32
+    )
+    idx = enc.indices.to_numpy(zero_copy_only=False)
+    return pa.array(part_of[idx], pa.int32())
+
+
+def add_partition(batch: pa.Table, num_parts: int = DEFAULT_NUM_PARTS) -> pa.Table:
+    return batch.append_column("part", repo_partition_ids(batch["repo"], num_parts))
+
+
+def read_corpus(path: str | list[str], parallelism: int | None = None) -> ray.data.Dataset:
+    """Column-pruned read of the (repo, path, commit, lang, content) table."""
+    kwargs = {}
+    if parallelism:
+        kwargs["override_num_blocks"] = parallelism
+    return ray.data.read_parquet(path, columns=CORPUS_COLUMNS, **kwargs)
+
+
+def build_pipeline(
+    ds: ray.data.Dataset,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    *,
+    num_parts: int = DEFAULT_NUM_PARTS,
+    batch_size: int = DEFAULT_BATCH_SIZE,
+    concurrency: int | tuple[int, int] | None = None,
+    parts_filter: set[int] | None = None,
+) -> ray.data.Dataset:
+    """Lazy Dataset: partition id -> (optional partition filter for resume)
+    -> cascade actor pool -> scrub.  Nothing executes until consumed."""
+    if concurrency is None:
+        concurrency = (1, _default_pool_size())
+
+    ds = ds.map_batches(
+        add_partition,
+        batch_format="pyarrow",
+        fn_kwargs={"num_parts": num_parts},
+    )
+    if parts_filter is not None:
+        wanted = pa.array(sorted(parts_filter), pa.int32())
+        ds = ds.map_batches(
+            lambda t: t.filter(pc.is_in(t["part"], value_set=wanted)),
+            batch_format="pyarrow",
+        )
+    ds = ds.map_batches(
+        CascadeScorer,
+        fn_constructor_kwargs={"cfg": cfg},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+    ds = ds.map_batches(scrub_batch, batch_format="pyarrow")
+    return ds
+
+
+def _default_pool_size() -> int:
+    """Actor-pool upper bound: leave a couple of cores for read/write tasks
+    so the pool doesn't starve the rest of the pipeline (ray_guide
+    'Stateful stages = actor pools')."""
+    import ray
+
+    try:
+        n = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    except Exception:
+        n = 4
+    return max(2, n - 2)

@@ -1,0 +1,186 @@
+"""The cascade as a Ray Data actor-pool stage.
+
+``CascadeScorer`` is the engine's central stateful stage — the analog of
+the reference's per-worker-process Whisper singleton (/root/reference/
+langid_service/app/services/detector.py:20-47) re-expressed the Ray-Data
+way: a callable CLASS passed to ``map_batches(CascadeScorer, concurrency=N,
+batch_size=B)`` whose ``__init__`` builds the trigram model ONCE per actor
+and whose ``__call__`` scores a whole Arrow batch.
+
+The cost ladder of the reference cascade (cheap probe for everyone, second
+pass only for the undecided, fallback only for the residual —
+lang_gate.py:310/458/535, SURVEY.md §4.2) is realized *inside the batch*:
+
+  pass 0-2  cheap_features        on all rows         (no model)
+  pass 1    model.classify        on non-pruned rows  (vectorized)
+  pass 2    model.classify        on undecided rows   (vectorized subset)
+  fallback  model.forced_choice   on residual rows    (vectorized subset)
+
+so each model pass sees monotonically fewer rows without any dataset-level
+split/union (which would re-read blocks), and expensive work shrinks with
+selectivity exactly as in the reference.
+
+Per-row error containment: any row whose feature extraction throws gets
+``gate_decision="error"`` + the exception text in an ``error`` column
+instead of failing the 1000-row task (the reference retries whole jobs 3x,
+runner.py:192-199; at batch granularity a poison row must not re-run its
+neighbors — SURVEY.md §7.5.6).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+
+from ..config import DEFAULT_CONFIG, PipelineConfig
+from ..functions.classifier import TrigramLidModel
+from ..functions.textproc import filtered_text
+from ..oracle import (
+    cheap_features,
+    first_pass_decision,
+    residual_decision,
+    second_pass_decision,
+)
+
+META_TYPE = pa.struct(
+    [
+        ("mid_zone", pa.bool_()),
+        ("token_count", pa.int64()),
+        ("stopword_ratio_en", pa.float64()),
+        ("stopword_ratio_fr", pa.float64()),
+        ("second_pass", pa.bool_()),
+        ("no_content", pa.bool_()),
+    ]
+)
+RULE_FLAGS_TYPE = pa.struct(
+    [
+        ("too_large", pa.bool_()),
+        ("line_len", pa.bool_()),
+        ("alnum_ratio", pa.bool_()),
+        ("repetition", pa.bool_()),
+    ]
+)
+
+_ERROR_RECORD = {
+    "keep": False,
+    "gate_decision": "error",
+    "language": "none",
+    "probability": None,
+    "method": "error",
+    "meta": {
+        "mid_zone": False, "token_count": 0, "stopword_ratio_en": 0.0,
+        "stopword_ratio_fr": 0.0, "second_pass": False, "no_content": False,
+    },
+    "rule_flags": {
+        "too_large": False, "line_len": False,
+        "alnum_ratio": False, "repetition": False,
+    },
+}
+
+
+class CascadeScorer:
+    """map_batches actor: model loaded once, batches scored vectorized."""
+
+    def __init__(self, cfg: PipelineConfig = DEFAULT_CONFIG) -> None:
+        self.cfg = cfg
+        self.model = TrigramLidModel()   # once per actor (T1 analog)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cfg, model = self.cfg, self.model
+        contents: list[str | None] = batch["content"].to_pylist()
+        n = len(contents)
+        records: list[dict[str, Any] | None] = [None] * n
+        errors: list[str | None] = [None] * n
+        feats = [None] * n
+
+        # steps 0-2: cheap features / prune (no model)
+        need_pass1: list[int] = []
+        for i, content in enumerate(contents):
+            try:
+                if content is None:
+                    content = ""
+                f, rec = cheap_features(content, cfg)
+                if rec is not None:
+                    records[i] = rec
+                else:
+                    feats[i] = f
+                    need_pass1.append(i)
+            except Exception as exc:  # poison-row containment
+                records[i] = dict(_ERROR_RECORD)
+                errors[i] = f"{type(exc).__name__}: {exc}"[:500]
+
+        # pass 1 (batched classifier over survivors)
+        lang1 = {}
+        prob1 = {}
+        if need_pass1:
+            langs, probs = model.classify([feats[i].probe for i in need_pass1])
+            need_pass2: list[int] = []
+            for k, i in enumerate(need_pass1):
+                lang1[i], prob1[i] = langs[k], float(probs[k])
+                rec = first_pass_decision(cfg, feats[i], lang1[i], prob1[i])
+                if rec is not None:
+                    records[i] = rec
+                else:
+                    need_pass2.append(i)
+        else:
+            need_pass2 = []
+
+        # pass 2 (batched over the undecided subset)
+        residual: list[int] = []
+        if need_pass2:
+            filtered = [filtered_text(feats[i].probe) for i in need_pass2]
+            filtered_by_row = dict(zip(need_pass2, filtered))
+            langs2, probs2 = model.classify(filtered)
+            for k, i in enumerate(need_pass2):
+                rec = second_pass_decision(
+                    cfg, feats[i], filtered[k], langs2[k], float(probs2[k])
+                )
+                if rec is not None:
+                    records[i] = rec
+                else:
+                    residual.append(i)
+
+            # fallback forced-choice (batched over the residual only)
+            if residual:
+                if cfg.strict_reject:
+                    fb = {i: None for i in residual}
+                else:
+                    choices = model.forced_choice(
+                        [filtered_by_row[i] for i in residual]
+                    )
+                    fb = dict(zip(residual, choices))
+                for i in residual:
+                    records[i] = residual_decision(
+                        cfg, feats[i], lang1[i], prob1[i], fb[i]
+                    )
+
+        return self._append_columns(batch, records, errors)
+
+    @staticmethod
+    def _append_columns(
+        batch: pa.Table, records: list[dict[str, Any]], errors: list[str | None]
+    ) -> pa.Table:
+        out = batch
+        out = out.append_column("keep", pa.array([r["keep"] for r in records], pa.bool_()))
+        out = out.append_column(
+            "gate_decision", pa.array([r["gate_decision"] for r in records], pa.string())
+        )
+        out = out.append_column(
+            "language", pa.array([r["language"] for r in records], pa.string())
+        )
+        out = out.append_column(
+            "probability", pa.array([r["probability"] for r in records], pa.float64())
+        )
+        out = out.append_column(
+            "method", pa.array([r["method"] for r in records], pa.string())
+        )
+        out = out.append_column(
+            "meta", pa.array([r["meta"] for r in records], META_TYPE)
+        )
+        out = out.append_column(
+            "rule_flags", pa.array([r["rule_flags"] for r in records], RULE_FLAGS_TYPE)
+        )
+        out = out.append_column("error", pa.array(errors, pa.string()))
+        return out

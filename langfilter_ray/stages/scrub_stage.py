@@ -1,0 +1,90 @@
+"""Vectorized PII/secret scrub stage (kept rows only — the cost ladder's
+"heavy enrichment on survivors" step, analog of the reference running the
+expensive snippet transcription only on accepted rows, runner.py:92-108).
+
+Implementation: the batch is split by the ``keep`` flag; the kept slice
+runs the whole rule chain through ``pyarrow.compute.replace_substring_regex``
+(RE2, fully vectorized — byte-identical to the Python ``re`` oracle, which
+is asserted by tests/test_scrub.py), plus per-rule match flags and a
+sha256 of the scrubbed text; the dropped slice gets null scrub columns.
+The two slices are re-concatenated — row order within a batch changes, but
+the pipeline is order-free (results are keyed by (repo, path, commit);
+SURVEY.md §2.10).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.scrub import SCRUB_RULES
+
+PII_FLAGS_TYPE = pa.struct([(name, pa.bool_()) for name, _, _ in SCRUB_RULES])
+
+
+def _scrub_kept(table: pa.Table) -> pa.Table:
+    content = table["content"]
+    if not isinstance(content, pa.ChunkedArray):
+        content = pa.chunked_array([content])
+    content = content.combine_chunks()
+    cur = content
+    flag_arrays = {}
+    for name, pat, repl in SCRUB_RULES:
+        flag_arrays[name] = pc.match_substring_regex(cur, pat)
+        cur = pc.replace_substring_regex(cur, pat, repl)
+
+    sha = pa.array(
+        [
+            hashlib.sha256(s.encode("utf-8")).hexdigest() if s is not None else None
+            for s in cur.to_pylist()
+        ],
+        pa.string(),
+    )
+    scrubbed_any = None
+    for name in flag_arrays:
+        scrubbed_any = (
+            flag_arrays[name]
+            if scrubbed_any is None
+            else pc.or_(scrubbed_any, flag_arrays[name])
+        )
+    pii = pa.StructArray.from_arrays(
+        [flag_arrays[name].combine_chunks() if isinstance(flag_arrays[name], pa.ChunkedArray)
+         else flag_arrays[name] for name, _, _ in SCRUB_RULES],
+        fields=list(PII_FLAGS_TYPE),
+    )
+    out = table
+    out = out.append_column("scrubbed_content", cur.cast(pa.large_string()))
+    out = out.append_column("content_sha256", sha)
+    out = out.append_column("pii_flags", pii)
+    out = out.append_column("scrubbed", scrubbed_any)
+    return out
+
+
+def _null_scrub(table: pa.Table) -> pa.Table:
+    n = len(table)
+    out = table
+    out = out.append_column("scrubbed_content", pa.nulls(n, pa.large_string()))
+    out = out.append_column("content_sha256", pa.nulls(n, pa.string()))
+    out = out.append_column(
+        "pii_flags",
+        pa.array([{name: False for name, _, _ in SCRUB_RULES}] * n, PII_FLAGS_TYPE),
+    )
+    out = out.append_column("scrubbed", pa.array([False] * n, pa.bool_()))
+    return out
+
+
+def scrub_batch(batch: pa.Table) -> pa.Table:
+    """map_batches function: scrub kept rows, null columns for dropped."""
+    keep = batch["keep"]
+    kept = batch.filter(keep)
+    dropped = batch.filter(pc.invert(keep))
+    parts = []
+    if len(kept):
+        parts.append(_scrub_kept(kept))
+    if len(dropped):
+        parts.append(_null_scrub(dropped))
+    if not parts:
+        return _null_scrub(batch)
+    return pa.concat_tables(parts)

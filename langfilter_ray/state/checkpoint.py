@@ -1,0 +1,200 @@
+"""Per-partition atomic commit, lineage manifest, idempotent resume.
+
+Replaces the reference's SQLite job-state machine (queued rows survive a
+restart; models/models.py:12-16) with the batch-native equivalent
+(SURVEY.md §4.1 "Checkpoint / resume"): the output directory holds one
+subdirectory per repo-hash partition, each written to a temp path and
+RENAMED into place, then recorded as one JSON line in ``_manifest.jsonl``
+with row counters and the config hash.  On resume, partitions present in
+the manifest are skipped; because a partition is a pure function of its
+input rows + config (the whole pipeline is deterministic, including the
+classifier), re-running a half-written partition simply overwrites it with
+identical bytes — crash-between-rename-and-manifest is safe.
+
+Wave execution: the remaining partitions are processed in waves of
+``wave_size`` partitions per Dataset run (default: all remaining in ONE
+streaming run — a wave is a resume granularity knob, not a parallelism
+knob; resume tests use wave_size=1 to inject failures between commits).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from pathlib import Path
+from typing import Any, Iterable
+
+import pyarrow.dataset as pads
+import pyarrow.compute as pc
+
+from ..config import DEFAULT_CONFIG, PipelineConfig
+from ..pipelines.quality_filter import (
+    DEFAULT_BATCH_SIZE,
+    DEFAULT_NUM_PARTS,
+    build_pipeline,
+    read_corpus,
+)
+
+MANIFEST_NAME = "_manifest.jsonl"
+
+LABEL_COLUMNS = ["part", "gate_decision", "keep", "scrubbed", "error"]
+
+
+def manifest_path(out_dir: str | Path) -> Path:
+    return Path(out_dir) / MANIFEST_NAME
+
+
+def completed_parts(out_dir: str | Path) -> set[int]:
+    path = manifest_path(out_dir)
+    done: set[int] = set()
+    if path.exists():
+        with open(path) as fh:
+            for line in fh:
+                line = line.strip()
+                if line:
+                    done.add(int(json.loads(line)["partition"]))
+    return done
+
+
+def _input_fingerprint(paths: Iterable[str | Path]) -> str:
+    import hashlib
+
+    h = hashlib.sha256()
+    for p in sorted(str(p) for p in paths):
+        st = os.stat(p)
+        h.update(f"{p}:{st.st_size}".encode())
+    return h.hexdigest()[:16]
+
+
+def _partition_counters(part_dir: Path) -> dict[str, Any]:
+    """Per-rule counters read back from the committed partition with column
+    pruning (tiny label columns only, never content)."""
+    dset = pads.dataset(part_dir, format="parquet")
+    t = dset.to_table(columns=["gate_decision", "keep", "scrubbed", "error"])
+    n = len(t)
+    kept = int(pc.sum(pc.cast(t["keep"], "int64")).as_py() or 0)
+    scrubbed = int(pc.sum(pc.cast(t["scrubbed"], "int64")).as_py() or 0)
+    errors = int(pc.sum(pc.cast(pc.is_valid(t["error"]), "int64")).as_py() or 0)
+    vc = t["gate_decision"].to_pandas().value_counts()
+    return {
+        "rows_in": n,
+        "kept": kept,
+        "dropped": n - kept,
+        "scrubbed": scrubbed,
+        "errors": errors,
+        "by_decision": {str(k): int(v) for k, v in vc.items()},
+    }
+
+
+def run_with_checkpoints(
+    input_path: str | list[str],
+    out_dir: str | Path,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    *,
+    num_parts: int = DEFAULT_NUM_PARTS,
+    batch_size: int = DEFAULT_BATCH_SIZE,
+    concurrency: int | tuple[int, int] | None = None,
+    wave_size: int | None = None,
+    fail_after_waves: int | None = None,
+) -> dict[str, Any]:
+    """Run the flagship pipeline with per-partition commit + resume.
+
+    ``fail_after_waves`` injects a crash after N committed waves (the
+    resume-fixture hook, FIXTURES.md §4).  Returns a summary dict.
+    """
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    done = completed_parts(out_dir)
+    remaining = [p for p in range(num_parts) if p not in done]
+    if isinstance(input_path, (str, Path)) and Path(input_path).is_dir():
+        files = sorted(str(p) for p in Path(input_path).glob("*.parquet"))
+    else:
+        files = [input_path] if isinstance(input_path, (str, Path)) else list(input_path)
+    fingerprint = _input_fingerprint(files)
+    cfg_hash = cfg.config_hash()
+
+    waves: list[list[int]] = []
+    if wave_size is None or wave_size >= len(remaining):
+        waves = [remaining] if remaining else []
+    else:
+        waves = [
+            remaining[i : i + wave_size] for i in range(0, len(remaining), wave_size)
+        ]
+
+    n_committed = 0
+    for wi, wave in enumerate(waves):
+        tmp_dir = out_dir / f"_tmp-wave-{wi}"
+        if tmp_dir.exists():
+            shutil.rmtree(tmp_dir)
+        ds = read_corpus(files)
+        ds = build_pipeline(
+            ds, cfg, num_parts=num_parts, batch_size=batch_size,
+            concurrency=concurrency,
+            parts_filter=set(wave) if len(wave) < num_parts else None,
+        )
+        ds.write_parquet(str(tmp_dir), partition_cols=["part"])
+
+        # atomic per-partition commit: rename, then manifest line
+        with open(manifest_path(out_dir), "a") as mf:
+            for part in sorted(wave):
+                src = tmp_dir / f"part={part}"
+                dst = out_dir / f"part={part}"
+                if not src.exists():
+                    # partition had zero rows — commit an empty marker dir
+                    src.mkdir(parents=True, exist_ok=True)
+                if dst.exists():
+                    shutil.rmtree(dst)   # idempotent overwrite (same bytes)
+                os.replace(src, dst)
+                counters = (
+                    _partition_counters(dst)
+                    if any(dst.iterdir())
+                    else {
+                        "rows_in": 0, "kept": 0, "dropped": 0,
+                        "scrubbed": 0, "errors": 0, "by_decision": {},
+                    }
+                )
+                line = {
+                    "partition": part,
+                    "committed_at": time.time(),
+                    "config_hash": cfg_hash,
+                    "input_fingerprint": fingerprint,
+                    **counters,
+                }
+                mf.write(json.dumps(line) + "\n")
+                mf.flush()
+                os.fsync(mf.fileno())
+                n_committed += 1
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        if fail_after_waves is not None and wi + 1 >= fail_after_waves:
+            raise RuntimeError(f"injected failure after wave {wi}")
+
+    return summarize_manifest(out_dir)
+
+
+def summarize_manifest(out_dir: str | Path) -> dict[str, Any]:
+    """Cluster-total counters = sum over partition manifest lines (the A5/A6
+    analog: per-node Prometheus sums become a fold over the manifest)."""
+    totals = {"rows_in": 0, "kept": 0, "dropped": 0, "scrubbed": 0, "errors": 0}
+    by_decision: dict[str, int] = {}
+    parts = set()
+    path = manifest_path(out_dir)
+    if path.exists():
+        with open(path) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                rec = json.loads(line)
+                if rec["partition"] in parts:
+                    continue   # later duplicate lines win? no — first commit wins
+                parts.add(rec["partition"])
+                for k in totals:
+                    totals[k] += rec.get(k, 0)
+                for k, v in rec.get("by_decision", {}).items():
+                    by_decision[k] = by_decision.get(k, 0) + v
+    return {
+        "partitions": len(parts),
+        **totals,
+        "by_decision": dict(sorted(by_decision.items())),
+    }

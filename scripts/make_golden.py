@@ -1,0 +1,61 @@
+"""Generate the committed golden-label parquet (the stand-in for the
+reference MapReduce job's label parquet; FIXTURES.md §2).
+
+Runs the pure-Python oracle row-by-row — no Ray — over the deterministic
+unit corpus (seed=42, 2000 rows) and writes tests/data/golden_labels.parquet.
+Re-run only when the oracle/config/corpus intentionally changes (the diff
+is then reviewed like a spec change).
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from langfilter_ray.corpus import gen_row  # noqa: E402
+from langfilter_ray.functions.classifier import get_model  # noqa: E402
+from langfilter_ray.oracle import label_row  # noqa: E402
+
+N_ROWS = 2000
+
+
+def main() -> None:
+    model = get_model()
+    rows = []
+    for i in range(N_ROWS):
+        r = gen_row(i)
+        rec = label_row(r["content"], model=model)
+        rows.append(
+            {
+                "repo": r["repo"],
+                "path": r["path"],
+                "commit": r["commit"],
+                "keep": rec["keep"],
+                "gate_decision": rec["gate_decision"],
+                "language": rec["language"],
+                "probability": rec["probability"],
+                "method": rec["method"],
+                "token_count": rec["meta"]["token_count"],
+                "stopword_ratio_en": rec["meta"]["stopword_ratio_en"],
+                "stopword_ratio_fr": rec["meta"]["stopword_ratio_fr"],
+                "mid_zone": rec["meta"]["mid_zone"],
+                "second_pass": rec["meta"]["second_pass"],
+                "no_content": rec["meta"]["no_content"],
+                "scrubbed": rec["scrubbed"],
+                "scrubbed_sha256": rec["content_sha256"],
+            }
+        )
+    table = pa.Table.from_pylist(rows)
+    out = Path(__file__).resolve().parent.parent / "tests" / "data" / "golden_labels.parquet"
+    out.parent.mkdir(parents=True, exist_ok=True)
+    pq.write_table(table, out)
+    print(f"wrote {len(table)} golden labels to {out}")
+
+
+if __name__ == "__main__":
+    main()

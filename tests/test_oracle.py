@@ -1,0 +1,271 @@
+"""Branch-exhaustive cascade tests with an injectable fake scorer — the
+analog of the reference's mocked-model gate tests (/root/reference/
+langid_service/tests/test_enfr_gate.py:16-249): synthetic content
+engineered to sit exactly on heuristic boundaries, asserting the FULL
+decision tuple per branch."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from langfilter_ray.config import PipelineConfig
+from langfilter_ray.oracle import decide_row, label_row
+
+CFG = PipelineConfig()
+
+
+class FakeModel:
+    """Scripted classifier: pops (lang, prob) per classify() call, a lang per
+    forced_choice() call — the USE_MOCK_DETECTOR analog."""
+
+    def __init__(self, classify_script, forced=None):
+        self.script = list(classify_script)
+        self.forced = list(forced or [])
+        self.classify_calls = 0
+        self.forced_calls = 0
+
+    def classify(self, texts):
+        self.classify_calls += 1
+        lang, prob = self.script.pop(0)
+        return [lang] * len(texts), np.full(len(texts), prob)
+
+    def forced_choice(self, texts, a="en", b="fr"):
+        self.forced_calls += 1
+        return [self.forced.pop(0)] * len(texts)
+
+
+# ten EN stopwords -> token_count=10, en_ratio=1.0, fr_ratio=0.0
+SPEECHY_EN = "the and to of in you your for is on"
+SPEECHY_FR = "le la les une des et que qui pour avec"
+# five rare words -> token_count=5 (< min_tokens_speech), ratio 0.0
+UNSPEECHY = "considerable throughout television remember weather"
+
+
+def test_high_conf_en_accept():
+    m = FakeModel([("en", 0.90)])
+    rec = decide_row(SPEECHY_EN, CFG, m)
+    assert rec["gate_decision"] == "kept_high_conf"
+    assert rec["keep"] is True
+    assert rec["language"] == "en"
+    assert rec["method"] == "autodetect"
+    assert rec["probability"] == pytest.approx(0.90)
+    assert rec["meta"]["second_pass"] is False
+    assert rec["meta"]["mid_zone"] is False
+    assert rec["meta"]["token_count"] == 10
+    assert rec["meta"]["stopword_ratio_en"] == 1.0
+    assert m.classify_calls == 1          # no second pass
+
+
+def test_high_conf_fr_accept():
+    m = FakeModel([("fr", 0.95)])
+    rec = decide_row(SPEECHY_FR, CFG, m)
+    assert rec["gate_decision"] == "kept_high_conf"
+    assert rec["language"] == "fr"
+
+
+def test_high_conf_unspeechy_falls_through_to_second_pass():
+    # high probability but <6 tokens: the speechiness guard must NOT accept
+    # (lang_gate.py:383-396) and the second pass decides
+    m = FakeModel([("en", 0.95), ("en", 0.70)])
+    rec = decide_row(UNSPEECHY, CFG, m)
+    assert rec["gate_decision"] == "kept_second_pass"
+    assert rec["method"] == "autodetect-vad"
+    assert rec["meta"]["second_pass"] is True
+    assert m.classify_calls == 2
+    # quirk: FIRST-pass token count/ratios recorded (lang_gate.py:507-509)
+    assert rec["meta"]["token_count"] == 5
+    assert rec["probability"] == pytest.approx(0.70)
+
+
+def test_mid_zone_en_accept_no_second_pass():
+    m = FakeModel([("en", 0.68)])
+    rec = decide_row(SPEECHY_EN, CFG, m)
+    assert rec["gate_decision"] == "kept_mid_zone_en"
+    assert rec["meta"]["mid_zone"] is True
+    assert m.classify_calls == 1
+
+
+def test_mid_zone_fr_accept():
+    m = FakeModel([("fr", 0.68)])
+    rec = decide_row(SPEECHY_FR, CFG, m)
+    assert rec["gate_decision"] == "kept_mid_zone_fr"
+    assert rec["language"] == "fr"
+
+
+@pytest.mark.parametrize(
+    "prob,expected_calls,decision",
+    [
+        (0.59, 2, "kept_second_pass"),   # below mid_lower -> second pass
+        (0.60, 1, "kept_mid_zone_en"),   # exactly mid_lower -> mid-zone (>=)
+        (0.79, 1, "kept_high_conf"),     # exactly mid_upper -> high conf (>=)
+        (0.789999, 1, "kept_mid_zone_en"),
+    ],
+)
+def test_probability_band_boundaries(prob, expected_calls, decision):
+    m = FakeModel([(("en"), prob), ("en", 0.9)])
+    rec = decide_row(SPEECHY_EN, CFG, m)
+    assert rec["gate_decision"] == decision
+    assert m.classify_calls == expected_calls
+
+
+def test_min_tokens_boundary_for_mid_zone():
+    nine = " ".join(SPEECHY_EN.split()[:9])     # 9 tokens < min_tokens=10
+    m = FakeModel([("en", 0.68), ("en", 0.9)])
+    rec = decide_row(nine, CFG, m)
+    assert rec["gate_decision"] == "kept_second_pass"   # heuristic refused
+
+    m = FakeModel([("en", 0.68)])
+    rec = decide_row(SPEECHY_EN, CFG, m)                # 10 tokens passes
+    assert rec["gate_decision"] == "kept_mid_zone_en"
+
+
+def test_stopword_margin_is_strict():
+    # en_ratio must EXCEED fr_ratio + margin ('>' not '>='; lang_gate.py:403)
+    # craft tokens: 12 tokens, 6 in EN set only, 6 in neither
+    text = "the and to of in is weather river garden window system letter"
+    m = FakeModel([("en", 0.68), ("en", 0.9)])
+    rec = decide_row(text, CFG, m)
+    # en_ratio = 0.5, fr_ratio = 0.0 -> 0.5 > 0.05 -> accepted
+    assert rec["gate_decision"] == "kept_mid_zone_en"
+
+
+def test_mid_zone_sketchy_triggers_second_pass():
+    # mid-band probability, enough tokens, but no stopwords at all
+    text = "weather river garden window system letter number value result story plan friend"
+    m = FakeModel([("en", 0.68), ("en", 0.75)])
+    rec = decide_row(text, CFG, m)
+    assert rec["gate_decision"] == "kept_second_pass"
+    assert m.classify_calls == 2
+
+
+def test_second_pass_below_threshold_falls_back():
+    m = FakeModel([("de", 0.9), ("en", 0.59)], forced=["fr"])
+    rec = decide_row(SPEECHY_EN, CFG, m)
+    assert rec["gate_decision"] == "dropped_fallback"
+    assert rec["keep"] is False
+    assert rec["language"] == "fr"
+    assert rec["probability"] is None          # lang_gate.py:538
+    assert rec["method"] == "fallback"
+    assert rec["meta"]["second_pass"] is True
+    assert m.forced_calls == 1
+
+
+def test_disallowed_lang_high_prob_goes_to_second_pass():
+    m = FakeModel([("es", 0.99), ("en", 0.70)])
+    rec = decide_row(SPEECHY_EN, CFG, m)
+    assert rec["gate_decision"] == "kept_second_pass"
+
+
+def test_strict_reject():
+    cfg = PipelineConfig(strict_reject=True)
+    m = FakeModel([("de", 0.9), ("de", 0.9)])
+    rec = decide_row(SPEECHY_EN, cfg, m)
+    assert rec["gate_decision"] == "rejected_strict"
+    assert rec["keep"] is False
+    assert m.forced_calls == 0                # strict mode never scores fallback
+
+
+# ---- no-content short-circuit (music-only analog) ------------------------
+
+@pytest.mark.parametrize(
+    "content",
+    [
+        "",
+        "   \n\t  ",
+        "[autogenerated]",
+        "(autogenerated)",
+        "autogenerated boilerplate",
+        "do not edit this file autogenerated",
+        "{ autogenerated boilerplate }",
+        "@generated by a code generator tool",    # marker normalization
+        "<<AUTOGEN>> do not edit",
+    ],
+)
+def test_no_content_short_circuit(content):
+    m = FakeModel([])                         # model must never be called
+    rec = decide_row(content, CFG, m)
+    assert rec["gate_decision"] == "dropped_no_content"
+    assert rec["language"] == "none"
+    assert rec["meta"]["no_content"] is True
+    assert m.classify_calls == 0
+
+
+@pytest.mark.parametrize(
+    "content",
+    [
+        "autogenerated plus real words about the weather",
+        "[this file has actual content in the brackets]",
+        "x = 1",
+    ],
+)
+def test_not_no_content(content):
+    m = FakeModel([("en", 0.95), ("en", 0.9)], forced=["en"])
+    rec = decide_row(content, CFG, m)
+    assert rec["gate_decision"] != "dropped_no_content"
+
+
+def test_second_pass_no_content():
+    # probe passes the raw check (x1 is not a filler) but the filtered text
+    # is pure markers -> no-content via the second pass (lang_gate.py:472-488)
+    # the second pass transcodes BEFORE the no-content re-check, exactly like
+    # the reference re-probing with VAD before the music re-check (:458-488)
+    text = "x1 x1 x1 autogenerated boilerplate"
+    m = FakeModel([("de", 0.9), ("de", 0.9)])
+    rec = decide_row(text, CFG, m)
+    assert rec["gate_decision"] == "dropped_no_content"
+    assert rec["method"] == "autodetect-vad"
+    assert rec["meta"]["second_pass"] is True
+
+
+# ---- quality rules -------------------------------------------------------
+
+def test_too_large_rule():
+    m = FakeModel([])
+    rec = decide_row("A" * 1_000_001, CFG, m)
+    assert rec["gate_decision"] == "dropped_rule_too_large"
+    assert rec["rule_flags"]["too_large"] is True
+    assert m.classify_calls == 0
+
+
+def test_line_len_rule():
+    m = FakeModel([])
+    rec = decide_row("word " * 300, CFG, m)   # one 1500-char line
+    assert rec["gate_decision"] == "dropped_rule_line_len"
+
+
+def test_alnum_ratio_rule():
+    blob = "\n".join("!@#$ %^&* ()[] {}<>" for _ in range(20))
+    m = FakeModel([])
+    rec = decide_row(blob, CFG, m)
+    assert rec["gate_decision"] == "dropped_rule_alnum_ratio"
+
+
+def test_repetition_rule():
+    line = "the weather is good today and we walk"
+    m = FakeModel([])
+    rec = decide_row("\n".join([line] * 15), CFG, m)
+    assert rec["gate_decision"] == "dropped_rule_repetition"
+    assert rec["rule_flags"]["repetition"] is True
+
+
+# ---- scrub integration ---------------------------------------------------
+
+def test_label_row_scrubs_kept_rows():
+    text = SPEECHY_EN + "\nmail me at bob@example.com or 10.1.2.3"
+    m = FakeModel([("en", 0.9)])
+    rec = label_row(text, CFG, m)
+    assert rec["keep"] is True
+    assert "<EMAIL>" in rec["scrubbed_content"]
+    assert "<IP>" in rec["scrubbed_content"]
+    assert rec["pii_flags"]["pii_email"] is True
+    assert rec["scrubbed"] is True
+    assert len(rec["content_sha256"]) == 64
+
+
+def test_label_row_dropped_rows_have_null_scrub():
+    m = FakeModel([])
+    rec = label_row("", CFG, m)
+    assert rec["scrubbed_content"] is None
+    assert rec["content_sha256"] is None
+    assert rec["scrubbed"] is False
