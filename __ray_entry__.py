@@ -1,16 +1,16 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here (or in langfilter_ray) calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``       — flagship quality-filter pipeline on a deterministic
+                      1k-row corpus (BASELINE.json input_hint shape).
+- ``queries()``     — one callable per implemented operator/pipeline
+                      (SURVEY.md §2 + training-data additions).
+- ``oracle_sql()``  — DuckDB equivalents for every SQL-expressible query;
+                      the flagship cascade, MinHash/SimHash/LSH and the
+                      fake-decode stage are rows-only by nature (stateful
+                      classifier / approximate / stubbed operators).
 """
 
 from __future__ import annotations
@@ -20,25 +20,66 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    from langfilter_ray.pipelines.reports import quality_filter_labels
+
+    return quality_filter_labels("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from langfilter_ray.pipelines import (
+        dedup,
+        multimodal,
+        relational,
+        reports,
+        similarity,
+        text_analysis,
+    )
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # flagship cascade (stateful classifier -> rows-only check)
+        "quality_filter_labels": reports.quality_filter_labels,
+        "gate_decision_report": reports.gate_decision_report,
+        # text analysis over documents (oracle-checked)
+        "token_counts": text_analysis.token_counts,
+        "stopword_stats": text_analysis.stopword_stats,
+        "langid_heuristic": text_analysis.langid_heuristic,
+        "quality_score": text_analysis.quality_score,
+        "fingerprint": text_analysis.fingerprint,
+        "lang_distribution": text_analysis.lang_distribution,
+        "scrub_documents": text_analysis.scrub_documents,
+        # dedup family
+        "dedup_exact": dedup.dedup_exact,
+        "dedup_minhash": dedup.minhash_candidates,
+        "dedup_jaccard": dedup.dedup_jaccard,
+        "dedup_simhash": dedup.dedup_simhash,
+        "dedup_embedding": dedup.dedup_embedding,
+        # similarity search
+        "ann_topk": similarity.ann_topk,
+        "ann_lsh": similarity.ann_lsh,
+        # relational / reporting analogs
+        "status_counts": relational.status_counts,
+        "event_type_by_bucket": relational.event_type_by_bucket,
+        "recent_window_count": relational.recent_window_count,
+        "top50_recent": relational.top50_recent,
+        "events_filtered_sorted": relational.events_filtered_sorted,
+        "pricing_summary": relational.pricing_summary,
+        "revenue_by_nation": relational.revenue_by_nation,
+        # multimodal plumbing
+        "payload_stats": multimodal.payload_stats,
+        "multimodal_decode": multimodal.multimodal_decode,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from langfilter_ray.pipelines import (
+        dedup,
+        multimodal,
+        relational,
+        similarity,
+        text_analysis,
+    )
+
+    out: dict[str, str] = {}
+    for mod in (text_analysis, dedup, similarity, relational, multimodal):
+        out.update(mod.ORACLES)
+    return out

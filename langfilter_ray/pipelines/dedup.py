@@ -1,0 +1,275 @@
+"""Deduplication operators over the ``documents`` table.
+
+The reference has no dedup (job ids are UUIDs; SURVEY.md §2.8) — these are
+the training-data-pipeline additions the north star calls for, each built
+shuffle-consciously:
+
+  dedup_exact      — hash-partition groupby on a content digest, keep the
+                     min doc_id per group (the ONE shuffle is over 16-byte
+                     digests + ids, never content)
+  dedup_minhash    — MinHash+LSH: shingle -> 64 minhashes -> 16 bands ->
+                     explode to (band, band_hash, doc_id) -> groupby ->
+                     candidate pairs (shuffle carries only band keys)
+  dedup_jaccard    — exact 3-gram Jaccard verification of the LSH
+                     candidates (verification joins text back in via a
+                     broadcast at test scale; at corpus scale this becomes
+                     a hash-partitioned join on doc_id — see docstring)
+  dedup_simhash    — 64-bit SimHash fingerprint per doc (near-dup bucketing
+                     by Hamming distance is then a prefix groupby)
+  dedup_embedding  — embedding-cosine near-dup pairs over ``embeddings``
+                     (broadcast normalized matrix, blockwise matmul)
+
+All hashing is crc32/md5-based (xxhash is not in this sandbox); constants
+are module-level so results are deterministic across runs and pool sizes.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+from ray.data.aggregate import Min
+
+N_HASHES = 64
+N_BANDS = 16           # 16 bands x 4 rows
+_ROWS_PER_BAND = N_HASHES // N_BANDS
+_MERSENNE = (1 << 61) - 1
+_RNG = np.random.RandomState(42)
+_A = _RNG.randint(1, _MERSENNE, size=N_HASHES, dtype=np.int64)
+_B = _RNG.randint(0, _MERSENNE, size=N_HASHES, dtype=np.int64)
+
+SHINGLE_N = 3
+# near-dup threshold; the synthetic embeddings are near-orthogonal (max
+# off-diagonal cosine ~0.51 at sf0.01), so the demo threshold is 0.40 to
+# produce a non-empty pair set — a real corpus would use ~0.95
+COSINE_THRESHOLD = 0.40
+JACCARD_THRESHOLD = 0.5
+
+
+def _shingle_hashes(text: str) -> np.ndarray:
+    words = text.lower().split()
+    if len(words) < SHINGLE_N:
+        base = [" ".join(words)] if words else []
+    else:
+        base = [
+            " ".join(words[i : i + SHINGLE_N])
+            for i in range(len(words) - SHINGLE_N + 1)
+        ]
+    return np.array(
+        sorted({zlib.crc32(s.encode("utf-8")) for s in base}), dtype=np.int64
+    )
+
+
+def _minhash_sig(text: str) -> np.ndarray:
+    """64 minhashes via universal hashing over crc32 shingle codes —
+    vectorized: (A * h + B) mod p over the whole shingle vector at once."""
+    h = _shingle_hashes(text)
+    if len(h) == 0:
+        return np.full(N_HASHES, _MERSENNE, dtype=np.int64)
+    vals = (h[:, None] * _A[None, :] + _B[None, :]) % _MERSENNE
+    return vals.min(axis=0)
+
+
+# ---- exact dedup ---------------------------------------------------------
+
+def dedup_exact(sf_dir: str) -> ray.data.Dataset:
+    """Representative (min doc_id) per distinct text, keyed by md5 digest."""
+
+    def add_digest(t: pa.Table) -> pa.Table:
+        import hashlib
+
+        digests = [
+            hashlib.md5((s or "").encode("utf-8")).hexdigest()
+            for s in t["text"].to_pylist()
+        ]
+        return pa.table({"text_md5": pa.array(digests), "doc_id": t["doc_id"]})
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return (
+        ds.map_batches(add_digest, batch_format="pyarrow")
+        .groupby("text_md5")
+        .aggregate(Min("doc_id", alias_name="rep_doc_id"))
+    )
+
+
+DEDUP_EXACT_SQL = (
+    "SELECT md5(text) AS text_md5, min(doc_id) AS rep_doc_id "
+    "FROM documents GROUP BY md5(text)"
+)
+
+
+# ---- MinHash + LSH candidates -------------------------------------------
+
+def _band_rows(t: pa.Table) -> pa.Table:
+    import hashlib
+
+    band_ids, band_hashes, doc_ids = [], [], []
+    ids = t["doc_id"].to_pylist()
+    for s, doc_id in zip(t["text"].to_pylist(), ids):
+        sig = _minhash_sig(s or "")
+        for b in range(N_BANDS):
+            chunk = sig[b * _ROWS_PER_BAND : (b + 1) * _ROWS_PER_BAND]
+            bh = hashlib.md5(chunk.tobytes()).hexdigest()[:16]
+            band_ids.append(b)
+            band_hashes.append(bh)
+            doc_ids.append(doc_id)
+    return pa.table(
+        {
+            "band_id": pa.array(band_ids, pa.int32()),
+            "band_hash": pa.array(band_hashes),
+            "doc_id": pa.array(doc_ids, pa.int64()),
+        }
+    )
+
+
+def minhash_candidates(sf_dir: str) -> ray.data.Dataset:
+    """(doc_a, doc_b) candidate near-dup pairs from LSH banding."""
+    import pandas as pd
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    bands = ds.map_batches(_band_rows, batch_format="pyarrow")
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(g["doc_id"].tolist())
+        if len(ids) < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": []}).astype("int64")
+        a, b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a.append(ids[i])
+                b.append(ids[j])
+        return pd.DataFrame({"doc_a": a, "doc_b": b})
+
+    cand = bands.groupby(["band_id", "band_hash"]).map_groups(
+        pairs, batch_format="pandas"
+    )
+    # distinct pairs (pairs found in several bands collapse to one)
+    return cand.groupby(["doc_a", "doc_b"]).count().select_columns(["doc_a", "doc_b"])
+
+
+def dedup_jaccard(sf_dir: str) -> ray.data.Dataset:
+    """LSH candidates verified by exact shingle-Jaccard >= threshold.
+
+    The text lookup is a driver-side broadcast (documents fit in memory at
+    test scale); at corpus scale replace with a hash-partitioned self-join
+    on doc_id — the candidate set is tiny relative to the corpus, so the
+    join ships only candidate rows.
+    """
+    import pandas as pd
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pandas()
+    text_by_id = dict(zip(docs["doc_id"], docs["text"]))
+    ref = ray.put(text_by_id)
+
+    def verify(t: pa.Table) -> pa.Table:
+        lookup = ray.get(ref)
+        keep_a, keep_b, jac = [], [], []
+        for a, b in zip(t["doc_a"].to_pylist(), t["doc_b"].to_pylist()):
+            ha = set(_shingle_hashes(lookup.get(a, "")).tolist())
+            hb = set(_shingle_hashes(lookup.get(b, "")).tolist())
+            if not ha or not hb:
+                continue
+            j = len(ha & hb) / len(ha | hb)
+            if j >= JACCARD_THRESHOLD:
+                keep_a.append(a)
+                keep_b.append(b)
+                jac.append(j)
+        return pa.table(
+            {
+                "doc_a": pa.array(keep_a, pa.int64()),
+                "doc_b": pa.array(keep_b, pa.int64()),
+                "jaccard": pa.array(jac, pa.float64()),
+            }
+        )
+
+    return minhash_candidates(sf_dir).map_batches(verify, batch_format="pyarrow")
+
+
+# ---- SimHash -------------------------------------------------------------
+
+def dedup_simhash(sf_dir: str) -> ray.data.Dataset:
+    """64-bit SimHash per document (hex string column)."""
+
+    def f(t: pa.Table) -> pa.Table:
+        out = []
+        shifts = np.arange(64, dtype=np.uint64)
+        for s in t["text"].to_pylist():
+            words = (s or "").lower().split()
+            acc = np.zeros(64, dtype=np.int64)
+            for w in words:
+                h = np.uint64(
+                    zlib.crc32(w.encode()) | (zlib.crc32(w[::-1].encode()) << 32)
+                )
+                bits = ((h >> shifts) & np.uint64(1)).astype(np.int64)
+                acc += 2 * bits - 1
+            val = 0
+            for k in range(64):
+                if acc[k] > 0:
+                    val |= 1 << k
+            out.append(f"{val:016x}")
+        return pa.table({"doc_id": t["doc_id"], "simhash": pa.array(out)})
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+# ---- embedding-cosine near-dup ------------------------------------------
+
+def _normalized_matrix(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy()
+    mat = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return ids, mat / norms
+
+
+def dedup_embedding(sf_dir: str) -> ray.data.Dataset:
+    """(id_a, id_b) pairs with cosine similarity > threshold, id_a < id_b.
+
+    The normalized matrix is broadcast once with ``ray.put`` and each batch
+    computes a block-row of the similarity matrix (numpy matmul) — the
+    brute-force baseline; the LSH-bucketed variant for scale is
+    ``similarity.ann_lsh``.
+    """
+    ids_all, mat = _normalized_matrix(sf_dir)
+    ref = ray.put((ids_all, mat))
+    order = {int(v): i for i, v in enumerate(ids_all)}
+
+    def block(t: pa.Table) -> pa.Table:
+        ids_a, mat_all = ray.get(ref)
+        rows = [order[int(v)] for v in t["vec_id"].to_pylist()]
+        sims = mat_all[rows] @ mat_all.T
+        out_a, out_b = [], []
+        for r, i in enumerate(rows):
+            hits = np.nonzero(sims[r] > COSINE_THRESHOLD)[0]
+            for j in hits:
+                if ids_a[i] < ids_a[j]:
+                    out_a.append(int(ids_a[i]))
+                    out_b.append(int(ids_a[j]))
+        return pa.table(
+            {"id_a": pa.array(out_a, pa.int64()), "id_b": pa.array(out_b, pa.int64())}
+        )
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id"])
+    return ds.map_batches(block, batch_format="pyarrow", batch_size=512)
+
+
+DEDUP_EMBEDDING_SQL = (
+    "SELECT a.vec_id AS id_a, b.vec_id AS id_b "
+    "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+    f"WHERE list_cosine_similarity(a.embedding, b.embedding) > {COSINE_THRESHOLD}"
+)
+
+ORACLES: dict[str, str] = {
+    "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_embedding": DEDUP_EMBEDDING_SQL,
+}

@@ -1,0 +1,101 @@
+"""Multimodal-column plumbing: opaque binary payloads through actor-pool
+decode stages.
+
+The sandbox has no image/audio codecs, so the DECODE step is a
+deterministic fake (clearly marked below); everything Ray-side is real and
+tested: a ``binary`` payload column with typed metadata, an actor-pool
+``map_batches`` stage whose ``__init__`` stands in for loading a codec/
+model, small batch sizes for wide binary rows, and a typed output layout.
+Swap ``FakeDecoder._decode`` for a PIL/libav call and nothing else changes
+— this mirrors how the reference isolates its multi-backend audio decoder
+behind one function (audio_io.py:53-195).
+
+  payload_stats     — byte-length metadata of the payload column
+                      (oracle-checked: octet_length in DuckDB)
+  multimodal_decode — payload -> fake (width, height, n_frames) features
+                      via the actor pool (rows-only: fake decode has no
+                      SQL equivalent)
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+
+def _payloads(sf_dir: str) -> ray.data.Dataset:
+    """documents.text re-cast as an opaque binary payload column (the
+    testdata has no real media; the bytes are treated as a blob)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def to_binary(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "payload": pc.cast(t["text"], pa.large_binary()),
+                "media_type": pa.array(["application/octet-stream"] * len(t)),
+            }
+        )
+
+    return ds.map_batches(to_binary, batch_format="pyarrow")
+
+
+def payload_stats(sf_dir: str) -> ray.data.Dataset:
+    def stats(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_bytes": pc.cast(pc.binary_length(t["payload"]), pa.int64()),
+            }
+        )
+
+    return _payloads(sf_dir).map_batches(stats, batch_format="pyarrow")
+
+
+class FakeDecoder:
+    """Actor-pool decode stage.  ``__init__`` is where a real codec or
+    vision model would load ONCE per actor (the T1 singleton pattern);
+    ``_decode`` is a STUB producing deterministic fake dimensions from the
+    payload bytes."""
+
+    def __init__(self) -> None:
+        self.ready = True   # real impl: self.codec = load_codec(...)
+
+    @staticmethod
+    def _decode(payload: bytes) -> tuple[int, int, int]:
+        # STUB — deterministic fake of (width, height, n_frames).
+        h = zlib.crc32(payload)
+        return (h % 1920) + 1, ((h >> 11) % 1080) + 1, (h % 120) + 1
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        dims = [self._decode(p or b"") for p in t["payload"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_bytes": pc.cast(pc.binary_length(t["payload"]), pa.int64()),
+                "width": pa.array([d[0] for d in dims], pa.int64()),
+                "height": pa.array([d[1] for d in dims], pa.int64()),
+                "n_frames": pa.array([d[2] for d in dims], pa.int64()),
+            }
+        )
+
+
+def multimodal_decode(sf_dir: str) -> ray.data.Dataset:
+    # small batch_size: wide binary rows must not blow a worker heap
+    return _payloads(sf_dir).map_batches(
+        FakeDecoder,
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=(1, 4),
+        num_cpus=1,
+    )
+
+
+ORACLES: dict[str, str] = {
+    "payload_stats": (
+        "SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes FROM documents"
+    ),
+}

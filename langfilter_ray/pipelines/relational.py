@@ -1,0 +1,212 @@
+"""Relational/reporting operators — the reference's aggregation & ordering
+surface (SURVEY.md §2.6-§2.7) re-expressed over the testdata tables:
+
+  status_counts        — A1 job-status counts  -> events groupby event_type
+  event_type_by_bucket — A4 gate-path distribution -> groupby computed key
+  recent_window_count  — A2 recent-window count (max(ts) - 1h)
+  top50_recent         — A3/O3 "50 most recent" sort+limit
+  events_filtered_sorted — O1/O4 filter + global sort + limit
+  pricing_summary      — TPC-H-q1-shaped grouped aggregate with integer-
+                         cent sums (floats are converted with one fixed
+                         floor(x*100+0.5) formula on BOTH sides so the
+                         hashes compare exactly; float SUM order is never
+                         compared)
+  revenue_by_nation    — orders ⋈ customer ⋈ nation via the broadcast-
+                         small-side pattern (J3): the dimension maps ride
+                         in the task closure once, the fact table streams
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# ---- A1: status counts ---------------------------------------------------
+
+def status_counts(sf_dir: str) -> ray.data.Dataset:
+    return (
+        _read(sf_dir, "events", ["event_type"])
+        .groupby("event_type")
+        .count()
+        .rename_columns({"count()": "n_events"})
+    )
+
+
+# ---- A4 analog: distribution over a computed key -------------------------
+
+def event_type_by_bucket(sf_dir: str) -> ray.data.Dataset:
+    def add_bucket(t: pa.Table) -> pa.Table:
+        bucket = np.mod(t["user_id"].to_numpy(), 10).astype(np.int64)
+        return pa.table(
+            {"event_type": t["event_type"], "user_bucket": pa.array(bucket)}
+        )
+
+    return (
+        _read(sf_dir, "events", ["event_type", "user_id"])
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby(["event_type", "user_bucket"])
+        .count()
+        .rename_columns({"count()": "n_events"})
+    )
+
+
+# ---- A2: recent-window count --------------------------------------------
+
+def recent_window_count(sf_dir: str) -> pa.Table:
+    ds = _read(sf_dir, "events", ["ts"])
+    max_ts = ds.max("ts")            # first (tiny) pass: the watermark
+    cutoff = (pd.Timestamp(max_ts) - pd.Timedelta(hours=1)).to_pydatetime()
+    n = ds.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["ts"], pa.scalar(cutoff))),
+        batch_format="pyarrow",
+    ).count()
+    return pa.table({"n_recent": pa.array([n], pa.int64())})
+
+
+# ---- O3: top-50 most recent ---------------------------------------------
+
+def top50_recent(sf_dir: str) -> ray.data.Dataset:
+    return (
+        _read(sf_dir, "events", ["event_id", "ts", "value"])
+        .sort(["ts", "event_id"], descending=[True, False])
+        .limit(50)
+    )
+
+
+# ---- O1/O4: filter + global sort + limit --------------------------------
+
+def events_filtered_sorted(sf_dir: str) -> ray.data.Dataset:
+    ds = _read(sf_dir, "events", ["event_id", "ts", "event_type", "user_id"])
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "click")),
+        batch_format="pyarrow",
+    )
+    return ds.sort(["ts", "event_id"], descending=[True, False]).limit(100)
+
+
+# ---- TPC-H q1 analog with integer cents ---------------------------------
+
+def pricing_summary(sf_dir: str) -> ray.data.Dataset:
+    def to_cents(t: pa.Table) -> pa.Table:
+        qty = np.floor(t["l_quantity"].to_numpy() * 100 + 0.5).astype(np.int64)
+        price = np.floor(t["l_extendedprice"].to_numpy() * 100 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "qty_cents": pa.array(qty, pa.int64()),
+                "price_cents": pa.array(price, pa.int64()),
+            }
+        )
+
+    return (
+        _read(
+            sf_dir,
+            "lineitem",
+            ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+        )
+        .map_batches(to_cents, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty_cents", alias_name="sum_qty_cents"),
+            Sum("price_cents", alias_name="sum_price_cents"),
+            Count(alias_name="n_rows"),
+        )
+    )
+
+
+# ---- broadcast join: revenue by nation ----------------------------------
+
+def revenue_by_nation(sf_dir: str) -> ray.data.Dataset:
+    """orders ⋈ customer ⋈ nation, dimensions broadcast (J3 pattern).
+
+    customer (O(SF*15k) rows) and nation (25 rows) are read once on the
+    driver, folded into a custkey -> nation-name dict, and shipped in the
+    task closure; the orders fact table streams through map_batches with a
+    numpy take per batch — no shuffle of fact rows at all.  The final
+    groupby shuffles only (nation, partial-sum) rows.
+    """
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    nk_name = dict(
+        zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist())
+    )
+    cust_nation = {
+        int(c): nk_name[int(nk)]
+        for c, nk in zip(
+            cust["c_custkey"].to_pylist(), cust["c_nationkey"].to_pylist()
+        )
+    }
+
+    def join_batch(t: pa.Table) -> pa.Table:
+        names = [cust_nation.get(int(c)) for c in t["o_custkey"].to_pylist()]
+        cents = np.floor(t["o_totalprice"].to_numpy() * 100 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "n_name": pa.array(names, pa.string()),
+                "price_cents": pa.array(cents, pa.int64()),
+            }
+        )
+
+    return (
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .map_batches(join_batch, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(
+            Count(alias_name="n_orders"),
+            Sum("price_cents", alias_name="total_cents"),
+        )
+    )
+
+
+ORACLES: dict[str, str] = {
+    "status_counts": (
+        "SELECT event_type, count(*)::BIGINT AS n_events FROM events "
+        "GROUP BY event_type"
+    ),
+    "event_type_by_bucket": (
+        "SELECT event_type, (user_id - (user_id // 10) * 10)::BIGINT AS user_bucket, "
+        "count(*)::BIGINT AS n_events FROM events GROUP BY 1, 2"
+    ),
+    "recent_window_count": (
+        "SELECT count(*)::BIGINT AS n_recent FROM events "
+        "WHERE ts >= (SELECT max(ts) - INTERVAL 1 HOUR FROM events)"
+    ),
+    "top50_recent": (
+        "SELECT event_id, ts, value FROM events "
+        "ORDER BY ts DESC, event_id LIMIT 50"
+    ),
+    "events_filtered_sorted": (
+        "SELECT event_id, ts, event_type, user_id FROM events "
+        "WHERE event_type = 'click' ORDER BY ts DESC, event_id LIMIT 100"
+    ),
+    "pricing_summary": (
+        "SELECT l_returnflag, l_linestatus, "
+        "sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS sum_qty_cents, "
+        "sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sum_price_cents, "
+        "count(*)::BIGINT AS n_rows "
+        "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+    ),
+    "revenue_by_nation": (
+        "SELECT n.n_name, count(*)::BIGINT AS n_orders, "
+        "sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS total_cents "
+        "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+        "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+        "GROUP BY n.n_name"
+    ),
+}

@@ -1,0 +1,52 @@
+"""Reporting over flagship-pipeline output — the A1/A4/A5 analogs
+(SURVEY.md §2.6): per-rule counters and gate-path distribution as tiny
+groupby results over the labeled dataset."""
+
+from __future__ import annotations
+
+import ray.data
+
+from ..config import DEFAULT_CONFIG, PipelineConfig
+from .quality_filter import build_pipeline, read_corpus
+
+
+def corpus_rows_for_sf(sf_dir: str) -> int:
+    """Deterministic corpus size per driver scale factor (the corpus is
+    synthesized — BASELINE.json input_hint shape — since the shared
+    testdata has no (repo, path, commit, lang, content) table)."""
+    if "0.001" in sf_dir:
+        return 1000
+    if "0.01" in sf_dir:
+        return 2000          # == the committed golden corpus
+    return 20000
+
+
+def corpus_for(sf_dir: str) -> str:
+    from ..corpus import write_corpus
+
+    n = corpus_rows_for_sf(sf_dir)
+    return str(write_corpus(f"/tmp/langfilter_corpus/{n}", n))
+
+
+def quality_filter_labels(sf_dir: str) -> ray.data.Dataset:
+    """The flagship pipeline's label output (content columns dropped so the
+    result is compact; the full output is what run_with_checkpoints
+    writes)."""
+    cfg = PipelineConfig()
+    ds = build_pipeline(read_corpus(corpus_for(sf_dir)), cfg)
+    return ds.select_columns(
+        ["repo", "path", "commit", "keep", "gate_decision", "language",
+         "method", "content_sha256", "part"]
+    )
+
+
+def gate_decision_report(sf_dir: str) -> ray.data.Dataset:
+    """Per-rule counter rollup (gate_metrics.py:132-165 analog)."""
+    cfg = DEFAULT_CONFIG
+    ds = build_pipeline(read_corpus(corpus_for(sf_dir)), cfg)
+    return (
+        ds.select_columns(["gate_decision", "language"])
+        .groupby(["gate_decision", "language"])
+        .count()
+        .rename_columns({"count()": "n_rows"})
+    )

@@ -1,0 +1,140 @@
+"""Similarity search over the ``embeddings`` table (list<float> column).
+
+  ann_topk — brute-force cosine top-k: the query matrix (a handful of
+             vectors) is broadcast via ``ray.put``; every batch computes a
+             (queries x batch) float64 matmul and emits its LOCAL top-k per
+             query; a final tiny ``groupby(query_id).map_groups`` reduces
+             local candidates to the global top-k.  The shuffle carries
+             only ~k rows per (query, block) — never embeddings.
+  ann_lsh  — random-hyperplane LSH variant (the scale path): vectors are
+             bucketed by a deterministic 12-bit signature; queries search
+             only their own bucket (plus Hamming-1 probes), trading recall
+             for a bounded candidate set.  Rows-only check (approximate by
+             design).
+
+Ranking ties are broken by vec_id ascending on both the Ray and SQL sides
+so the (query_id, neighbor_id, rank) output is deterministic.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+TOP_K = 5
+N_QUERIES = 8          # vec_id < N_QUERIES are the query vectors
+LSH_BITS = 12
+_RNG = np.random.RandomState(7)
+
+
+def _load(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy()
+    mat = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return ids, mat / norms
+
+
+def ann_topk(sf_dir: str) -> ray.data.Dataset:
+    ids, mat = _load(sf_dir)
+    qmask = ids < N_QUERIES
+    qids, qmat = ids[qmask], mat[qmask]
+    qref = ray.put((qids, qmat))
+    row_of = {int(v): i for i, v in enumerate(ids)}
+    mref = ray.put(mat)
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        q_ids, q_mat = ray.get(qref)
+        all_mat = ray.get(mref)
+        batch_ids = np.array(t["vec_id"].to_pylist(), dtype=np.int64)
+        rows = [row_of[int(v)] for v in batch_ids]
+        sims = q_mat @ all_mat[rows].T          # (Q, B)
+        out_q, out_n, out_s = [], [], []
+        for qi, qid in enumerate(q_ids):
+            s = sims[qi]
+            mask = batch_ids != qid             # exclude self
+            cand_idx = np.nonzero(mask)[0]
+            if len(cand_idx) == 0:
+                continue
+            # local top-k with (sim desc, vec_id asc) tie-break
+            order = np.lexsort((batch_ids[cand_idx], -s[cand_idx]))[:TOP_K]
+            for o in cand_idx[order]:
+                out_q.append(int(qid))
+                out_n.append(int(batch_ids[o]))
+                out_s.append(float(s[o]))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    def reduce_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(TOP_K)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "neighbor_id", "rank"]]
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id"])
+    local = ds.map_batches(local_topk, batch_format="pyarrow", batch_size=512)
+    return local.groupby("query_id").map_groups(reduce_topk, batch_format="pandas")
+
+
+ANN_TOPK_SQL = (
+    "SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, "
+    "row_number() OVER (PARTITION BY q.vec_id ORDER BY "
+    "list_cosine_similarity(q.embedding, n.embedding) DESC, n.vec_id) AS rank "
+    f"FROM embeddings q JOIN embeddings n ON q.vec_id < {N_QUERIES} "
+    "AND n.vec_id != q.vec_id "
+    f"QUALIFY rank <= {TOP_K}"
+)
+
+
+def ann_lsh(sf_dir: str) -> ray.data.Dataset:
+    """Approximate top-k through random-hyperplane bucketing (rows-only)."""
+    ids, mat = _load(sf_dir)
+    dim = mat.shape[1]
+    planes = _RNG.standard_normal((dim, LSH_BITS))
+    sigs = (mat @ planes > 0) @ (1 << np.arange(LSH_BITS))
+    qmask = ids < N_QUERIES
+    ref = ray.put((ids, mat, sigs))
+
+    def bucket_search(t: pa.Table) -> pa.Table:
+        all_ids, all_mat, all_sigs = ray.get(ref)
+        out_q, out_n, out_r = [], [], []
+        for qid in t["vec_id"].to_pylist():
+            qrow = np.nonzero(all_ids == qid)[0][0]
+            sig = all_sigs[qrow]
+            # own bucket + Hamming-1 probes
+            probe_sigs = {int(sig)} | {int(sig) ^ (1 << b) for b in range(LSH_BITS)}
+            cand = np.nonzero(np.isin(all_sigs, list(probe_sigs)) & (all_ids != qid))[0]
+            if len(cand) == 0:
+                continue
+            sims = all_mat[cand] @ all_mat[qrow]
+            order = np.lexsort((all_ids[cand], -sims))[:TOP_K]
+            for r, o in enumerate(order, 1):
+                out_q.append(int(qid))
+                out_n.append(int(all_ids[cand[o]]))
+                out_r.append(r)
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "rank": pa.array(out_r, pa.int64()),
+            }
+        )
+
+    queries = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id"]
+    ).filter(lambda r: r["vec_id"] < N_QUERIES)
+    return queries.map_batches(bucket_search, batch_format="pyarrow")
+
+
+ORACLES: dict[str, str] = {"ann_topk": ANN_TOPK_SQL}

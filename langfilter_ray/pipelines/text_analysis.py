@@ -1,0 +1,259 @@
+"""Text-analysis operators over the ``documents`` table.
+
+Each query function takes ``sf_dir`` and returns a Dataset/Table; the
+matching entry in ``ORACLES`` is the ANSI-SQL DuckDB equivalent the driver
+runs side-by-side (CORRECTNESS gate).  Column names are identical on both
+sides by construction.  Every Ray implementation is a vectorized
+``map_batches`` over Arrow batches (``pyarrow.compute`` regex kernels; the
+only per-row Python is set-membership over already-tokenized lists, which
+is C-backed).
+
+Operators (SURVEY.md §2.2/§2.6 analogs + training-data additions):
+  token_counts        — M2 tokenizer analog, counting only
+  stopword_stats      — M3 stopword-ratio analog (integer counts, exact)
+  langid_heuristic    — cheap per-doc language ID by stopword-hit argmax
+  quality_score       — Gopher-ish per-doc quality stats
+  fingerprint         — document fingerprint (md5; sha256 also available)
+  lang_distribution   — A1 status-counts analog (groupby + count)
+  scrub_documents     — the PII scrub chain, oracle-checked via DuckDB's
+                        RE2 regexp_replace (same regex engine family as
+                        the Arrow kernels)
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from ..functions.scrub import SCRUB_RULES
+
+TOKEN_RE = "[A-Za-z0-9_]+"          # ASCII \w — identical in RE2 and DuckDB
+LOWER_TOKEN_RE = "[a-z0-9_]+"
+
+# Small per-language stopword probe sets (module constants shared with the
+# SQL below — J3 "broadcast tiny dimension table" pattern).
+STOP = {
+    "en": ("the", "and", "of", "to", "in", "is", "for", "on", "with", "as"),
+    "fr": ("le", "la", "les", "de", "et", "un", "une", "que", "pour", "dans"),
+    "de": ("der", "die", "das", "und", "mit", "von", "zu", "auf", "ist", "den"),
+    "es": ("el", "la", "los", "de", "y", "un", "una", "que", "por", "con"),
+}
+_LANG_PRIORITY = ("en", "fr", "de", "es")
+
+
+def _docs(sf_dir: str) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+
+
+def _docs_cols(sf_dir: str, columns: list[str]) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+# ---- token_counts --------------------------------------------------------
+
+def token_counts(sf_dir: str) -> ray.data.Dataset:
+    def f(t: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(t["text"], TOKEN_RE)
+        return pa.table(
+            {"doc_id": t["doc_id"], "n_tokens": pc.cast(n, pa.int64())}
+        )
+
+    return _docs_cols(sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+# ---- stopword_stats ------------------------------------------------------
+
+def stopword_stats(sf_dir: str) -> ray.data.Dataset:
+    en = frozenset(STOP["en"])
+
+    def f(t: pa.Table) -> pa.Table:
+        lowered = pc.utf8_lower(t["text"])
+        import re
+
+        rx = re.compile(LOWER_TOKEN_RE)
+        texts = lowered.to_pylist()
+        n_tokens, n_stop = [], []
+        for s in texts:
+            ts = rx.findall(s or "")
+            n_tokens.append(len(ts))
+            n_stop.append(sum(1 for w in ts if w in en))
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": pa.array(n_tokens, pa.int64()),
+                "n_stop_en": pa.array(n_stop, pa.int64()),
+            }
+        )
+
+    return _docs_cols(sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+# ---- langid_heuristic ----------------------------------------------------
+
+def langid_heuristic(sf_dir: str) -> ray.data.Dataset:
+    sets = {k: frozenset(v) for k, v in STOP.items()}
+
+    def f(t: pa.Table) -> pa.Table:
+        import re
+
+        rx = re.compile(LOWER_TOKEN_RE)
+        preds = []
+        for s in pc.utf8_lower(t["text"]).to_pylist():
+            ts = rx.findall(s or "")
+            hits = {k: sum(1 for w in ts if w in sets[k]) for k in _LANG_PRIORITY}
+            # fixed-priority argmax: earlier language wins ties
+            best = "en"
+            for k in _LANG_PRIORITY:
+                if hits[k] > hits[best]:
+                    best = k
+            preds.append(best)
+        return pa.table({"doc_id": t["doc_id"], "pred_lang": pa.array(preds)})
+
+    return _docs_cols(sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+# ---- quality_score -------------------------------------------------------
+
+def quality_score(sf_dir: str) -> ray.data.Dataset:
+    def f(t: pa.Table) -> pa.Table:
+        text = t["text"]
+        n_chars = pc.cast(pc.utf8_length(text), pa.int64())
+        n_words = pc.cast(pc.count_substring_regex(text, r"\S+"), pa.int64())
+        n_wordchars = pc.cast(pc.count_substring_regex(text, r"\S"), pa.int64())
+        n_alnum = pc.cast(pc.count_substring_regex(text, "[A-Za-z0-9]"), pa.int64())
+        mean_word_len = pc.divide(
+            pc.cast(n_wordchars, pa.float64()),
+            pc.cast(pc.max_element_wise(n_words, 1), pa.float64()),
+        )
+        alnum_ratio = pc.divide(
+            pc.cast(n_alnum, pa.float64()),
+            pc.cast(pc.max_element_wise(n_chars, 1), pa.float64()),
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_chars_text": n_chars,
+                "n_words": n_words,
+                "mean_word_len": mean_word_len,
+                "alnum_ratio": alnum_ratio,
+            }
+        )
+
+    return _docs_cols(sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+# ---- fingerprint ---------------------------------------------------------
+
+def fingerprint(sf_dir: str) -> ray.data.Dataset:
+    def f(t: pa.Table) -> pa.Table:
+        import hashlib
+
+        hashes = [
+            hashlib.md5((s or "").encode("utf-8")).hexdigest()
+            for s in t["text"].to_pylist()
+        ]
+        return pa.table({"doc_id": t["doc_id"], "fp_md5": pa.array(hashes)})
+
+    return _docs_cols(sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+# ---- lang_distribution ---------------------------------------------------
+
+def lang_distribution(sf_dir: str) -> ray.data.Dataset:
+    return (
+        _docs_cols(sf_dir, ["lang"])
+        .groupby("lang")
+        .count()
+        .rename_columns({"count()": "n_docs"})
+    )
+
+
+# ---- scrub_documents -----------------------------------------------------
+
+def scrub_documents(sf_dir: str) -> ray.data.Dataset:
+    def f(t: pa.Table) -> pa.Table:
+        import hashlib
+
+        cur = t["text"]
+        for _name, pat, repl in SCRUB_RULES:
+            cur = pc.replace_substring_regex(cur, pat, repl)
+        hashes = [
+            hashlib.md5((s or "").encode("utf-8")).hexdigest()
+            for s in cur.to_pylist()
+        ]
+        return pa.table({"doc_id": t["doc_id"], "scrub_md5": pa.array(hashes)})
+
+    return _docs_cols(sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+# ---- SQL oracles ---------------------------------------------------------
+
+def _sql_in_list(words: tuple[str, ...]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+def _sql_hits(lang: str) -> str:
+    return (
+        f"len(list_filter(regexp_extract_all(lower(text), '{LOWER_TOKEN_RE}'),"
+        f" x -> x IN ({_sql_in_list(STOP[lang])})))"
+    )
+
+
+def _sql_scrub_expr() -> str:
+    expr = "text"
+    for _name, pat, repl in SCRUB_RULES:
+        p = pat.replace("'", "''")
+        r = repl.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{p}', '{r}', 'g')"
+    return expr
+
+
+ORACLES: dict[str, str] = {
+    "token_counts": (
+        f"SELECT doc_id, len(regexp_extract_all(text, '{TOKEN_RE}'))::BIGINT AS n_tokens "
+        "FROM documents"
+    ),
+    "stopword_stats": (
+        "SELECT doc_id, "
+        f"len(regexp_extract_all(lower(text), '{LOWER_TOKEN_RE}'))::BIGINT AS n_tokens, "
+        f"{_sql_hits('en')}::BIGINT AS n_stop_en FROM documents"
+    ),
+    "langid_heuristic": (
+        "WITH h AS (SELECT doc_id, "
+        + ", ".join(f"{_sql_hits(k)} AS h_{k}" for k in _LANG_PRIORITY)
+        + " FROM documents) SELECT doc_id, CASE "
+        "WHEN h_fr > h_en AND h_fr >= h_de AND h_fr >= h_es THEN 'fr' "
+        "WHEN h_de > h_en AND h_de > h_fr AND h_de >= h_es THEN 'de' "
+        "WHEN h_es > h_en AND h_es > h_fr AND h_es > h_de THEN 'es' "
+        "ELSE 'en' END AS pred_lang FROM h"
+    ),
+    "quality_score": (
+        "SELECT doc_id, length(text)::BIGINT AS n_chars_text, "
+        r"len(regexp_extract_all(text, '\S+'))::BIGINT AS n_words, "
+        r"len(regexp_extract_all(text, '\S'))::DOUBLE"
+        r" / greatest(len(regexp_extract_all(text, '\S+')), 1) AS mean_word_len, "
+        "len(regexp_extract_all(text, '[A-Za-z0-9]'))::DOUBLE"
+        " / greatest(length(text), 1) AS alnum_ratio "
+        "FROM documents"
+    ),
+    "fingerprint": "SELECT doc_id, md5(text) AS fp_md5 FROM documents",
+    "lang_distribution": (
+        "SELECT lang, count(*)::BIGINT AS n_docs FROM documents GROUP BY lang"
+    ),
+    "scrub_documents": (
+        f"SELECT doc_id, md5({_sql_scrub_expr()}) AS scrub_md5 FROM documents"
+    ),
+}

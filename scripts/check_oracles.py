@@ -1,0 +1,117 @@
+"""Local stand-in for the driver's correctness gate: run every queries()
+entry at a given sf and compare against oracle_sql() via DuckDB
+(row count + sorted-column schema + order-insensitive value comparison).
+
+Usage: python scripts/check_oracles.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import duckdb  # noqa: E402
+import pandas as pd  # noqa: E402
+
+
+def to_pandas(obj):
+    import pyarrow as pa
+    import ray.data
+
+    if isinstance(obj, ray.data.Dataset):
+        return obj.to_pandas()
+    if isinstance(obj, pa.Table):
+        return obj.to_pandas()
+    return obj
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(list(df.columns)).reset_index(drop=True)
+    return df
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import ray
+
+    ray.init(address="local", num_cpus=8, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import __ray_entry__ as e
+
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs = e.queries()
+    oracles = e.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            got = canon(to_pandas(fn(sf_dir)))
+        except Exception as exc:
+            print(f"FAIL  {name:26s} query raised: {exc!r}")
+            failures += 1
+            continue
+        dt = time.time() - t0
+        if name not in oracles:
+            print(f"ok*   {name:26s} rows={len(got):>7}  {dt:5.1f}s  (rows-only)")
+            continue
+        try:
+            want = canon(con.execute(oracles[name]).df())
+        except Exception as exc:
+            print(f"FAIL  {name:26s} oracle raised: {exc!r}")
+            failures += 1
+            continue
+        problems = []
+        if list(got.columns) != list(want.columns):
+            problems.append(f"schema {list(got.columns)} != {list(want.columns)}")
+        elif len(got) != len(want):
+            problems.append(f"rows {len(got)} != {len(want)}")
+        else:
+            for col in got.columns:
+                a, b = got[col], want[col]
+                try:
+                    if a.dtype.kind == "f" or b.dtype.kind == "f":
+                        same = ((a.isna() & b.isna()) | (a == b)).all()
+                    else:
+                        same = a.astype(str).equals(b.astype(str))
+                except Exception as exc:
+                    same = False
+                    problems.append(f"col {col}: compare error {exc!r}")
+                if not same:
+                    problems.append(f"col {col} differs")
+        if problems:
+            print(f"FAIL  {name:26s} {problems}")
+            if len(got) == len(want):
+                for col in got.columns:
+                    neq = got[col].astype(str) != want[col].astype(str)
+                    if neq.any():
+                        i = neq.idxmax()
+                        print(f"      first diff [{col}] row {i}: "
+                              f"{got[col][i]!r} vs {want[col][i]!r}")
+                        break
+            failures += 1
+        else:
+            print(f"OK    {name:26s} rows={len(got):>7}  {dt:5.1f}s")
+    ray.shutdown()
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
