@@ -33,7 +33,9 @@ LANGS = ("en", "fr", "de", "es")
 SOFTMAX_SCALE = 9.0       # inverse temperature mapping mean-ll gaps to probabilities
 NO_SCORE = -99.0          # forced-choice score when a text has no trigrams
                           # (reference uses -99.0 when no segments, lang_gate.py:245)
-LID_MAX_CHARS = 1024      # classifier reads at most this many normalized chars/row
+LID_MAX_CHARS = 256       # classifier reads at most this many normalized chars/row
+                          # (256 chars of letter trigrams is ample for LID and
+                          # keeps the per-batch gather memory-bandwidth-light)
 
 # keep lowercase letters (incl. latin-1 accents) and apostrophes; everything
 # else becomes a space (code symbols dilute trigram mass -> lower confidence,
@@ -133,7 +135,7 @@ class TrigramLidModel:
                 row = counts.setdefault(code, np.zeros(len(LANGS), dtype=np.float64))
                 row[li] += c
 
-        vocab = np.array(sorted(counts), dtype=np.int64)
+        vocab = np.array(sorted(counts), dtype=np.int32)
         vsize = len(vocab)
         mat = np.zeros((vsize + 1, len(LANGS)), dtype=np.float64)
         for i, code in enumerate(vocab.tolist()):
@@ -173,15 +175,18 @@ class TrigramLidModel:
         if total < 3:
             return means, np.zeros(n, dtype=np.int64)
         codes = (
-            concat[:-2].astype(np.int64) << 16
-        ) | (concat[1:-1].astype(np.int64) << 8) | concat[2:].astype(np.int64)
+            concat[:-2].astype(np.int32) << 16
+        ) | (concat[1:-1].astype(np.int32) << 8) | concat[2:].astype(np.int32)
         idx = np.searchsorted(self._vocab, codes)
         idx[idx >= self._unseen_idx] = self._unseen_idx
         known = self._vocab[np.minimum(idx, self._unseen_idx - 1)] == codes
         idx = np.where(known, np.minimum(idx, self._unseen_idx - 1), self._unseen_idx)
 
-        vals = self._logprob[idx]                      # (T, L) gather
-        vals = np.vstack([vals, np.zeros((1, len(LANGS)))])  # reduceat end-pad
+        # gather into a buffer with one zero pad row (reduceat end sentinel);
+        # single fancy-index write, no vstack copy
+        vals = np.empty((len(idx) + 1, len(LANGS)), dtype=np.float64)
+        vals[:-1] = self._logprob[idx]
+        vals[-1] = 0.0
         ends = starts + tri_counts
         pairs = np.empty(2 * n, dtype=np.int64)
         pairs[0::2] = np.minimum(starts, len(vals) - 1)

@@ -80,7 +80,10 @@ def build_pipeline(
     """Lazy Dataset: partition id -> (optional partition filter for resume)
     -> cascade actor pool -> scrub.  Nothing executes until consumed."""
     if concurrency is None:
-        concurrency = (1, _default_pool_size())
+        # fixed-size pool: every actor starts up-front, so steady-state
+        # throughput is reached immediately (autoscaling ramp hurts short
+        # jobs and scaling-efficiency measurements alike)
+        concurrency = _default_pool_size()
 
     ds = ds.map_batches(
         add_partition,
