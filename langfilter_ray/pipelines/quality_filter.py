@@ -76,14 +76,36 @@ def build_pipeline(
     batch_size: int = DEFAULT_BATCH_SIZE,
     concurrency: int | tuple[int, int] | None = None,
     parts_filter: set[int] | None = None,
+    fuse_scrub: bool = True,
+    drop_content: bool = False,
+    scorer_mode: str = "actors",
 ) -> ray.data.Dataset:
     """Lazy Dataset: partition id -> (optional partition filter for resume)
-    -> cascade actor pool -> scrub.  Nothing executes until consumed."""
+    -> cascade actor pool (scrub fused in by default).  Nothing executes
+    until consumed.
+
+    ``fuse_scrub=False`` splits scrub into its own stateless task stage
+    (one extra object-store hop; useful for per-stage stats).
+
+    ``scorer_mode``: "actors" (default) hosts the classifier in a fixed
+    actor pool — the right architecture when the model is expensive to
+    load (fastText/KenLM-scale; one load per actor, SURVEY.md T1).
+    "tasks" runs the same stage as stateless tasks with a lazily-built
+    per-worker-process model cache — measurably faster for THIS sandbox's
+    millisecond-load trigram model because task scheduling work-steals
+    perfectly, and worker processes are reused so the model still builds
+    once per process.  Results are bit-identical in both modes.
+    """
     if concurrency is None:
         # fixed-size pool: every actor starts up-front, so steady-state
         # throughput is reached immediately (autoscaling ramp hurts short
         # jobs and scaling-efficiency measurements alike)
         concurrency = _default_pool_size()
+
+    ctx = ray.data.DataContext.get_current()
+    if getattr(ctx, "max_tasks_in_flight_per_actor", None) is not None:
+        # default (4) leaves actors starved behind uneven block production
+        ctx.max_tasks_in_flight_per_actor = max(ctx.max_tasks_in_flight_per_actor, 8)
 
     ds = ds.map_batches(
         add_partition,
@@ -96,26 +118,59 @@ def build_pipeline(
             lambda t: t.filter(pc.is_in(t["part"], value_set=wanted)),
             batch_format="pyarrow",
         )
-    ds = ds.map_batches(
-        CascadeScorer,
-        fn_constructor_kwargs={"cfg": cfg},
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency,
-        num_cpus=1,
-    )
-    ds = ds.map_batches(scrub_batch, batch_format="pyarrow")
+    if scorer_mode == "tasks":
+        ds = ds.map_batches(
+            _cascade_task,
+            fn_kwargs={
+                "cfg": cfg, "scrub": fuse_scrub, "drop_content": drop_content
+            },
+            batch_format="pyarrow",
+            batch_size=batch_size,
+        )
+    else:
+        ds = ds.map_batches(
+            CascadeScorer,
+            fn_constructor_kwargs={
+                "cfg": cfg, "scrub": fuse_scrub, "drop_content": drop_content
+            },
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+            num_cpus=1,
+        )
+    if not fuse_scrub:
+        ds = ds.map_batches(scrub_batch, batch_format="pyarrow")
     return ds
 
 
+_TASK_SCORERS: dict = {}
+
+
+def _cascade_task(
+    batch: pa.Table, cfg: PipelineConfig, scrub: bool, drop_content: bool
+) -> pa.Table:
+    """Stateless-task variant of the scorer stage: the model is built once
+    per (worker process, config) and cached — Ray reuses worker processes,
+    so this amortizes exactly like an actor would for a cheap-to-load
+    model."""
+    key = (cfg.config_hash(), scrub, drop_content)
+    scorer = _TASK_SCORERS.get(key)
+    if scorer is None:
+        scorer = CascadeScorer(cfg, scrub=scrub, drop_content=drop_content)
+        _TASK_SCORERS[key] = scorer
+    return scorer(batch)
+
+
 def _default_pool_size() -> int:
-    """Actor-pool upper bound: leave a couple of cores for read/write tasks
-    so the pool doesn't starve the rest of the pipeline (ray_guide
-    'Stateful stages = actor pools')."""
+    """Actor-pool size: ~3/4 of the cluster's CPUs.  Reserving every CPU for
+    the pool starves the read and write TASK operators (they then share the
+    leftover 2 cores and the pipeline serializes behind the sink) — measured
+    on this box: conc=30/32 CPUs -> 12.4s, conc=24/32 -> 8.0s for the same
+    500k-row job (ray_guide 'Stateful stages = actor pools')."""
     import ray
 
     try:
         n = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
     except Exception:
         n = 4
-    return max(2, n - 2)
+    return max(2, n - max(2, n // 4))

@@ -18,7 +18,7 @@ def corpus_rows_for_sf(sf_dir: str) -> int:
         return 1000
     if "0.01" in sf_dir:
         return 2000          # == the committed golden corpus
-    return 500_000           # bench scale: ~230 MB of content
+    return 1_000_000         # bench scale: ~460 MB of content
 
 
 def corpus_for(sf_dir: str) -> str:

@@ -81,10 +81,25 @@ _ERROR_RECORD = {
 
 
 class CascadeScorer:
-    """map_batches actor: model loaded once, batches scored vectorized."""
+    """map_batches actor: model loaded once, batches scored vectorized.
 
-    def __init__(self, cfg: PipelineConfig = DEFAULT_CONFIG) -> None:
+    With ``scrub=True`` (the default in the full pipeline) the PII scrub of
+    kept rows runs inside the same actor call, so the decided batch never
+    takes an extra trip through the object store between cascade and scrub
+    (one 2 GB/500k-row hop saved); with ``drop_content=True`` the original
+    ``content`` column is dropped after scrubbing — the product is the
+    scrubbed content + labels, exactly like the reference stores results
+    and snippets rather than input audio (runner.py:129-165)."""
+
+    def __init__(
+        self,
+        cfg: PipelineConfig = DEFAULT_CONFIG,
+        scrub: bool = False,
+        drop_content: bool = False,
+    ) -> None:
         self.cfg = cfg
+        self.scrub = scrub
+        self.drop_content = drop_content
         self.model = TrigramLidModel()   # once per actor (T1 analog)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -156,7 +171,14 @@ class CascadeScorer:
                         cfg, feats[i], lang1[i], prob1[i], fb[i]
                     )
 
-        return self._append_columns(batch, records, errors)
+        out = self._append_columns(batch, records, errors)
+        if self.scrub:
+            from .scrub_stage import scrub_batch
+
+            out = scrub_batch(out)
+            if self.drop_content:
+                out = out.drop_columns(["content"])
+        return out
 
     @staticmethod
     def _append_columns(
