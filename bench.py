@@ -46,7 +46,10 @@ def headline(sf_dir: str) -> tuple[float, int]:
         n_rows += pq.ParquetFile(f).metadata.num_rows
 
     t0 = time.time()
-    ds = build_pipeline(read_corpus(corpus), DEFAULT_CONFIG, drop_content=True)
+    ds = build_pipeline(
+        read_corpus(corpus), DEFAULT_CONFIG, drop_content=True,
+        scorer_mode=os.environ.get("GRAFT_SCORER_MODE", "actors"),
+    )
     ds.write_parquet(out)
     dt = time.time() - t0
     return dt, n_rows

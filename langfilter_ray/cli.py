@@ -1,0 +1,114 @@
+"""CLI entry point — the ``ray job submit`` surface.
+
+    python -m langfilter_ray run --input DIR --output DIR [options]
+    python -m langfilter_ray report --output DIR
+    python -m langfilter_ray gen-corpus --rows N --out DIR
+
+Mirrors the reference's env-var configuration surface (SURVEY.md §2.11):
+every PipelineConfig field can come from LANGFILTER_* env vars or be
+overridden with --set name=value.  This module OWNS a Ray session (the
+only places allowed to: bench.py, tests/conftest.py, and here); on a real
+cluster, submit with
+
+    ray job submit --working-dir . -- python -m langfilter_ray run \
+        --input s3://corpus/ --output s3://filtered/ --num-parts 4096
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+
+
+def _apply_overrides(cfg, pairs: list[str]):
+    from .config import PipelineConfig
+
+    kwargs = {}
+    for pair in pairs:
+        name, _, raw = pair.partition("=")
+        field = {f.name: f for f in dataclasses.fields(PipelineConfig)}.get(name)
+        if field is None:
+            raise SystemExit(f"unknown config field: {name}")
+        if field.type == "float":
+            kwargs[name] = float(raw)
+        elif field.type == "int":
+            kwargs[name] = int(raw)
+        elif field.type == "bool":
+            kwargs[name] = raw.lower() in ("1", "true", "yes")
+        elif name == "allowed_langs":
+            kwargs[name] = tuple(s for s in raw.split(",") if s)
+        else:
+            kwargs[name] = raw
+    return dataclasses.replace(cfg, **kwargs)
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="langfilter_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    runp = sub.add_parser("run", help="run the quality-filter pipeline")
+    runp.add_argument("--input", required=True, help="corpus parquet dir/file")
+    runp.add_argument("--output", required=True, help="output directory")
+    runp.add_argument("--num-parts", type=int, default=64)
+    runp.add_argument("--batch-size", type=int, default=1024)
+    runp.add_argument("--concurrency", type=int, default=None)
+    runp.add_argument("--wave-size", type=int, default=None)
+    runp.add_argument("--num-cpus", type=int, default=None,
+                      help="ray.init num_cpus (default: all)")
+    runp.add_argument("--set", action="append", default=[], metavar="FIELD=VAL",
+                      help="override a PipelineConfig field")
+    runp.add_argument("--strict", action="store_true",
+                      help="strict-reject mode (drop at ingest)")
+
+    repp = sub.add_parser("report", help="summarize a run's manifest")
+    repp.add_argument("--output", required=True)
+
+    genp = sub.add_parser("gen-corpus", help="write a synthetic corpus")
+    genp.add_argument("--rows", type=int, required=True)
+    genp.add_argument("--out", required=True)
+    genp.add_argument("--seed", type=int, default=42)
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "report":
+        from .state.checkpoint import summarize_manifest
+
+        print(json.dumps(summarize_manifest(args.output), indent=2))
+        return 0
+
+    import ray
+
+    if not ray.is_initialized():
+        kw = {"num_cpus": args.num_cpus} if getattr(args, "num_cpus", None) else {}
+        ray.init(address="local", include_dashboard=False,
+                 logging_level="ERROR", **kw)
+    try:
+        if args.cmd == "gen-corpus":
+            from .corpus import write_corpus
+
+            out = write_corpus(args.out, args.rows, seed=args.seed)
+            print(out)
+            return 0
+
+        from .config import PipelineConfig
+        from .state.checkpoint import run_with_checkpoints
+
+        cfg = PipelineConfig.from_env()
+        cfg = _apply_overrides(cfg, args.set)
+        if args.strict:
+            cfg = dataclasses.replace(cfg, strict_reject=True)
+        summary = run_with_checkpoints(
+            args.input, args.output, cfg,
+            num_parts=args.num_parts, batch_size=args.batch_size,
+            concurrency=args.concurrency, wave_size=args.wave_size,
+        )
+        print(json.dumps(summary, indent=2))
+        return 0
+    finally:
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
