@@ -1,0 +1,51 @@
+"""Language-code projection (M9 analog).
+
+Mirrors the reference's ISO mapping surface (/root/reference/
+langid_service/app/models/languages.py:15-65): en/fr mapped between
+iso639-1 / iso639-2b / iso639-2t / iso639-3 and display labels; unknown
+codes pass through unchanged; the output format is a config knob applied
+in the FINAL projection only (`LANG_CODE_FORMAT` analog,
+config.py:53-61) — internal processing always uses iso639-1.
+"""
+
+from __future__ import annotations
+
+# iso639-1 -> (iso639-2b, iso639-2t, iso639-3, label)
+_TABLE: dict[str, tuple[str, str, str, str]] = {
+    "en": ("eng", "eng", "eng", "English"),
+    "fr": ("fre", "fra", "fra", "French"),
+    "de": ("ger", "deu", "deu", "German"),
+    "es": ("spa", "spa", "spa", "Spanish"),
+}
+_FORMATS = ("iso639-1", "iso639-2b", "iso639-2t", "iso639-3", "label")
+_FMT_IDX = {"iso639-2b": 0, "iso639-2t": 1, "iso639-3": 2, "label": 3}
+
+
+def to_code(lang: str, fmt: str = "iso639-1") -> str:
+    """Project an iso639-1 code to the requested format; unknown codes
+    (incl. 'none'/'und') pass through — languages.py:35-47 semantics."""
+    if fmt not in _FORMATS:
+        raise ValueError(f"unknown language code format: {fmt}")
+    if fmt == "iso639-1":
+        return lang
+    entry = _TABLE.get(lang)
+    if entry is None:
+        return lang
+    return entry[_FMT_IDX[fmt]]
+
+
+def from_code(code: str) -> str:
+    """Inverse mapping: any known representation back to iso639-1; unknown
+    passes through (languages.py:50-58)."""
+    lowered = code.lower()
+    if lowered in _TABLE:
+        return lowered
+    for iso1, entry in _TABLE.items():
+        if lowered in entry[:3] or lowered == entry[3].lower():
+            return iso1
+    return code
+
+
+def get_language_label(lang: str) -> str:
+    entry = _TABLE.get(from_code(lang))
+    return entry[3] if entry else lang

@@ -1,0 +1,42 @@
+"""Optional translation enrichment (T6 analog).
+
+Mirrors the reference's Marian en<->fr stage contract (/root/reference/
+langid_service/app/translate.py:12-39): a lazily-built per-process model
+cache keyed by direction, with ONLY en->fr and fr->en allowed (any other
+pair raises ValueError, as translate.py:27-35 raises).  The sandbox has no
+translation weights, so the "model" is a deterministic bilingual word map
+over the engine's stopword vocabulary (unknown words pass through marked);
+the stage shape — gated on target language, kept rows only, actor/process
+cache — is the real contract, exactly like the multimodal decode stub.
+"""
+
+from __future__ import annotations
+
+_ALLOWED = {("en", "fr"), ("fr", "en")}
+
+_EN_FR = {
+    "the": "le", "and": "et", "of": "de", "to": "à", "in": "dans",
+    "you": "vous", "for": "pour", "is": "est", "with": "avec", "this": "ce",
+    "we": "nous", "not": "pas", "new": "nouveau", "today": "aujourd'hui",
+    "now": "maintenant", "free": "gratuit", "more": "plus",
+}
+_FR_EN = {v: k for k, v in _EN_FR.items()}
+
+_models: dict[tuple[str, str], dict[str, str]] = {}
+
+
+def get_translator(src: str, tgt: str) -> dict[str, str]:
+    """Per-process cached 'model' per direction (translate.py:16-25 analog);
+    raises on unsupported pairs (translate.py:27-35)."""
+    pair = (src, tgt)
+    if pair not in _ALLOWED:
+        raise ValueError(f"unsupported translation direction: {src}->{tgt}")
+    if pair not in _models:
+        _models[pair] = _EN_FR if pair == ("en", "fr") else _FR_EN
+    return _models[pair]
+
+
+def translate_text(text: str, src: str, tgt: str) -> str:
+    """Deterministic word-map translation; unknown tokens pass through."""
+    table = get_translator(src, tgt)
+    return " ".join(table.get(w.lower(), w) for w in text.split())

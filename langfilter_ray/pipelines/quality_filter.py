@@ -140,7 +140,30 @@ def build_pipeline(
         )
     if not fuse_scrub:
         ds = ds.map_batches(scrub_batch, batch_format="pyarrow")
+    if cfg.lang_code_format != "iso639-1":
+        ds = ds.map_batches(
+            _format_lang_codes,
+            batch_format="pyarrow",
+            fn_kwargs={"fmt": cfg.lang_code_format},
+        )
     return ds
+
+
+def _format_lang_codes(batch: pa.Table, fmt: str) -> pa.Table:
+    """Final-projection language-code formatting (M9 / LANG_CODE_FORMAT
+    analog, reference config.py:53-61, languages.py:35-47): applied through
+    the dictionary of the encoded column, so the per-row work is an index
+    take, not a Python loop."""
+    from ..functions.languages import to_code
+
+    col = batch["language"]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    enc = col.dictionary_encode()
+    mapped = pa.array([to_code(v, fmt) for v in enc.dictionary.to_pylist()])
+    out = pa.DictionaryArray.from_arrays(enc.indices, mapped).cast(pa.string())
+    idx = batch.schema.get_field_index("language")
+    return batch.set_column(idx, "language", out)
 
 
 _TASK_SCORERS: dict = {}

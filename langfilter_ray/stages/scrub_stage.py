@@ -20,6 +20,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..functions.scrub import SCRUB_RULES
+from ..functions.textproc import truncate_to_words
 
 PII_FLAGS_TYPE = pa.struct([(name, pa.bool_()) for name, _, _ in SCRUB_RULES])
 
@@ -35,10 +36,21 @@ def _scrub_kept(table: pa.Table) -> pa.Table:
         flag_arrays[name] = pc.match_substring_regex(cur, pat)
         cur = pc.replace_substring_regex(cur, pat, repl)
 
+    scrubbed_texts = cur.to_pylist()
     sha = pa.array(
         [
             hashlib.sha256(s.encode("utf-8")).hexdigest() if s is not None else None
-            for s in cur.to_pylist()
+            for s in scrubbed_texts
+        ],
+        pa.string(),
+    )
+    # snippet enrichment on kept rows only (T5 analog: the reference
+    # transcribes a 15 s snippet then keeps the first 10 words,
+    # runner.py:92-108 + utils.py:53-60)
+    snippets = pa.array(
+        [
+            truncate_to_words(s) if s is not None else None
+            for s in scrubbed_texts
         ],
         pa.string(),
     )
@@ -57,6 +69,7 @@ def _scrub_kept(table: pa.Table) -> pa.Table:
     out = table
     out = out.append_column("scrubbed_content", cur.cast(pa.large_string()))
     out = out.append_column("content_sha256", sha)
+    out = out.append_column("snippet", snippets)
     out = out.append_column("pii_flags", pii)
     out = out.append_column("scrubbed", scrubbed_any)
     return out
@@ -67,6 +80,7 @@ def _null_scrub(table: pa.Table) -> pa.Table:
     out = table
     out = out.append_column("scrubbed_content", pa.nulls(n, pa.large_string()))
     out = out.append_column("content_sha256", pa.nulls(n, pa.string()))
+    out = out.append_column("snippet", pa.nulls(n, pa.string()))
     out = out.append_column(
         "pii_flags",
         pa.array([{name: False for name, _, _ in SCRUB_RULES}] * n, PII_FLAGS_TYPE),

@@ -1,0 +1,65 @@
+"""ISO-code projection and translation-stage contract tests — the analog of
+the reference's tests/test_languages.py:10-42 (mapping bijection) and the
+translate direction guard (translate.py:27-35)."""
+
+from __future__ import annotations
+
+import pytest
+
+from langfilter_ray.functions.languages import from_code, get_language_label, to_code
+from langfilter_ray.functions.translate import get_translator, translate_text
+
+
+@pytest.mark.parametrize(
+    "lang,fmt,expected",
+    [
+        ("en", "iso639-1", "en"),
+        ("en", "iso639-2b", "eng"),
+        ("en", "iso639-2t", "eng"),
+        ("en", "iso639-3", "eng"),
+        ("en", "label", "English"),
+        ("fr", "iso639-2b", "fre"),     # 2b is 'fre', not 'fra'
+        ("fr", "iso639-2t", "fra"),
+        ("fr", "iso639-3", "fra"),
+        ("fr", "label", "French"),
+        ("none", "iso639-3", "none"),   # unknown passes through
+        ("und", "label", "und"),
+    ],
+)
+def test_to_code(lang, fmt, expected):
+    assert to_code(lang, fmt) == expected
+
+
+def test_to_code_rejects_unknown_format():
+    with pytest.raises(ValueError):
+        to_code("en", "iso639-9")
+
+
+@pytest.mark.parametrize(
+    "code,expected",
+    [("eng", "en"), ("fre", "fr"), ("fra", "fr"), ("English", "en"),
+     ("french", "fr"), ("en", "en"), ("xx", "xx")],
+)
+def test_from_code_inverse(code, expected):
+    assert from_code(code) == expected
+
+
+def test_roundtrip_bijection():
+    for lang in ("en", "fr"):
+        for fmt in ("iso639-2b", "iso639-2t", "iso639-3", "label"):
+            assert from_code(to_code(lang, fmt)) == lang
+
+
+def test_translator_allowed_directions_only():
+    get_translator("en", "fr")
+    get_translator("fr", "en")
+    for src, tgt in [("en", "de"), ("es", "fr"), ("en", "en")]:
+        with pytest.raises(ValueError):
+            get_translator(src, tgt)
+
+
+def test_translate_deterministic_word_map():
+    assert translate_text("the weather and the river", "en", "fr") == (
+        "le weather et le river"
+    )
+    assert translate_text("le x et y", "fr", "en") == "the x and y"

@@ -1,0 +1,121 @@
+"""Operator-suite tests: every queries() entry runs at sf0.001, the
+SQL-expressible ones are verified against their DuckDB oracle in-process
+(the same comparison the driver performs), and the approximate/stateful
+ones get shape + determinism checks."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def _to_pandas(obj):
+    import pyarrow as pa
+    import ray.data
+
+    if isinstance(obj, ray.data.Dataset):
+        return obj.to_pandas()
+    if isinstance(obj, pa.Table):
+        return obj.to_pandas()
+    return obj
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    return c
+
+
+@pytest.fixture(scope="module")
+def entry_mod(ray_session):
+    import __ray_entry__ as e
+
+    return e
+
+
+ORACLE_CHECKED = [
+    "token_counts", "stopword_stats", "langid_heuristic", "quality_score",
+    "fingerprint", "lang_distribution", "scrub_documents", "dedup_exact",
+    "dedup_embedding", "ann_topk", "status_counts", "event_type_by_bucket",
+    "recent_window_count", "top50_recent", "events_filtered_sorted",
+    "pricing_summary", "revenue_by_nation", "payload_stats",
+]
+
+
+@pytest.mark.parametrize("name", ORACLE_CHECKED)
+def test_query_matches_oracle(entry_mod, con, name):
+    got = _canon(_to_pandas(entry_mod.queries()[name](SF)))
+    want = _canon(con.execute(entry_mod.oracle_sql()[name]).df())
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want)
+    for col in got.columns:
+        a, b = got[col], want[col]
+        if a.dtype.kind == "f" or b.dtype.kind == "f":
+            assert ((a.isna() & b.isna()) | (a == b)).all(), col
+        else:
+            assert a.astype(str).equals(b.astype(str)), col
+
+
+def test_every_query_has_oracle_or_is_known_rows_only(entry_mod):
+    rows_only = set(entry_mod.queries()) - set(entry_mod.oracle_sql())
+    assert rows_only == {
+        "quality_filter_labels", "gate_decision_report", "dedup_minhash",
+        "dedup_jaccard", "dedup_simhash", "ann_lsh", "multimodal_decode",
+    }
+
+
+def test_entry_smoke(entry_mod):
+    ds = entry_mod.entry()
+    df = _to_pandas(ds)
+    assert len(df) == 1000
+    assert {"repo", "path", "commit", "keep", "gate_decision",
+            "content_sha256"} <= set(df.columns)
+
+
+def test_minhash_finds_exact_dup_pairs(entry_mod, ray_session):
+    # determinism + sanity: candidates are symmetric-unique ordered pairs
+    df = _to_pandas(entry_mod.queries()["dedup_minhash"](SF))
+    assert set(df.columns) == {"doc_a", "doc_b"}
+    assert (df["doc_a"] < df["doc_b"]).all()
+    df2 = _to_pandas(entry_mod.queries()["dedup_minhash"](SF))
+    pd.testing.assert_frame_equal(
+        _canon(df), _canon(df2)
+    )
+
+
+def test_simhash_deterministic_and_hex(entry_mod):
+    df = _to_pandas(entry_mod.queries()["dedup_simhash"](SF))
+    assert len(df) == 500
+    assert df["simhash"].str.fullmatch(r"[0-9a-f]{16}").all()
+
+
+def test_ann_lsh_shape(entry_mod):
+    df = _to_pandas(entry_mod.queries()["ann_lsh"](SF))
+    assert set(df.columns) == {"query_id", "neighbor_id", "rank"}
+    assert df["query_id"].nunique() <= 8
+    assert df["rank"].between(1, 5).all()
+    assert (df["query_id"] != df["neighbor_id"]).all()
+
+
+def test_multimodal_decode_deterministic(entry_mod):
+    a = _canon(_to_pandas(entry_mod.queries()["multimodal_decode"](SF)))
+    b = _canon(_to_pandas(entry_mod.queries()["multimodal_decode"](SF)))
+    pd.testing.assert_frame_equal(a, b)
+    assert (a["width"].between(1, 1920)).all()
+    assert (a["height"].between(1, 1080)).all()
