@@ -1,0 +1,94 @@
+"""Mode/projection tests: strict-reject pipeline, language-code output
+formats, snippet enrichment, scorer_mode parity, CLI smoke."""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+import pandas as pd
+import pytest
+
+from langfilter_ray.config import PipelineConfig
+from langfilter_ray.pipelines.quality_filter import build_pipeline, read_corpus
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def test_strict_mode_rejects_instead_of_fallback(ray_session, unit_corpus_dir):
+    cfg = PipelineConfig(strict_reject=True)
+    ds = build_pipeline(read_corpus(unit_corpus_dir), cfg, concurrency=2)
+    df = ds.select_columns(["gate_decision"]).to_pandas()
+    counts = df["gate_decision"].value_counts()
+    assert counts.get("rejected_strict", 0) > 0
+    assert counts.get("dropped_fallback", 0) == 0    # strict replaces fallback
+
+
+def test_lang_code_format_projection(ray_session, unit_corpus_dir):
+    cfg = PipelineConfig(lang_code_format="iso639-2b")
+    ds = build_pipeline(read_corpus(unit_corpus_dir), cfg, concurrency=2)
+    langs = set(ds.select_columns(["language"]).to_pandas()["language"])
+    assert "eng" in langs
+    assert "fre" in langs
+    assert "en" not in langs and "fr" not in langs
+    assert "none" in langs            # unknown passes through
+
+
+def test_snippet_on_kept_rows_only(ray_session, unit_corpus_dir):
+    ds = build_pipeline(read_corpus(unit_corpus_dir), PipelineConfig(), concurrency=2)
+    df = ds.select_columns(["keep", "snippet", "scrubbed_content"]).to_pandas()
+    kept = df[df.keep]
+    dropped = df[~df.keep]
+    assert kept["snippet"].notna().all()
+    assert dropped["snippet"].isna().all()
+    # snippet is the first <=10 words (+ ellipsis when truncated)
+    row = kept.iloc[0]
+    words = row["scrubbed_content"].split()
+    if len(words) > 10:
+        assert row["snippet"] == " ".join(words[:10]) + " ..."
+    else:
+        assert row["snippet"] == row["scrubbed_content"]
+
+
+def test_scorer_modes_bit_identical(ray_session, unit_corpus_dir):
+    key = ["repo", "path", "commit"]
+    cols = key + ["keep", "gate_decision", "language", "content_sha256"]
+
+    def run(mode):
+        ds = build_pipeline(
+            read_corpus(unit_corpus_dir), PipelineConfig(),
+            concurrency=2, scorer_mode=mode,
+        )
+        return ds.select_columns(cols).to_pandas().sort_values(key).reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(run("actors"), run("tasks"))
+
+
+def test_cli_run_and_report(tmp_path):
+    corpus = tmp_path / "corpus"
+    out = tmp_path / "out"
+    env = {"PYTHONPATH": str(REPO), "PATH": "/usr/bin:/bin",
+           "HOME": "/root", "RAY_ADDRESS": "local"}
+    subprocess.run(
+        [sys.executable, "-m", "langfilter_ray", "gen-corpus",
+         "--rows", "300", "--out", str(corpus), "--seed", "7"],
+        check=True, cwd=REPO, env=env, capture_output=True, timeout=300,
+    )
+    r = subprocess.run(
+        [sys.executable, "-m", "langfilter_ray", "run",
+         "--input", str(corpus), "--output", str(out),
+         "--num-parts", "4", "--num-cpus", "4",
+         "--set", "mid_upper=0.79"],
+        check=True, cwd=REPO, env=env, capture_output=True, text=True,
+        timeout=300,
+    )
+    summary = json.loads(r.stdout[r.stdout.index("{"):])
+    assert summary["rows_in"] == 300
+    assert summary["partitions"] == 4
+    r2 = subprocess.run(
+        [sys.executable, "-m", "langfilter_ray", "report", "--output", str(out)],
+        check=True, cwd=REPO, env=env, capture_output=True, text=True, timeout=60,
+    )
+    assert json.loads(r2.stdout)["rows_in"] == 300
