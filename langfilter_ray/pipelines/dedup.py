@@ -79,18 +79,25 @@ def _minhash_sig(text: str) -> np.ndarray:
 def dedup_exact(sf_dir: str) -> ray.data.Dataset:
     """Representative (min doc_id) per distinct text, keyed by md5 digest."""
 
-    def add_digest(t: pa.Table) -> pa.Table:
+    def digest_and_combine(t: pa.Table) -> pa.Table:
+        # partial aggregation (combiner): min doc_id per digest WITHIN the
+        # batch, so the groupby shuffle carries one row per (batch, digest)
+        # instead of one per document (ray_guide 'Aggregation at scale')
         import hashlib
+
+        import pandas as pd
 
         digests = [
             hashlib.md5((s or "").encode("utf-8")).hexdigest()
             for s in t["text"].to_pylist()
         ]
-        return pa.table({"text_md5": pa.array(digests), "doc_id": t["doc_id"]})
+        df = pd.DataFrame({"text_md5": digests, "doc_id": t["doc_id"].to_numpy()})
+        part = df.groupby("text_md5", sort=False)["doc_id"].min().reset_index()
+        return pa.Table.from_pandas(part, preserve_index=False)
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return (
-        ds.map_batches(add_digest, batch_format="pyarrow")
+        ds.map_batches(digest_and_combine, batch_format="pyarrow")
         .groupby("text_md5")
         .aggregate(Min("doc_id", alias_name="rep_doc_id"))
     )
@@ -127,25 +134,53 @@ def _band_rows(t: pa.Table) -> pa.Table:
 
 
 def minhash_candidates(sf_dir: str) -> ray.data.Dataset:
-    """(doc_a, doc_b) candidate near-dup pairs from LSH banding."""
+    """(doc_a, doc_b) candidate near-dup pairs from LSH banding.
+
+    Shuffle-conscious shape: NO per-group callback over the (mostly
+    singleton) band buckets.  Instead: (1) a tiny groupby().count() finds
+    the hot buckets (count >= 2); (2) the hot-bucket KEY SET — tiny by
+    construction — is broadcast and bands are semi-join-filtered in
+    map_batches; (3) pair expansion runs only over the filtered rows via a
+    vectorized pandas self-merge per bucket.  The original
+    groupby(band).map_groups(python pairs) version paid a Python callback
+    for every singleton bucket and ran ~10x slower.
+    """
     import pandas as pd
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     bands = ds.map_batches(_band_rows, batch_format="pyarrow")
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g["doc_id"].tolist())
-        if len(ids) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": []}).astype("int64")
-        a, b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i])
-                b.append(ids[j])
-        return pd.DataFrame({"doc_a": a, "doc_b": b})
+    hot = (
+        bands.groupby(["band_id", "band_hash"])
+        .count()
+        .map_batches(
+            lambda t: t.filter(pc.greater(t["count()"], 1)),
+            batch_format="pyarrow",
+        )
+        .select_columns(["band_id", "band_hash"])
+        .to_pandas()
+    )
+    hot_keys = set(zip(hot["band_id"], hot["band_hash"]))
+    ref = ray.put(hot_keys)
 
-    cand = bands.groupby(["band_id", "band_hash"]).map_groups(
-        pairs, batch_format="pandas"
+    def filter_hot(t: pa.Table) -> pa.Table:
+        keys = ray.get(ref)
+        mask = [
+            (b, h) in keys
+            for b, h in zip(t["band_id"].to_pylist(), t["band_hash"].to_pylist())
+        ]
+        return t.filter(pa.array(mask, pa.bool_()))
+
+    def expand_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.merge(g, on=["band_id", "band_hash"], suffixes=("_a", "_b"))
+        m = m[m["doc_id_a"] < m["doc_id_b"]]
+        return m.rename(columns={"doc_id_a": "doc_a", "doc_id_b": "doc_b"})[
+            ["doc_a", "doc_b"]
+        ]
+
+    cand = bands.map_batches(filter_hot, batch_format="pyarrow")
+    cand = cand.groupby(["band_id", "band_hash"]).map_groups(
+        expand_pairs, batch_format="pandas"
     )
     # distinct pairs (pairs found in several bands collapse to one)
     return cand.groupby(["doc_a", "doc_b"]).count().select_columns(["doc_a", "doc_b"])
