@@ -1,0 +1,78 @@
+"""Per-row error containment (SURVEY.md §7.5.6): a poison row must become a
+labeled error row, never fail or re-run its batch — the batch-granularity
+answer to the reference's whole-job retry loop (runner.py:192-199)."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pytest
+
+import langfilter_ray.stages.cascade as cascade_mod
+from langfilter_ray.config import PipelineConfig
+from langfilter_ray.corpus import SCHEMA
+from langfilter_ray.stages.cascade import CascadeScorer
+
+
+def _batch(contents: list[str | None]) -> pa.Table:
+    n = len(contents)
+    return pa.table(
+        {
+            "repo": [f"r{i}" for i in range(n)],
+            "path": [f"p{i}" for i in range(n)],
+            "commit": ["c" * 40] * n,
+            "lang": ["python"] * n,
+            "content": pa.array(contents, pa.large_string()),
+        },
+        schema=SCHEMA,
+    )
+
+
+def test_null_content_is_handled_as_empty():
+    sc = CascadeScorer(PipelineConfig())
+    out = sc(_batch([None, "the weather is good today and we walk out"]))
+    decisions = out["gate_decision"].to_pylist()
+    assert decisions[0] == "dropped_no_content"     # null -> empty -> no content
+    assert decisions[1].startswith("kept_")
+    assert out["error"].to_pylist()[0] is None
+
+
+def test_poison_row_contained_not_batch_failing(monkeypatch):
+    real = cascade_mod.cheap_features
+
+    def exploding(content, cfg):
+        if content == "<<BOOM>>":
+            raise RuntimeError("decoder exploded")
+        return real(content, cfg)
+
+    monkeypatch.setattr(cascade_mod, "cheap_features", exploding)
+    sc = CascadeScorer(PipelineConfig())
+    out = sc(
+        _batch(
+            [
+                "the weather is good today and we walk out",
+                "<<BOOM>>",
+                "le garçon marche dans la rue avec sa mère et les enfants",
+            ]
+        )
+    )
+    decisions = out["gate_decision"].to_pylist()
+    errors = out["error"].to_pylist()
+    assert decisions[1] == "error"
+    assert "decoder exploded" in errors[1]
+    assert decisions[0].startswith("kept_")          # neighbors unaffected
+    assert decisions[2].startswith("kept_")
+    assert errors[0] is None and errors[2] is None
+    assert out["keep"].to_pylist()[1] is False
+
+
+def test_weird_unicode_rows_survive():
+    sc = CascadeScorer(PipelineConfig(), scrub=True)
+    weird = [
+        "\x00\x01\x02 the and of to in is on it that with",
+        "🚀" * 50 + " the rocket goes up to the sky with us today",
+        "á" * 100 + " words here",
+        "‮reversed‭ direction the and of to in is",
+    ]
+    out = sc(_batch(weird))
+    assert out["error"].to_pylist() == [None] * 4
+    assert len(out) == 4
