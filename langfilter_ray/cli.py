@@ -64,6 +64,7 @@ def main(argv: list[str] | None = None) -> int:
 
     repp = sub.add_parser("report", help="summarize a run's manifest")
     repp.add_argument("--output", required=True)
+    repp.add_argument("--prom", help="also write a Prometheus textfile here")
 
     genp = sub.add_parser("gen-corpus", help="write a synthetic corpus")
     genp.add_argument("--rows", type=int, required=True)
@@ -74,8 +75,13 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "report":
         from .state.checkpoint import summarize_manifest
+        from .state.metrics import rollup, write_prometheus_textfile
 
-        print(json.dumps(summarize_manifest(args.output), indent=2))
+        summary = summarize_manifest(args.output)
+        summary["rollup"] = rollup(summary)
+        if args.prom:
+            write_prometheus_textfile(summary, args.prom)
+        print(json.dumps(summary, indent=2))
         return 0
 
     import ray

@@ -1,0 +1,65 @@
+"""Metrics rollup & exposition tests (reference tests/test_metrics.py:23-57
+analog: counters classified by path/mode and exported in Prometheus text
+format)."""
+
+from __future__ import annotations
+
+from langfilter_ray.state.metrics import (
+    gate_path,
+    pipeline_mode,
+    rollup,
+    write_prometheus_textfile,
+)
+
+SUMMARY = {
+    "partitions": 8,
+    "rows_in": 100,
+    "kept": 60,
+    "dropped": 40,
+    "scrubbed": 5,
+    "errors": 1,
+    "by_decision": {
+        "kept_high_conf": 40,
+        "kept_mid_zone_en": 10,
+        "kept_second_pass": 10,
+        "dropped_no_content": 10,
+        "dropped_fallback": 15,
+        "dropped_rule_repetition": 8,
+        "dropped_rule_line_len": 6,
+        "error": 1,
+    },
+}
+
+
+def test_gate_path_classifier():
+    assert gate_path("kept_high_conf") == "fast_path"
+    assert gate_path("kept_mid_zone_fr") == "heuristic"
+    assert gate_path("kept_second_pass") == "second_pass"
+    assert gate_path("dropped_rule_alnum_ratio") == "rules"
+    assert gate_path("dropped_no_content") == "no_content"
+    assert gate_path("rejected_strict") == "strict_reject"
+
+
+def test_pipeline_mode_classifier():
+    assert pipeline_mode("kept_high_conf") == "accept"
+    assert pipeline_mode("dropped_fallback") == "reject"
+    assert pipeline_mode("error") == "error"
+
+
+def test_rollup_percentages_sum():
+    r = rollup(SUMMARY)
+    assert r["total"] == 100
+    assert r["by_mode"] == {"accept": 60, "error": 1, "reject": 39}
+    assert r["by_path"]["rules"] == 14
+    assert abs(sum(r["pct_by_path"].values()) - 100.0) < 0.1
+
+
+def test_prometheus_textfile(tmp_path):
+    out = write_prometheus_textfile(SUMMARY, tmp_path / "langfilter.prom")
+    text = out.read_text()
+    assert 'langfilter_rows_total{disposition="kept"} 60' in text
+    assert (
+        'langfilter_gate_decisions_total{decision="kept_high_conf",'
+        'path="fast_path",mode="accept"} 40'
+    ) in text
+    assert "langfilter_partitions_committed 8" in text
