@@ -33,6 +33,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         reports,
         similarity,
         text_analysis,
+        windows,
     )
 
     return {
@@ -64,6 +65,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_filtered_sorted": relational.events_filtered_sorted,
         "pricing_summary": relational.pricing_summary,
         "revenue_by_nation": relational.revenue_by_nation,
+        # windowed / time-ordered (groupby+map_groups pattern, as-of join)
+        "user_session_stats": windows.user_session_stats,
+        "tumbling_hour_counts": windows.tumbling_hour_counts,
+        "asof_last_login": windows.asof_last_login,
         # multimodal plumbing
         "payload_stats": multimodal.payload_stats,
         "multimodal_decode": multimodal.multimodal_decode,
@@ -77,9 +82,10 @@ def oracle_sql() -> dict[str, str]:
         relational,
         similarity,
         text_analysis,
+        windows,
     )
 
     out: dict[str, str] = {}
-    for mod in (text_analysis, dedup, similarity, relational, multimodal):
+    for mod in (text_analysis, dedup, similarity, relational, multimodal, windows):
         out.update(mod.ORACLES)
     return out

@@ -1,0 +1,134 @@
+"""Windowed / time-ordered operators over the ``events`` stream table.
+
+Ray Data has no event-time window primitive (ray_guide 'Streaming-shaped
+workloads'); these operators implement the canonical pattern — partition
+by key, sort within the group, window with pandas inside
+``groupby(key).map_groups`` — plus an as-of join, the custom-operator
+example the Dataset API lacks natively.
+
+Ordering assumption (stated per the guide): rows within one (user_id)
+group fit in one worker's memory and are sorted by (ts, event_id) inside
+the group callback; (user_id, ts) pairs are unique in the testdata so the
+as-of matches are deterministic (verified), and the event_id tie-break
+covers the general case.
+
+  user_session_stats — per-user count, first/last ts, max inter-event gap
+                       (lag window; gaps in exact integer microseconds)
+  tumbling_hour_counts — tumbling 1h event-time window per event_type
+                       (floor-truncated; counts + value cents, all ints)
+  asof_last_login    — for every event, the latest login of the same user
+                       at-or-before its timestamp (pd.merge_asof per user
+                       group == DuckDB ASOF LEFT JOIN)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+
+def _events(sf_dir: str, columns: list[str]) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
+
+
+def user_session_stats(sf_dir: str) -> ray.data.Dataset:
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        # exact integer microseconds regardless of pandas datetime unit
+        us = g["ts"].astype("datetime64[us]").astype("int64")
+        gaps = us.diff().dropna()
+        return pd.DataFrame(
+            {
+                "user_id": [g["user_id"].iloc[0]],
+                "n_events": np.array([len(g)], dtype=np.int64),
+                "first_ts": [g["ts"].iloc[0]],
+                "last_ts": [g["ts"].iloc[-1]],
+                "max_gap_us": np.array(
+                    [int(gaps.max()) if len(gaps) else 0], dtype=np.int64
+                ),
+            }
+        )
+
+    return (
+        _events(sf_dir, ["user_id", "ts", "event_id"])
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pandas")
+    )
+
+
+def tumbling_hour_counts(sf_dir: str) -> ray.data.Dataset:
+    def add_window(t: pa.Table) -> pa.Table:
+        ts = t["ts"].to_pandas()
+        hour = ts.dt.floor("h")
+        cents = np.floor(t["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "window_start": pa.Array.from_pandas(hour),
+                "value_cents": pa.array(cents, pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Count, Sum
+
+    return (
+        _events(sf_dir, ["event_type", "ts", "value"])
+        .map_batches(add_window, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(
+            Count(alias_name="n_events"),
+            Sum("value_cents", alias_name="sum_value_cents"),
+        )
+    )
+
+
+def asof_last_login(sf_dir: str) -> ray.data.Dataset:
+    """As-of join: each event matched to the same user's latest 'login'
+    analog (here: 'signup' events) with login_ts <= event ts."""
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        left = g[["event_id", "ts", "user_id"]]
+        right = g[g["event_type"] == "signup"][["event_id", "ts"]].rename(
+            columns={"event_id": "signup_event_id"}
+        )
+        if right.empty:
+            out = left.copy()
+            out["signup_event_id"] = pd.array([None] * len(out), dtype="Int64")
+        else:
+            out = pd.merge_asof(
+                left, right, on="ts", direction="backward"
+            )
+            out["signup_event_id"] = out["signup_event_id"].astype("Int64")
+        return out[["event_id", "signup_event_id"]]
+
+    return (
+        _events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pandas")
+    )
+
+
+ORACLES: dict[str, str] = {
+    "user_session_stats": (
+        "SELECT user_id, count(*)::BIGINT AS n_events, min(ts) AS first_ts, "
+        "max(ts) AS last_ts, coalesce(max(gap), 0)::BIGINT AS max_gap_us FROM ("
+        "  SELECT user_id, ts, epoch_us(ts) - lag(epoch_us(ts)) OVER "
+        "  (PARTITION BY user_id ORDER BY ts, event_id) AS gap FROM events"
+        ") GROUP BY user_id"
+    ),
+    "tumbling_hour_counts": (
+        "SELECT event_type, date_trunc('hour', ts) AS window_start, "
+        "count(*)::BIGINT AS n_events, "
+        "sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS sum_value_cents "
+        "FROM events GROUP BY 1, 2"
+    ),
+    "asof_last_login": (
+        "SELECT e.event_id, s.event_id AS signup_event_id "
+        "FROM events e ASOF LEFT JOIN "
+        "(SELECT * FROM events WHERE event_type = 'signup') s "
+        "ON e.user_id = s.user_id AND e.ts >= s.ts"
+    ),
+}

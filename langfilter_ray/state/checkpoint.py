@@ -46,15 +46,34 @@ def manifest_path(out_dir: str | Path) -> Path:
     return Path(out_dir) / MANIFEST_NAME
 
 
-def completed_parts(out_dir: str | Path) -> set[int]:
+def completed_parts(
+    out_dir: str | Path, expect_config_hash: str | None = None
+) -> set[int]:
+    """Partitions already committed.  When ``expect_config_hash`` is given,
+    a manifest written under a DIFFERENT config raises — mixing outputs of
+    two rule sets in one directory would corrupt lineage (the config hash
+    exists precisely to refuse this; SURVEY.md §1.4 'frozen PipelineConfig
+    hashed into the run manifest')."""
     path = manifest_path(out_dir)
     done: set[int] = set()
     if path.exists():
         with open(path) as fh:
             for line in fh:
                 line = line.strip()
-                if line:
-                    done.add(int(json.loads(line)["partition"]))
+                if not line:
+                    continue
+                rec = json.loads(line)
+                if (
+                    expect_config_hash is not None
+                    and rec.get("config_hash") != expect_config_hash
+                ):
+                    raise RuntimeError(
+                        f"manifest at {path} was written with config_hash="
+                        f"{rec.get('config_hash')}, current config is "
+                        f"{expect_config_hash}; refusing to resume across "
+                        "config changes (use a fresh output directory)"
+                    )
+                done.add(int(rec["partition"]))
     return done
 
 
@@ -106,7 +125,7 @@ def run_with_checkpoints(
     """
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
-    done = completed_parts(out_dir)
+    done = completed_parts(out_dir, expect_config_hash=cfg.config_hash())
     remaining = [p for p in range(num_parts) if p not in done]
     if isinstance(input_path, (str, Path)) and Path(input_path).is_dir():
         files = sorted(str(p) for p in Path(input_path).glob("*.parquet"))

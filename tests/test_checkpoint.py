@@ -87,3 +87,14 @@ def test_resume_noop_when_complete(ray_session, unit_corpus_dir, single_run):
     )
     assert manifest_path(out).read_text() == before    # nothing re-ran
     assert summary["rows_in"] == 2000
+
+
+def test_resume_refuses_config_change(ray_session, unit_corpus_dir, single_run):
+    import dataclasses
+
+    out, _ = single_run
+    changed = dataclasses.replace(CFG, mid_upper=0.85)
+    with pytest.raises(RuntimeError, match="refusing to resume"):
+        run_with_checkpoints(
+            unit_corpus_dir, out, changed, num_parts=NUM_PARTS, concurrency=(1, 2)
+        )

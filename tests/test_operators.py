@@ -55,6 +55,7 @@ ORACLE_CHECKED = [
     "dedup_embedding", "ann_topk", "status_counts", "event_type_by_bucket",
     "recent_window_count", "top50_recent", "events_filtered_sorted",
     "pricing_summary", "revenue_by_nation", "payload_stats",
+    "user_session_stats", "tumbling_hour_counts", "asof_last_login",
 ]
 
 
