@@ -68,6 +68,7 @@ class RowFeatures:
     """Model-free features of one document (cheap_features output)."""
 
     probe: str
+    tokens: list[str]
     token_count: int
     en_ratio: float
     fr_ratio: float
@@ -152,7 +153,7 @@ def cheap_features(
 
     en_ratio = compute_stopword_ratio_from_tokens(tokens, EN_STOPWORDS)
     fr_ratio = compute_stopword_ratio_from_tokens(tokens, FR_STOPWORDS)
-    return RowFeatures(probe, token_count, en_ratio, fr_ratio, rule_flags), None
+    return RowFeatures(probe, tokens, token_count, en_ratio, fr_ratio, rule_flags), None
 
 
 def first_pass_decision(
@@ -280,7 +281,7 @@ def decide_row(
     if rec is not None:
         return rec
 
-    filtered = filtered_text(feats.probe)
+    filtered = filtered_text(feats.probe, feats.tokens)
     langs2, probs2 = model.classify([filtered])
     rec = second_pass_decision(cfg, feats, filtered, langs2[0], float(probs2[0]))
     if rec is not None:

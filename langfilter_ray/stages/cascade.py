@@ -145,7 +145,9 @@ class CascadeScorer:
         # pass 2 (batched over the undecided subset)
         residual: list[int] = []
         if need_pass2:
-            filtered = [filtered_text(feats[i].probe) for i in need_pass2]
+            filtered = [
+                filtered_text(feats[i].probe, feats[i].tokens) for i in need_pass2
+            ]
             filtered_by_row = dict(zip(need_pass2, filtered))
             langs2, probs2 = model.classify(filtered)
             for k, i in enumerate(need_pass2):
