@@ -45,6 +45,11 @@ class PipelineConfig:
     max_dup_shingle_frac: float = 0.30   # fraction of non-unique 5-gram word shingles
     shingle_n: int = 5
 
+    # --- perplexity gate (KenLM-style stage; 0.0 = disabled) ---
+    max_ppl: float = 0.0             # drop kept rows whose char-trigram
+                                     # perplexity under the winning language
+                                     # profile exceeds this
+
     # --- output formatting (LANG_CODE_FORMAT analog, config.py:53-61) ---
     lang_code_format: str = "iso639-1"
 

@@ -204,11 +204,21 @@ class TrigramLidModel:
     # ---- public API ------------------------------------------------------
 
     def classify(self, texts: list[str]) -> tuple[list[str], np.ndarray]:
-        """Top-1 (language, probability) per text.
+        """Top-1 (language, probability) per text — see classify_full."""
+        langs, probs, _ = self.classify_full(texts)
+        return langs, probs
+
+    def classify_full(
+        self, texts: list[str]
+    ) -> tuple[list[str], np.ndarray, np.ndarray]:
+        """Top-1 (language, probability, perplexity) per text.
 
         probability = softmax(SOFTMAX_SCALE * mean_ll) of the argmax lang;
-        texts with no trigrams get ("und", 0.0) — the analog of a silent
-        probe producing no usable transcript.
+        perplexity = exp(-mean_ll) under the winning profile — the
+        KenLM-style character n-gram perplexity signal of the north star
+        (lower = more natural-language-like under that language model).
+        Texts with no trigrams get ("und", 0.0, inf) — the analog of a
+        silent probe producing no usable transcript.
         """
         means, cnt = self._mean_ll(texts)
         z = SOFTMAX_SCALE * means
@@ -219,8 +229,10 @@ class TrigramLidModel:
         langs = [
             LANGS[int(top[i])] if cnt[i] > 0 else "und" for i in range(len(texts))
         ]
-        p = np.where(cnt > 0, probs[np.arange(len(texts)), top], 0.0)
-        return langs, p
+        rows = np.arange(len(texts))
+        p = np.where(cnt > 0, probs[rows, top], 0.0)
+        ppl = np.where(cnt > 0, np.exp(-means[rows, top]), np.inf)
+        return langs, p, ppl
 
     def forced_choice(self, texts: list[str], a: str = "en", b: str = "fr") -> list[str]:
         """EN-vs-FR fallback: argmax of mean log-likelihood under each profile;

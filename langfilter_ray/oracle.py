@@ -88,9 +88,12 @@ def _result(
     token_count: int,
     no_content: bool,
     rule_flags: dict[str, bool],
+    ppl: float | None = None,
 ) -> dict[str, Any]:
     """Flat label record — the ``_build_gate_result`` analog
-    (lang_gate.py:172-213) with the nested struct flattened into ``meta``."""
+    (lang_gate.py:172-213) with the nested struct flattened into ``meta``;
+    ``ppl`` is the KenLM-style perplexity of the scoring pass that decided
+    the row (None on model-free paths)."""
     prob_value = float(probability) if probability is not None else 0.0
     return {
         "keep": gate_decision in KEPT_DECISIONS,
@@ -105,6 +108,7 @@ def _result(
             "stopword_ratio_fr": fr_ratio,
             "second_pass": second_pass,
             "no_content": no_content,
+            "ppl": ppl,
         },
         "rule_flags": rule_flags,
     }
@@ -156,10 +160,24 @@ def cheap_features(
     return RowFeatures(probe, tokens, token_count, en_ratio, fr_ratio, rule_flags), None
 
 
+def _ppl_gate(cfg: PipelineConfig, rec: dict[str, Any]) -> dict[str, Any]:
+    """Optional KenLM-style perplexity gate: a kept row whose scoring-pass
+    perplexity exceeds ``cfg.max_ppl`` (when enabled, > 0) is dropped with
+    ``dropped_rule_ppl``; the language/method/meta of the scoring pass are
+    retained for the report."""
+    ppl = rec["meta"].get("ppl")
+    if cfg.max_ppl > 0 and ppl is not None and ppl > cfg.max_ppl:
+        rec = dict(rec, keep=False, gate_decision="dropped_rule_ppl")
+    return rec
+
+
 def first_pass_decision(
-    cfg: PipelineConfig, f: RowFeatures, lang1: str, prob1: float
+    cfg: PipelineConfig, f: RowFeatures, lang1: str, prob1: float,
+    ppl1: float | None = None,
 ) -> dict[str, Any] | None:
-    """Steps 3-4; None means undecided (second pass required)."""
+    """Steps 3-4; None means undecided (second pass required).
+    A kept decision is overridden to ``dropped_rule_ppl`` when the optional
+    perplexity gate is enabled and exceeded (KenLM-stage analog)."""
     if lang1 in cfg.allowed_langs:
         if prob1 >= cfg.mid_upper:
             dominant_ratio = max(f.en_ratio, f.fr_ratio)
@@ -167,13 +185,13 @@ def first_pass_decision(
                 f.token_count >= cfg.min_tokens_speech
                 and dominant_ratio >= cfg.min_stopword_speech
             ):
-                return _result(
+                return _ppl_gate(cfg, _result(
                     cfg=cfg, language=lang1, probability=prob1,
                     method="autodetect", gate_decision="kept_high_conf",
                     second_pass=False, en_ratio=f.en_ratio, fr_ratio=f.fr_ratio,
                     token_count=f.token_count, no_content=False,
-                    rule_flags=f.rule_flags,
-                )
+                    rule_flags=f.rule_flags, ppl=ppl1,
+                ))
             # unspeechy high-prob deliberately falls through (:383-396)
 
         if prob1 >= cfg.mid_lower and lang1 in {"en", "fr"}:
@@ -183,26 +201,26 @@ def first_pass_decision(
                 and f.en_ratio >= cfg.min_stopword_en
                 and f.en_ratio > f.fr_ratio + cfg.stopword_margin
             ):
-                return _result(
+                return _ppl_gate(cfg, _result(
                     cfg=cfg, language="en", probability=prob1,
                     method="autodetect", gate_decision="kept_mid_zone_en",
                     second_pass=False, en_ratio=f.en_ratio, fr_ratio=f.fr_ratio,
                     token_count=f.token_count, no_content=False,
-                    rule_flags=f.rule_flags,
-                )
+                    rule_flags=f.rule_flags, ppl=ppl1,
+                ))
             if (
                 lang1 == "fr"
                 and f.token_count >= cfg.min_tokens
                 and f.fr_ratio >= cfg.min_stopword_fr
                 and f.fr_ratio > f.en_ratio + cfg.stopword_margin
             ):
-                return _result(
+                return _ppl_gate(cfg, _result(
                     cfg=cfg, language="fr", probability=prob1,
                     method="autodetect", gate_decision="kept_mid_zone_fr",
                     second_pass=False, en_ratio=f.en_ratio, fr_ratio=f.fr_ratio,
                     token_count=f.token_count, no_content=False,
-                    rule_flags=f.rule_flags,
-                )
+                    rule_flags=f.rule_flags, ppl=ppl1,
+                ))
     return None
 
 
@@ -212,6 +230,7 @@ def second_pass_decision(
     filtered: str,
     lang2: str,
     prob2: float,
+    ppl2: float | None = None,
 ) -> dict[str, Any] | None:
     """Step 5; None means still undecided (strict/fallback required).
 
@@ -227,12 +246,13 @@ def second_pass_decision(
         )
     if lang2 in cfg.allowed_langs and prob2 >= cfg.detect_min_prob:
         # quirk preserved: FIRST-pass ratios/token count (:507-509)
-        return _result(
+        return _ppl_gate(cfg, _result(
             cfg=cfg, language=lang2, probability=prob2,
             method="autodetect-vad", gate_decision="kept_second_pass",
             second_pass=True, en_ratio=f.en_ratio, fr_ratio=f.fr_ratio,
-            token_count=f.token_count, no_content=False, rule_flags=f.rule_flags,
-        )
+            token_count=f.token_count, no_content=False,
+            rule_flags=f.rule_flags, ppl=ppl2,
+        ))
     return None
 
 
@@ -275,15 +295,17 @@ def decide_row(
     if rec is not None:
         return rec
 
-    langs, probs = model.classify([feats.probe])
+    langs, probs, ppls = model.classify_full([feats.probe])
     lang1, prob1 = langs[0], float(probs[0])
-    rec = first_pass_decision(cfg, feats, lang1, prob1)
+    rec = first_pass_decision(cfg, feats, lang1, prob1, float(ppls[0]))
     if rec is not None:
         return rec
 
     filtered = filtered_text(feats.probe, feats.tokens)
-    langs2, probs2 = model.classify([filtered])
-    rec = second_pass_decision(cfg, feats, filtered, langs2[0], float(probs2[0]))
+    langs2, probs2, ppls2 = model.classify_full([filtered])
+    rec = second_pass_decision(
+        cfg, feats, filtered, langs2[0], float(probs2[0]), float(ppls2[0])
+    )
     if rec is not None:
         return rec
 

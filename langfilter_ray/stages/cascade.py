@@ -52,6 +52,7 @@ META_TYPE = pa.struct(
         ("stopword_ratio_fr", pa.float64()),
         ("second_pass", pa.bool_()),
         ("no_content", pa.bool_()),
+        ("ppl", pa.float64()),
     ]
 )
 RULE_FLAGS_TYPE = pa.struct(
@@ -72,6 +73,7 @@ _ERROR_RECORD = {
     "meta": {
         "mid_zone": False, "token_count": 0, "stopword_ratio_en": 0.0,
         "stopword_ratio_fr": 0.0, "second_pass": False, "no_content": False,
+        "ppl": None,
     },
     "rule_flags": {
         "too_large": False, "line_len": False,
@@ -130,11 +132,15 @@ class CascadeScorer:
         lang1 = {}
         prob1 = {}
         if need_pass1:
-            langs, probs = model.classify([feats[i].probe for i in need_pass1])
+            langs, probs, ppls = model.classify_full(
+                [feats[i].probe for i in need_pass1]
+            )
             need_pass2: list[int] = []
             for k, i in enumerate(need_pass1):
                 lang1[i], prob1[i] = langs[k], float(probs[k])
-                rec = first_pass_decision(cfg, feats[i], lang1[i], prob1[i])
+                rec = first_pass_decision(
+                    cfg, feats[i], lang1[i], prob1[i], float(ppls[k])
+                )
                 if rec is not None:
                     records[i] = rec
                 else:
@@ -149,10 +155,11 @@ class CascadeScorer:
                 filtered_text(feats[i].probe, feats[i].tokens) for i in need_pass2
             ]
             filtered_by_row = dict(zip(need_pass2, filtered))
-            langs2, probs2 = model.classify(filtered)
+            langs2, probs2, ppls2 = model.classify_full(filtered)
             for k, i in enumerate(need_pass2):
                 rec = second_pass_decision(
-                    cfg, feats[i], filtered[k], langs2[k], float(probs2[k])
+                    cfg, feats[i], filtered[k], langs2[k], float(probs2[k]),
+                    float(ppls2[k]),
                 )
                 if rec is not None:
                     records[i] = rec

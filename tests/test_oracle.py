@@ -26,9 +26,19 @@ class FakeModel:
         self.forced_calls = 0
 
     def classify(self, texts):
+        langs, probs, _ = self.classify_full(texts)
+        return langs, probs
+
+    def classify_full(self, texts):
         self.classify_calls += 1
-        lang, prob = self.script.pop(0)
-        return [lang] * len(texts), np.full(len(texts), prob)
+        entry = self.script.pop(0)
+        lang, prob = entry[0], entry[1]
+        ppl = entry[2] if len(entry) > 2 else 100.0
+        return (
+            [lang] * len(texts),
+            np.full(len(texts), prob),
+            np.full(len(texts), ppl),
+        )
 
     def forced_choice(self, texts, a="en", b="fr"):
         self.forced_calls += 1
@@ -269,3 +279,33 @@ def test_label_row_dropped_rows_have_null_scrub():
     assert rec["scrubbed_content"] is None
     assert rec["content_sha256"] is None
     assert rec["scrubbed"] is False
+
+
+# ---- perplexity gate (KenLM-stage analog) --------------------------------
+
+def test_ppl_gate_disabled_by_default():
+    m = FakeModel([("en", 0.90, 5000.0)])
+    rec = decide_row(SPEECHY_EN, CFG, m)
+    assert rec["gate_decision"] == "kept_high_conf"
+    assert rec["meta"]["ppl"] == 5000.0
+
+
+def test_ppl_gate_drops_high_perplexity_kept_rows():
+    cfg = PipelineConfig(max_ppl=1000.0)
+    m = FakeModel([("en", 0.90, 5000.0)])
+    rec = decide_row(SPEECHY_EN, cfg, m)
+    assert rec["gate_decision"] == "dropped_rule_ppl"
+    assert rec["keep"] is False
+    assert rec["language"] == "en"          # scoring-pass fields retained
+
+    m = FakeModel([("en", 0.90, 500.0)])
+    rec = decide_row(SPEECHY_EN, cfg, m)
+    assert rec["gate_decision"] == "kept_high_conf"
+
+
+def test_ppl_gate_applies_to_second_pass():
+    cfg = PipelineConfig(max_ppl=1000.0)
+    m = FakeModel([("de", 0.9, 100.0), ("en", 0.70, 2000.0)])
+    rec = decide_row(SPEECHY_EN, cfg, m)
+    assert rec["gate_decision"] == "dropped_rule_ppl"
+    assert rec["method"] == "autodetect-vad"
