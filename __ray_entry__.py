@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_filtered_sorted": relational.events_filtered_sorted,
         "pricing_summary": relational.pricing_summary,
         "revenue_by_nation": relational.revenue_by_nation,
+        "segment_order_stats": relational.segment_order_stats,
         # windowed / time-ordered (groupby+map_groups pattern, as-of join)
         "user_session_stats": windows.user_session_stats,
         "tumbling_hour_counts": windows.tumbling_hour_counts,

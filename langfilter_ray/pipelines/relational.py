@@ -174,7 +174,51 @@ def revenue_by_nation(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+# ---- hash-partitioned large-side join (Dataset.join) --------------------
+
+def segment_order_stats(sf_dir: str) -> ray.data.Dataset:
+    """orders ⋈ customer via NATIVE ``Dataset.join`` (hash-partitioned on
+    the key — the both-sides-large path, complementing the broadcast join
+    of ``revenue_by_nation``), then a small grouped aggregate per market
+    segment.  ``num_partitions`` is the shuffle fan-out knob."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        lambda t: pa.table(
+            {
+                "o_custkey": t["o_custkey"],
+                "price_cents": pa.array(
+                    np.floor(t["o_totalprice"].to_numpy() * 100 + 0.5).astype(
+                        np.int64
+                    ),
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    customer = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    joined = orders.join(
+        customer,
+        join_type="inner",
+        num_partitions=16,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+    return (
+        joined.groupby("c_mktsegment")
+        .aggregate(
+            Count(alias_name="n_orders"),
+            Sum("price_cents", alias_name="total_cents"),
+        )
+    )
+
+
 ORACLES: dict[str, str] = {
+    "segment_order_stats": (
+        "SELECT c.c_mktsegment, count(*)::BIGINT AS n_orders, "
+        "sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS total_cents "
+        "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+        "GROUP BY c.c_mktsegment"
+    ),
     "status_counts": (
         "SELECT event_type, count(*)::BIGINT AS n_events FROM events "
         "GROUP BY event_type"

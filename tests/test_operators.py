@@ -54,7 +54,7 @@ ORACLE_CHECKED = [
     "fingerprint", "lang_distribution", "scrub_documents", "dedup_exact",
     "dedup_embedding", "ann_topk", "status_counts", "event_type_by_bucket",
     "recent_window_count", "top50_recent", "events_filtered_sorted",
-    "pricing_summary", "revenue_by_nation", "payload_stats",
+    "pricing_summary", "revenue_by_nation", "segment_order_stats", "payload_stats",
     "user_session_stats", "tumbling_hour_counts", "asof_last_login",
 ]
 
