@@ -41,23 +41,50 @@ DEFAULT_NUM_PARTS = 64          # ~4-8x cores at test scale; a knob at cluster s
 DEFAULT_BATCH_SIZE = 1024
 
 
-def repo_partition_ids(repos: pa.ChunkedArray | pa.Array, num_parts: int) -> pa.Array:
+def repo_partition_ids(
+    repos: pa.ChunkedArray | pa.Array,
+    num_parts: int,
+    paths: pa.ChunkedArray | pa.Array | None = None,
+    salt: int = 1,
+) -> pa.Array:
     """Vectorized part id per row: crc32 over the batch's few UNIQUE repo
     strings, scattered back through the dictionary indices (a batch holds
-    rows from few repos, so the Python loop is over uniques, not rows)."""
+    rows from few repos, so the Python loop is over uniques, not rows).
+
+    ``salt > 1`` splits each repo across up to ``salt`` consecutive
+    partitions using a path sub-hash — the mega-repo mitigation of
+    SURVEY.md §7.5.4: COMPUTE is row-parallel regardless (the part id is
+    just a column), but without salting one mega-repo makes one
+    checkpoint partition hold its whole share, so a crash loses that much
+    work.  The id stays a pure function of the row key either way, so
+    resume stays idempotent."""
     if isinstance(repos, pa.ChunkedArray):
         repos = repos.combine_chunks()
     enc = repos.dictionary_encode()
     uniq = enc.dictionary.to_pylist()
-    part_of = np.array(
-        [zlib.crc32(u.encode("utf-8")) % num_parts for u in uniq], dtype=np.int32
+    base = np.array(
+        [zlib.crc32(u.encode("utf-8")) for u in uniq], dtype=np.int64
     )
     idx = enc.indices.to_numpy(zero_copy_only=False)
-    return pa.array(part_of[idx], pa.int32())
+    if salt <= 1 or paths is None:
+        return pa.array((base[idx] % num_parts).astype(np.int32), pa.int32())
+    if isinstance(paths, pa.ChunkedArray):
+        paths = paths.combine_chunks()
+    sub = np.fromiter(
+        (zlib.crc32(p.encode("utf-8")) % salt for p in paths.to_pylist()),
+        dtype=np.int64,
+        count=len(paths),
+    )
+    return pa.array(((base[idx] + sub) % num_parts).astype(np.int32), pa.int32())
 
 
-def add_partition(batch: pa.Table, num_parts: int = DEFAULT_NUM_PARTS) -> pa.Table:
-    return batch.append_column("part", repo_partition_ids(batch["repo"], num_parts))
+def add_partition(
+    batch: pa.Table, num_parts: int = DEFAULT_NUM_PARTS, salt: int = 1
+) -> pa.Table:
+    return batch.append_column(
+        "part",
+        repo_partition_ids(batch["repo"], num_parts, batch["path"], salt),
+    )
 
 
 def read_corpus(path: str | list[str], parallelism: int | None = None) -> ray.data.Dataset:
