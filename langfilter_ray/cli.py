@@ -55,6 +55,9 @@ def main(argv: list[str] | None = None) -> int:
     runp.add_argument("--batch-size", type=int, default=1024)
     runp.add_argument("--concurrency", type=int, default=None)
     runp.add_argument("--wave-size", type=int, default=None)
+    runp.add_argument("--salt", type=int, default=1,
+                      help="spread each repo over up to SALT partitions "
+                           "(mega-repo checkpoint-skew mitigation)")
     runp.add_argument("--num-cpus", type=int, default=None,
                       help="ray.init num_cpus (default: all)")
     runp.add_argument("--set", action="append", default=[], metavar="FIELD=VAL",
@@ -109,6 +112,7 @@ def main(argv: list[str] | None = None) -> int:
             args.input, args.output, cfg,
             num_parts=args.num_parts, batch_size=args.batch_size,
             concurrency=args.concurrency, wave_size=args.wave_size,
+            salt=args.salt,
         )
         print(json.dumps(summary, indent=2))
         return 0

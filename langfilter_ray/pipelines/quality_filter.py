@@ -106,6 +106,7 @@ def build_pipeline(
     fuse_scrub: bool = True,
     drop_content: bool = False,
     scorer_mode: str = "actors",
+    salt: int = 1,
 ) -> ray.data.Dataset:
     """Lazy Dataset: partition id -> (optional partition filter for resume)
     -> cascade actor pool (scrub fused in by default).  Nothing executes
@@ -137,7 +138,7 @@ def build_pipeline(
     ds = ds.map_batches(
         add_partition,
         batch_format="pyarrow",
-        fn_kwargs={"num_parts": num_parts},
+        fn_kwargs={"num_parts": num_parts, "salt": salt},
     )
     if parts_filter is not None:
         wanted = pa.array(sorted(parts_filter), pa.int32())

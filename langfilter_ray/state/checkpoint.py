@@ -117,6 +117,7 @@ def run_with_checkpoints(
     concurrency: int | tuple[int, int] | None = None,
     wave_size: int | None = None,
     fail_after_waves: int | None = None,
+    salt: int = 1,
 ) -> dict[str, Any]:
     """Run the flagship pipeline with per-partition commit + resume.
 
@@ -150,7 +151,7 @@ def run_with_checkpoints(
         ds = read_corpus(files)
         ds = build_pipeline(
             ds, cfg, num_parts=num_parts, batch_size=batch_size,
-            concurrency=concurrency,
+            concurrency=concurrency, salt=salt,
             parts_filter=set(wave) if len(wave) < num_parts else None,
         )
         ds.write_parquet(str(tmp_dir), partition_cols=["part"])

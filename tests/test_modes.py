@@ -92,3 +92,19 @@ def test_cli_run_and_report(tmp_path):
         check=True, cwd=REPO, env=env, capture_output=True, text=True, timeout=60,
     )
     assert json.loads(r2.stdout)["rows_in"] == 300
+
+
+def test_salted_partitioning_spreads_mega_repo(ray_session, unit_corpus_dir):
+    ds = build_pipeline(
+        read_corpus(unit_corpus_dir), PipelineConfig(), concurrency=2, salt=4
+    )
+    df = ds.select_columns(["repo", "part"]).to_pandas()
+    mono = df[df.repo == "megacorp/monorepo"]
+    assert 2 <= mono["part"].nunique() <= 4      # split across <= salt parts
+    # still a pure row function: identical on a re-run
+    df2 = build_pipeline(
+        read_corpus(unit_corpus_dir), PipelineConfig(), concurrency=2, salt=4
+    ).select_columns(["repo", "part"]).to_pandas()
+    assert df.sort_values(["repo", "part"]).reset_index(drop=True).equals(
+        df2.sort_values(["repo", "part"]).reset_index(drop=True)
+    )
