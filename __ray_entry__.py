@@ -48,6 +48,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": text_analysis.fingerprint,
         "lang_distribution": text_analysis.lang_distribution,
         "scrub_documents": text_analysis.scrub_documents,
+        "top_tokens": text_analysis.top_tokens,
+        "distinct_sources": text_analysis.distinct_sources,
+        "sample_docs": text_analysis.sample_docs,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash": dedup.minhash_candidates,

@@ -257,3 +257,72 @@ ORACLES: dict[str, str] = {
         f"SELECT doc_id, md5({_sql_scrub_expr()}) AS scrub_md5 FROM documents"
     ),
 }
+
+
+# ---- top_tokens (flat-map explode + pre-aggregated wordcount) ------------
+
+def top_tokens(sf_dir: str) -> ray.data.Dataset:
+    """Corpus-wide token frequency top-20 — the canonical wordcount shaped
+    for scale: tokens are counted WITHIN each batch first (combiner), so
+    the groupby shuffle carries (token, partial_count) rows instead of one
+    row per token occurrence; the final sort+limit runs on the tiny
+    aggregate.  Ties broken by token text for determinism."""
+    import collections
+
+    import re
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        rx = re.compile(LOWER_TOKEN_RE)
+        counts: collections.Counter = collections.Counter()
+        for s in pc.utf8_lower(t["text"]).to_pylist():
+            counts.update(rx.findall(s or ""))
+        return pa.table(
+            {
+                "token": pa.array(list(counts.keys()), pa.string()),
+                "partial": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        _docs_cols(sf_dir, ["text"])
+        .map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("partial", alias_name="n"))
+    )
+    return agg.sort(["n", "token"], descending=[True, False]).limit(20)
+
+
+# ---- distinct values + deterministic sample ------------------------------
+
+def distinct_sources(sf_dir: str) -> ray.data.Dataset:
+    """Distinct `source` values (ds.unique analog via groupby keys)."""
+    return _docs_cols(sf_dir, ["source"]).groupby("source").count().select_columns(["source"])
+
+
+def sample_docs(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic 5% sample by key hash (doc_id % 20 == 3) — reproducible
+    sampling expressible on both engines, unlike RNG-based samplers."""
+    return _docs_cols(sf_dir, ["doc_id", "lang", "n_chars"]).map_batches(
+        lambda t: t.filter(
+            pc.equal(pc.subtract(t["doc_id"], pc.multiply(pc.divide(t["doc_id"], 20), 20)), 3)
+        ),
+        batch_format="pyarrow",
+    )
+
+
+ORACLES.update(
+    {
+        "top_tokens": (
+            "SELECT token, count(*)::BIGINT AS n FROM ("
+            f"  SELECT unnest(regexp_extract_all(lower(text), '{LOWER_TOKEN_RE}')) AS token"
+            "  FROM documents"
+            ") GROUP BY token ORDER BY n DESC, token LIMIT 20"
+        ),
+        "distinct_sources": "SELECT DISTINCT source FROM documents",
+        "sample_docs": (
+            "SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 20 = 3"
+        ),
+    }
+)
