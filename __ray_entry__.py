@@ -69,6 +69,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": relational.pricing_summary,
         "revenue_by_nation": relational.revenue_by_nation,
         "segment_order_stats": relational.segment_order_stats,
+        "customers_no_big_order": relational.customers_no_big_order,
+        "top_orders_per_segment": relational.top_orders_per_segment,
+        "events_union": relational.events_union,
+        "doc_stats_by_lang": text_analysis.doc_stats_by_lang,
         # windowed / time-ordered (groupby+map_groups pattern, as-of join)
         "user_session_stats": windows.user_session_stats,
         "tumbling_hour_counts": windows.tumbling_hour_counts,

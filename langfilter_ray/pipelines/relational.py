@@ -212,7 +212,131 @@ def segment_order_stats(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+# ---- anti-join via left_outer + null filter ------------------------------
+
+def customers_no_big_order(sf_dir: str) -> ray.data.Dataset:
+    """Customers with NO order above $300k — an anti-join.  Dataset.join has
+    no anti type, so this is the scale-honest composition: pre-aggregate the
+    probe side to distinct keys (shrinks the shuffle to one row per key),
+    hash-partitioned ``left_outer`` join, then a null filter.  Both sides
+    stream; no driver materialization."""
+    big_orders = (
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .map_batches(
+            lambda t: t.filter(pc.greater(t["o_totalprice"], 300000.0)).select(
+                ["o_custkey"]
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("o_custkey")
+        .count()
+    )
+    customer = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
+    joined = customer.join(
+        big_orders,
+        join_type="left_outer",
+        num_partitions=16,
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+    )
+    return joined.map_batches(
+        lambda t: t.filter(pc.is_null(t["count()"])).select(
+            ["c_custkey", "c_name", "c_acctbal"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+# ---- per-group top-k (window-rank analog, combiner-shaped) ---------------
+
+def top_orders_per_segment(sf_dir: str) -> ray.data.Dataset:
+    """Top-3 orders by price per market segment — ROW_NUMBER()-per-partition
+    re-expressed for scale: the segment dimension is broadcast (J3), each
+    batch keeps only its LOCAL top-3 per segment (combiner), and the final
+    exact rank runs in map_groups over the tiny survivor set.  Ties broken
+    on o_orderkey so ranks are deterministic."""
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    seg_map = dict(
+        zip(cust["c_custkey"].to_pylist(), cust["c_mktsegment"].to_pylist())
+    )
+
+    def local_topk(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "segment": [seg_map.get(int(c)) for c in t["o_custkey"].to_pylist()],
+                "o_orderkey": t["o_orderkey"].to_numpy(),
+                "price_cents": np.floor(
+                    t["o_totalprice"].to_numpy() * 100 + 0.5
+                ).astype(np.int64),
+            }
+        )
+        df = df.sort_values(
+            ["segment", "price_cents", "o_orderkey"],
+            ascending=[True, False, True],
+        )
+        return df.groupby("segment", sort=False).head(3)
+
+    def final_rank(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["price_cents", "o_orderkey"], ascending=[False, True]).head(3)
+        g = g.reset_index(drop=True)
+        g["rnk"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return (
+        _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+        .map_batches(local_topk, batch_format="pyarrow")
+        .groupby("segment")
+        .map_groups(final_rank, batch_format="pandas")
+    )
+
+
+# ---- union of two streams ------------------------------------------------
+
+def events_union(sf_dir: str) -> ray.data.Dataset:
+    """``Dataset.union`` of two independently-filtered event streams (signup
+    events + high-value purchases) — blocks concatenate lazily, no shuffle."""
+    base = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    signups = base.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "signup")),
+        batch_format="pyarrow",
+    )
+    big_purchases = base.map_batches(
+        lambda t: t.filter(
+            pc.and_(
+                pc.equal(t["event_type"], "purchase"), pc.greater(t["value"], 50.0)
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    return signups.union(big_purchases)
+
+
 ORACLES: dict[str, str] = {
+    "customers_no_big_order": (
+        "SELECT c_custkey, c_name, c_acctbal FROM customer "
+        "WHERE c_custkey NOT IN "
+        "(SELECT o_custkey FROM orders WHERE o_totalprice > 300000)"
+    ),
+    "top_orders_per_segment": (
+        "SELECT segment, o_orderkey, price_cents, rnk FROM ("
+        "  SELECT c.c_mktsegment AS segment, o.o_orderkey, "
+        "         CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents, "
+        "         ROW_NUMBER() OVER (PARTITION BY c.c_mktsegment "
+        "           ORDER BY floor(o.o_totalprice * 100 + 0.5) DESC, o.o_orderkey"
+        "         ) AS rnk "
+        "  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey"
+        ") WHERE rnk <= 3"
+    ),
+    "events_union": (
+        "SELECT event_id, event_type, value FROM events WHERE event_type = 'signup' "
+        "UNION ALL "
+        "SELECT event_id, event_type, value FROM events "
+        "WHERE event_type = 'purchase' AND value > 50"
+    ),
     "segment_order_stats": (
         "SELECT c.c_mktsegment, count(*)::BIGINT AS n_orders, "
         "sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS total_cents "

@@ -326,3 +326,39 @@ ORACLES.update(
         ),
     }
 )
+
+
+# ---- multi-aggregate doc stats per language ------------------------------
+
+def doc_stats_by_lang(sf_dir: str) -> ray.data.Dataset:
+    """Per-language count/sum/min/max/avg over n_chars — the multi-aggregate
+    groupby surface (Count+Sum+Min+Max in ONE shuffle pass; avg derived as a
+    single int/int division afterwards so floats never enter a SUM)."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    agg = (
+        _docs_cols(sf_dir, ["lang", "n_chars"])
+        .groupby("lang")
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Sum("n_chars", alias_name="sum_chars"),
+            Min("n_chars", alias_name="min_chars"),
+            Max("n_chars", alias_name="max_chars"),
+        )
+    )
+
+    def add_avg(t: pa.Table) -> pa.Table:
+        avg = pc.divide(
+            pc.cast(t["sum_chars"], pa.float64()), pc.cast(t["n_docs"], pa.float64())
+        )
+        return t.append_column("avg_chars", avg)
+
+    return agg.map_batches(add_avg, batch_format="pyarrow")
+
+
+ORACLES["doc_stats_by_lang"] = (
+    "SELECT lang, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars, "
+    "min(n_chars) AS min_chars, max(n_chars) AS max_chars, "
+    "sum(n_chars)::DOUBLE / count(*)::DOUBLE AS avg_chars "
+    "FROM documents GROUP BY lang"
+)

@@ -56,6 +56,8 @@ ORACLE_CHECKED = [
     "recent_window_count", "top50_recent", "events_filtered_sorted",
     "pricing_summary", "revenue_by_nation", "segment_order_stats", "payload_stats",
     "user_session_stats", "tumbling_hour_counts", "asof_last_login",
+    "top_tokens", "distinct_sources", "sample_docs", "doc_stats_by_lang",
+    "customers_no_big_order", "top_orders_per_segment", "events_union",
 ]
 
 
