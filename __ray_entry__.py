@@ -60,6 +60,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "ann_topk": similarity.ann_topk,
         "ann_lsh": similarity.ann_lsh,
+        "ann_ivf": similarity.ann_ivf,
+        "label_centroids": similarity.label_centroids,
         # relational / reporting analogs
         "status_counts": relational.status_counts,
         "event_type_by_bucket": relational.event_type_by_bucket,

@@ -137,4 +137,138 @@ def ann_lsh(sf_dir: str) -> ray.data.Dataset:
     return queries.map_batches(bucket_search, batch_format="pyarrow")
 
 
-ORACLES: dict[str, str] = {"ann_topk": ANN_TOPK_SQL}
+def ann_ivf(sf_dir: str) -> ray.data.Dataset:
+    """IVF-bucketed ANN — the coarse-quantizer scale path: K centroids are
+    trained driver-side on a deterministic sample (here the whole table; at
+    100 TB a `ds.limit(n)` sample) with fixed init + 5 Lloyd iterations,
+    then broadcast.  Each batch assigns its OWN vectors to centroids and
+    scores only those falling in a query's `nprobe` nearest clusters, so
+    unlike the LSH variant no full matrix is ever broadcast — candidate
+    embeddings stream through `map_batches` and the shuffle carries only
+    local top-k survivor rows.  Approximate by design → rows-only check
+    (recall vs exact ann_topk asserted in tests)."""
+    ids, mat = _load(sf_dir)
+    K, NPROBE = 8, 4      # recall/speed knob: probe half the coarse cells
+    order = np.argsort(ids)
+    m = mat[order]
+    cent = m[np.linspace(0, len(m) - 1, K).astype(int)].copy()
+    for _ in range(5):
+        assign = np.argmax(m @ cent.T, axis=1)
+        for k in range(K):
+            sel = m[assign == k]
+            if len(sel):
+                c = sel.mean(axis=0)
+                n = np.linalg.norm(c)
+                if n > 0:
+                    cent[k] = c / n
+    qmask = ids < N_QUERIES
+    qids, qmat = ids[qmask], mat[qmask]
+    qprobe = np.argsort(-(qmat @ cent.T), axis=1)[:, :NPROBE]
+    ref = ray.put((qids, qmat, cent, qprobe))
+
+    def local_search(t: pa.Table) -> pa.Table:
+        q_ids, q_mat, c, probes = ray.get(ref)
+        bids = np.array(t["vec_id"].to_pylist(), dtype=np.int64)
+        bmat = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+        norms = np.linalg.norm(bmat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        bmat = bmat / norms
+        bassign = np.argmax(bmat @ c.T, axis=1)
+        out_q, out_n, out_s = [], [], []
+        for qi, qid in enumerate(q_ids):
+            mask = np.isin(bassign, probes[qi]) & (bids != qid)
+            cand = np.nonzero(mask)[0]
+            if len(cand) == 0:
+                continue
+            sims = bmat[cand] @ q_mat[qi]
+            keep = np.lexsort((bids[cand], -sims))[:TOP_K]
+            for o in keep:
+                out_q.append(int(qid))
+                out_n.append(int(bids[cand[o]]))
+                out_s.append(float(sims[o]))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    def reduce_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(TOP_K)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "neighbor_id", "rank"]]
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    local = ds.map_batches(local_search, batch_format="pyarrow", batch_size=512)
+    return local.groupby("query_id").map_groups(reduce_topk, batch_format="pandas")
+
+
+# ---- per-label centroid (vector aggregate, quantized int sums) -----------
+
+def label_centroids(sf_dir: str) -> ray.data.Dataset:
+    """Per-(label, dim) embedding mean — a vector aggregate with exact
+    cross-engine comparison: each float32 element is cast to float64 and
+    quantized with floor(x*1e6+0.5) so the sums are INTEGER (order-free);
+    each batch pre-sums per label (combiner: ≤ labels x 64 rows leave a
+    batch), the groupby reduces partials, and the mean is one int/int
+    division at the end."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        labels = t["label"].to_numpy()
+        emb = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+        q = np.floor(emb * 1_000_000 + 0.5).astype(np.int64)   # (B, D)
+        dim = q.shape[1]
+        out_l, out_d, out_s, out_n = [], [], [], []
+        for lab in np.unique(labels):
+            sel = q[labels == lab]
+            sums = sel.sum(axis=0)
+            out_l.extend([int(lab)] * dim)
+            out_d.extend(range(1, dim + 1))
+            out_s.extend(int(x) for x in sums)
+            out_n.extend([len(sel)] * dim)
+        return pa.table(
+            {
+                "label": pa.array(out_l, pa.int32()),
+                "dim": pa.array(out_d, pa.int64()),
+                "psum": pa.array(out_s, pa.int64()),
+                "pn": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    agg = (
+        ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["label", "dim"])
+        .aggregate(Sum("psum", alias_name="sum_q6"), Sum("pn", alias_name="n_vals"))
+    )
+
+    def add_mean(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mean = pc.divide(
+            pc.cast(t["sum_q6"], pa.float64()), pc.cast(t["n_vals"], pa.float64())
+        )
+        return t.append_column("mean_q6", mean)
+
+    return agg.map_batches(add_mean, batch_format="pyarrow")
+
+
+ORACLES: dict[str, str] = {
+    "ann_topk": ANN_TOPK_SQL,
+    "label_centroids": (
+        "SELECT label, dim, sum(qv) AS sum_q6, count(*)::BIGINT AS n_vals, "
+        "sum(qv)::DOUBLE / count(*)::DOUBLE AS mean_q6 FROM ("
+        "  SELECT label, generate_subscripts(embedding, 1) AS dim, "
+        "         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5) "
+        "              AS BIGINT) AS qv"
+        "  FROM embeddings"
+        ") GROUP BY label, dim"
+    ),
+}

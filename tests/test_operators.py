@@ -58,6 +58,7 @@ ORACLE_CHECKED = [
     "user_session_stats", "tumbling_hour_counts", "asof_last_login",
     "top_tokens", "distinct_sources", "sample_docs", "doc_stats_by_lang",
     "customers_no_big_order", "top_orders_per_segment", "events_union",
+    "label_centroids",
 ]
 
 
@@ -79,8 +80,23 @@ def test_every_query_has_oracle_or_is_known_rows_only(entry_mod):
     rows_only = set(entry_mod.queries()) - set(entry_mod.oracle_sql())
     assert rows_only == {
         "quality_filter_labels", "gate_decision_report", "dedup_minhash",
-        "dedup_jaccard", "dedup_simhash", "ann_lsh", "multimodal_decode",
+        "dedup_jaccard", "dedup_simhash", "ann_lsh", "ann_ivf",
+        "multimodal_decode",
     }
+
+
+def test_ann_ivf_recall_vs_exact(entry_mod, con):
+    """IVF probes 4/16 clusters — assert it still recovers most of the true
+    top-5 (the embeddings cluster by label, so recall should be high)."""
+    approx = _to_pandas(entry_mod.queries()["ann_ivf"](SF))
+    exact = con.execute(entry_mod.oracle_sql()["ann_topk"]).df()
+    hits = tot = 0
+    for qid, grp in exact.groupby("query_id"):
+        truth = set(grp["neighbor_id"])
+        got = set(approx[approx["query_id"] == qid]["neighbor_id"])
+        hits += len(truth & got)
+        tot += len(truth)
+    assert tot > 0 and hits / tot >= 0.6, f"recall@5 = {hits}/{tot}"
 
 
 def test_entry_smoke(entry_mod):
