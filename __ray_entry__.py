@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_tokens": text_analysis.top_tokens,
         "distinct_sources": text_analysis.distinct_sources,
         "sample_docs": text_analysis.sample_docs,
+        "winnow_fingerprints": text_analysis.winnow_fingerprints,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash": dedup.minhash_candidates,

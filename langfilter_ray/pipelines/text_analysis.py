@@ -22,6 +22,7 @@ Operators (SURVEY.md §2.2/§2.6 analogs + training-data additions):
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
@@ -362,3 +363,54 @@ ORACLES["doc_stats_by_lang"] = (
     "sum(n_chars)::DOUBLE / count(*)::DOUBLE AS avg_chars "
     "FROM documents GROUP BY lang"
 )
+
+
+# ---- winnowing fingerprints (rolling hash) -------------------------------
+
+def winnow_fingerprints(sf_dir: str) -> ray.data.Dataset:
+    """Document fingerprinting by winnowing (Schleimer et al., SIGMOD'03):
+    Rabin-Karp rolling hashes over K-byte grams, keep the minimum hash of
+    each W-hash window, digest the selected set.  Identical documents get
+    identical digests; near-duplicates share most selected hashes.  All
+    per-document math is vectorized numpy on uint64 (wrap-around mod 2^64);
+    rows-only (no SQL rolling hash) — determinism + dup-pair tests pin it."""
+    K, W = 8, 4
+    BASE = np.uint64(1000003)
+
+    def f(t: pa.Table) -> pa.Table:
+        import hashlib
+
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        weights = BASE ** np.arange(K - 1, -1, -1, dtype=np.uint64)
+        out_n, out_d = [], []
+        for s in t["text"].to_pylist():
+            b = np.frombuffer((s or "").encode("utf-8"), dtype=np.uint8).astype(
+                np.uint64
+            )
+            if len(b) < K:
+                sel = {int(np.sum(b * BASE ** np.arange(len(b), dtype=np.uint64)))}
+            else:
+                hs = (sliding_window_view(b, K) * weights).sum(axis=1)
+                if len(hs) <= W:
+                    sel = {int(hs.min())}
+                else:
+                    sel = set(
+                        np.min(sliding_window_view(hs, W), axis=1).tolist()
+                    )
+            digest = hashlib.md5(
+                ",".join(str(x) for x in sorted(sel)).encode()
+            ).hexdigest()
+            out_n.append(len(sel))
+            out_d.append(digest)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_fingerprints": pa.array(out_n, pa.int64()),
+                "fp_digest": pa.array(out_d, pa.string()),
+            }
+        )
+
+    return _docs_cols(sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow"
+    )

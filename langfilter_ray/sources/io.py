@@ -1,0 +1,66 @@
+"""Source/sink surface (SURVEY.md §2.1): ingestion is a table read, not an
+RPC.  Parquet is the primary format (column-pruned, predicate-pushdown
+reads); CSV and JSON-lines are supported for interchange so a user of the
+reference's upload/URL ingest (``app/main.py:444-616``) can point this
+engine at whatever files they have.
+
+All readers return a lazy ``ray.data.Dataset`` — nothing materializes on
+the driver.  ``write_table`` mirrors the partitioned-Parquet sink used by
+the checkpointing pipeline (``state/checkpoint.py`` owns the atomic-commit
+variant; this is the plain sink).
+"""
+
+from __future__ import annotations
+
+import ray.data
+
+_FORMATS = ("parquet", "csv", "json")
+
+
+def read_table(
+    path: str,
+    fmt: str = "parquet",
+    columns: list[str] | None = None,
+    **kwargs,
+) -> ray.data.Dataset:
+    """Read ``path`` (file or directory) as a Dataset.
+
+    ``columns`` prunes at the read for parquet (only the named columns
+    leave storage); for csv/json the format has no column projection, so
+    pruning happens in a ``select_columns`` immediately after the read —
+    still before any expensive stage.
+    """
+    if fmt not in _FORMATS:
+        raise ValueError(f"fmt must be one of {_FORMATS}, got {fmt!r}")
+    if fmt == "parquet":
+        return ray.data.read_parquet(path, columns=columns, **kwargs)
+    if fmt == "csv":
+        ds = ray.data.read_csv(path, **kwargs)
+    else:
+        ds = ray.data.read_json(path, **kwargs)
+    if columns:
+        ds = ds.select_columns(columns)
+    return ds
+
+
+def write_table(
+    ds: ray.data.Dataset,
+    path: str,
+    fmt: str = "parquet",
+    partition_cols: list[str] | None = None,
+    **kwargs,
+) -> None:
+    """Write a Dataset.  Parquet supports hive-style ``partition_cols``
+    (one directory per key — the resumable-output layout); csv/json write
+    one file per block."""
+    if fmt not in _FORMATS:
+        raise ValueError(f"fmt must be one of {_FORMATS}, got {fmt!r}")
+    if fmt == "parquet":
+        if partition_cols:
+            ds.write_parquet(path, partition_cols=partition_cols, **kwargs)
+        else:
+            ds.write_parquet(path, **kwargs)
+    elif fmt == "csv":
+        ds.write_csv(path, **kwargs)
+    else:
+        ds.write_json(path, **kwargs)

@@ -81,8 +81,22 @@ def test_every_query_has_oracle_or_is_known_rows_only(entry_mod):
     assert rows_only == {
         "quality_filter_labels", "gate_decision_report", "dedup_minhash",
         "dedup_jaccard", "dedup_simhash", "ann_lsh", "ann_ivf",
-        "multimodal_decode",
+        "multimodal_decode", "winnow_fingerprints",
     }
+
+
+def test_winnow_deterministic_and_dup_consistent(entry_mod, con):
+    """Same content -> same winnowing digest: every exact-duplicate pair
+    (by md5 fingerprint) must agree on fp_digest, and two runs must match."""
+    a = _to_pandas(entry_mod.queries()["winnow_fingerprints"](SF))
+    b = _to_pandas(entry_mod.queries()["winnow_fingerprints"](SF))
+    assert _canon(a).equals(_canon(b))
+    assert (a["n_fingerprints"] > 0).all()
+    fp = _to_pandas(entry_mod.queries()["fingerprint"](SF))
+    merged = fp.merge(a, on="doc_id")
+    groups = merged.groupby("fp_md5")["fp_digest"].nunique()
+    assert (groups == 1).all()          # identical text -> identical digest
+    assert merged["fp_digest"].nunique() > 1   # and it's not a constant
 
 
 def test_ann_ivf_recall_vs_exact(entry_mod, con):
