@@ -75,6 +75,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_no_big_order": relational.customers_no_big_order,
         "top_orders_per_segment": relational.top_orders_per_segment,
         "events_union": relational.events_union,
+        "distinct_users_per_type": relational.distinct_users_per_type,
+        "shipping_priority": relational.shipping_priority,
         "doc_stats_by_lang": text_analysis.doc_stats_by_lang,
         # windowed / time-ordered (groupby+map_groups pattern, as-of join)
         "user_session_stats": windows.user_session_stats,

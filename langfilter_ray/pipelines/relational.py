@@ -30,6 +30,19 @@ def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> ray.data
     return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
+def _join_parts(n_joins: int = 1) -> int:
+    """Hash-shuffle join fan-out sized to the session: each join stage
+    spawns ~num_partitions aggregator actors, and a pipeline with J
+    concurrent joins deadlocks if J x num_partitions exceeds the CPU
+    budget (observed: two 16-partition joins wedge a 4-CPU session).
+    Scale partitions with cluster CPUs, split across concurrent joins."""
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    except Exception:
+        cpus = 8
+    return max(2, min(16, cpus // max(1, n_joins)))
+
+
 # ---- A1: status counts ---------------------------------------------------
 
 def status_counts(sf_dir: str) -> ray.data.Dataset:
@@ -199,7 +212,7 @@ def segment_order_stats(sf_dir: str) -> ray.data.Dataset:
     joined = orders.join(
         customer,
         join_type="inner",
-        num_partitions=16,
+        num_partitions=_join_parts(),
         on=("o_custkey",),
         right_on=("c_custkey",),
     )
@@ -235,7 +248,7 @@ def customers_no_big_order(sf_dir: str) -> ray.data.Dataset:
     joined = customer.join(
         big_orders,
         join_type="left_outer",
-        num_partitions=16,
+        num_partitions=_join_parts(),
         on=("c_custkey",),
         right_on=("o_custkey",),
     )
@@ -315,7 +328,96 @@ def events_union(sf_dir: str) -> ray.data.Dataset:
     return signups.union(big_purchases)
 
 
+# ---- exact distinct count (two-level groupby, no driver set) -------------
+
+def distinct_users_per_type(sf_dir: str) -> ray.data.Dataset:
+    """count(DISTINCT user_id) per event_type WITHOUT collecting a set on
+    the driver: first groupby dedupes (event_type, user_id) pairs across
+    the cluster, the second counts survivors — both shuffles carry only
+    key rows, so this holds at any cardinality."""
+    return (
+        _read(sf_dir, "events", ["event_type", "user_id"])
+        .groupby(["event_type", "user_id"])
+        .count()
+        .select_columns(["event_type"])
+        .groupby("event_type")
+        .count()
+        .rename_columns({"count()": "n_users"})
+    )
+
+
+# ---- TPC-H Q3 analog: chained hash joins + top-k ------------------------
+
+def shipping_priority(sf_dir: str) -> ray.data.Dataset:
+    """Top-10 BUILDING-segment orders by lineitem revenue — two chained
+    native hash-partitioned joins (customer⋈orders, then ⋈lineitem), an
+    integer-cent grouped sum, and a global sort+limit on the small
+    aggregate.  The revenue float chain ep*(1-disc)*100+0.5 is evaluated
+    identically (left-to-right float64) on the Ray and SQL sides before
+    the floor-to-int, so sums compare exactly."""
+    building = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        lambda t: t.filter(pc.equal(t["c_mktsegment"], "BUILDING")).select(
+            ["c_custkey"]
+        ),
+        batch_format="pyarrow",
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    orders_f = orders.join(
+        building,
+        join_type="inner",
+        num_partitions=_join_parts(n_joins=2),
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+
+    def rev(t: pa.Table) -> pa.Table:
+        cents = np.floor(
+            t["l_extendedprice"].to_numpy() * (1 - t["l_discount"].to_numpy()) * 100
+            + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "revenue_cents": pa.array(cents, pa.int64()),
+            }
+        )
+
+    lineitem = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]
+    ).map_batches(rev, batch_format="pyarrow")
+    joined = lineitem.join(
+        orders_f.select_columns(["o_orderkey", "o_orderdate"]),
+        join_type="inner",
+        num_partitions=_join_parts(n_joins=2),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+    return (
+        joined.groupby(["l_orderkey", "o_orderdate"])
+        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+        .rename_columns({"l_orderkey": "o_orderkey"})
+        .sort(["revenue_cents", "o_orderkey"], descending=[True, False])
+        .limit(10)
+        .select_columns(["o_orderkey", "revenue_cents", "o_orderdate"])
+    )
+
+
 ORACLES: dict[str, str] = {
+    "distinct_users_per_type": (
+        "SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users "
+        "FROM events GROUP BY event_type"
+    ),
+    "shipping_priority": (
+        "SELECT o.o_orderkey, "
+        "sum(CAST(floor(l.l_extendedprice*(1-l.l_discount)*100+0.5) AS BIGINT)) "
+        "AS revenue_cents, o.o_orderdate "
+        "FROM lineitem l "
+        "JOIN orders o ON l.l_orderkey = o.o_orderkey "
+        "JOIN customer c ON o.o_custkey = c.c_custkey "
+        "WHERE c.c_mktsegment = 'BUILDING' "
+        "GROUP BY o.o_orderkey, o.o_orderdate "
+        "ORDER BY revenue_cents DESC, o.o_orderkey LIMIT 10"
+    ),
     "customers_no_big_order": (
         "SELECT c_custkey, c_name, c_acctbal FROM customer "
         "WHERE c_custkey NOT IN "

@@ -58,7 +58,7 @@ ORACLE_CHECKED = [
     "user_session_stats", "tumbling_hour_counts", "asof_last_login",
     "top_tokens", "distinct_sources", "sample_docs", "doc_stats_by_lang",
     "customers_no_big_order", "top_orders_per_segment", "events_union",
-    "label_centroids",
+    "label_centroids", "distinct_users_per_type", "shipping_priority",
 ]
 
 
