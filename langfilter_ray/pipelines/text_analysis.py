@@ -268,19 +268,22 @@ def top_tokens(sf_dir: str) -> ray.data.Dataset:
     the groupby shuffle carries (token, partial_count) rows instead of one
     row per token occurrence; the final sort+limit runs on the tiny
     aggregate.  Ties broken by token text for determinism."""
-    import collections
-
-    import re
-
     def partial_counts(t: pa.Table) -> pa.Table:
-        rx = re.compile(LOWER_TOKEN_RE)
-        counts: collections.Counter = collections.Counter()
-        for s in pc.utf8_lower(t["text"]).to_pylist():
-            counts.update(rx.findall(s or ""))
+        # pure Arrow kernels: split on the token-class complement, flatten,
+        # drop the empty boundary strings, count — no Python per-row loop.
+        # "[^a-z0-9_]+" splitting == findall("[a-z0-9_]+") semantics.
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(t["text"]), pattern="[^a-z0-9_]+"
+        )
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        vc = flat.combine_chunks().value_counts() if isinstance(
+            flat, pa.ChunkedArray
+        ) else flat.value_counts()
         return pa.table(
             {
-                "token": pa.array(list(counts.keys()), pa.string()),
-                "partial": pa.array(list(counts.values()), pa.int64()),
+                "token": vc.field("values"),
+                "partial": pc.cast(vc.field("counts"), pa.int64()),
             }
         )
 
