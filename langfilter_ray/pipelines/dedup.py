@@ -19,8 +19,9 @@ shuffle-consciously:
   dedup_embedding  — embedding-cosine near-dup pairs over ``embeddings``
                      (broadcast normalized matrix, blockwise matmul)
 
-All hashing is crc32/md5-based (xxhash is not in this sandbox); constants
-are module-level so results are deterministic across runs and pool sizes.
+All hashing is crc32 + odd-constant uint64 mixing (xxhash is not in this
+sandbox; md5 only for the exact-dedup digest); constants are module-level
+so results are deterministic across runs and pool sizes.
 """
 
 from __future__ import annotations
@@ -50,24 +51,46 @@ COSINE_THRESHOLD = 0.40
 JACCARD_THRESHOLD = 0.5
 
 
-def _shingle_hashes(text: str) -> np.ndarray:
+# odd 64-bit mixing constants (splitmix64/xxhash golden-ratio family)
+_SHINGLE_C = np.array(
+    [0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9], dtype=np.uint64
+)
+_BAND_C = np.array(
+    [0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9, 0x27D4EB2F165667C5],
+    dtype=np.uint64,
+)
+
+
+def _shingle_hashes(text: str, _cache: dict | None = None) -> np.ndarray:
+    """Hashes of word 3-grams: crc32 per word (cached across a batch —
+    code corpora repeat tokens heavily) combined positionally with odd
+     64-bit constants via a vectorized sliding window, then reduced mod
+    the Mersenne prime so the minhash universal-hash stays in range."""
     words = text.lower().split()
+    if not words:
+        return np.empty(0, dtype=np.int64)
+    if _cache is None:
+        _cache = {}
+    wh = np.empty(len(words), dtype=np.uint64)
+    for i, w in enumerate(words):
+        v = _cache.get(w)
+        if v is None:
+            v = zlib.crc32(w.encode("utf-8"))
+            _cache[w] = v
+        wh[i] = v
     if len(words) < SHINGLE_N:
-        base = [" ".join(words)] if words else []
+        combined = np.array([(wh * _SHINGLE_C[: len(wh)]).sum()], dtype=np.uint64)
     else:
-        base = [
-            " ".join(words[i : i + SHINGLE_N])
-            for i in range(len(words) - SHINGLE_N + 1)
-        ]
-    return np.array(
-        sorted({zlib.crc32(s.encode("utf-8")) for s in base}), dtype=np.int64
-    )
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        combined = (sliding_window_view(wh, SHINGLE_N) * _SHINGLE_C).sum(axis=1)
+    return np.unique(combined % np.uint64(_MERSENNE)).astype(np.int64)
 
 
-def _minhash_sig(text: str) -> np.ndarray:
-    """64 minhashes via universal hashing over crc32 shingle codes —
-    vectorized: (A * h + B) mod p over the whole shingle vector at once."""
-    h = _shingle_hashes(text)
+def _minhash_sig(text: str, _cache: dict | None = None) -> np.ndarray:
+    """64 minhashes via universal hashing over shingle codes — vectorized:
+    (A * h + B) mod p over the whole shingle vector at once."""
+    h = _shingle_hashes(text, _cache)
     if len(h) == 0:
         return np.full(N_HASHES, _MERSENNE, dtype=np.int64)
     vals = (h[:, None] * _A[None, :] + _B[None, :]) % _MERSENNE
@@ -112,23 +135,27 @@ DEDUP_EXACT_SQL = (
 # ---- MinHash + LSH candidates -------------------------------------------
 
 def _band_rows(t: pa.Table) -> pa.Table:
-    import hashlib
-
-    band_ids, band_hashes, doc_ids = [], [], []
-    ids = t["doc_id"].to_pylist()
-    for s, doc_id in zip(t["text"].to_pylist(), ids):
-        sig = _minhash_sig(s or "")
-        for b in range(N_BANDS):
-            chunk = sig[b * _ROWS_PER_BAND : (b + 1) * _ROWS_PER_BAND]
-            bh = hashlib.md5(chunk.tobytes()).hexdigest()[:16]
-            band_ids.append(b)
-            band_hashes.append(bh)
-            doc_ids.append(doc_id)
+    """Explode each doc into (band_id, band_hash, doc_id) rows.  The band
+    hash is an INTEGER mix of the band's 4 signature values (uint64
+    wrap-around with odd constants, band index folded in) computed for the
+    whole batch in one tensor op — no per-doc hashlib, and the shuffle
+    carries 8-byte ints instead of hex strings.  A shared word-hash cache
+    amortizes crc32 across the batch."""
+    ids = t["doc_id"].to_numpy()
+    cache: dict = {}
+    sigs = np.stack(
+        [_minhash_sig(s or "", cache) for s in t["text"].to_pylist()]
+    )                                              # (D, 64)
+    bands = sigs.astype(np.uint64).reshape(len(ids), N_BANDS, _ROWS_PER_BAND)
+    bh = (bands * _BAND_C[: _ROWS_PER_BAND]).sum(axis=2)        # (D, 16)
+    bh ^= np.arange(N_BANDS, dtype=np.uint64) * np.uint64(0x2545F4914F6CDD1D)
     return pa.table(
         {
-            "band_id": pa.array(band_ids, pa.int32()),
-            "band_hash": pa.array(band_hashes),
-            "doc_id": pa.array(doc_ids, pa.int64()),
+            "band_id": pa.array(
+                np.tile(np.arange(N_BANDS, dtype=np.int32), len(ids))
+            ),
+            "band_hash": pa.array(bh.reshape(-1).view(np.int64)),
+            "doc_id": pa.array(np.repeat(ids, N_BANDS), pa.int64()),
         }
     )
 
@@ -148,7 +175,11 @@ def minhash_candidates(sf_dir: str) -> ray.data.Dataset:
     import pandas as pd
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    bands = ds.map_batches(_band_rows, batch_format="pyarrow")
+    # materialize: the band table is consumed twice (hot-bucket count, then
+    # the semi-join filter); without this the signature computation — the
+    # expensive part — runs twice.  The table is 16 small rows per doc
+    # (int32+int64+int64), far smaller than the content it derives from.
+    bands = ds.map_batches(_band_rows, batch_format="pyarrow").materialize()
 
     hot = (
         bands.groupby(["band_id", "band_hash"])
