@@ -82,6 +82,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_session_stats": windows.user_session_stats,
         "tumbling_hour_counts": windows.tumbling_hour_counts,
         "asof_last_login": windows.asof_last_login,
+        "hopping_counts": windows.hopping_counts,
+        "median_value_per_type": windows.median_value_per_type,
         # multimodal plumbing
         "payload_stats": multimodal.payload_stats,
         "multimodal_decode": multimodal.multimodal_decode,

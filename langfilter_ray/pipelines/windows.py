@@ -111,7 +111,76 @@ def asof_last_login(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def hopping_counts(sf_dir: str) -> ray.data.Dataset:
+    """Hopping (sliding) event-time window: size 2h, hop 1h — each event
+    belongs to 2 overlapping windows, implemented as an in-batch explode
+    (every row emitted once per covering window start) followed by the
+    same groupby aggregate as the tumbling case.  The explode multiplies
+    rows by size/hop BEFORE the shuffle, which is the honest cost of
+    overlapping windows in any engine."""
+
+    def explode_windows(t: pa.Table) -> pa.Table:
+        ts = t["ts"].to_pandas()
+        hour = ts.dt.floor("h")
+        # windows covering an event at hour H: starts H and H-1h
+        starts = pd.concat([hour, hour - pd.Timedelta(hours=1)], ignore_index=True)
+        types = pa.concat_arrays(
+            [t["event_type"].combine_chunks()] * 2
+            if isinstance(t["event_type"], pa.ChunkedArray)
+            else [t["event_type"]] * 2
+        )
+        return pa.table(
+            {
+                "event_type": types,
+                "window_start": pa.Array.from_pandas(starts),
+            }
+        )
+
+    from ray.data.aggregate import Count
+
+    return (
+        _events(sf_dir, ["event_type", "ts"])
+        .map_batches(explode_windows, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(Count(alias_name="n_events"))
+    )
+
+
+def median_value_per_type(sf_dir: str) -> ray.data.Dataset:
+    """Exact per-group median of ``value`` — the exact-quantile pattern:
+    groupby(key).map_groups with a numpy partition inside the group (a
+    full sort per key, the honest cost of EXACT quantiles; approximate
+    sketches would avoid the shuffle but lose oracle equality).  Matches
+    DuckDB ``median`` incl. the even-count two-element average (one float
+    division, deterministic on both engines)."""
+
+    def per_type(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g["value"].to_numpy())
+        n = len(v)
+        med = float(v[n // 2]) if n % 2 else float((v[n // 2 - 1] + v[n // 2]) / 2)
+        return pd.DataFrame(
+            {"event_type": [g["event_type"].iloc[0]], "median_value": [med]}
+        )
+
+    return (
+        _events(sf_dir, ["event_type", "value"])
+        .groupby("event_type")
+        .map_groups(per_type, batch_format="pandas")
+    )
+
+
 ORACLES: dict[str, str] = {
+    "hopping_counts": (
+        "SELECT event_type, window_start, count(*)::BIGINT AS n_events FROM ("
+        "  SELECT event_type, date_trunc('hour', ts) AS window_start FROM events"
+        "  UNION ALL"
+        "  SELECT event_type, date_trunc('hour', ts) - INTERVAL 1 HOUR FROM events"
+        ") GROUP BY 1, 2"
+    ),
+    "median_value_per_type": (
+        "SELECT event_type, median(value) AS median_value "
+        "FROM events GROUP BY event_type"
+    ),
     "user_session_stats": (
         "SELECT user_id, count(*)::BIGINT AS n_events, min(ts) AS first_ts, "
         "max(ts) AS last_ts, coalesce(max(gap), 0)::BIGINT AS max_gap_us FROM ("
