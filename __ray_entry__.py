@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders_per_segment": relational.top_orders_per_segment,
         "events_union": relational.events_union,
         "distinct_users_per_type": relational.distinct_users_per_type,
+        "approx_distinct_users": relational.approx_distinct_users,
         "shipping_priority": relational.shipping_priority,
         "doc_stats_by_lang": text_analysis.doc_stats_by_lang,
         # windowed / time-ordered (groupby+map_groups pattern, as-of join)

@@ -480,3 +480,73 @@ ORACLES: dict[str, str] = {
         "GROUP BY n.n_name"
     ),
 }
+
+
+# ---- HyperLogLog approximate distinct (sketch operator) ------------------
+
+_HLL_P = 12                       # 4096 registers; std error ~1.04/sqrt(m) = 1.6%
+
+
+def _hll_registers(keys: np.ndarray) -> np.ndarray:
+    """Register array (length 2^p) for a batch of int64 keys — pure numpy:
+    splitmix64 finalizer scrambles the key, the top p bits pick a register,
+    the remaining bits' leading-zero count (+1) is the rank."""
+    h = keys.astype(np.uint64)
+    h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    h = h ^ (h >> np.uint64(31))
+    idx = (h >> np.uint64(64 - _HLL_P)).astype(np.int64)
+    rest = (h << np.uint64(_HLL_P)) | (np.uint64(1) << np.uint64(_HLL_P - 1))
+    # rank = leading zeros of `rest` + 1  (the OR above caps it safely)
+    rank = np.zeros(len(h), dtype=np.int64)
+    probe = rest
+    for shift in (32, 16, 8, 4, 2, 1):
+        mask = probe < (np.uint64(1) << np.uint64(64 - shift))
+        rank[mask] += shift
+        probe = np.where(mask, probe << np.uint64(shift), probe)
+    rank += 1
+    regs = np.zeros(1 << _HLL_P, dtype=np.int64)
+    np.maximum.at(regs, idx, rank)
+    return regs
+
+
+def _hll_estimate(regs: np.ndarray) -> float:
+    m = float(len(regs))
+    est = 0.7213 / (1 + 1.079 / m) * m * m / np.sum(np.power(2.0, -regs))
+    zeros = int((regs == 0).sum())
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)       # small-range correction
+    return float(est)
+
+
+def approx_distinct_users(sf_dir: str) -> pa.Table:
+    """Approximate count-distinct of user_id via a HyperLogLog sketch —
+    the sketch path complementing exact ``distinct_users_per_type``: each
+    batch folds its keys into 4096 registers locally (combiner), register
+    rows shuffle to a max-merge groupby (4096 rows TOTAL regardless of
+    input size), and the estimate is computed from the merged registers.
+    Approximate by design -> rows-only check (accuracy pinned in tests)."""
+    from ray.data.aggregate import Max
+
+    def partial(t: pa.Table) -> pa.Table:
+        regs = _hll_registers(t["user_id"].to_numpy())
+        nz = np.nonzero(regs)[0]
+        return pa.table(
+            {
+                "reg_idx": pa.array(nz, pa.int64()),
+                "rank": pa.array(regs[nz], pa.int64()),
+            }
+        )
+
+    merged = (
+        _read(sf_dir, "events", ["user_id"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("reg_idx")
+        .aggregate(Max("rank", alias_name="rank"))
+        .to_pandas()
+    )
+    regs = np.zeros(1 << _HLL_P, dtype=np.int64)
+    regs[merged["reg_idx"].to_numpy()] = merged["rank"].to_numpy()
+    return pa.table(
+        {"approx_distinct_users": pa.array([int(round(_hll_estimate(regs)))], pa.int64())}
+    )

@@ -1,0 +1,44 @@
+"""Per-stage observability: run the flagship pipeline once and print
+``ds.stats()`` — Ray Data's per-operator wall/cpu/rows/memory report — so
+a perf regression can be localized to a stage instead of guessed at.
+
+Usage: python scripts/stage_stats.py [sf_dir] [num_cpus]
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    num_cpus = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from langfilter_ray.config import DEFAULT_CONFIG
+    from langfilter_ray.pipelines.quality_filter import build_pipeline, read_corpus
+    from langfilter_ray.pipelines.reports import corpus_for
+
+    ds = build_pipeline(read_corpus(corpus_for(sf_dir)), DEFAULT_CONFIG,
+                        drop_content=True)
+    out = "/tmp/langfilter_stats_out"
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    ds.write_parquet(out)
+    print(ds.stats())
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

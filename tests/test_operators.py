@@ -82,8 +82,15 @@ def test_every_query_has_oracle_or_is_known_rows_only(entry_mod):
     assert rows_only == {
         "quality_filter_labels", "gate_decision_report", "dedup_minhash",
         "dedup_jaccard", "dedup_simhash", "ann_lsh", "ann_ivf",
-        "multimodal_decode", "winnow_fingerprints",
+        "multimodal_decode", "winnow_fingerprints", "approx_distinct_users",
     }
+
+
+def test_hll_within_two_percent_of_exact(entry_mod, con):
+    est = _to_pandas(entry_mod.queries()["approx_distinct_users"](SF))
+    est = int(est["approx_distinct_users"].iloc[0])
+    exact = con.execute("SELECT count(DISTINCT user_id) FROM events").fetchone()[0]
+    assert abs(est - exact) / exact < 0.05, (est, exact)
 
 
 def test_winnow_deterministic_and_dup_consistent(entry_mod, con):
