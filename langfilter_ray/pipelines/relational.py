@@ -403,6 +403,15 @@ def shipping_priority(sf_dir: str) -> ray.data.Dataset:
 
 
 ORACLES: dict[str, str] = {
+    "event_type_pivot": (
+        "SELECT user_bucket, "
+        + ", ".join(
+            f"sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END)::BIGINT AS n_{t}"
+            for t in ["click", "error", "purchase", "signup", "view"]
+        )
+        + " FROM (SELECT (user_id - (user_id // 10) * 10)::BIGINT AS user_bucket, "
+        "event_type FROM events) GROUP BY user_bucket"
+    ),
     "distinct_users_per_type": (
         "SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users "
         "FROM events GROUP BY event_type"
@@ -549,4 +558,28 @@ def approx_distinct_users(sf_dir: str) -> pa.Table:
     regs[merged["reg_idx"].to_numpy()] = merged["rank"].to_numpy()
     return pa.table(
         {"approx_distinct_users": pa.array([int(round(_hll_estimate(regs)))], pa.int64())}
+    )
+
+
+# ---- pivot (wide aggregation) --------------------------------------------
+
+def event_type_pivot(sf_dir: str) -> pa.Table:
+    """Counts per (user bucket, event type) pivoted to one COLUMN per type
+    — the wide-aggregation pattern: the distributed groupby produces the
+    tiny long-form aggregate (buckets x types rows), and only that is
+    pivoted driver-side; the events table itself never leaves long form."""
+    agg = event_type_by_bucket(sf_dir).to_pandas()
+    wide = (
+        agg.pivot_table(
+            index="user_bucket", columns="event_type", values="n_events",
+            fill_value=0, aggfunc="sum",
+        )
+        .reset_index()
+    )
+    wide.columns = ["user_bucket"] + [f"n_{c}" for c in wide.columns[1:]]
+    for c in wide.columns:
+        wide[c] = wide[c].astype("int64")
+    return pa.Table.from_pandas(
+        wide[sorted(wide.columns, key=lambda c: (c != "user_bucket", c))],
+        preserve_index=False,
     )

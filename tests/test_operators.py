@@ -59,7 +59,7 @@ ORACLE_CHECKED = [
     "top_tokens", "distinct_sources", "sample_docs", "doc_stats_by_lang",
     "customers_no_big_order", "top_orders_per_segment", "events_union",
     "label_centroids", "distinct_users_per_type", "shipping_priority",
-    "hopping_counts", "median_value_per_type",
+    "hopping_counts", "median_value_per_type", "event_type_pivot",
 ]
 
 
