@@ -89,6 +89,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal plumbing
         "payload_stats": multimodal.payload_stats,
         "multimodal_decode": multimodal.multimodal_decode,
+        "multimodal_resize": multimodal.multimodal_resize,
+        "frame_sample": multimodal.frame_sample,
     }
 
 

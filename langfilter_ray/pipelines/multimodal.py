@@ -94,6 +94,84 @@ def multimodal_decode(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def multimodal_resize(sf_dir: str) -> ray.data.Dataset:
+    """Resize stage on decoded media: the DECODE is the stub above, but the
+    resize math is REAL — scale each (width, height) to fit a 128px box
+    preserving aspect ratio, never upscaling.  Runs after the decode pool,
+    demonstrating the chained media pipeline (decode -> transform)."""
+    MAX_SIDE = 128
+
+    def resize(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        w = t["width"].to_numpy().astype(np.float64)
+        h = t["height"].to_numpy().astype(np.float64)
+        scale = np.minimum(1.0, MAX_SIDE / np.maximum(w, h))
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "thumb_w": pa.array(
+                    np.maximum(1, np.round(w * scale)).astype(np.int64)
+                ),
+                "thumb_h": pa.array(
+                    np.maximum(1, np.round(h * scale)).astype(np.int64)
+                ),
+            }
+        )
+
+    return multimodal_decode(sf_dir).map_batches(resize, batch_format="pyarrow")
+
+
+def frame_sample(sf_dir: str) -> ray.data.Dataset:
+    """Frame-sampling stage: each decoded payload explodes into up to 4
+    evenly spaced frame rows (linspace over n_frames — deterministic, no
+    RNG) with a per-frame fingerprint.  The frame EXTRACTION is stubbed
+    (crc over payload + frame index); the explode plumbing — row
+    multiplication inside the batch, typed output, stable ordering — is
+    the real pattern a video pipeline needs."""
+    K = 4
+
+    def explode(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        out_id, out_idx, out_fp = [], [], []
+        for doc_id, payload, n_frames in zip(
+            t["doc_id"].to_pylist(),
+            t["payload"].to_pylist(),
+            t["n_frames"].to_pylist(),
+        ):
+            idxs = np.unique(
+                np.linspace(0, n_frames - 1, min(K, n_frames)).astype(np.int64)
+            )
+            for i in idxs:
+                out_id.append(doc_id)
+                out_idx.append(int(i))
+                out_fp.append(zlib.crc32((payload or b"") + bytes([i % 256])))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "frame_idx": pa.array(out_idx, pa.int64()),
+                "frame_crc": pa.array(out_fp, pa.int64()),
+            }
+        )
+
+    # one-pass shape: decode + explode inside the same actor stage (frames
+    # come straight off the decoder; the payload never re-ships)
+    class DecodeAndSample(FakeDecoder):
+        def __call__(self, t: pa.Table) -> pa.Table:  # type: ignore[override]
+            decoded_t = super().__call__(t)
+            merged = decoded_t.append_column("payload", t["payload"])
+            return explode(merged)
+
+    return _payloads(sf_dir).map_batches(
+        DecodeAndSample,
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=(1, 4),
+        num_cpus=1,
+    )
+
+
 ORACLES: dict[str, str] = {
     "payload_stats": (
         "SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes FROM documents"

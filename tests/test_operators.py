@@ -82,8 +82,21 @@ def test_every_query_has_oracle_or_is_known_rows_only(entry_mod):
     assert rows_only == {
         "quality_filter_labels", "gate_decision_report", "dedup_minhash",
         "dedup_jaccard", "dedup_simhash", "ann_lsh", "ann_ivf",
-        "multimodal_decode", "winnow_fingerprints", "approx_distinct_users",
+        "multimodal_decode", "multimodal_resize", "frame_sample",
+        "winnow_fingerprints", "approx_distinct_users",
     }
+
+
+def test_multimodal_resize_and_frames(entry_mod):
+    rz = _to_pandas(entry_mod.queries()["multimodal_resize"](SF))
+    assert ((rz["thumb_w"] <= 128) & (rz["thumb_h"] <= 128)).all()
+    assert ((rz["thumb_w"] >= 1) & (rz["thumb_h"] >= 1)).all()
+    fr = _to_pandas(entry_mod.queries()["frame_sample"](SF))
+    per_doc = fr.groupby("doc_id").agg(n=("frame_idx", "size"),
+                                       mono=("frame_idx", lambda s: s.is_monotonic_increasing))
+    assert (per_doc["n"] <= 4).all() and per_doc["mono"].all()
+    fr2 = _to_pandas(entry_mod.queries()["frame_sample"](SF))
+    assert _canon(fr).equals(_canon(fr2))
 
 
 def test_hll_within_two_percent_of_exact(entry_mod, con):
