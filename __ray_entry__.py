@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash": dedup.minhash_candidates,
         "dedup_jaccard": dedup.dedup_jaccard,
         "dedup_simhash": dedup.dedup_simhash,
+        "simhash_candidates": dedup.simhash_candidates,
         "dedup_embedding": dedup.dedup_embedding,
         # similarity search
         "ann_topk": similarity.ann_topk,

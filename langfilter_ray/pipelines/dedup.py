@@ -339,3 +339,93 @@ ORACLES: dict[str, str] = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_embedding": DEDUP_EMBEDDING_SQL,
 }
+
+
+# ---- SimHash near-dup candidates (Hamming-band bucketing) ----------------
+
+def simhash_candidates(sf_dir: str) -> ray.data.Dataset:
+    """Near-dup candidate pairs from SimHash: split each 64-bit fingerprint
+    into 4 x 16-bit bands — two fingerprints within Hamming distance 3
+    must agree exactly on at least one band (pigeonhole), so a per-band
+    groupby finds all such pairs without any pairwise comparison.  Same
+    shuffle-conscious shape as MinHash LSH: bands explode in-batch, hot
+    buckets are found by a tiny groupby().count(), pairs expand only in
+    hot buckets, then collapse to distinct (doc_a, doc_b) with the actual
+    Hamming distance attached (<= 3 kept)."""
+    import pandas as pd
+
+    HAM_MAX = 3
+
+    def band_rows(t: pa.Table) -> pa.Table:
+        fps = np.array(
+            [int(h, 16) for h in t["simhash"].to_pylist()], dtype=np.uint64
+        )
+        ids = t["doc_id"].to_numpy()
+        n = len(ids)
+        bands = np.empty((n, 4), dtype=np.int64)
+        for b in range(4):
+            bands[:, b] = ((fps >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(
+                np.int64
+            )
+        return pa.table(
+            {
+                "band_id": pa.array(np.tile(np.arange(4, dtype=np.int32), n)),
+                "band_val": pa.array(bands.reshape(-1)),
+                "doc_id": pa.array(np.repeat(ids, 4), pa.int64()),
+                "fp": pa.array(np.repeat(fps.view(np.int64), 4)),
+            }
+        )
+
+    fps_ds = dedup_simhash(sf_dir)
+    bands = fps_ds.map_batches(band_rows, batch_format="pyarrow").materialize()
+
+    hot = (
+        bands.groupby(["band_id", "band_val"])
+        .count()
+        .map_batches(
+            lambda t: t.filter(pc.greater(t["count()"], 1)),
+            batch_format="pyarrow",
+        )
+        .select_columns(["band_id", "band_val"])
+        .to_pandas()
+    )
+    hot_keys = set(zip(hot["band_id"], hot["band_val"]))
+    ref = ray.put(hot_keys)
+
+    def filter_hot(t: pa.Table) -> pa.Table:
+        keys = ray.get(ref)
+        mask = [
+            (b, v) in keys
+            for b, v in zip(t["band_id"].to_pylist(), t["band_val"].to_pylist())
+        ]
+        return t.filter(pa.array(mask, pa.bool_()))
+
+    def expand_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.merge(g, on=["band_id", "band_val"], suffixes=("_a", "_b"))
+        m = m[m["doc_id_a"] < m["doc_id_b"]].copy()
+        x = m["fp_a"].to_numpy().astype(np.uint64) ^ m["fp_b"].to_numpy().astype(
+            np.uint64
+        )
+        ham = np.zeros(len(m), dtype=np.int64)
+        while True:
+            nz = x != 0
+            if not nz.any():
+                break
+            ham[nz] += 1
+            x = x & (x - np.uint64(1))
+        m["hamming"] = ham
+        m = m[m["hamming"] <= HAM_MAX]
+        return m.rename(columns={"doc_id_a": "doc_a", "doc_id_b": "doc_b"})[
+            ["doc_a", "doc_b", "hamming"]
+        ]
+
+    cand = bands.map_batches(filter_hot, batch_format="pyarrow")
+    cand = cand.groupby(["band_id", "band_val"]).map_groups(
+        expand_pairs, batch_format="pandas"
+    )
+    from ray.data.aggregate import Min
+
+    return (
+        cand.groupby(["doc_a", "doc_b"])
+        .aggregate(Min("hamming", alias_name="hamming"))
+    )

@@ -83,8 +83,23 @@ def test_every_query_has_oracle_or_is_known_rows_only(entry_mod):
         "quality_filter_labels", "gate_decision_report", "dedup_minhash",
         "dedup_jaccard", "dedup_simhash", "ann_lsh", "ann_ivf",
         "multimodal_decode", "multimodal_resize", "frame_sample",
-        "winnow_fingerprints", "approx_distinct_users",
+        "winnow_fingerprints", "approx_distinct_users", "simhash_candidates",
     }
+
+
+def test_simhash_candidates_hamming_guarantee(entry_mod):
+    """All returned pairs have Hamming <= 3; every exact-dup pair (same
+    text -> same fingerprint -> Hamming 0) must be present."""
+    cand = _to_pandas(entry_mod.queries()["simhash_candidates"](SF))
+    assert (cand["hamming"] <= 3).all()
+    fps = _to_pandas(entry_mod.queries()["dedup_simhash"](SF))
+    dup = fps[fps.duplicated("simhash", keep=False)]
+    import itertools
+    pairs = set(zip(cand["doc_a"], cand["doc_b"]))
+    for _, grp in dup.groupby("simhash"):
+        ids = sorted(grp["doc_id"])
+        for a, b in itertools.combinations(ids, 2):
+            assert (a, b) in pairs, (a, b)
 
 
 def test_multimodal_resize_and_frames(entry_mod):
