@@ -63,6 +63,8 @@ def secondary(sf_dir: str) -> dict[str, float]:
         "token_counts", "stopword_stats", "quality_score", "scrub_documents",
         "dedup_exact", "dedup_minhash", "dedup_embedding", "ann_topk",
         "pricing_summary", "revenue_by_nation", "top50_recent",
+        "top_tokens", "shipping_priority", "hopping_counts",
+        "simhash_candidates", "approx_distinct_users",
     ]
     qs = e.queries()
     times: dict[str, float] = {}
