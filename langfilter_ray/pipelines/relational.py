@@ -349,26 +349,36 @@ def distinct_users_per_type(sf_dir: str) -> ray.data.Dataset:
 # ---- TPC-H Q3 analog: chained hash joins + top-k ------------------------
 
 def shipping_priority(sf_dir: str) -> ray.data.Dataset:
-    """Top-10 BUILDING-segment orders by lineitem revenue — two chained
-    native hash-partitioned joins (customer⋈orders, then ⋈lineitem), an
-    integer-cent grouped sum, and a global sort+limit on the small
-    aggregate.  The revenue float chain ep*(1-disc)*100+0.5 is evaluated
-    identically (left-to-right float64) on the Ray and SQL sides before
-    the floor-to-int, so sums compare exactly."""
-    building = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
-        lambda t: t.filter(pc.equal(t["c_mktsegment"], "BUILDING")).select(
-            ["c_custkey"]
-        ),
-        batch_format="pyarrow",
+    """Top-10 BUILDING-segment orders by lineitem revenue — the textbook
+    TPC-H Q3 physical plan: the customer DIMENSION filter is a broadcast
+    semi-join (segment custkeys shipped once via ray.put, np.isin per
+    batch — a hash join here costs ~4s of aggregator-actor overhead for a
+    side that fits in one array), and only the genuinely large-large pair
+    (lineitem ⋈ filtered orders) uses the native hash-partitioned join.
+    Integer-cent grouped sum, then sort+limit on the small aggregate.
+    The revenue float chain ep*(1-disc)*100+0.5 is evaluated identically
+    (left-to-right float64) on the Ray and SQL sides before the
+    floor-to-int, so sums compare exactly."""
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
     )
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
-    orders_f = orders.join(
-        building,
-        join_type="inner",
-        num_partitions=_join_parts(n_joins=2),
-        on=("o_custkey",),
-        right_on=("c_custkey",),
-    )
+    keys = cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING"))[
+        "c_custkey"
+    ].to_numpy()
+    kref = ray.put(np.sort(keys))
+
+    def semi_filter(t: pa.Table) -> pa.Table:
+        wanted = ray.get(kref)
+        mask = np.isin(t["o_custkey"].to_numpy(), wanted, assume_unique=False)
+        return t.filter(pa.array(mask, pa.bool_())).select(
+            ["o_orderkey", "o_orderdate"]
+        )
+
+    orders_f = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(semi_filter, batch_format="pyarrow")
 
     def rev(t: pa.Table) -> pa.Table:
         cents = np.floor(
@@ -386,9 +396,9 @@ def shipping_priority(sf_dir: str) -> ray.data.Dataset:
         sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]
     ).map_batches(rev, batch_format="pyarrow")
     joined = lineitem.join(
-        orders_f.select_columns(["o_orderkey", "o_orderdate"]),
+        orders_f,
         join_type="inner",
-        num_partitions=_join_parts(n_joins=2),
+        num_partitions=_join_parts(),
         on=("l_orderkey",),
         right_on=("o_orderkey",),
     )
