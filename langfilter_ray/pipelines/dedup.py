@@ -263,22 +263,44 @@ def dedup_simhash(sf_dir: str) -> ray.data.Dataset:
     """64-bit SimHash per document (hex string column)."""
 
     def f(t: pa.Table) -> pa.Table:
-        out = []
+        # vectorized: each UNIQUE word in the batch is hashed once into a
+        # ±1 bit-row; doc accumulators come from one cumsum over the
+        # concatenated word rows, sliced at doc boundaries.  Bit-identical
+        # to the per-word loop it replaced (same hash, same sign rule).
         shifts = np.arange(64, dtype=np.uint64)
+        vocab: dict[str, int] = {}
+        bit_rows: list[np.ndarray] = []
+        word_idx: list[int] = []
+        doc_ptr = [0]
         for s in t["text"].to_pylist():
-            words = (s or "").lower().split()
-            acc = np.zeros(64, dtype=np.int64)
-            for w in words:
-                h = np.uint64(
-                    zlib.crc32(w.encode()) | (zlib.crc32(w[::-1].encode()) << 32)
-                )
-                bits = ((h >> shifts) & np.uint64(1)).astype(np.int64)
-                acc += 2 * bits - 1
-            val = 0
-            for k in range(64):
-                if acc[k] > 0:
-                    val |= 1 << k
-            out.append(f"{val:016x}")
+            for w in (s or "").lower().split():
+                i = vocab.get(w)
+                if i is None:
+                    i = len(vocab)
+                    vocab[w] = i
+                    h = np.uint64(
+                        zlib.crc32(w.encode()) | (zlib.crc32(w[::-1].encode()) << 32)
+                    )
+                    bit_rows.append(
+                        (((h >> shifts) & np.uint64(1)).astype(np.int8) * 2 - 1)
+                    )
+                word_idx.append(i)
+            doc_ptr.append(len(word_idx))
+        n_docs = len(doc_ptr) - 1
+        if vocab:
+            contrib = np.stack(bit_rows)[np.array(word_idx)]      # (W, 64) int8
+            csum = np.vstack(
+                [
+                    np.zeros((1, 64), dtype=np.int64),
+                    np.cumsum(contrib, axis=0, dtype=np.int64),
+                ]
+            )
+            ptr = np.array(doc_ptr)
+            acc = csum[ptr[1:]] - csum[ptr[:-1]]                   # (D, 64)
+        else:
+            acc = np.zeros((n_docs, 64), dtype=np.int64)
+        vals = ((acc > 0).astype(np.uint64) << shifts).sum(axis=1)
+        out = [f"{v:016x}" for v in vals]
         return pa.table({"doc_id": t["doc_id"], "simhash": pa.array(out)})
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
