@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_per_type": relational.distinct_users_per_type,
         "approx_distinct_users": relational.approx_distinct_users,
         "event_type_pivot": relational.event_type_pivot,
+        "order_price_tiers": relational.order_price_tiers,
         "shipping_priority": relational.shipping_priority,
         "doc_stats_by_lang": text_analysis.doc_stats_by_lang,
         # windowed / time-ordered (groupby+map_groups pattern, as-of join)

@@ -593,3 +593,56 @@ def event_type_pivot(sf_dir: str) -> pa.Table:
         wide[sorted(wide.columns, key=lambda c: (c != "user_bucket", c))],
         preserve_index=False,
     )
+
+
+# ---- range (band) join ---------------------------------------------------
+
+_PRICE_TIERS = [          # (name, lo, hi) — hi exclusive; covers all prices
+    ("budget", 0.0, 100_000.0),
+    ("mid", 100_000.0, 250_000.0),
+    ("premium", 250_000.0, 400_000.0),
+    ("luxury", 400_000.0, 10_000_000.0),
+]
+
+
+def order_price_tiers(sf_dir: str) -> ray.data.Dataset:
+    """Range join: orders banded into price tiers (tier.lo <= price <
+    tier.hi).  A range predicate can't hash-partition, so the scale shape
+    is: broadcast the (tiny, sorted, non-overlapping) band table and
+    resolve each row with np.searchsorted per batch — O(log T) per row,
+    no shuffle of fact rows; only (tier, partials) reach the groupby.
+    Overlapping bands would instead flat-map each row into every band it
+    hits (the hopping-window explode pattern)."""
+    los = np.array([t[1] for t in _PRICE_TIERS])
+    names = [t[0] for t in _PRICE_TIERS]
+
+    def band(t: pa.Table) -> pa.Table:
+        price = t["o_totalprice"].to_numpy()
+        idx = np.searchsorted(los, price, side="right") - 1
+        cents = np.floor(price * 100 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "tier": pa.array([names[i] for i in idx], pa.string()),
+                "price_cents": pa.array(cents, pa.int64()),
+            }
+        )
+
+    return (
+        _read(sf_dir, "orders", ["o_totalprice"])
+        .map_batches(band, batch_format="pyarrow")
+        .groupby("tier")
+        .aggregate(
+            Count(alias_name="n_orders"),
+            Sum("price_cents", alias_name="total_cents"),
+        )
+    )
+
+
+ORACLES["order_price_tiers"] = (
+    "SELECT t.tier, count(*)::BIGINT AS n_orders, "
+    "sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS total_cents "
+    "FROM orders o JOIN (VALUES "
+    + ", ".join(f"('{n}', {lo}, {hi})" for n, lo, hi in _PRICE_TIERS)
+    + ") AS t(tier, lo, hi) ON o.o_totalprice >= t.lo AND o.o_totalprice < t.hi "
+    "GROUP BY t.tier"
+)
