@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_last_login": windows.asof_last_login,
         "hopping_counts": windows.hopping_counts,
         "median_value_per_type": windows.median_value_per_type,
+        "daily_hopping_counts": windows.daily_hopping_counts,
         # multimodal plumbing
         "payload_stats": multimodal.payload_stats,
         "multimodal_decode": multimodal.multimodal_decode,

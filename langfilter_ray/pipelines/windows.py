@@ -201,3 +201,63 @@ ORACLES: dict[str, str] = {
         "ON e.user_id = s.user_id AND e.ts >= s.ts"
     ),
 }
+
+
+def daily_hopping_counts(sf_dir: str) -> ray.data.Dataset:
+    """Wide hopping window (size 24h, hop 1h) — the TWO-LEVEL shape that
+    keeps wide overlapping windows affordable: aggregate to tumbling hours
+    first (distributed; output is types x hours, far smaller than the
+    event stream), then explode only the AGGREGATE rows into the 24
+    windows each hour contributes to and re-sum.  Exploding raw events
+    would multiply the shuffle by size/hop = 24; exploding the hourly
+    aggregate multiplies only the already-tiny aggregate.  Contrast with
+    ``hopping_counts`` (size/hop = 2), where the direct explode is fine."""
+    from ray.data.aggregate import Sum
+
+    hourly = (
+        _events(sf_dir, ["event_type", "ts"])
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "event_type": t["event_type"],
+                    "hour": pa.Array.from_pandas(t["ts"].to_pandas().dt.floor("h")),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby(["event_type", "hour"])
+        .count()
+    )
+
+    def explode_agg(t: pa.Table) -> pa.Table:
+        hours = t["hour"].to_pandas()
+        n = t["count()"].to_numpy()
+        types = t["event_type"].to_pylist()
+        out_type, out_ws, out_n = [], [], []
+        for k in range(24):
+            out_type.extend(types)
+            out_ws.append(hours - pd.Timedelta(hours=k))
+            out_n.append(n)
+        return pa.table(
+            {
+                "event_type": pa.array(out_type, pa.string()),
+                "window_start": pa.Array.from_pandas(
+                    pd.concat(out_ws, ignore_index=True)
+                ),
+                "n_partial": pa.array(np.concatenate(out_n), pa.int64()),
+            }
+        )
+
+    return (
+        hourly.map_batches(explode_agg, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(Sum("n_partial", alias_name="n_events"))
+    )
+
+
+ORACLES["daily_hopping_counts"] = (
+    "SELECT event_type, window_start, count(*)::BIGINT AS n_events FROM ("
+    "  SELECT event_type, date_trunc('hour', ts) - to_hours(g.k) AS window_start"
+    "  FROM events CROSS JOIN (SELECT unnest(range(24)) AS k) g"
+    ") GROUP BY 1, 2"
+)
