@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": dedup.dedup_simhash,
         "simhash_candidates": dedup.simhash_candidates,
         "dedup_embedding": dedup.dedup_embedding,
+        "similar_pairs_topk": dedup.similar_pairs_topk,
         # similarity search
         "ann_topk": similarity.ann_topk,
         "ann_lsh": similarity.ann_lsh,

@@ -451,3 +451,74 @@ def simhash_candidates(sf_dir: str) -> ray.data.Dataset:
         cand.groupby(["doc_a", "doc_b"])
         .aggregate(Min("hamming", alias_name="hamming"))
     )
+
+
+# ---- exact word-set Jaccard top-k (oracle-checkable dedup ranking) -------
+
+JACCARD_TOP_K = 50
+
+
+def similar_pairs_topk(sf_dir: str) -> ray.data.Dataset:
+    """Top-50 document pairs by EXACT word-set Jaccard — the oracle-checked
+    complement to the crc-shingle `dedup_jaccard` (whose hash space SQL
+    cannot replicate).  Word sets are interned to int ids driver-side and
+    broadcast as sorted arrays; each batch scores its docs against all
+    later docs (intersections via np.intersect1d), keeps a LOCAL top-50,
+    and a tiny global sort+limit finishes.  Jaccard is one int/int
+    division so the doubles compare exactly against DuckDB.  At corpus
+    scale the all-pairs loop is replaced by the LSH candidate prefilter
+    (`minhash_candidates`) — this operator is the exact-ranking baseline."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ids = t["doc_id"].to_numpy()
+    intern: dict[str, int] = {}
+    sets = []
+    for s in t["text"].to_pylist():
+        ws = {intern.setdefault(w, len(intern)) for w in (s or "").lower().split()}
+        sets.append(np.array(sorted(ws), dtype=np.int64))
+    ref = ray.put((ids, sets))
+    pos = {int(v): i for i, v in enumerate(ids)}
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        all_ids, all_sets = ray.get(ref)
+        out = []
+        for a in batch["doc_id"].to_pylist():
+            ia = pos[int(a)]
+            sa = all_sets[ia]
+            if len(sa) == 0:
+                continue
+            for ib in range(len(all_ids)):
+                b = int(all_ids[ib])
+                if b <= a or len(all_sets[ib]) == 0:
+                    continue
+                inter = len(np.intersect1d(sa, all_sets[ib], assume_unique=True))
+                union = len(sa) + len(all_sets[ib]) - inter
+                out.append((a, b, inter / union))
+        out.sort(key=lambda r: (-r[2], r[0], r[1]))
+        out = out[:JACCARD_TOP_K]
+        return pa.table(
+            {
+                "doc_a": pa.array([r[0] for r in out], pa.int64()),
+                "doc_b": pa.array([r[1] for r in out], pa.int64()),
+                "jac": pa.array([r[2] for r in out], pa.float64()),
+            }
+        )
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    local = ds.map_batches(local_topk, batch_format="pyarrow", batch_size=64)
+    return local.sort(["jac", "doc_a", "doc_b"], descending=[True, False, False]).limit(
+        JACCARD_TOP_K
+    )
+
+
+ORACLES["similar_pairs_topk"] = (
+    "WITH w AS (SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS ws "
+    "           FROM documents) "
+    "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+    "len(list_intersect(a.ws, b.ws))::DOUBLE / "
+    "(len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws)))::DOUBLE AS jac "
+    "FROM w a JOIN w b ON a.doc_id < b.doc_id "
+    "WHERE len(a.ws) > 0 AND len(b.ws) > 0 "
+    f"ORDER BY jac DESC, doc_a, doc_b LIMIT {JACCARD_TOP_K}"
+)
