@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_filtered_sorted": relational.events_filtered_sorted,
         "pricing_summary": relational.pricing_summary,
         "revenue_by_nation": relational.revenue_by_nation,
+        "revenue_rollup": relational.revenue_rollup,
         "segment_order_stats": relational.segment_order_stats,
         "customers_no_big_order": relational.customers_no_big_order,
         "top_orders_per_segment": relational.top_orders_per_segment,

@@ -646,3 +646,41 @@ ORACLES["order_price_tiers"] = (
     + ") AS t(tier, lo, hi) ON o.o_totalprice >= t.lo AND o.o_totalprice < t.hi "
     "GROUP BY t.tier"
 )
+
+
+# ---- rollup / grouping sets ----------------------------------------------
+
+def revenue_rollup(sf_dir: str) -> ray.data.Dataset:
+    """GROUPING SETS ((n_name), ()) — per-nation revenue plus a grand-total
+    row (n_name='ALL').  The grand total derives from the ALREADY-AGGREGATED
+    per-nation rows (a per-batch re-sum of the tiny aggregate), so the fact
+    table is scanned and shuffled exactly once."""
+    per_nation = revenue_by_nation(sf_dir)
+
+    def add_total(t: pa.Table) -> pa.Table:
+        total = pa.table(
+            {
+                "n_name": pa.array(["ALL"], pa.string()),
+                "n_orders": pa.array(
+                    [pc.sum(t["n_orders"]).as_py() or 0], pa.int64()
+                ),
+                "total_cents": pa.array(
+                    [pc.sum(t["total_cents"]).as_py() or 0], pa.int64()
+                ),
+            }
+        )
+        return pa.concat_tables([t.select(["n_name", "n_orders", "total_cents"]), total])
+
+    # repartition(1) so the grand total sees ALL nation rows in one batch
+    return per_nation.repartition(1).map_batches(
+        add_total, batch_format="pyarrow", batch_size=None
+    )
+
+
+ORACLES["revenue_rollup"] = (
+    "SELECT coalesce(n.n_name, 'ALL') AS n_name, count(*)::BIGINT AS n_orders, "
+    "sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS total_cents "
+    "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+    "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+    "GROUP BY GROUPING SETS ((n.n_name), ())"
+)
