@@ -40,6 +40,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # flagship cascade (stateful classifier -> rows-only check)
         "quality_filter_labels": reports.quality_filter_labels,
         "gate_decision_report": reports.gate_decision_report,
+        "translate_kept_snippets": reports.translate_kept_snippets,
         # text analysis over documents (oracle-checked)
         "token_counts": text_analysis.token_counts,
         "stopword_stats": text_analysis.stopword_stats,
@@ -74,6 +75,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": relational.pricing_summary,
         "revenue_by_nation": relational.revenue_by_nation,
         "revenue_rollup": relational.revenue_rollup,
+        "props_stats": relational.props_stats,
         "segment_order_stats": relational.segment_order_stats,
         "customers_no_big_order": relational.customers_no_big_order,
         "top_orders_per_segment": relational.top_orders_per_segment,

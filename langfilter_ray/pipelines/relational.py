@@ -684,3 +684,38 @@ ORACLES["revenue_rollup"] = (
     "JOIN nation n ON c.c_nationkey = n.n_nationkey "
     "GROUP BY GROUPING SETS ((n.n_name), ())"
 )
+
+
+# ---- semi-structured JSON extraction -------------------------------------
+
+def props_stats(sf_dir: str) -> ray.data.Dataset:
+    """Semi-structured column handling: the ``props`` JSON string column is
+    parsed per batch (stdlib json over the Python strings — the values
+    must surface to Python either way; a real pipeline with deep JSON
+    would use pyarrow's JSON reader on raw buffers) and the extracted
+    ``k`` field aggregates per event_type with integer sums."""
+    import json
+
+    def extract(t: pa.Table) -> pa.Table:
+        ks = np.array(
+            [json.loads(s).get("k", 0) if s else 0 for s in t["props"].to_pylist()],
+            dtype=np.int64,
+        )
+        return pa.table({"event_type": t["event_type"], "k": pa.array(ks, pa.int64())})
+
+    return (
+        _read(sf_dir, "events", ["event_type", "props"])
+        .map_batches(extract, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Count(alias_name="n_events"),
+            Sum("k", alias_name="sum_k"),
+        )
+    )
+
+
+ORACLES["props_stats"] = (
+    "SELECT event_type, count(*)::BIGINT AS n_events, "
+    "sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k "
+    "FROM events GROUP BY event_type"
+)

@@ -50,3 +50,55 @@ def gate_decision_report(sf_dir: str) -> ray.data.Dataset:
         .count()
         .rename_columns({"count()": "n_rows"})
     )
+
+
+def translate_kept_snippets(sf_dir: str) -> ray.data.Dataset:
+    """T6 enrichment surfaced as a driver query: translate the snippet of
+    KEPT en/fr rows toward the opposite language (en->fr / fr->en only —
+    the reference's direction guard) via the actor-pool pattern: the
+    word-map 'model' cache builds once per actor in __init__.  Cost-ladder
+    shape: runs only on flagship survivors (cascade filters first).
+    Rows-only (deterministic stand-in model has no SQL equivalent)."""
+    import pyarrow as pa
+
+    cfg = PipelineConfig()
+    ds = build_pipeline(read_corpus(corpus_for(sf_dir)), cfg)
+
+    class Translator:
+        def __init__(self) -> None:
+            from ..functions.translate import get_translator
+
+            # build both direction caches once per actor (T6 singleton)
+            self.maps = {
+                ("en", "fr"): get_translator("en", "fr"),
+                ("fr", "en"): get_translator("fr", "en"),
+            }
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            out_r, out_p, out_c, out_s = [], [], [], []
+            for repo, path, commit, keep, lang, snip in zip(
+                t["repo"].to_pylist(), t["path"].to_pylist(),
+                t["commit"].to_pylist(), t["keep"].to_pylist(),
+                t["language"].to_pylist(), t["snippet"].to_pylist(),
+            ):
+                if not keep or lang not in ("en", "fr") or not snip:
+                    continue
+                table = self.maps[(lang, "fr" if lang == "en" else "en")]
+                out_r.append(repo)
+                out_p.append(path)
+                out_c.append(commit)
+                out_s.append(
+                    " ".join(table.get(w.lower(), w) for w in snip.split())
+                )
+            return pa.table(
+                {
+                    "repo": pa.array(out_r, pa.string()),
+                    "path": pa.array(out_p, pa.string()),
+                    "commit": pa.array(out_c, pa.string()),
+                    "translated_snippet": pa.array(out_s, pa.string()),
+                }
+            )
+
+    return ds.select_columns(
+        ["repo", "path", "commit", "keep", "language", "snippet"]
+    ).map_batches(Translator, batch_format="pyarrow", concurrency=(1, 4), num_cpus=1)

@@ -60,7 +60,7 @@ ORACLE_CHECKED = [
     "customers_no_big_order", "top_orders_per_segment", "events_union",
     "label_centroids", "distinct_users_per_type", "shipping_priority",
     "hopping_counts", "median_value_per_type", "event_type_pivot",
-    "order_price_tiers", "daily_hopping_counts", "similar_pairs_topk", "revenue_rollup",
+    "order_price_tiers", "daily_hopping_counts", "similar_pairs_topk", "revenue_rollup", "props_stats",
 ]
 
 
@@ -85,7 +85,19 @@ def test_every_query_has_oracle_or_is_known_rows_only(entry_mod):
         "dedup_jaccard", "dedup_simhash", "ann_lsh", "ann_ivf",
         "multimodal_decode", "multimodal_resize", "frame_sample",
         "winnow_fingerprints", "approx_distinct_users", "simhash_candidates",
+        "translate_kept_snippets",
     }
+
+
+def test_translate_kept_snippets(entry_mod):
+    df = _to_pandas(entry_mod.queries()["translate_kept_snippets"](SF))
+    assert len(df) > 0
+    assert set(df.columns) == {"repo", "path", "commit", "translated_snippet"}
+    df2 = _to_pandas(entry_mod.queries()["translate_kept_snippets"](SF))
+    assert _canon(df).equals(_canon(df2))
+    # the word-map must have fired somewhere: at least one French stopword
+    joined = " ".join(df["translated_snippet"])
+    assert any(w in joined.split() for w in ("le", "et", "de", "vous", "pour"))
 
 
 def test_simhash_candidates_hamming_guarantee(entry_mod):
