@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_sources": text_analysis.distinct_sources,
         "sample_docs": text_analysis.sample_docs,
         "winnow_fingerprints": text_analysis.winnow_fingerprints,
+        "train_val_split": text_analysis.train_val_split,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash": dedup.minhash_candidates,

@@ -417,3 +417,30 @@ def winnow_fingerprints(sf_dir: str) -> ray.data.Dataset:
     return _docs_cols(sf_dir, ["doc_id", "text"]).map_batches(
         f, batch_format="pyarrow"
     )
+
+
+# ---- deterministic train/val split ---------------------------------------
+
+def train_val_split(sf_dir: str) -> ray.data.Dataset:
+    """Hash-based 90/10 train/validation assignment — the reproducible
+    split API a training-data pipeline needs: membership is a pure
+    function of the key (doc_id % 10 == 7 -> val), so the split is stable
+    across runs, cluster sizes and re-partitioning, and any engine can
+    recompute it (unlike RNG splits)."""
+
+    def assign(t: pa.Table) -> pa.Table:
+        mod = pc.subtract(
+            t["doc_id"], pc.multiply(pc.divide(t["doc_id"], 10), 10)
+        )
+        split = pc.if_else(
+            pc.equal(mod, 7), pa.scalar("val"), pa.scalar("train")
+        )
+        return pa.table({"doc_id": t["doc_id"], "split": split})
+
+    return _docs_cols(sf_dir, ["doc_id"]).map_batches(assign, batch_format="pyarrow")
+
+
+ORACLES["train_val_split"] = (
+    "SELECT doc_id, CASE WHEN doc_id % 10 = 7 THEN 'val' ELSE 'train' END AS split "
+    "FROM documents"
+)
