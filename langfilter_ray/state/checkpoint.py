@@ -207,7 +207,7 @@ def summarize_manifest(out_dir: str | Path) -> dict[str, Any]:
                     continue
                 rec = json.loads(line)
                 if rec["partition"] in parts:
-                    continue   # later duplicate lines win? no — first commit wins
+                    continue   # defensive: first commit line per partition wins
                 parts.add(rec["partition"])
                 for k in totals:
                     totals[k] += rec.get(k, 0)
