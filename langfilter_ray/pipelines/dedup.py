@@ -135,7 +135,7 @@ DEDUP_EXACT_SQL = (
 # ---- MinHash + LSH candidates -------------------------------------------
 
 def _band_rows(t: pa.Table) -> pa.Table:
-    """Explode each doc into (band_id, band_hash, doc_id) rows.  The band
+    """Explode each doc into (band_hash, doc_id) rows.  The band
     hash is an INTEGER mix of the band's 4 signature values (uint64
     wrap-around with odd constants, band index folded in) computed for the
     whole batch in one tensor op — no per-doc hashlib, and the shuffle
@@ -151,9 +151,6 @@ def _band_rows(t: pa.Table) -> pa.Table:
     bh ^= np.arange(N_BANDS, dtype=np.uint64) * np.uint64(0x2545F4914F6CDD1D)
     return pa.table(
         {
-            "band_id": pa.array(
-                np.tile(np.arange(N_BANDS, dtype=np.int32), len(ids))
-            ),
             "band_hash": pa.array(bh.reshape(-1).view(np.int64)),
             "doc_id": pa.array(np.repeat(ids, N_BANDS), pa.int64()),
         }
@@ -181,36 +178,38 @@ def minhash_candidates(sf_dir: str) -> ray.data.Dataset:
     # (int32+int64+int64), far smaller than the content it derives from.
     bands = ds.map_batches(_band_rows, batch_format="pyarrow").materialize()
 
+    # the band index is XOR-folded into band_hash (see _band_rows), so the
+    # hash alone is the bucket key — half the shuffle key width
     hot = (
-        bands.groupby(["band_id", "band_hash"])
+        bands.groupby("band_hash")
         .count()
         .map_batches(
             lambda t: t.filter(pc.greater(t["count()"], 1)),
             batch_format="pyarrow",
         )
-        .select_columns(["band_id", "band_hash"])
+        .select_columns(["band_hash"])
         .to_pandas()
     )
-    hot_keys = set(zip(hot["band_id"], hot["band_hash"]))
+    hot_keys = set(hot["band_hash"])
     ref = ray.put(hot_keys)
 
     def filter_hot(t: pa.Table) -> pa.Table:
         keys = ray.get(ref)
-        mask = [
-            (b, h) in keys
-            for b, h in zip(t["band_id"].to_pylist(), t["band_hash"].to_pylist())
-        ]
-        return t.filter(pa.array(mask, pa.bool_()))
+        mask = np.fromiter(
+            (h in keys for h in t["band_hash"].to_pylist()),
+            dtype=bool, count=len(t),
+        )
+        return t.filter(pa.array(mask))
 
     def expand_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        m = g.merge(g, on=["band_id", "band_hash"], suffixes=("_a", "_b"))
+        m = g.merge(g, on="band_hash", suffixes=("_a", "_b"))
         m = m[m["doc_id_a"] < m["doc_id_b"]]
         return m.rename(columns={"doc_id_a": "doc_a", "doc_id_b": "doc_b"})[
             ["doc_a", "doc_b"]
         ]
 
     cand = bands.map_batches(filter_hot, batch_format="pyarrow")
-    cand = cand.groupby(["band_id", "band_hash"]).map_groups(
+    cand = cand.groupby("band_hash").map_groups(
         expand_pairs, batch_format="pandas"
     )
     # distinct pairs (pairs found in several bands collapse to one)
