@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hopping_counts": windows.hopping_counts,
         "median_value_per_type": windows.median_value_per_type,
         "daily_hopping_counts": windows.daily_hopping_counts,
+        "session_windows": windows.session_windows,
         # multimodal plumbing
         "payload_stats": multimodal.payload_stats,
         "multimodal_decode": multimodal.multimodal_decode,

@@ -261,3 +261,55 @@ ORACLES["daily_hopping_counts"] = (
     "  FROM events CROSS JOIN (SELECT unnest(range(24)) AS k) g"
     ") GROUP BY 1, 2"
 )
+
+
+SESSION_GAP_US = 24 * 3600 * 1_000_000     # 24h inactivity closes a session
+
+
+def session_windows(sf_dir: str) -> ray.data.Dataset:
+    """Gap-based sessionization — the classic streaming session window:
+    within each user (groupby key), events sorted by (ts, event_id) start
+    a NEW session whenever the inactivity gap exceeds SESSION_GAP_US;
+    session_id is the running count of session starts minus one.  Emits
+    one row per (user, session) with count and bounds — all integer
+    microsecond arithmetic, so the lag+cumsum matches the SQL window
+    oracle exactly."""
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        us = g["ts"].astype("datetime64[us]").astype("int64")
+        gap = us.diff()
+        new_sess = gap.isna() | (gap > SESSION_GAP_US)
+        g["session_id"] = new_sess.cumsum().astype("int64") - 1
+        out = (
+            g.groupby("session_id", sort=True)
+            .agg(
+                n_events=("event_id", "size"),
+                first_ts=("ts", "min"),
+                last_ts=("ts", "max"),
+            )
+            .reset_index()
+        )
+        out.insert(0, "user_id", g["user_id"].iloc[0])
+        out["n_events"] = out["n_events"].astype("int64")
+        return out
+
+    return (
+        _events(sf_dir, ["user_id", "ts", "event_id"])
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pandas")
+    )
+
+
+ORACLES["session_windows"] = (
+    "SELECT user_id, session_id, count(*)::BIGINT AS n_events, "
+    "min(ts) AS first_ts, max(ts) AS last_ts FROM ("
+    "  SELECT user_id, ts, "
+    "  sum(CASE WHEN gap_us IS NULL OR gap_us > 86400000000 THEN 1 ELSE 0 END)"
+    "    OVER (PARTITION BY user_id ORDER BY ts, event_id "
+    "          ROWS UNBOUNDED PRECEDING) - 1 AS session_id"
+    "  FROM (SELECT user_id, ts, event_id, "
+    "        epoch_us(ts) - lag(epoch_us(ts)) OVER "
+    "        (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us FROM events)"
+    ") GROUP BY user_id, session_id"
+)
