@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": relational.revenue_by_nation,
         "revenue_rollup": relational.revenue_rollup,
         "props_stats": relational.props_stats,
+        "error_events_pushdown": relational.error_events_pushdown,
         "segment_order_stats": relational.segment_order_stats,
         "customers_no_big_order": relational.customers_no_big_order,
         "top_orders_per_segment": relational.top_orders_per_segment,

@@ -719,3 +719,54 @@ ORACLES["props_stats"] = (
     "sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k "
     "FROM events GROUP BY event_type"
 )
+
+
+# ---- predicate pushdown at the read --------------------------------------
+
+def error_events_pushdown(sf_dir: str) -> ray.data.Dataset:
+    """Row-filter PUSHDOWN at the parquet scan: the predicate rides into
+    ``read_parquet`` as an Arrow dataset expression, so row groups whose
+    statistics exclude it never leave storage — at 100 TB this is the
+    difference between scanning the corpus and scanning the 2-3% of row
+    groups that can match.  (Everywhere else this engine filters with
+    map_batches AFTER a column-pruned read; this query is the
+    read-level-pruning counterpart.)
+
+    Measured caveat: on this fixture (ONE small file, whole table in one
+    row group) the filtered read's fragment planning costs ~4s vs 0.14s
+    for a plain read — the knob only pays when statistics can actually
+    exclude row groups; don't reach for it on small inputs."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type", "value"],
+        filter=(pc.field("event_type") == "error") & (pc.field("value") > 100.0),
+    )
+    return (
+        ds.map_batches(
+            lambda t: pa.table(
+                {
+                    "user_bucket": pa.array(
+                        np.mod(t["user_id"].to_numpy(), 10).astype(np.int64)
+                    ),
+                    "value_cents": pa.array(
+                        np.floor(t["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("user_bucket")
+        .aggregate(
+            Count(alias_name="n_errors"),
+            Sum("value_cents", alias_name="sum_value_cents"),
+        )
+    )
+
+
+ORACLES["error_events_pushdown"] = (
+    "SELECT (user_id - (user_id // 10) * 10)::BIGINT AS user_bucket, "
+    "count(*)::BIGINT AS n_errors, "
+    "sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS sum_value_cents "
+    "FROM events WHERE event_type = 'error' AND value > 100 "
+    "GROUP BY 1"
+)
