@@ -41,6 +41,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter_labels": reports.quality_filter_labels,
         "gate_decision_report": reports.gate_decision_report,
         "translate_kept_snippets": reports.translate_kept_snippets,
+        "repo_quality_report": reports.repo_quality_report,
         # text analysis over documents (oracle-checked)
         "token_counts": text_analysis.token_counts,
         "stopword_stats": text_analysis.stopword_stats,

@@ -102,3 +102,40 @@ def translate_kept_snippets(sf_dir: str) -> ray.data.Dataset:
     return ds.select_columns(
         ["repo", "path", "commit", "keep", "language", "snippet"]
     ).map_batches(Translator, batch_format="pyarrow", concurrency=(1, 4), num_cpus=1)
+
+
+def repo_quality_report(sf_dir: str) -> ray.data.Dataset:
+    """Per-repo quality rollup over the flagship's own output — the
+    dashboard surface (cluster/dashboard.py:7-69 analog): keep counts and
+    keep-rate per repo, sorted worst-first so a curator sees the repos the
+    filter is rejecting.  Rows-only (derives from the stateful cascade).
+    keep_rate is one int/int division per row."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Count, Sum
+
+    labels = quality_filter_labels(sf_dir)
+    agg = (
+        labels.map_batches(
+            lambda t: pa.table(
+                {
+                    "repo": t["repo"],
+                    "kept": pc.cast(t["keep"], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("repo")
+        .aggregate(Count(alias_name="n_files"), Sum("kept", alias_name="n_kept"))
+    )
+
+    def add_rate(t: pa.Table) -> pa.Table:
+        rate = pc.divide(
+            pc.cast(t["n_kept"], pa.float64()), pc.cast(t["n_files"], pa.float64())
+        )
+        return t.append_column("keep_rate", rate)
+
+    return agg.map_batches(add_rate, batch_format="pyarrow").sort(
+        ["keep_rate", "repo"], descending=[False, False]
+    )

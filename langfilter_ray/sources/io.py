@@ -52,7 +52,10 @@ def write_table(
 ) -> None:
     """Write a Dataset.  Parquet supports hive-style ``partition_cols``
     (one directory per key — the resumable-output layout); csv/json write
-    one file per block."""
+    one file per block.  NOTE: writing twice into the same directory
+    APPENDS new files (Ray names them uniquely) — for idempotent reruns
+    use ``state/checkpoint.run_with_checkpoints``, which owns overwrite
+    semantics per partition."""
     if fmt not in _FORMATS:
         raise ValueError(f"fmt must be one of {_FORMATS}, got {fmt!r}")
     if fmt == "parquet":

@@ -85,7 +85,7 @@ def test_every_query_has_oracle_or_is_known_rows_only(entry_mod):
         "dedup_jaccard", "dedup_simhash", "ann_lsh", "ann_ivf",
         "multimodal_decode", "multimodal_resize", "frame_sample",
         "winnow_fingerprints", "approx_distinct_users", "simhash_candidates",
-        "translate_kept_snippets",
+        "translate_kept_snippets", "repo_quality_report",
     }
 
 
