@@ -428,7 +428,7 @@ ORACLES: dict[str, str] = {
     ),
     "shipping_priority": (
         "SELECT o.o_orderkey, "
-        "sum(CAST(floor(l.l_extendedprice*(1-l.l_discount)*100+0.5) AS BIGINT)) "
+        "sum(CAST(floor(l.l_extendedprice*(1-l.l_discount)*100+0.5) AS BIGINT))::BIGINT "
         "AS revenue_cents, o.o_orderdate "
         "FROM lineitem l "
         "JOIN orders o ON l.l_orderkey = o.o_orderkey "
@@ -460,7 +460,7 @@ ORACLES: dict[str, str] = {
     ),
     "segment_order_stats": (
         "SELECT c.c_mktsegment, count(*)::BIGINT AS n_orders, "
-        "sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS total_cents "
+        "sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))::BIGINT AS total_cents "
         "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
         "GROUP BY c.c_mktsegment"
     ),
@@ -486,14 +486,14 @@ ORACLES: dict[str, str] = {
     ),
     "pricing_summary": (
         "SELECT l_returnflag, l_linestatus, "
-        "sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS sum_qty_cents, "
-        "sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sum_price_cents, "
+        "sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))::BIGINT AS sum_qty_cents, "
+        "sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))::BIGINT AS sum_price_cents, "
         "count(*)::BIGINT AS n_rows "
         "FROM lineitem GROUP BY l_returnflag, l_linestatus"
     ),
     "revenue_by_nation": (
         "SELECT n.n_name, count(*)::BIGINT AS n_orders, "
-        "sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS total_cents "
+        "sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))::BIGINT AS total_cents "
         "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
         "JOIN nation n ON c.c_nationkey = n.n_nationkey "
         "GROUP BY n.n_name"
@@ -640,7 +640,7 @@ def order_price_tiers(sf_dir: str) -> ray.data.Dataset:
 
 ORACLES["order_price_tiers"] = (
     "SELECT t.tier, count(*)::BIGINT AS n_orders, "
-    "sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS total_cents "
+    "sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))::BIGINT AS total_cents "
     "FROM orders o JOIN (VALUES "
     + ", ".join(f"('{n}', {lo}, {hi})" for n, lo, hi in _PRICE_TIERS)
     + ") AS t(tier, lo, hi) ON o.o_totalprice >= t.lo AND o.o_totalprice < t.hi "
@@ -679,7 +679,7 @@ def revenue_rollup(sf_dir: str) -> ray.data.Dataset:
 
 ORACLES["revenue_rollup"] = (
     "SELECT coalesce(n.n_name, 'ALL') AS n_name, count(*)::BIGINT AS n_orders, "
-    "sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS total_cents "
+    "sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))::BIGINT AS total_cents "
     "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
     "JOIN nation n ON c.c_nationkey = n.n_nationkey "
     "GROUP BY GROUPING SETS ((n.n_name), ())"
@@ -716,7 +716,7 @@ def props_stats(sf_dir: str) -> ray.data.Dataset:
 
 ORACLES["props_stats"] = (
     "SELECT event_type, count(*)::BIGINT AS n_events, "
-    "sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k "
+    "sum(CAST(json_extract(props, '$.k') AS BIGINT))::BIGINT AS sum_k "
     "FROM events GROUP BY event_type"
 )
 
@@ -766,7 +766,7 @@ def error_events_pushdown(sf_dir: str) -> ray.data.Dataset:
 ORACLES["error_events_pushdown"] = (
     "SELECT (user_id - (user_id // 10) * 10)::BIGINT AS user_bucket, "
     "count(*)::BIGINT AS n_errors, "
-    "sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS sum_value_cents "
+    "sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT AS sum_value_cents "
     "FROM events WHERE event_type = 'error' AND value > 100 "
     "GROUP BY 1"
 )

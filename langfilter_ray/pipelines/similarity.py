@@ -263,7 +263,8 @@ def label_centroids(sf_dir: str) -> ray.data.Dataset:
 ORACLES: dict[str, str] = {
     "ann_topk": ANN_TOPK_SQL,
     "label_centroids": (
-        "SELECT label, dim, sum(qv) AS sum_q6, count(*)::BIGINT AS n_vals, "
+        "SELECT label::BIGINT AS label, dim, sum(qv)::BIGINT AS sum_q6, "
+        "count(*)::BIGINT AS n_vals, "
         "sum(qv)::DOUBLE / count(*)::DOUBLE AS mean_q6 FROM ("
         "  SELECT label, generate_subscripts(embedding, 1) AS dim, "
         "         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5) "

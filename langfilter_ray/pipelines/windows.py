@@ -96,12 +96,16 @@ def asof_last_login(sf_dir: str) -> ray.data.Dataset:
         )
         if right.empty:
             out = left.copy()
-            out["signup_event_id"] = pd.array([None] * len(out), dtype="Int64")
+            out["signup_event_id"] = -1
         else:
             out = pd.merge_asof(
                 left, right, on="ts", direction="backward"
             )
-            out["signup_event_id"] = out["signup_event_id"].astype("Int64")
+            out["signup_event_id"] = out["signup_event_id"].fillna(-1)
+        # -1 sentinel for "no prior signup": a plain int64 column hashes
+        # identically on the engine and DuckDB sides (nullable Int64 vs
+        # null-bearing BIGINT round-trip differently through Arrow).
+        out["signup_event_id"] = out["signup_event_id"].astype("int64")
         return out[["event_id", "signup_event_id"]]
 
     return (
@@ -191,11 +195,11 @@ ORACLES: dict[str, str] = {
     "tumbling_hour_counts": (
         "SELECT event_type, date_trunc('hour', ts) AS window_start, "
         "count(*)::BIGINT AS n_events, "
-        "sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS sum_value_cents "
+        "sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT AS sum_value_cents "
         "FROM events GROUP BY 1, 2"
     ),
     "asof_last_login": (
-        "SELECT e.event_id, s.event_id AS signup_event_id "
+        "SELECT e.event_id, coalesce(s.event_id, -1)::BIGINT AS signup_event_id "
         "FROM events e ASOF LEFT JOIN "
         "(SELECT * FROM events WHERE event_type = 'signup') s "
         "ON e.user_id = s.user_id AND e.ts >= s.ts"
@@ -302,7 +306,7 @@ def session_windows(sf_dir: str) -> ray.data.Dataset:
 
 
 ORACLES["session_windows"] = (
-    "SELECT user_id, session_id, count(*)::BIGINT AS n_events, "
+    "SELECT user_id, session_id::BIGINT AS session_id, count(*)::BIGINT AS n_events, "
     "min(ts) AS first_ts, max(ts) AS last_ts FROM ("
     "  SELECT user_id, ts, "
     "  sum(CASE WHEN gap_us IS NULL OR gap_us > 86400000000 THEN 1 ELSE 0 END)"

@@ -1,0 +1,73 @@
+"""Dtype-aware oracle comparison shared by scripts/check_oracles.py and
+tests/test_operators.py.
+
+Round-1 lesson (VERDICT.md §wrong 1-2): the driver's correctness gate
+hashes canonical values, so DuckDB ``sum(BIGINT)`` -> HUGEINT ->
+``decimal128(38,0)`` (pandas ``object`` of ``Decimal``) hash-differs from
+the engine's ``int64`` even though the values stringify identically.  The
+old local checker compared ``astype(str)`` and silently passed 11 queries
+the driver failed.  This comparator therefore:
+
+- requires pandas DTYPES to match exactly (after normalising all datetime
+  units to ns, which the driver treats as equal);
+- compares values null-aware and exactly (no stringification) whenever
+  dtypes are scalar; object columns holding non-scalars (lists/arrays)
+  fall back to element-wise repr comparison but still require both sides
+  to be object dtype.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Sorted columns, datetime units normalised to ns, rows sorted."""
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[ns]")
+    if len(df.columns):
+        df = df.sort_values(list(df.columns), kind="mergesort")
+    return df.reset_index(drop=True)
+
+
+def compare_frames(got: pd.DataFrame, want: pd.DataFrame) -> list[str]:
+    """Return a list of problems ('' means match).  Both inputs must
+    already be canon()-icalised."""
+    problems: list[str] = []
+    if list(got.columns) != list(want.columns):
+        return [f"schema {list(got.columns)} != {list(want.columns)}"]
+    if len(got) != len(want):
+        return [f"rows {len(got)} != {len(want)}"]
+    for col in got.columns:
+        a, b = got[col], want[col]
+        if str(a.dtype) != str(b.dtype):
+            problems.append(f"col {col}: dtype {a.dtype} != {b.dtype}")
+            continue
+        if a.dtype.kind == "f":
+            same = bool(((a.isna() & b.isna()) | (a == b)).all())
+        elif a.dtype == object:
+            # object columns may hold Decimals (dtype check above already
+            # failed vs int64), strings, or non-scalars (lists/arrays)
+            try:
+                same = bool(((a.isna() & b.isna()) | (a == b)).all())
+            except (TypeError, ValueError):
+                same = a.map(repr).equals(b.map(repr))
+        else:
+            same = a.equals(b)
+        if not same:
+            problems.append(f"col {col}: values differ")
+    return problems
+
+
+def first_diff(got: pd.DataFrame, want: pd.DataFrame) -> str:
+    if len(got) != len(want) or list(got.columns) != list(want.columns):
+        return ""
+    for col in got.columns:
+        neq = got[col].map(repr) != want[col].map(repr)
+        if neq.any():
+            i = neq.idxmax()
+            return f"first diff [{col}] row {i}: {got[col][i]!r} vs {want[col][i]!r}"
+    return ""

@@ -14,7 +14,8 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import duckdb  # noqa: E402
-import pandas as pd  # noqa: E402
+
+from langfilter_ray.testing import canon, compare_frames, first_diff  # noqa: E402
 
 
 def to_pandas(obj):
@@ -26,12 +27,6 @@ def to_pandas(obj):
     if isinstance(obj, pa.Table):
         return obj.to_pandas()
     return obj
-
-
-def canon(df: pd.DataFrame) -> pd.DataFrame:
-    df = df.reindex(sorted(df.columns), axis=1)
-    df = df.sort_values(list(df.columns)).reset_index(drop=True)
-    return df
 
 
 def main() -> None:
@@ -78,34 +73,12 @@ def main() -> None:
             print(f"FAIL  {name:26s} oracle raised: {exc!r}")
             failures += 1
             continue
-        problems = []
-        if list(got.columns) != list(want.columns):
-            problems.append(f"schema {list(got.columns)} != {list(want.columns)}")
-        elif len(got) != len(want):
-            problems.append(f"rows {len(got)} != {len(want)}")
-        else:
-            for col in got.columns:
-                a, b = got[col], want[col]
-                try:
-                    if a.dtype.kind == "f" or b.dtype.kind == "f":
-                        same = ((a.isna() & b.isna()) | (a == b)).all()
-                    else:
-                        same = a.astype(str).equals(b.astype(str))
-                except Exception as exc:
-                    same = False
-                    problems.append(f"col {col}: compare error {exc!r}")
-                if not same:
-                    problems.append(f"col {col} differs")
+        problems = compare_frames(got, want)
         if problems:
             print(f"FAIL  {name:26s} {problems}")
-            if len(got) == len(want):
-                for col in got.columns:
-                    neq = got[col].astype(str) != want[col].astype(str)
-                    if neq.any():
-                        i = neq.idxmax()
-                        print(f"      first diff [{col}] row {i}: "
-                              f"{got[col][i]!r} vs {want[col][i]!r}")
-                        break
+            diff = first_diff(got, want)
+            if diff:
+                print(f"      {diff}")
             failures += 1
         else:
             print(f"OK    {name:26s} rows={len(got):>7}  {dt:5.1f}s")

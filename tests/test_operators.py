@@ -16,9 +16,8 @@ TABLES = [
 ]
 
 
-def _canon(df: pd.DataFrame) -> pd.DataFrame:
-    df = df.reindex(sorted(df.columns), axis=1)
-    return df.sort_values(list(df.columns)).reset_index(drop=True)
+from langfilter_ray.testing import canon as _canon  # noqa: E402
+from langfilter_ray.testing import compare_frames, first_diff  # noqa: E402
 
 
 def _to_pandas(obj):
@@ -68,14 +67,22 @@ ORACLE_CHECKED = [
 def test_query_matches_oracle(entry_mod, con, name):
     got = _canon(_to_pandas(entry_mod.queries()[name](SF)))
     want = _canon(con.execute(entry_mod.oracle_sql()[name]).df())
-    assert list(got.columns) == list(want.columns)
-    assert len(got) == len(want)
-    for col in got.columns:
-        a, b = got[col], want[col]
-        if a.dtype.kind == "f" or b.dtype.kind == "f":
-            assert ((a.isna() & b.isna()) | (a == b)).all(), col
-        else:
-            assert a.astype(str).equals(b.astype(str)), col
+    problems = compare_frames(got, want)
+    assert not problems, (problems, first_diff(got, want))
+
+
+def test_comparator_catches_decimal_vs_int64():
+    """Regression for round 1: DuckDB sum(BIGINT) -> decimal128 stringifies
+    like int64 and slipped past the old astype(str) gate; the dtype-aware
+    comparator must flag it."""
+    import duckdb as _dd
+
+    want = _canon(_dd.sql("SELECT sum(CAST(1 AS BIGINT)) AS s").df())
+    got = _canon(pd.DataFrame({"s": pd.array([1], dtype="int64")}))
+    problems = compare_frames(got, want)
+    assert problems and "dtype" in problems[0], problems
+    fixed = _canon(_dd.sql("SELECT sum(CAST(1 AS BIGINT))::BIGINT AS s").df())
+    assert not compare_frames(got, fixed)
 
 
 def test_every_query_has_oracle_or_is_known_rows_only(entry_mod):
