@@ -160,91 +160,107 @@ def _band_rows(t: pa.Table) -> pa.Table:
 def minhash_candidates(sf_dir: str) -> ray.data.Dataset:
     """(doc_a, doc_b) candidate near-dup pairs from LSH banding.
 
-    Shuffle-conscious shape: NO per-group callback over the (mostly
-    singleton) band buckets.  Instead: (1) a tiny groupby().count() finds
-    the hot buckets (count >= 2); (2) the hot-bucket KEY SET — tiny by
-    construction — is broadcast and bands are semi-join-filtered in
-    map_batches; (3) pair expansion runs only over the filtered rows via a
-    vectorized pandas self-merge per bucket.  The original
-    groupby(band).map_groups(python pairs) version paid a Python callback
-    for every singleton bucket and ran ~10x slower.
-    """
-    import pandas as pd
+    Shuffle-conscious shape: a hash-partitioned SELF-JOIN of the compact
+    band table on band_hash.  Arrow's C++ hash join expands each bucket's
+    cross product vectorized — no per-group Python callback (the original
+    groupby(band).map_groups paid one per mostly-singleton bucket and ran
+    ~10x slower) and no driver-side hot-key set (the round-1 version
+    pulled the count()>1 keys to the driver via to_pandas + ray.put, which
+    grows with dup volume on a dirty corpus).  Singleton buckets emit only
+    their self-pair, dropped by the doc_a < doc_b filter.  Pathologically
+    hot buckets (everything identical) still cross-product inside one join
+    partition — the escape hatch at that point is salting the band key.
+
+    The band table is materialized because both self-join sides consume
+    it; without this the signature computation — the expensive part —
+    runs twice.  It is 16 rows x 16 bytes per doc, far smaller than the
+    content it derives from, and spills if needed."""
+    from .relational import _join_parts
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    # materialize: the band table is consumed twice (hot-bucket count, then
-    # the semi-join filter); without this the signature computation — the
-    # expensive part — runs twice.  The table is 16 small rows per doc
-    # (int32+int64+int64), far smaller than the content it derives from.
+    # band index is XOR-folded into band_hash (see _band_rows), so the
+    # hash alone is the bucket key — half the shuffle key width
     bands = ds.map_batches(_band_rows, batch_format="pyarrow").materialize()
 
-    # the band index is XOR-folded into band_hash (see _band_rows), so the
-    # hash alone is the bucket key — half the shuffle key width
-    hot = (
-        bands.groupby("band_hash")
-        .count()
-        .map_batches(
-            lambda t: t.filter(pc.greater(t["count()"], 1)),
-            batch_format="pyarrow",
-        )
-        .select_columns(["band_hash"])
-        .to_pandas()
+    pairs = bands.join(
+        bands,
+        join_type="inner",
+        num_partitions=_join_parts(),
+        on=("band_hash",),
+        left_suffix="_a",
+        right_suffix="_b",
     )
-    hot_keys = set(hot["band_hash"])
-    ref = ray.put(hot_keys)
 
-    def filter_hot(t: pa.Table) -> pa.Table:
-        keys = ray.get(ref)
-        mask = np.fromiter(
-            (h in keys for h in t["band_hash"].to_pylist()),
-            dtype=bool, count=len(t),
-        )
-        return t.filter(pa.array(mask))
+    def keep_ordered(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t["doc_id_a"], t["doc_id_b"]))
+        return pa.table({"doc_a": t["doc_id_a"], "doc_b": t["doc_id_b"]})
 
-    def expand_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        m = g.merge(g, on="band_hash", suffixes=("_a", "_b"))
-        m = m[m["doc_id_a"] < m["doc_id_b"]]
-        return m.rename(columns={"doc_id_a": "doc_a", "doc_id_b": "doc_b"})[
-            ["doc_a", "doc_b"]
-        ]
-
-    cand = bands.map_batches(filter_hot, batch_format="pyarrow")
-    cand = cand.groupby("band_hash").map_groups(
-        expand_pairs, batch_format="pandas"
-    )
+    cand = pairs.map_batches(keep_ordered, batch_format="pyarrow")
     # distinct pairs (pairs found in several bands collapse to one)
     return cand.groupby(["doc_a", "doc_b"]).count().select_columns(["doc_a", "doc_b"])
 
 
 def dedup_jaccard(sf_dir: str) -> ray.data.Dataset:
-    """LSH candidates verified by exact shingle-Jaccard >= threshold.
+    """LSH candidates verified by exact shingle-Jaccard >= threshold —
+    fully distributed: no driver-side materialization of documents.
 
-    The text lookup is a driver-side broadcast (documents fit in memory at
-    test scale); at corpus scale replace with a hash-partitioned self-join
-    on doc_id — the candidate set is tiny relative to the corpus, so the
-    join ships only candidate rows.
-    """
-    import pandas as pd
+    Shape: the (tiny) candidate pair set is hash-partition-JOINED back to
+    document text, once per side (Arrow's hash join carries string
+    payloads; list payloads are unsupported, so shingling happens AFTER
+    the join — which is also cheaper: shingles are computed only for the
+    candidate-matching rows that survive the inner join).  Join fan-out is
+    sized via relational._join_parts(2) so the two chained hash-shuffle
+    joins cannot exhaust the CPU budget with aggregator actors (see
+    CLAUDE.md perf notes)."""
+
+    from .relational import _join_parts
+
+    cand = minhash_candidates(sf_dir)                  # (doc_a, doc_b)
 
     docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    ).to_pandas()
-    text_by_id = dict(zip(docs["doc_id"], docs["text"]))
-    ref = ray.put(text_by_id)
+    )
+
+    parts = _join_parts(2)
+    j = cand.join(
+        docs,
+        join_type="inner",
+        num_partitions=parts,
+        on=("doc_a",),
+        right_on=("doc_id",),
+        right_suffix="_a",
+    ).join(
+        docs,
+        join_type="inner",
+        num_partitions=parts,
+        on=("doc_b",),
+        right_on=("doc_id",),
+        right_suffix="_b",
+    )
 
     def verify(t: pa.Table) -> pa.Table:
-        lookup = ray.get(ref)
+        names = t.column_names
+        col_a = "text_a" if "text_a" in names else "text"
+        col_b = "text_b" if "text_b" in names else [
+            c for c in names if c.startswith("text") and c != col_a
+        ][0]
+        cache: dict = {}
         keep_a, keep_b, jac = [], [], []
-        for a, b in zip(t["doc_a"].to_pylist(), t["doc_b"].to_pylist()):
-            ha = set(_shingle_hashes(lookup.get(a, "")).tolist())
-            hb = set(_shingle_hashes(lookup.get(b, "")).tolist())
+        for a, b, sa, sb in zip(
+            t["doc_a"].to_pylist(),
+            t["doc_b"].to_pylist(),
+            t[col_a].to_pylist(),
+            t[col_b].to_pylist(),
+        ):
+            ha = set(_shingle_hashes(sa or "", cache).tolist())
+            hb = set(_shingle_hashes(sb or "", cache).tolist())
             if not ha or not hb:
                 continue
-            j = len(ha & hb) / len(ha | hb)
-            if j >= JACCARD_THRESHOLD:
+            jv = len(ha & hb) / len(ha | hb)
+            if jv >= JACCARD_THRESHOLD:
                 keep_a.append(a)
                 keep_b.append(b)
-                jac.append(j)
+                jac.append(jv)
         return pa.table(
             {
                 "doc_a": pa.array(keep_a, pa.int64()),
@@ -253,7 +269,7 @@ def dedup_jaccard(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
-    return minhash_candidates(sf_dir).map_batches(verify, batch_format="pyarrow")
+    return j.map_batches(verify, batch_format="pyarrow")
 
 
 # ---- SimHash -------------------------------------------------------------
@@ -368,12 +384,15 @@ def simhash_candidates(sf_dir: str) -> ray.data.Dataset:
     """Near-dup candidate pairs from SimHash: split each 64-bit fingerprint
     into 4 x 16-bit bands — two fingerprints within Hamming distance 3
     must agree exactly on at least one band (pigeonhole), so a per-band
-    groupby finds all such pairs without any pairwise comparison.  Same
-    shuffle-conscious shape as MinHash LSH: bands explode in-batch, hot
-    buckets are found by a tiny groupby().count(), pairs expand only in
-    hot buckets, then collapse to distinct (doc_a, doc_b) with the actual
-    Hamming distance attached (<= 3 kept)."""
-    import pandas as pd
+    self-join finds all such pairs without any pairwise comparison.  Same
+    shuffle-conscious shape as `minhash_candidates`: bands explode
+    in-batch, a hash-partitioned SELF-JOIN on (band_id, band_val) expands
+    bucket cross-products in Arrow C++ (fp travels as an int64 payload),
+    the Hamming distance is computed vectorized post-join, and candidates
+    collapse to distinct (doc_a, doc_b) with the min Hamming attached
+    (<= 3 kept).  No driver-side hot-key set, no per-group Python
+    callback."""
+    from .relational import _join_parts
 
     HAM_MAX = 3
 
@@ -398,52 +417,41 @@ def simhash_candidates(sf_dir: str) -> ray.data.Dataset:
         )
 
     fps_ds = dedup_simhash(sf_dir)
+    # materialized: both self-join sides consume it (4 rows x 20 bytes per
+    # doc — far smaller than the text the fingerprints derive from)
     bands = fps_ds.map_batches(band_rows, batch_format="pyarrow").materialize()
 
-    hot = (
-        bands.groupby(["band_id", "band_val"])
-        .count()
-        .map_batches(
-            lambda t: t.filter(pc.greater(t["count()"], 1)),
-            batch_format="pyarrow",
-        )
-        .select_columns(["band_id", "band_val"])
-        .to_pandas()
+    pairs = bands.join(
+        bands,
+        join_type="inner",
+        num_partitions=_join_parts(),
+        on=("band_id", "band_val"),
+        left_suffix="_a",
+        right_suffix="_b",
     )
-    hot_keys = set(zip(hot["band_id"], hot["band_val"]))
-    ref = ray.put(hot_keys)
 
-    def filter_hot(t: pa.Table) -> pa.Table:
-        keys = ray.get(ref)
-        mask = [
-            (b, v) in keys
-            for b, v in zip(t["band_id"].to_pylist(), t["band_val"].to_pylist())
-        ]
-        return t.filter(pa.array(mask, pa.bool_()))
-
-    def expand_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        m = g.merge(g, on=["band_id", "band_val"], suffixes=("_a", "_b"))
-        m = m[m["doc_id_a"] < m["doc_id_b"]].copy()
-        x = m["fp_a"].to_numpy().astype(np.uint64) ^ m["fp_b"].to_numpy().astype(
+    def hamming_filter(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t["doc_id_a"], t["doc_id_b"]))
+        x = t["fp_a"].to_numpy().astype(np.uint64) ^ t["fp_b"].to_numpy().astype(
             np.uint64
         )
-        ham = np.zeros(len(m), dtype=np.int64)
+        ham = np.zeros(len(x), dtype=np.int64)
         while True:
             nz = x != 0
             if not nz.any():
                 break
             ham[nz] += 1
             x = x & (x - np.uint64(1))
-        m["hamming"] = ham
-        m = m[m["hamming"] <= HAM_MAX]
-        return m.rename(columns={"doc_id_a": "doc_a", "doc_id_b": "doc_b"})[
-            ["doc_a", "doc_b", "hamming"]
-        ]
+        t = pa.table(
+            {
+                "doc_a": t["doc_id_a"],
+                "doc_b": t["doc_id_b"],
+                "hamming": pa.array(ham, pa.int64()),
+            }
+        )
+        return t.filter(pc.less_equal(t["hamming"], HAM_MAX))
 
-    cand = bands.map_batches(filter_hot, batch_format="pyarrow")
-    cand = cand.groupby(["band_id", "band_val"]).map_groups(
-        expand_pairs, batch_format="pandas"
-    )
+    cand = pairs.map_batches(hamming_filter, batch_format="pyarrow")
     from ray.data.aggregate import Min
 
     return (

@@ -27,7 +27,7 @@ import ray.data
 TOP_K = 5
 N_QUERIES = 8          # vec_id < N_QUERIES are the query vectors
 LSH_BITS = 12
-_RNG = np.random.RandomState(7)
+_PLANES_SEED = 7        # fresh RandomState per call => deterministic planes
 
 
 def _load(sf_dir: str):
@@ -41,20 +41,42 @@ def _load(sf_dir: str):
     return ids, mat / norms
 
 
+def _normalize(bmat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(bmat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return bmat / norms
+
+
+def _load_queries(sf_dir: str):
+    """Driver-side read of ONLY the query vectors (row-filtered at the
+    parquet read — a handful of rows regardless of corpus size)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", N_QUERIES)],
+    )
+    ids = t["vec_id"].to_numpy()
+    order = np.argsort(ids)
+    ids = ids[order]
+    mat = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)[order]
+    return ids, _normalize(mat)
+
+
 def ann_topk(sf_dir: str) -> ray.data.Dataset:
-    ids, mat = _load(sf_dir)
-    qmask = ids < N_QUERIES
-    qids, qmat = ids[qmask], mat[qmask]
+    """Brute-force cosine top-k: ONLY the tiny query matrix is broadcast;
+    candidate embeddings stream through map_batches (read from the batch's
+    own ``embedding`` column, normalized in-batch — bit-identical to
+    normalizing the whole matrix up front since the norm is per-row)."""
+    qids, qmat = _load_queries(sf_dir)
     qref = ray.put((qids, qmat))
-    row_of = {int(v): i for i, v in enumerate(ids)}
-    mref = ray.put(mat)
 
     def local_topk(t: pa.Table) -> pa.Table:
         q_ids, q_mat = ray.get(qref)
-        all_mat = ray.get(mref)
         batch_ids = np.array(t["vec_id"].to_pylist(), dtype=np.int64)
-        rows = [row_of[int(v)] for v in batch_ids]
-        sims = q_mat @ all_mat[rows].T          # (Q, B)
+        bmat = _normalize(np.asarray(t["embedding"].to_pylist(), dtype=np.float64))
+        sims = q_mat @ bmat.T                   # (Q, B)
         out_q, out_n, out_s = [], [], []
         for qi, qid in enumerate(q_ids):
             s = sims[qi]
@@ -82,7 +104,9 @@ def ann_topk(sf_dir: str) -> ray.data.Dataset:
         g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
         return g[["query_id", "neighbor_id", "rank"]]
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id"])
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
     local = ds.map_batches(local_topk, batch_format="pyarrow", batch_size=512)
     return local.groupby("query_id").map_groups(reduce_topk, batch_format="pandas")
 
@@ -98,43 +122,63 @@ ANN_TOPK_SQL = (
 
 
 def ann_lsh(sf_dir: str) -> ray.data.Dataset:
-    """Approximate top-k through random-hyperplane bucketing (rows-only)."""
-    ids, mat = _load(sf_dir)
-    dim = mat.shape[1]
-    planes = _RNG.standard_normal((dim, LSH_BITS))
-    sigs = (mat @ planes > 0) @ (1 << np.arange(LSH_BITS))
-    qmask = ids < N_QUERIES
-    ref = ray.put((ids, mat, sigs))
+    """Approximate top-k through random-hyperplane bucketing — the
+    streaming scale path: ONLY the hyperplanes and the (handful of) query
+    vectors with their probe-signature sets are broadcast.  Candidate
+    embeddings stream through map_batches; each batch computes its OWN
+    rows' 12-bit signatures from the ``embedding`` column, scores the rows
+    landing in a query's probe set (own bucket + Hamming-1), and emits a
+    local top-k; a tiny groupby(query_id) reduce finishes.  The shuffle
+    carries only ~k rows per (query, block) — the full matrix is never
+    materialized anywhere.  Rows-only check (approximate by design)."""
+    qids, qmat = _load_queries(sf_dir)
+    dim = qmat.shape[1]
+    planes = np.random.RandomState(_PLANES_SEED).standard_normal((dim, LSH_BITS))
+    powers = 1 << np.arange(LSH_BITS)
+    qsigs = (qmat @ planes > 0) @ powers
+    # own bucket + Hamming-1 probes, per query
+    qprobes = [
+        np.array(sorted({int(s)} | {int(s) ^ (1 << b) for b in range(LSH_BITS)}))
+        for s in qsigs
+    ]
+    ref = ray.put((qids, qmat, planes, qprobes))
 
-    def bucket_search(t: pa.Table) -> pa.Table:
-        all_ids, all_mat, all_sigs = ray.get(ref)
-        out_q, out_n, out_r = [], [], []
-        for qid in t["vec_id"].to_pylist():
-            qrow = np.nonzero(all_ids == qid)[0][0]
-            sig = all_sigs[qrow]
-            # own bucket + Hamming-1 probes
-            probe_sigs = {int(sig)} | {int(sig) ^ (1 << b) for b in range(LSH_BITS)}
-            cand = np.nonzero(np.isin(all_sigs, list(probe_sigs)) & (all_ids != qid))[0]
+    def local_bucket_topk(t: pa.Table) -> pa.Table:
+        q_ids, q_mat, pl, probes = ray.get(ref)
+        bids = np.array(t["vec_id"].to_pylist(), dtype=np.int64)
+        bmat = _normalize(np.asarray(t["embedding"].to_pylist(), dtype=np.float64))
+        bsigs = (bmat @ pl > 0) @ powers
+        out_q, out_n, out_s = [], [], []
+        for qi, qid in enumerate(q_ids):
+            mask = np.isin(bsigs, probes[qi]) & (bids != qid)
+            cand = np.nonzero(mask)[0]
             if len(cand) == 0:
                 continue
-            sims = all_mat[cand] @ all_mat[qrow]
-            order = np.lexsort((all_ids[cand], -sims))[:TOP_K]
-            for r, o in enumerate(order, 1):
+            sims = bmat[cand] @ q_mat[qi]
+            keep = np.lexsort((bids[cand], -sims))[:TOP_K]
+            for o in keep:
                 out_q.append(int(qid))
-                out_n.append(int(all_ids[cand[o]]))
-                out_r.append(r)
+                out_n.append(int(bids[cand[o]]))
+                out_s.append(float(sims[o]))
         return pa.table(
             {
                 "query_id": pa.array(out_q, pa.int64()),
                 "neighbor_id": pa.array(out_n, pa.int64()),
-                "rank": pa.array(out_r, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
             }
         )
 
-    queries = ray.data.read_parquet(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id"]
-    ).filter(lambda r: r["vec_id"] < N_QUERIES)
-    return queries.map_batches(bucket_search, batch_format="pyarrow")
+    def reduce_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(TOP_K)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "neighbor_id", "rank"]]
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    local = ds.map_batches(local_bucket_topk, batch_format="pyarrow", batch_size=512)
+    return local.groupby("query_id").map_groups(reduce_topk, batch_format="pandas")
 
 
 def ann_ivf(sf_dir: str) -> ray.data.Dataset:
