@@ -67,25 +67,30 @@ def token_counts(sf_dir: str) -> ray.data.Dataset:
 
 # ---- stopword_stats ------------------------------------------------------
 
+def _stop_pattern(words: tuple[str, ...]) -> str:
+    """One RE2 alternation counting tokens equal to any listed stopword.
+    ``\\b`` (RE2 ASCII word boundary, charset [0-9A-Za-z_]) delimits
+    exactly the LOWER_TOKEN_RE token charset on lowered text, so the
+    non-overlapping match count equals the token-membership count the
+    per-row Python loop used to compute — but in one vectorized kernel
+    pass per batch."""
+    return r"\b(" + "|".join(words) + r")\b"
+
+
 def stopword_stats(sf_dir: str) -> ray.data.Dataset:
-    en = frozenset(STOP["en"])
+    pat = _stop_pattern(STOP["en"])
 
     def f(t: pa.Table) -> pa.Table:
-        lowered = pc.utf8_lower(t["text"])
-        import re
-
-        rx = re.compile(LOWER_TOKEN_RE)
-        texts = lowered.to_pylist()
-        n_tokens, n_stop = [], []
-        for s in texts:
-            ts = rx.findall(s or "")
-            n_tokens.append(len(ts))
-            n_stop.append(sum(1 for w in ts if w in en))
+        lowered = pc.fill_null(pc.utf8_lower(t["text"]), "")
         return pa.table(
             {
                 "doc_id": t["doc_id"],
-                "n_tokens": pa.array(n_tokens, pa.int64()),
-                "n_stop_en": pa.array(n_stop, pa.int64()),
+                "n_tokens": pc.cast(
+                    pc.count_substring_regex(lowered, LOWER_TOKEN_RE), pa.int64()
+                ),
+                "n_stop_en": pc.cast(
+                    pc.count_substring_regex(lowered, pat), pa.int64()
+                ),
             }
         )
 
@@ -97,22 +102,24 @@ def stopword_stats(sf_dir: str) -> ray.data.Dataset:
 # ---- langid_heuristic ----------------------------------------------------
 
 def langid_heuristic(sf_dir: str) -> ray.data.Dataset:
-    sets = {k: frozenset(v) for k, v in STOP.items()}
+    pats = {k: _stop_pattern(STOP[k]) for k in _LANG_PRIORITY}
+    langs = np.array(_LANG_PRIORITY)
 
     def f(t: pa.Table) -> pa.Table:
-        import re
-
-        rx = re.compile(LOWER_TOKEN_RE)
-        preds = []
-        for s in pc.utf8_lower(t["text"]).to_pylist():
-            ts = rx.findall(s or "")
-            hits = {k: sum(1 for w in ts if w in sets[k]) for k in _LANG_PRIORITY}
-            # fixed-priority argmax: earlier language wins ties
-            best = "en"
-            for k in _LANG_PRIORITY:
-                if hits[k] > hits[best]:
-                    best = k
-            preds.append(best)
+        lowered = pc.fill_null(pc.utf8_lower(t["text"]), "")
+        # one vectorized alternation-count kernel pass per language;
+        # np.argmax returns the FIRST max, which reproduces the
+        # fixed-priority tie rule (earlier language wins ties)
+        hits = np.stack(
+            [
+                pc.count_substring_regex(lowered, pats[k])
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+                for k in _LANG_PRIORITY
+            ],
+            axis=1,
+        )
+        preds = langs[np.argmax(hits, axis=1)]
         return pa.table({"doc_id": t["doc_id"], "pred_lang": pa.array(preds)})
 
     return _docs_cols(sf_dir, ["doc_id", "text"]).map_batches(
