@@ -107,6 +107,7 @@ def build_pipeline(
     drop_content: bool = False,
     scorer_mode: str = "actors",
     salt: int = 1,
+    live_metrics: bool = False,
 ) -> ray.data.Dataset:
     """Lazy Dataset: partition id -> (optional partition filter for resume)
     -> cascade actor pool (scrub fused in by default).  Nothing executes
@@ -123,12 +124,25 @@ def build_pipeline(
     millisecond-load trigram model because task scheduling work-steals
     perfectly, and worker processes are reused so the model still builds
     once per process.  Results are bit-identical in both modes.
+
+    ``live_metrics=True`` (actors mode only) wires each scorer actor to
+    the shared named counter actor (``state/live_metrics.py``) so gate
+    decisions can be scraped DURING a run — the runtime Prometheus
+    exposition analog.  Off by default: the committed-manifest rollup in
+    ``state/metrics.py`` is the post-hoc source of truth.
     """
     if concurrency is None:
         # fixed-size pool: every actor starts up-front, so steady-state
         # throughput is reached immediately (autoscaling ramp hurts short
         # jobs and scaling-efficiency measurements alike)
         concurrency = _default_pool_size()
+
+    if live_metrics:
+        # create the named counter actor DRIVER-side so its keepalive
+        # handle outlives the (transient) scorer actors
+        from ..state.live_metrics import get_or_create
+
+        get_or_create()
 
     ctx = ray.data.DataContext.get_current()
     if getattr(ctx, "max_tasks_in_flight_per_actor", None) is not None:
@@ -159,7 +173,8 @@ def build_pipeline(
         ds = ds.map_batches(
             CascadeScorer,
             fn_constructor_kwargs={
-                "cfg": cfg, "scrub": fuse_scrub, "drop_content": drop_content
+                "cfg": cfg, "scrub": fuse_scrub, "drop_content": drop_content,
+                "live_metrics": live_metrics,
             },
             batch_format="pyarrow",
             batch_size=batch_size,

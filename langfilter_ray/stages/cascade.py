@@ -98,11 +98,20 @@ class CascadeScorer:
         cfg: PipelineConfig = DEFAULT_CONFIG,
         scrub: bool = False,
         drop_content: bool = False,
+        live_metrics: bool = False,
     ) -> None:
         self.cfg = cfg
         self.scrub = scrub
         self.drop_content = drop_content
         self.model = TrigramLidModel()   # once per actor (T1 analog)
+        self._metrics = None
+        if live_metrics:
+            # named zero-CPU counter actor, shared across the pool; batches
+            # increment it fire-and-forget (runtime Prometheus analog,
+            # reference app/metrics.py:6-78)
+            from ..state.live_metrics import get_or_create
+
+            self._metrics = get_or_create()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg, model = self.cfg, self.model
@@ -181,6 +190,13 @@ class CascadeScorer:
                     )
 
         out = self._append_columns(batch, records, errors)
+        if self._metrics is not None:
+            from collections import Counter
+
+            # fire-and-forget: one tiny dict per batch, never awaited
+            self._metrics.inc.remote(
+                dict(Counter(r["gate_decision"] for r in records))
+            )
         if self.scrub:
             from .scrub_stage import scrub_batch
 

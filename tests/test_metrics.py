@@ -63,3 +63,38 @@ def test_prometheus_textfile(tmp_path):
         'path="fast_path",mode="accept"} 40'
     ) in text
     assert "langfilter_partitions_committed 8" in text
+
+
+def test_live_metrics_counts_match_output(ray_session, unit_corpus_dir, tmp_path):
+    """Runtime counter exposition (reference app/metrics.py analog): the
+    named counter actor's snapshot after a live_metrics=True run must equal
+    the pipeline output's own decision distribution exactly."""
+    from langfilter_ray.config import PipelineConfig
+    from langfilter_ray.pipelines.quality_filter import build_pipeline, read_corpus
+    from langfilter_ray.state import live_metrics
+
+    live_metrics.reset()
+    ds = build_pipeline(
+        read_corpus(unit_corpus_dir), PipelineConfig(),
+        concurrency=(1, 2), live_metrics=True,
+    )
+    df = ds.to_pandas()
+    want = df["gate_decision"].value_counts().to_dict()
+    # incs are fire-and-forget: a live counter is eventually consistent,
+    # so poll briefly until the last in-flight increments drain
+    import time
+
+    snap: dict = {}
+    for _ in range(50):
+        snap = live_metrics.snapshot()
+        if sum(snap.values()) >= len(df):
+            break
+        time.sleep(0.1)
+    assert snap == want
+    assert sum(snap.values()) == len(df)
+
+    out = live_metrics.write_live_textfile(tmp_path / "live.prom")
+    text = out.read_text()
+    assert "langfilter_live_gate_decisions_total" in text
+    some_decision = next(iter(want))
+    assert f'decision="{some_decision}"' in text

@@ -41,3 +41,12 @@ def test_bad_format_rejected(ray_session):
 
     with pytest.raises(ValueError, match="fmt"):
         src_io.read_table("/tmp/x", fmt="orc")
+
+
+def test_uri_scheme_read(ray_session):
+    """S2 URL-ingest analog: the same read path accepts scheme-qualified
+    URIs (``local://``; s3/gs/http resolve through the identical pyarrow
+    filesystem dispatch — no network in this sandbox to exercise them)."""
+    plain = src_io.read_table(f"{SF}/nation.parquet", columns=["n_nationkey"])
+    uri = src_io.read_table(f"local://{SF}/nation.parquet", columns=["n_nationkey"])
+    assert _canon(uri.to_pandas()).equals(_canon(plain.to_pandas()))
