@@ -63,6 +63,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_candidates": dedup.simhash_candidates,
         "dedup_embedding": dedup.dedup_embedding,
         "similar_pairs_topk": dedup.similar_pairs_topk,
+        "dedup_components": dedup.dedup_components,
+        "dedup_survivors": dedup.dedup_survivors,
         # similarity search
         "ann_topk": similarity.ann_topk,
         "ann_lsh": similarity.ann_lsh,

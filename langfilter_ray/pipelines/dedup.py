@@ -519,6 +519,145 @@ def similar_pairs_topk(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+# ---- candidate pairs -> clusters -> survivors ----------------------------
+
+_CC_MAX_ITERS = 16      # label propagation rounds; dup clusters are
+                        # near-cliques (diameter ~1-2), so this is generous
+
+
+def dedup_components(sf_dir: str) -> ray.data.Dataset:
+    """Resolve verified near-dup pairs (``dedup_jaccard``) into connected
+    components: (doc_id, rep_doc_id) where rep is the component's min id —
+    the step that turns pairwise candidates into an actionable keep/drop
+    decision.
+
+    Distributed min-label propagation over the EDGE list (tiny relative to
+    the corpus: only docs with at least one verified near-dup appear).
+    Each round is one hash-partitioned join (labels onto directed edges) +
+    one groupby-min — all-to-all only over edge rows — and the driver
+    checks a scalar changed-count for convergence.  Rounds needed =
+    component diameter; dup clusters are near-cliques so 2-3 rounds
+    typically converge, with a documented cap.  No driver-side graph:
+    the only driver value per round is the changed-row COUNT."""
+    from ray.data.aggregate import Min
+
+    from .relational import _join_parts
+
+    pairs = dedup_jaccard(sf_dir).select_columns(["doc_a", "doc_b"])
+
+    def to_directed(t: pa.Table) -> pa.Table:
+        a = t["doc_a"].to_numpy()
+        b = t["doc_b"].to_numpy()
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([a, b]), pa.int64()),
+                "dst": pa.array(np.concatenate([b, a]), pa.int64()),
+            }
+        )
+
+    # both directions so labels flow both ways; materialized: re-joined
+    # every round
+    edges = pairs.map_batches(to_directed, batch_format="pyarrow").materialize()
+
+    # label(x) := x initially, over the distinct endpoint set
+    labels = (
+        edges.groupby("src")
+        .count()
+        .map_batches(
+            lambda t: pa.table(
+                {"node": t["src"], "label": t["src"]}
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
+    parts = _join_parts()
+    for _ in range(_CC_MAX_ITERS):
+        # neighbor labels: edge (src, dst) contributes label(dst) to src
+        neigh = edges.join(
+            labels,
+            join_type="inner",
+            num_partitions=parts,
+            on=("dst",),
+            right_on=("node",),
+        ).map_batches(
+            lambda t: pa.table({"node": t["src"], "cand": t["label"]}),
+            batch_format="pyarrow",
+        )
+        own = labels.map_batches(
+            lambda t: pa.table({"node": t["node"], "cand": t["label"]}),
+            batch_format="pyarrow",
+        )
+        new_labels = (
+            neigh.union(own)
+            .groupby("node")
+            .aggregate(Min("cand", alias_name="label"))
+            .materialize()
+        )
+        # convergence: count rows whose label shrank this round
+        changed = (
+            new_labels.join(
+                labels.map_batches(
+                    lambda t: pa.table({"node": t["node"], "old": t["label"]}),
+                    batch_format="pyarrow",
+                ),
+                join_type="inner",
+                num_partitions=parts,
+                on=("node",),
+            )
+            .map_batches(
+                lambda t: t.filter(pc.not_equal(t["label"], t["old"])),
+                batch_format="pyarrow",
+            )
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+
+    return labels.map_batches(
+        lambda t: pa.table({"doc_id": t["node"], "rep_doc_id": t["label"]}),
+        batch_format="pyarrow",
+    )
+
+
+def dedup_survivors(sf_dir: str) -> ray.data.Dataset:
+    """The deduplicated corpus id list: every doc except non-representative
+    members of a near-dup component (component rep = min doc_id survives).
+    Anti-join shape: the (tiny) drop list joins LEFT OUTER onto the
+    corpus ids and null-filtered — the corpus side streams, never
+    materializes."""
+    from .relational import _join_parts
+
+    def to_drops(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t["doc_id"], t["rep_doc_id"]))
+        # the join consumes the key column; "dropped" is the payload
+        # marker that survives into the left_outer output (null = keep)
+        return pa.table(
+            {
+                "drop_id": t["doc_id"],
+                "dropped": pa.array(np.ones(len(t), dtype=np.int8)),
+            }
+        )
+
+    drops = dedup_components(sf_dir).map_batches(to_drops, batch_format="pyarrow")
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    joined = docs.join(
+        drops,
+        join_type="left_outer",
+        num_partitions=_join_parts(),
+        on=("doc_id",),
+        right_on=("drop_id",),
+    )
+    return joined.map_batches(
+        lambda t: pa.table(
+            {"doc_id": t["doc_id"].filter(pc.is_null(t["dropped"]))}
+        ),
+        batch_format="pyarrow",
+    )
+
+
 ORACLES["similar_pairs_topk"] = (
     "WITH w AS (SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS ws "
     "           FROM documents) "

@@ -93,6 +93,7 @@ def test_every_query_has_oracle_or_is_known_rows_only(entry_mod):
         "multimodal_decode", "multimodal_resize", "frame_sample",
         "winnow_fingerprints", "approx_distinct_users", "simhash_candidates",
         "translate_kept_snippets", "repo_quality_report",
+        "dedup_components", "dedup_survivors",
     }
 
 
@@ -208,3 +209,33 @@ def test_multimodal_decode_deterministic(entry_mod):
     pd.testing.assert_frame_equal(a, b)
     assert (a["width"].between(1, 1920)).all()
     assert (a["height"].between(1, 1080)).all()
+
+
+def test_dedup_components_match_union_find(entry_mod):
+    """Distributed min-label propagation must equal a driver union-find
+    over the same verified pair set (min doc_id per component as rep)."""
+    pairs = _to_pandas(entry_mod.queries()["dedup_jaccard"](SF))
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in parent}
+
+    got_df = _to_pandas(entry_mod.queries()["dedup_components"](SF))
+    got = dict(zip(got_df["doc_id"].astype(int), got_df["rep_doc_id"].astype(int)))
+    assert got == want
+
+    surv = set(_to_pandas(entry_mod.queries()["dedup_survivors"](SF))["doc_id"])
+    all_ids = set(
+        pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id"])["doc_id"]
+    )
+    drops = {x for x, r in want.items() if x != r}
+    assert surv == all_ids - drops
