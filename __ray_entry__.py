@@ -65,6 +65,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "similar_pairs_topk": dedup.similar_pairs_topk,
         "dedup_components": dedup.dedup_components,
         "dedup_survivors": dedup.dedup_survivors,
+        "dedup_embedding_ivf": dedup.dedup_embedding_ivf,
+        "bloom_semi_join": relational.bloom_semi_join,
         # similarity search
         "ann_topk": similarity.ann_topk,
         "ann_lsh": similarity.ann_lsh,

@@ -366,6 +366,78 @@ def dedup_embedding(sf_dir: str) -> ray.data.Dataset:
     return ds.map_batches(block, batch_format="pyarrow", batch_size=512)
 
 
+def dedup_embedding_ivf(sf_dir: str) -> ray.data.Dataset:
+    """Embedding-cosine near-dup pairs — the IVF-bucketed SCALE path for
+    ``dedup_embedding`` (which broadcasts the full matrix): vectors are
+    assigned to their top-2 coarse clusters (same deterministic Lloyd
+    training as ``similarity.ann_ivf``: tiny centroid matrix broadcast,
+    embeddings stream), pairwise cosine runs only WITHIN a cluster via
+    ``groupby(cluster).map_groups``, and cross-assignment duplicates
+    collapse to distinct pairs.  Every emitted pair is exact (same dot
+    product as the brute force); pairs whose endpoints share no top-2
+    cluster are missed — recall vs the brute-force oracle is pinned in
+    tests.  The shuffle carries (cluster, vec_id, embedding) rows — 2x the
+    embedding table, never an all-pairs blowup."""
+    import pandas as pd
+
+    from .similarity import _load, _normalize
+
+    # deterministic coarse quantizer (driver-side on a sample; here the
+    # whole table — at 100 TB a ds.limit(n) sample), as in ann_ivf
+    ids, mat = _load(sf_dir)
+    K = 8
+    order = np.argsort(ids)
+    m = mat[order]
+    cent = m[np.linspace(0, len(m) - 1, K).astype(int)].copy()
+    for _ in range(5):
+        assign = np.argmax(m @ cent.T, axis=1)
+        for k in range(K):
+            sel = m[assign == k]
+            if len(sel):
+                c = sel.mean(axis=0)
+                n = np.linalg.norm(c)
+                if n > 0:
+                    cent[k] = c / n
+    cref = ray.put(cent)
+
+    def assign_top2(t: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        bids = t["vec_id"].to_numpy()
+        bmat = _normalize(np.asarray(t["embedding"].to_pylist(), dtype=np.float64))
+        top2 = np.argsort(-(bmat @ c.T), axis=1)[:, :2]          # (B, 2)
+        emb = pa.array(bmat.tolist(), pa.list_(pa.float64()))
+        return pa.table(
+            {
+                "cluster": pa.array(
+                    np.concatenate([top2[:, 0], top2[:, 1]]), pa.int64()
+                ),
+                "vec_id": pa.array(np.concatenate([bids, bids]), pa.int64()),
+                "embedding": pa.concat_arrays([emb, emb]),
+            }
+        )
+
+    def in_cluster_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        bids = g["vec_id"].to_numpy()
+        bmat = np.asarray(list(g["embedding"]), dtype=np.float64)
+        sims = bmat @ bmat.T
+        ia, ib = np.nonzero(sims > COSINE_THRESHOLD)
+        keep = bids[ia] < bids[ib]
+        return pd.DataFrame(
+            {"id_a": bids[ia][keep], "id_b": bids[ib][keep]}
+        ).astype("int64")
+
+    pairs = (
+        ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        .map_batches(assign_top2, batch_format="pyarrow")
+        .groupby("cluster")
+        .map_groups(in_cluster_pairs, batch_format="pandas")
+    )
+    # a pair found in both shared clusters collapses to one row
+    return pairs.groupby(["id_a", "id_b"]).count().select_columns(["id_a", "id_b"])
+
+
 DEDUP_EMBEDDING_SQL = (
     "SELECT a.vec_id AS id_a, b.vec_id AS id_b "
     "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "

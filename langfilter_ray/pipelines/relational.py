@@ -571,6 +571,77 @@ def approx_distinct_users(sf_dir: str) -> pa.Table:
     )
 
 
+# ---- Bloom-filter semi-join (sketch operator) ----------------------------
+
+_BLOOM_M = 1 << 17            # bits; ~1.6 bits/key at 80k keys
+_BLOOM_K = 4                  # hash functions
+_BLOOM_SEEDS = np.array(
+    [0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9, 0x27D4EB2F165667C5],
+    dtype=np.uint64,
+)
+
+
+def _bloom_bits(keys: np.ndarray) -> np.ndarray:
+    """(N, k) bit indices for int64 keys — splitmix64 finalizer per seed,
+    fully vectorized."""
+    h = keys.astype(np.uint64)[:, None] ^ _BLOOM_SEEDS[None, :_BLOOM_K]
+    h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    h = h ^ (h >> np.uint64(31))
+    return (h % np.uint64(_BLOOM_M)).astype(np.int64)
+
+
+def bloom_semi_join(sf_dir: str) -> ray.data.Dataset:
+    """Events whose user made at least one 'purchase' — a semi-join where
+    the build side is compressed into a Bloom filter instead of shuffled:
+
+    build: purchase user_ids stream through map_batches emitting their
+    DISTINCT set-bit indices (a per-batch combiner: <= m rows per batch);
+    a groupby over bit indices dedups them cluster-wide, and the driver
+    folds the <= m surviving indices into a packed bitmap (bounded by m =
+    128 Ki bits regardless of build-side size — same scale argument as the
+    HLL sketch).  probe: the bitmap broadcasts via ray.put once and every
+    probe batch tests its keys vectorized.
+
+    Guarantee: NO false negatives — the result is a superset of the exact
+    semi-join, with false-positive rate <= (1-e^{-kn/m})^k (~1e-3 here),
+    so it serves as a cheap prefilter before an exact verification join at
+    100 TB.  Approximate by design -> rows-only check (superset + FPR
+    bound pinned in tests)."""
+
+    def build_bits(t: pa.Table) -> pa.Table:
+        keys = t["user_id"].to_numpy()
+        bits = np.unique(_bloom_bits(keys).reshape(-1))
+        return pa.table({"bit_idx": pa.array(bits, pa.int64())})
+
+    set_bits = (
+        _read(sf_dir, "events", ["user_id", "event_type"])
+        .map_batches(
+            lambda t: t.filter(pc.equal(t["event_type"], "purchase")).select(
+                ["user_id"]
+            ),
+            batch_format="pyarrow",
+        )
+        .map_batches(build_bits, batch_format="pyarrow")
+        .groupby("bit_idx")
+        .count()
+        .to_pandas()
+    )
+    bitmap = np.zeros(_BLOOM_M, dtype=bool)
+    bitmap[set_bits["bit_idx"].to_numpy()] = True
+    bref = ray.put(bitmap)
+
+    def probe(t: pa.Table) -> pa.Table:
+        bm = ray.get(bref)
+        keys = t["user_id"].to_numpy()
+        hit = bm[_bloom_bits(keys)].all(axis=1)
+        return t.filter(pa.array(hit))
+
+    return _read(sf_dir, "events", ["event_id", "user_id", "event_type"]).map_batches(
+        probe, batch_format="pyarrow"
+    )
+
+
 # ---- pivot (wide aggregation) --------------------------------------------
 
 def event_type_pivot(sf_dir: str) -> pa.Table:

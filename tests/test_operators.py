@@ -93,7 +93,8 @@ def test_every_query_has_oracle_or_is_known_rows_only(entry_mod):
         "multimodal_decode", "multimodal_resize", "frame_sample",
         "winnow_fingerprints", "approx_distinct_users", "simhash_candidates",
         "translate_kept_snippets", "repo_quality_report",
-        "dedup_components", "dedup_survivors",
+        "dedup_components", "dedup_survivors", "dedup_embedding_ivf",
+        "bloom_semi_join",
     }
 
 
@@ -239,3 +240,36 @@ def test_dedup_components_match_union_find(entry_mod):
     )
     drops = {x for x, r in want.items() if x != r}
     assert surv == all_ids - drops
+
+
+def test_dedup_embedding_ivf_subset_and_recall(entry_mod):
+    """IVF-bucketed near-dup pairs: every emitted pair must be exact (a
+    subset of the brute-force pair set — same dot product) and recall must
+    stay high (pairs missed only when endpoints share no top-2 cluster)."""
+    bf = _to_pandas(entry_mod.queries()["dedup_embedding"](SF))
+    ivf = _to_pandas(entry_mod.queries()["dedup_embedding_ivf"](SF))
+    bset = set(zip(bf["id_a"], bf["id_b"]))
+    iset = set(zip(ivf["id_a"], ivf["id_b"]))
+    assert iset <= bset
+    assert len(iset & bset) / max(1, len(bset)) >= 0.7
+    ivf2 = _to_pandas(entry_mod.queries()["dedup_embedding_ivf"](SF))
+    assert _canon(ivf).equals(_canon(ivf2))
+
+
+def test_bloom_semi_join_superset_and_fpr(entry_mod, con):
+    """Bloom prefilter: NO false negatives (result is a superset of the
+    exact semi-join) and the false-positive overhead stays under 1%."""
+    got = _to_pandas(entry_mod.queries()["bloom_semi_join"](SF))
+    exact = con.execute(
+        "SELECT event_id FROM events e WHERE EXISTS ("
+        "  SELECT 1 FROM events p WHERE p.event_type = 'purchase'"
+        "  AND p.user_id = e.user_id)"
+    ).df()
+    got_ids = set(got["event_id"])
+    exact_ids = set(exact["event_id"])
+    assert exact_ids <= got_ids                       # no false negatives
+    n_events = con.execute("SELECT count(*) FROM events").fetchone()[0]
+    fp = len(got_ids - exact_ids)
+    assert fp <= max(1, 0.01 * n_events), (fp, n_events)
+    got2 = _to_pandas(entry_mod.queries()["bloom_semi_join"](SF))
+    assert _canon(got).equals(_canon(got2))
