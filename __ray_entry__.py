@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_distribution": text_analysis.lang_distribution,
         "scrub_documents": text_analysis.scrub_documents,
         "top_tokens": text_analysis.top_tokens,
+        "heavy_hitter_tokens": text_analysis.heavy_hitter_tokens,
         "distinct_sources": text_analysis.distinct_sources,
         "sample_docs": text_analysis.sample_docs,
         "winnow_fingerprints": text_analysis.winnow_fingerprints,
@@ -67,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_survivors": dedup.dedup_survivors,
         "dedup_embedding_ivf": dedup.dedup_embedding_ivf,
         "bloom_semi_join": relational.bloom_semi_join,
+        "approx_quantiles": relational.approx_quantiles,
         # similarity search
         "ann_topk": similarity.ann_topk,
         "ann_lsh": similarity.ann_lsh,

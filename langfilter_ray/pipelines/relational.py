@@ -642,6 +642,102 @@ def bloom_semi_join(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+# ---- approximate quantiles (mergeable histogram sketch) ------------------
+
+_QUANT_BINS = 4096
+_QUANTILES = (0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+def approx_quantiles(sf_dir: str) -> ray.data.Dataset:
+    """Per-event_type approximate quantiles of ``value`` via a fixed-bin
+    histogram sketch — the mergeable shape: a tiny per-type (min, max)
+    pre-pass fixes the bin grid, every batch folds its values into ≤
+    types x 4096 (bin, partial_count) combiner rows, a bounded groupby
+    merges them, and a per-type map_groups walks the ≤4096-row cumulative
+    histogram to read off each quantile.  The shuffle is bounded by
+    types x bins regardless of input size (HLL/Bloom scale argument), and
+    the value error is ≤ one bin width = (max-min)/4096 — pinned against
+    DuckDB's exact quantile_disc in tests.  Approximate by design ->
+    rows-only check."""
+    import pandas as pd
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    bounds = (
+        _read(sf_dir, "events", ["event_type", "value"])
+        .groupby("event_type")
+        .aggregate(Min("value", alias_name="lo"), Max("value", alias_name="hi"))
+        .to_pandas()
+    )
+    grid = {
+        r.event_type: (float(r.lo), max(float(r.hi) - float(r.lo), 1e-12))
+        for r in bounds.itertuples()
+    }
+    gref = ray.put(grid)
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = ray.get(gref)
+        df = pd.DataFrame(
+            {"event_type": t["event_type"].to_pylist(), "value": t["value"].to_numpy()}
+        )
+        out_t, out_b, out_n = [], [], []
+        for et, sub in df.groupby("event_type", sort=False):
+            lo, span = g[et]
+            bins = np.clip(
+                ((sub["value"].to_numpy() - lo) / span * _QUANT_BINS).astype(np.int64),
+                0,
+                _QUANT_BINS - 1,
+            )
+            idx, cnt = np.unique(bins, return_counts=True)
+            out_t.extend([et] * len(idx))
+            out_b.append(idx)
+            out_n.append(cnt)
+        if not out_t:
+            return pa.table(
+                {
+                    "event_type": pa.array([], pa.string()),
+                    "bin": pa.array([], pa.int64()),
+                    "partial": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "event_type": pa.array(out_t, pa.string()),
+                "bin": pa.array(np.concatenate(out_b), pa.int64()),
+                "partial": pa.array(np.concatenate(out_n), pa.int64()),
+            }
+        )
+
+    hist = (
+        _read(sf_dir, "events", ["event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "bin"])
+        .aggregate(Sum("partial", alias_name="n"))
+    )
+
+    def quantiles_of(gdf: pd.DataFrame) -> pd.DataFrame:
+        g = ray.get(gref)
+        et = gdf["event_type"].iloc[0]
+        lo, span = g[et]
+        gdf = gdf.sort_values("bin")
+        cum = gdf["n"].cumsum().to_numpy()
+        total = int(cum[-1])
+        bins = gdf["bin"].to_numpy()
+        qs, vals = [], []
+        for q in _QUANTILES:
+            rank = max(1, int(np.ceil(q * total)))
+            i = int(np.searchsorted(cum, rank))
+            # upper edge of the containing bin: exact order statistic lies
+            # within the bin, so |approx - exact| <= bin width
+            vals.append(lo + (bins[i] + 1) * span / _QUANT_BINS)
+            qs.append(q)
+        return pd.DataFrame(
+            {"event_type": [et] * len(qs), "q": qs, "approx_value": vals}
+        )
+
+    return hist.groupby("event_type").map_groups(quantiles_of, batch_format="pandas")
+
+
 # ---- pivot (wide aggregation) --------------------------------------------
 
 def event_type_pivot(sf_dir: str) -> pa.Table:

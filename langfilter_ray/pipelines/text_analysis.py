@@ -305,6 +305,96 @@ def top_tokens(sf_dir: str) -> ray.data.Dataset:
     return agg.sort(["n", "token"], descending=[True, False]).limit(20)
 
 
+# ---- heavy hitters (bounded-shuffle sketch, exactly verified) ------------
+
+HH_K = 200      # report tokens with global count > N/K (φ = 1/K)
+
+
+def heavy_hitter_tokens(sf_dir: str) -> ray.data.Dataset:
+    """Tokens occurring more than N/K times corpus-wide (φ-heavy hitters,
+    φ = 1/200) — the sketch-shaped wordcount whose shuffle stays BOUNDED:
+
+    phase A emits per batch only the ≤K tokens that are heavy WITHIN the
+    batch (count·K > batch_total — pigeonhole: any globally heavy token is
+    batch-heavy somewhere, so no true heavy hitter is missed) plus one
+    sentinel row carrying the batch's token total; the candidate union is
+    ≤ K·num_batches rows regardless of vocabulary size (vs one row per
+    distinct token for the exact wordcount).  phase B re-counts ONLY the
+    broadcast candidate set exactly and filters count·K > N — so the
+    output is EXACT (oracle-checked), while the shuffle never carries the
+    full vocabulary.  Same two-phase candidates-then-verify shape as the
+    dedup family."""
+    from ray.data.aggregate import Sum
+
+    def _batch_counts(t: pa.Table):
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(pc.fill_null(t["text"], "")), pattern="[^a-z0-9_]+"
+        )
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        vc = flat.value_counts()
+        return vc.field("values"), pc.cast(vc.field("counts"), pa.int64())
+
+    def phase_a(t: pa.Table) -> pa.Table:
+        values, counts = _batch_counts(t)
+        total = int(pc.sum(counts).as_py() or 0)
+        mask = pc.greater(pc.multiply(counts, HH_K), total)
+        cand = values.filter(mask)
+        return pa.table(
+            {
+                "token": pa.concat_arrays(
+                    [cand.combine_chunks() if isinstance(cand, pa.ChunkedArray) else cand,
+                     pa.array([""], pa.string())]
+                ),
+                "partial": pa.array(
+                    [0] * len(cand) + [total], pa.int64()
+                ),
+            }
+        )
+
+    # candidate union + corpus token total: ≤ K rows per batch + sentinel
+    agg = (
+        _docs_cols(sf_dir, ["text"])
+        .map_batches(phase_a, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("partial", alias_name="partial"))
+        .to_pandas()
+    )
+    n_total = int(agg.loc[agg["token"] == "", "partial"].sum())
+    cand_ref = ray.put(frozenset(agg.loc[agg["token"] != "", "token"]))
+
+    def phase_b(t: pa.Table) -> pa.Table:
+        cand = ray.get(cand_ref)
+        values, counts = _batch_counts(t)
+        mask = pa.array([v in cand for v in values.to_pylist()], pa.bool_())
+        return pa.table(
+            {"token": values.filter(mask), "partial": counts.filter(mask)}
+        )
+
+    exact = (
+        _docs_cols(sf_dir, ["text"])
+        .map_batches(phase_b, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("partial", alias_name="n_occurrences"))
+    )
+    return exact.map_batches(
+        lambda t: t.filter(
+            pc.greater(pc.multiply(t["n_occurrences"], HH_K), n_total)
+        ),
+        batch_format="pyarrow",
+    )
+
+
+HEAVY_HITTER_SQL = (
+    "WITH toks AS (SELECT unnest(regexp_extract_all(lower(text), "
+    f"'{LOWER_TOKEN_RE}')) AS token FROM documents) "
+    "SELECT token, count(*)::BIGINT AS n_occurrences FROM toks "
+    f"GROUP BY token HAVING count(*) * {HH_K} > (SELECT count(*) FROM toks)"
+)
+
+
 # ---- distinct values + deterministic sample ------------------------------
 
 def distinct_sources(sf_dir: str) -> ray.data.Dataset:
@@ -365,6 +455,9 @@ def doc_stats_by_lang(sf_dir: str) -> ray.data.Dataset:
         return t.append_column("avg_chars", avg)
 
     return agg.map_batches(add_avg, batch_format="pyarrow")
+
+
+ORACLES["heavy_hitter_tokens"] = HEAVY_HITTER_SQL
 
 
 ORACLES["doc_stats_by_lang"] = (

@@ -60,6 +60,7 @@ ORACLE_CHECKED = [
     "label_centroids", "distinct_users_per_type", "shipping_priority",
     "hopping_counts", "median_value_per_type", "event_type_pivot",
     "order_price_tiers", "daily_hopping_counts", "similar_pairs_topk", "revenue_rollup", "props_stats", "train_val_split", "session_windows", "error_events_pushdown",
+    "heavy_hitter_tokens",
 ]
 
 
@@ -94,7 +95,7 @@ def test_every_query_has_oracle_or_is_known_rows_only(entry_mod):
         "winnow_fingerprints", "approx_distinct_users", "simhash_candidates",
         "translate_kept_snippets", "repo_quality_report",
         "dedup_components", "dedup_survivors", "dedup_embedding_ivf",
-        "bloom_semi_join",
+        "bloom_semi_join", "approx_quantiles",
     }
 
 
@@ -272,4 +273,24 @@ def test_bloom_semi_join_superset_and_fpr(entry_mod, con):
     fp = len(got_ids - exact_ids)
     assert fp <= max(1, 0.01 * n_events), (fp, n_events)
     got2 = _to_pandas(entry_mod.queries()["bloom_semi_join"](SF))
+    assert _canon(got).equals(_canon(got2))
+
+
+def test_approx_quantiles_within_bin_width(entry_mod, con):
+    """Histogram-sketch quantiles: each approximation must land within one
+    bin width of DuckDB's exact discrete quantile for that type."""
+    got = _to_pandas(entry_mod.queries()["approx_quantiles"](SF))
+    spans = con.execute(
+        "SELECT event_type, min(value) AS lo, max(value) AS hi "
+        "FROM events GROUP BY event_type"
+    ).df().set_index("event_type")
+    for _, row in got.iterrows():
+        et, q, approx = row["event_type"], row["q"], row["approx_value"]
+        exact = con.execute(
+            f"SELECT quantile_disc(value, {q}) FROM events "
+            f"WHERE event_type = '{et}'"
+        ).fetchone()[0]
+        width = (spans.loc[et, "hi"] - spans.loc[et, "lo"]) / 4096
+        assert abs(approx - exact) <= width + 1e-9, (et, q, approx, exact, width)
+    got2 = _to_pandas(entry_mod.queries()["approx_quantiles"](SF))
     assert _canon(got).equals(_canon(got2))
