@@ -44,6 +44,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repo_quality_report": reports.repo_quality_report,
         # text analysis over documents (oracle-checked)
         "token_counts": text_analysis.token_counts,
+        "token_counts_bpe": text_analysis.token_counts_bpe,
         "stopword_stats": text_analysis.stopword_stats,
         "langid_heuristic": text_analysis.langid_heuristic,
         "quality_score": text_analysis.quality_score,

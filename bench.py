@@ -65,6 +65,8 @@ def secondary(sf_dir: str) -> dict[str, float]:
         "pricing_summary", "revenue_by_nation", "top50_recent",
         "top_tokens", "shipping_priority", "hopping_counts",
         "simhash_candidates", "approx_distinct_users",
+        "heavy_hitter_tokens", "approx_quantiles", "bloom_semi_join",
+        "dedup_components",
     ]
     qs = e.queries()
     times: dict[str, float] = {}

@@ -65,6 +65,31 @@ def token_counts(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+# BPE-ish pre-tokenizer (GPT-2-family shape: contractions, letter runs,
+# digit runs, symbol runs, each with an optional leading space) — pure RE2,
+# so the Arrow kernel and the DuckDB oracle count identically
+BPE_TOKEN_RE = r"'[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9']+"
+
+
+def token_counts_bpe(sf_dir: str) -> ray.data.Dataset:
+    """Per-doc token counts under the BPE-ish pre-tokenizer — the
+    training-cost estimator complement to the whitespace-ish
+    ``token_counts`` (a doc's BPE token count tracks its real tokenizer
+    cost far better than word count on code/symbol-heavy text)."""
+
+    def f(t: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(
+            pc.fill_null(t["text"], ""), BPE_TOKEN_RE
+        )
+        return pa.table(
+            {"doc_id": t["doc_id"], "n_bpe_tokens": pc.cast(n, pa.int64())}
+        )
+
+    return _docs_cols(sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
 # ---- stopword_stats ------------------------------------------------------
 
 def _stop_pattern(words: tuple[str, ...]) -> str:
@@ -458,6 +483,11 @@ def doc_stats_by_lang(sf_dir: str) -> ray.data.Dataset:
 
 
 ORACLES["heavy_hitter_tokens"] = HEAVY_HITTER_SQL
+
+ORACLES["token_counts_bpe"] = (
+    "SELECT doc_id, len(regexp_extract_all(text, "
+    "$$" + BPE_TOKEN_RE + "$$))::BIGINT AS n_bpe_tokens FROM documents"
+)
 
 
 ORACLES["doc_stats_by_lang"] = (
