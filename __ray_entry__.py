@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scrub_documents": text_analysis.scrub_documents,
         "top_tokens": text_analysis.top_tokens,
         "heavy_hitter_tokens": text_analysis.heavy_hitter_tokens,
+        "decontaminate_overlap": text_analysis.decontaminate_overlap,
         "distinct_sources": text_analysis.distinct_sources,
         "sample_docs": text_analysis.sample_docs,
         "winnow_fingerprints": text_analysis.winnow_fingerprints,

@@ -645,8 +645,15 @@ def dedup_components(sf_dir: str) -> ray.data.Dataset:
     )
 
     parts = _join_parts()
+    from ray.data.aggregate import Max
+
     for _ in range(_CC_MAX_ITERS):
-        # neighbor labels: edge (src, dst) contributes label(dst) to src
+        # ONE join per round: neighbor labels flow to src; the node's own
+        # row rides along in the union carrying the previous label, so the
+        # same groupby that takes the min candidate also recovers the old
+        # label (Max over {old, -1...}) — change detection costs a cheap
+        # filter+count over the materialized result instead of a second
+        # hash join.
         neigh = edges.join(
             labels,
             join_type="inner",
@@ -654,36 +661,31 @@ def dedup_components(sf_dir: str) -> ray.data.Dataset:
             on=("dst",),
             right_on=("node",),
         ).map_batches(
-            lambda t: pa.table({"node": t["src"], "cand": t["label"]}),
+            lambda t: pa.table(
+                {
+                    "node": t["src"],
+                    "cand": t["label"],
+                    "old": pa.array(np.full(len(t), -1, dtype=np.int64)),
+                }
+            ),
             batch_format="pyarrow",
         )
         own = labels.map_batches(
-            lambda t: pa.table({"node": t["node"], "cand": t["label"]}),
+            lambda t: pa.table(
+                {"node": t["node"], "cand": t["label"], "old": t["label"]}
+            ),
             batch_format="pyarrow",
         )
         new_labels = (
             neigh.union(own)
             .groupby("node")
-            .aggregate(Min("cand", alias_name="label"))
+            .aggregate(Min("cand", alias_name="label"), Max("old", alias_name="old"))
             .materialize()
         )
-        # convergence: count rows whose label shrank this round
-        changed = (
-            new_labels.join(
-                labels.map_batches(
-                    lambda t: pa.table({"node": t["node"], "old": t["label"]}),
-                    batch_format="pyarrow",
-                ),
-                join_type="inner",
-                num_partitions=parts,
-                on=("node",),
-            )
-            .map_batches(
-                lambda t: t.filter(pc.not_equal(t["label"], t["old"])),
-                batch_format="pyarrow",
-            )
-            .count()
-        )
+        changed = new_labels.map_batches(
+            lambda t: t.filter(pc.not_equal(t["label"], t["old"])),
+            batch_format="pyarrow",
+        ).count()
         labels = new_labels
         if changed == 0:
             break

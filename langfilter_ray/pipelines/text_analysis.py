@@ -348,7 +348,15 @@ def heavy_hitter_tokens(sf_dir: str) -> ray.data.Dataset:
     broadcast candidate set exactly and filters count·K > N — so the
     output is EXACT (oracle-checked), while the shuffle never carries the
     full vocabulary.  Same two-phase candidates-then-verify shape as the
-    dedup family."""
+    dedup family.
+
+    Scale caveat: the candidate union is ≤ K per batch but batches grow
+    with the corpus; in practice batch-heavy tokens repeat across batches
+    so the DISTINCT union stays near K, but an adversarial corpus could
+    inflate it — the escape hatches are bigger batches (fewer, tighter
+    candidate sets) or keeping the candidate set as a Dataset and
+    replacing the phase-B broadcast with an is_in against a joined
+    candidate table."""
     from ray.data.aggregate import Sum
 
     def _batch_counts(t: pa.Table):
@@ -388,12 +396,14 @@ def heavy_hitter_tokens(sf_dir: str) -> ray.data.Dataset:
         .to_pandas()
     )
     n_total = int(agg.loc[agg["token"] == "", "partial"].sum())
-    cand_ref = ray.put(frozenset(agg.loc[agg["token"] != "", "token"]))
+    cand_ref = ray.put(
+        pa.array(sorted(agg.loc[agg["token"] != "", "token"]), pa.string())
+    )
 
     def phase_b(t: pa.Table) -> pa.Table:
         cand = ray.get(cand_ref)
         values, counts = _batch_counts(t)
-        mask = pa.array([v in cand for v in values.to_pylist()], pa.bool_())
+        mask = pc.is_in(values, value_set=cand)
         return pa.table(
             {"token": values.filter(mask), "partial": counts.filter(mask)}
         )
@@ -496,6 +506,111 @@ ORACLES["doc_stats_by_lang"] = (
     "sum(n_chars)::DOUBLE / count(*)::DOUBLE AS avg_chars "
     "FROM documents GROUP BY lang"
 )
+
+
+# ---- benchmark decontamination (n-gram overlap vs an eval set) -----------
+
+DECON_N = 8                 # word 8-grams, the usual decontamination gram
+DECON_EVAL_MOD, DECON_EVAL_REM = 50, 7      # eval set: doc_id % 50 == 7
+# odd 64-bit positional constants (golden-ratio multiples, forced odd)
+_DECON_C = (np.arange(1, DECON_N + 1, dtype=np.uint64)
+            * np.uint64(0x9E3779B97F4A7C15)) | np.uint64(1)
+
+
+def _word_ngram_hashes(text: str, cache: dict) -> np.ndarray:
+    """Distinct hashes of word 8-grams: crc32 per word (batch-cached)
+    combined positionally — same vectorized sliding-window scheme as the
+    dedup shingles, parameterized to the decontamination gram size."""
+    import zlib
+
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    words = (text or "").lower().split()
+    if len(words) < DECON_N:
+        return np.empty(0, dtype=np.uint64)
+    wh = np.empty(len(words), dtype=np.uint64)
+    for i, w in enumerate(words):
+        v = cache.get(w)
+        if v is None:
+            v = zlib.crc32(w.encode("utf-8"))
+            cache[w] = v
+        wh[i] = v
+    return np.unique((sliding_window_view(wh, DECON_N) * _DECON_C).sum(axis=1))
+
+
+def decontaminate_overlap(sf_dir: str) -> ray.data.Dataset:
+    """Training docs sharing at least one word 8-gram with the held-out
+    eval set (doc_id % 50 == 7 stands in for a benchmark suite) — the
+    decontamination scan every training-data pipeline needs before a
+    model sees the corpus.
+
+    Shape: the EVAL side (small by construction — benchmark suites are
+    fixed-size, independent of corpus scale) streams through map_batches
+    into distinct 8-gram hashes, dedups in a bounded groupby, and
+    broadcasts once as a sorted array; the TRAINING side then streams,
+    each batch counting its docs' overlaps via np.isin against the sorted
+    array.  No shuffle of corpus content; output is the (rare) flagged
+    docs only.  Rows-only: pinned against a tuple-level (unhashed)
+    ground truth in tests."""
+    eval_bits = (
+        _docs_cols(sf_dir, ["doc_id", "text"])
+        .map_batches(
+            lambda t: t.filter(
+                pc.equal(
+                    pc.subtract(
+                        t["doc_id"],
+                        pc.multiply(
+                            pc.divide(t["doc_id"], DECON_EVAL_MOD), DECON_EVAL_MOD
+                        ),
+                    ),
+                    DECON_EVAL_REM,
+                )
+            ),
+            batch_format="pyarrow",
+        )
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "h": pa.array(
+                        np.unique(
+                            np.concatenate(
+                                [_word_ngram_hashes(s, {}) for s in t["text"].to_pylist()]
+                                or [np.empty(0, np.uint64)]
+                            )
+                        ).view(np.int64)
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("h")
+        .count()
+        .to_pandas()
+    )
+    eval_hashes = np.sort(eval_bits["h"].to_numpy().view(np.uint64))
+    href = ray.put(eval_hashes)
+
+    def scan(t: pa.Table) -> pa.Table:
+        hs = ray.get(href)
+        cache: dict = {}
+        ids, counts = [], []
+        for did, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            if did % DECON_EVAL_MOD == DECON_EVAL_REM:
+                continue                      # eval docs are not scanned
+            n = int(np.isin(_word_ngram_hashes(s, cache), hs).sum())
+            if n > 0:
+                ids.append(did)
+                counts.append(n)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_overlap": pa.array(counts, pa.int64()),
+            }
+        )
+
+    return _docs_cols(sf_dir, ["doc_id", "text"]).map_batches(
+        scan, batch_format="pyarrow"
+    )
 
 
 # ---- winnowing fingerprints (rolling hash) -------------------------------

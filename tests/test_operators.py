@@ -95,7 +95,7 @@ def test_every_query_has_oracle_or_is_known_rows_only(entry_mod):
         "winnow_fingerprints", "approx_distinct_users", "simhash_candidates",
         "translate_kept_snippets", "repo_quality_report",
         "dedup_components", "dedup_survivors", "dedup_embedding_ivf",
-        "bloom_semi_join", "approx_quantiles",
+        "bloom_semi_join", "approx_quantiles", "decontaminate_overlap",
     }
 
 
@@ -294,3 +294,29 @@ def test_approx_quantiles_within_bin_width(entry_mod, con):
         assert abs(approx - exact) <= width + 1e-9, (et, q, approx, exact, width)
     got2 = _to_pandas(entry_mod.queries()["approx_quantiles"](SF))
     assert _canon(got).equals(_canon(got2))
+
+
+def test_decontaminate_overlap_matches_tuple_ground_truth(entry_mod):
+    """Hash-based 8-gram overlap must equal a tuple-level (unhashed)
+    ground truth computed driver-side — catches both hash-flow bugs and
+    (at this scale nonexistent) collisions."""
+    got = _to_pandas(entry_mod.queries()["decontaminate_overlap"](SF))
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+
+    def grams(s):
+        w = (s or "").lower().split()
+        return {tuple(w[i:i + 8]) for i in range(len(w) - 7)}
+
+    eval_grams = set()
+    for _, r in docs.iterrows():
+        if r["doc_id"] % 50 == 7:
+            eval_grams |= grams(r["text"])
+    want = {}
+    for _, r in docs.iterrows():
+        if r["doc_id"] % 50 == 7:
+            continue
+        n = len(grams(r["text"]) & eval_grams)
+        if n:
+            want[int(r["doc_id"])] = n
+    assert dict(zip(got["doc_id"].astype(int), got["n_overlap"].astype(int))) == want
+    assert want, "fixture should contain at least one contaminated doc"
