@@ -157,8 +157,19 @@ def _band_rows(t: pa.Table) -> pa.Table:
     )
 
 
-def minhash_candidates(sf_dir: str) -> ray.data.Dataset:
+_EMPTY_PAIRS = pa.table(
+    {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
+)
+
+
+def minhash_candidates(sf_dir: str, total_joins: int = 1) -> ray.data.Dataset:
     """(doc_a, doc_b) candidate near-dup pairs from LSH banding.
+
+    ``total_joins``: number of hash-shuffle joins CONCURRENT with this
+    self-join in the caller's streaming plan (this one included) — sizes
+    the aggregator fan-out so concurrent joins cannot overcommit the CPU
+    budget.  (dedup_jaccard materializes this result before its own two
+    joins start, so the default 1 is correct there.)
 
     Shuffle-conscious shape: a hash-partitioned SELF-JOIN of the compact
     band table on band_hash.  Arrow's C++ hash join expands each bucket's
@@ -181,11 +192,14 @@ def minhash_candidates(sf_dir: str) -> ray.data.Dataset:
     # band index is XOR-folded into band_hash (see _band_rows), so the
     # hash alone is the bucket key — half the shuffle key width
     bands = ds.map_batches(_band_rows, batch_format="pyarrow").materialize()
+    if bands.count() == 0:
+        # an empty dataset has no schema and would crash the hash join
+        return ray.data.from_arrow(_EMPTY_PAIRS)
 
     pairs = bands.join(
         bands,
         join_type="inner",
-        num_partitions=_join_parts(),
+        num_partitions=_join_parts(total_joins),
         on=("band_hash",),
         left_suffix="_a",
         right_suffix="_b",
@@ -196,8 +210,18 @@ def minhash_candidates(sf_dir: str) -> ray.data.Dataset:
         return pa.table({"doc_a": t["doc_id_a"], "doc_b": t["doc_id_b"]})
 
     cand = pairs.map_batches(keep_ordered, batch_format="pyarrow")
-    # distinct pairs (pairs found in several bands collapse to one)
-    return cand.groupby(["doc_a", "doc_b"]).count().select_columns(["doc_a", "doc_b"])
+    # distinct pairs (pairs found in several bands collapse to one);
+    # materialized (tiny) so a zero-pair outcome keeps its typed schema
+    # (groupby on an all-empty stream loses it)
+    out = (
+        cand.groupby(["doc_a", "doc_b"])
+        .count()
+        .select_columns(["doc_a", "doc_b"])
+        .materialize()
+    )
+    if out.count() == 0:
+        return ray.data.from_arrow(_EMPTY_PAIRS)
+    return out
 
 
 def dedup_jaccard(sf_dir: str) -> ray.data.Dataset:
@@ -208,14 +232,23 @@ def dedup_jaccard(sf_dir: str) -> ray.data.Dataset:
     document text, once per side (Arrow's hash join carries string
     payloads; list payloads are unsupported, so shingling happens AFTER
     the join — which is also cheaper: shingles are computed only for the
-    candidate-matching rows that survive the inner join).  Join fan-out is
-    sized via relational._join_parts(2) so the two chained hash-shuffle
-    joins cannot exhaust the CPU budget with aggregator actors (see
-    CLAUDE.md perf notes)."""
+    candidate-matching rows that survive the inner join).  The candidate
+    set is MATERIALIZED first: it is tiny, the barrier keeps the upstream
+    band self-join from streaming concurrently with the two text joins
+    (so at most TWO joins share the CPU budget at once — sized via
+    relational._join_parts(2), see CLAUDE.md perf notes), and it lets the
+    zero-candidate case return a typed empty result instead of crashing
+    the schemaless hash join."""
 
     from .relational import _join_parts
 
-    cand = minhash_candidates(sf_dir)                  # (doc_a, doc_b)
+    cand = minhash_candidates(sf_dir).materialize()
+    if cand.count() == 0:
+        return ray.data.from_arrow(
+            _EMPTY_PAIRS.append_column(
+                "jaccard", pa.array([], pa.float64())
+            )
+        )
 
     docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
@@ -377,7 +410,9 @@ def dedup_embedding_ivf(sf_dir: str) -> ray.data.Dataset:
     product as the brute force); pairs whose endpoints share no top-2
     cluster are missed — recall vs the brute-force oracle is pinned in
     tests.  The shuffle carries (cluster, vec_id, embedding) rows — 2x the
-    embedding table, never an all-pairs blowup."""
+    embedding table, never an all-pairs blowup: K grows with N so a
+    cluster holds ~2N/K ≈ 4096 vectors and the per-group matmul stays
+    ~4096² (~130 MB float64) regardless of corpus size."""
     import pandas as pd
 
     from .similarity import _load, _normalize
@@ -385,7 +420,8 @@ def dedup_embedding_ivf(sf_dir: str) -> ray.data.Dataset:
     # deterministic coarse quantizer (driver-side on a sample; here the
     # whole table — at 100 TB a ds.limit(n) sample), as in ann_ivf
     ids, mat = _load(sf_dir)
-    K = 8
+    _TARGET_CLUSTER = 4096
+    K = max(8, -((-2 * len(ids)) // _TARGET_CLUSTER))   # ceil(2N/4096)
     order = np.argsort(ids)
     m = mat[order]
     cent = m[np.linspace(0, len(m) - 1, K).astype(int)].copy()
@@ -492,6 +528,10 @@ def simhash_candidates(sf_dir: str) -> ray.data.Dataset:
     # materialized: both self-join sides consume it (4 rows x 20 bytes per
     # doc — far smaller than the text the fingerprints derive from)
     bands = fps_ds.map_batches(band_rows, batch_format="pyarrow").materialize()
+    if bands.count() == 0:
+        return ray.data.from_arrow(
+            _EMPTY_PAIRS.append_column("hamming", pa.array([], pa.int64()))
+        )
 
     pairs = bands.join(
         bands,
@@ -526,10 +566,16 @@ def simhash_candidates(sf_dir: str) -> ray.data.Dataset:
     cand = pairs.map_batches(hamming_filter, batch_format="pyarrow")
     from ray.data.aggregate import Min
 
-    return (
+    out = (
         cand.groupby(["doc_a", "doc_b"])
         .aggregate(Min("hamming", alias_name="hamming"))
+        .materialize()
     )
+    if out.count() == 0:
+        return ray.data.from_arrow(
+            _EMPTY_PAIRS.append_column("hamming", pa.array([], pa.int64()))
+        )
+    return out
 
 
 # ---- exact word-set Jaccard top-k (oracle-checkable dedup ranking) -------
@@ -630,6 +676,15 @@ def dedup_components(sf_dir: str) -> ray.data.Dataset:
     # both directions so labels flow both ways; materialized: re-joined
     # every round
     edges = pairs.map_batches(to_directed, batch_format="pyarrow").materialize()
+    if edges.count() == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "rep_doc_id": pa.array([], pa.int64()),
+                }
+            )
+        )
 
     # label(x) := x initially, over the distinct endpoint set
     labels = (
@@ -689,6 +744,20 @@ def dedup_components(sf_dir: str) -> ray.data.Dataset:
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # cap hit without convergence: labels are NOT yet the component
+        # min (possible only for a component of diameter > _CC_MAX_ITERS,
+        # i.e. a long near-dup chain, not the near-clique typical case) —
+        # surface it rather than silently violating the rep contract
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "dedup_components: label propagation did not converge within "
+            "%d rounds (%d labels still changing); component reps may be "
+            "inconsistent — raise _CC_MAX_ITERS for chain-shaped dup sets",
+            _CC_MAX_ITERS,
+            changed,
+        )
 
     return labels.map_batches(
         lambda t: pa.table({"doc_id": t["node"], "rep_doc_id": t["label"]}),
@@ -715,8 +784,13 @@ def dedup_survivors(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
-    drops = dedup_components(sf_dir).map_batches(to_drops, batch_format="pyarrow")
+    drops = dedup_components(sf_dir).map_batches(
+        to_drops, batch_format="pyarrow"
+    ).materialize()
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    if drops.count() == 0:
+        return docs                    # nothing to drop; empty right side
+                                       # would crash the schemaless join
     joined = docs.join(
         drops,
         join_type="left_outer",

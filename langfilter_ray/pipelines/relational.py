@@ -573,7 +573,7 @@ def approx_distinct_users(sf_dir: str) -> pa.Table:
 
 # ---- Bloom-filter semi-join (sketch operator) ----------------------------
 
-_BLOOM_M = 1 << 17            # bits; ~1.6 bits/key at 80k keys
+_BLOOM_M = 1 << 17            # bits — size to >= ~20 bits/key for 1e-3 FPR
 _BLOOM_K = 4                  # hash functions
 _BLOOM_SEEDS = np.array(
     [0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9, 0x27D4EB2F165667C5],
@@ -604,10 +604,14 @@ def bloom_semi_join(sf_dir: str) -> ray.data.Dataset:
     probe batch tests its keys vectorized.
 
     Guarantee: NO false negatives — the result is a superset of the exact
-    semi-join, with false-positive rate <= (1-e^{-kn/m})^k (~1e-3 here),
-    so it serves as a cheap prefilter before an exact verification join at
-    100 TB.  Approximate by design -> rows-only check (superset + FPR
-    bound pinned in tests)."""
+    semi-join, with false-positive rate (1-e^{-kn/m})^k: ~1e-3 needs m/n
+    >= ~20 bits per distinct build key (k=4), so m = 2^17 holds that to
+    n ≈ 6.5k keys and degrades gracefully above (~2% at n = 15k).  At
+    100 TB, size m from a distinct-count estimate of the build side (the
+    `approx_distinct_users` HLL is exactly that estimator) and use the
+    filter as the cheap prefilter before an exact verification join.
+    Approximate by design -> rows-only check (superset + FPR bound pinned
+    in tests)."""
 
     def build_bits(t: pa.Table) -> pa.Table:
         keys = t["user_id"].to_numpy()
@@ -628,7 +632,11 @@ def bloom_semi_join(sf_dir: str) -> ray.data.Dataset:
         .to_pandas()
     )
     bitmap = np.zeros(_BLOOM_M, dtype=bool)
-    bitmap[set_bits["bit_idx"].to_numpy()] = True
+    if len(set_bits) and "bit_idx" in set_bits.columns:
+        # an empty build side yields a schemaless empty aggregate (no
+        # bit_idx column) — the all-False bitmap then filters everything,
+        # which is the correct exact semi-join result
+        bitmap[set_bits["bit_idx"].to_numpy()] = True
     bref = ray.put(bitmap)
 
     def probe(t: pa.Table) -> pa.Table:

@@ -1,0 +1,68 @@
+"""Empty-input edge cases for the join-backed operators (code-review
+round-2 findings): a corpus with ZERO near-dup candidates and a build
+side with ZERO matching rows used to crash the hash joins (an empty
+Dataset loses its schema); they must return typed empty / pass-through
+results instead."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+@pytest.fixture(scope="module")
+def clean_sf(tmp_path_factory, ray_session) -> str:
+    """An sf-dir whose documents are all unique (no LSH candidates) and
+    whose events contain no 'purchase' rows."""
+    d = tmp_path_factory.mktemp("clean_sf")
+    rng = np.random.RandomState(11)
+    words = [f"w{int(i)}x{int(rng.randint(1e6))}" for i in range(600)]
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(20), pa.int64()),
+            "text": pa.array(
+                [" ".join(words[i * 30:(i + 1) * 30]) for i in range(20)]
+            ),
+        }
+    )
+    pq.write_table(docs, d / "documents.parquet")
+    events = pa.table(
+        {
+            "event_id": pa.array(range(50), pa.int64()),
+            "user_id": pa.array([i % 7 for i in range(50)], pa.int64()),
+            "event_type": pa.array(["view"] * 50),
+        }
+    )
+    pq.write_table(events, d / "events.parquet")
+    return str(d)
+
+
+def test_no_candidates_returns_typed_empty(clean_sf):
+    # NOTE: Dataset.to_pandas() drops columns for any 0-row dataset, so
+    # the schema (what the downstream joins need) is asserted on the
+    # Dataset itself.
+    from langfilter_ray.pipelines import dedup
+
+    cand = dedup.minhash_candidates(clean_sf)
+    assert cand.count() == 0 and cand.schema().names == ["doc_a", "doc_b"]
+
+    jac = dedup.dedup_jaccard(clean_sf)
+    assert jac.count() == 0
+    assert jac.schema().names == ["doc_a", "doc_b", "jaccard"]
+
+    comp = dedup.dedup_components(clean_sf)
+    assert comp.count() == 0
+    assert comp.schema().names == ["doc_id", "rep_doc_id"]
+
+    surv = dedup.dedup_survivors(clean_sf).to_pandas()
+    assert sorted(surv["doc_id"]) == list(range(20))   # everyone survives
+
+
+def test_bloom_empty_build_side_filters_everything(clean_sf):
+    from langfilter_ray.pipelines.relational import bloom_semi_join
+
+    got = bloom_semi_join(clean_sf).to_pandas()
+    assert len(got) == 0
