@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_tokens": text_analysis.top_tokens,
         "heavy_hitter_tokens": text_analysis.heavy_hitter_tokens,
         "decontaminate_overlap": text_analysis.decontaminate_overlap,
+        "stratified_sample": text_analysis.stratified_sample,
         "distinct_sources": text_analysis.distinct_sources,
         "sample_docs": text_analysis.sample_docs,
         "winnow_fingerprints": text_analysis.winnow_fingerprints,

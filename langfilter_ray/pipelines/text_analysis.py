@@ -689,3 +689,47 @@ ORACLES["train_val_split"] = (
     "SELECT doc_id, CASE WHEN doc_id % 10 = 7 THEN 'val' ELSE 'train' END AS split "
     "FROM documents"
 )
+
+
+# ---- stratified deterministic sampling -----------------------------------
+
+# per-language keep rates (percent) — the quality-weighted sampling shape:
+# oversample scarce/high-value strata, downsample the dominant one
+STRATA_RATES = {"en": 20, "fr": 40, "de": 60, "es": 60}
+STRATA_DEFAULT_RATE = 10
+
+
+def stratified_sample(sf_dir: str) -> ray.data.Dataset:
+    """Per-language stratified sample with DETERMINISTIC membership: a doc
+    is kept iff md5(doc_id) mod 100 < its language's rate — a pure
+    function of the key, so the sample is stable across runs, cluster
+    sizes and re-partitioning, any engine can recompute it (the DuckDB
+    oracle reproduces it bit-for-bit), and rates are exact in expectation
+    per stratum.  Embarrassingly parallel map over a column-pruned read;
+    no shuffle."""
+    import hashlib
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        langs = t["lang"].to_pylist()
+        mask = [
+            int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100
+            < STRATA_RATES.get(lang, STRATA_DEFAULT_RATE)
+            for i, lang in zip(ids, langs)
+        ]
+        return t.filter(pa.array(mask, pa.bool_()))
+
+    return _docs_cols(sf_dir, ["doc_id", "lang"]).map_batches(
+        keep, batch_format="pyarrow"
+    )
+
+
+ORACLES["stratified_sample"] = (
+    "SELECT doc_id, lang FROM documents "
+    "WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT % 100 < "
+    "CASE "
+    + " ".join(
+        f"WHEN lang = '{k}' THEN {v}" for k, v in STRATA_RATES.items()
+    )
+    + f" ELSE {STRATA_DEFAULT_RATE} END"
+)
