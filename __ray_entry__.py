@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitter_tokens": text_analysis.heavy_hitter_tokens,
         "decontaminate_overlap": text_analysis.decontaminate_overlap,
         "stratified_sample": text_analysis.stratified_sample,
+        "doc_perplexity": text_analysis.doc_perplexity,
         "distinct_sources": text_analysis.distinct_sources,
         "sample_docs": text_analysis.sample_docs,
         "winnow_fingerprints": text_analysis.winnow_fingerprints,

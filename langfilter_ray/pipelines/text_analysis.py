@@ -508,6 +508,49 @@ ORACLES["doc_stats_by_lang"] = (
 )
 
 
+# ---- model-based perplexity scoring (actor-pool stateful stage) ----------
+
+class _PerplexityScorer:
+    """Actor-pool scorer: the char-trigram LID model builds ONCE per actor
+    (T1 singleton analog) and every batch is scored vectorized — the
+    standalone model-scoring surface (language + probability + KenLM-style
+    perplexity per doc) outside the flagship cascade."""
+
+    def __init__(self) -> None:
+        from ..functions.classifier import TrigramLidModel
+
+        self.model = TrigramLidModel()
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        texts = [s or "" for s in t["text"].to_pylist()]
+        langs, probs, ppl = self.model.classify_full(texts)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "pred_lang": pa.array(langs, pa.string()),
+                "probability": pa.array(probs, pa.float64()),
+                "perplexity": pa.array(
+                    np.where(np.isinf(ppl), -1.0, ppl), pa.float64()
+                ),
+            }
+        )
+
+
+def doc_perplexity(sf_dir: str) -> ray.data.Dataset:
+    """Per-doc (pred_lang, probability, perplexity) under the trigram LID
+    model — deterministic model scoring as an actor-pool map_batches
+    stage (model built once per actor; -1 sentinel for the no-trigram
+    infinite-perplexity case so the column stays a clean float64).
+    Rows-only (model-based); determinism and flagship-consistency pinned
+    in tests."""
+    return _docs_cols(sf_dir, ["doc_id", "text"]).map_batches(
+        _PerplexityScorer,
+        batch_format="pyarrow",
+        concurrency=2,
+        num_cpus=1,
+    )
+
+
 # ---- benchmark decontamination (n-gram overlap vs an eval set) -----------
 
 DECON_N = 8                 # word 8-grams, the usual decontamination gram

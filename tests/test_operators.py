@@ -96,6 +96,7 @@ def test_every_query_has_oracle_or_is_known_rows_only(entry_mod):
         "translate_kept_snippets", "repo_quality_report",
         "dedup_components", "dedup_survivors", "dedup_embedding_ivf",
         "bloom_semi_join", "approx_quantiles", "decontaminate_overlap",
+        "doc_perplexity",
     }
 
 
@@ -320,3 +321,23 @@ def test_decontaminate_overlap_matches_tuple_ground_truth(entry_mod):
             want[int(r["doc_id"])] = n
     assert dict(zip(got["doc_id"].astype(int), got["n_overlap"].astype(int))) == want
     assert want, "fixture should contain at least one contaminated doc"
+
+
+def test_doc_perplexity_deterministic_and_sane(entry_mod):
+    """Actor-pool model scoring: deterministic across runs, finite-or-
+    sentinel perplexity, and language predictions consistent with the
+    shared classifier (the flagship builds on the same model)."""
+    a = _to_pandas(entry_mod.queries()["doc_perplexity"](SF))
+    b = _to_pandas(entry_mod.queries()["doc_perplexity"](SF))
+    assert _canon(a).equals(_canon(b))
+    assert len(a) == 500
+    assert ((a["perplexity"] > 0) | (a["perplexity"] == -1)).all()
+    assert ((a["probability"] >= 0) & (a["probability"] <= 1)).all()
+    from langfilter_ray.functions.classifier import TrigramLidModel
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    m = TrigramLidModel()
+    langs, probs, _ = m.classify_full([s or "" for s in docs["text"]])
+    want = dict(zip(docs["doc_id"], langs))
+    got = dict(zip(a["doc_id"], a["pred_lang"]))
+    assert got == want
