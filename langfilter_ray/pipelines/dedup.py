@@ -8,16 +8,19 @@ shuffle-consciously:
                      min doc_id per group (the ONE shuffle is over 16-byte
                      digests + ids, never content)
   dedup_minhash    — MinHash+LSH: shingle -> 64 minhashes -> 16 bands ->
-                     explode to (band, band_hash, doc_id) -> groupby ->
-                     candidate pairs (shuffle carries only band keys)
+                     explode to (band_hash, doc_id) -> hash-partitioned
+                     SELF-JOIN expands bucket pairs in Arrow C++
+                     (shuffle carries only band keys)
   dedup_jaccard    — exact 3-gram Jaccard verification of the LSH
-                     candidates (verification joins text back in via a
-                     broadcast at test scale; at corpus scale this becomes
-                     a hash-partitioned join on doc_id — see docstring)
-  dedup_simhash    — 64-bit SimHash fingerprint per doc (near-dup bucketing
-                     by Hamming distance is then a prefix groupby)
+                     candidates, hash-partition-joined back to text —
+                     fully distributed, no driver text dict
+  dedup_simhash    — 64-bit SimHash fingerprint per doc;
+                     `simhash_candidates` buckets by 16-bit bands
   dedup_embedding  — embedding-cosine near-dup pairs over ``embeddings``
-                     (broadcast normalized matrix, blockwise matmul)
+                     (broadcast-matrix brute force = exact baseline;
+                     `dedup_embedding_ivf` is the streaming scale path)
+  dedup_components — candidate pairs -> connected components (distributed
+                     min-label propagation); `dedup_survivors` = keep-list
 
 All hashing is crc32 + odd-constant uint64 mixing (xxhash is not in this
 sandbox; md5 only for the exact-dedup digest); constants are module-level
@@ -768,42 +771,43 @@ def dedup_components(sf_dir: str) -> ray.data.Dataset:
 def dedup_survivors(sf_dir: str) -> ray.data.Dataset:
     """The deduplicated corpus id list: every doc except non-representative
     members of a near-dup component (component rep = min doc_id survives).
-    Anti-join shape: the (tiny) drop list joins LEFT OUTER onto the
-    corpus ids and null-filtered — the corpus side streams, never
-    materializes."""
-    from .relational import _join_parts
 
-    def to_drops(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.not_equal(t["doc_id"], t["rep_doc_id"]))
-        # the join consumes the key column; "dropped" is the payload
-        # marker that survives into the left_outer output (null = keep)
-        return pa.table(
-            {
-                "drop_id": t["doc_id"],
-                "dropped": pa.array(np.ones(len(t), dtype=np.int8)),
-            }
-        )
+    Broadcast anti-filter shape: the drop list (non-rep component members
+    — tiny relative to the corpus) is collected once, sorted, ray.put,
+    and every corpus batch filters itself with a vectorized sorted
+    ``np.isin``; the corpus side streams, never materializes.  A
+    left_outer anti-JOIN is the giant-drop-list alternative, but Ray
+    2.49's hash join crashes when a right-side partition receives zero
+    rows (schemaless empty partition table — observed at sf0.001 with 8
+    partitions over 19 drop rows), so the broadcast is both the fast and
+    the robust shape here."""
 
-    drops = dedup_components(sf_dir).map_batches(
-        to_drops, batch_format="pyarrow"
-    ).materialize()
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
-    if drops.count() == 0:
-        return docs                    # nothing to drop; empty right side
-                                       # would crash the schemaless join
-    joined = docs.join(
-        drops,
-        join_type="left_outer",
-        num_partitions=_join_parts(),
-        on=("doc_id",),
-        right_on=("drop_id",),
-    )
-    return joined.map_batches(
+    drops_ds = dedup_components(sf_dir).map_batches(
         lambda t: pa.table(
-            {"doc_id": t["doc_id"].filter(pc.is_null(t["dropped"]))}
+            {
+                "drop_id": t["doc_id"].filter(
+                    pc.not_equal(t["doc_id"], t["rep_doc_id"])
+                )
+            }
         ),
         batch_format="pyarrow",
+    ).materialize()
+    drop_ids = np.sort(
+        np.concatenate(
+            [b["drop_id"].to_numpy() for b in
+             drops_ds.iter_batches(batch_format="pyarrow")]
+            or [np.empty(0, dtype=np.int64)]
+        )
     )
+    dref = ray.put(drop_ids)
+
+    def keep(t: pa.Table) -> pa.Table:
+        d = ray.get(dref)
+        ids = t["doc_id"].to_numpy()
+        return pa.table({"doc_id": pa.array(ids[~np.isin(ids, d)], pa.int64())})
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return docs.map_batches(keep, batch_format="pyarrow")
 
 
 ORACLES["similar_pairs_topk"] = (
