@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_overlap": text_analysis.decontaminate_overlap,
         "stratified_sample": text_analysis.stratified_sample,
         "doc_perplexity": text_analysis.doc_perplexity,
+        "top_bigrams": text_analysis.top_bigrams,
         "distinct_sources": text_analysis.distinct_sources,
         "sample_docs": text_analysis.sample_docs,
         "winnow_fingerprints": text_analysis.winnow_fingerprints,

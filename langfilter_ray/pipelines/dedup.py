@@ -645,6 +645,27 @@ def similar_pairs_topk(sf_dir: str) -> ray.data.Dataset:
 _CC_MAX_ITERS = 16      # label propagation rounds; dup clusters are
                         # near-cliques (diameter ~1-2), so this is generous
 
+# verified-pair cache, keyed by (Ray job, sf_dir): dedup_components and
+# dedup_survivors both consume dedup_jaccard's output — within one driver
+# session the pair set is deterministic and immutable, so the expensive
+# minhash -> jaccard chain runs once, not once per downstream query.  The
+# job id in the key keeps stale object refs from leaking across
+# ray.shutdown()/init cycles in one process.
+_PAIR_CACHE: dict = {}
+
+
+def _verified_pairs(sf_dir: str) -> ray.data.Dataset:
+    try:
+        job = ray.get_runtime_context().get_job_id()
+    except Exception:
+        job = None
+    key = (job, sf_dir)
+    ds = _PAIR_CACHE.get(key)
+    if ds is None:
+        ds = dedup_jaccard(sf_dir).materialize()
+        _PAIR_CACHE[key] = ds
+    return ds
+
 
 def dedup_components(sf_dir: str) -> ray.data.Dataset:
     """Resolve verified near-dup pairs (``dedup_jaccard``) into connected
@@ -664,7 +685,7 @@ def dedup_components(sf_dir: str) -> ray.data.Dataset:
 
     from .relational import _join_parts
 
-    pairs = dedup_jaccard(sf_dir).select_columns(["doc_a", "doc_b"])
+    pairs = _verified_pairs(sf_dir).select_columns(["doc_a", "doc_b"])
 
     def to_directed(t: pa.Table) -> pa.Table:
         a = t["doc_a"].to_numpy()

@@ -330,6 +330,84 @@ def top_tokens(sf_dir: str) -> ray.data.Dataset:
     return agg.sort(["n", "token"], descending=[True, False]).limit(20)
 
 
+# ---- bigram counts (n-gram LM prep) --------------------------------------
+
+TOP_BIGRAMS_K = 50
+
+
+def top_bigrams(sf_dir: str) -> ray.data.Dataset:
+    """Corpus-wide top-50 token bigrams — the n-gram-LM count-collection
+    shape: tokens split with one Arrow kernel, bigram pairs formed
+    VECTORIZED from the flat token buffer + list offsets (a pair is
+    (flat[i], flat[i+1]) unless i+1 starts a new document), counted
+    within the batch (combiner), then a (w1, w2) groupby merges partials
+    and a tiny sort+limit finishes.  The shuffle carries per-batch
+    distinct bigrams, never one row per occurrence."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        lowered = pc.fill_null(pc.utf8_lower(t["text"]), "")
+        toks = pc.split_pattern_regex(lowered, pattern="[^a-z0-9_]+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten().to_numpy(zero_copy_only=False)
+        empty = pa.table(
+            {
+                "w1": pa.array([], pa.string()),
+                "w2": pa.array([], pa.string()),
+                "partial": pa.array([], pa.int64()),
+            }
+        )
+        if len(flat) < 2:
+            return empty
+        offsets = toks.offsets.to_numpy()
+        w1, w2 = flat[:-1], flat[1:]
+        mask = np.ones(len(flat) - 1, dtype=bool)
+        starts = offsets[1:-1]                      # later documents' starts
+        starts = starts[(starts > 0) & (starts < len(flat))]
+        mask[starts - 1] = False                    # pairs crossing a doc
+        # split() leaves "" only at list edges; those pairs are invalid
+        mask &= (w1 != "") & (w2 != "")
+        if not mask.any():
+            return empty
+        df = pd.DataFrame({"w1": w1[mask], "w2": w2[mask]})
+        g = df.groupby(["w1", "w2"], sort=False).size().reset_index(name="partial")
+        return pa.table(
+            {
+                "w1": pa.array(g["w1"], pa.string()),
+                "w2": pa.array(g["w2"], pa.string()),
+                "partial": pa.array(g["partial"].to_numpy(), pa.int64()),
+            }
+        )
+
+    agg = (
+        _docs_cols(sf_dir, ["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["w1", "w2"])
+        .aggregate(Sum("partial", alias_name="n"))
+    )
+    return agg.sort(["n", "w1", "w2"], descending=[True, False, False]).limit(
+        TOP_BIGRAMS_K
+    )
+
+
+TOP_BIGRAMS_SQL = (
+    "WITH toks AS ("
+    "  SELECT doc_id, pos, token FROM ("
+    "    SELECT doc_id, "
+    f"    unnest(regexp_extract_all(lower(text), '{LOWER_TOKEN_RE}')) AS token, "
+    f"    generate_subscripts(regexp_extract_all(lower(text), '{LOWER_TOKEN_RE}'), 1) AS pos "
+    "    FROM documents)"
+    "), pairs AS ("
+    "  SELECT token AS w1, lead(token) OVER ("
+    "    PARTITION BY doc_id ORDER BY pos) AS w2 FROM toks"
+    ") SELECT w1, w2, count(*)::BIGINT AS n FROM pairs WHERE w2 IS NOT NULL "
+    f"GROUP BY w1, w2 ORDER BY n DESC, w1, w2 LIMIT {TOP_BIGRAMS_K}"
+)
+
+
 # ---- heavy hitters (bounded-shuffle sketch, exactly verified) ------------
 
 HH_K = 200      # report tokens with global count > N/K (φ = 1/K)
@@ -493,6 +571,8 @@ def doc_stats_by_lang(sf_dir: str) -> ray.data.Dataset:
 
 
 ORACLES["heavy_hitter_tokens"] = HEAVY_HITTER_SQL
+
+ORACLES["top_bigrams"] = TOP_BIGRAMS_SQL
 
 ORACLES["token_counts_bpe"] = (
     "SELECT doc_id, len(regexp_extract_all(text, "

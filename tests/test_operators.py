@@ -61,6 +61,7 @@ ORACLE_CHECKED = [
     "hopping_counts", "median_value_per_type", "event_type_pivot",
     "order_price_tiers", "daily_hopping_counts", "similar_pairs_topk", "revenue_rollup", "props_stats", "train_val_split", "session_windows", "error_events_pushdown",
     "heavy_hitter_tokens", "token_counts_bpe", "stratified_sample",
+    "top_bigrams",
 ]
 
 
