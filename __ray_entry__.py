@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_decode": multimodal.multimodal_decode,
         "multimodal_resize": multimodal.multimodal_resize,
         "frame_sample": multimodal.frame_sample,
+        "decode_pgm": multimodal.decode_pgm,
     }
 
 

@@ -177,3 +177,109 @@ ORACLES: dict[str, str] = {
         "SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes FROM documents"
     ),
 }
+
+
+# ---- REAL decode: PGM (P5) — no codec libs needed ------------------------
+
+def _encode_pgm(doc_id: int) -> bytes:
+    """Deterministic valid binary PGM (P5): dims and pixels are pure
+    functions of doc_id, so the decoder below can be verified against a
+    closed-form ground truth.  This is the test-image generator a real
+    pipeline would replace with actual stored media."""
+    import numpy as np
+
+    w = 16 + (doc_id % 32)
+    h = 12 + (doc_id % 24)
+    idx = np.arange(w * h, dtype=np.int64)
+    pixels = ((idx * 31 + doc_id) % 256).astype(np.uint8)
+    header = f"P5\n{w} {h}\n255\n".encode()
+    return header + pixels.tobytes()
+
+
+class PgmDecoder:
+    """Actor-pool decode stage with a REAL parser: binary PGM (P5) header
+    + pixel buffer via numpy — the simplest genuine image decode that
+    needs no codec library, exercising everything a PIL/libav stage
+    would: header parsing, binary -> ndarray, per-image feature extraction
+    (mean intensity), and POISON containment (a corrupt payload becomes a
+    decode_error row, never a failed batch — S5 analog)."""
+
+    def __init__(self) -> None:
+        import numpy as np
+
+        self.np = np        # real impl: self.codec = load_codec(...)
+
+    def _decode(self, payload: bytes):
+        np = self.np
+        if not payload.startswith(b"P5"):
+            raise ValueError("not a P5 PGM")
+        parts = payload.split(b"\n", 3)
+        if len(parts) < 4:
+            raise ValueError("truncated header")
+        w, h = (int(x) for x in parts[1].split())
+        maxval = int(parts[2])
+        if maxval != 255:
+            raise ValueError(f"unsupported maxval {maxval}")
+        pix = np.frombuffer(parts[3], dtype=np.uint8)
+        if len(pix) != w * h:
+            raise ValueError(f"pixel buffer {len(pix)} != {w}x{h}")
+        # quantized mean keeps the column integer (exact across engines)
+        mean_milli = int(round(float(pix.mean()) * 1000))
+        return w, h, mean_milli
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, ws, hs, means, errs = [], [], [], [], []
+        for doc_id, payload in zip(
+            t["doc_id"].to_pylist(), t["payload"].to_pylist()
+        ):
+            ids.append(doc_id)
+            try:
+                w, h, m = self._decode(payload or b"")
+                ws.append(w)
+                hs.append(h)
+                means.append(m)
+                errs.append(None)
+            except (ValueError, OverflowError) as exc:
+                ws.append(0)
+                hs.append(0)
+                means.append(0)
+                errs.append(str(exc))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "width": pa.array(ws, pa.int64()),
+                "height": pa.array(hs, pa.int64()),
+                "mean_milli": pa.array(means, pa.int64()),
+                "decode_error": pa.array(errs, pa.string()),
+            }
+        )
+
+
+def decode_pgm(sf_dir: str) -> ray.data.Dataset:
+    """End-to-end REAL image decode: synthesize a PGM payload per doc_id
+    (stand-in for stored media), then parse it in the actor-pool decoder.
+    Every 97th payload is deliberately truncated to exercise the poison
+    path."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def gen(t: pa.Table) -> pa.Table:
+        payloads = []
+        for i in t["doc_id"].to_pylist():
+            b = _encode_pgm(int(i))
+            if i % 97 == 13:
+                b = b[: len(b) // 2]       # corrupt: truncated pixel buffer
+            payloads.append(b)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "payload": pa.array(payloads, pa.large_binary()),
+            }
+        )
+
+    return ds.map_batches(gen, batch_format="pyarrow").map_batches(
+        PgmDecoder,
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=(1, 4),
+        num_cpus=1,
+    )

@@ -97,7 +97,7 @@ def test_every_query_has_oracle_or_is_known_rows_only(entry_mod):
         "translate_kept_snippets", "repo_quality_report",
         "dedup_components", "dedup_survivors", "dedup_embedding_ivf",
         "bloom_semi_join", "approx_quantiles", "decontaminate_overlap",
-        "doc_perplexity",
+        "doc_perplexity", "decode_pgm",
     }
 
 
@@ -342,3 +342,24 @@ def test_doc_perplexity_deterministic_and_sane(entry_mod):
     want = dict(zip(docs["doc_id"], langs))
     got = dict(zip(a["doc_id"], a["pred_lang"]))
     assert got == want
+
+
+def test_decode_pgm_real_parse_and_poison(entry_mod):
+    """REAL binary decode: parsed dims/mean must equal the generator's
+    closed form; deliberately corrupted payloads land as decode_error
+    rows, never failed batches."""
+    import numpy as np
+
+    got = _to_pandas(entry_mod.queries()["decode_pgm"](SF))
+    assert len(got) == 500
+    ok = got[got["decode_error"].isna()]
+    bad = got[got["decode_error"].notna()]
+    assert set(bad["doc_id"]) == {i for i in range(500) if i % 97 == 13}
+    assert (bad[["width", "height", "mean_milli"]] == 0).all().all()
+    for _, r in ok.head(40).iterrows():
+        i = int(r["doc_id"])
+        w, h = 16 + i % 32, 12 + i % 24
+        idx = np.arange(w * h, dtype=np.int64)
+        mean = ((idx * 31 + i) % 256).mean()
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["mean_milli"] == int(round(mean * 1000))
