@@ -64,7 +64,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup family
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash": dedup.minhash_candidates,
-        "dedup_jaccard": dedup.dedup_jaccard,
+        # cached wrapper: components/survivors consume the same verified
+        # pair set, so one minhash->jaccard chain serves all three queries
+        "dedup_jaccard": dedup._verified_pairs,
         "dedup_simhash": dedup.dedup_simhash,
         "simhash_candidates": dedup.simhash_candidates,
         "dedup_embedding": dedup.dedup_embedding,
