@@ -418,13 +418,18 @@ def dedup_embedding_ivf(sf_dir: str) -> ray.data.Dataset:
     ~4096² (~130 MB float64) regardless of corpus size."""
     import pandas as pd
 
-    from .similarity import _load, _normalize
+    from .similarity import TRAIN_SAMPLE_ROWS, _load, _normalize
 
-    # deterministic coarse quantizer (driver-side on a sample; here the
-    # whole table — at 100 TB a ds.limit(n) sample), as in ann_ivf
-    ids, mat = _load(sf_dir)
+    # deterministic coarse quantizer trained driver-side on a BOUNDED
+    # row-group-streamed sample (first 100k rows), as in ann_ivf
+    ids, mat = _load(sf_dir, max_rows=TRAIN_SAMPLE_ROWS)
     _TARGET_CLUSTER = 4096
-    K = max(8, -((-2 * len(ids)) // _TARGET_CLUSTER))   # ceil(2N/4096)
+    # K scales with the FULL table size (not the sample) so per-cluster
+    # pairwise work stays ~4096^2 at any corpus size
+    import pyarrow.parquet as _pq
+
+    n_total = _pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
+    K = max(8, -((-2 * n_total) // _TARGET_CLUSTER))    # ceil(2N/4096)
     order = np.argsort(ids)
     m = mat[order]
     cent = m[np.linspace(0, len(m) - 1, K).astype(int)].copy()

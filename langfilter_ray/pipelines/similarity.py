@@ -30,10 +30,32 @@ LSH_BITS = 12
 _PLANES_SEED = 7        # fresh RandomState per call => deterministic planes
 
 
-def _load(sf_dir: str):
+TRAIN_SAMPLE_ROWS = 100_000     # driver-side centroid-training sample cap
+
+
+def _load(sf_dir: str, max_rows: int | None = None):
+    """Driver-side (vec_id, normalized matrix) — used ONLY for tiny
+    driver-side artifacts (centroid training, the brute-force baseline).
+    ``max_rows`` caps the read at the FIRST n rows (row-group streaming,
+    deterministic) so centroid training stays bounded however large the
+    table grows; at test scale the cap exceeds the table and reads all."""
     import pyarrow.parquet as pq
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    if max_rows is None:
+        t = pf.read(columns=["vec_id", "embedding"])
+    else:
+        batches = []
+        seen = 0
+        for b in pf.iter_batches(columns=["vec_id", "embedding"]):
+            batches.append(b)
+            seen += len(b)
+            if seen >= max_rows:
+                break
+        t = pa.Table.from_batches(batches) if batches else pf.read(
+            columns=["vec_id", "embedding"]
+        )
+        t = t.slice(0, max_rows)
     ids = t["vec_id"].to_numpy()
     mat = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
@@ -191,7 +213,7 @@ def ann_ivf(sf_dir: str) -> ray.data.Dataset:
     embeddings stream through `map_batches` and the shuffle carries only
     local top-k survivor rows.  Approximate by design → rows-only check
     (recall vs exact ann_topk asserted in tests)."""
-    ids, mat = _load(sf_dir)
+    ids, mat = _load(sf_dir, max_rows=TRAIN_SAMPLE_ROWS)
     K, NPROBE = 8, 4      # recall/speed knob: probe half the coarse cells
     order = np.argsort(ids)
     m = mat[order]
