@@ -42,6 +42,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gate_decision_report": reports.gate_decision_report,
         "translate_kept_snippets": reports.translate_kept_snippets,
         "repo_quality_report": reports.repo_quality_report,
+        "corpus_clean": reports.corpus_clean,
         # text analysis over documents (oracle-checked)
         "token_counts": text_analysis.token_counts,
         "token_counts_bpe": text_analysis.token_counts_bpe,
@@ -57,6 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": text_analysis.stratified_sample,
         "doc_perplexity": text_analysis.doc_perplexity,
         "top_bigrams": text_analysis.top_bigrams,
+        "top_docs_per_lang": text_analysis.top_docs_per_lang,
         "distinct_sources": text_analysis.distinct_sources,
         "sample_docs": text_analysis.sample_docs,
         "winnow_fingerprints": text_analysis.winnow_fingerprints,

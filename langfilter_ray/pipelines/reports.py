@@ -139,3 +139,43 @@ def repo_quality_report(sf_dir: str) -> ray.data.Dataset:
     return agg.map_batches(add_rate, batch_format="pyarrow").sort(
         ["keep_rate", "repo"], descending=[False, False]
     )
+
+
+def corpus_clean(sf_dir: str) -> ray.data.Dataset:
+    """The INTEGRATED training-data flow — quality-filter cascade, then
+    exact dedup over the scrubbed content, one representative per
+    distinct post-scrub payload: the end-to-end composition a user runs
+    to turn a raw corpus into clean training data.
+
+    Scale shape: the flagship stage streams (map-only); the dedup
+    consumes only (content_sha256, repo, path, commit) — the ONE shuffle
+    carries 64-hex digests + keys, never content; the representative is
+    the lexicographically-first (repo, path, commit) per digest so the
+    output is deterministic under any partitioning."""
+    import pandas as pd
+    import pyarrow as pa
+
+    cfg = DEFAULT_CONFIG
+    ds = build_pipeline(read_corpus(corpus_for(sf_dir)), cfg, drop_content=True)
+
+    def kept_keys(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = t.filter(pc.equal(t["keep"], True))
+        return pa.table(
+            {
+                "content_sha256": t["content_sha256"],
+                "repo": t["repo"],
+                "path": t["path"],
+                "commit": t["commit"],
+            }
+        )
+
+    def rep_per_digest(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["repo", "path", "commit"]).head(1)
+
+    return (
+        ds.map_batches(kept_keys, batch_format="pyarrow")
+        .groupby("content_sha256")
+        .map_groups(rep_per_digest, batch_format="pandas")
+    )

@@ -736,6 +736,60 @@ def decontaminate_overlap(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+# ---- per-language top-k by quality (grouped window rank) -----------------
+
+TOPK_PER_LANG = 5
+
+
+def top_docs_per_lang(sf_dir: str) -> ray.data.Dataset:
+    """Top-5 docs per language by a quality key (longest docs win; ties to
+    the smaller doc_id) — ROW_NUMBER()-per-partition re-expressed for
+    scale, same shape as relational.top_orders_per_segment: each batch
+    keeps only its LOCAL top-5 per language (combiner), then the exact
+    rank runs in map_groups over the tiny survivor set.  The quality key
+    here is n_chars (already a column — no text scan needed); swap in any
+    scoring column and the plan is unchanged."""
+    import pandas as pd
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "lang": t["lang"].to_pylist(),
+                "doc_id": t["doc_id"].to_numpy(),
+                "n_chars": t["n_chars"].to_numpy(),
+            }
+        )
+        df = df.sort_values(
+            ["lang", "n_chars", "doc_id"], ascending=[True, False, True]
+        )
+        out = df.groupby("lang", sort=False).head(TOPK_PER_LANG)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def exact_rank(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n_chars", "doc_id"], ascending=[False, True]).head(
+            TOPK_PER_LANG
+        )
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["lang", "doc_id", "n_chars", "rank"]]
+
+    return (
+        _docs_cols(sf_dir, ["doc_id", "lang", "n_chars"])
+        .map_batches(local_topk, batch_format="pyarrow")
+        .groupby("lang")
+        .map_groups(exact_rank, batch_format="pandas")
+    )
+
+
+ORACLES["top_docs_per_lang"] = (
+    "SELECT lang, doc_id, n_chars, rank FROM ("
+    "  SELECT lang, doc_id, n_chars, row_number() OVER ("
+    "    PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rank"
+    "  FROM documents"
+    f") WHERE rank <= {TOPK_PER_LANG}"
+)
+
+
 # ---- winnowing fingerprints (rolling hash) -------------------------------
 
 def winnow_fingerprints(sf_dir: str) -> ray.data.Dataset:

@@ -61,7 +61,7 @@ ORACLE_CHECKED = [
     "hopping_counts", "median_value_per_type", "event_type_pivot",
     "order_price_tiers", "daily_hopping_counts", "similar_pairs_topk", "revenue_rollup", "props_stats", "train_val_split", "session_windows", "error_events_pushdown",
     "heavy_hitter_tokens", "token_counts_bpe", "stratified_sample",
-    "top_bigrams",
+    "top_bigrams", "top_docs_per_lang",
 ]
 
 
@@ -97,7 +97,7 @@ def test_every_query_has_oracle_or_is_known_rows_only(entry_mod):
         "translate_kept_snippets", "repo_quality_report",
         "dedup_components", "dedup_survivors", "dedup_embedding_ivf",
         "bloom_semi_join", "approx_quantiles", "decontaminate_overlap",
-        "doc_perplexity", "decode_pgm",
+        "doc_perplexity", "decode_pgm", "corpus_clean",
     }
 
 
@@ -363,3 +363,26 @@ def test_decode_pgm_real_parse_and_poison(entry_mod):
         mean = ((idx * 31 + i) % 256).mean()
         assert (r["width"], r["height"]) == (w, h)
         assert r["mean_milli"] == int(round(mean * 1000))
+
+
+def test_corpus_clean_integrated(entry_mod):
+    """End-to-end composition: output is exactly one representative per
+    distinct scrubbed-content digest among KEPT rows, with the
+    lexicographically-first (repo, path, commit) as the rep."""
+    labels = _to_pandas(entry_mod.queries()["quality_filter_labels"](SF))
+    clean = _to_pandas(entry_mod.queries()["corpus_clean"](SF))
+    kept = labels[labels["keep"]]
+    assert set(clean["content_sha256"]) == set(kept["content_sha256"])
+    assert len(clean) == kept["content_sha256"].nunique()
+    want_rep = (
+        kept.sort_values(["repo", "path", "commit"])
+        .groupby("content_sha256")
+        .head(1)
+        .set_index("content_sha256")[["repo", "path", "commit"]]
+    )
+    got_rep = clean.set_index("content_sha256")[["repo", "path", "commit"]]
+    pd.testing.assert_frame_equal(
+        got_rep.sort_index(), want_rep.sort_index(), check_like=True
+    )
+    clean2 = _to_pandas(entry_mod.queries()["corpus_clean"](SF))
+    assert _canon(clean).equals(_canon(clean2))
