@@ -424,17 +424,25 @@ def dedup_embedding_ivf(sf_dir: str) -> ray.data.Dataset:
     # row-group-streamed sample (first 100k rows), as in ann_ivf
     ids, mat = _load(sf_dir, max_rows=TRAIN_SAMPLE_ROWS)
     _TARGET_CLUSTER = 4096
-    # K scales with the FULL table size (not the sample) so per-cluster
-    # pairwise work stays ~4096^2 at any corpus size
+    # K scales with the FULL table size (parquet metadata, no read) so
+    # per-cluster pairwise work stays bounded — but is CAPPED at
+    # sample/32 so every centroid has >= 32 training points (a K beyond
+    # that would produce duplicate linspace seeds Lloyd can never
+    # separate).  With the 100k sample the cap is 3125 clusters ->
+    # per-cluster size grows past the 4096 target only beyond ~6M rows,
+    # degrading gradually (bigger in-cluster matmuls), never wrongly.
     import pyarrow.parquet as _pq
 
     n_total = _pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
-    K = max(8, -((-2 * n_total) // _TARGET_CLUSTER))    # ceil(2N/4096)
+    K = max(8, min(-((-2 * n_total) // _TARGET_CLUSTER), len(ids) // 32 or 8))
     order = np.argsort(ids)
     m = mat[order]
     cent = m[np.linspace(0, len(m) - 1, K).astype(int)].copy()
+    _BLOCK = 8192        # blocked assignment: (8192 x K) floats, not (m x K)
     for _ in range(5):
-        assign = np.argmax(m @ cent.T, axis=1)
+        assign = np.empty(len(m), dtype=np.int64)
+        for s in range(0, len(m), _BLOCK):
+            assign[s:s + _BLOCK] = np.argmax(m[s:s + _BLOCK] @ cent.T, axis=1)
         for k in range(K):
             sel = m[assign == k]
             if len(sel):
@@ -798,42 +806,78 @@ def dedup_survivors(sf_dir: str) -> ray.data.Dataset:
     """The deduplicated corpus id list: every doc except non-representative
     members of a near-dup component (component rep = min doc_id survives).
 
-    Broadcast anti-filter shape: the drop list (non-rep component members
-    — tiny relative to the corpus) is collected once, sorted, ray.put,
-    and every corpus batch filters itself with a vectorized sorted
-    ``np.isin``; the corpus side streams, never materializes.  A
-    left_outer anti-JOIN is the giant-drop-list alternative, but Ray
-    2.49's hash join crashes when a right-side partition receives zero
-    rows (schemaless empty partition table — observed at sf0.001 with 8
-    partitions over 19 drop rows), so the broadcast is both the fast and
-    the robust shape here."""
+    Hybrid anti-filter, picked by the (already-materialized) drop-list
+    size:
+
+    - SPARSE drop list (< 32 x join partitions): broadcast — collect,
+      sort, ray.put, vectorized ``np.isin`` per corpus batch.  This is
+      the typical case, and the mandatory one: Ray 2.49's hash join
+      crashes when a right-side partition receives zero rows (schemaless
+      empty partition table — observed at sf0.001 with 8 partitions over
+      19 drop rows), which is exactly the sparse regime.
+    - DENSE drop list: streaming left_outer anti-join — with n >= 32 keys
+      per partition the P(empty partition) <= parts * e^-32 is
+      negligible, and neither side is ever collected to the driver, so an
+      adversarially duplicated corpus (drop list ~ O(N)) cannot blow the
+      driver heap.
+
+    The corpus side streams in both shapes."""
+    from .relational import _join_parts
 
     drops_ds = dedup_components(sf_dir).map_batches(
         lambda t: pa.table(
             {
                 "drop_id": t["doc_id"].filter(
                     pc.not_equal(t["doc_id"], t["rep_doc_id"])
-                )
+                ),
             }
         ),
         batch_format="pyarrow",
     ).materialize()
-    drop_ids = np.sort(
-        np.concatenate(
-            [b["drop_id"].to_numpy() for b in
-             drops_ds.iter_batches(batch_format="pyarrow")]
-            or [np.empty(0, dtype=np.int64)]
-        )
-    )
-    dref = ray.put(drop_ids)
-
-    def keep(t: pa.Table) -> pa.Table:
-        d = ray.get(dref)
-        ids = t["doc_id"].to_numpy()
-        return pa.table({"doc_id": pa.array(ids[~np.isin(ids, d)], pa.int64())})
-
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
-    return docs.map_batches(keep, batch_format="pyarrow")
+    n_drops = drops_ds.count()
+    parts = _join_parts()
+
+    if n_drops < parts * 32:
+        drop_ids = np.sort(
+            np.concatenate(
+                [b["drop_id"].to_numpy() for b in
+                 drops_ds.iter_batches(batch_format="pyarrow")]
+                or [np.empty(0, dtype=np.int64)]
+            )
+        )
+        dref = ray.put(drop_ids)
+
+        def keep(t: pa.Table) -> pa.Table:
+            d = ray.get(dref)
+            ids = t["doc_id"].to_numpy()
+            return pa.table(
+                {"doc_id": pa.array(ids[~np.isin(ids, d)], pa.int64())}
+            )
+
+        return docs.map_batches(keep, batch_format="pyarrow")
+
+    # dense path: the join consumes the key column, so a payload marker
+    # survives into the left_outer output (null = keep)
+    marked = drops_ds.map_batches(
+        lambda t: t.append_column(
+            "dropped", pa.array(np.ones(len(t), dtype=np.int8))
+        ),
+        batch_format="pyarrow",
+    )
+    joined = docs.join(
+        marked,
+        join_type="left_outer",
+        num_partitions=parts,
+        on=("doc_id",),
+        right_on=("drop_id",),
+    )
+    return joined.map_batches(
+        lambda t: pa.table(
+            {"doc_id": t["doc_id"].filter(pc.is_null(t["dropped"]))}
+        ),
+        batch_format="pyarrow",
+    )
 
 
 ORACLES["similar_pairs_topk"] = (

@@ -227,8 +227,10 @@ def ann_ivf(sf_dir: str) -> ray.data.Dataset:
                 n = np.linalg.norm(c)
                 if n > 0:
                     cent[k] = c / n
-    qmask = ids < N_QUERIES
-    qids, qmat = ids[qmask], mat[qmask]
+    # query vectors come from the row-FILTERED parquet read, never the
+    # training sample — a query row past the 100k sample cap would
+    # otherwise be silently dropped
+    qids, qmat = _load_queries(sf_dir)
     qprobe = np.argsort(-(qmat @ cent.T), axis=1)[:, :NPROBE]
     ref = ray.put((qids, qmat, cent, qprobe))
 

@@ -66,3 +66,25 @@ def test_bloom_empty_build_side_filters_everything(clean_sf):
 
     got = bloom_semi_join(clean_sf).to_pandas()
     assert len(got) == 0
+
+
+def test_dedup_survivors_dense_drop_list(tmp_path_factory, ray_session):
+    """Heavily duplicated corpus -> drop list over the dense threshold ->
+    the streaming left_outer anti-join path must produce exactly one
+    survivor (the min doc_id) per duplicate group."""
+    d = tmp_path_factory.mktemp("dup_sf")
+    n_groups, per_group = 30, 10
+    texts, ids = [], []
+    for g in range(n_groups):
+        body = " ".join(f"tok{g}w{j} common{j % 5}" for j in range(40))
+        for k in range(per_group):
+            ids.append(g * per_group + k)
+            texts.append(body)
+    pq.write_table(
+        pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)}),
+        d / "documents.parquet",
+    )
+    from langfilter_ray.pipelines import dedup
+
+    surv = sorted(dedup.dedup_survivors(str(d)).to_pandas()["doc_id"])
+    assert surv == [g * per_group for g in range(n_groups)]
