@@ -145,6 +145,23 @@ def run_scaling() -> dict:
     lo = best_of(lo_cpus, pin=True)
     hi = best_of(hi_cpus, pin=False)
     eff = (lo["value"] / hi["value"]) / (hi_cpus / lo_cpus)
+
+    # pair the measurement with the HOST's own ceiling (no-Ray
+    # multiprocessing of the same stage function, same moment in time) so
+    # the number is interpretable on this noisy shared VM — see
+    # BASELINE.md "Why measured efficiency varies"
+    hw = {}
+    try:
+        out = subprocess.run(
+            [sys.executable,
+             os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "scripts", "host_ceiling_bench.py"), "1"],
+            capture_output=True, text=True, check=True, timeout=600,
+        ).stdout
+        hw = json.loads(out.strip().splitlines()[-1])
+    except Exception as exc:          # the ceiling is context, not a gate
+        hw = {"error": str(exc)}
+
     return {
         "metric": "scaling_efficiency",
         "num_cpus_lo": lo_cpus,
@@ -154,6 +171,8 @@ def run_scaling() -> dict:
         "files_per_sec_lo": lo["files_per_sec"],
         "files_per_sec_hi": hi["files_per_sec"],
         "scaling_efficiency": round(eff, 3),
+        "hw_ceiling_efficiency": hw.get("hw_efficiency"),
+        "hw_ceiling_detail": hw,
         "rows": lo["rows"],
         "sf": lo["sf"],
     }
