@@ -64,30 +64,55 @@ _BAND_C = np.array(
 )
 
 
-def _shingle_hashes(text: str, _cache: dict | None = None) -> np.ndarray:
-    """Hashes of word 3-grams: crc32 per word (cached across a batch —
+def _windowed_word_hashes(
+    text: str,
+    cache: dict,
+    n: int,
+    constants: np.ndarray,
+    *,
+    mod: int | None = None,
+    combine_short: bool = False,
+) -> np.ndarray:
+    """Distinct hashes of word n-grams — the ONE vectorized scheme every
+    text-gram operator shares (minhash shingles here; decontamination
+    8-grams in text_analysis): crc32 per word (cached across a batch —
     code corpora repeat tokens heavily) combined positionally with odd
-     64-bit constants via a vectorized sliding window, then reduced mod
-    the Mersenne prime so the minhash universal-hash stays in range."""
-    words = text.lower().split()
-    if not words:
-        return np.empty(0, dtype=np.int64)
-    if _cache is None:
-        _cache = {}
+    64-bit constants via a sliding window.  ``mod`` reduces into a hash
+    family's range; ``combine_short`` hashes a shorter-than-n text as one
+    truncated gram instead of returning empty (minhash needs a signal for
+    tiny docs; decontamination wants none)."""
+    words = (text or "").lower().split()
+    if not words or (len(words) < n and not combine_short):
+        return np.empty(0, dtype=np.uint64)
     wh = np.empty(len(words), dtype=np.uint64)
     for i, w in enumerate(words):
-        v = _cache.get(w)
+        v = cache.get(w)
         if v is None:
             v = zlib.crc32(w.encode("utf-8"))
-            _cache[w] = v
+            cache[w] = v
         wh[i] = v
-    if len(words) < SHINGLE_N:
-        combined = np.array([(wh * _SHINGLE_C[: len(wh)]).sum()], dtype=np.uint64)
+    if len(words) < n:
+        combined = np.array([(wh * constants[: len(wh)]).sum()], dtype=np.uint64)
     else:
         from numpy.lib.stride_tricks import sliding_window_view
 
-        combined = (sliding_window_view(wh, SHINGLE_N) * _SHINGLE_C).sum(axis=1)
-    return np.unique(combined % np.uint64(_MERSENNE)).astype(np.int64)
+        combined = (sliding_window_view(wh, n) * constants).sum(axis=1)
+    if mod is not None:
+        combined = combined % np.uint64(mod)
+    return np.unique(combined)
+
+
+def _shingle_hashes(text: str, _cache: dict | None = None) -> np.ndarray:
+    """Minhash shingle hashes: word 3-grams reduced mod the Mersenne
+    prime so the universal hash stays in range."""
+    return _windowed_word_hashes(
+        text,
+        {} if _cache is None else _cache,
+        SHINGLE_N,
+        _SHINGLE_C,
+        mod=_MERSENNE,
+        combine_short=True,
+    ).astype(np.int64)
 
 
 def _minhash_sig(text: str, _cache: dict | None = None) -> np.ndarray:
@@ -435,21 +460,9 @@ def dedup_embedding_ivf(sf_dir: str) -> ray.data.Dataset:
 
     n_total = _pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
     K = max(8, min(-((-2 * n_total) // _TARGET_CLUSTER), len(ids) // 32 or 8))
-    order = np.argsort(ids)
-    m = mat[order]
-    cent = m[np.linspace(0, len(m) - 1, K).astype(int)].copy()
-    _BLOCK = 8192        # blocked assignment: (8192 x K) floats, not (m x K)
-    for _ in range(5):
-        assign = np.empty(len(m), dtype=np.int64)
-        for s in range(0, len(m), _BLOCK):
-            assign[s:s + _BLOCK] = np.argmax(m[s:s + _BLOCK] @ cent.T, axis=1)
-        for k in range(K):
-            sel = m[assign == k]
-            if len(sel):
-                c = sel.mean(axis=0)
-                n = np.linalg.norm(c)
-                if n > 0:
-                    cent[k] = c / n
+    from .similarity import _train_centroids
+
+    cent = _train_centroids(mat[np.argsort(ids)], K)
     cref = ray.put(cent)
 
     def assign_top2(t: pa.Table) -> pa.Table:
@@ -668,13 +681,24 @@ _PAIR_CACHE: dict = {}
 
 
 def _verified_pairs(sf_dir: str) -> ray.data.Dataset:
+    import os
+
     try:
         job = ray.get_runtime_context().get_job_id()
     except Exception:
         job = None
-    key = (job, sf_dir)
+    try:
+        st = os.stat(f"{sf_dir}/documents.parquet")
+        fp = (st.st_mtime_ns, st.st_size)   # input fingerprint: a rewritten
+    except OSError:                          # corpus must invalidate the entry
+        fp = None
+    key = (job, sf_dir, fp)
     ds = _PAIR_CACHE.get(key)
     if ds is None:
+        # drop entries from other jobs/inputs: dead jobs' materialized
+        # handles would otherwise accumulate for process lifetime
+        for k in [k for k in _PAIR_CACHE if k[0] != job]:
+            _PAIR_CACHE.pop(k, None)
         ds = dedup_jaccard(sf_dir).materialize()
         _PAIR_CACHE[key] = ds
     return ds

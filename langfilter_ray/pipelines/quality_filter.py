@@ -125,11 +125,12 @@ def build_pipeline(
     perfectly, and worker processes are reused so the model still builds
     once per process.  Results are bit-identical in both modes.
 
-    ``live_metrics=True`` (actors mode only) wires each scorer actor to
-    the shared named counter actor (``state/live_metrics.py``) so gate
-    decisions can be scraped DURING a run — the runtime Prometheus
-    exposition analog.  Off by default: the committed-manifest rollup in
-    ``state/metrics.py`` is the post-hoc source of truth.
+    ``live_metrics=True`` wires each scorer (actor-pool actor or
+    tasks-mode per-process cache) to the shared named counter actor
+    (``state/live_metrics.py``) so gate decisions can be scraped DURING a
+    run — the runtime Prometheus exposition analog.  Off by default: the
+    committed-manifest rollup in ``state/metrics.py`` is the post-hoc
+    source of truth.
     """
     if concurrency is None:
         # fixed-size pool: every actor starts up-front, so steady-state
@@ -164,7 +165,8 @@ def build_pipeline(
         ds = ds.map_batches(
             _cascade_task,
             fn_kwargs={
-                "cfg": cfg, "scrub": fuse_scrub, "drop_content": drop_content
+                "cfg": cfg, "scrub": fuse_scrub, "drop_content": drop_content,
+                "live_metrics": live_metrics,
             },
             batch_format="pyarrow",
             batch_size=batch_size,
@@ -213,16 +215,22 @@ _TASK_SCORERS: dict = {}
 
 
 def _cascade_task(
-    batch: pa.Table, cfg: PipelineConfig, scrub: bool, drop_content: bool
+    batch: pa.Table, cfg: PipelineConfig, scrub: bool, drop_content: bool,
+    live_metrics: bool = False,
 ) -> pa.Table:
     """Stateless-task variant of the scorer stage: the model is built once
     per (worker process, config) and cached — Ray reuses worker processes,
     so this amortizes exactly like an actor would for a cheap-to-load
-    model."""
-    key = (cfg.config_hash(), scrub, drop_content)
+    model.  ``live_metrics`` wires the cached scorer to the shared named
+    counter actor, same as actors mode (it would otherwise silently count
+    nothing)."""
+    key = (cfg.config_hash(), scrub, drop_content, live_metrics)
     scorer = _TASK_SCORERS.get(key)
     if scorer is None:
-        scorer = CascadeScorer(cfg, scrub=scrub, drop_content=drop_content)
+        scorer = CascadeScorer(
+            cfg, scrub=scrub, drop_content=drop_content,
+            live_metrics=live_metrics,
+        )
         _TASK_SCORERS[key] = scorer
     return scorer(batch)
 

@@ -149,33 +149,55 @@ def corpus_clean(sf_dir: str) -> ray.data.Dataset:
 
     Scale shape: the flagship stage streams (map-only); the dedup
     consumes only (content_sha256, repo, path, commit) — the ONE shuffle
-    carries 64-hex digests + keys, never content; the representative is
-    the lexicographically-first (repo, path, commit) per digest so the
-    output is deterministic under any partitioning."""
+    carries 64-hex digests + composite keys, never content.  The
+    representative is the lexicographically-first (repo, path, commit)
+    per digest, computed WITHOUT a per-group Python callback (ruinous on
+    a mostly-unique corpus — CLAUDE.md): the three key fields are joined
+    with a NUL separator (sorts below every other byte, so joined-string
+    order == tuple order), reduced to an in-batch min per digest
+    (combiner), merged by ONE string-Min aggregate, and split back."""
     import pandas as pd
     import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Min
 
     cfg = DEFAULT_CONFIG
     ds = build_pipeline(read_corpus(corpus_for(sf_dir)), cfg, drop_content=True)
+    SEP = "\x00"
 
-    def kept_keys(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
+    def kept_min(t: pa.Table) -> pa.Table:
         t = t.filter(pc.equal(t["keep"], True))
+        key = pc.binary_join_element_wise(
+            t["repo"], t["path"], t["commit"], SEP
+        )
+        df = pd.DataFrame(
+            {
+                "content_sha256": t["content_sha256"].to_pylist(),
+                "sortkey": key.to_pylist(),
+            }
+        )
+        part = (
+            df.groupby("content_sha256", sort=False)["sortkey"]
+            .min()
+            .reset_index()
+        )
+        return pa.Table.from_pandas(part, preserve_index=False)
+
+    agg = (
+        ds.map_batches(kept_min, batch_format="pyarrow")
+        .groupby("content_sha256")
+        .aggregate(Min("sortkey", alias_name="sortkey"))
+    )
+
+    def split_key(t: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(t["sortkey"], SEP)
         return pa.table(
             {
                 "content_sha256": t["content_sha256"],
-                "repo": t["repo"],
-                "path": t["path"],
-                "commit": t["commit"],
+                "repo": pc.list_element(parts, 0),
+                "path": pc.list_element(parts, 1),
+                "commit": pc.list_element(parts, 2),
             }
         )
 
-    def rep_per_digest(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(["repo", "path", "commit"]).head(1)
-
-    return (
-        ds.map_batches(kept_keys, batch_format="pyarrow")
-        .groupby("content_sha256")
-        .map_groups(rep_per_digest, batch_format="pandas")
-    )
+    return agg.map_batches(split_key, batch_format="pyarrow")

@@ -69,6 +69,29 @@ def _normalize(bmat: np.ndarray) -> np.ndarray:
     return bmat / norms
 
 
+def _train_centroids(
+    m: np.ndarray, K: int, iters: int = 5, block: int = 8192
+) -> np.ndarray:
+    """Deterministic coarse quantizer shared by ann_ivf and
+    dedup.dedup_embedding_ivf: linspace-seeded centroids over the
+    id-sorted sample, ``iters`` Lloyd rounds with cosine (argmax dot)
+    assignment computed in ``block``-row chunks so driver memory stays
+    bounded at any K, zero-norm means left unreplaced."""
+    cent = m[np.linspace(0, len(m) - 1, K).astype(int)].copy()
+    for _ in range(iters):
+        assign = np.empty(len(m), dtype=np.int64)
+        for s in range(0, len(m), block):
+            assign[s:s + block] = np.argmax(m[s:s + block] @ cent.T, axis=1)
+        for k in range(K):
+            sel = m[assign == k]
+            if len(sel):
+                c = sel.mean(axis=0)
+                n = np.linalg.norm(c)
+                if n > 0:
+                    cent[k] = c / n
+    return cent
+
+
 def _load_queries(sf_dir: str):
     """Driver-side read of ONLY the query vectors (row-filtered at the
     parquet read — a handful of rows regardless of corpus size)."""
@@ -215,18 +238,8 @@ def ann_ivf(sf_dir: str) -> ray.data.Dataset:
     (recall vs exact ann_topk asserted in tests)."""
     ids, mat = _load(sf_dir, max_rows=TRAIN_SAMPLE_ROWS)
     K, NPROBE = 8, 4      # recall/speed knob: probe half the coarse cells
-    order = np.argsort(ids)
-    m = mat[order]
-    cent = m[np.linspace(0, len(m) - 1, K).astype(int)].copy()
-    for _ in range(5):
-        assign = np.argmax(m @ cent.T, axis=1)
-        for k in range(K):
-            sel = m[assign == k]
-            if len(sel):
-                c = sel.mean(axis=0)
-                n = np.linalg.norm(c)
-                if n > 0:
-                    cent[k] = c / n
+    m = mat[np.argsort(ids)]
+    cent = _train_centroids(m, K)
     # query vectors come from the row-FILTERED parquet read, never the
     # training sample — a query row past the 100k sample cap would
     # otherwise be silently dropped

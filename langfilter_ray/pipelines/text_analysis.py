@@ -641,24 +641,12 @@ _DECON_C = (np.arange(1, DECON_N + 1, dtype=np.uint64)
 
 
 def _word_ngram_hashes(text: str, cache: dict) -> np.ndarray:
-    """Distinct hashes of word 8-grams: crc32 per word (batch-cached)
-    combined positionally — same vectorized sliding-window scheme as the
-    dedup shingles, parameterized to the decontamination gram size."""
-    import zlib
+    """Distinct hashes of word 8-grams — the shared windowed-word-hash
+    scheme (dedup._windowed_word_hashes) at the decontamination gram
+    size; short texts yield no grams."""
+    from .dedup import _windowed_word_hashes
 
-    from numpy.lib.stride_tricks import sliding_window_view
-
-    words = (text or "").lower().split()
-    if len(words) < DECON_N:
-        return np.empty(0, dtype=np.uint64)
-    wh = np.empty(len(words), dtype=np.uint64)
-    for i, w in enumerate(words):
-        v = cache.get(w)
-        if v is None:
-            v = zlib.crc32(w.encode("utf-8"))
-            cache[w] = v
-        wh[i] = v
-    return np.unique((sliding_window_view(wh, DECON_N) * _DECON_C).sum(axis=1))
+    return _windowed_word_hashes(text, cache, DECON_N, _DECON_C)
 
 
 def decontaminate_overlap(sf_dir: str) -> ray.data.Dataset:

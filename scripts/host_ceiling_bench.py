@@ -31,8 +31,6 @@ TASKS_PER_PROC = 3
 def _work(task_id: int) -> int:
     """One task = generate + score ROWS_PER_TASK corpus rows with the real
     fused stage function (model cached per process, as in the pipeline)."""
-    import pyarrow as pa
-
     from langfilter_ray.config import DEFAULT_CONFIG
     from langfilter_ray.corpus import gen_table
     from langfilter_ray.pipelines.quality_filter import _cascade_task
@@ -44,14 +42,33 @@ def _work(task_id: int) -> int:
     return out.num_rows
 
 
+def _init_worker(barrier) -> None:
+    """Runs in EVERY spawned worker before it takes tasks: pay the heavy
+    import + model build + one tiny scoring pass here, then rendezvous at
+    the barrier — so the timed window below contains steady-state work
+    only (a single warm-up task would prime just one of N workers,
+    leaving N-1 cold starts INSIDE the measurement, differentially worse
+    at 32 procs than at 8)."""
+    from langfilter_ray.config import DEFAULT_CONFIG
+    from langfilter_ray.corpus import gen_table
+    from langfilter_ray.pipelines.quality_filter import _cascade_task
+
+    _cascade_task(gen_table(64, start=0), cfg=DEFAULT_CONFIG,
+                  scrub=True, drop_content=True)
+    barrier.wait()
+
+
 def _run_level(n_procs: int, pin: bool) -> float:
     if pin:
         os.sched_setaffinity(0, set(range(n_procs)))
     else:
         os.sched_setaffinity(0, set(range(os.cpu_count() or 32)))
     n_tasks = n_procs * TASKS_PER_PROC
-    with mp.get_context("spawn").Pool(n_procs) as pool:
-        pool.map(_work, [0])          # warm-up: import + model build
+    ctx = mp.get_context("spawn")
+    barrier = ctx.Barrier(n_procs + 1)
+    with ctx.Pool(n_procs, initializer=_init_worker,
+                  initargs=(barrier,)) as pool:
+        barrier.wait(timeout=300)     # all workers warm before the clock
         t0 = time.time()
         done = pool.map(_work, range(1, n_tasks + 1))
         dt = time.time() - t0

@@ -98,3 +98,27 @@ def test_live_metrics_counts_match_output(ray_session, unit_corpus_dir, tmp_path
     assert "langfilter_live_gate_decisions_total" in text
     some_decision = next(iter(want))
     assert f'decision="{some_decision}"' in text
+
+
+def test_live_metrics_tasks_mode(ray_session, unit_corpus_dir):
+    """tasks-mode scorers must feed the same counter actor (previously
+    the flag was silently ignored outside actors mode)."""
+    import time
+
+    from langfilter_ray.config import PipelineConfig
+    from langfilter_ray.pipelines.quality_filter import build_pipeline, read_corpus
+    from langfilter_ray.state import live_metrics
+
+    live_metrics.reset()
+    ds = build_pipeline(
+        read_corpus(unit_corpus_dir), PipelineConfig(),
+        scorer_mode="tasks", live_metrics=True,
+    )
+    df = ds.to_pandas()
+    snap: dict = {}
+    for _ in range(50):
+        snap = live_metrics.snapshot()
+        if sum(snap.values()) >= len(df):
+            break
+        time.sleep(0.1)
+    assert snap == df["gate_decision"].value_counts().to_dict()
