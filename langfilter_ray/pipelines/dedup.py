@@ -190,7 +190,12 @@ _EMPTY_PAIRS = pa.table(
 )
 
 
-def minhash_candidates(sf_dir: str, total_joins: int = 1) -> ray.data.Dataset:
+HOT_BUCKET_CAP = 1024      # band buckets above this expand as STARS
+
+
+def minhash_candidates(
+    sf_dir: str, total_joins: int = 1, hot_bucket_cap: int = HOT_BUCKET_CAP
+) -> ray.data.Dataset:
     """(doc_a, doc_b) candidate near-dup pairs from LSH banding.
 
     ``total_joins``: number of hash-shuffle joins CONCURRENT with this
@@ -198,6 +203,17 @@ def minhash_candidates(sf_dir: str, total_joins: int = 1) -> ray.data.Dataset:
     the aggregator fan-out so concurrent joins cannot overcommit the CPU
     budget.  (dedup_jaccard materializes this result before its own two
     joins start, so the default 1 is correct there.)
+
+    ``hot_bucket_cap``: buckets larger than this (a cluster of >= cap
+    near-identical docs — the boilerplate/mirror pathology of a dirty
+    corpus) would cross-product quadratically inside one join partition.
+    They are instead expanded as a STAR around the bucket's min doc_id:
+    |bucket|-1 edges instead of |bucket|^2/2, preserving CONNECTIVITY
+    exactly (dedup_components yields identical components; only
+    redundant intra-clique edges are dropped).  Detection is one extra
+    count+min aggregate over the already-materialized compact band
+    table; the hot list itself is bounded by N/cap entries, so the
+    driver-side root map stays tiny by construction.
 
     Shuffle-conscious shape: a hash-partitioned SELF-JOIN of the compact
     band table on band_hash.  Arrow's C++ hash join expands each bucket's
@@ -224,8 +240,61 @@ def minhash_candidates(sf_dir: str, total_joins: int = 1) -> ray.data.Dataset:
         # an empty dataset has no schema and would crash the hash join
         return ray.data.from_arrow(_EMPTY_PAIRS)
 
-    pairs = bands.join(
-        bands,
+    # hot-bucket census: one count+min aggregate over the compact band
+    # table; buckets above the cap get star expansion instead of the
+    # quadratic self-join cross product
+    from ray.data.aggregate import Count
+
+    hot_tbl = (
+        bands.groupby("band_hash")
+        .aggregate(Count(alias_name="n"), Min("doc_id", alias_name="root"))
+        .map_batches(
+            lambda t: t.filter(pc.greater(t["n"], hot_bucket_cap)),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    hot_roots = (
+        dict(zip(hot_tbl["band_hash"], hot_tbl["root"]))
+        if len(hot_tbl) and "band_hash" in hot_tbl.columns
+        else {}
+    )
+
+    join_src = bands
+    star = None
+    if hot_roots:
+        rref = ray.put(hot_roots)
+
+        def split_cold(t: pa.Table) -> pa.Table:
+            roots = ray.get(rref)
+            mask = np.fromiter(
+                (h not in roots for h in t["band_hash"].to_pylist()),
+                dtype=bool, count=len(t),
+            )
+            return t.filter(pa.array(mask))
+
+        def star_pairs(t: pa.Table) -> pa.Table:
+            roots = ray.get(rref)
+            hs = t["band_hash"].to_pylist()
+            ids = t["doc_id"].to_numpy()
+            out_a, out_b = [], []
+            for h, d in zip(hs, ids):
+                r = roots.get(h)
+                if r is not None and d != r:
+                    out_a.append(int(r))
+                    out_b.append(int(d))
+            return pa.table(
+                {
+                    "doc_a": pa.array(out_a, pa.int64()),
+                    "doc_b": pa.array(out_b, pa.int64()),
+                }
+            )
+
+        join_src = bands.map_batches(split_cold, batch_format="pyarrow")
+        star = bands.map_batches(star_pairs, batch_format="pyarrow")
+
+    pairs = join_src.join(
+        join_src,
         join_type="inner",
         num_partitions=_join_parts(total_joins),
         on=("band_hash",),
@@ -238,6 +307,8 @@ def minhash_candidates(sf_dir: str, total_joins: int = 1) -> ray.data.Dataset:
         return pa.table({"doc_a": t["doc_id_a"], "doc_b": t["doc_id_b"]})
 
     cand = pairs.map_batches(keep_ordered, batch_format="pyarrow")
+    if star is not None:
+        cand = cand.union(star)
     # distinct pairs (pairs found in several bands collapse to one);
     # materialized (tiny) so a zero-pair outcome keeps its typed schema
     # (groupby on an all-empty stream loses it)

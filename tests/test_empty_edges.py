@@ -88,3 +88,45 @@ def test_dedup_survivors_dense_drop_list(tmp_path_factory, ray_session):
 
     surv = sorted(dedup.dedup_survivors(str(d)).to_pandas()["doc_id"])
     assert surv == [g * per_group for g in range(n_groups)]
+
+
+def test_minhash_hot_bucket_star_expansion(tmp_path_factory, ray_session):
+    """Buckets above the cap expand as stars: connectivity (what
+    components/survivors need) is preserved while the pair count drops
+    from ~|bucket|^2/2 to |bucket|-1."""
+    d = tmp_path_factory.mktemp("hot_sf")
+    body = " ".join(f"w{j} filler{j % 7}" for j in range(60))
+    texts = [body] * 10 + [
+        " ".join(f"u{g}x{j} zz{j}" for j in range(40)) for g in range(5)
+    ]
+    ids = list(range(len(texts)))
+    pq.write_table(
+        pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)}),
+        d / "documents.parquet",
+    )
+    from langfilter_ray.pipelines import dedup
+
+    capped = dedup.minhash_candidates(str(d), hot_bucket_cap=4).to_pandas()
+    full = dedup.minhash_candidates(str(d)).to_pandas()
+    # quadratic: 45 pairs for the 10-clique; star: 9 edges rooted at min
+    dup_full = full[(full["doc_a"] < 10) & (full["doc_b"] < 10)]
+    dup_capped = capped[(capped["doc_a"] < 10) & (capped["doc_b"] < 10)]
+    assert len(dup_full) == 45
+    assert sorted(zip(dup_capped["doc_a"], dup_capped["doc_b"])) == [
+        (0, b) for b in range(1, 10)
+    ]
+
+    # connectivity: union-find over capped pairs gives the same component
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(capped["doc_a"], capped["doc_b"]):
+        parent[find(int(b))] = find(int(a))
+    comp = {find(i) for i in range(10)}
+    assert comp == {0}
+    assert all(find(i) == i for i in range(10, 15))   # uniques untouched
