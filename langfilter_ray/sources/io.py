@@ -14,7 +14,45 @@ from __future__ import annotations
 
 import ray.data
 
-_FORMATS = ("parquet", "csv", "json")
+_FORMATS = ("parquet", "csv", "json", "orc", "text")
+
+
+class _OrcDatasource(ray.data.datasource.FileBasedDatasource):
+    """ORC reader (Ray 2.49 has no read_orc; pyarrow.orc does the work):
+    streams stripe by stripe, so a large file never materializes whole in
+    one task."""
+
+    _FILE_EXTENSIONS = ["orc"]
+
+    def __init__(self, paths, columns=None, **kwargs):
+        super().__init__(paths, **kwargs)
+        self._columns = columns
+
+    def _read_stream(self, f, path):
+        import pyarrow as pa
+        import pyarrow.orc as orc
+
+        # ORC needs random access (footer-first layout); the handed-in
+        # stream is sequential, so buffer the file — per-file memory,
+        # stripe-wise output blocks
+        reader = orc.ORCFile(pa.BufferReader(f.read()))
+        for i in range(reader.nstripes):
+            batch = reader.read_stripe(i, columns=self._columns)
+            yield pa.Table.from_batches([batch]) if isinstance(
+                batch, pa.RecordBatch
+            ) else batch
+
+
+class _OrcDatasink(ray.data.datasource.BlockBasedFileDatasink):
+    """ORC writer: one file per block, mirroring Ray's parquet sink."""
+
+    def __init__(self, path, **kwargs):
+        super().__init__(path, file_format="orc", **kwargs)
+
+    def write_block_to_file(self, block, file):
+        import pyarrow.orc as orc
+
+        orc.write_table(block.to_arrow(), file)
 
 
 def read_table(
@@ -34,6 +72,14 @@ def read_table(
         raise ValueError(f"fmt must be one of {_FORMATS}, got {fmt!r}")
     if fmt == "parquet":
         return ray.data.read_parquet(path, columns=columns, **kwargs)
+    if fmt == "orc":
+        # columns prune at the stripe read, like parquet
+        return ray.data.read_datasource(
+            _OrcDatasource(path, columns=columns), **kwargs
+        )
+    if fmt == "text":
+        # one row per line, single "text" column; no column projection
+        return ray.data.read_text(path, **kwargs)
     if fmt == "csv":
         ds = ray.data.read_csv(path, **kwargs)
     else:
@@ -63,6 +109,10 @@ def write_table(
             ds.write_parquet(path, partition_cols=partition_cols, **kwargs)
         else:
             ds.write_parquet(path, **kwargs)
+    elif fmt == "orc":
+        ds.write_datasink(_OrcDatasink(path, **kwargs))
+    elif fmt == "text":
+        raise ValueError("text is a read-only format (one row per line)")
     elif fmt == "csv":
         ds.write_csv(path, **kwargs)
     else:
