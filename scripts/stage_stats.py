@@ -1,8 +1,11 @@
-"""Per-stage observability: run the flagship pipeline once and print
-``ds.stats()`` — Ray Data's per-operator wall/cpu/rows/memory report — so
-a perf regression can be localized to a stage instead of guessed at.
+"""Per-stage observability: run a pipeline once and print ``ds.stats()``
+— Ray Data's per-operator wall/cpu/rows/memory report — so a perf
+regression can be localized to a stage instead of guessed at.
 
-Usage: python scripts/stage_stats.py [sf_dir] [num_cpus]
+Usage:
+    python scripts/stage_stats.py [sf_dir] [num_cpus]            # flagship
+    python scripts/stage_stats.py [sf_dir] [num_cpus] --query NAME
+                                  # any queries() entry (e.g. dedup_minhash)
 """
 
 from __future__ import annotations
@@ -14,8 +17,13 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    num_cpus = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    query = None
+    if "--query" in sys.argv:
+        query = sys.argv[sys.argv.index("--query") + 1]
+        args = [a for a in args if a != query]
+    sf_dir = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
+    num_cpus = int(args[1]) if len(args) > 1 else 8
 
     import ray
 
@@ -25,18 +33,34 @@ def main() -> None:
 
     DataContext.get_current().enable_progress_bars = False
 
-    from langfilter_ray.config import DEFAULT_CONFIG
-    from langfilter_ray.pipelines.quality_filter import build_pipeline, read_corpus
-    from langfilter_ray.pipelines.reports import corpus_for
+    if query:
+        import ray.data
 
-    ds = build_pipeline(read_corpus(corpus_for(sf_dir)), DEFAULT_CONFIG,
-                        drop_content=True)
-    out = "/tmp/langfilter_stats_out"
-    import shutil
+        import __ray_entry__ as e
 
-    shutil.rmtree(out, ignore_errors=True)
-    ds.write_parquet(out)
-    print(ds.stats())
+        res = e.queries()[query](sf_dir)
+        if isinstance(res, ray.data.Dataset):
+            res = res.materialize()
+            print(res.stats())
+        else:
+            print(f"{query} returned {type(res).__name__} "
+                  "(driver-side result — no per-stage stats)")
+    else:
+        from langfilter_ray.config import DEFAULT_CONFIG
+        from langfilter_ray.pipelines.quality_filter import (
+            build_pipeline,
+            read_corpus,
+        )
+        from langfilter_ray.pipelines.reports import corpus_for
+
+        ds = build_pipeline(read_corpus(corpus_for(sf_dir)), DEFAULT_CONFIG,
+                            drop_content=True)
+        out = "/tmp/langfilter_stats_out"
+        import shutil
+
+        shutil.rmtree(out, ignore_errors=True)
+        ds.write_parquet(out)
+        print(ds.stats())
     ray.shutdown()
 
 
