@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": similarity.ann_topk,
         "ann_lsh": similarity.ann_lsh,
         "ann_ivf": similarity.ann_ivf,
+        "embed_documents": similarity.embed_documents,
         "label_centroids": similarity.label_centroids,
         # relational / reporting analogs
         "status_counts": relational.status_counts,

@@ -341,6 +341,66 @@ def label_centroids(sf_dir: str) -> ray.data.Dataset:
     return agg.map_batches(add_mean, batch_format="pyarrow")
 
 
+# ---- text -> embedding (batched-inference archetype) ---------------------
+
+EMBED_DIM = 64
+
+
+class _HashEmbedder:
+    """Actor-pool embedding stage — the batched-model-inference archetype:
+    the 'model' (here a deterministic char-trigram hasher, the sandbox
+    stand-in for a sentence-transformer) loads ONCE per actor, every
+    batch is embedded vectorized, and the output is a typed
+    list<float64> vector column ready for the ann_* / dedup_embedding*
+    operators.  Swap ``_embed`` for a real encoder call and the Ray-side
+    plumbing is unchanged."""
+
+    def __init__(self) -> None:
+        # real impl: self.model = SentenceTransformer(...)
+        self.powers = np.array([1, 257, 65537], dtype=np.uint64)
+
+    def _embed(self, text: str) -> np.ndarray:
+        b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+        v = np.zeros(EMBED_DIM, dtype=np.float64)
+        if len(b) >= 3:
+            from numpy.lib.stride_tricks import sliding_window_view
+
+            h = (sliding_window_view(b, 3).astype(np.uint64)
+                 * self.powers).sum(axis=1)
+            idx = (h % EMBED_DIM).astype(np.int64)
+            sign = np.where((h >> np.uint64(7)) & np.uint64(1), 1.0, -1.0)
+            np.add.at(v, idx, sign)
+        n = np.linalg.norm(v)
+        return v / n if n > 0 else v
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        vecs = [self._embed(s or "") for s in t["text"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "embedding": pa.array(
+                    [v.tolist() for v in vecs], pa.list_(pa.float64())
+                ),
+            }
+        )
+
+
+def embed_documents(sf_dir: str) -> ray.data.Dataset:
+    """Per-doc unit-norm embedding via the actor-pool inference stage.
+    Rows-only (model-based); determinism, unit norms and
+    near-dup-consistency (identical text -> identical vector) pinned in
+    tests."""
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(
+        _HashEmbedder,
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=(1, 4),
+        num_cpus=1,
+    )
+
+
 ORACLES: dict[str, str] = {
     "ann_topk": ANN_TOPK_SQL,
     "label_centroids": (

@@ -117,3 +117,19 @@ def write_table(
         ds.write_csv(path, **kwargs)
     else:
         ds.write_json(path, **kwargs)
+
+
+def compact_parquet(
+    path: str, out: str, target_rows_per_file: int = 500_000
+) -> int:
+    """Merge a directory of small parquet files into ~target-sized ones —
+    the standard post-run compaction a partitioned 100 TB output needs
+    (per-partition shards can be tiny; downstream readers want fewer,
+    bigger files).  Streaming: read -> repartition to
+    ceil(rows/target) blocks -> write; nothing materializes on the
+    driver.  Returns the number of output files requested."""
+    ds = ray.data.read_parquet(path)
+    n = ds.count()
+    files = max(1, -(-n // target_rows_per_file))
+    ds.repartition(files).write_parquet(out)
+    return files

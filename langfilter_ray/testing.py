@@ -22,14 +22,26 @@ import pandas as pd
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
-    """Sorted columns, datetime units normalised to ns, rows sorted."""
+    """Sorted columns, datetime units normalised to ns, rows sorted by
+    every SORTABLE column (object columns holding lists/arrays — e.g. an
+    ``embedding`` vector — can't key a sort and are skipped)."""
     df = df.reindex(sorted(df.columns), axis=1)
     df = df.copy()
     for c in df.columns:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = df[c].astype("datetime64[ns]")
-    if len(df.columns):
-        df = df.sort_values(list(df.columns), kind="mergesort")
+    sort_cols = [
+        c
+        for c in df.columns
+        if not (
+            df[c].dtype == object
+            and len(df)
+            and isinstance(df[c].iloc[0], (list, dict, set, tuple))
+            or (df[c].dtype == object and len(df) and hasattr(df[c].iloc[0], "ndim"))
+        )
+    ]
+    if sort_cols:
+        df = df.sort_values(sort_cols, kind="mergesort")
     return df.reset_index(drop=True)
 
 

@@ -97,7 +97,7 @@ def test_every_query_has_oracle_or_is_known_rows_only(entry_mod):
         "translate_kept_snippets", "repo_quality_report",
         "dedup_components", "dedup_survivors", "dedup_embedding_ivf",
         "bloom_semi_join", "approx_quantiles", "decontaminate_overlap",
-        "doc_perplexity", "decode_pgm", "corpus_clean",
+        "doc_perplexity", "decode_pgm", "corpus_clean", "embed_documents",
     }
 
 
@@ -386,3 +386,23 @@ def test_corpus_clean_integrated(entry_mod):
     )
     clean2 = _to_pandas(entry_mod.queries()["corpus_clean"](SF))
     assert _canon(clean).equals(_canon(clean2))
+
+
+def test_embed_documents_unit_norm_and_dup_consistent(entry_mod):
+    """Batched-inference stage: deterministic across runs, unit-norm
+    vectors, and identical text -> identical vector (the property the
+    downstream embedding dedup relies on)."""
+    import numpy as np
+
+    a = _to_pandas(entry_mod.queries()["embed_documents"](SF))
+    b = _to_pandas(entry_mod.queries()["embed_documents"](SF))
+    assert len(a) == 500
+    av = {i: tuple(v) for i, v in zip(a["doc_id"], a["embedding"])}
+    bv = {i: tuple(v) for i, v in zip(b["doc_id"], b["embedding"])}
+    assert av == bv
+    norms = np.array([np.linalg.norm(np.array(v)) for v in a["embedding"]])
+    assert ((np.abs(norms - 1.0) < 1e-9) | (norms == 0)).all()
+    fp = _to_pandas(entry_mod.queries()["fingerprint"](SF))
+    merged = fp.merge(a, on="doc_id")
+    merged["vec"] = merged["embedding"].map(tuple)
+    assert (merged.groupby("fp_md5")["vec"].nunique() == 1).all()

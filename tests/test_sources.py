@@ -78,3 +78,16 @@ def test_text_read(ray_session, tmp_path):
 
     with _pytest.raises(ValueError, match="read-only"):
         src_io.write_table(ds, str(tmp_path / "x"), fmt="text")
+
+
+def test_compact_parquet(ray_session, tmp_path):
+    base = src_io.read_table(f"{SF}/nation.parquet")
+    shards = tmp_path / "shards"
+    base.repartition(8).write_parquet(str(shards))
+    assert len(list(shards.glob("*.parquet"))) >= 8
+    out = tmp_path / "compact"
+    n_files = src_io.compact_parquet(str(shards), str(out), 10_000)
+    assert n_files == 1
+    assert len(list(out.glob("*.parquet"))) == 1
+    back = _canon(src_io.read_table(str(out)).to_pandas())
+    assert back.equals(_canon(base.to_pandas()))
