@@ -207,13 +207,14 @@ def minhash_candidates(
     ``hot_bucket_cap``: buckets larger than this (a cluster of >= cap
     near-identical docs — the boilerplate/mirror pathology of a dirty
     corpus) would cross-product quadratically inside one join partition.
-    They are instead expanded as a STAR around the bucket's min doc_id:
-    |bucket|-1 edges instead of |bucket|^2/2, preserving CONNECTIVITY
-    exactly (dedup_components yields identical components; only
-    redundant intra-clique edges are dropped).  Detection is one extra
-    count+min aggregate over the already-materialized compact band
-    table; the hot list itself is bounded by N/cap entries, so the
-    driver-side root map stays tiny by construction.
+    They are instead expanded as a STAR around the bucket's min sampled
+    doc_id (deterministic): |bucket|-1 edges instead of |bucket|^2/2,
+    preserving CONNECTIVITY exactly (dedup_components yields identical
+    components; only redundant intra-clique edges are dropped).
+    Detection is a SAMPLED census (see inline comment) whose cost is a
+    small fraction of the main pass and whose errors are perf-only; the
+    hot list is bounded by N/cap entries, so the driver-side root map
+    stays tiny by construction.
 
     Shuffle-conscious shape: a hash-partitioned SELF-JOIN of the compact
     band table on band_hash.  Arrow's C++ hash join expands each bucket's
@@ -240,20 +241,64 @@ def minhash_candidates(
         # an empty dataset has no schema and would crash the hash join
         return ray.data.from_arrow(_EMPTY_PAIRS)
 
-    # hot-bucket census: one count+min aggregate over the compact band
-    # table; buckets above the cap get star expansion instead of the
-    # quadratic self-join cross product
-    from ray.data.aggregate import Count
+    # hot-bucket census — SAMPLED so its cost stays a small fraction of
+    # the main pass: band rows are kept with deterministic probability
+    # 1/p_inv (p_inv = cap//64, so a cap-sized bucket shows ~64 sampled
+    # members), pre-aggregated per batch, and a tiny groupby estimates
+    # bucket sizes.  Census errors are PERF-only: a missed hot bucket
+    # just takes the (correct, slower) join path, a false positive gets
+    # a (still connectivity-exact) star — so sampling is sound.  With
+    # p_inv == 1 (small caps, tests) the census is exact and uses the
+    # strict count > cap rule.
+    import pandas as pd
 
-    hot_tbl = (
-        bands.groupby("band_hash")
-        .aggregate(Count(alias_name="n"), Min("doc_id", alias_name="root"))
-        .map_batches(
-            lambda t: t.filter(pc.greater(t["n"], hot_bucket_cap)),
-            batch_format="pyarrow",
+    p_inv = 1 if hot_bucket_cap is None else max(1, hot_bucket_cap // 64)
+    _MIX = np.uint64(0x9E3779B97F4A7C15)
+
+    def census_partial(t: pa.Table) -> pa.Table:
+        h = t["band_hash"].to_numpy().astype(np.uint64)
+        d = t["doc_id"].to_numpy().astype(np.uint64)
+        if p_inv > 1:
+            keep = ((h ^ (d * _MIX)) * _MIX) % np.uint64(p_inv) == 0
+            h, d = h[keep], d[keep]
+        if not len(h):
+            return pa.table(
+                {
+                    "band_hash": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "root": pa.array([], pa.int64()),
+                }
+            )
+        df = pd.DataFrame({"band_hash": h.view(np.int64), "doc_id": d.view(np.int64)})
+        g = df.groupby("band_hash", sort=False)["doc_id"].agg(["size", "min"])
+        g = g.reset_index()
+        return pa.table(
+            {
+                "band_hash": pa.array(g["band_hash"], pa.int64()),
+                "n": pa.array(g["size"], pa.int64()),
+                "root": pa.array(g["min"], pa.int64()),
+            }
         )
-        .to_pandas()
-    )
+
+    from ray.data.aggregate import Sum
+
+    if hot_bucket_cap is None:
+        hot_tbl = pd.DataFrame()
+    else:
+        threshold = (
+            hot_bucket_cap if p_inv == 1
+            else max(1, hot_bucket_cap // (2 * p_inv))
+        )
+        hot_tbl = (
+            bands.map_batches(census_partial, batch_format="pyarrow")
+            .groupby("band_hash")
+            .aggregate(Sum("n", alias_name="n"), Min("root", alias_name="root"))
+            .map_batches(
+                lambda t: t.filter(pc.greater(t["n"], threshold)),
+                batch_format="pyarrow",
+            )
+            .to_pandas()
+        )
     hot_roots = (
         dict(zip(hot_tbl["band_hash"], hot_tbl["root"]))
         if len(hot_tbl) and "band_hash" in hot_tbl.columns
