@@ -209,12 +209,17 @@ def minhash_candidates(
     corpus) would cross-product quadratically inside one join partition.
     They are instead expanded as a STAR around the bucket's min sampled
     doc_id (deterministic): |bucket|-1 edges instead of |bucket|^2/2,
-    preserving CONNECTIVITY exactly (dedup_components yields identical
-    components; only redundant intra-clique edges are dropped).
-    Detection is a SAMPLED census (see inline comment) whose cost is a
-    small fraction of the main pass and whose errors are perf-only; the
-    hot list is bounded by N/cap entries, so the driver-side root map
-    stays tiny by construction.
+    preserving CANDIDATE-GRAPH connectivity exactly.  Honesty note: a
+    downstream Jaccard VERIFICATION can still split a starred component
+    in the corner case where two members are mutually similar but
+    neither is similar to the root — the accepted trade at pathological
+    buckets, where members are near-identical by construction and the
+    corner case is vanishing.  Detection is a SAMPLED census (see inline
+    comment) whose cost is a small fraction of the main pass; a census
+    MISS is purely perf (the bucket takes the correct join path), a
+    false positive applies the star trade above.  The hot list is
+    bounded by N/cap entries, so the driver-side root map stays tiny by
+    construction.
 
     Shuffle-conscious shape: a hash-partitioned SELF-JOIN of the compact
     band table on band_hash.  Arrow's C++ hash join expands each bucket's
@@ -259,7 +264,11 @@ def minhash_candidates(
         h = t["band_hash"].to_numpy().astype(np.uint64)
         d = t["doc_id"].to_numpy().astype(np.uint64)
         if p_inv > 1:
-            keep = ((h ^ (d * _MIX)) * _MIX) % np.uint64(p_inv) == 0
+            # threshold compare on the multiplied mix uses HIGH bits, so
+            # structured doc_ids (strided shard schemes) cannot bias the
+            # sample the way a power-of-two modulus on low bits would
+            mixed = (h ^ (d * _MIX)) * _MIX
+            keep = mixed < np.uint64((1 << 64) // p_inv)
             h, d = h[keep], d[keep]
         if not len(h):
             return pa.table(
@@ -287,7 +296,7 @@ def minhash_candidates(
     else:
         threshold = (
             hot_bucket_cap if p_inv == 1
-            else max(1, hot_bucket_cap // (2 * p_inv))
+            else max(1, hot_bucket_cap // p_inv)   # unbiased ~cap estimate
         )
         hot_tbl = (
             bands.map_batches(census_partial, batch_format="pyarrow")
@@ -326,8 +335,11 @@ def minhash_candidates(
             for h, d in zip(hs, ids):
                 r = roots.get(h)
                 if r is not None and d != r:
-                    out_a.append(int(r))
-                    out_b.append(int(d))
+                    # the sampled root need not be the bucket min — order
+                    # the pair so the (doc_a < doc_b) invariant holds and
+                    # a mirrored join-path emission collapses in distinct
+                    out_a.append(int(min(r, d)))
+                    out_b.append(int(max(r, d)))
             return pa.table(
                 {
                     "doc_a": pa.array(out_a, pa.int64()),

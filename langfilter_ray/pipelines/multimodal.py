@@ -25,6 +25,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
+from .quality_filter import _default_pool_size
+
 
 def _payloads(sf_dir: str) -> ray.data.Dataset:
     """documents.text re-cast as an opaque binary payload column (the
@@ -89,7 +91,7 @@ def multimodal_decode(sf_dir: str) -> ray.data.Dataset:
         FakeDecoder,
         batch_format="pyarrow",
         batch_size=256,
-        concurrency=(1, 4),
+        concurrency=(1, _default_pool_size()),
         num_cpus=1,
     )
 
@@ -167,7 +169,7 @@ def frame_sample(sf_dir: str) -> ray.data.Dataset:
         DecodeAndSample,
         batch_format="pyarrow",
         batch_size=256,
-        concurrency=(1, 4),
+        concurrency=(1, _default_pool_size()),
         num_cpus=1,
     )
 
@@ -280,6 +282,6 @@ def decode_pgm(sf_dir: str) -> ray.data.Dataset:
         PgmDecoder,
         batch_format="pyarrow",
         batch_size=256,
-        concurrency=(1, 4),
+        concurrency=(1, _default_pool_size()),
         num_cpus=1,
     )

@@ -7,7 +7,7 @@ from __future__ import annotations
 import ray.data
 
 from ..config import DEFAULT_CONFIG, PipelineConfig
-from .quality_filter import build_pipeline, read_corpus
+from .quality_filter import _default_pool_size, build_pipeline, read_corpus
 
 
 def corpus_rows_for_sf(sf_dir: str) -> int:
@@ -101,7 +101,7 @@ def translate_kept_snippets(sf_dir: str) -> ray.data.Dataset:
 
     return ds.select_columns(
         ["repo", "path", "commit", "keep", "language", "snippet"]
-    ).map_batches(Translator, batch_format="pyarrow", concurrency=(1, 4), num_cpus=1)
+    ).map_batches(Translator, batch_format="pyarrow", concurrency=(1, _default_pool_size()), num_cpus=1)
 
 
 def repo_quality_report(sf_dir: str) -> ray.data.Dataset:

@@ -357,7 +357,16 @@ class _HashEmbedder:
 
     def __init__(self) -> None:
         # real impl: self.model = SentenceTransformer(...)
-        self.powers = np.array([1, 257, 65537], dtype=np.uint64)
+        # position-DISTINCT large odd multipliers (golden-ratio family):
+        # small powers like (1, 257, 65537) are all ≡ 1 mod 256, which
+        # makes the low bits depend only on the byte SUM — anagram
+        # windows would collide.  Index and sign come from HIGH bits
+        # after a final odd-multiply mix for the same reason.
+        self.powers = np.array(
+            [0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9],
+            dtype=np.uint64,
+        )
+        self.final_mix = np.uint64(0x2545F4914F6CDD1D)
 
     def _embed(self, text: str) -> np.ndarray:
         b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
@@ -366,9 +375,9 @@ class _HashEmbedder:
             from numpy.lib.stride_tricks import sliding_window_view
 
             h = (sliding_window_view(b, 3).astype(np.uint64)
-                 * self.powers).sum(axis=1)
-            idx = (h % EMBED_DIM).astype(np.int64)
-            sign = np.where((h >> np.uint64(7)) & np.uint64(1), 1.0, -1.0)
+                 * self.powers).sum(axis=1) * self.final_mix
+            idx = (h >> np.uint64(58)).astype(np.int64)        # top 6 bits
+            sign = np.where((h >> np.uint64(57)) & np.uint64(1), 1.0, -1.0)
             np.add.at(v, idx, sign)
         n = np.linalg.norm(v)
         return v / n if n > 0 else v
@@ -390,13 +399,17 @@ def embed_documents(sf_dir: str) -> ray.data.Dataset:
     Rows-only (model-based); determinism, unit norms and
     near-dup-consistency (identical text -> identical vector) pinned in
     tests."""
+    from .quality_filter import _default_pool_size
+
     return ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     ).map_batches(
         _HashEmbedder,
         batch_format="pyarrow",
         batch_size=256,
-        concurrency=(1, 4),
+        # autoscaling up to the 3/4-of-CPUs rule (pool == CPUs starves
+        # the read/write tasks — CLAUDE.md)
+        concurrency=(1, _default_pool_size()),
         num_cpus=1,
     )
 

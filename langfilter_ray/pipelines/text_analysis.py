@@ -616,6 +616,12 @@ class _PerplexityScorer:
         )
 
 
+def _pool_size() -> int:
+    from .quality_filter import _default_pool_size
+
+    return _default_pool_size()
+
+
 def doc_perplexity(sf_dir: str) -> ray.data.Dataset:
     """Per-doc (pred_lang, probability, perplexity) under the trigram LID
     model — deterministic model scoring as an actor-pool map_batches
@@ -626,7 +632,7 @@ def doc_perplexity(sf_dir: str) -> ray.data.Dataset:
     return _docs_cols(sf_dir, ["doc_id", "text"]).map_batches(
         _PerplexityScorer,
         batch_format="pyarrow",
-        concurrency=2,
+        concurrency=(1, _pool_size()),
         num_cpus=1,
     )
 

@@ -25,6 +25,11 @@ class _OrcDatasource(ray.data.datasource.FileBasedDatasource):
     _FILE_EXTENSIONS = ["orc"]
 
     def __init__(self, paths, columns=None, **kwargs):
+        # file_extensions must go through the constructor — the
+        # _FILE_EXTENSIONS class attr is only consumed by Ray's read_*
+        # wrappers, which read_datasource bypasses; without it a stray
+        # _SUCCESS/README in the directory would be parsed as ORC
+        kwargs.setdefault("file_extensions", ["orc"])
         super().__init__(paths, **kwargs)
         self._columns = columns
 
@@ -110,6 +115,11 @@ def write_table(
         else:
             ds.write_parquet(path, **kwargs)
     elif fmt == "orc":
+        if partition_cols:
+            raise ValueError(
+                "orc sink has no hive partitioning; use fmt='parquet' "
+                "for partition_cols"
+            )
         ds.write_datasink(_OrcDatasink(path, **kwargs))
     elif fmt == "text":
         raise ValueError("text is a read-only format (one row per line)")
@@ -121,15 +131,16 @@ def write_table(
 
 def compact_parquet(
     path: str, out: str, target_rows_per_file: int = 500_000
-) -> int:
+) -> None:
     """Merge a directory of small parquet files into ~target-sized ones —
     the standard post-run compaction a partitioned 100 TB output needs
     (per-partition shards can be tiny; downstream readers want fewer,
-    bigger files).  Streaming: read -> repartition to
-    ceil(rows/target) blocks -> write; nothing materializes on the
-    driver.  Returns the number of output files requested."""
-    ds = ray.data.read_parquet(path)
-    n = ds.count()
-    files = max(1, -(-n // target_rows_per_file))
-    ds.repartition(files).write_parquet(out)
-    return files
+    bigger files).  One STREAMING pass: the writer itself coalesces
+    blocks to the row target (min/max_rows_per_file) — no counting
+    pre-pass, no repartition all-to-all, nothing lands in the object
+    store beyond the blocks in flight."""
+    ray.data.read_parquet(path).write_parquet(
+        out,
+        min_rows_per_file=target_rows_per_file,
+        max_rows_per_file=target_rows_per_file,
+    )

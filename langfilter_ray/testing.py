@@ -21,27 +21,44 @@ from __future__ import annotations
 import pandas as pd
 
 
+def _is_unsortable(s: pd.Series) -> bool:
+    """Object column holding non-scalar values (lists/arrays/dicts) —
+    sniffed on the first NON-NULL value so a leading None can't
+    misclassify a vector column as sortable."""
+    if s.dtype != object or not len(s):
+        return False
+    nn = s.dropna()
+    if not len(nn):
+        return False
+    v = nn.iloc[0]
+    return isinstance(v, (list, dict, set, tuple)) or hasattr(v, "ndim")
+
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
-    """Sorted columns, datetime units normalised to ns, rows sorted by
-    every SORTABLE column (object columns holding lists/arrays — e.g. an
-    ``embedding`` vector — can't key a sort and are skipped)."""
+    """Sorted columns, datetime units normalised to ns, rows in a fully
+    canonical order: sortable columns key the sort directly; unsortable
+    (list/array) columns contribute a repr shadow key so ties among the
+    scalar columns still resolve deterministically."""
     df = df.reindex(sorted(df.columns), axis=1)
     df = df.copy()
     for c in df.columns:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = df[c].astype("datetime64[ns]")
-    sort_cols = [
-        c
-        for c in df.columns
-        if not (
-            df[c].dtype == object
-            and len(df)
-            and isinstance(df[c].iloc[0], (list, dict, set, tuple))
-            or (df[c].dtype == object and len(df) and hasattr(df[c].iloc[0], "ndim"))
-        )
-    ]
-    if sort_cols:
-        df = df.sort_values(sort_cols, kind="mergesort")
+    if len(df.columns) and len(df):
+        keys = []
+        shadow = {}
+        for c in df.columns:
+            if _is_unsortable(df[c]):
+                sc = f"__shadow_{c}"
+                shadow[sc] = df[c].map(repr)
+                keys.append(sc)
+            else:
+                keys.append(c)
+        if shadow:
+            tmp = df.assign(**shadow)
+            df = tmp.sort_values(keys, kind="mergesort")[list(df.columns)]
+        else:
+            df = df.sort_values(keys, kind="mergesort")
     return df.reset_index(drop=True)
 
 

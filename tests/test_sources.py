@@ -86,8 +86,7 @@ def test_compact_parquet(ray_session, tmp_path):
     base.repartition(8).write_parquet(str(shards))
     assert len(list(shards.glob("*.parquet"))) >= 8
     out = tmp_path / "compact"
-    n_files = src_io.compact_parquet(str(shards), str(out), 10_000)
-    assert n_files == 1
+    src_io.compact_parquet(str(shards), str(out), 10_000)
     assert len(list(out.glob("*.parquet"))) == 1
     back = _canon(src_io.read_table(str(out)).to_pandas())
     assert back.equals(_canon(base.to_pandas()))
