@@ -406,3 +406,16 @@ def test_embed_documents_unit_norm_and_dup_consistent(entry_mod):
     merged = fp.merge(a, on="doc_id")
     merged["vec"] = merged["embedding"].map(tuple)
     assert (merged.groupby("fp_md5")["vec"].nunique() == 1).all()
+
+
+def test_embed_not_anagram_invariant(ray_session):
+    """Regression: the old trigram powers were all ≡ 1 mod 256, so
+    anagram windows collided and anagram texts embedded identically."""
+    from langfilter_ray.pipelines.similarity import _HashEmbedder
+
+    e = _HashEmbedder()
+    a = e._embed("abc def ghi " * 10)
+    b = e._embed("cba fed ihg " * 10)
+    import numpy as np
+
+    assert not np.allclose(a, b)

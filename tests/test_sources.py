@@ -90,3 +90,14 @@ def test_compact_parquet(ray_session, tmp_path):
     assert len(list(out.glob("*.parquet"))) == 1
     back = _canon(src_io.read_table(str(out)).to_pandas())
     assert back.equals(_canon(base.to_pandas()))
+
+
+def test_orc_ignores_stray_files(ray_session, tmp_path):
+    """A _SUCCESS marker (or any non-.orc file) in the directory must not
+    be parsed as ORC."""
+    base = src_io.read_table(f"{SF}/nation.parquet", columns=["n_nationkey"])
+    out = tmp_path / "orc2"
+    src_io.write_table(base, str(out), fmt="orc")
+    (out / "_SUCCESS").write_text("")
+    back = src_io.read_table(str(out), fmt="orc")
+    assert back.count() == base.count()
