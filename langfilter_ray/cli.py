@@ -74,7 +74,26 @@ def main(argv: list[str] | None = None) -> int:
     genp.add_argument("--out", required=True)
     genp.add_argument("--seed", type=int, default=42)
 
+    sub.add_parser("queries", help="list every pipeline query and its check")
+
     args = p.parse_args(argv)
+
+    if args.cmd == "queries":
+        # pure introspection — no Ray session needed
+        import importlib.util
+        from pathlib import Path
+
+        spec = importlib.util.spec_from_file_location(
+            "__ray_entry__", Path(__file__).resolve().parent.parent / "__ray_entry__.py"
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        oracles = set(mod.oracle_sql())
+        for name in sorted(mod.queries()):
+            kind = "oracle-checked" if name in oracles else "rows-only"
+            print(f"{name:28s} {kind}")
+        print(f"-- {len(mod.queries())} queries, {len(oracles)} oracle-checked")
+        return 0
 
     if args.cmd == "report":
         from .state.checkpoint import summarize_manifest
