@@ -888,7 +888,13 @@ def dedup_components(sf_dir: str) -> ray.data.Dataset:
         .materialize()
     )
 
-    parts = _join_parts()
+    # size the per-round join by the EDGE volume, not the CPU budget: the
+    # edge table is tiny at any realistic dup rate, and every propagation
+    # round pays the spawn cost of num_partitions aggregator actors — 16
+    # actors/round for a few hundred edges was the dominant (and highly
+    # host-variable) cost of this operator at bench scale
+    n_edges = edges.count()
+    parts = min(_join_parts(), max(2, n_edges // 100_000 + 1))
     from ray.data.aggregate import Max
 
     for _ in range(_CC_MAX_ITERS):
