@@ -88,11 +88,12 @@ def main(argv: list[str] | None = None) -> int:
         )
         mod = importlib.util.module_from_spec(spec)
         spec.loader.exec_module(mod)
+        qs = mod.queries()
         oracles = set(mod.oracle_sql())
-        for name in sorted(mod.queries()):
+        for name in sorted(qs):
             kind = "oracle-checked" if name in oracles else "rows-only"
             print(f"{name:28s} {kind}")
-        print(f"-- {len(mod.queries())} queries, {len(oracles)} oracle-checked")
+        print(f"-- {len(qs)} queries, {len(oracles)} oracle-checked")
         return 0
 
     if args.cmd == "report":

@@ -865,7 +865,8 @@ def dedup_components(sf_dir: str) -> ray.data.Dataset:
     # both directions so labels flow both ways; materialized: re-joined
     # every round
     edges = pairs.map_batches(to_directed, batch_format="pyarrow").materialize()
-    if edges.count() == 0:
+    n_edges = edges.count()
+    if n_edges == 0:
         return ray.data.from_arrow(
             pa.table(
                 {
@@ -893,7 +894,6 @@ def dedup_components(sf_dir: str) -> ray.data.Dataset:
     # round pays the spawn cost of num_partitions aggregator actors — 16
     # actors/round for a few hundred edges was the dominant (and highly
     # host-variable) cost of this operator at bench scale
-    n_edges = edges.count()
     parts = min(_join_parts(), max(2, n_edges // 100_000 + 1))
     from ray.data.aggregate import Max
 

@@ -376,8 +376,9 @@ class _HashEmbedder:
 
             h = (sliding_window_view(b, 3).astype(np.uint64)
                  * self.powers).sum(axis=1) * self.final_mix
-            idx = (h >> np.uint64(58)).astype(np.int64)        # top 6 bits
-            sign = np.where((h >> np.uint64(57)) & np.uint64(1), 1.0, -1.0)
+            shift = np.uint64(64 - EMBED_DIM.bit_length() + 1)  # top log2(DIM) bits
+            idx = (h >> shift).astype(np.int64)
+            sign = np.where((h >> (shift - np.uint64(1))) & np.uint64(1), 1.0, -1.0)
             np.add.at(v, idx, sign)
         n = np.linalg.norm(v)
         return v / n if n > 0 else v

@@ -28,8 +28,12 @@ class _OrcDatasource(ray.data.datasource.FileBasedDatasource):
         # file_extensions must go through the constructor — the
         # _FILE_EXTENSIONS class attr is only consumed by Ray's read_*
         # wrappers, which read_datasource bypasses; without it a stray
-        # _SUCCESS/README in the directory would be parsed as ORC
-        kwargs.setdefault("file_extensions", ["orc"])
+        # _SUCCESS/README in a DIRECTORY would be parsed as ORC.  An
+        # explicitly named file is read regardless of its extension.
+        import os
+
+        if isinstance(paths, str) and os.path.isdir(paths):
+            kwargs.setdefault("file_extensions", ["orc"])
         super().__init__(paths, **kwargs)
         self._columns = columns
 

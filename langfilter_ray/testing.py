@@ -50,6 +50,8 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
         for c in df.columns:
             if _is_unsortable(df[c]):
                 sc = f"__shadow_{c}"
+                while sc in df.columns:      # a real column may share the name
+                    sc = "_" + sc
                 shadow[sc] = df[c].map(repr)
                 keys.append(sc)
             else:

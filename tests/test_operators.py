@@ -408,7 +408,7 @@ def test_embed_documents_unit_norm_and_dup_consistent(entry_mod):
     assert (merged.groupby("fp_md5")["vec"].nunique() == 1).all()
 
 
-def test_embed_not_anagram_invariant(ray_session):
+def test_embed_not_anagram_invariant():
     """Regression: the old trigram powers were all ≡ 1 mod 256, so
     anagram windows collided and anagram texts embedded identically."""
     from langfilter_ray.pipelines.similarity import _HashEmbedder
