@@ -36,14 +36,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
         windows,
     )
 
+    # NOTE on ordering: the driver's CORRECTNESS check covers only the
+    # FIRST 50 entries (dict order).  Round 2 left 23 queries outside that
+    # window — including the six round-1 hash-fails whose ::BIGINT dtype
+    # fixes were never driver-confirmed — so round 3 puts those 23 FIRST,
+    # followed by oracle-backed queries already driver-green in r2, with
+    # the rows-only flagship/stub queries (checked r2, no oracle by
+    # design) rotated to the back.
     return {
-        # flagship cascade (stateful classifier -> rows-only check)
-        "quality_filter_labels": reports.quality_filter_labels,
-        "gate_decision_report": reports.gate_decision_report,
-        "translate_kept_snippets": reports.translate_kept_snippets,
-        "repo_quality_report": reports.repo_quality_report,
-        "corpus_clean": reports.corpus_clean,
-        # text analysis over documents (oracle-checked)
+        # --- round-2 driver-unchecked window (23) -----------------------
+        # former round-1 hash-fails, fixed via ::BIGINT casts in r2:
+        "error_events_pushdown": relational.error_events_pushdown,
+        "segment_order_stats": relational.segment_order_stats,
+        "order_price_tiers": relational.order_price_tiers,
+        "shipping_priority": relational.shipping_priority,
+        "tumbling_hour_counts": windows.tumbling_hour_counts,
+        "asof_last_login": windows.asof_last_login,
+        # oracle-backed, never driver-checked past round 1:
+        "customers_no_big_order": relational.customers_no_big_order,
+        "top_orders_per_segment": relational.top_orders_per_segment,
+        "events_union": relational.events_union,
+        "distinct_users_per_type": relational.distinct_users_per_type,
+        "approx_distinct_users": relational.approx_distinct_users,
+        "event_type_pivot": relational.event_type_pivot,
+        "doc_stats_by_lang": text_analysis.doc_stats_by_lang,
+        "user_session_stats": windows.user_session_stats,
+        "hopping_counts": windows.hopping_counts,
+        "median_value_per_type": windows.median_value_per_type,
+        "daily_hopping_counts": windows.daily_hopping_counts,
+        "session_windows": windows.session_windows,
+        "payload_stats": multimodal.payload_stats,
+        # rows-only multimodal plumbing (never driver-checked past r1):
+        "multimodal_decode": multimodal.multimodal_decode,
+        "multimodal_resize": multimodal.multimodal_resize,
+        "frame_sample": multimodal.frame_sample,
+        "decode_pgm": multimodal.decode_pgm,
+        # --- oracle-backed, driver-green in r2 (re-confirm) -------------
         "token_counts": text_analysis.token_counts,
         "token_counts_bpe": text_analysis.token_counts_bpe,
         "stopword_stats": text_analysis.stopword_stats,
@@ -54,71 +82,50 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scrub_documents": text_analysis.scrub_documents,
         "top_tokens": text_analysis.top_tokens,
         "heavy_hitter_tokens": text_analysis.heavy_hitter_tokens,
-        "decontaminate_overlap": text_analysis.decontaminate_overlap,
         "stratified_sample": text_analysis.stratified_sample,
-        "doc_perplexity": text_analysis.doc_perplexity,
         "top_bigrams": text_analysis.top_bigrams,
         "top_docs_per_lang": text_analysis.top_docs_per_lang,
         "distinct_sources": text_analysis.distinct_sources,
         "sample_docs": text_analysis.sample_docs,
-        "winnow_fingerprints": text_analysis.winnow_fingerprints,
         "train_val_split": text_analysis.train_val_split,
-        # dedup family
         "dedup_exact": dedup.dedup_exact,
-        "dedup_minhash": dedup.minhash_candidates,
-        # cached wrapper: components/survivors consume the same verified
-        # pair set, so one minhash->jaccard chain serves all three queries
-        "dedup_jaccard": dedup._verified_pairs,
-        "dedup_simhash": dedup.dedup_simhash,
-        "simhash_candidates": dedup.simhash_candidates,
         "dedup_embedding": dedup.dedup_embedding,
         "similar_pairs_topk": dedup.similar_pairs_topk,
-        "dedup_components": dedup.dedup_components,
-        "dedup_survivors": dedup.dedup_survivors,
-        "dedup_embedding_ivf": dedup.dedup_embedding_ivf,
-        "bloom_semi_join": relational.bloom_semi_join,
-        "approx_quantiles": relational.approx_quantiles,
-        # similarity search
-        "ann_topk": similarity.ann_topk,
-        "ann_lsh": similarity.ann_lsh,
-        "ann_ivf": similarity.ann_ivf,
-        "embed_documents": similarity.embed_documents,
         "label_centroids": similarity.label_centroids,
-        # relational / reporting analogs
+        "ann_topk": similarity.ann_topk,
         "status_counts": relational.status_counts,
         "event_type_by_bucket": relational.event_type_by_bucket,
         "recent_window_count": relational.recent_window_count,
         "top50_recent": relational.top50_recent,
         "events_filtered_sorted": relational.events_filtered_sorted,
         "pricing_summary": relational.pricing_summary,
+        # --- past the 50-query window: driver-green r2 + rows-only ------
         "revenue_by_nation": relational.revenue_by_nation,
         "revenue_rollup": relational.revenue_rollup,
         "props_stats": relational.props_stats,
-        "error_events_pushdown": relational.error_events_pushdown,
-        "segment_order_stats": relational.segment_order_stats,
-        "customers_no_big_order": relational.customers_no_big_order,
-        "top_orders_per_segment": relational.top_orders_per_segment,
-        "events_union": relational.events_union,
-        "distinct_users_per_type": relational.distinct_users_per_type,
-        "approx_distinct_users": relational.approx_distinct_users,
-        "event_type_pivot": relational.event_type_pivot,
-        "order_price_tiers": relational.order_price_tiers,
-        "shipping_priority": relational.shipping_priority,
-        "doc_stats_by_lang": text_analysis.doc_stats_by_lang,
-        # windowed / time-ordered (groupby+map_groups pattern, as-of join)
-        "user_session_stats": windows.user_session_stats,
-        "tumbling_hour_counts": windows.tumbling_hour_counts,
-        "asof_last_login": windows.asof_last_login,
-        "hopping_counts": windows.hopping_counts,
-        "median_value_per_type": windows.median_value_per_type,
-        "daily_hopping_counts": windows.daily_hopping_counts,
-        "session_windows": windows.session_windows,
-        # multimodal plumbing
-        "payload_stats": multimodal.payload_stats,
-        "multimodal_decode": multimodal.multimodal_decode,
-        "multimodal_resize": multimodal.multimodal_resize,
-        "frame_sample": multimodal.frame_sample,
-        "decode_pgm": multimodal.decode_pgm,
+        "decontaminate_overlap": text_analysis.decontaminate_overlap,
+        "doc_perplexity": text_analysis.doc_perplexity,
+        "winnow_fingerprints": text_analysis.winnow_fingerprints,
+        "dedup_minhash": dedup.minhash_candidates,
+        # cached wrapper: components/survivors consume the same verified
+        # pair set, so one minhash->jaccard chain serves all three queries
+        "dedup_jaccard": dedup._verified_pairs,
+        "dedup_simhash": dedup.dedup_simhash,
+        "simhash_candidates": dedup.simhash_candidates,
+        "dedup_components": dedup.dedup_components,
+        "dedup_survivors": dedup.dedup_survivors,
+        "dedup_embedding_ivf": dedup.dedup_embedding_ivf,
+        "bloom_semi_join": relational.bloom_semi_join,
+        "approx_quantiles": relational.approx_quantiles,
+        "ann_lsh": similarity.ann_lsh,
+        "ann_ivf": similarity.ann_ivf,
+        "embed_documents": similarity.embed_documents,
+        # flagship cascade (stateful classifier -> rows-only check)
+        "quality_filter_labels": reports.quality_filter_labels,
+        "gate_decision_report": reports.gate_decision_report,
+        "translate_kept_snippets": reports.translate_kept_snippets,
+        "repo_quality_report": reports.repo_quality_report,
+        "corpus_clean": reports.corpus_clean,
     }
 
 
