@@ -627,8 +627,22 @@ def dedup_embedding_ivf(sf_dir: str) -> ray.data.Dataset:
         .groupby("cluster")
         .map_groups(in_cluster_pairs, batch_format="pandas")
     )
-    # a pair found in both shared clusters collapses to one row
-    return pairs.groupby(["id_a", "id_b"]).count().select_columns(["id_a", "id_b"])
+    # a pair found in both shared clusters collapses to one row; the
+    # (tiny) result is materialized so a zero-pair corpus keeps a typed
+    # schema — groupby over an all-empty stream loses it (same guard as
+    # minhash_candidates / simhash_candidates, see CLAUDE.md)
+    out = (
+        pairs.groupby(["id_a", "id_b"])
+        .count()
+        .select_columns(["id_a", "id_b"])
+        .materialize()
+    )
+    if out.count() == 0:
+        return ray.data.from_arrow(
+            pa.table({"id_a": pa.array([], pa.int64()),
+                      "id_b": pa.array([], pa.int64())})
+        )
+    return out
 
 
 DEDUP_EMBEDDING_SQL = (

@@ -474,9 +474,17 @@ def heavy_hitter_tokens(sf_dir: str) -> ray.data.Dataset:
         .to_pandas()
     )
     n_total = int(agg.loc[agg["token"] == "", "partial"].sum())
-    cand_ref = ray.put(
-        pa.array(sorted(agg.loc[agg["token"] != "", "token"]), pa.string())
-    )
+    candidates = sorted(agg.loc[agg["token"] != "", "token"])
+    if not candidates:
+        # flat vocabulary: no token was heavy in ANY batch, so none can be
+        # corpus-heavy (pigeonhole).  Short-circuit with a TYPED empty
+        # table — phase B's groupby over an all-empty stream would lose
+        # its schema (see CLAUDE.md).
+        return ray.data.from_arrow(
+            pa.table({"token": pa.array([], pa.string()),
+                      "n_occurrences": pa.array([], pa.int64())})
+        )
+    cand_ref = ray.put(pa.array(candidates, pa.string()))
 
     def phase_b(t: pa.Table) -> pa.Table:
         cand = ray.get(cand_ref)

@@ -50,7 +50,16 @@ _KEEPALIVE = None
 
 def get_or_create() -> "ray.actor.ActorHandle":
     """Named zero-CPU actor, shared by every stage worker in the session
-    (get_if_exists makes creation race-free across concurrent workers)."""
+    (get_if_exists makes creation race-free across concurrent workers).
+
+    Only the DRIVER may be the first caller: the actor is non-detached and
+    ref-counted, so it lives only as long as the creating process holds
+    the keepalive handle.  ``build_pipeline(live_metrics=True)`` satisfies
+    this by creating it driver-side before any worker starts; workers that
+    call this afterwards just fetch the existing handle.  The read-side
+    helpers (``snapshot``/``reset``) deliberately never create — a
+    short-lived auxiliary caller would otherwise own the keepalive and
+    take the counters down with it mid-run."""
     global _KEEPALIVE
     try:
         return ray.get_actor(ACTOR_NAME)
@@ -59,12 +68,33 @@ def get_or_create() -> "ray.actor.ActorHandle":
         return _KEEPALIVE
 
 
+def _get_existing() -> "ray.actor.ActorHandle | None":
+    try:
+        return ray.get_actor(ACTOR_NAME)
+    except ValueError:
+        return None
+
+
 def snapshot() -> dict[str, int]:
-    return ray.get(get_or_create().snapshot.remote())
+    """Current in-flight counters.  Read-only: raises if no pipeline has
+    created the counter actor yet (creating here would park the keepalive
+    handle in the calling process — see get_or_create)."""
+    actor = _get_existing()
+    if actor is None:
+        raise RuntimeError(
+            "live-metrics actor does not exist; run "
+            "build_pipeline(live_metrics=True) (driver-side) first"
+        )
+    return ray.get(actor.snapshot.remote())
 
 
 def reset() -> None:
-    ray.get(get_or_create().reset.remote())
+    """Zero the counters if the actor exists; no-op otherwise (nothing to
+    reset, and creating an actor from a possibly-transient caller would
+    tie its lifetime to that caller — see get_or_create)."""
+    actor = _get_existing()
+    if actor is not None:
+        ray.get(actor.reset.remote())
 
 
 def write_live_textfile(path: str | Path) -> Path:

@@ -29,6 +29,16 @@ def clean_sf(tmp_path_factory, ray_session) -> str:
         }
     )
     pq.write_table(docs, d / "documents.parquet")
+    # pairwise-orthogonal embeddings: no pair can clear COSINE_THRESHOLD
+    emb = pa.table(
+        {
+            "vec_id": pa.array(range(64), pa.int64()),
+            "embedding": pa.array(
+                np.eye(64, dtype=np.float64).tolist(), pa.list_(pa.float64())
+            ),
+        }
+    )
+    pq.write_table(emb, d / "embeddings.parquet")
     events = pa.table(
         {
             "event_id": pa.array(range(50), pa.int64()),
@@ -59,6 +69,47 @@ def test_no_candidates_returns_typed_empty(clean_sf):
 
     surv = dedup.dedup_survivors(clean_sf).to_pandas()
     assert sorted(surv["doc_id"]) == list(range(20))   # everyone survives
+
+
+def test_ivf_no_pairs_returns_typed_empty(clean_sf):
+    """Orthogonal embeddings -> zero pairs above COSINE_THRESHOLD: the
+    final groupby must not lose its schema (advice r2: reproduced
+    AttributeError on the schemaless empty stream)."""
+    from langfilter_ray.pipelines import dedup
+
+    out = dedup.dedup_embedding_ivf(clean_sf)
+    assert out.count() == 0
+    assert out.schema().names == ["id_a", "id_b"]
+
+
+def test_heavy_hitters_flat_vocab_returns_typed_empty(clean_sf):
+    """All-unique vocabulary -> no per-batch candidate -> phase B must
+    short-circuit with a typed empty table, not a schema-None dataset."""
+    from langfilter_ray.pipelines import text_analysis
+
+    out = text_analysis.heavy_hitter_tokens(clean_sf)
+    assert out.count() == 0
+    assert out.schema().names == ["token", "n_occurrences"]
+
+
+def test_live_metrics_readers_do_not_create_actor(ray_session):
+    """snapshot() must raise (not create) when no pipeline has built the
+    counter actor; reset() must be a no-op (advice r2: a transient first
+    caller would own the keepalive and kill the counters mid-run)."""
+    import ray as _ray
+
+    from langfilter_ray.state import live_metrics
+
+    # ensure no actor exists from an earlier test in this session
+    try:
+        _ray.kill(_ray.get_actor(live_metrics.ACTOR_NAME))
+    except ValueError:
+        pass
+    live_metrics.reset()   # no-op, must not create
+    with pytest.raises(RuntimeError, match="live-metrics actor"):
+        live_metrics.snapshot()
+    with pytest.raises(ValueError):
+        _ray.get_actor(live_metrics.ACTOR_NAME)
 
 
 def test_bloom_empty_build_side_filters_everything(clean_sf):
