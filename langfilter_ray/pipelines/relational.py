@@ -139,51 +139,134 @@ def pricing_summary(sf_dir: str) -> ray.data.Dataset:
 
 # ---- broadcast join: revenue by nation ----------------------------------
 
-def revenue_by_nation(sf_dir: str) -> ray.data.Dataset:
-    """orders ⋈ customer ⋈ nation, dimensions broadcast (J3 pattern).
+# A "small" dimension for the broadcast-join path is bounded here: above
+# this the sorted key/code arrays (~16 B/row) stop being a tiny broadcast
+# (~80 MB at the cap) and the plan falls back to the hash-partitioned
+# native Dataset.join (the segment_order_stats shape).  TPC-H customer is
+# 150k rows x SF, so the broadcast path covers up to roughly SF 33.
+BROADCAST_DIM_MAX_ROWS = 5_000_000
 
-    customer (O(SF*15k) rows) and nation (25 rows) are read once on the
-    driver, folded into a custkey -> nation-name dict, and shipped in the
-    task closure; the orders fact table streams through map_batches with a
-    numpy take per batch — no shuffle of fact rows at all.  The final
-    groupby shuffles only (nation, partial-sum) rows.
-    """
+
+def _dim_num_rows(sf_dir: str, table: str) -> int:
+    """Row count from parquet metadata — no data read."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(f"{sf_dir}/{table}.parquet").metadata.num_rows
+
+
+def _broadcast_customer_lookup(sf_dir: str, val_col: str):
+    """customer dim as a ray.put-broadcast (sorted custkey array, value
+    CODE array, name LUT) triple — ONE object-store copy, zero-copy numpy
+    reads in every task; never a Python dict in the task closure (a dict
+    costs ~100 B/row on the driver AND re-ships per task).  The LUT
+    carries a trailing None so an unmatched probe key (-1 index) maps to
+    null, matching dict.get semantics."""
     import pyarrow.parquet as pq
 
     cust = pq.read_table(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", val_col]
     )
+    keys = cust["c_custkey"].to_numpy()
+    codes, uniques = pd.factorize(cust[val_col].to_pandas())
+    order = np.argsort(keys)
+    lut = np.asarray(list(uniques) + [None], dtype=object)
+    ref = ray.put((keys[order], codes[order].astype(np.int64)))
+    return ref, lut
+
+
+def _probe_lookup(ref, lut, probe_keys: np.ndarray) -> np.ndarray:
+    """Vectorized dim lookup: binary-search the broadcast sorted keys and
+    take from the value LUT; unmatched keys yield None."""
+    keys, codes = ray.get(ref)
+    pos = np.minimum(np.searchsorted(keys, probe_keys), len(keys) - 1)
+    return lut[np.where(keys[pos] == probe_keys, codes[pos], -1)]
+
+
+def revenue_by_nation(sf_dir: str) -> ray.data.Dataset:
+    """orders ⋈ customer ⋈ nation, dimensions broadcast (J3 pattern).
+
+    nation (25 rows, bounded by spec) rides in the closure; customer
+    (O(SF*150k) rows) is broadcast ONCE as sorted numpy arrays via
+    ray.put and probed per batch with a binary search — the orders fact
+    table streams through map_batches with no shuffle of fact rows at
+    all, and the final groupby shuffles only (nation, partial-sum) rows.
+    Above BROADCAST_DIM_MAX_ROWS the customer dim is no longer "small"
+    and the plan switches to the hash-partitioned native Dataset.join.
+    """
+    import pyarrow.parquet as pq
+
     nation = pq.read_table(
         f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
     )
-    nk_name = dict(
-        zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist())
-    )
-    cust_nation = {
-        int(c): nk_name[int(nk)]
-        for c, nk in zip(
-            cust["c_custkey"].to_pylist(), cust["c_nationkey"].to_pylist()
-        )
-    }
+    # direct-indexed LUT (nationkey is dense 0..24); -1 -> None sentinel
+    nk = nation["n_nationkey"].to_numpy()
+    nation_lut = np.full(int(nk.max()) + 2, None, dtype=object)
+    nation_lut[nk] = nation["n_name"].to_pylist()
 
-    def join_batch(t: pa.Table) -> pa.Table:
-        names = [cust_nation.get(int(c)) for c in t["o_custkey"].to_pylist()]
-        cents = np.floor(t["o_totalprice"].to_numpy() * 100 + 0.5).astype(np.int64)
-        return pa.table(
-            {
-                "n_name": pa.array(names, pa.string()),
-                "price_cents": pa.array(cents, pa.int64()),
-            }
+    def _to_cents(t: pa.Table) -> np.ndarray:
+        return np.floor(t["o_totalprice"].to_numpy() * 100 + 0.5).astype(np.int64)
+
+    if _dim_num_rows(sf_dir, "customer") <= BROADCAST_DIM_MAX_ROWS:
+        import pyarrow.parquet as _pq
+
+        cust = _pq.read_table(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+        )
+        keys = cust["c_custkey"].to_numpy()
+        order = np.argsort(keys)
+        ref = ray.put(
+            (keys[order], cust["c_nationkey"].to_numpy()[order].astype(np.int64))
         )
 
-    return (
-        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-        .map_batches(join_batch, batch_format="pyarrow")
-        .groupby("n_name")
-        .aggregate(
-            Count(alias_name="n_orders"),
-            Sum("price_cents", alias_name="total_cents"),
+        def join_batch(t: pa.Table) -> pa.Table:
+            keys, nkeys = ray.get(ref)
+            bk = t["o_custkey"].to_numpy()
+            pos = np.minimum(np.searchsorted(keys, bk), len(keys) - 1)
+            names = nation_lut[np.where(keys[pos] == bk, nkeys[pos], -1)]
+            return pa.table(
+                {
+                    "n_name": pa.array(names, pa.string()),
+                    "price_cents": pa.array(_to_cents(t), pa.int64()),
+                }
+            )
+
+        labeled = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+            join_batch, batch_format="pyarrow"
         )
+    else:
+        # dim too big to broadcast: hash-partitioned native join on the
+        # custkey, then the (bounded) nation LUT applied post-join
+        orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+            lambda t: pa.table(
+                {
+                    "o_custkey": t["o_custkey"],
+                    "price_cents": pa.array(_to_cents(t), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        customer = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+        labeled = orders.join(
+            customer,
+            join_type="inner",
+            num_partitions=_join_parts(),
+            on=("o_custkey",),
+            right_on=("c_custkey",),
+        ).map_batches(
+            lambda t: pa.table(
+                {
+                    "n_name": pa.array(
+                        nation_lut[t["c_nationkey"].to_numpy()], pa.string()
+                    ),
+                    "price_cents": t["price_cents"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+    return labeled.groupby("n_name").aggregate(
+        Count(alias_name="n_orders"),
+        Sum("price_cents", alias_name="total_cents"),
     )
 
 
@@ -264,23 +347,25 @@ def customers_no_big_order(sf_dir: str) -> ray.data.Dataset:
 
 def top_orders_per_segment(sf_dir: str) -> ray.data.Dataset:
     """Top-3 orders by price per market segment — ROW_NUMBER()-per-partition
-    re-expressed for scale: the segment dimension is broadcast (J3), each
-    batch keeps only its LOCAL top-3 per segment (combiner), and the final
-    exact rank runs in map_groups over the tiny survivor set.  Ties broken
-    on o_orderkey so ranks are deterministic."""
-    import pyarrow.parquet as pq
-
-    cust = pq.read_table(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
-    )
-    seg_map = dict(
-        zip(cust["c_custkey"].to_pylist(), cust["c_mktsegment"].to_pylist())
-    )
+    re-expressed for scale: the segment dimension is broadcast (J3) as
+    sorted numpy arrays via ray.put (never a driver-side Python dict —
+    customer is SF-proportional), each batch keeps only its LOCAL top-3
+    per segment (combiner), and the final exact rank runs in map_groups
+    over the tiny survivor set.  Ties broken on o_orderkey so ranks are
+    deterministic.  Above BROADCAST_DIM_MAX_ROWS the dim lookup switches
+    to the hash-partitioned native Dataset.join before the combiner."""
+    use_broadcast = _dim_num_rows(sf_dir, "customer") <= BROADCAST_DIM_MAX_ROWS
+    if use_broadcast:
+        ref, seg_lut = _broadcast_customer_lookup(sf_dir, "c_mktsegment")
 
     def local_topk(t: pa.Table) -> pd.DataFrame:
+        if use_broadcast:
+            segs = _probe_lookup(ref, seg_lut, t["o_custkey"].to_numpy())
+        else:
+            segs = t["c_mktsegment"].to_numpy(zero_copy_only=False)
         df = pd.DataFrame(
             {
-                "segment": [seg_map.get(int(c)) for c in t["o_custkey"].to_pylist()],
+                "segment": segs,
                 "o_orderkey": t["o_orderkey"].to_numpy(),
                 "price_cents": np.floor(
                     t["o_totalprice"].to_numpy() * 100 + 0.5
@@ -299,9 +384,17 @@ def top_orders_per_segment(sf_dir: str) -> ray.data.Dataset:
         g["rnk"] = np.arange(1, len(g) + 1, dtype=np.int64)
         return g
 
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+    if not use_broadcast:
+        orders = orders.join(
+            _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]),
+            join_type="inner",
+            num_partitions=_join_parts(),
+            on=("o_custkey",),
+            right_on=("c_custkey",),
+        )
     return (
-        _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
-        .map_batches(local_topk, batch_format="pyarrow")
+        orders.map_batches(local_topk, batch_format="pyarrow")
         .groupby("segment")
         .map_groups(final_rank, batch_format="pandas")
     )

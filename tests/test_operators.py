@@ -73,6 +73,20 @@ def test_query_matches_oracle(entry_mod, con, name):
     assert not problems, (problems, first_diff(got, want))
 
 
+@pytest.mark.parametrize("name", ["revenue_by_nation", "top_orders_per_segment"])
+def test_dim_join_fallback_matches_oracle(entry_mod, con, name, monkeypatch):
+    """Above BROADCAST_DIM_MAX_ROWS the customer-dim broadcast must switch
+    to the hash-partitioned native join and produce identical results —
+    forced here by zeroing the threshold."""
+    from langfilter_ray.pipelines import relational
+
+    monkeypatch.setattr(relational, "BROADCAST_DIM_MAX_ROWS", 0)
+    got = _canon(_to_pandas(entry_mod.queries()[name](SF)))
+    want = _canon(con.execute(entry_mod.oracle_sql()[name]).df())
+    problems = compare_frames(got, want)
+    assert not problems, (problems, first_diff(got, want))
+
+
 def test_comparator_catches_decimal_vs_int64():
     """Regression for round 1: DuckDB sum(BIGINT) -> decimal128 stringifies
     like int64 and slipped past the old astype(str) gate; the dtype-aware
