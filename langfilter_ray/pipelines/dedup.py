@@ -752,6 +752,10 @@ def simhash_candidates(sf_dir: str) -> ray.data.Dataset:
 # ---- exact word-set Jaccard top-k (oracle-checkable dedup ranking) -------
 
 JACCARD_TOP_K = 50
+# the exact all-pairs baseline holds every word set in driver memory and
+# scores O(N^2) pairs — refuse beyond this (~driver GBs / hours of work);
+# sf0.1's 50k documents is the largest input it is meant for
+SIMILAR_PAIRS_MAX_ROWS = 100_000
 
 
 def similar_pairs_topk(sf_dir: str) -> ray.data.Dataset:
@@ -763,9 +767,20 @@ def similar_pairs_topk(sf_dir: str) -> ray.data.Dataset:
     and a tiny global sort+limit finishes.  Jaccard is one int/int
     division so the doubles compare exactly against DuckDB.  At corpus
     scale the all-pairs loop is replaced by the LSH candidate prefilter
-    (`minhash_candidates`) — this operator is the exact-ranking baseline."""
+    (`minhash_candidates`) — this operator is the exact-ranking baseline
+    and REFUSES inputs above ``SIMILAR_PAIRS_MAX_ROWS``: it reads every
+    document's word set into driver memory and scores O(N²) pairs, so an
+    unguarded large input would OOM the driver long before the quadratic
+    cost finished."""
     import pyarrow.parquet as pq
 
+    n_rows = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    if n_rows > SIMILAR_PAIRS_MAX_ROWS:
+        raise ValueError(
+            f"similar_pairs_topk is an exact all-pairs baseline capped at "
+            f"{SIMILAR_PAIRS_MAX_ROWS} documents (got {n_rows}); use the LSH "
+            "scale path instead: minhash_candidates -> dedup_jaccard"
+        )
     t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     ids = t["doc_id"].to_numpy()
     intern: dict[str, int] = {}

@@ -112,6 +112,17 @@ def test_live_metrics_readers_do_not_create_actor(ray_session):
         _ray.get_actor(live_metrics.ACTOR_NAME)
 
 
+def test_similar_pairs_topk_refuses_oversized_input(clean_sf, monkeypatch):
+    """The exact all-pairs baseline must refuse inputs above its row cap
+    (it materializes every word set driver-side) and point at the LSH
+    scale path, instead of OOMing at scale."""
+    from langfilter_ray.pipelines import dedup
+
+    monkeypatch.setattr(dedup, "SIMILAR_PAIRS_MAX_ROWS", 10)
+    with pytest.raises(ValueError, match="minhash_candidates"):
+        dedup.similar_pairs_topk(clean_sf)
+
+
 def test_bloom_empty_build_side_filters_everything(clean_sf):
     from langfilter_ray.pipelines.relational import bloom_semi_join
 
