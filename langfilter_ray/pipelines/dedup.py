@@ -313,6 +313,20 @@ def minhash_candidates(
         if len(hot_tbl) and "band_hash" in hot_tbl.columns
         else {}
     )
+    if hot_roots:
+        # surface the star decision: a starred bucket at scale means a
+        # boilerplate/mirror pathology worth knowing about, and the
+        # connectivity-exact-but-not-pair-exact trade should be visible
+        # in the run log rather than silent
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "minhash_candidates: %d hot band bucket(s) above ~%d members "
+            "(largest ~%d sampled-est.) expanded as stars — candidate "
+            "connectivity preserved; pair lists within these buckets are "
+            "star-shaped, not all-pairs",
+            len(hot_roots), hot_bucket_cap, int(hot_tbl["n"].max()) * p_inv,
+        )
 
     join_src = bands
     star = None

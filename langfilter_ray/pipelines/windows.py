@@ -1,24 +1,36 @@
 """Windowed / time-ordered operators over the ``events`` stream table.
 
 Ray Data has no event-time window primitive (ray_guide 'Streaming-shaped
-workloads'); these operators implement the canonical pattern — partition
-by key, sort within the group, window with pandas inside
-``groupby(key).map_groups`` — plus an as-of join, the custom-operator
-example the Dataset API lacks natively.
+workloads'); these operators implement the canonical pattern — HASH-
+PARTITION by key, sort within the partition, then SEGMENTED numpy over
+(user) boundaries found with np.flatnonzero — plus an as-of join, the
+custom-operator example the Dataset API lacks natively.
 
-Ordering assumption (stated per the guide): rows within one (user_id)
-group fit in one worker's memory and are sorted by (ts, event_id) inside
-the group callback; (user_id, ts) pairs are unique in the testdata so the
-as-of matches are deterministic (verified), and the event_id tie-break
-covers the general case.
+The per-user operators deliberately do NOT use
+``groupby(user_id).map_groups(per_user)``: that pays one Python callback
+per user, and user counts grow with the corpus (the pattern CLAUDE.md
+flags as ruinous on mostly-singleton keys).  Instead each event is tagged
+with ``part = hash(user_id) % _WINDOW_PARTS`` so ALL of a user's rows
+co-locate in ONE partition-group; the callback count is the CONSTANT
+_WINDOW_PARTS, and all per-user logic inside a partition is vectorized
+(sort + boundary masks + cumsum/reduceat — no Python loop over users).
+``map_groups`` remains the right tool when the group count is bounded
+(``median_value_per_type``: 5 event types) — not when it scales with data.
+
+Partition-size assumption (stated per the guide): one partition
+(~N/_WINDOW_PARTS rows, every user wholly contained) fits in a worker's
+heap — at larger corpora raise _WINDOW_PARTS proportionally; (user_id,
+ts) pairs are unique in the testdata so the as-of matches are
+deterministic (verified), and the event_id tie-break covers the general
+case.
 
   user_session_stats — per-user count, first/last ts, max inter-event gap
                        (lag window; gaps in exact integer microseconds)
   tumbling_hour_counts — tumbling 1h event-time window per event_type
                        (floor-truncated; counts + value cents, all ints)
   asof_last_login    — for every event, the latest login of the same user
-                       at-or-before its timestamp (pd.merge_asof per user
-                       group == DuckDB ASOF LEFT JOIN)
+                       at-or-before its timestamp (segment cummax of
+                       signup positions == DuckDB ASOF LEFT JOIN)
 """
 
 from __future__ import annotations
@@ -28,33 +40,82 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 
+# callback-count / partition-size knob for the per-user operators: the
+# shuffle volume is identical to a groupby(user_id), but the Python
+# callback count drops from O(users) to this constant.  Size so that
+# events_rows / _WINDOW_PARTS fits a worker heap.
+_WINDOW_PARTS = 64
+
 
 def _events(sf_dir: str, columns: list[str]) -> ray.data.Dataset:
     return ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
 
 
+def _with_user_part(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Tag rows with a multiplicative hash partition of user_id (key
+    stride / skew resistant; pure function of the key, so deterministic
+    across runs and partitionings)."""
+
+    def add_part(t: pa.Table) -> pa.Table:
+        h = t["user_id"].to_numpy().astype(np.uint64) * np.uint64(
+            0x9E3779B97F4A7C15
+        )
+        part = ((h >> np.uint64(33)) % np.uint64(_WINDOW_PARTS)).astype(np.int64)
+        return t.append_column("part", pa.array(part, pa.int64()))
+
+    return ds.map_batches(add_part, batch_format="pyarrow")
+
+
+def _user_segments(g: pd.DataFrame):
+    """Sort a partition by (user_id, ts, event_id) and return the sorted
+    frame plus (starts, ends) row offsets of each user's segment —
+    the segmented-numpy backbone shared by the per-user operators."""
+    g = g.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+    uid = g["user_id"].to_numpy()
+    new_user = np.empty(len(g), dtype=bool)
+    new_user[0] = True
+    new_user[1:] = uid[1:] != uid[:-1]
+    starts = np.flatnonzero(new_user)
+    ends = np.append(starts[1:], len(g))
+    return g, starts, ends
+
+
 def user_session_stats(sf_dir: str) -> ray.data.Dataset:
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.array([], dtype="int64"),
+                    "n_events": pd.array([], dtype="int64"),
+                    "first_ts": pd.array([], dtype=g["ts"].dtype),
+                    "last_ts": pd.array([], dtype=g["ts"].dtype),
+                    "max_gap_us": pd.array([], dtype="int64"),
+                }
+            )
+        g, starts, ends = _user_segments(g)
         # exact integer microseconds regardless of pandas datetime unit
-        us = g["ts"].astype("datetime64[us]").astype("int64")
-        gaps = us.diff().dropna()
+        us = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        ts = g["ts"].to_numpy()
+        # inter-event gaps; the slot after a user's LAST row (which pairs
+        # rows of two different users) is masked to 0, which is also the
+        # documented no-gap value for single-event users
+        gaps = np.append(us[1:] - us[:-1], 0)
+        gaps[ends - 1] = 0
         return pd.DataFrame(
             {
-                "user_id": [g["user_id"].iloc[0]],
-                "n_events": np.array([len(g)], dtype=np.int64),
-                "first_ts": [g["ts"].iloc[0]],
-                "last_ts": [g["ts"].iloc[-1]],
-                "max_gap_us": np.array(
-                    [int(gaps.max()) if len(gaps) else 0], dtype=np.int64
-                ),
+                "user_id": g["user_id"].to_numpy()[starts],
+                "n_events": (ends - starts).astype(np.int64),
+                "first_ts": ts[starts],
+                "last_ts": ts[ends - 1],
+                "max_gap_us": np.maximum.reduceat(gaps, starts).astype(np.int64),
             }
         )
 
     return (
-        _events(sf_dir, ["user_id", "ts", "event_id"])
-        .groupby("user_id")
-        .map_groups(per_user, batch_format="pandas")
+        _with_user_part(_events(sf_dir, ["user_id", "ts", "event_id"]))
+        .groupby("part")
+        .map_groups(per_partition, batch_format="pandas")
+        .select_columns(["user_id", "n_events", "first_ts", "last_ts", "max_gap_us"])
     )
 
 
@@ -86,32 +147,54 @@ def tumbling_hour_counts(sf_dir: str) -> ray.data.Dataset:
 
 def asof_last_login(sf_dir: str) -> ray.data.Dataset:
     """As-of join: each event matched to the same user's latest 'login'
-    analog (here: 'signup' events) with login_ts <= event ts."""
+    analog (here: 'signup' events) with login_ts <= event ts.
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        left = g[["event_id", "ts", "user_id"]]
-        right = g[g["event_type"] == "signup"][["event_id", "ts"]].rename(
-            columns={"event_id": "signup_event_id"}
-        )
-        if right.empty:
-            out = left.copy()
-            out["signup_event_id"] = -1
-        else:
-            out = pd.merge_asof(
-                left, right, on="ts", direction="backward"
+    Vectorized per PARTITION, not per user: within the (user, ts,
+    event_id)-sorted partition the latest at-or-before signup is a
+    running maximum of signup ROW POSITIONS that resets at each user
+    boundary — a segment cummax (subtract each segment's entering
+    maximum), no merge_asof per group, no Python loop over users.
+    -1 sentinel for "no prior signup": a plain int64 column hashes
+    identically on the engine and DuckDB sides (nullable Int64 vs
+    null-bearing BIGINT round-trip differently through Arrow)."""
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.array([], dtype="int64"),
+                    "signup_event_id": pd.array([], dtype="int64"),
+                }
             )
-            out["signup_event_id"] = out["signup_event_id"].fillna(-1)
-        # -1 sentinel for "no prior signup": a plain int64 column hashes
-        # identically on the engine and DuckDB sides (nullable Int64 vs
-        # null-bearing BIGINT round-trip differently through Arrow).
-        out["signup_event_id"] = out["signup_event_id"].astype("int64")
-        return out[["event_id", "signup_event_id"]]
+        g, starts, ends = _user_segments(g)
+        n = len(g)
+        eid = g["event_id"].to_numpy()
+        # position of the row itself where it is a signup, else -1; a
+        # running max over positions = latest signup at-or-before (ties
+        # impossible: (user_id, ts) unique, and a signup matches itself)
+        pos = np.where(
+            g["event_type"].to_numpy() == "signup", np.arange(n), -1
+        )
+        run = np.maximum.accumulate(pos)
+        # reset at user boundaries: a signup position carried across a
+        # boundary is < the next user's first row index, so clamping by
+        # "must be >= the user's segment start" erases foreign carryover
+        seg_start = np.repeat(starts, ends - starts)
+        matched = run >= seg_start
+        return pd.DataFrame(
+            {
+                "event_id": eid,
+                "signup_event_id": np.where(
+                    matched, eid[np.maximum(run, 0)], -1
+                ).astype(np.int64),
+            }
+        )
 
     return (
-        _events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
-        .groupby("user_id")
-        .map_groups(per_user, batch_format="pandas")
+        _with_user_part(_events(sf_dir, ["event_id", "ts", "user_id", "event_type"]))
+        .groupby("part")
+        .map_groups(per_partition, batch_format="pandas")
+        .select_columns(["event_id", "signup_event_id"])
     )
 
 
@@ -272,36 +355,60 @@ SESSION_GAP_US = 24 * 3600 * 1_000_000     # 24h inactivity closes a session
 
 def session_windows(sf_dir: str) -> ray.data.Dataset:
     """Gap-based sessionization — the classic streaming session window:
-    within each user (groupby key), events sorted by (ts, event_id) start
-    a NEW session whenever the inactivity gap exceeds SESSION_GAP_US;
-    session_id is the running count of session starts minus one.  Emits
-    one row per (user, session) with count and bounds — all integer
-    microsecond arithmetic, so the lag+cumsum matches the SQL window
-    oracle exactly."""
+    within each user, events sorted by (ts, event_id) start a NEW session
+    whenever the inactivity gap exceeds SESSION_GAP_US; session_id is the
+    running count of session starts minus one.  Emits one row per (user,
+    session) with count and bounds — all integer microsecond arithmetic,
+    so it matches the SQL lag+cumsum window oracle exactly.
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
-        us = g["ts"].astype("datetime64[us]").astype("int64")
-        gap = us.diff()
-        new_sess = gap.isna() | (gap > SESSION_GAP_US)
-        g["session_id"] = new_sess.cumsum().astype("int64") - 1
-        out = (
-            g.groupby("session_id", sort=True)
-            .agg(
-                n_events=("event_id", "size"),
-                first_ts=("ts", "min"),
-                last_ts=("ts", "max"),
+    Vectorized per PARTITION (the module pattern): session starts are a
+    single boolean mask (user boundary OR gap over threshold), session
+    ordinals a global cumsum re-based per user segment, and the per-
+    session rows come from reduce-at-style slicing of the session-start
+    offsets — no Python loop over users or sessions."""
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.array([], dtype="int64"),
+                    "session_id": pd.array([], dtype="int64"),
+                    "n_events": pd.array([], dtype="int64"),
+                    "first_ts": pd.array([], dtype=g["ts"].dtype),
+                    "last_ts": pd.array([], dtype=g["ts"].dtype),
+                }
             )
-            .reset_index()
+        g, starts, ends = _user_segments(g)
+        n = len(g)
+        us = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        ts = g["ts"].to_numpy()
+        new_user = np.zeros(n, dtype=bool)
+        new_user[starts] = True
+        gap = np.empty(n, dtype=np.int64)
+        gap[0] = 0
+        gap[1:] = us[1:] - us[:-1]
+        new_sess = new_user | (gap > SESSION_GAP_US)
+        # ordinal within user: global running session count re-based to
+        # its value at the user's first row
+        sess_cum = np.cumsum(new_sess)
+        session_id = sess_cum - np.repeat(sess_cum[starts], ends - starts)
+        s_starts = np.flatnonzero(new_sess)
+        s_ends = np.append(s_starts[1:], n)
+        return pd.DataFrame(
+            {
+                "user_id": g["user_id"].to_numpy()[s_starts],
+                "session_id": session_id[s_starts].astype(np.int64),
+                "n_events": (s_ends - s_starts).astype(np.int64),
+                "first_ts": ts[s_starts],
+                "last_ts": ts[s_ends - 1],
+            }
         )
-        out.insert(0, "user_id", g["user_id"].iloc[0])
-        out["n_events"] = out["n_events"].astype("int64")
-        return out
 
     return (
-        _events(sf_dir, ["user_id", "ts", "event_id"])
-        .groupby("user_id")
-        .map_groups(per_user, batch_format="pandas")
+        _with_user_part(_events(sf_dir, ["user_id", "ts", "event_id"]))
+        .groupby("part")
+        .map_groups(per_partition, batch_format="pandas")
+        .select_columns(["user_id", "session_id", "n_events", "first_ts", "last_ts"])
     )
 
 
