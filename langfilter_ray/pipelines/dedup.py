@@ -192,6 +192,18 @@ _EMPTY_PAIRS = pa.table(
 
 HOT_BUCKET_CAP = 1024      # band buckets above this expand as STARS
 
+# band self-join fan-out also scales with VOLUME: each join partition
+# costs an aggregator actor + fixed per-partition shuffle work, so a
+# small band table should not pay the full CPU-sized fan-out (measured
+# at sf0.1/32cpus: 16 partitions for an 80k-row band table ran ~30%
+# slower than 4).  The band table is materialized anyway, so its row
+# count is free driver-side.
+_BAND_ROWS_PER_JOIN_PART = 20_000
+
+
+def _band_join_parts(n_band_rows: int, cpu_parts: int) -> int:
+    return max(2, min(cpu_parts, n_band_rows // _BAND_ROWS_PER_JOIN_PART))
+
 
 def minhash_candidates(
     sf_dir: str, total_joins: int = 1, hot_bucket_cap: int = HOT_BUCKET_CAP
@@ -242,7 +254,8 @@ def minhash_candidates(
     # band index is XOR-folded into band_hash (see _band_rows), so the
     # hash alone is the bucket key — half the shuffle key width
     bands = ds.map_batches(_band_rows, batch_format="pyarrow").materialize()
-    if bands.count() == 0:
+    n_band_rows = bands.count()
+    if n_band_rows == 0:
         # an empty dataset has no schema and would crash the hash join
         return ray.data.from_arrow(_EMPTY_PAIRS)
 
@@ -367,7 +380,7 @@ def minhash_candidates(
     pairs = join_src.join(
         join_src,
         join_type="inner",
-        num_partitions=_join_parts(total_joins),
+        num_partitions=_band_join_parts(n_band_rows, _join_parts(total_joins)),
         on=("band_hash",),
         left_suffix="_a",
         right_suffix="_b",
@@ -713,7 +726,8 @@ def simhash_candidates(sf_dir: str) -> ray.data.Dataset:
     # materialized: both self-join sides consume it (4 rows x 20 bytes per
     # doc — far smaller than the text the fingerprints derive from)
     bands = fps_ds.map_batches(band_rows, batch_format="pyarrow").materialize()
-    if bands.count() == 0:
+    n_band_rows = bands.count()
+    if n_band_rows == 0:
         return ray.data.from_arrow(
             _EMPTY_PAIRS.append_column("hamming", pa.array([], pa.int64()))
         )
@@ -721,7 +735,7 @@ def simhash_candidates(sf_dir: str) -> ray.data.Dataset:
     pairs = bands.join(
         bands,
         join_type="inner",
-        num_partitions=_join_parts(),
+        num_partitions=_band_join_parts(n_band_rows, _join_parts()),
         on=("band_id", "band_val"),
         left_suffix="_a",
         right_suffix="_b",
