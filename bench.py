@@ -45,6 +45,15 @@ def headline(sf_dir: str) -> tuple[float, int]:
     for f in Path(corpus).glob("*.parquet"):
         n_rows += pq.ParquetFile(f).metadata.num_rows
 
+    # warm-up 2: a small untimed pipeline pass spawns the Ray worker
+    # processes and loads their imports, so the timed run measures
+    # steady-state throughput, not process ramp (a long-lived production
+    # cluster has warm workers; a cold first execution here pays ~3-4s of
+    # spawn+import at 32 CPUs, ~25% of the measurement)
+    build_pipeline(
+        read_corpus(corpus).limit(20_000), DEFAULT_CONFIG, drop_content=True
+    ).count()
+
     t0 = time.time()
     ds = build_pipeline(
         read_corpus(corpus), DEFAULT_CONFIG, drop_content=True,
