@@ -75,7 +75,7 @@ def secondary(sf_dir: str) -> dict[str, float]:
         "top_tokens", "shipping_priority", "hopping_counts",
         "simhash_candidates", "approx_distinct_users",
         "heavy_hitter_tokens", "approx_quantiles", "bloom_semi_join",
-        "dedup_components",
+        "dedup_components", "session_windows", "asof_last_login",
     ]
     qs = e.queries()
     times: dict[str, float] = {}

@@ -556,9 +556,21 @@ def dedup_embedding(sf_dir: str) -> ray.data.Dataset:
 
     The normalized matrix is broadcast once with ``ray.put`` and each batch
     computes a block-row of the similarity matrix (numpy matmul) — the
-    brute-force baseline; the LSH-bucketed variant for scale is
-    ``similarity.ann_lsh``.
+    brute-force baseline; the scale path is ``dedup_embedding_ivf``.
+    Like ``similar_pairs_topk``, the exact baseline REFUSES inputs above
+    ``DEDUP_EMBEDDING_MAX_ROWS``: the full matrix broadcast and O(N²)
+    similarity scan are its design, not an accident, and they stop being
+    affordable long before the driver read does.
     """
+    import pyarrow.parquet as pq
+
+    n_rows = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
+    if n_rows > DEDUP_EMBEDDING_MAX_ROWS:
+        raise ValueError(
+            f"dedup_embedding is an exact full-matrix baseline capped at "
+            f"{DEDUP_EMBEDDING_MAX_ROWS} vectors (got {n_rows}); use the "
+            "IVF scale path instead: dedup_embedding_ivf"
+        )
     ids_all, mat = _normalized_matrix(sf_dir)
     ref = ray.put((ids_all, mat))
     order = {int(v): i for i, v in enumerate(ids_all)}
@@ -784,6 +796,10 @@ JACCARD_TOP_K = 50
 # scores O(N^2) pairs — refuse beyond this (~driver GBs / hours of work);
 # sf0.1's 50k documents is the largest input it is meant for
 SIMILAR_PAIRS_MAX_ROWS = 100_000
+# same contract for the exact embedding baseline: a 500k x 128-float64
+# matrix is a ~512 MB broadcast and a 2.5e11-dot-product scan — the IVF
+# path exists precisely so nothing larger ever takes this route
+DEDUP_EMBEDDING_MAX_ROWS = 500_000
 
 
 def similar_pairs_topk(sf_dir: str) -> ray.data.Dataset:

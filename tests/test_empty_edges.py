@@ -121,6 +121,9 @@ def test_similar_pairs_topk_refuses_oversized_input(clean_sf, monkeypatch):
     monkeypatch.setattr(dedup, "SIMILAR_PAIRS_MAX_ROWS", 10)
     with pytest.raises(ValueError, match="minhash_candidates"):
         dedup.similar_pairs_topk(clean_sf)
+    monkeypatch.setattr(dedup, "DEDUP_EMBEDDING_MAX_ROWS", 10)
+    with pytest.raises(ValueError, match="dedup_embedding_ivf"):
+        dedup.dedup_embedding(clean_sf)
 
 
 def test_bloom_empty_build_side_filters_everything(clean_sf):
