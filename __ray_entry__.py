@@ -120,6 +120,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh": similarity.ann_lsh,
         "ann_ivf": similarity.ann_ivf,
         "embed_documents": similarity.embed_documents,
+        # round-3 additions (oracle-backed; placed past the window — the
+        # 50-entry check slots are reserved for the reconfirmation queue)
+        "promo_window_revenue": windows.promo_window_revenue,
+        "gopher_quality": text_analysis.gopher_quality,
+        "domain_mix_weights": text_analysis.domain_mix_weights,
         # flagship cascade (stateful classifier -> rows-only check)
         "quality_filter_labels": reports.quality_filter_labels,
         "gate_decision_report": reports.gate_decision_report,

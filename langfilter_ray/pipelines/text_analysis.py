@@ -912,3 +912,138 @@ ORACLES["stratified_sample"] = (
     )
     + f" ELSE {STRATA_DEFAULT_RATE} END"
 )
+
+
+# ---- Gopher-style rule filter (public quality rules, Rae et al. 2021) ----
+
+# rule thresholds — all INTEGER comparisons so the keep flag is exact on
+# both engines (no float ratios): word-count bounds, alpha-chars-per-word
+# band (the integer form of mean word length in [3, 10]), symbol and
+# ellipsis caps at 10% of words
+GOPHER_MIN_WORDS = 40
+GOPHER_MAX_WORDS = 100_000
+
+
+def gopher_quality(sf_dir: str) -> ray.data.Dataset:
+    """Gopher-style per-document rule filter — the rule-set complement of
+    the score-style ``quality_score``: emits the raw integer signals plus
+    a 0/1 keep flag so downstream can either filter or re-weight.  One
+    vectorized Arrow kernel pass per signal (count_substring_regex /
+    count_substring); no shuffle — a pure per-row map, embarrassingly
+    parallel at any scale.  All rules are integer inequalities
+    (alpha_chars >= 3*n_words encodes mean word length >= 3, etc.), so
+    engine and SQL agree bit-for-bit."""
+
+    def f(t: pa.Table) -> pa.Table:
+        text = pc.fill_null(t["text"], "")
+        n_words = pc.cast(pc.count_substring_regex(text, r"\S+"), pa.int64())
+        alpha = pc.cast(pc.count_substring_regex(text, "[A-Za-z]"), pa.int64())
+        n_hash = pc.cast(pc.count_substring(text, "#"), pa.int64())
+        n_ellipsis = pc.cast(pc.count_substring(text, "..."), pa.int64())
+        w = n_words.to_numpy()
+        a = alpha.to_numpy()
+        h = n_hash.to_numpy()
+        e = n_ellipsis.to_numpy()
+        keep = (
+            (w >= GOPHER_MIN_WORDS)
+            & (w <= GOPHER_MAX_WORDS)
+            & (a >= 3 * w)
+            & (a <= 10 * w)
+            & (10 * h < w)
+            & (10 * e < w)
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_words": n_words,
+                "alpha_chars": alpha,
+                "n_hash": n_hash,
+                "n_ellipsis": n_ellipsis,
+                "keep_flag": pa.array(keep.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return _docs_cols(sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+ORACLES["gopher_quality"] = (
+    "SELECT doc_id, n_words, alpha_chars, n_hash, n_ellipsis, "
+    f"CASE WHEN n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS} "
+    "AND alpha_chars >= 3 * n_words AND alpha_chars <= 10 * n_words "
+    "AND 10 * n_hash < n_words AND 10 * n_ellipsis < n_words "
+    "THEN 1 ELSE 0 END::BIGINT AS keep_flag FROM ("
+    "SELECT doc_id, "
+    "len(regexp_extract_all(text, '\\S+'))::BIGINT AS n_words, "
+    "length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::BIGINT AS alpha_chars, "
+    "(length(text) - length(replace(text, '#', '')))::BIGINT AS n_hash, "
+    "((length(text) - length(replace(text, '...', ''))) // 3)::BIGINT AS n_ellipsis "
+    "FROM documents)"
+)
+
+
+# ---- corpus mixing weights (per-source sampling for a target mixture) ----
+
+def domain_mix_weights(sf_dir: str) -> ray.data.Dataset:
+    """Per-source data-mixing weights — the corpus-mixture step of a
+    training-data pipeline (give each source domain a sampling weight
+    that re-balances the token budget to a UNIFORM target share):
+    ``mix_weight = total_tokens / (n_sources * source_tokens)`` — one
+    bigint/bigint double division, identical IEEE result on both engines.
+    The per-source totals come from an in-batch Arrow group_by combiner
+    (<= n_sources rows leave each batch) + a tiny global groupby; the
+    final weight computation runs on the materialized aggregate (one row
+    per source — driver-side by design, like every tiny-aggregate
+    finisher in this repo)."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        n = pc.cast(
+            pc.count_substring_regex(pc.fill_null(t["text"], ""), TOKEN_RE),
+            pa.int64(),
+        )
+        g = (
+            pa.table({"source": t["source"], "n_tokens": n})
+            .group_by("source")
+            .aggregate([("n_tokens", "sum"), ("n_tokens", "count")])
+        )
+        return pa.table(
+            {
+                "source": g["source"],
+                "toks": g["n_tokens_sum"],
+                "docs": pc.cast(g["n_tokens_count"], pa.int64()),
+            }
+        )
+
+    agg = (
+        _docs_cols(sf_dir, ["source", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("toks", alias_name="n_tokens"), Sum("docs", alias_name="n_docs"))
+        .to_pandas()
+    )
+    total = int(agg["n_tokens"].sum())
+    n_sources = len(agg)
+    out = pd.DataFrame(
+        {
+            "source": agg["source"],
+            "n_docs": agg["n_docs"].astype("int64"),
+            "n_tokens": agg["n_tokens"].astype("int64"),
+            "mix_weight": np.float64(total)
+            / (n_sources * agg["n_tokens"].to_numpy()),
+        }
+    )
+    return ray.data.from_pandas(out)
+
+
+ORACLES["domain_mix_weights"] = (
+    "WITH per AS (SELECT source, count(*)::BIGINT AS n_docs, "
+    f"sum(len(regexp_extract_all(text, '{TOKEN_RE}')))::BIGINT AS n_tokens "
+    "FROM documents GROUP BY source) "
+    "SELECT source, n_docs, n_tokens, "
+    "CAST((SELECT sum(n_tokens) FROM per) AS DOUBLE) / "
+    "((SELECT count(*) FROM per) * n_tokens) AS mix_weight FROM per"
+)

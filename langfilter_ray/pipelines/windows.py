@@ -412,6 +412,87 @@ def session_windows(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+# deterministic promo-interval dimension (data-independent: the synthetic
+# events span Jan 2024 at every SF): 60 OVERLAPPING windows, start =
+# 2024-01-01 + 12h*k, span 36h — every event falls in up to 3 promos
+_PROMO_T0_US = np.datetime64("2024-01-01T00:00:00", "us").astype(np.int64)
+_N_PROMOS = 60
+_PROMO_HOP_US = 12 * 3600 * 1_000_000
+_PROMO_SPAN_US = 36 * 3600 * 1_000_000
+
+
+def promo_window_revenue(sf_dir: str) -> ray.data.Dataset:
+    """Bounded-span RANGE JOIN — the custom-operator class Ray Data lacks
+    natively (interval containment: event.ts ∈ [promo.start, promo.end)),
+    for the common case of a SMALL interval side and a bounded maximum
+    span.  The interval table rides sorted by start; each event finds its
+    candidate intervals with two binary searches — starts in
+    (ts - max_span, ts] — which is exact because an interval covering ts
+    must start after ts - max_span (the standard bounded-span trick; no
+    all-pairs, no shuffle of the fact side).  Candidates explode
+    vectorized (repeat/cumsum offsets) and filter on end > ts, so
+    OVERLAPPING and variable-length intervals are handled, unlike a
+    tumbling/hopping bucketing.  The fact stream then takes the usual
+    tiny grouped aggregate.  Here the 60-interval side is a module
+    constant in the closure; a data-sized interval table would broadcast
+    via ray.put like relational._broadcast_customer_lookup."""
+    starts = _PROMO_T0_US + np.arange(_N_PROMOS, dtype=np.int64) * _PROMO_HOP_US
+    ends = starts + _PROMO_SPAN_US
+    # with variable-length intervals this would be max(end - start)
+    max_span = int((ends - starts).max())
+
+    def explode(t: pa.Table) -> pa.Table:
+        ts = (
+            t["ts"].to_pandas().astype("datetime64[us]").astype("int64").to_numpy()
+        )
+        cents = np.floor(t["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+        lo = np.searchsorted(starts, ts - max_span, side="right")
+        hi = np.searchsorted(starts, ts, side="right")
+        counts = hi - lo
+        total = int(counts.sum())
+        if total == 0:
+            return pa.table(
+                {
+                    "promo_id": pa.array([], pa.int64()),
+                    "value_cents": pa.array([], pa.int64()),
+                }
+            )
+        offs = np.repeat(np.cumsum(counts) - counts, counts)
+        flat = np.repeat(lo, counts) + (np.arange(total) - offs)
+        row = np.repeat(np.arange(len(ts)), counts)
+        keep = ends[flat] > ts[row]
+        return pa.table(
+            {
+                "promo_id": pa.array(flat[keep], pa.int64()),
+                "value_cents": pa.array(cents[row[keep]], pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Count, Sum
+
+    return (
+        _events(sf_dir, ["ts", "value"])
+        .map_batches(explode, batch_format="pyarrow")
+        .groupby("promo_id")
+        .aggregate(
+            Count(alias_name="n_events"),
+            Sum("value_cents", alias_name="value_cents"),
+        )
+    )
+
+
+ORACLES["promo_window_revenue"] = (
+    "WITH promos AS (SELECT k::BIGINT AS promo_id, "
+    "TIMESTAMP '2024-01-01 00:00:00' + to_hours(12*k) AS start_ts, "
+    "TIMESTAMP '2024-01-01 00:00:00' + to_hours(12*k + 36) AS end_ts "
+    f"FROM (SELECT unnest(range({_N_PROMOS})) AS k)) "
+    "SELECT p.promo_id, count(*)::BIGINT AS n_events, "
+    "sum(CAST(floor(e.value * 100 + 0.5) AS BIGINT))::BIGINT AS value_cents "
+    "FROM events e JOIN promos p ON e.ts >= p.start_ts AND e.ts < p.end_ts "
+    "GROUP BY p.promo_id"
+)
+
+
 ORACLES["session_windows"] = (
     "SELECT user_id, session_id::BIGINT AS session_id, count(*)::BIGINT AS n_events, "
     "min(ts) AS first_ts, max(ts) AS last_ts FROM ("

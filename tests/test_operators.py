@@ -62,6 +62,7 @@ ORACLE_CHECKED = [
     "order_price_tiers", "daily_hopping_counts", "similar_pairs_topk", "revenue_rollup", "props_stats", "train_val_split", "session_windows", "error_events_pushdown",
     "heavy_hitter_tokens", "token_counts_bpe", "stratified_sample",
     "top_bigrams", "top_docs_per_lang",
+    "promo_window_revenue", "gopher_quality", "domain_mix_weights",
 ]
 
 
