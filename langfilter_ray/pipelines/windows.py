@@ -10,16 +10,19 @@ The per-user operators deliberately do NOT use
 ``groupby(user_id).map_groups(per_user)``: that pays one Python callback
 per user, and user counts grow with the corpus (the pattern CLAUDE.md
 flags as ruinous on mostly-singleton keys).  Instead each event is tagged
-with ``part = hash(user_id) % _WINDOW_PARTS`` so ALL of a user's rows
-co-locate in ONE partition-group; the callback count is the CONSTANT
-_WINDOW_PARTS, and all per-user logic inside a partition is vectorized
-(sort + boundary masks + cumsum/reduceat — no Python loop over users).
-``map_groups`` remains the right tool when the group count is bounded
-(``median_value_per_type``: 5 event types) — not when it scales with data.
+with ``part = hash(user_id) % _window_parts(sf_dir)`` so ALL of a user's
+rows co-locate in ONE partition-group; the callback count is the
+partition count (table_rows / 2M, floor 64 — sized from parquet
+metadata, no data read), and all per-user logic inside a partition is
+vectorized (sort + boundary masks + cumsum/reduceat — no Python loop
+over users).  ``map_groups`` remains the right tool when the group count
+is bounded (``median_value_per_type``: 5 event types) — not when it
+scales with data.
 
-Partition-size assumption (stated per the guide): one partition
-(~N/_WINDOW_PARTS rows, every user wholly contained) fits in a worker's
-heap — at larger corpora raise _WINDOW_PARTS proportionally; (user_id,
+Partition-size guarantee (stated per the guide): one partition
+(~2M rows, every user wholly contained) fits in a worker's
+heap at any table size because the partition count grows with the
+table; (user_id,
 ts) pairs are unique in the testdata so the as-of matches are
 deterministic (verified), and the event_id tie-break covers the general
 case.
@@ -40,18 +43,28 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 
-# callback-count / partition-size knob for the per-user operators: the
+# callback-count / partition-size knobs for the per-user operators: the
 # shuffle volume is identical to a groupby(user_id), but the Python
-# callback count drops from O(users) to this constant.  Size so that
-# events_rows / _WINDOW_PARTS fits a worker heap.
-_WINDOW_PARTS = 64
+# callback count drops from O(users) to the partition count, which is
+# sized from the table's parquet metadata (free — no data read) so one
+# partition (~_ROWS_PER_WINDOW_PART rows, every user wholly contained)
+# always fits a worker heap however large the events table grows.
+_MIN_WINDOW_PARTS = 64
+_ROWS_PER_WINDOW_PART = 2_000_000
+
+
+def _window_parts(sf_dir: str) -> int:
+    import pyarrow.parquet as pq
+
+    n = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
+    return max(_MIN_WINDOW_PARTS, n // _ROWS_PER_WINDOW_PART)
 
 
 def _events(sf_dir: str, columns: list[str]) -> ray.data.Dataset:
     return ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
 
 
-def _with_user_part(ds: ray.data.Dataset) -> ray.data.Dataset:
+def _with_user_part(ds: ray.data.Dataset, parts: int) -> ray.data.Dataset:
     """Tag rows with a multiplicative hash partition of user_id (key
     stride / skew resistant; pure function of the key, so deterministic
     across runs and partitionings)."""
@@ -60,7 +73,7 @@ def _with_user_part(ds: ray.data.Dataset) -> ray.data.Dataset:
         h = t["user_id"].to_numpy().astype(np.uint64) * np.uint64(
             0x9E3779B97F4A7C15
         )
-        part = ((h >> np.uint64(33)) % np.uint64(_WINDOW_PARTS)).astype(np.int64)
+        part = ((h >> np.uint64(33)) % np.uint64(parts)).astype(np.int64)
         return t.append_column("part", pa.array(part, pa.int64()))
 
     return ds.map_batches(add_part, batch_format="pyarrow")
@@ -112,7 +125,9 @@ def user_session_stats(sf_dir: str) -> ray.data.Dataset:
         )
 
     return (
-        _with_user_part(_events(sf_dir, ["user_id", "ts", "event_id"]))
+        _with_user_part(
+            _events(sf_dir, ["user_id", "ts", "event_id"]), _window_parts(sf_dir)
+        )
         .groupby("part")
         .map_groups(per_partition, batch_format="pandas")
         .select_columns(["user_id", "n_events", "first_ts", "last_ts", "max_gap_us"])
@@ -191,7 +206,10 @@ def asof_last_login(sf_dir: str) -> ray.data.Dataset:
         )
 
     return (
-        _with_user_part(_events(sf_dir, ["event_id", "ts", "user_id", "event_type"]))
+        _with_user_part(
+            _events(sf_dir, ["event_id", "ts", "user_id", "event_type"]),
+            _window_parts(sf_dir),
+        )
         .groupby("part")
         .map_groups(per_partition, batch_format="pandas")
         .select_columns(["event_id", "signup_event_id"])
@@ -405,7 +423,9 @@ def session_windows(sf_dir: str) -> ray.data.Dataset:
         )
 
     return (
-        _with_user_part(_events(sf_dir, ["user_id", "ts", "event_id"]))
+        _with_user_part(
+            _events(sf_dir, ["user_id", "ts", "event_id"]), _window_parts(sf_dir)
+        )
         .groupby("part")
         .map_groups(per_partition, batch_format="pandas")
         .select_columns(["user_id", "session_id", "n_events", "first_ts", "last_ts"])
