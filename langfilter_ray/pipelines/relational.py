@@ -176,8 +176,11 @@ def _broadcast_customer_lookup(sf_dir: str, val_col: str):
 
 def _probe_lookup(ref, lut, probe_keys: np.ndarray) -> np.ndarray:
     """Vectorized dim lookup: binary-search the broadcast sorted keys and
-    take from the value LUT; unmatched keys yield None."""
+    take from the value LUT; unmatched keys yield None (the LUT's last
+    slot), including every key when the dimension is empty."""
     keys, codes = ray.get(ref)
+    if len(keys) == 0:
+        return lut[np.full(len(probe_keys), -1, dtype=np.int64)]
     pos = np.minimum(np.searchsorted(keys, probe_keys), len(keys) - 1)
     return lut[np.where(keys[pos] == probe_keys, codes[pos], -1)]
 
@@ -207,9 +210,7 @@ def revenue_by_nation(sf_dir: str) -> ray.data.Dataset:
         return np.floor(t["o_totalprice"].to_numpy() * 100 + 0.5).astype(np.int64)
 
     if _dim_num_rows(sf_dir, "customer") <= BROADCAST_DIM_MAX_ROWS:
-        import pyarrow.parquet as _pq
-
-        cust = _pq.read_table(
+        cust = pq.read_table(
             f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
         )
         keys = cust["c_custkey"].to_numpy()
@@ -219,14 +220,16 @@ def revenue_by_nation(sf_dir: str) -> ray.data.Dataset:
         )
 
         def join_batch(t: pa.Table) -> pa.Table:
-            keys, nkeys = ray.get(ref)
-            bk = t["o_custkey"].to_numpy()
-            pos = np.minimum(np.searchsorted(keys, bk), len(keys) - 1)
-            names = nation_lut[np.where(keys[pos] == bk, nkeys[pos], -1)]
+            # shared probe: c_nationkey codes index the nation LUT directly
+            names = _probe_lookup(ref, nation_lut, t["o_custkey"].to_numpy())
+            # inner-join semantics, matching the fallback path and the
+            # oracle: orders with no customer row are dropped, not
+            # grouped under a null nation
+            valid = np.not_equal(names, None)
             return pa.table(
                 {
-                    "n_name": pa.array(names, pa.string()),
-                    "price_cents": pa.array(_to_cents(t), pa.int64()),
+                    "n_name": pa.array(names[valid], pa.string()),
+                    "price_cents": pa.array(_to_cents(t)[valid], pa.int64()),
                 }
             )
 
@@ -372,6 +375,10 @@ def top_orders_per_segment(sf_dir: str) -> ray.data.Dataset:
                 ).astype(np.int64),
             }
         )
+        if use_broadcast:
+            # inner-join semantics, matching the fallback path and the
+            # oracle: orders with no customer row drop out
+            df = df[df["segment"].notna()]
         df = df.sort_values(
             ["segment", "price_cents", "o_orderkey"],
             ascending=[True, False, True],

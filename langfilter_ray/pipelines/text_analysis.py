@@ -1025,15 +1025,31 @@ def domain_mix_weights(sf_dir: str) -> ray.data.Dataset:
         .aggregate(Sum("toks", alias_name="n_tokens"), Sum("docs", alias_name="n_docs"))
         .to_pandas()
     )
+    empty = pd.DataFrame(
+        {
+            "source": pd.array([], dtype="str"),
+            "n_docs": pd.array([], dtype="int64"),
+            "n_tokens": pd.array([], dtype="int64"),
+            "mix_weight": pd.array([], dtype="float64"),
+        }
+    )
+    if len(agg) == 0:
+        # all-empty stream loses its schema (agg has zero COLUMNS, not
+        # just zero rows) — return the typed empty frame instead
+        return ray.data.from_pandas(empty)
     total = int(agg["n_tokens"].sum())
     n_sources = len(agg)
+    toks = agg["n_tokens"].to_numpy()
     out = pd.DataFrame(
         {
             "source": agg["source"],
             "n_docs": agg["n_docs"].astype("int64"),
             "n_tokens": agg["n_tokens"].astype("int64"),
-            "mix_weight": np.float64(total)
-            / (n_sources * agg["n_tokens"].to_numpy()),
+            # a token-less source gets weight 0 (CASE-matched in the SQL)
+            # rather than an engine-dependent division by zero
+            "mix_weight": np.where(
+                toks > 0, np.float64(total) / (n_sources * toks), 0.0
+            ),
         }
     )
     return ray.data.from_pandas(out)
@@ -1044,6 +1060,7 @@ ORACLES["domain_mix_weights"] = (
     f"sum(len(regexp_extract_all(text, '{TOKEN_RE}')))::BIGINT AS n_tokens "
     "FROM documents GROUP BY source) "
     "SELECT source, n_docs, n_tokens, "
+    "CASE WHEN n_tokens = 0 THEN 0.0 ELSE "
     "CAST((SELECT sum(n_tokens) FROM per) AS DOUBLE) / "
-    "((SELECT count(*) FROM per) * n_tokens) AS mix_weight FROM per"
+    "((SELECT count(*) FROM per) * n_tokens) END AS mix_weight FROM per"
 )

@@ -490,7 +490,7 @@ def promo_window_revenue(sf_dir: str) -> ray.data.Dataset:
 
     from ray.data.aggregate import Count, Sum
 
-    return (
+    out = (
         _events(sf_dir, ["ts", "value"])
         .map_batches(explode, batch_format="pyarrow")
         .groupby("promo_id")
@@ -498,7 +498,23 @@ def promo_window_revenue(sf_dir: str) -> ray.data.Dataset:
             Count(alias_name="n_events"),
             Sum("value_cents", alias_name="value_cents"),
         )
+        # materialized (tiny: <= _N_PROMOS rows) so an all-empty stream —
+        # empty events, or every event outside the promo calendar — keeps
+        # a typed schema (see CLAUDE.md: groupby over an all-empty stream
+        # loses it)
+        .materialize()
     )
+    if out.count() == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "promo_id": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                    "value_cents": pa.array([], pa.int64()),
+                }
+            )
+        )
+    return out
 
 
 ORACLES["promo_window_revenue"] = (

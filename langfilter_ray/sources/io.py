@@ -83,8 +83,16 @@ def read_table(
         if isinstance(path, str) and path.startswith(("http://", "https://")):
             # pyarrow.fs has no HTTP filesystem (and fsspec's needs
             # aiohttp, absent here) — route through the distributed
-            # URL-fetch reader instead of failing in filesystem dispatch
-            return read_http_parquet(path, columns=columns, **kwargs)
+            # URL-fetch reader instead of failing in filesystem dispatch.
+            # Reader kwargs (filter=, override_num_blocks=, ...) target
+            # ray.data.read_parquet and have no http equivalent — refuse
+            # rather than silently changing meaning on Dataset.map_batches
+            if kwargs:
+                raise TypeError(
+                    "read_table over http(s) supports only `columns`; "
+                    f"got unsupported kwargs {sorted(kwargs)}"
+                )
+            return read_http_parquet(path, columns=columns)
         return ray.data.read_parquet(path, columns=columns, **kwargs)
     if fmt == "orc":
         # columns prune at the stripe read, like parquet

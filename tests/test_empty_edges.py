@@ -126,6 +126,80 @@ def test_similar_pairs_topk_refuses_oversized_input(clean_sf, monkeypatch):
         dedup.dedup_embedding(clean_sf)
 
 
+@pytest.fixture(scope="module")
+def empty_sf(tmp_path_factory, ray_session) -> str:
+    """An sf-dir with ZERO-row events (typed ts/value schema) and a
+    documents table whose only source has no tokens."""
+    d = tmp_path_factory.mktemp("empty_sf")
+    events = pa.table(
+        {
+            "ts": pa.array([], pa.timestamp("us")),
+            "value": pa.array([], pa.float64()),
+            "user_id": pa.array([], pa.int64()),
+            "event_id": pa.array([], pa.int64()),
+            "event_type": pa.array([], pa.string()),
+        }
+    )
+    pq.write_table(events, d / "events.parquet")
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(["!!! ???", "%%% ..."]),
+            "source": pa.array(["punct", "punct"]),
+        }
+    )
+    pq.write_table(docs, d / "documents.parquet")
+    return str(d)
+
+
+def test_promo_range_join_empty_events_typed(empty_sf):
+    """Zero events (or none inside the promo calendar) must yield a typed
+    empty result, not a schemaless dataset (review r3 finding)."""
+    from langfilter_ray.pipelines import windows
+
+    out = windows.promo_window_revenue(empty_sf)
+    assert out.count() == 0
+    assert out.schema().names == ["promo_id", "n_events", "value_cents"]
+
+
+def test_domain_mix_weights_zero_token_source(empty_sf):
+    """A token-less source gets mix_weight 0 on BOTH engines (no division
+    by zero); matches the CASE branch in the oracle SQL."""
+    import duckdb
+
+    import __ray_entry__ as e
+    from langfilter_ray.pipelines import text_analysis
+
+    got = text_analysis.domain_mix_weights(empty_sf).to_pandas()
+    assert list(got["mix_weight"]) == [0.0]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{empty_sf}/documents.parquet'"
+    )
+    want = con.execute(e.oracle_sql()["domain_mix_weights"]).df()
+    assert list(want["mix_weight"]) == [0.0]
+
+
+def test_probe_lookup_empty_dim_all_null(ray_session):
+    """An empty dimension table must probe to all-None, not IndexError
+    (review r3 finding)."""
+    import ray as _ray
+
+    from langfilter_ray.pipelines.relational import _probe_lookup
+
+    ref = _ray.put((np.array([], dtype=np.int64), np.array([], dtype=np.int64)))
+    lut = np.asarray(["x", None], dtype=object)
+    got = _probe_lookup(ref, lut, np.array([1, 2, 3]))
+    assert list(got) == [None, None, None]
+
+
+def test_http_read_rejects_reader_kwargs(ray_session):
+    from langfilter_ray.sources import io as src_io
+
+    with pytest.raises(TypeError, match="columns"):
+        src_io.read_table("http://127.0.0.1:9/x.parquet", filter="a > 1")
+
+
 def test_bloom_empty_build_side_filters_everything(clean_sf):
     from langfilter_ray.pipelines.relational import bloom_semi_join
 
