@@ -871,6 +871,8 @@ def similar_pairs_topk(sf_dir: str) -> ray.data.Dataset:
 
 _CC_MAX_ITERS = 16      # label propagation rounds; dup clusters are
                         # near-cliques (diameter ~1-2), so this is generous
+_CC_DRIVER_MAX_EDGES = 1_000_000    # below this, driver union-find beats
+                                    # per-round shuffle fixed costs (~16 MB)
 
 # verified-pair cache, keyed by (Ray job, sf_dir): dedup_components and
 # dedup_survivors both consume dedup_jaccard's output — within one driver
@@ -918,7 +920,16 @@ def dedup_components(sf_dir: str) -> ray.data.Dataset:
     checks a scalar changed-count for convergence.  Rounds needed =
     component diameter; dup clusters are near-cliques so 2-3 rounds
     typically converge, with a documented cap.  No driver-side graph:
-    the only driver value per round is the changed-row COUNT."""
+    the only driver value per round is the changed-row COUNT.
+
+    Hybrid (the dedup_survivors pattern): an edge list at or below
+    ``_CC_DRIVER_MAX_EDGES`` instead runs a driver-side union-find — each
+    propagation round costs aggregator-actor spawns plus a sort shuffle
+    (~1-1.5 s of fixed overhead even for a few hundred edges), so below
+    the cap the exact in-memory algorithm is strictly better; the output
+    is identical (one row per edge endpoint, rep = component min).  The
+    distributed loop remains the scale path for edge volumes where the
+    list should never be collected."""
     from ray.data.aggregate import Min
 
     from .relational import _join_parts
@@ -945,6 +956,41 @@ def dedup_components(sf_dir: str) -> ray.data.Dataset:
                 {
                     "doc_id": pa.array([], pa.int64()),
                     "rep_doc_id": pa.array([], pa.int64()),
+                }
+            )
+        )
+
+    if n_edges <= _CC_DRIVER_MAX_EDGES:
+        # small-graph fast path: exact union-find on the collected edge
+        # list (2 x int64 x n_edges <= ~16 MB at the cap — bounded by
+        # construction, unlike the corpus)
+        df = edges.to_pandas()
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in zip(df["src"].to_numpy(), df["dst"].to_numpy()):
+            a, b = int(a), int(b)
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by min keeps roots = component minimum as we go
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        nodes = np.fromiter(parent.keys(), dtype=np.int64, count=len(parent))
+        reps = np.fromiter((find(int(x)) for x in nodes), dtype=np.int64,
+                           count=len(nodes))
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(nodes, pa.int64()),
+                    "rep_doc_id": pa.array(reps, pa.int64()),
                 }
             )
         )

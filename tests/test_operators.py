@@ -260,6 +260,22 @@ def test_dedup_components_match_union_find(entry_mod):
     assert surv == all_ids - drops
 
 
+def test_dedup_components_distributed_path_matches_fast_path(
+    entry_mod, monkeypatch
+):
+    """Forcing the edge-count threshold to 0 exercises the distributed
+    min-label propagation loop; it must produce exactly the driver
+    union-find fast path's (doc_id, rep_doc_id) mapping."""
+    from langfilter_ray.pipelines import dedup
+
+    fast = _to_pandas(entry_mod.queries()["dedup_components"](SF))
+    monkeypatch.setattr(dedup, "_CC_DRIVER_MAX_EDGES", 0)
+    dist = _to_pandas(entry_mod.queries()["dedup_components"](SF))
+    f = dict(zip(fast["doc_id"].astype(int), fast["rep_doc_id"].astype(int)))
+    d = dict(zip(dist["doc_id"].astype(int), dist["rep_doc_id"].astype(int)))
+    assert f == d and len(f) > 0
+
+
 def test_dedup_embedding_ivf_subset_and_recall(entry_mod):
     """IVF-bucketed near-dup pairs: every emitted pair must be exact (a
     subset of the brute-force pair set — same dot product) and recall must
