@@ -485,10 +485,23 @@ def shipping_priority(sf_dir: str) -> ray.data.Dataset:
             t["l_extendedprice"].to_numpy() * (1 - t["l_discount"].to_numpy()) * 100
             + 0.5
         ).astype(np.int64)
+        # in-batch combiner: TPC-H has ~4 lineitems per order, so summing
+        # per orderkey before the join cuts the shuffled row count ~4x
+        # (int-cent Sum is associative; the post-join groupby re-sums)
+        g = (
+            pa.table(
+                {
+                    "l_orderkey": t["l_orderkey"],
+                    "revenue_cents": pa.array(cents, pa.int64()),
+                }
+            )
+            .group_by("l_orderkey")
+            .aggregate([("revenue_cents", "sum")])
+        )
         return pa.table(
             {
-                "l_orderkey": t["l_orderkey"],
-                "revenue_cents": pa.array(cents, pa.int64()),
+                "l_orderkey": g["l_orderkey"],
+                "revenue_cents": g["revenue_cents_sum"],
             }
         )
 
