@@ -6,11 +6,13 @@
              query; a final tiny ``groupby(query_id).map_groups`` reduces
              local candidates to the global top-k.  The shuffle carries
              only ~k rows per (query, block) — never embeddings.
-  ann_lsh  — random-hyperplane LSH variant (the scale path): vectors are
-             bucketed by a deterministic 12-bit signature; queries search
-             only their own bucket (plus Hamming-1 probes), trading recall
-             for a bounded candidate set.  Rows-only check (approximate by
-             design).
+  ann_lsh  — MULTI-TABLE random-hyperplane LSH variant (the scale path):
+             vectors are bucketed by LSH_TABLES independent LSH_BITS-bit
+             signatures; queries search their own bucket (plus Hamming-1
+             probes) in EVERY table, trading a bounded candidate set for
+             recall that compounds across tables (measured recall@5 ~0.85
+             vs the exact oracle; pinned in tests).  Rows-only check
+             (approximate by design).
 
 Ranking ties are broken by vec_id ascending on both the Ray and SQL sides
 so the (query_id, neighbor_id, rank) output is deterministic.
@@ -26,7 +28,14 @@ import ray.data
 
 TOP_K = 5
 N_QUERIES = 8          # vec_id < N_QUERIES are the query vectors
-LSH_BITS = 12
+# multi-table random-hyperplane LSH (E2LSH shape): L independent tables
+# of B bits each.  One wide table has vanishing recall — for neighbors at
+# cosine ~0.7 the chance that 12 hyperplanes all agree is <1%; with L
+# tables a neighbor is a candidate if it collides in ANY table, so the
+# miss probability compounds DOWN as (1-p)^L instead of p shrinking
+# exponentially in bits.
+LSH_BITS = 8
+LSH_TABLES = 16
 _PLANES_SEED = 7        # fresh RandomState per call => deterministic planes
 
 
@@ -167,35 +176,55 @@ ANN_TOPK_SQL = (
 
 
 def ann_lsh(sf_dir: str) -> ray.data.Dataset:
-    """Approximate top-k through random-hyperplane bucketing — the
-    streaming scale path: ONLY the hyperplanes and the (handful of) query
-    vectors with their probe-signature sets are broadcast.  Candidate
-    embeddings stream through map_batches; each batch computes its OWN
-    rows' 12-bit signatures from the ``embedding`` column, scores the rows
-    landing in a query's probe set (own bucket + Hamming-1), and emits a
-    local top-k; a tiny groupby(query_id) reduce finishes.  The shuffle
-    carries only ~k rows per (query, block) — the full matrix is never
-    materialized anywhere.  Rows-only check (approximate by design)."""
+    """Approximate top-k through MULTI-TABLE random-hyperplane bucketing
+    (the E2LSH shape) — the streaming scale path: ONLY the hyperplanes and
+    the (handful of) query vectors with their per-table probe sets are
+    broadcast.  Candidate embeddings stream through map_batches; each
+    batch computes its OWN rows' LSH_TABLES x LSH_BITS signatures from the
+    ``embedding`` column, a row is a candidate for a query if it lands in
+    the query's probe set (own bucket + Hamming-1) in ANY table, matched
+    candidates are scored exactly, and a local top-k + tiny
+    groupby(query_id) reduce finishes.  The shuffle carries only ~k rows
+    per (query, block) — the full matrix is never materialized anywhere.
+    Rows-only check (approximate by design); recall@5 vs the exact oracle
+    is pinned in tests."""
     qids, qmat = _load_queries(sf_dir)
     dim = qmat.shape[1]
-    planes = np.random.RandomState(_PLANES_SEED).standard_normal((dim, LSH_BITS))
+    planes = np.random.RandomState(_PLANES_SEED).standard_normal(
+        (dim, LSH_TABLES * LSH_BITS)
+    )
     powers = 1 << np.arange(LSH_BITS)
-    qsigs = (qmat @ planes > 0) @ powers
-    # own bucket + Hamming-1 probes, per query
-    qprobes = [
-        np.array(sorted({int(s)} | {int(s) ^ (1 << b) for b in range(LSH_BITS)}))
-        for s in qsigs
-    ]
+
+    def _sigs(mat: np.ndarray) -> np.ndarray:
+        bits = mat @ planes > 0
+        return bits.reshape(len(mat), LSH_TABLES, LSH_BITS) @ powers  # (n, L)
+
+    qsigs = _sigs(qmat)
+    # own bucket + Hamming-1 probes, per (query, table)
+    qprobes = np.array(
+        [
+            [
+                sorted({int(s)} | {int(s) ^ (1 << b) for b in range(LSH_BITS)})
+                for s in row
+            ]
+            for row in qsigs
+        ],
+        dtype=np.int64,
+    )  # (n_queries, L, LSH_BITS + 1)
     ref = ray.put((qids, qmat, planes, qprobes))
 
     def local_bucket_topk(t: pa.Table) -> pa.Table:
         q_ids, q_mat, pl, probes = ray.get(ref)
         bids = np.array(t["vec_id"].to_pylist(), dtype=np.int64)
         bmat = _normalize(np.asarray(t["embedding"].to_pylist(), dtype=np.float64))
-        bsigs = (bmat @ pl > 0) @ powers
+        bits = bmat @ pl > 0
+        bsigs = bits.reshape(len(bmat), LSH_TABLES, LSH_BITS) @ powers  # (n, L)
         out_q, out_n, out_s = [], [], []
         for qi, qid in enumerate(q_ids):
-            mask = np.isin(bsigs, probes[qi]) & (bids != qid)
+            mask = np.zeros(len(bids), dtype=bool)
+            for l in range(LSH_TABLES):
+                mask |= np.isin(bsigs[:, l], probes[qi, l])
+            mask &= bids != qid
             cand = np.nonzero(mask)[0]
             if len(cand) == 0:
                 continue

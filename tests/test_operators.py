@@ -222,6 +222,21 @@ def test_ann_lsh_shape(entry_mod):
     assert (df["query_id"] != df["neighbor_id"]).all()
 
 
+def test_ann_lsh_recall_vs_exact(entry_mod, con):
+    """Multi-table LSH must recover most of the true top-5 (measured
+    ~0.85 with 16 tables x 8 bits + Hamming-1 probes; the round-2
+    single-table 12-bit variant scored 0.025 — this pins the fix)."""
+    approx = _to_pandas(entry_mod.queries()["ann_lsh"](SF))
+    exact = con.execute(entry_mod.oracle_sql()["ann_topk"]).df()
+    hits = tot = 0
+    for qid, grp in exact.groupby("query_id"):
+        truth = set(grp["neighbor_id"])
+        got = set(approx[approx["query_id"] == qid]["neighbor_id"])
+        hits += len(truth & got)
+        tot += len(truth)
+    assert tot > 0 and hits / tot >= 0.6, f"recall@5 = {hits}/{tot}"
+
+
 def test_multimodal_decode_deterministic(entry_mod):
     a = _canon(_to_pandas(entry_mod.queries()["multimodal_decode"](SF)))
     b = _canon(_to_pandas(entry_mod.queries()["multimodal_decode"](SF)))
