@@ -291,6 +291,33 @@ def test_dedup_components_distributed_path_matches_fast_path(
     assert f == d and len(f) > 0
 
 
+def test_dedup_jaccard_matches_exhaustive_ground_truth(entry_mod):
+    """The LSH-candidates -> exact-verify chain must equal the exhaustive
+    all-pairs shingle-Jaccard >= threshold set (0 missed, 0 extra) at
+    test scale — LSH banding with 64 hashes / 16 bands has near-1
+    collision probability at the 0.5 threshold, and verification removes
+    every false positive, so exactness is the expected outcome, not
+    luck."""
+    from langfilter_ray.pipelines import dedup
+
+    pairs = _to_pandas(entry_mod.queries()["dedup_jaccard"](SF))
+    got = set(zip(pairs["doc_a"].astype(int), pairs["doc_b"].astype(int)))
+
+    t = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    sh = [set(dedup._shingle_hashes(x or "").tolist()) for x in t["text"]]
+    ids = t["doc_id"].to_numpy()
+    truth = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a, b = sh[i], sh[j]
+            if not a or not b:
+                continue
+            inter = len(a & b)
+            if inter / (len(a) + len(b) - inter) >= dedup.JACCARD_THRESHOLD:
+                truth.add((int(min(ids[i], ids[j])), int(max(ids[i], ids[j]))))
+    assert got == truth and len(truth) > 0
+
+
 def test_dedup_embedding_ivf_subset_and_recall(entry_mod):
     """IVF-bucketed near-dup pairs: every emitted pair must be exact (a
     subset of the brute-force pair set — same dot product) and recall must
