@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_resize": multimodal.multimodal_resize,
         "frame_sample": multimodal.frame_sample,
         "decode_pgm": multimodal.decode_pgm,
+        "decode_wav": multimodal.decode_wav,
         # --- oracle-backed, driver-green in r2 (re-confirm) -------------
         "token_counts": text_analysis.token_counts,
         "token_counts_bpe": text_analysis.token_counts_bpe,

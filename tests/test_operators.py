@@ -112,7 +112,8 @@ def test_every_query_has_oracle_or_is_known_rows_only(entry_mod):
         "translate_kept_snippets", "repo_quality_report",
         "dedup_components", "dedup_survivors", "dedup_embedding_ivf",
         "bloom_semi_join", "approx_quantiles", "decontaminate_overlap",
-        "doc_perplexity", "decode_pgm", "corpus_clean", "embed_documents",
+        "doc_perplexity", "decode_pgm", "decode_wav", "corpus_clean",
+        "embed_documents",
     }
 
 
@@ -436,6 +437,29 @@ def test_decode_pgm_real_parse_and_poison(entry_mod):
         mean = ((idx * 31 + i) % 256).mean()
         assert (r["width"], r["height"]) == (w, h)
         assert r["mean_milli"] == int(round(mean * 1000))
+
+
+def test_decode_wav_real_parse_and_poison(entry_mod):
+    """REAL audio decode (stdlib wave + numpy): parsed sample counts /
+    duration / peak / RMS must equal a direct decode of the generator's
+    payload; deliberately truncated payloads land as decode_error rows,
+    never failed batches."""
+    from langfilter_ray.pipelines.multimodal import WavDecoder, _encode_wav
+
+    got = _to_pandas(entry_mod.queries()["decode_wav"](SF))
+    assert len(got) == 500
+    ok = got[got["decode_error"].isna()].set_index("doc_id")
+    bad = got[got["decode_error"].notna()]
+    assert set(bad["doc_id"]) == {i for i in range(500) if i % 89 == 7}
+    assert (bad[["n_samples", "sample_rate", "duration_ms", "peak", "rms_milli"]]
+            == 0).all().all()
+    dec = WavDecoder()
+    for i in list(ok.index[:40]):
+        n, sr, dur, peak, rms = dec._decode(_encode_wav(int(i)))
+        assert n == 400 + (int(i) % 37) * 40 and sr == 8000
+        row = ok.loc[i]
+        assert (row["n_samples"], row["sample_rate"], row["duration_ms"],
+                row["peak"], row["rms_milli"]) == (n, sr, dur, peak, rms)
 
 
 def test_corpus_clean_integrated(entry_mod):
