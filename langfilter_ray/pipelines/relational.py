@@ -43,14 +43,36 @@ def _join_parts(n_joins: int = 1) -> int:
     return max(2, min(16, cpus // max(1, n_joins)))
 
 
+def _partial_group_agg(keys: list[str], sum_cols: list[str] | None = None):
+    """Map-side combiner for groupby aggregates: Ray 2.49's sort-based
+    ``groupby().aggregate()`` does NOT pre-aggregate in its map stage
+    (verified via ds.stats — AggregateMap emits exactly its input row
+    count), so without this every raw row crosses the shuffle.  One
+    pyarrow ``group_by`` per batch bounds the shuffled rows by
+    groups-per-batch instead; the downstream aggregate Sums the partials
+    (``n_partial`` count plus ``<col>_partial`` per requested sum)."""
+    sum_cols = sum_cols or []
+
+    def fn(t: pa.Table) -> pa.Table:
+        aggs = [(c, "sum") for c in sum_cols] + [([], "count_all")]
+        g = t.select(keys + sum_cols).group_by(keys).aggregate(aggs)
+        cols = {k: g[k] for k in keys}
+        for c in sum_cols:
+            cols[f"{c}_partial"] = g[f"{c}_sum"]
+        cols["n_partial"] = pc.cast(g["count_all"], pa.int64())
+        return pa.table(cols)
+
+    return fn
+
+
 # ---- A1: status counts ---------------------------------------------------
 
 def status_counts(sf_dir: str) -> ray.data.Dataset:
     return (
         _read(sf_dir, "events", ["event_type"])
+        .map_batches(_partial_group_agg(["event_type"]), batch_format="pyarrow")
         .groupby("event_type")
-        .count()
-        .rename_columns({"count()": "n_events"})
+        .aggregate(Sum("n_partial", alias_name="n_events"))
     )
 
 
@@ -66,9 +88,12 @@ def event_type_by_bucket(sf_dir: str) -> ray.data.Dataset:
     return (
         _read(sf_dir, "events", ["event_type", "user_id"])
         .map_batches(add_bucket, batch_format="pyarrow")
+        .map_batches(
+            _partial_group_agg(["event_type", "user_bucket"]),
+            batch_format="pyarrow",
+        )
         .groupby(["event_type", "user_bucket"])
-        .count()
-        .rename_columns({"count()": "n_events"})
+        .aggregate(Sum("n_partial", alias_name="n_events"))
     )
 
 

@@ -147,15 +147,24 @@ def tumbling_hour_counts(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
+
+    from .relational import _partial_group_agg
 
     return (
         _events(sf_dir, ["event_type", "ts", "value"])
         .map_batches(add_window, batch_format="pyarrow")
+        # map-side combiner: the global aggregate's map stage does not
+        # pre-aggregate (see _partial_group_agg), so combine each batch
+        # to <= types x hours rows before the shuffle
+        .map_batches(
+            _partial_group_agg(["event_type", "window_start"], ["value_cents"]),
+            batch_format="pyarrow",
+        )
         .groupby(["event_type", "window_start"])
         .aggregate(
-            Count(alias_name="n_events"),
-            Sum("value_cents", alias_name="sum_value_cents"),
+            Sum("n_partial", alias_name="n_events"),
+            Sum("value_cents_partial", alias_name="sum_value_cents"),
         )
     )
 
@@ -241,13 +250,22 @@ def hopping_counts(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
-    from ray.data.aggregate import Count
+    from ray.data.aggregate import Sum
+
+    from .relational import _partial_group_agg
 
     return (
         _events(sf_dir, ["event_type", "ts"])
         .map_batches(explode_windows, batch_format="pyarrow")
+        # combine the exploded rows per batch so the 2x row explosion
+        # never crosses the shuffle (the aggregate's map stage does not
+        # pre-aggregate — see _partial_group_agg)
+        .map_batches(
+            _partial_group_agg(["event_type", "window_start"]),
+            batch_format="pyarrow",
+        )
         .groupby(["event_type", "window_start"])
-        .aggregate(Count(alias_name="n_events"))
+        .aggregate(Sum("n_partial", alias_name="n_events"))
     )
 
 
@@ -319,6 +337,8 @@ def daily_hopping_counts(sf_dir: str) -> ray.data.Dataset:
     ``hopping_counts`` (size/hop = 2), where the direct explode is fine."""
     from ray.data.aggregate import Sum
 
+    from .relational import _partial_group_agg
+
     hourly = (
         _events(sf_dir, ["event_type", "ts"])
         .map_batches(
@@ -330,13 +350,17 @@ def daily_hopping_counts(sf_dir: str) -> ray.data.Dataset:
             ),
             batch_format="pyarrow",
         )
+        # combine per batch so raw event rows never cross the shuffle
+        .map_batches(
+            _partial_group_agg(["event_type", "hour"]), batch_format="pyarrow"
+        )
         .groupby(["event_type", "hour"])
-        .count()
+        .aggregate(Sum("n_partial", alias_name="n_hour"))
     )
 
     def explode_agg(t: pa.Table) -> pa.Table:
         hours = t["hour"].to_pandas()
-        n = t["count()"].to_numpy()
+        n = t["n_hour"].to_numpy()
         types = t["event_type"].to_pylist()
         out_type, out_ws, out_n = [], [], []
         for k in range(24):
@@ -488,15 +512,23 @@ def promo_window_revenue(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
+
+    from .relational import _partial_group_agg
 
     out = (
         _events(sf_dir, ["ts", "value"])
         .map_batches(explode, batch_format="pyarrow")
+        # combine per batch: <= _N_PROMOS rows cross the shuffle per
+        # batch instead of the up-to-3x exploded event rows
+        .map_batches(
+            _partial_group_agg(["promo_id"], ["value_cents"]),
+            batch_format="pyarrow",
+        )
         .groupby("promo_id")
         .aggregate(
-            Count(alias_name="n_events"),
-            Sum("value_cents", alias_name="value_cents"),
+            Sum("n_partial", alias_name="n_events"),
+            Sum("value_cents_partial", alias_name="value_cents"),
         )
         # materialized (tiny: <= _N_PROMOS rows) so an all-empty stream —
         # empty events, or every event outside the promo calendar — keeps
