@@ -65,6 +65,31 @@ def _partial_group_agg(keys: list[str], sum_cols: list[str] | None = None):
     return fn
 
 
+def _partial_group_stats(keys: list[str], col: str):
+    """Map-side combiner for the Count+Sum+Min+Max multi-aggregate shape
+    (see _partial_group_agg for why the combiner is explicit): emits
+    ``n_partial`` / ``sum_partial`` / ``min_partial`` / ``max_partial``
+    per (batch, group); Sum/Sum/Min/Max downstream reassemble the exact
+    global values."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        g = (
+            t.select(keys + [col])
+            .group_by(keys)
+            .aggregate(
+                [(col, "sum"), (col, "min"), (col, "max"), ([], "count_all")]
+            )
+        )
+        cols = {k: g[k] for k in keys}
+        cols["sum_partial"] = g[f"{col}_sum"]
+        cols["min_partial"] = g[f"{col}_min"]
+        cols["max_partial"] = g[f"{col}_max"]
+        cols["n_partial"] = pc.cast(g["count_all"], pa.int64())
+        return pa.table(cols)
+
+    return fn
+
+
 # ---- A1: status counts ---------------------------------------------------
 
 def status_counts(sf_dir: str) -> ray.data.Dataset:
@@ -153,11 +178,19 @@ def pricing_summary(sf_dir: str) -> ray.data.Dataset:
             ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
         )
         .map_batches(to_cents, batch_format="pyarrow")
+        # map-side combiner (see _partial_group_agg): 6 groups per batch
+        # cross the shuffle instead of every lineitem row
+        .map_batches(
+            _partial_group_agg(
+                ["l_returnflag", "l_linestatus"], ["qty_cents", "price_cents"]
+            ),
+            batch_format="pyarrow",
+        )
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(
-            Sum("qty_cents", alias_name="sum_qty_cents"),
-            Sum("price_cents", alias_name="sum_price_cents"),
-            Count(alias_name="n_rows"),
+            Sum("qty_cents_partial", alias_name="sum_qty_cents"),
+            Sum("price_cents_partial", alias_name="sum_price_cents"),
+            Sum("n_partial", alias_name="n_rows"),
         )
     )
 
@@ -292,9 +325,16 @@ def revenue_by_nation(sf_dir: str) -> ray.data.Dataset:
             batch_format="pyarrow",
         )
 
-    return labeled.groupby("n_name").aggregate(
-        Count(alias_name="n_orders"),
-        Sum("price_cents", alias_name="total_cents"),
+    return (
+        labeled.map_batches(
+            _partial_group_agg(["n_name"], ["price_cents"]),
+            batch_format="pyarrow",
+        )
+        .groupby("n_name")
+        .aggregate(
+            Sum("n_partial", alias_name="n_orders"),
+            Sum("price_cents_partial", alias_name="total_cents"),
+        )
     )
 
 
@@ -328,10 +368,14 @@ def segment_order_stats(sf_dir: str) -> ray.data.Dataset:
         right_on=("c_custkey",),
     )
     return (
-        joined.groupby("c_mktsegment")
+        joined.map_batches(
+            _partial_group_agg(["c_mktsegment"], ["price_cents"]),
+            batch_format="pyarrow",
+        )
+        .groupby("c_mktsegment")
         .aggregate(
-            Count(alias_name="n_orders"),
-            Sum("price_cents", alias_name="total_cents"),
+            Sum("n_partial", alias_name="n_orders"),
+            Sum("price_cents_partial", alias_name="total_cents"),
         )
     )
 
@@ -351,6 +395,9 @@ def customers_no_big_order(sf_dir: str) -> ray.data.Dataset:
                 ["o_custkey"]
             ),
             batch_format="pyarrow",
+        )
+        .map_batches(
+            _partial_group_agg(["o_custkey"]), batch_format="pyarrow"
         )
         .groupby("o_custkey")
         .count()
@@ -462,12 +509,20 @@ def distinct_users_per_type(sf_dir: str) -> ray.data.Dataset:
     key rows, so this holds at any cardinality."""
     return (
         _read(sf_dir, "events", ["event_type", "user_id"])
+        # per-batch pair dedupe (combiner): repeat visits by the same
+        # (type, user) within a batch collapse before the shuffle
+        .map_batches(
+            _partial_group_agg(["event_type", "user_id"]),
+            batch_format="pyarrow",
+        )
         .groupby(["event_type", "user_id"])
         .count()
         .select_columns(["event_type"])
+        .map_batches(
+            _partial_group_agg(["event_type"]), batch_format="pyarrow"
+        )
         .groupby("event_type")
-        .count()
-        .rename_columns({"count()": "n_users"})
+        .aggregate(Sum("n_partial", alias_name="n_users"))
     )
 
 
@@ -541,8 +596,12 @@ def shipping_priority(sf_dir: str) -> ray.data.Dataset:
         right_on=("o_orderkey",),
     )
     return (
-        joined.groupby(["l_orderkey", "o_orderdate"])
-        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+        joined.map_batches(
+            _partial_group_agg(["l_orderkey", "o_orderdate"], ["revenue_cents"]),
+            batch_format="pyarrow",
+        )
+        .groupby(["l_orderkey", "o_orderdate"])
+        .aggregate(Sum("revenue_cents_partial", alias_name="revenue_cents"))
         .rename_columns({"l_orderkey": "o_orderkey"})
         .sort(["revenue_cents", "o_orderkey"], descending=[True, False])
         .limit(10)
@@ -943,10 +1002,13 @@ def order_price_tiers(sf_dir: str) -> ray.data.Dataset:
     return (
         _read(sf_dir, "orders", ["o_totalprice"])
         .map_batches(band, batch_format="pyarrow")
+        .map_batches(
+            _partial_group_agg(["tier"], ["price_cents"]), batch_format="pyarrow"
+        )
         .groupby("tier")
         .aggregate(
-            Count(alias_name="n_orders"),
-            Sum("price_cents", alias_name="total_cents"),
+            Sum("n_partial", alias_name="n_orders"),
+            Sum("price_cents_partial", alias_name="total_cents"),
         )
     )
 
@@ -1019,10 +1081,13 @@ def props_stats(sf_dir: str) -> ray.data.Dataset:
     return (
         _read(sf_dir, "events", ["event_type", "props"])
         .map_batches(extract, batch_format="pyarrow")
+        .map_batches(
+            _partial_group_agg(["event_type"], ["k"]), batch_format="pyarrow"
+        )
         .groupby("event_type")
         .aggregate(
-            Count(alias_name="n_events"),
-            Sum("k", alias_name="sum_k"),
+            Sum("n_partial", alias_name="n_events"),
+            Sum("k_partial", alias_name="sum_k"),
         )
     )
 
@@ -1068,10 +1133,14 @@ def error_events_pushdown(sf_dir: str) -> ray.data.Dataset:
             ),
             batch_format="pyarrow",
         )
+        .map_batches(
+            _partial_group_agg(["user_bucket"], ["value_cents"]),
+            batch_format="pyarrow",
+        )
         .groupby("user_bucket")
         .aggregate(
-            Count(alias_name="n_errors"),
-            Sum("value_cents", alias_name="sum_value_cents"),
+            Sum("n_partial", alias_name="n_errors"),
+            Sum("value_cents_partial", alias_name="sum_value_cents"),
         )
     )
 

@@ -44,11 +44,20 @@ def gate_decision_report(sf_dir: str) -> ray.data.Dataset:
     """Per-rule counter rollup (gate_metrics.py:132-165 analog)."""
     cfg = DEFAULT_CONFIG
     ds = build_pipeline(read_corpus(corpus_for(sf_dir)), cfg)
+    from ray.data.aggregate import Sum
+
+    from .relational import _partial_group_agg
+
     return (
         ds.select_columns(["gate_decision", "language"])
+        # combiner: <= decisions x languages rows per batch cross the
+        # shuffle instead of one row per corpus file
+        .map_batches(
+            _partial_group_agg(["gate_decision", "language"]),
+            batch_format="pyarrow",
+        )
         .groupby(["gate_decision", "language"])
-        .count()
-        .rename_columns({"count()": "n_rows"})
+        .aggregate(Sum("n_partial", alias_name="n_rows"))
     )
 
 
@@ -113,7 +122,9 @@ def repo_quality_report(sf_dir: str) -> ray.data.Dataset:
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
+
+    from .relational import _partial_group_agg
 
     labels = quality_filter_labels(sf_dir)
     agg = (
@@ -126,8 +137,14 @@ def repo_quality_report(sf_dir: str) -> ray.data.Dataset:
             ),
             batch_format="pyarrow",
         )
+        .map_batches(
+            _partial_group_agg(["repo"], ["kept"]), batch_format="pyarrow"
+        )
         .groupby("repo")
-        .aggregate(Count(alias_name="n_files"), Sum("kept", alias_name="n_kept"))
+        .aggregate(
+            Sum("n_partial", alias_name="n_files"),
+            Sum("kept_partial", alias_name="n_kept"),
+        )
     )
 
     def add_rate(t: pa.Table) -> pa.Table:

@@ -204,11 +204,17 @@ def fingerprint(sf_dir: str) -> ray.data.Dataset:
 # ---- lang_distribution ---------------------------------------------------
 
 def lang_distribution(sf_dir: str) -> ray.data.Dataset:
+    from ray.data.aggregate import Sum
+
+    from .relational import _partial_group_agg
+
     return (
         _docs_cols(sf_dir, ["lang"])
+        # map-side combiner: <= n_langs rows per batch cross the shuffle
+        # (Ray's aggregate map stage does not pre-aggregate)
+        .map_batches(_partial_group_agg(["lang"]), batch_format="pyarrow")
         .groupby("lang")
-        .count()
-        .rename_columns({"count()": "n_docs"})
+        .aggregate(Sum("n_partial", alias_name="n_docs"))
     )
 
 
@@ -519,8 +525,17 @@ HEAVY_HITTER_SQL = (
 # ---- distinct values + deterministic sample ------------------------------
 
 def distinct_sources(sf_dir: str) -> ray.data.Dataset:
-    """Distinct `source` values (ds.unique analog via groupby keys)."""
-    return _docs_cols(sf_dir, ["source"]).groupby("source").count().select_columns(["source"])
+    """Distinct `source` values (ds.unique analog via groupby keys);
+    per-batch dedupe first so only unique values cross the shuffle."""
+    from .relational import _partial_group_agg
+
+    return (
+        _docs_cols(sf_dir, ["source"])
+        .map_batches(_partial_group_agg(["source"]), batch_format="pyarrow")
+        .groupby("source")
+        .count()
+        .select_columns(["source"])
+    )
 
 
 def sample_docs(sf_dir: str) -> ray.data.Dataset:
@@ -556,16 +571,23 @@ def doc_stats_by_lang(sf_dir: str) -> ray.data.Dataset:
     """Per-language count/sum/min/max/avg over n_chars — the multi-aggregate
     groupby surface (Count+Sum+Min+Max in ONE shuffle pass; avg derived as a
     single int/int division afterwards so floats never enter a SUM)."""
-    from ray.data.aggregate import Count, Max, Min, Sum
+    from ray.data.aggregate import Max, Min, Sum
+
+    from .relational import _partial_group_stats
 
     agg = (
         _docs_cols(sf_dir, ["lang", "n_chars"])
+        # combiner emits one (n/sum/min/max) row per (batch, lang); the
+        # global pass reassembles the exact values (Sum/Sum/Min/Max)
+        .map_batches(
+            _partial_group_stats(["lang"], "n_chars"), batch_format="pyarrow"
+        )
         .groupby("lang")
         .aggregate(
-            Count(alias_name="n_docs"),
-            Sum("n_chars", alias_name="sum_chars"),
-            Min("n_chars", alias_name="min_chars"),
-            Max("n_chars", alias_name="max_chars"),
+            Sum("n_partial", alias_name="n_docs"),
+            Sum("sum_partial", alias_name="sum_chars"),
+            Min("min_partial", alias_name="min_chars"),
+            Max("max_partial", alias_name="max_chars"),
         )
     )
 
