@@ -126,6 +126,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "promo_window_revenue": windows.promo_window_revenue,
         "gopher_quality": text_analysis.gopher_quality,
         "domain_mix_weights": text_analysis.domain_mix_weights,
+        "local_supplier_volume": relational.local_supplier_volume,
+        "promo_part_revenue": relational.promo_part_revenue,
         # flagship cascade (stateful classifier -> rows-only check)
         "quality_filter_labels": reports.quality_filter_labels,
         "gate_decision_report": reports.gate_decision_report,

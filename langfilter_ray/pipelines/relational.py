@@ -1152,3 +1152,426 @@ ORACLES["error_events_pushdown"] = (
     "FROM events WHERE event_type = 'error' AND value > 100 "
     "GROUP BY 1"
 )
+
+
+# ---- TPC-H Q5-shape multi-way join (region→nation→cust/supp→orders→lineitem)
+
+
+def _probe_int(ref, probe_keys: np.ndarray) -> np.ndarray:
+    """Vectorized int-valued dim lookup against a ray.put-broadcast
+    (sorted keys, int64 vals) pair; unmatched keys yield -1."""
+    keys, vals = ray.get(ref)
+    if len(keys) == 0:
+        return np.full(len(probe_keys), -1, dtype=np.int64)
+    pos = np.minimum(np.searchsorted(keys, probe_keys), len(keys) - 1)
+    return np.where(keys[pos] == probe_keys, vals[pos], -1)
+
+
+def _broadcast_int_dim(table: pa.Table, key_col: str, val_col: str):
+    """Broadcast a dim as ONE object-store copy of (sorted keys, int64
+    vals) — the `_broadcast_customer_lookup` shape for integer values."""
+    keys = table[key_col].to_numpy()
+    order = np.argsort(keys)
+    return ray.put(
+        (keys[order], table[val_col].to_numpy().astype(np.int64)[order])
+    )
+
+
+def _volume_join_parts(n_rows: int, n_joins: int = 1) -> int:
+    """Join fan-out sized by BOTH cluster CPUs and data volume: each
+    partition costs an aggregator-actor spawn plus fixed shuffle work, so
+    a 16-way join on a small table runs measurably slower than a 4-way
+    (same finding as dedup._band_join_parts).  ~20k rows per partition,
+    floor 2, capped by the CPU budget split across concurrent joins."""
+    return max(2, min(_join_parts(n_joins), n_rows // 20_000))
+
+
+Q5_REGION = "ASIA"
+Q5_DATE_LO = "1996-01-01"
+Q5_DATE_HI = "1998-01-01"
+
+
+def local_supplier_volume(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q5 shape: revenue per nation where the customer and the
+    supplier sit in the SAME nation of one region, over a two-year order
+    window — the six-table join exercised as ONE large-large hash join
+    plus broadcast dimension semi-joins (reference's join cascade,
+    relational read path; see SURVEY.md §2.5).
+
+    Physical plan (broadcast path, dims ≤ BROADCAST_DIM_MAX_ROWS):
+    region (5 rows) and nation (25) resolve in the driver closure;
+    customer and supplier are PRE-FILTERED to the target region's
+    nations and broadcast once via ray.put as sorted (key, nationkey)
+    arrays.  The orders fact stream probes custkey (binary search, no
+    shuffle), the lineitem stream probes suppkey and pre-aggregates
+    revenue cents per (orderkey, supp_nation) in-batch, and only the
+    lineitem⋈orders pair pays a hash-partitioned join — fan-out sized by
+    data volume (_volume_join_parts).  The same-nation predicate is a
+    post-join vectorized filter; the final groupby shuffles ≤ 25 partial
+    rows per batch.  Above the broadcast bound every dim lookup switches
+    to the native hash join (fallback path, pinned equal by a
+    zero-threshold test)."""
+    import pyarrow.parquet as pq
+
+    region = pq.read_table(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    )
+    target_rk = region.filter(pc.equal(region["r_name"], Q5_REGION))[
+        "r_regionkey"
+    ].to_numpy()
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet",
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    )
+    in_region = nation.filter(
+        pa.array(np.isin(nation["n_regionkey"].to_numpy(), target_rk))
+    )
+    region_nk = np.sort(in_region["n_nationkey"].to_numpy().astype(np.int64))
+    nk = in_region["n_nationkey"].to_numpy()
+    nation_lut = np.full(int(nk.max()) + 2 if len(nk) else 2, None, dtype=object)
+    nation_lut[nk] = in_region["n_name"].to_pylist()
+
+    lo = np.datetime64(Q5_DATE_LO, "us")
+    hi = np.datetime64(Q5_DATE_HI, "us")
+
+    def order_window(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.and_(
+                pc.greater_equal(t["o_orderdate"], pa.scalar(lo)),
+                pc.less(t["o_orderdate"], pa.scalar(hi)),
+            )
+        )
+
+    def li_cents(t: pa.Table) -> np.ndarray:
+        return np.floor(
+            t["l_extendedprice"].to_numpy() * (1 - t["l_discount"].to_numpy()) * 100
+            + 0.5
+        ).astype(np.int64)
+
+    n_li = _dim_num_rows(sf_dir, "lineitem")
+
+    use_broadcast = (
+        max(_dim_num_rows(sf_dir, "customer"), _dim_num_rows(sf_dir, "supplier"))
+        <= BROADCAST_DIM_MAX_ROWS
+    )
+    if use_broadcast:
+        cust = pq.read_table(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+        )
+        cust = cust.filter(
+            pa.array(np.isin(cust["c_nationkey"].to_numpy(), region_nk))
+        )
+        cref = _broadcast_int_dim(cust, "c_custkey", "c_nationkey")
+        supp = pq.read_table(
+            f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+        )
+        supp = supp.filter(
+            pa.array(np.isin(supp["s_nationkey"].to_numpy(), region_nk))
+        )
+        sref = _broadcast_int_dim(supp, "s_suppkey", "s_nationkey")
+
+        def orders_probe(t: pa.Table) -> pa.Table:
+            t = order_window(t)
+            cn = _probe_int(cref, t["o_custkey"].to_numpy())
+            keep = cn >= 0
+            return pa.table(
+                {
+                    "o_orderkey": t["o_orderkey"].filter(pa.array(keep)),
+                    "c_nation": pa.array(cn[keep], pa.int64()),
+                }
+            )
+
+        orders_n = _read(
+            sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+        ).map_batches(orders_probe, batch_format="pyarrow")
+
+        def lineitem_probe(t: pa.Table) -> pa.Table:
+            sn = _probe_int(sref, t["l_suppkey"].to_numpy())
+            keep = sn >= 0
+            part = pa.table(
+                {
+                    "l_orderkey": t["l_orderkey"].filter(pa.array(keep)),
+                    "s_nation": pa.array(sn[keep], pa.int64()),
+                    "revenue_cents": pa.array(li_cents(t)[keep], pa.int64()),
+                }
+            )
+            g = part.group_by(["l_orderkey", "s_nation"]).aggregate(
+                [("revenue_cents", "sum")]
+            )
+            return g.rename_columns(["l_orderkey", "s_nation", "revenue_cents"])
+
+        lineitem_n = _read(
+            sf_dir,
+            "lineitem",
+            ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+        ).map_batches(lineitem_probe, batch_format="pyarrow")
+        joined = lineitem_n.join(
+            orders_n,
+            join_type="inner",
+            num_partitions=_volume_join_parts(n_li),
+            on=("l_orderkey",),
+            right_on=("o_orderkey",),
+        )
+    else:
+        # dims too big to broadcast: every lookup is a hash-partitioned
+        # native join (3 concurrent join stages share the CPU budget).
+        # The region predicate is applied POST-join, not pushed into the
+        # dim sides: Ray 2.49's hash join crashes whenever a right-side
+        # partition receives zero rows (schemaless empty partition), and
+        # a region-filtered dim is exactly the sparse right side that
+        # triggers it — the full dims are dense, so they shuffle safely
+        # at the cost of ~regions x more join traffic.
+        parts = _volume_join_parts(n_li, n_joins=3)
+        region_nk_ref = ray.put(region_nk)
+
+        orders_f = _read(
+            sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+        ).map_batches(order_window, batch_format="pyarrow").select_columns(
+            ["o_orderkey", "o_custkey"]
+        )
+        customer = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+        orders_n = orders_f.join(
+            customer,
+            join_type="inner",
+            num_partitions=parts,
+            on=("o_custkey",),
+            right_on=("c_custkey",),
+        ).map_batches(
+            lambda t: pa.table(
+                {
+                    "o_orderkey": t["o_orderkey"],
+                    "c_nation": pc.cast(t["c_nationkey"], pa.int64()),
+                }
+            ).filter(
+                pa.array(
+                    np.isin(
+                        t["c_nationkey"].to_numpy(), ray.get(region_nk_ref)
+                    )
+                )
+            ),
+            batch_format="pyarrow",
+        )
+
+        def li_combine(t: pa.Table) -> pa.Table:
+            g = (
+                pa.table(
+                    {
+                        "l_orderkey": t["l_orderkey"],
+                        "l_suppkey": t["l_suppkey"],
+                        "revenue_cents": pa.array(li_cents(t), pa.int64()),
+                    }
+                )
+                .group_by(["l_orderkey", "l_suppkey"])
+                .aggregate([("revenue_cents", "sum")])
+            )
+            return g.rename_columns(["l_orderkey", "l_suppkey", "revenue_cents"])
+
+        lineitem_c = _read(
+            sf_dir,
+            "lineitem",
+            ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+        ).map_batches(li_combine, batch_format="pyarrow")
+        supplier = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+        lineitem_n = lineitem_c.join(
+            supplier,
+            join_type="inner",
+            num_partitions=parts,
+            on=("l_suppkey",),
+            right_on=("s_suppkey",),
+        ).map_batches(
+            lambda t: pa.table(
+                {
+                    "l_orderkey": t["l_orderkey"],
+                    "s_nation": pc.cast(t["s_nationkey"], pa.int64()),
+                    "revenue_cents": t["revenue_cents"],
+                }
+            ).filter(
+                pa.array(
+                    np.isin(
+                        t["s_nationkey"].to_numpy(), ray.get(region_nk_ref)
+                    )
+                )
+            ),
+            batch_format="pyarrow",
+        )
+        joined = lineitem_n.join(
+            orders_n,
+            join_type="inner",
+            num_partitions=parts,
+            on=("l_orderkey",),
+            right_on=("o_orderkey",),
+        )
+
+    def same_nation_name(t: pa.Table) -> pa.Table:
+        keep = pc.equal(t["s_nation"], t["c_nation"])
+        t = t.filter(keep)
+        return pa.table(
+            {
+                "n_name": pa.array(
+                    nation_lut[t["s_nation"].to_numpy()], pa.string()
+                ),
+                "revenue_cents": t["revenue_cents"],
+            }
+        )
+
+    return (
+        joined.map_batches(same_nation_name, batch_format="pyarrow")
+        .map_batches(
+            _partial_group_agg(["n_name"], ["revenue_cents"]),
+            batch_format="pyarrow",
+        )
+        .groupby("n_name")
+        .aggregate(Sum("revenue_cents_partial", alias_name="revenue_cents"))
+        .sort(["revenue_cents", "n_name"], descending=[True, False])
+        .select_columns(["n_name", "revenue_cents"])
+    )
+
+
+ORACLES["local_supplier_volume"] = (
+    "SELECT n_name, "
+    "sum(CAST(floor(l_extendedprice*(1-l_discount)*100+0.5) AS BIGINT))::BIGINT "
+    "AS revenue_cents "
+    "FROM customer, orders, lineitem, supplier, nation, region "
+    "WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey "
+    "AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey "
+    "AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey "
+    f"AND r_name = '{Q5_REGION}' "
+    f"AND o_orderdate >= TIMESTAMP '{Q5_DATE_LO}' "
+    f"AND o_orderdate < TIMESTAMP '{Q5_DATE_HI}' "
+    "GROUP BY n_name ORDER BY revenue_cents DESC, n_name"
+)
+
+
+# ---- TPC-H Q14-shape promo share (lineitem ⋈ part dim) -------------------
+
+
+def promo_part_revenue(sf_dir: str) -> ray.data.Dataset:
+    """Promo-type revenue share per ship month (TPC-H Q14 shape) — the
+    part dimension joined onto the streaming lineitem fact.
+
+    Broadcast path: part is compressed to ONE (sorted partkey, promo 0/1)
+    int pair via ray.put; each lineitem batch probes it with a binary
+    search (no fact shuffle at all), truncates l_shipdate to the month,
+    and pre-aggregates (promo_cents, total_cents) per month in-batch, so
+    the groupby shuffles ≤ ~85 rows per batch regardless of input size.
+    Above BROADCAST_DIM_MAX_ROWS the probe becomes a hash-partitioned
+    native join (zero-threshold test pins both paths to the oracle).
+    promo_share is ONE int/int double division, computed identically by
+    DuckDB."""
+    import pyarrow.parquet as pq
+
+    def month_cents(t: pa.Table, promo: np.ndarray) -> pa.Table:
+        keep = promo >= 0
+        t = t.filter(pa.array(keep))
+        promo = promo[keep]
+        cents = np.floor(
+            t["l_extendedprice"].to_numpy() * (1 - t["l_discount"].to_numpy()) * 100
+            + 0.5
+        ).astype(np.int64)
+        # the shuffle key is an int64 epoch-us month, NOT a timestamp:
+        # Ray 2.49's sort/groupby boundary sampling round-trips bare
+        # timestamp keys through numpy datetime64[D] and warns per task;
+        # the int key shuffles clean and converts back after the aggregate
+        month_us = (
+            t["l_shipdate"]
+            .to_numpy()
+            .astype("datetime64[M]")
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        part = pa.table(
+            {
+                "month_us": pa.array(month_us, pa.int64()),
+                "promo_cents": pa.array(cents * (promo == 1), pa.int64()),
+                "total_cents": pa.array(cents, pa.int64()),
+            }
+        )
+        g = part.group_by("month_us").aggregate(
+            [("promo_cents", "sum"), ("total_cents", "sum")]
+        )
+        return g.rename_columns(["month_us", "promo_cents", "total_cents"])
+
+    li_cols = ["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"]
+    if _dim_num_rows(sf_dir, "part") <= BROADCAST_DIM_MAX_ROWS:
+        part = pq.read_table(
+            f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+        )
+        flags = pa.table(
+            {
+                "p_partkey": part["p_partkey"],
+                "is_promo": pc.cast(
+                    pc.equal(part["p_type"], "PROMO"), pa.int64()
+                ),
+            }
+        )
+        pref = _broadcast_int_dim(flags, "p_partkey", "is_promo")
+        monthly = _read(sf_dir, "lineitem", li_cols).map_batches(
+            lambda t: month_cents(t, _probe_int(pref, t["l_partkey"].to_numpy())),
+            batch_format="pyarrow",
+        )
+    else:
+        part_ds = _read(sf_dir, "part", ["p_partkey", "p_type"]).map_batches(
+            lambda t: pa.table(
+                {
+                    "p_partkey": t["p_partkey"],
+                    "is_promo": pc.cast(
+                        pc.equal(t["p_type"], "PROMO"), pa.int64()
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        monthly = (
+            _read(sf_dir, "lineitem", li_cols)
+            .join(
+                part_ds,
+                join_type="inner",
+                num_partitions=_volume_join_parts(
+                    _dim_num_rows(sf_dir, "lineitem")
+                ),
+                on=("l_partkey",),
+                right_on=("p_partkey",),
+            )
+            .map_batches(
+                lambda t: month_cents(
+                    t, t["is_promo"].to_numpy().astype(np.int64)
+                ),
+                batch_format="pyarrow",
+            )
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        share = t["promo_cents"].to_numpy() / t["total_cents"].to_numpy()
+        return pa.table(
+            {
+                "ship_month": pa.array(
+                    t["month_us"].to_numpy().astype("datetime64[us]"),
+                    pa.timestamp("us"),
+                ),
+                "promo_cents": t["promo_cents"],
+                "total_cents": t["total_cents"],
+                "promo_share": pa.array(share, pa.float64()),
+            }
+        )
+
+    return (
+        monthly.groupby("month_us")
+        .aggregate(
+            Sum("promo_cents", alias_name="promo_cents"),
+            Sum("total_cents", alias_name="total_cents"),
+        )
+        .sort("month_us")
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+ORACLES["promo_part_revenue"] = (
+    "WITH l AS (SELECT date_trunc('month', l_shipdate) AS ship_month, "
+    "CAST(floor(l_extendedprice*(1-l_discount)*100+0.5) AS BIGINT) AS cents, "
+    "(p_type = 'PROMO')::BIGINT AS is_promo "
+    "FROM lineitem JOIN part ON l_partkey = p_partkey) "
+    "SELECT ship_month, sum(cents * is_promo)::BIGINT AS promo_cents, "
+    "sum(cents)::BIGINT AS total_cents, "
+    "sum(cents * is_promo)::BIGINT / sum(cents)::BIGINT AS promo_share "
+    "FROM l GROUP BY ship_month ORDER BY ship_month"
+)

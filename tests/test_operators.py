@@ -63,6 +63,7 @@ ORACLE_CHECKED = [
     "heavy_hitter_tokens", "token_counts_bpe", "stratified_sample",
     "top_bigrams", "top_docs_per_lang",
     "promo_window_revenue", "gopher_quality", "domain_mix_weights",
+    "local_supplier_volume", "promo_part_revenue",
 ]
 
 
@@ -74,7 +75,15 @@ def test_query_matches_oracle(entry_mod, con, name):
     assert not problems, (problems, first_diff(got, want))
 
 
-@pytest.mark.parametrize("name", ["revenue_by_nation", "top_orders_per_segment"])
+@pytest.mark.parametrize(
+    "name",
+    [
+        "revenue_by_nation",
+        "top_orders_per_segment",
+        "local_supplier_volume",
+        "promo_part_revenue",
+    ],
+)
 def test_dim_join_fallback_matches_oracle(entry_mod, con, name, monkeypatch):
     """Above BROADCAST_DIM_MAX_ROWS the customer-dim broadcast must switch
     to the hash-partitioned native join and produce identical results —
