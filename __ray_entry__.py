@@ -128,6 +128,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_mix_weights": text_analysis.domain_mix_weights,
         "local_supplier_volume": relational.local_supplier_volume,
         "promo_part_revenue": relational.promo_part_revenue,
+        "rolling_user_sum": windows.rolling_user_sum,
         # flagship cascade (stateful classifier -> rows-only check)
         "quality_filter_labels": reports.quality_filter_labels,
         "gate_decision_report": reports.gate_decision_report,

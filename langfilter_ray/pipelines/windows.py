@@ -573,3 +573,70 @@ ORACLES["session_windows"] = (
     "        (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us FROM events)"
     ") GROUP BY user_id, session_id"
 )
+
+
+# ---- rolling (sliding row-frame) window per user --------------------------
+
+ROLLING_FRAME_ROWS = 4          # current row + 3 preceding
+
+
+def rolling_user_sum(sf_dir: str) -> ray.data.Dataset:
+    """Per-event rolling sum over the user's last ROLLING_FRAME_ROWS
+    events (SQL ``ROWS BETWEEN 3 PRECEDING AND CURRENT ROW``) — the
+    ordered sliding-frame window Ray Data lacks natively, built on the
+    module's hash-partition + segmented-numpy backbone: every user's rows
+    co-locate in one partition (callback count = partition count, never
+    user count), and inside the partition the frame sum is ONE
+    cumulative-sum gather — ``cs[i+1] - cs[max(i-3, seg_start)]`` with
+    the lower bound clamped at each user's segment start — so no Python
+    loop over users or rows.  All outputs are exact int64 cents."""
+    parts = _window_parts(sf_dir)
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.array([], dtype="int64"),
+                    "user_id": pd.array([], dtype="int64"),
+                    "value_cents": pd.array([], dtype="int64"),
+                    "win_sum_cents": pd.array([], dtype="int64"),
+                    "n_window": pd.array([], dtype="int64"),
+                }
+            )
+        g, starts, ends = _user_segments(g)
+        cents = np.floor(g["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+        cs = np.concatenate(([0], np.cumsum(cents)))
+        i = np.arange(len(g))
+        seg_start = np.repeat(starts, ends - starts)
+        lower = np.maximum(i - (ROLLING_FRAME_ROWS - 1), seg_start)
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "user_id": g["user_id"].to_numpy(),
+                "value_cents": cents,
+                "win_sum_cents": cs[i + 1] - cs[lower],
+                "n_window": (i - lower + 1).astype(np.int64),
+            }
+        )
+
+    return (
+        _with_user_part(
+            _events(sf_dir, ["event_id", "user_id", "ts", "value"]), parts
+        )
+        .groupby("part")
+        .map_groups(per_partition, batch_format="pandas")
+        .select_columns(
+            ["event_id", "user_id", "value_cents", "win_sum_cents", "n_window"]
+        )
+    )
+
+
+ORACLES["rolling_user_sum"] = (
+    "WITH e AS (SELECT event_id, user_id, ts, "
+    "CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_cents FROM events) "
+    "SELECT event_id, user_id, value_cents, "
+    "(sum(value_cents) OVER w)::BIGINT AS win_sum_cents, "
+    "(count(*) OVER w)::BIGINT AS n_window "
+    "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+    "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)"
+)

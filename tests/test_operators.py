@@ -63,7 +63,7 @@ ORACLE_CHECKED = [
     "heavy_hitter_tokens", "token_counts_bpe", "stratified_sample",
     "top_bigrams", "top_docs_per_lang",
     "promo_window_revenue", "gopher_quality", "domain_mix_weights",
-    "local_supplier_volume", "promo_part_revenue",
+    "local_supplier_volume", "promo_part_revenue", "rolling_user_sum",
 ]
 
 
