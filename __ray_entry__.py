@@ -129,6 +129,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "local_supplier_volume": relational.local_supplier_volume,
         "promo_part_revenue": relational.promo_part_revenue,
         "rolling_user_sum": windows.rolling_user_sum,
+        "ntile_order_tiers": relational.ntile_order_tiers,
+        "inverted_index_stats": text_analysis.inverted_index_stats,
+        "tfidf_top_terms": text_analysis.tfidf_top_terms,
         # flagship cascade (stateful classifier -> rows-only check)
         "quality_filter_labels": reports.quality_filter_labels,
         "gate_decision_report": reports.gate_decision_report,

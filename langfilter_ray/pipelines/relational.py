@@ -1575,3 +1575,84 @@ ORACLES["promo_part_revenue"] = (
     "sum(cents * is_promo)::BIGINT / sum(cents)::BIGINT AS promo_share "
     "FROM l GROUP BY ship_month ORDER BY ship_month"
 )
+
+
+# ---- NTILE quantile bucketing (grouped window rank family) ---------------
+
+NTILE_K = 4
+
+
+def ntile_order_tiers(sf_dir: str) -> ray.data.Dataset:
+    """NTILE(4) of orders by total price within each order priority, then
+    per-(priority, tile) count/sum/min/max — the equal-frequency
+    bucketing window.  NTILE needs each group's EXACT global ordering, so
+    like ``median_value_per_type`` it uses groupby(priority).map_groups —
+    correct here because the group count is BOUNDED (5 priorities) and
+    the per-group work is one numpy lexsort + reduceat, no Python loop.
+    For a grouping key that scales with the data, the approx_quantiles
+    histogram sketch is the scale path (bounded shuffle, ~1-bin error).
+    Ties order by (cents, orderkey) so the tile assignment is
+    deterministic and matches the SQL window exactly."""
+
+    def add_cents(t: pa.Table) -> pa.Table:
+        cents = np.floor(t["o_totalprice"].to_numpy() * 100 + 0.5).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "priority": t["o_orderpriority"],
+                "cents": pa.array(cents, pa.int64()),
+                "o_orderkey": t["o_orderkey"],
+            }
+        )
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame(
+                {
+                    "priority": pd.array([], dtype=object),
+                    "tile": pd.array([], dtype="int64"),
+                    "n_orders": pd.array([], dtype="int64"),
+                    "sum_cents": pd.array([], dtype="int64"),
+                    "min_cents": pd.array([], dtype="int64"),
+                    "max_cents": pd.array([], dtype="int64"),
+                }
+            )
+        cents = g["cents"].to_numpy()
+        order = np.lexsort((g["o_orderkey"].to_numpy(), cents))
+        cents = cents[order]
+        n, k = len(cents), NTILE_K
+        base, rem = divmod(n, k)
+        sizes = np.full(k, base, dtype=np.int64)
+        sizes[:rem] += 1
+        sizes = sizes[sizes > 0]
+        starts = np.concatenate(([0], np.cumsum(sizes)[:-1]))
+        return pd.DataFrame(
+            {
+                "priority": g["priority"].iloc[0],
+                "tile": np.arange(1, len(sizes) + 1, dtype=np.int64),
+                "n_orders": sizes,
+                "sum_cents": np.add.reduceat(cents, starts).astype(np.int64),
+                "min_cents": cents[starts],
+                "max_cents": cents[np.cumsum(sizes) - 1],
+            }
+        )
+
+    return (
+        _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice", "o_orderkey"])
+        .map_batches(add_cents, batch_format="pyarrow")
+        .groupby("priority")
+        .map_groups(per_group, batch_format="pandas")
+    )
+
+
+ORACLES["ntile_order_tiers"] = (
+    "WITH t AS (SELECT o_orderpriority AS priority, "
+    "CAST(floor(o_totalprice*100+0.5) AS BIGINT) AS cents, "
+    f"NTILE({NTILE_K}) OVER (PARTITION BY o_orderpriority "
+    "ORDER BY floor(o_totalprice*100+0.5), o_orderkey) AS tile FROM orders) "
+    "SELECT priority, tile::BIGINT AS tile, count(*)::BIGINT AS n_orders, "
+    "sum(cents)::BIGINT AS sum_cents, min(cents)::BIGINT AS min_cents, "
+    "max(cents)::BIGINT AS max_cents "
+    "FROM t GROUP BY priority, tile ORDER BY priority, tile"
+)

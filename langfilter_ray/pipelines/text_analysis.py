@@ -1086,3 +1086,205 @@ ORACLES["domain_mix_weights"] = (
     "CAST((SELECT sum(n_tokens) FROM per) AS DOUBLE) / "
     "((SELECT count(*) FROM per) * n_tokens) END AS mix_weight FROM per"
 )
+
+
+# ---- inverted index build (token -> postings summary) --------------------
+
+INVERTED_MIN_DF = 5
+
+
+def inverted_index_stats(sf_dir: str) -> ray.data.Dataset:
+    """Distributed inverted-index build: distinct (token, doc) postings
+    per batch — each document lives wholly in one row, so in-batch
+    dedup is exact — then ONE groupby(token) merges per-batch partials
+    (df count + doc_id sum/min/max).  The shuffle carries one row per
+    distinct (batch, token), never per occurrence; the postings lists
+    themselves are summarized (count + checksum + bounds, all int64) so
+    the driver-side result stays hash-comparable and bounded.  Tokens
+    below INVERTED_MIN_DF are dropped AFTER the merge (the filter is on
+    the tiny aggregate)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        lowered = pc.fill_null(pc.utf8_lower(t["text"]), "")
+        toks = pc.split_pattern_regex(lowered, pattern="[^a-z0-9_]+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy()
+        doc = np.repeat(t["doc_id"].to_numpy(), lens)
+        flat = pc.list_flatten(toks)
+        keep = pc.not_equal(flat, "")
+        pairs = pa.table(
+            {"token": flat.filter(keep), "doc_id": pa.array(doc, pa.int64()).filter(keep)}
+        )
+        # distinct within the batch, then per-token partials
+        distinct = pairs.group_by(["token", "doc_id"]).aggregate([])
+        g = distinct.group_by("token").aggregate(
+            [
+                ("doc_id", "count"),
+                ("doc_id", "sum"),
+                ("doc_id", "min"),
+                ("doc_id", "max"),
+            ]
+        )
+        return pa.table(
+            {
+                "token": g["token"],
+                "df_partial": pc.cast(g["doc_id_count"], pa.int64()),
+                "sum_partial": g["doc_id_sum"],
+                "min_partial": g["doc_id_min"],
+                "max_partial": g["doc_id_max"],
+            }
+        )
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    return (
+        _docs_cols(sf_dir, ["doc_id", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(
+            Sum("df_partial", alias_name="df"),
+            Sum("sum_partial", alias_name="postings_sum"),
+            Min("min_partial", alias_name="min_doc_id"),
+            Max("max_partial", alias_name="max_doc_id"),
+        )
+        .filter(expr=f"df >= {INVERTED_MIN_DF}")
+    )
+
+
+ORACLES["inverted_index_stats"] = (
+    "WITH pairs AS (SELECT DISTINCT doc_id, token FROM ("
+    "  SELECT doc_id, unnest(regexp_extract_all(lower(text), "
+    f"'{LOWER_TOKEN_RE}')) AS token FROM documents)) "
+    "SELECT token, count(*)::BIGINT AS df, sum(doc_id)::BIGINT AS postings_sum, "
+    "min(doc_id)::BIGINT AS min_doc_id, max(doc_id)::BIGINT AS max_doc_id "
+    f"FROM pairs GROUP BY token HAVING count(*) >= {INVERTED_MIN_DF} "
+    "ORDER BY token"
+)
+
+
+# ---- TF-IDF top term per document ----------------------------------------
+
+_TFIDF_PARTS = 64
+
+
+def tfidf_top_terms(sf_dir: str) -> ray.data.Dataset:
+    """Per-document most-distinctive term by tf×idf ranking (idf enters
+    as 1/df — the corpus-size factor is constant per corpus, so the
+    ARGMAX is identical to ln(N/df) ranking while staying an exact
+    int/int double division both engines compute bit-identically).
+
+    Shape: per-batch exact (doc, token, tf) counts (each doc is one row,
+    so in-batch counts are complete) are MATERIALIZED once — both the df
+    aggregation and the probe side consume them, the same justified
+    double-consumption as dedup's band table — df merges in one
+    groupby(token), rides back via a hash-partitioned token join (list
+    payloads avoided by design), and the per-doc argmax is the windows.py
+    pattern: hash-partition by doc, ONE vectorized sort +
+    drop_duplicates per partition — callbacks scale with partition
+    count, not document count.  Ties break on token text; the score
+    doubles are computed identically on both sides so tie sets agree."""
+
+    def tf_partial(t: pa.Table) -> pa.Table:
+        lowered = pc.fill_null(pc.utf8_lower(t["text"]), "")
+        toks = pc.split_pattern_regex(lowered, pattern="[^a-z0-9_]+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy()
+        doc = np.repeat(t["doc_id"].to_numpy(), lens)
+        flat = pc.list_flatten(toks)
+        keep = pc.not_equal(flat, "")
+        pairs = pa.table(
+            {"doc_id": pa.array(doc, pa.int64()).filter(keep), "token": flat.filter(keep)}
+        )
+        g = pairs.group_by(["doc_id", "token"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "doc_id": g["doc_id"],
+                "token": g["token"],
+                "tf": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    tf = (
+        _docs_cols(sf_dir, ["doc_id", "text"])
+        .map_batches(tf_partial, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("token").aggregate([([], "count_all")])
+        return pa.table(
+            {"token": g["token"], "df_partial": pc.cast(g["count_all"], pa.int64())}
+        )
+
+    from ray.data.aggregate import Sum
+
+    df = (
+        tf.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("df_partial", alias_name="df"))
+    )
+
+    from .relational import _volume_join_parts
+
+    scored = tf.join(
+        df,
+        join_type="inner",
+        num_partitions=_volume_join_parts(tf.count()),
+        on=("token",),
+    )
+
+    def add_score_part(t: pa.Table) -> pa.Table:
+        score = t["tf"].to_numpy() / t["df"].to_numpy()
+        h = t["doc_id"].to_numpy().astype(np.uint64) * np.uint64(
+            0x9E3779B97F4A7C15
+        )
+        part = ((h >> np.uint64(33)) % np.uint64(_TFIDF_PARTS)).astype(np.int64)
+        return (
+            t.append_column("score", pa.array(score, pa.float64()))
+            .append_column("part", pa.array(part, pa.int64()))
+        )
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        cols = ["doc_id", "top_token", "tf", "df", "score"]
+        if g.empty:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.array([], dtype="int64"),
+                    "top_token": pd.array([], dtype=object),
+                    "tf": pd.array([], dtype="int64"),
+                    "df": pd.array([], dtype="int64"),
+                    "score": pd.array([], dtype="float64"),
+                }
+            )
+        best = (
+            g.sort_values(
+                ["doc_id", "score", "token"], ascending=[True, False, True]
+            )
+            .drop_duplicates("doc_id", keep="first")
+            .rename(columns={"token": "top_token"})
+        )
+        return best[cols].reset_index(drop=True)
+
+    return (
+        scored.map_batches(add_score_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(per_partition, batch_format="pandas")
+        .select_columns(["doc_id", "top_token", "tf", "df", "score"])
+    )
+
+
+ORACLES["tfidf_top_terms"] = (
+    "WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), "
+    f"'{LOWER_TOKEN_RE}')) AS token FROM documents), "
+    "tf AS (SELECT doc_id, token, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2), "
+    "df AS (SELECT token, count(DISTINCT doc_id)::BIGINT AS df FROM toks GROUP BY 1), "
+    "scored AS (SELECT tf.doc_id, tf.token, tf.tf, df.df, "
+    "tf.tf * 1.0 / df.df AS score, "
+    "ROW_NUMBER() OVER (PARTITION BY tf.doc_id "
+    "ORDER BY tf.tf * 1.0 / df.df DESC, tf.token) AS rn "
+    "FROM tf JOIN df USING (token)) "
+    "SELECT doc_id, token AS top_token, tf, df, score "
+    "FROM scored WHERE rn = 1 ORDER BY doc_id"
+)

@@ -64,6 +64,7 @@ ORACLE_CHECKED = [
     "top_bigrams", "top_docs_per_lang",
     "promo_window_revenue", "gopher_quality", "domain_mix_weights",
     "local_supplier_volume", "promo_part_revenue", "rolling_user_sum",
+    "ntile_order_tiers", "inverted_index_stats", "tfidf_top_terms",
 ]
 
 
