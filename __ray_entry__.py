@@ -132,6 +132,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ntile_order_tiers": relational.ntile_order_tiers,
         "inverted_index_stats": text_analysis.inverted_index_stats,
         "tfidf_top_terms": text_analysis.tfidf_top_terms,
+        "qty_discount_corr": relational.qty_discount_corr,
+        "shared_ngram_docs": text_analysis.shared_ngram_docs,
+        "funnel_conversion": windows.funnel_conversion,
         # flagship cascade (stateful classifier -> rows-only check)
         "quality_filter_labels": reports.quality_filter_labels,
         "gate_decision_report": reports.gate_decision_report,

@@ -1656,3 +1656,97 @@ ORACLES["ntile_order_tiers"] = (
     "max(cents)::BIGINT AS max_cents "
     "FROM t GROUP BY priority, tile ORDER BY priority, tile"
 )
+
+
+# ---- distributed Pearson correlation (moment-sketch aggregate) -----------
+
+
+def qty_discount_corr(sf_dir: str) -> pa.Table:
+    """Pearson correlation of line quantity vs discount per return flag,
+    computed from EXACT integer moment partials: each batch emits one
+    (flag, n, Σq, Σd, Σq², Σd², Σqd) row via a pyarrow group_by combiner,
+    one tiny groupby Sums them, and the correlation formula runs
+    driver-side on the 3-row aggregate in arbitrary-precision Python ints
+    before ONE float conversion — so the doubles are bit-identical to the
+    oracle's (DuckDB computes the same products in HUGEINT, then casts).
+    No float accumulates across rows; the shuffle carries one row per
+    (batch, flag).  int64 partial bounds: q ≤ 50, d ≤ 10 cents-of-rate,
+    so per-batch Σq² ≤ 2500·rows — safe past 10¹² rows/batch; the
+    cross-products that COULD overflow int64 (n·Σq² at ≳10⁸ rows/group)
+    are exactly why the final formula runs in Python ints, not numpy."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        q = np.floor(t["l_quantity"].to_numpy() + 0.5).astype(np.int64)
+        d = np.floor(t["l_discount"].to_numpy() * 100 + 0.5).astype(np.int64)
+        src = pa.table(
+            {
+                "flag": t["l_returnflag"],
+                "q": pa.array(q, pa.int64()),
+                "d": pa.array(d, pa.int64()),
+                "qq": pa.array(q * q, pa.int64()),
+                "dd": pa.array(d * d, pa.int64()),
+                "qd": pa.array(q * d, pa.int64()),
+            }
+        )
+        g = src.group_by("flag").aggregate(
+            [(c, "sum") for c in ("q", "d", "qq", "dd", "qd")]
+            + [([], "count_all")]
+        )
+        return pa.table(
+            {
+                "flag": g["flag"],
+                **{f"s{c}": g[f"{c}_sum"] for c in ("q", "d", "qq", "dd", "qd")},
+                "n_partial": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    agg = (
+        _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_discount"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("flag")
+        .aggregate(
+            Sum("n_partial", alias_name="n"),
+            *[Sum(f"s{c}", alias_name=f"s{c}") for c in ("q", "d", "qq", "dd", "qd")],
+        )
+        .to_pandas()
+    )
+
+    flags, ns, corrs = [], [], []
+    for r in agg.itertuples(index=False):
+        n, sq, sd, sqq, sdd, sqd = (
+            int(r.n), int(r.sq), int(r.sd), int(r.sqq), int(r.sdd), int(r.sqd)
+        )
+        num = n * sqd - sq * sd
+        den_q = n * sqq - sq * sq
+        den_d = n * sdd - sd * sd
+        if den_q == 0 or den_d == 0:
+            corr = 0.0
+        else:
+            import math
+
+            corr = float(num) / (math.sqrt(float(den_q)) * math.sqrt(float(den_d)))
+        flags.append(r.flag)
+        ns.append(n)
+        corrs.append(corr)
+    return pa.table(
+        {
+            "flag": pa.array(flags, pa.string()),
+            "n": pa.array(ns, pa.int64()),
+            "corr_qd": pa.array(corrs, pa.float64()),
+        }
+    )
+
+
+ORACLES["qty_discount_corr"] = (
+    "WITH m AS (SELECT l_returnflag AS flag, count(*)::BIGINT AS n, "
+    "sum(CAST(floor(l_quantity+0.5) AS BIGINT))::BIGINT AS sq, "
+    "sum(CAST(floor(l_discount*100+0.5) AS BIGINT))::BIGINT AS sd, "
+    "sum(CAST(floor(l_quantity+0.5) AS BIGINT)*CAST(floor(l_quantity+0.5) AS BIGINT))::BIGINT AS sqq, "
+    "sum(CAST(floor(l_discount*100+0.5) AS BIGINT)*CAST(floor(l_discount*100+0.5) AS BIGINT))::BIGINT AS sdd, "
+    "sum(CAST(floor(l_quantity+0.5) AS BIGINT)*CAST(floor(l_discount*100+0.5) AS BIGINT))::BIGINT AS sqd "
+    "FROM lineitem GROUP BY 1) "
+    "SELECT flag, n, CASE WHEN n*sqq - sq*sq = 0 OR n*sdd - sd*sd = 0 THEN 0.0 "
+    "ELSE CAST(n*sqd - sq*sd AS DOUBLE) / "
+    "(sqrt(CAST(n*sqq - sq*sq AS DOUBLE)) * sqrt(CAST(n*sdd - sd*sd AS DOUBLE))) "
+    "END AS corr_qd FROM m ORDER BY flag"
+)

@@ -1288,3 +1288,95 @@ ORACLES["tfidf_top_terms"] = (
     "SELECT doc_id, token AS top_token, tf, df, score "
     "FROM scored WHERE rn = 1 ORDER BY doc_id"
 )
+
+
+# ---- cross-document shared n-gram scan (dup-span dedup signal) -----------
+
+SHARED_NGRAM_N = 5
+
+
+def shared_ngram_docs(sf_dir: str) -> ray.data.Dataset:
+    """Per-document count of word 5-grams that also occur in at least one
+    OTHER document — the duplicated-span signal behind suffix/substring
+    dedup (a doc whose grams are mostly shared is boilerplate).  This is
+    the oracle-backed sibling of ``decontaminate_overlap`` (rows-only):
+    grams stay exact STRINGS so DuckDB reproduces them bit-for-bit; at
+    100-TB scale the same plan runs with uint64 gram hashes (8 bytes per
+    gram over the shuffle instead of the text, collision-safe in practice
+    — see dedup._windowed_word_hashes).
+
+    Shape: per-batch the gram build is fully vectorized (flatten words
+    with per-doc repeats, one elementwise object-concat per gram slot, a
+    doc-boundary mask — no Python loop over docs or grams), distinct
+    (doc, gram) pairs come from one pyarrow group_by.  The pair table is
+    MATERIALIZED once and consumed twice (tfidf_top_terms precedent): a
+    combiner-backed groupby(gram) counts document frequency, grams with
+    df ≥ 2 hash-join back onto the pairs (volume-sized fan-out — the
+    shared-gram side can be corpus-sized, so no broadcast), and a
+    combiner-backed groupby(doc_id) counts each doc's shared grams."""
+
+    def pairs_partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(pc.fill_null(t["text"], ""), pattern=" ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy()
+        doc = np.repeat(t["doc_id"].to_numpy(), lens)
+        words = np.array(pc.list_flatten(toks).to_pylist(), dtype=object)
+        k = SHARED_NGRAM_N - 1
+        if len(words) <= k:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "gram": pa.array([], pa.string())}
+            )
+        grams = words[: len(words) - k]
+        for i in range(1, SHARED_NGRAM_N):
+            grams = grams + " "
+            grams = grams + words[i : len(words) - k + i]
+        valid = doc[: len(doc) - k] == doc[k:]
+        pairs = pa.table(
+            {
+                "doc_id": pa.array(doc[: len(doc) - k][valid], pa.int64()),
+                "gram": pa.array(grams[valid], pa.string()),
+            }
+        )
+        return pairs.group_by(["doc_id", "gram"]).aggregate([])
+
+    from ray.data.aggregate import Sum
+
+    from .relational import _partial_group_agg, _volume_join_parts
+
+    pairs = (
+        _docs_cols(sf_dir, ["doc_id", "text"])
+        .map_batches(pairs_partial, batch_format="pyarrow")
+        .materialize()
+    )
+
+    shared = (
+        pairs.map_batches(_partial_group_agg(["gram"]), batch_format="pyarrow")
+        .groupby("gram")
+        .aggregate(Sum("n_partial", alias_name="df"))
+        .filter(expr="df >= 2")
+    )
+
+    return (
+        pairs.join(
+            shared,
+            join_type="inner",
+            num_partitions=_volume_join_parts(pairs.count()),
+            on=("gram",),
+        )
+        .map_batches(_partial_group_agg(["doc_id"]), batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Sum("n_partial", alias_name="n_shared_grams"))
+    )
+
+
+ORACLES["shared_ngram_docs"] = (
+    "WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), "
+    "grams AS (SELECT DISTINCT doc_id, "
+    "array_to_string(list_slice(w, i, i + 4), ' ') AS g "
+    "FROM words, unnest(range(1, len(w) - 3)) AS t(i)), "
+    "df AS (SELECT g, count(*) AS df FROM grams GROUP BY 1) "
+    "SELECT grams.doc_id, count(*)::BIGINT AS n_shared_grams "
+    "FROM grams JOIN df ON grams.g = df.g WHERE df.df >= 2 "
+    "GROUP BY 1 ORDER BY 1"
+)

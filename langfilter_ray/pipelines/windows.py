@@ -640,3 +640,85 @@ ORACLES["rolling_user_sum"] = (
     "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
     "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)"
 )
+
+
+# ---- ordered funnel (sequential event-pattern match) ---------------------
+
+FUNNEL_STAGES = ("signup", "click", "purchase")
+
+
+def funnel_conversion(sf_dir: str) -> ray.data.Dataset:
+    """Ordered funnel signup → click → purchase: how many users reach
+    each stage, where stage k+1 only counts events STRICTLY AFTER the
+    user's earliest stage-k completion — the sequence-match window every
+    product-analytics pipeline runs, and inexpressible as one flat
+    groupby because each stage's cutoff depends on the previous stage's
+    per-user result.
+
+    Shape: the standard per-user partition pattern (module docstring) —
+    filter to the 3 stage types at the read, hash-partition by user so
+    every user's rows co-locate, then per PARTITION chain three pandas
+    C-level groupby-mins (stage-k earliest ts → merge → strict-greater
+    filter → next min); each partition emits its 3-row stage-count
+    partial and one tiny groupby Sums them.  Callback count = partition
+    count; the shuffle carries only the 3 stage types' rows; the final
+    exchange is 3 rows per partition."""
+    import pyarrow.compute as pc
+
+    stages = list(FUNNEL_STAGES)
+
+    def keep_stages(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["event_type"], pa.array(stages)))
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        counts = []
+        cur = None  # per-user cutoff frame: user_id, cutoff
+        for i, stage in enumerate(stages):
+            ev = g[g["event_type"] == stage]
+            if i > 0:
+                ev = ev.merge(cur, on="user_id", how="inner")
+                ev = ev[ev["ts"] > ev["cutoff"]]
+            nxt = (
+                ev.groupby("user_id", as_index=False)["ts"]
+                .min()
+                .rename(columns={"ts": "cutoff"})
+            )
+            counts.append(len(nxt))
+            cur = nxt
+        return pd.DataFrame(
+            {
+                "stage": np.arange(1, len(stages) + 1, dtype=np.int64),
+                "n_partial": np.array(counts, dtype=np.int64),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        _with_user_part(
+            _events(sf_dir, ["user_id", "ts", "event_type"]).map_batches(
+                keep_stages, batch_format="pyarrow"
+            ),
+            _window_parts(sf_dir),
+        )
+        .groupby("part")
+        .map_groups(per_partition, batch_format="pandas")
+        .groupby("stage")
+        .aggregate(Sum("n_partial", alias_name="n_users"))
+    )
+
+
+ORACLES["funnel_conversion"] = (
+    "WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events "
+    "WHERE event_type = 'signup' GROUP BY 1), "
+    "s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e "
+    "JOIN s1 ON e.user_id = s1.user_id "
+    "WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1), "
+    "s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e "
+    "JOIN s2 ON e.user_id = s2.user_id "
+    "WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1) "
+    "SELECT 1::BIGINT AS stage, (SELECT count(*) FROM s1)::BIGINT AS n_users "
+    "UNION ALL SELECT 2::BIGINT, (SELECT count(*) FROM s2)::BIGINT "
+    "UNION ALL SELECT 3::BIGINT, (SELECT count(*) FROM s3)::BIGINT "
+    "ORDER BY stage"
+)

@@ -65,6 +65,7 @@ ORACLE_CHECKED = [
     "promo_window_revenue", "gopher_quality", "domain_mix_weights",
     "local_supplier_volume", "promo_part_revenue", "rolling_user_sum",
     "ntile_order_tiers", "inverted_index_stats", "tfidf_top_terms",
+    "qty_discount_corr", "shared_ngram_docs", "funnel_conversion",
 ]
 
 
