@@ -135,6 +135,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "qty_discount_corr": relational.qty_discount_corr,
         "shared_ngram_docs": text_analysis.shared_ngram_docs,
         "funnel_conversion": windows.funnel_conversion,
+        "cust_order_histogram": relational.cust_order_histogram,
+        "late_order_priority": relational.late_order_priority,
+        "big_order_customers": relational.big_order_customers,
+        "cohort_retention": windows.cohort_retention,
         # flagship cascade (stateful classifier -> rows-only check)
         "quality_filter_labels": reports.quality_filter_labels,
         "gate_decision_report": reports.gate_decision_report,

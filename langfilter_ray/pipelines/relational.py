@@ -1750,3 +1750,186 @@ ORACLES["qty_discount_corr"] = (
     "(sqrt(CAST(n*sqq - sq*sq AS DOUBLE)) * sqrt(CAST(n*sdd - sd*sd AS DOUBLE))) "
     "END AS corr_qd FROM m ORDER BY flag"
 )
+
+
+# ---- Q13-shape: customer order-count distribution (join-free) ------------
+
+
+def cust_order_histogram(sf_dir: str) -> pa.Table:
+    """Distribution of per-customer order counts (TPC-H Q13 shape) with
+    the LEFT JOIN eliminated: orders aggregate to one (custkey, n_orders)
+    row via the map-side combiner, a second combiner-backed groupby
+    builds the histogram over those counts, and the zero-order bucket is
+    ``customer-rowcount − customers-with-orders`` from parquet METADATA —
+    no customer column ever reads, no join ships the SF-proportional
+    customer table.  Shuffles: orders → ≤ distinct-custkeys rows, then
+    ≤ distinct-count values (≈ tens).  The final histogram is inherently
+    tiny, so the driver-side zero-bucket append is O(rows-of-output)."""
+    per_cust = (
+        _read(sf_dir, "orders", ["o_custkey"])
+        .map_batches(_partial_group_agg(["o_custkey"]), batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("n_partial", alias_name="n_orders"))
+    )
+    hist = (
+        per_cust.map_batches(_partial_group_agg(["n_orders"]), batch_format="pyarrow")
+        .groupby("n_orders")
+        .aggregate(Sum("n_partial", alias_name="n_customers"))
+        .to_pandas()
+    )
+    n_zero = _dim_num_rows(sf_dir, "customer") - int(hist["n_customers"].sum())
+    counts = hist["n_customers"].to_numpy().astype(np.int64)
+    orders_n = hist["n_orders"].to_numpy().astype(np.int64)
+    if n_zero > 0:
+        orders_n = np.concatenate([[0], orders_n])
+        counts = np.concatenate([[n_zero], counts])
+    return pa.table(
+        {
+            "n_orders": pa.array(orders_n, pa.int64()),
+            "n_customers": pa.array(counts, pa.int64()),
+        }
+    )
+
+
+ORACLES["cust_order_histogram"] = (
+    "WITH c AS (SELECT c_custkey, count(o_orderkey) AS n_orders "
+    "FROM customer LEFT JOIN orders ON c_custkey = o_custkey GROUP BY 1) "
+    "SELECT n_orders::BIGINT AS n_orders, count(*)::BIGINT AS n_customers "
+    "FROM c GROUP BY 1 ORDER BY 1"
+)
+
+
+# ---- Q4-shape: EXISTS-predicate aggregate --------------------------------
+
+LATE_SHIP_DAYS = 60
+
+
+def late_order_priority(sf_dir: str) -> ray.data.Dataset:
+    """Orders with at least one lineitem shipped > LATE_SHIP_DAYS after
+    the order date, counted per priority (TPC-H Q4's EXISTS shape).  The
+    correlated EXISTS collapses algebraically: ∃ ship > orderdate + Δ ⟺
+    max(ship) > orderdate + Δ, so lineitem pre-aggregates to ONE row per
+    orderkey (pyarrow max combiner + Max groupby) before the join —
+    the semi-join probe side carries a timestamp per orderkey instead of
+    every lineitem row.  Orders stream through a volume-sized hash join,
+    the date predicate is vectorized numpy, and the final 5-row priority
+    count is combiner-backed."""
+    from ray.data.aggregate import Max
+
+    def max_ship_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("l_orderkey").aggregate([("l_shipdate", "max")])
+        return pa.table(
+            {"l_orderkey": g["l_orderkey"], "max_ship": g["l_shipdate_max"]}
+        )
+
+    last_ship = (
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+        .map_batches(max_ship_partial, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Max("max_ship", alias_name="max_ship"))
+    )
+    joined = _read(
+        sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"]
+    ).join(
+        last_ship,
+        join_type="inner",
+        num_partitions=_volume_join_parts(_dim_num_rows(sf_dir, "orders")),
+        on=("o_orderkey",),
+        right_on=("l_orderkey",),
+    )
+
+    def late_filter(t: pa.Table) -> pa.Table:
+        ship = t["max_ship"].to_numpy(zero_copy_only=False)
+        ordered = t["o_orderdate"].to_numpy(zero_copy_only=False)
+        late = ship > ordered + np.timedelta64(LATE_SHIP_DAYS, "D")
+        return t.filter(pa.array(late)).select(["o_orderpriority"])
+
+    return (
+        joined.map_batches(late_filter, batch_format="pyarrow")
+        .map_batches(_partial_group_agg(["o_orderpriority"]), batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("n_partial", alias_name="n_late"))
+    )
+
+
+ORACLES["late_order_priority"] = (
+    "SELECT o_orderpriority, count(*)::BIGINT AS n_late FROM orders "
+    "WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey "
+    f"AND l_shipdate > o_orderdate + INTERVAL {LATE_SHIP_DAYS} DAY) "
+    "GROUP BY 1 ORDER BY 1"
+)
+
+
+# ---- Q18-shape: large-volume orders with customer detail -----------------
+
+BIG_ORDER_QTY = 250
+
+
+def big_order_customers(sf_dir: str) -> ray.data.Dataset:
+    """Orders whose total lineitem quantity exceeds BIG_ORDER_QTY, with
+    customer name and order detail (TPC-H Q18 shape).  The HAVING filter
+    runs BEFORE any join: lineitem collapses to one (orderkey, total_qty)
+    row via the sum combiner, the > threshold filter keeps ~1% of
+    orderkeys (qty p99 ≈ 260 in the generator), and only those survivors
+    flow through the two chained hash joins (orders, then customer) —
+    fan-out split across the joins, quantities exact int64 units."""
+    qty = (
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "l_orderkey": t["l_orderkey"],
+                    "qty": pc.cast(
+                        pc.floor(pc.add(t["l_quantity"], 0.5)), pa.int64()
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .map_batches(_partial_group_agg(["l_orderkey"], ["qty"]), batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("qty_partial", alias_name="total_qty"))
+        .filter(expr=f"total_qty > {BIG_ORDER_QTY}")
+    )
+    parts = _volume_join_parts(_dim_num_rows(sf_dir, "orders"), n_joins=2)
+    joined = qty.join(
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"]),
+        join_type="inner",
+        num_partitions=parts,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    ).join(
+        _read(sf_dir, "customer", ["c_custkey", "c_name"]),
+        join_type="inner",
+        num_partitions=parts,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_name": t["c_name"],
+                "o_orderkey": t["l_orderkey"],
+                "o_orderdate": t["o_orderdate"],
+                "price_cents": pc.cast(
+                    pc.floor(pc.add(pc.multiply(t["o_totalprice"], 100.0), 0.5)),
+                    pa.int64(),
+                ),
+                "total_qty": t["total_qty"],
+            }
+        )
+
+    return joined.map_batches(project, batch_format="pyarrow")
+
+
+ORACLES["big_order_customers"] = (
+    "SELECT c_name, o_orderkey, o_orderdate, "
+    "CAST(floor(o_totalprice*100+0.5) AS BIGINT) AS price_cents, "
+    "sum(CAST(floor(l_quantity+0.5) AS BIGINT))::BIGINT AS total_qty "
+    "FROM customer JOIN orders ON c_custkey = o_custkey "
+    "JOIN lineitem ON o_orderkey = l_orderkey "
+    "GROUP BY 1, 2, 3, 4 "
+    f"HAVING sum(CAST(floor(l_quantity+0.5) AS BIGINT)) > {BIG_ORDER_QTY} "
+    "ORDER BY 2"
+)

@@ -722,3 +722,74 @@ ORACLES["funnel_conversion"] = (
     "UNION ALL SELECT 3::BIGINT, (SELECT count(*) FROM s3)::BIGINT "
     "ORDER BY stage"
 )
+
+
+# ---- signup-cohort weekly retention --------------------------------------
+
+WEEK_SECS = 604_800
+
+
+def cohort_retention(sf_dir: str) -> ray.data.Dataset:
+    """Weekly retention matrix: users grouped by the week of their FIRST
+    event (cohort), counted at each later week offset they were active —
+    the cohort table behind every retention dashboard, and a two-level
+    per-user dependency (a user's offsets depend on their own min week)
+    that a flat groupby can't express.
+
+    Week index is ``floor(epoch_seconds / 604800)`` — a pure integer
+    both here and in the oracle, so no weekday-anchor semantics can
+    diverge.  Shape: per batch, distinct (user, week) pairs via one
+    pyarrow group_by (bounds the shuffle at users×weeks per batch);
+    hash-partition by user so each user's pairs co-locate; per PARTITION
+    one pandas callback dedups globally, derives each user's cohort with
+    a C-level transform('min'), and emits (cohort, offset) partial
+    counts; a tiny combiner-backed groupby Sums partials.  Callback
+    count = partition count, never user count."""
+
+    def week_pairs(t: pa.Table) -> pa.Table:
+        us = t["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        wk = us // (WEEK_SECS * 1_000_000)
+        src = pa.table(
+            {"user_id": t["user_id"], "week": pa.array(wk, pa.int64())}
+        )
+        return src.group_by(["user_id", "week"]).aggregate([])
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["user_id", "week"])
+        w0 = g.groupby("user_id")["week"].transform("min")
+        out = (
+            pd.DataFrame(
+                {"cohort_week": w0, "offset_weeks": g["week"] - w0}
+            )
+            .groupby(["cohort_week", "offset_weeks"], as_index=False)
+            .size()
+            .rename(columns={"size": "n_partial"})
+        )
+        out["n_partial"] = out["n_partial"].astype(np.int64)
+        return out
+
+    from ray.data.aggregate import Sum
+
+    return (
+        _with_user_part(
+            _events(sf_dir, ["user_id", "ts"]).map_batches(
+                week_pairs, batch_format="pyarrow"
+            ),
+            _window_parts(sf_dir),
+        )
+        .groupby("part")
+        .map_groups(per_partition, batch_format="pandas")
+        .groupby(["cohort_week", "offset_weeks"])
+        .aggregate(Sum("n_partial", alias_name="n_users"))
+    )
+
+
+ORACLES["cohort_retention"] = (
+    "WITH wk AS (SELECT DISTINCT user_id, "
+    "CAST(floor(epoch(ts)/604800) AS BIGINT) AS week FROM events), "
+    "f AS (SELECT user_id, min(week) AS w0 FROM wk GROUP BY 1) "
+    "SELECT f.w0 AS cohort_week, wk.week - f.w0 AS offset_weeks, "
+    "count(*)::BIGINT AS n_users "
+    "FROM wk JOIN f ON wk.user_id = f.user_id "
+    "GROUP BY 1, 2 ORDER BY 1, 2"
+)

@@ -66,6 +66,8 @@ ORACLE_CHECKED = [
     "local_supplier_volume", "promo_part_revenue", "rolling_user_sum",
     "ntile_order_tiers", "inverted_index_stats", "tfidf_top_terms",
     "qty_discount_corr", "shared_ngram_docs", "funnel_conversion",
+    "cust_order_histogram", "late_order_priority", "big_order_customers",
+    "cohort_retention",
 ]
 
 
