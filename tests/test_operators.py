@@ -529,3 +529,37 @@ def test_embed_not_anagram_invariant():
     import numpy as np
 
     assert not np.allclose(a, b)
+
+
+def test_funnel_conversion_invariants(entry_mod, con):
+    """Funnel counts must be monotonically non-increasing by stage, and
+    stage 1 equals the number of users with any signup event."""
+    import numpy as np
+
+    df = _to_pandas(entry_mod.queries()["funnel_conversion"](SF)).sort_values("stage")
+    n = df["n_users"].to_numpy()
+    assert (np.diff(n) <= 0).all()
+    want = con.execute(
+        "SELECT count(DISTINCT user_id) FROM events WHERE event_type = 'signup'"
+    ).fetchone()[0]
+    assert n[0] == want
+
+
+def test_cust_order_histogram_mass_conservation(entry_mod, con):
+    """The histogram must conserve both customers and orders:
+    Σ n_customers = |customer| and Σ n_orders·n_customers = |orders|."""
+    df = _to_pandas(entry_mod.queries()["cust_order_histogram"](SF))
+    n_cust, n_ord = con.execute(
+        "SELECT (SELECT count(*) FROM customer), (SELECT count(*) FROM orders)"
+    ).fetchone()
+    assert int(df["n_customers"].sum()) == n_cust
+    assert int((df["n_orders"] * df["n_customers"]).sum()) == n_ord
+
+
+def test_cohort_retention_invariants(entry_mod, con):
+    """Offset-0 cells must sum to the distinct-user count (every user is
+    active in their own cohort week), and all offsets are non-negative."""
+    df = _to_pandas(entry_mod.queries()["cohort_retention"](SF))
+    assert (df["offset_weeks"] >= 0).all()
+    want = con.execute("SELECT count(DISTINCT user_id) FROM events").fetchone()[0]
+    assert int(df.loc[df["offset_weeks"] == 0, "n_users"].sum()) == want
