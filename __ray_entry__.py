@@ -93,18 +93,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_pivot": relational.event_type_pivot,
         "doc_stats_by_lang": text_analysis.doc_stats_by_lang,
         "user_session_stats": windows.user_session_stats,
+        # --- round-3 late additions (Q17/Q15/Q22/Q12 shapes + series) ----
+        "small_qty_revenue": relational.small_qty_revenue,
+        "top_supplier_revenue": relational.top_supplier_revenue,
+        "idle_customer_balance": relational.idle_customer_balance,
+        "orders_week_over_week": relational.orders_week_over_week,
+        "priority_ship_share": relational.priority_ship_share,
+        "char_class_profile": text_analysis.char_class_profile,
         # --- re-confirmation filler: r2-double-green ----------------------
         "token_counts": text_analysis.token_counts,
         "stopword_stats": text_analysis.stopword_stats,
         "langid_heuristic": text_analysis.langid_heuristic,
         "quality_score": text_analysis.quality_score,
+        # ======== past the 50-query window (all have driver rows) ========
         "fingerprint": text_analysis.fingerprint,
         "scrub_documents": text_analysis.scrub_documents,
         "dedup_exact": dedup.dedup_exact,
         "ann_topk": similarity.ann_topk,
         "pricing_summary": relational.pricing_summary,
         "revenue_by_nation": relational.revenue_by_nation,
-        # ======== past the 50-query window (all have driver rows) ========
         "token_counts_bpe": text_analysis.token_counts_bpe,
         "lang_distribution": text_analysis.lang_distribution,
         "top_tokens": text_analysis.top_tokens,

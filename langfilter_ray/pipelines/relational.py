@@ -1933,3 +1933,553 @@ ORACLES["big_order_customers"] = (
     f"HAVING sum(CAST(floor(l_quantity+0.5) AS BIGINT)) > {BIG_ORDER_QTY} "
     "ORDER BY 2"
 )
+
+# ---- Q17-shape: small-quantity revenue vs the part's own average ----------
+
+SMALL_QTY_BRAND = "Brand#13"
+
+
+def small_qty_revenue(sf_dir: str) -> pa.Table:
+    """Revenue lost to small-quantity line items of one brand — TPC-H
+    Q17's "join a fact table against ITS OWN per-group aggregate" shape
+    (correlated scalar subquery; reference's two-pass aggregate read,
+    SURVEY.md §2.6).
+
+    Two lineitem passes, no correlated anything: pass 1 pre-aggregates
+    (sum_qty, count) per brand partkey in-batch (pyarrow combiner) and
+    reduces to one tiny row per brand part; the result — bounded by
+    |part|/25 rows — broadcasts once via ray.put as sorted parallel
+    arrays.  Pass 2 streams lineitem again, probes the thresholds by
+    binary search and keeps rows with qty < 0.2 x the part's average.
+    The float-free trick: quantities are integral and the predicate
+    ``q < 0.2 * (sum/cnt)`` cross-multiplies to ``5*q*cnt < sum`` — exact
+    int64 on both engine and oracle, so no float boundary can flip
+    membership.  Output is one row (cents //7 "yearly average" + count);
+    /7 is a single integer division of an exact sum."""
+    import pyarrow.parquet as pq
+
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+    )
+    brand_keys = np.sort(
+        part.filter(pc.equal(part["p_brand"], SMALL_QTY_BRAND))[
+            "p_partkey"
+        ].to_numpy()
+    )
+    bref = ray.put(brand_keys)
+
+    def qty_partial(t: pa.Table) -> pa.Table:
+        keys = ray.get(bref)
+        pk = t["l_partkey"].to_numpy()
+        if len(keys) == 0:
+            keep = np.zeros(len(pk), dtype=bool)
+        else:
+            pos = np.minimum(np.searchsorted(keys, pk), len(keys) - 1)
+            keep = keys[pos] == pk
+        sub = pa.table(
+            {
+                "l_partkey": t["l_partkey"].filter(pa.array(keep)),
+                "qty": pa.array(
+                    np.floor(t["l_quantity"].to_numpy()[keep] + 0.5).astype(
+                        np.int64
+                    )
+                ),
+            }
+        )
+        g = sub.group_by("l_partkey").aggregate([("qty", "sum"), ([], "count_all")])
+        return pa.table(
+            {
+                "l_partkey": g["l_partkey"],
+                "sq_partial": g["qty_sum"],
+                "cnt_partial": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    per_part = (
+        _read(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
+        .map_batches(qty_partial, batch_format="pyarrow")
+        .groupby("l_partkey")
+        .aggregate(
+            Sum("sq_partial", alias_name="sq"),
+            Sum("cnt_partial", alias_name="cnt"),
+        )
+        .materialize()  # tiny: |part|/25 rows
+    )
+    # typed-empty guard: an all-empty aggregate stream loses its schema
+    if per_part.count() == 0:
+        agg = pa.table(
+            {
+                "l_partkey": pa.array([], pa.int64()),
+                "sq": pa.array([], pa.int64()),
+                "cnt": pa.array([], pa.int64()),
+            }
+        )
+    else:
+        agg = pa.Table.from_pandas(per_part.to_pandas())
+    pk = agg["l_partkey"].to_numpy() if agg.num_rows else np.array([], dtype=np.int64)
+    order = np.argsort(pk)
+    thresholds = ray.put(
+        (
+            pk[order],
+            agg["sq"].to_numpy()[order] if agg.num_rows else np.array([], dtype=np.int64),
+            agg["cnt"].to_numpy()[order] if agg.num_rows else np.array([], dtype=np.int64),
+        )
+    )
+
+    def small_filter(t: pa.Table) -> pa.Table:
+        keys, sq, cnt = ray.get(thresholds)
+        pk = t["l_partkey"].to_numpy()
+        if len(keys) == 0:
+            sel = np.zeros(len(pk), dtype=bool)
+        else:
+            pos = np.minimum(np.searchsorted(keys, pk), len(keys) - 1)
+            hit = keys[pos] == pk
+            q = np.floor(t["l_quantity"].to_numpy() + 0.5).astype(np.int64)
+            sel = hit & (5 * q * cnt[pos] < sq[pos])
+        cents = np.floor(
+            t["l_extendedprice"].to_numpy()[sel] * 100 + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "cents_partial": pa.array([int(cents.sum())], pa.int64()),
+                "n_partial": pa.array([int(sel.sum())], pa.int64()),
+            }
+        )
+
+    total = (
+        _read(sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice"])
+        .map_batches(small_filter, batch_format="pyarrow")
+        .sum(["cents_partial", "n_partial"])
+    )
+    return pa.table(
+        {
+            "avg_yearly_cents": pa.array(
+                [int(total["sum(cents_partial)"]) // 7], pa.int64()
+            ),
+            "n_small": pa.array([int(total["sum(n_partial)"])], pa.int64()),
+        }
+    )
+
+
+ORACLES["small_qty_revenue"] = (
+    "WITH pq AS (SELECT l_partkey, "
+    "sum(CAST(floor(l_quantity+0.5) AS BIGINT))::BIGINT AS sq, "
+    "count(*)::BIGINT AS cnt FROM lineitem JOIN part ON p_partkey = l_partkey "
+    f"WHERE p_brand = '{SMALL_QTY_BRAND}' GROUP BY 1) "
+    "SELECT CAST(coalesce(sum(CAST(floor(l_extendedprice*100+0.5) AS BIGINT)), 0) "
+    "// 7 AS BIGINT) AS avg_yearly_cents, count(*)::BIGINT AS n_small "
+    "FROM lineitem JOIN pq ON lineitem.l_partkey = pq.l_partkey "
+    "WHERE 5 * CAST(floor(l_quantity+0.5) AS BIGINT) * cnt < sq"
+)
+
+
+# ---- Q15-shape: top supplier(s) by windowed revenue -----------------------
+
+Q15_DATE_LO = "1997-01-01"
+Q15_DATE_HI = "1997-04-01"
+
+
+def top_supplier_revenue(sf_dir: str) -> ray.data.Dataset:
+    """Supplier(s) achieving the MAXIMUM revenue over a quarter — TPC-H
+    Q15's "aggregate, then filter by the aggregate's own global max"
+    shape (view + scalar subquery; reference's report read path,
+    SURVEY.md §2.6).  Ties are kept, matching the SQL.
+
+    Lineitem streams once: the shipdate window and revenue cents are
+    vectorized, an in-batch pyarrow combiner bounds the shuffle by
+    suppliers-per-batch, and the per-supplier aggregate — bounded by
+    |supplier|, NOT by fact volume — is materialized once and reused for
+    both the global max and the winner filter (tiny, usually one row).
+    Winners broadcast as a (key, revenue) pair set; the supplier dim
+    streams and probes it, so no join ships the full dim anywhere."""
+    lo = np.datetime64(Q15_DATE_LO, "us")
+    hi = np.datetime64(Q15_DATE_HI, "us")
+
+    def rev_partial(t: pa.Table) -> pa.Table:
+        ship = t["l_shipdate"].to_numpy(zero_copy_only=False)
+        m = (ship >= lo) & (ship < hi)
+        cents = np.floor(
+            t["l_extendedprice"].to_numpy()[m]
+            * (1 - t["l_discount"].to_numpy()[m])
+            * 100
+            + 0.5
+        ).astype(np.int64)
+        sub = pa.table(
+            {
+                "l_suppkey": t["l_suppkey"].filter(pa.array(m)),
+                "cents": pa.array(cents),
+            }
+        )
+        g = sub.group_by("l_suppkey").aggregate([("cents", "sum")])
+        return pa.table(
+            {"l_suppkey": g["l_suppkey"], "cents_partial": g["cents_sum"]}
+        )
+
+    rev = (
+        _read(
+            sf_dir,
+            "lineitem",
+            ["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
+        )
+        .map_batches(rev_partial, batch_format="pyarrow")
+        .groupby("l_suppkey")
+        .aggregate(Sum("cents_partial", alias_name="total_revenue_cents"))
+        .materialize()  # bounded by |supplier| rows; reused twice below
+    )
+    if rev.count() == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "s_suppkey": pa.array([], pa.int64()),
+                    "s_name": pa.array([], pa.string()),
+                    "total_revenue_cents": pa.array([], pa.int64()),
+                }
+            )
+        )
+    best = int(rev.max("total_revenue_cents"))
+    winners = rev.filter(
+        expr=f"total_revenue_cents == {best}"
+    ).to_pandas()  # tiny: the argmax tie set
+    wkeys = np.sort(winners["l_suppkey"].to_numpy())
+    wref = ray.put(wkeys)
+
+    def pick(t: pa.Table) -> pa.Table:
+        keys = ray.get(wref)
+        sk = t["s_suppkey"].to_numpy()
+        pos = np.minimum(np.searchsorted(keys, sk), len(keys) - 1)
+        keep = keys[pos] == sk
+        sub = t.filter(pa.array(keep))
+        return pa.table(
+            {
+                "s_suppkey": sub["s_suppkey"],
+                "s_name": sub["s_name"],
+                "total_revenue_cents": pa.array(
+                    np.full(sub.num_rows, best, dtype=np.int64)
+                ),
+            }
+        )
+
+    return _read(sf_dir, "supplier", ["s_suppkey", "s_name"]).map_batches(
+        pick, batch_format="pyarrow"
+    )
+
+
+ORACLES["top_supplier_revenue"] = (
+    "WITH rev AS (SELECT l_suppkey, "
+    "sum(CAST(floor(l_extendedprice*(1-l_discount)*100+0.5) AS BIGINT))::BIGINT "
+    "AS total_revenue_cents FROM lineitem "
+    f"WHERE l_shipdate >= DATE '{Q15_DATE_LO}' "
+    f"AND l_shipdate < DATE '{Q15_DATE_HI}' GROUP BY 1) "
+    "SELECT s_suppkey, s_name, total_revenue_cents "
+    "FROM supplier JOIN rev ON s_suppkey = l_suppkey "
+    "WHERE total_revenue_cents = (SELECT max(total_revenue_cents) FROM rev) "
+    "ORDER BY 1"
+)
+
+
+# ---- Q22-shape: idle customers above the average positive balance ---------
+
+IDLE_CUTOFF = "2000-01-01"
+
+
+def idle_customer_balance(sf_dir: str) -> ray.data.Dataset:
+    """Customers with an above-average positive balance and NO orders
+    since IDLE_CUTOFF, counted per nation — TPC-H Q22's "scalar-subquery
+    threshold + anti-join" shape (reference's residual audit read,
+    SURVEY.md §2.6); the date predicate keeps the anti-join non-vacuous
+    on the synthetic corpus, where every customer has SOME order.
+
+    Pass 1 computes the global (sum, count) of positive balances as one
+    streaming aggregate (two int64 scalars on the driver).  The float-
+    free threshold: ``bal > sum/cnt`` cross-multiplies to
+    ``bal_cents * cnt > sum_cents`` — exact int64 both sides.  Pass 2
+    filters the customer stream by that predicate, then anti-joins the
+    survivors against DISTINCT order custkeys.  The distinct-key side is
+    dense (rows >> partitions), so the streaming left_outer hash join is
+    the safe/scalable path per the Ray 2.49 empty-partition rule (see
+    dedup_survivors for the sparse alternative); a marker column on the
+    right side detects non-matches because the join consumes key-only
+    right tables.  Final per-nation count/sum is combiner-backed."""
+    def bal_cents(t: pa.Table) -> np.ndarray:
+        return np.floor(t["c_acctbal"].to_numpy() * 100 + 0.5).astype(np.int64)
+
+    def pos_partial(t: pa.Table) -> pa.Table:
+        c = bal_cents(t)
+        c = c[c > 0]
+        return pa.table(
+            {
+                "s_partial": pa.array([int(c.sum())], pa.int64()),
+                "n_partial": pa.array([int(len(c))], pa.int64()),
+            }
+        )
+
+    tot = (
+        _read(sf_dir, "customer", ["c_acctbal"])
+        .map_batches(pos_partial, batch_format="pyarrow")
+        .sum(["s_partial", "n_partial"])
+    )
+    pos_sum = int(tot["sum(s_partial)"])
+    pos_n = max(1, int(tot["sum(n_partial)"]))
+
+    def rich_filter(t: pa.Table) -> pa.Table:
+        c = bal_cents(t)
+        keep = c * pos_n > pos_sum
+        return pa.table(
+            {
+                "c_custkey": t["c_custkey"].filter(pa.array(keep)),
+                "c_nationkey": pc.cast(
+                    t["c_nationkey"].filter(pa.array(keep)), pa.int64()
+                ),
+                "bal_cents": pa.array(c[keep]),
+            }
+        )
+
+    rich = _read(
+        sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"]
+    ).map_batches(rich_filter, batch_format="pyarrow")
+
+    cutoff = np.datetime64(IDLE_CUTOFF, "us")
+
+    def order_keys(t: pa.Table) -> pa.Table:
+        recent = t["o_orderdate"].to_numpy(zero_copy_only=False) >= cutoff
+        t = t.filter(pa.array(recent))
+        g = t.select(["o_custkey"]).group_by("o_custkey").aggregate([])
+        return pa.table(
+            {
+                "o_custkey": g["o_custkey"],
+                "has_order": pa.array(
+                    np.ones(g.num_rows, dtype=np.int8), pa.int8()
+                ),
+            }
+        )
+
+    ordered = (
+        _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+        .map_batches(order_keys, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Count(alias_name="n_ok"))
+    )
+
+    def mark(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"o_custkey": t["o_custkey"], "has_order": t["n_ok"]}
+        )
+
+    joined = rich.join(
+        ordered.map_batches(mark, batch_format="pyarrow"),
+        join_type="left_outer",
+        num_partitions=_volume_join_parts(_dim_num_rows(sf_dir, "customer")),
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+    )
+
+    def idle_only(t: pa.Table) -> pa.Table:
+        keep = pc.is_null(t["has_order"])
+        sub = t.filter(keep)
+        g = (
+            sub.select(["c_nationkey", "bal_cents"])
+            .group_by("c_nationkey")
+            .aggregate([("bal_cents", "sum"), ([], "count_all")])
+        )
+        return pa.table(
+            {
+                "nationkey": g["c_nationkey"],
+                "bal_partial": g["bal_cents_sum"],
+                "n_partial": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    return (
+        joined.map_batches(idle_only, batch_format="pyarrow")
+        .groupby("nationkey")
+        .aggregate(
+            Sum("n_partial", alias_name="n_custs"),
+            Sum("bal_partial", alias_name="total_bal_cents"),
+        )
+    )
+
+
+ORACLES["idle_customer_balance"] = (
+    "WITH pos AS (SELECT "
+    "sum(CAST(floor(c_acctbal*100+0.5) AS BIGINT))::BIGINT AS s, "
+    "count(*)::BIGINT AS n FROM customer "
+    "WHERE CAST(floor(c_acctbal*100+0.5) AS BIGINT) > 0) "
+    "SELECT c_nationkey::BIGINT AS nationkey, count(*)::BIGINT AS n_custs, "
+    "sum(CAST(floor(c_acctbal*100+0.5) AS BIGINT))::BIGINT AS total_bal_cents "
+    "FROM customer, pos "
+    "WHERE CAST(floor(c_acctbal*100+0.5) AS BIGINT) * pos.n > pos.s "
+    "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+    f"AND o_orderdate >= DATE '{IDLE_CUTOFF}') "
+    "GROUP BY 1 ORDER BY 1"
+)
+
+
+# ---- time-series: week-over-week deltas on an aggregate -------------------
+
+def orders_week_over_week(sf_dir: str) -> ray.data.Dataset:
+    """Weekly order count + revenue with the week-over-week delta — the
+    "aggregate first, window the AGGREGATE" time-series shape (reference
+    trend report, SURVEY.md §2.6).  The lag/diff never touches raw rows:
+    orders stream through an in-batch (epoch-week, count, cents) combiner,
+    the groupby shuffles ≤ weeks-per-batch rows, and the lag runs over the
+    final aggregate — bounded by the CALENDAR (~350 weeks here), not by
+    data volume — in one single-partition vectorized pass after a sort.
+    First week's delta is 0 by definition on both sides (lag default =
+    own value)."""
+    def week_partial(t: pa.Table) -> pa.Table:
+        days = t["o_orderdate"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[D]"
+        )
+        week = (days.astype(np.int64) // 7).astype(np.int64)
+        cents = np.floor(
+            t["o_totalprice"].to_numpy() * 100 + 0.5
+        ).astype(np.int64)
+        sub = pa.table({"week": pa.array(week), "cents": pa.array(cents)})
+        g = sub.group_by("week").aggregate([("cents", "sum"), ([], "count_all")])
+        return pa.table(
+            {
+                "week": g["week"],
+                "cents_partial": g["cents_sum"],
+                "n_partial": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    weekly = (
+        _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+        .map_batches(week_partial, batch_format="pyarrow")
+        .groupby("week")
+        .aggregate(
+            Sum("n_partial", alias_name="n_orders"),
+            Sum("cents_partial", alias_name="revenue_cents"),
+        )
+    )
+
+    def lag_diff(t: pa.Table) -> pa.Table:
+        order = np.argsort(t["week"].to_numpy())
+        week = t["week"].to_numpy()[order]
+        n = t["n_orders"].to_numpy()[order]
+        prev = np.concatenate(([n[0]], n[:-1])) if len(n) else n
+        return pa.table(
+            {
+                "epoch_week": pa.array(week),
+                "n_orders": pa.array(n),
+                "revenue_cents": pa.array(t["revenue_cents"].to_numpy()[order]),
+                "wow_delta": pa.array(n - prev),
+            }
+        )
+
+    # the aggregate is calendar-bounded: one partition for the lag pass
+    return weekly.repartition(1).map_batches(
+        lag_diff, batch_size=None, batch_format="pyarrow"
+    )
+
+
+ORACLES["orders_week_over_week"] = (
+    "WITH weekly AS (SELECT "
+    "CAST(floor(epoch(o_orderdate) / 604800.0) AS BIGINT) AS epoch_week, "
+    "count(*)::BIGINT AS n_orders, "
+    "sum(CAST(floor(o_totalprice*100+0.5) AS BIGINT))::BIGINT AS revenue_cents "
+    "FROM orders GROUP BY 1) "
+    "SELECT epoch_week, n_orders, revenue_cents, "
+    "(n_orders - lag(n_orders, 1, n_orders) OVER (ORDER BY epoch_week))::BIGINT "
+    "AS wow_delta FROM weekly ORDER BY 1"
+)
+
+
+# ---- Q12-shape: conditional aggregation over a fact-fact join -------------
+
+HIGH_PRIORITIES = ("1-URGENT", "2-HIGH")
+
+
+def priority_ship_share(sf_dir: str) -> ray.data.Dataset:
+    """Per return flag, how many line items belong to HIGH- vs low-
+    priority orders — TPC-H Q12's "join then CASE-WHEN conditional sums"
+    shape (reference's gate-outcome crosstab, SURVEY.md §2.6).
+
+    Shuffle diet: lineitem pre-counts per (orderkey, returnflag) — ≤ |R|
+    rows per orderkey instead of every line item — before the volume-
+    sized hash join against orders (priority projected to ONE int8
+    is_high flag at the read, so the join payload is minimal).  The
+    final 3-row crosstab is combiner-backed conditional sums."""
+    def li_partial(t: pa.Table) -> pa.Table:
+        g = (
+            t.select(["l_orderkey", "l_returnflag"])
+            .group_by(["l_orderkey", "l_returnflag"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "l_orderkey": g["l_orderkey"],
+                "l_returnflag": g["l_returnflag"],
+                "cnt": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag"]).map_batches(
+        li_partial, batch_format="pyarrow"
+    )
+
+    def o_flag(t: pa.Table) -> pa.Table:
+        hi = pc.is_in(
+            t["o_orderpriority"],
+            value_set=pa.array(list(HIGH_PRIORITIES)),
+        )
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "is_high": pc.cast(hi, pa.int8()),
+            }
+        )
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"]).map_batches(
+        o_flag, batch_format="pyarrow"
+    )
+    joined = li.join(
+        orders,
+        join_type="inner",
+        num_partitions=_volume_join_parts(_dim_num_rows(sf_dir, "orders")),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def crosstab_partial(t: pa.Table) -> pa.Table:
+        cnt = t["cnt"].to_numpy()
+        hi = t["is_high"].to_numpy().astype(np.int64)
+        sub = pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "hi_cnt": pa.array(cnt * hi),
+                "lo_cnt": pa.array(cnt * (1 - hi)),
+            }
+        )
+        g = sub.group_by("l_returnflag").aggregate(
+            [("hi_cnt", "sum"), ("lo_cnt", "sum")]
+        )
+        return pa.table(
+            {
+                "l_returnflag": g["l_returnflag"],
+                "hi_partial": g["hi_cnt_sum"],
+                "lo_partial": g["lo_cnt_sum"],
+            }
+        )
+
+    return (
+        joined.map_batches(crosstab_partial, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(
+            Sum("hi_partial", alias_name="high_line_count"),
+            Sum("lo_partial", alias_name="low_line_count"),
+        )
+    )
+
+
+_HIGH_SQL = ", ".join(f"'{p}'" for p in HIGH_PRIORITIES)
+ORACLES["priority_ship_share"] = (
+    "SELECT l_returnflag, "
+    f"sum(CASE WHEN o_orderpriority IN ({_HIGH_SQL}) THEN 1 ELSE 0 END)::BIGINT "
+    "AS high_line_count, "
+    f"sum(CASE WHEN o_orderpriority NOT IN ({_HIGH_SQL}) THEN 1 ELSE 0 END)::BIGINT "
+    "AS low_line_count "
+    "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+    "GROUP BY 1 ORDER BY 1"
+)

@@ -1380,3 +1380,79 @@ ORACLES["shared_ngram_docs"] = (
     "FROM grams JOIN df ON grams.g = df.g WHERE df.df >= 2 "
     "GROUP BY 1 ORDER BY 1"
 )
+
+
+# ---- char-class profile: vectorized quality signal per language -----------
+
+def char_class_profile(sf_dir: str) -> ray.data.Dataset:
+    """Per-language character-class census (total/alpha/vowel/space
+    counts plus docs) — the reference's content_stats quality signal
+    (langid_service/app/analysis.py:61-104) re-expressed as pure Arrow
+    kernels: ``utf8_length`` + three ``count_substring_regex`` passes
+    per batch (RE2 char classes, zero Python per row), an in-batch
+    combiner, and a ≤|langs| groupby.  The oracle computes the same
+    counts via DuckDB's regexp_replace-length trick."""
+    from ray.data.aggregate import Sum
+
+    def census(t: pa.Table) -> pa.Table:
+        txt = t["text"]
+        sub = pa.table(
+            {
+                "lang": t["lang"],
+                "total_chars": pc.cast(pc.utf8_length(txt), pa.int64()),
+                "alpha_chars": pc.cast(
+                    pc.count_substring_regex(txt, "[a-z]"), pa.int64()
+                ),
+                "vowel_chars": pc.cast(
+                    pc.count_substring_regex(txt, "[aeiou]"), pa.int64()
+                ),
+                "space_chars": pc.cast(
+                    pc.count_substring_regex(txt, " "), pa.int64()
+                ),
+            }
+        )
+        g = sub.group_by("lang").aggregate(
+            [
+                ("total_chars", "sum"),
+                ("alpha_chars", "sum"),
+                ("vowel_chars", "sum"),
+                ("space_chars", "sum"),
+                ([], "count_all"),
+            ]
+        )
+        return pa.table(
+            {
+                "lang": g["lang"],
+                "tc_p": g["total_chars_sum"],
+                "ac_p": g["alpha_chars_sum"],
+                "vc_p": g["vowel_chars_sum"],
+                "sc_p": g["space_chars_sum"],
+                "n_p": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    return (
+        _docs_cols(sf_dir, ["lang", "text"])
+        .map_batches(census, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Sum("n_p", alias_name="n_docs"),
+            Sum("tc_p", alias_name="total_chars"),
+            Sum("ac_p", alias_name="alpha_chars"),
+            Sum("vc_p", alias_name="vowel_chars"),
+            Sum("sc_p", alias_name="space_chars"),
+        )
+    )
+
+
+ORACLES["char_class_profile"] = (
+    "SELECT lang, count(*)::BIGINT AS n_docs, "
+    "sum(length(text))::BIGINT AS total_chars, "
+    "sum(length(text) - length(regexp_replace(text, '[a-z]', '', 'g')))::BIGINT "
+    "AS alpha_chars, "
+    "sum(length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')))::BIGINT "
+    "AS vowel_chars, "
+    "sum(length(text) - length(regexp_replace(text, ' ', '', 'g')))::BIGINT "
+    "AS space_chars "
+    "FROM documents GROUP BY 1 ORDER BY 1"
+)

@@ -68,6 +68,8 @@ ORACLE_CHECKED = [
     "qty_discount_corr", "shared_ngram_docs", "funnel_conversion",
     "cust_order_histogram", "late_order_priority", "big_order_customers",
     "cohort_retention",
+    "small_qty_revenue", "top_supplier_revenue", "idle_customer_balance",
+    "orders_week_over_week", "priority_ship_share", "char_class_profile",
 ]
 
 
