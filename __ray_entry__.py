@@ -100,12 +100,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_week_over_week": relational.orders_week_over_week,
         "priority_ship_share": relational.priority_ship_share,
         "char_class_profile": text_analysis.char_class_profile,
+        "returned_item_revenue": relational.returned_item_revenue,
         # --- re-confirmation filler: r2-double-green ----------------------
         "token_counts": text_analysis.token_counts,
         "stopword_stats": text_analysis.stopword_stats,
         "langid_heuristic": text_analysis.langid_heuristic,
-        "quality_score": text_analysis.quality_score,
         # ======== past the 50-query window (all have driver rows) ========
+        "quality_score": text_analysis.quality_score,
         "fingerprint": text_analysis.fingerprint,
         "scrub_documents": text_analysis.scrub_documents,
         "dedup_exact": dedup.dedup_exact,

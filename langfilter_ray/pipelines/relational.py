@@ -2483,3 +2483,128 @@ ORACLES["priority_ship_share"] = (
     "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
     "GROUP BY 1 ORDER BY 1"
 )
+
+
+# ---- Q10-shape: returned-item revenue, top customers -----------------------
+
+Q10_DATE_LO = "1997-01-01"
+Q10_DATE_HI = "1997-07-01"
+Q10_TOP_N = 20
+
+
+def returned_item_revenue(sf_dir: str) -> ray.data.Dataset:
+    """Top-N customers by revenue on RETURNED items in a half-year order
+    window, with nation detail — TPC-H Q10's join-aggregate-rank shape
+    (reference's complaint report, SURVEY.md §2.6).
+
+    Both fact sides shrink BEFORE the one hash join: orders keep only the
+    window (orderkey, custkey), lineitem keeps only returnflag='R' rows
+    pre-summed to cents per orderkey.  Post-join revenue re-aggregates
+    per custkey (combiner + groupby bounded by |customer|), and only
+    after that does the global sort + limit run — on the aggregate, not
+    the facts.  The N winners return to the driver (N rows), customer
+    detail comes from probing the streaming dim with the broadcast
+    winner set, and the 25-row nation lut rides in the closure.  Ties
+    break on custkey ascending, matching the oracle ORDER BY."""
+    import pyarrow.parquet as pq
+
+    lo = np.datetime64(Q10_DATE_LO, "us")
+    hi = np.datetime64(Q10_DATE_HI, "us")
+
+    def order_window(t: pa.Table) -> pa.Table:
+        d = t["o_orderdate"].to_numpy(zero_copy_only=False)
+        keep = (d >= lo) & (d < hi)
+        return t.filter(pa.array(keep)).select(["o_orderkey", "o_custkey"])
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(order_window, batch_format="pyarrow")
+
+    def returned_cents(t: pa.Table) -> pa.Table:
+        keep = pc.equal(t["l_returnflag"], "R")
+        sub = t.filter(keep)
+        cents = np.floor(
+            sub["l_extendedprice"].to_numpy()
+            * (1 - sub["l_discount"].to_numpy())
+            * 100
+            + 0.5
+        ).astype(np.int64)
+        part = pa.table(
+            {"l_orderkey": sub["l_orderkey"], "cents": pa.array(cents)}
+        )
+        g = part.group_by("l_orderkey").aggregate([("cents", "sum")])
+        return pa.table(
+            {"l_orderkey": g["l_orderkey"], "cents": g["cents_sum"]}
+        )
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+    ).map_batches(returned_cents, batch_format="pyarrow")
+
+    per_cust = (
+        li.join(
+            orders,
+            join_type="inner",
+            num_partitions=_volume_join_parts(_dim_num_rows(sf_dir, "orders")),
+            on=("l_orderkey",),
+            right_on=("o_orderkey",),
+        )
+        .map_batches(
+            _partial_group_agg(["o_custkey"], ["cents"]), batch_format="pyarrow"
+        )
+        .groupby("o_custkey")
+        .aggregate(Sum("cents_partial", alias_name="revenue_cents"))
+    )
+    winners = (
+        per_cust.sort(["revenue_cents", "o_custkey"], descending=[True, False])
+        .limit(Q10_TOP_N)
+        .to_pandas()
+    )
+    wkeys = winners["o_custkey"].to_numpy()
+    order = np.argsort(wkeys)
+    wref = ray.put((wkeys[order], winners["revenue_cents"].to_numpy()[order]))
+
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    nk = nation["n_nationkey"].to_numpy()
+    nation_lut = np.empty(int(nk.max()) + 1, dtype=object)
+    nation_lut[nk] = nation["n_name"].to_pylist()
+
+    def detail(t: pa.Table) -> pa.Table:
+        keys, cents = ray.get(wref)
+        ck = t["c_custkey"].to_numpy()
+        pos = np.minimum(np.searchsorted(keys, ck), len(keys) - 1)
+        keep = keys[pos] == ck
+        sub = t.filter(pa.array(keep))
+        return pa.table(
+            {
+                "c_custkey": sub["c_custkey"],
+                "c_name": sub["c_name"],
+                "n_name": pa.array(
+                    nation_lut[sub["c_nationkey"].to_numpy()], pa.string()
+                ),
+                "revenue_cents": pa.array(cents[pos[keep]], pa.int64()),
+            }
+        )
+
+    return _read(
+        sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey"]
+    ).map_batches(detail, batch_format="pyarrow")
+
+
+ORACLES["returned_item_revenue"] = (
+    "SELECT c_custkey, c_name, n_name, "
+    "sum(CAST(floor(l_extendedprice*(1-l_discount)*100+0.5) AS BIGINT))::BIGINT "
+    "AS revenue_cents "
+    "FROM customer JOIN orders ON c_custkey = o_custkey "
+    "JOIN lineitem ON l_orderkey = o_orderkey "
+    "JOIN nation ON c_nationkey = n_nationkey "
+    "WHERE l_returnflag = 'R' "
+    f"AND o_orderdate >= DATE '{Q10_DATE_LO}' "
+    f"AND o_orderdate < DATE '{Q10_DATE_HI}' "
+    "GROUP BY 1, 2, 3 "
+    f"ORDER BY revenue_cents DESC, c_custkey LIMIT {Q10_TOP_N}"
+)

@@ -70,6 +70,7 @@ ORACLE_CHECKED = [
     "cohort_retention",
     "small_qty_revenue", "top_supplier_revenue", "idle_customer_balance",
     "orders_week_over_week", "priority_ship_share", "char_class_profile",
+    "returned_item_revenue",
 ]
 
 
