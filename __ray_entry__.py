@@ -168,6 +168,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "late_order_priority": relational.late_order_priority,
         "big_order_customers": relational.big_order_customers,
         "cohort_retention": windows.cohort_retention,
+        # round-3 late additions (appended: the driver window is full)
+        "nation_trade_volume": relational.nation_trade_volume,
         # flagship cascade (stateful classifier -> rows-only check)
         "quality_filter_labels": reports.quality_filter_labels,
         "gate_decision_report": reports.gate_decision_report,

@@ -2608,3 +2608,265 @@ ORACLES["returned_item_revenue"] = (
     "GROUP BY 1, 2, 3 "
     f"ORDER BY revenue_cents DESC, c_custkey LIMIT {Q10_TOP_N}"
 )
+
+
+Q7_NATION_A = "NATION_3"
+Q7_NATION_B = "NATION_7"
+Q7_DATE_LO = "1996-01-01"
+Q7_DATE_HI = "1998-01-01"
+
+
+def nation_trade_volume(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q7 shape: bilateral trade volume — revenue per (supplier
+    nation, customer nation, ship year) for the two directed pairs of a
+    nation pair, over a two-year ship window (reference's cross-node
+    traffic report, SURVEY.md §2.6).
+
+    Physical plan mirrors ``local_supplier_volume``: nation (25 rows)
+    resolves in the driver closure; supplier and customer are
+    PRE-FILTERED to the two target nations and broadcast once via
+    ray.put as sorted (key, nationkey) arrays.  The lineitem stream
+    probes suppkey, derives the ship year vectorized from datetime64,
+    and pre-aggregates revenue cents per (orderkey, supp_nation, year)
+    in-batch; the orders stream probes custkey; only lineitem⋈orders
+    pays a hash-partitioned join, fan-out sized by data volume.  The
+    cross-nation predicate (supp != cust) is a post-join vectorized
+    filter, and the final groupby shuffles ≤ 2x2x|years| partial rows
+    per batch.  Above BROADCAST_DIM_MAX_ROWS both dim lookups switch to
+    dense native hash joins (sparse filtered dims would trigger the Ray
+    2.49 empty-partition crash; the region filter moves post-join)."""
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    target = nation.filter(
+        pc.is_in(
+            nation["n_name"],
+            value_set=pa.array([Q7_NATION_A, Q7_NATION_B]),
+        )
+    )
+    target_nk = np.sort(target["n_nationkey"].to_numpy().astype(np.int64))
+    nk = nation["n_nationkey"].to_numpy()
+    nation_lut = np.empty(int(nk.max()) + 1, dtype=object)
+    nation_lut[nk] = nation["n_name"].to_pylist()
+
+    lo = np.datetime64(Q7_DATE_LO, "us")
+    hi = np.datetime64(Q7_DATE_HI, "us")
+    n_li = _dim_num_rows(sf_dir, "lineitem")
+
+    use_broadcast = (
+        max(_dim_num_rows(sf_dir, "customer"), _dim_num_rows(sf_dir, "supplier"))
+        <= BROADCAST_DIM_MAX_ROWS
+    )
+    if use_broadcast:
+        cust = pq.read_table(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+        )
+        cust = cust.filter(
+            pa.array(np.isin(cust["c_nationkey"].to_numpy(), target_nk))
+        )
+        cref = _broadcast_int_dim(cust, "c_custkey", "c_nationkey")
+        supp = pq.read_table(
+            f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+        )
+        supp = supp.filter(
+            pa.array(np.isin(supp["s_nationkey"].to_numpy(), target_nk))
+        )
+        sref = _broadcast_int_dim(supp, "s_suppkey", "s_nationkey")
+
+        def li_probe(t: pa.Table) -> pa.Table:
+            d = t["l_shipdate"].to_numpy(zero_copy_only=False)
+            sn = _probe_int(sref, t["l_suppkey"].to_numpy())
+            keep = (sn >= 0) & (d >= lo) & (d < hi)
+            cents = np.floor(
+                t["l_extendedprice"].to_numpy()
+                * (1 - t["l_discount"].to_numpy())
+                * 100
+                + 0.5
+            ).astype(np.int64)
+            year = (d[keep].astype("datetime64[Y]").astype(np.int64) + 1970)
+            part = pa.table(
+                {
+                    "l_orderkey": t["l_orderkey"].filter(pa.array(keep)),
+                    "s_nation": pa.array(sn[keep], pa.int64()),
+                    "l_year": pa.array(year, pa.int64()),
+                    "cents": pa.array(cents[keep], pa.int64()),
+                }
+            )
+            g = part.group_by(["l_orderkey", "s_nation", "l_year"]).aggregate(
+                [("cents", "sum")]
+            )
+            return g.rename_columns(
+                ["l_orderkey", "s_nation", "l_year", "cents"]
+            )
+
+        li = _read(
+            sf_dir,
+            "lineitem",
+            [
+                "l_orderkey",
+                "l_suppkey",
+                "l_extendedprice",
+                "l_discount",
+                "l_shipdate",
+            ],
+        ).map_batches(li_probe, batch_format="pyarrow")
+
+        def orders_probe(t: pa.Table) -> pa.Table:
+            cn = _probe_int(cref, t["o_custkey"].to_numpy())
+            keep = cn >= 0
+            return pa.table(
+                {
+                    "o_orderkey": t["o_orderkey"].filter(pa.array(keep)),
+                    "c_nation": pa.array(cn[keep], pa.int64()),
+                }
+            )
+
+        orders = _read(
+            sf_dir, "orders", ["o_orderkey", "o_custkey"]
+        ).map_batches(orders_probe, batch_format="pyarrow")
+        joined = li.join(
+            orders,
+            join_type="inner",
+            num_partitions=_volume_join_parts(n_li),
+            on=("l_orderkey",),
+            right_on=("o_orderkey",),
+        )
+    else:
+        # oversized dims: dense native hash joins, nation filter post-join
+        parts = _volume_join_parts(n_li, n_joins=3)
+        tref = ray.put(target_nk)
+
+        def li_prep(t: pa.Table) -> pa.Table:
+            d = t["l_shipdate"].to_numpy(zero_copy_only=False)
+            keep = (d >= lo) & (d < hi)
+            cents = np.floor(
+                t["l_extendedprice"].to_numpy()
+                * (1 - t["l_discount"].to_numpy())
+                * 100
+                + 0.5
+            ).astype(np.int64)
+            year = (d[keep].astype("datetime64[Y]").astype(np.int64) + 1970)
+            return pa.table(
+                {
+                    "l_orderkey": t["l_orderkey"].filter(pa.array(keep)),
+                    "l_suppkey": t["l_suppkey"].filter(pa.array(keep)),
+                    "l_year": pa.array(year, pa.int64()),
+                    "cents": pa.array(cents[keep], pa.int64()),
+                }
+            )
+
+        li = _read(
+            sf_dir,
+            "lineitem",
+            [
+                "l_orderkey",
+                "l_suppkey",
+                "l_extendedprice",
+                "l_discount",
+                "l_shipdate",
+            ],
+        ).map_batches(li_prep, batch_format="pyarrow")
+        supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+        li = li.join(
+            supp,
+            join_type="inner",
+            num_partitions=parts,
+            on=("l_suppkey",),
+            right_on=("s_suppkey",),
+        )
+
+        def s_filter(t: pa.Table) -> pa.Table:
+            tnk = ray.get(tref)
+            keep = np.isin(t["s_nationkey"].to_numpy().astype(np.int64), tnk)
+            sub = t.filter(pa.array(keep))
+            return pa.table(
+                {
+                    "l_orderkey": sub["l_orderkey"],
+                    "s_nation": pc.cast(sub["s_nationkey"], pa.int64()),
+                    "l_year": sub["l_year"],
+                    "cents": sub["cents"],
+                }
+            )
+
+        li = li.map_batches(s_filter, batch_format="pyarrow")
+        cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+        orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).join(
+            cust,
+            join_type="inner",
+            num_partitions=parts,
+            on=("o_custkey",),
+            right_on=("c_custkey",),
+        )
+
+        def c_filter(t: pa.Table) -> pa.Table:
+            tnk = ray.get(tref)
+            keep = np.isin(t["c_nationkey"].to_numpy().astype(np.int64), tnk)
+            sub = t.filter(pa.array(keep))
+            return pa.table(
+                {
+                    "o_orderkey": sub["o_orderkey"],
+                    "c_nation": pc.cast(sub["c_nationkey"], pa.int64()),
+                }
+            )
+
+        orders = orders.map_batches(c_filter, batch_format="pyarrow")
+        joined = li.join(
+            orders,
+            join_type="inner",
+            num_partitions=parts,
+            on=("l_orderkey",),
+            right_on=("o_orderkey",),
+        )
+
+    def cross_only(t: pa.Table) -> pa.Table:
+        sn = t["s_nation"].to_numpy()
+        cn = t["c_nation"].to_numpy()
+        sub = t.filter(pa.array(sn != cn))
+        return pa.table(
+            {
+                "supp_nation": pa.array(
+                    nation_lut[sub["s_nation"].to_numpy()], pa.string()
+                ),
+                "cust_nation": pa.array(
+                    nation_lut[sub["c_nation"].to_numpy()], pa.string()
+                ),
+                "l_year": sub["l_year"],
+                "cents": sub["cents"],
+            }
+        )
+
+    return (
+        joined.map_batches(cross_only, batch_format="pyarrow")
+        .map_batches(
+            _partial_group_agg(
+                ["supp_nation", "cust_nation", "l_year"], ["cents"]
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby(["supp_nation", "cust_nation", "l_year"])
+        .aggregate(Sum("cents_partial", alias_name="revenue_cents"))
+        .sort(["supp_nation", "cust_nation", "l_year"])
+    )
+
+
+ORACLES["nation_trade_volume"] = (
+    "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
+    "year(l_shipdate)::BIGINT AS l_year, "
+    "sum(CAST(floor(l_extendedprice*(1-l_discount)*100+0.5) AS BIGINT))::BIGINT "
+    "AS revenue_cents "
+    "FROM lineitem "
+    "JOIN supplier ON l_suppkey = s_suppkey "
+    "JOIN orders ON l_orderkey = o_orderkey "
+    "JOIN customer ON o_custkey = c_custkey "
+    "JOIN nation n1 ON s_nationkey = n1.n_nationkey "
+    "JOIN nation n2 ON c_nationkey = n2.n_nationkey "
+    f"WHERE n1.n_name IN ('{Q7_NATION_A}', '{Q7_NATION_B}') "
+    f"AND n2.n_name IN ('{Q7_NATION_A}', '{Q7_NATION_B}') "
+    "AND n1.n_name <> n2.n_name "
+    f"AND l_shipdate >= DATE '{Q7_DATE_LO}' "
+    f"AND l_shipdate < DATE '{Q7_DATE_HI}' "
+    "GROUP BY 1, 2, 3 "
+    "ORDER BY 1, 2, 3"
+)
