@@ -2870,3 +2870,280 @@ ORACLES["nation_trade_volume"] = (
     "GROUP BY 1, 2, 3 "
     "ORDER BY 1, 2, 3"
 )
+
+
+Q8_REGION = "EUROPE"
+Q8_NATION = "NATION_3"
+Q8_PTYPE = "ECONOMY"
+Q8_DATE_LO = "1996-01-01"
+Q8_DATE_HI = "1998-01-01"
+
+
+def market_share(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q8 shape: one nation's market share — per order year, the
+    fraction of revenue on one part type, bought by customers of one
+    region, that was supplied from the target nation (reference's
+    per-origin share report, SURVEY.md §2.6).
+
+    Broadcast path: part is PRE-FILTERED to the target type and ships as
+    a sorted key set (membership probe); supplier ships whole as
+    (suppkey, nationkey); customer PRE-FILTERED to the region's nations
+    ships as a key set.  The lineitem stream probes part + supplier and
+    pre-aggregates per orderkey TWO cent sums — total and
+    target-nation-only — so the one hash join carries ≤ |orders| rows
+    and the final groupby shuffles ≤ |years| partials per batch.  The
+    share itself is integer basis points (10000*target//total) computed
+    on the aggregated BIGINTs, identical to the SQL's integer division.
+    Above BROADCAST_DIM_MAX_ROWS all three dims switch to dense native
+    hash joins with post-join filters (sparse right sides crash Ray
+    2.49's hash join on empty partitions; dense dims shuffle safely)."""
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet",
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    )
+    region = pq.read_table(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    )
+    target_rk = region.filter(pc.equal(region["r_name"], Q8_REGION))[
+        "r_regionkey"
+    ].to_numpy()
+    region_nk = np.sort(
+        nation.filter(
+            pa.array(np.isin(nation["n_regionkey"].to_numpy(), target_rk))
+        )["n_nationkey"]
+        .to_numpy()
+        .astype(np.int64)
+    )
+    target_nk = nation.filter(pc.equal(nation["n_name"], Q8_NATION))[
+        "n_nationkey"
+    ].to_numpy()
+    target_nk = int(target_nk[0]) if len(target_nk) else -1
+
+    lo = np.datetime64(Q8_DATE_LO, "us")
+    hi = np.datetime64(Q8_DATE_HI, "us")
+    n_li = _dim_num_rows(sf_dir, "lineitem")
+
+    def li_cents(t: pa.Table) -> np.ndarray:
+        return np.floor(
+            t["l_extendedprice"].to_numpy() * (1 - t["l_discount"].to_numpy()) * 100
+            + 0.5
+        ).astype(np.int64)
+
+    big = max(
+        _dim_num_rows(sf_dir, "customer"),
+        _dim_num_rows(sf_dir, "supplier"),
+        _dim_num_rows(sf_dir, "part"),
+    )
+    if big <= BROADCAST_DIM_MAX_ROWS:
+        part = pq.read_table(
+            f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+        )
+        pkeys = np.sort(
+            part.filter(pc.equal(part["p_type"], Q8_PTYPE))["p_partkey"]
+            .to_numpy()
+            .astype(np.int64)
+        )
+        pref = ray.put(pkeys)
+        supp = pq.read_table(
+            f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+        )
+        sref = _broadcast_int_dim(supp, "s_suppkey", "s_nationkey")
+        cust = pq.read_table(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+        )
+        ckeys = np.sort(
+            cust.filter(
+                pa.array(np.isin(cust["c_nationkey"].to_numpy(), region_nk))
+            )["c_custkey"]
+            .to_numpy()
+            .astype(np.int64)
+        )
+        cref = ray.put(ckeys)
+
+        def li_probe(t: pa.Table) -> pa.Table:
+            pk = ray.get(pref)
+            lpk = t["l_partkey"].to_numpy()
+            pos = np.minimum(np.searchsorted(pk, lpk), max(len(pk) - 1, 0))
+            keep = len(pk) > 0 and pk[pos] == lpk
+            if np.isscalar(keep):
+                keep = np.zeros(len(lpk), dtype=bool)
+            sn = _probe_int(sref, t["l_suppkey"].to_numpy())
+            cents = li_cents(t)
+            tgt = np.where(sn == target_nk, cents, 0)
+            part_t = pa.table(
+                {
+                    "l_orderkey": t["l_orderkey"].filter(pa.array(keep)),
+                    "total_cents": pa.array(cents[keep], pa.int64()),
+                    "target_cents": pa.array(tgt[keep], pa.int64()),
+                }
+            )
+            g = part_t.group_by("l_orderkey").aggregate(
+                [("total_cents", "sum"), ("target_cents", "sum")]
+            )
+            return g.rename_columns(
+                ["l_orderkey", "total_cents", "target_cents"]
+            )
+
+        li = _read(
+            sf_dir,
+            "lineitem",
+            ["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+        ).map_batches(li_probe, batch_format="pyarrow")
+
+        def orders_probe(t: pa.Table) -> pa.Table:
+            ck = ray.get(cref)
+            d = t["o_orderdate"].to_numpy(zero_copy_only=False)
+            ok = t["o_custkey"].to_numpy()
+            pos = np.minimum(np.searchsorted(ck, ok), max(len(ck) - 1, 0))
+            member = (ck[pos] == ok) if len(ck) else np.zeros(len(ok), bool)
+            keep = member & (d >= lo) & (d < hi)
+            year = d[keep].astype("datetime64[Y]").astype(np.int64) + 1970
+            return pa.table(
+                {
+                    "o_orderkey": t["o_orderkey"].filter(pa.array(keep)),
+                    "o_year": pa.array(year, pa.int64()),
+                }
+            )
+
+        orders = _read(
+            sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+        ).map_batches(orders_probe, batch_format="pyarrow")
+        joined = li.join(
+            orders,
+            join_type="inner",
+            num_partitions=_volume_join_parts(n_li),
+            on=("l_orderkey",),
+            right_on=("o_orderkey",),
+        )
+    else:
+        parts = _volume_join_parts(n_li, n_joins=3)
+        part_f = _read(sf_dir, "part", ["p_partkey", "p_type"]).filter(
+            lambda r: r["p_type"] == Q8_PTYPE
+        ).select_columns(["p_partkey"])
+        li = _read(
+            sf_dir,
+            "lineitem",
+            ["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+        ).join(
+            part_f,
+            join_type="inner",
+            num_partitions=parts,
+            on=("l_partkey",),
+            right_on=("p_partkey",),
+        ).join(
+            _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]),
+            join_type="inner",
+            num_partitions=parts,
+            on=("l_suppkey",),
+            right_on=("s_suppkey",),
+        )
+
+        def li_prep(t: pa.Table) -> pa.Table:
+            cents = li_cents(t)
+            sn = t["s_nationkey"].to_numpy().astype(np.int64)
+            tgt = np.where(sn == target_nk, cents, 0)
+            part_t = pa.table(
+                {
+                    "l_orderkey": t["l_orderkey"],
+                    "total_cents": pa.array(cents, pa.int64()),
+                    "target_cents": pa.array(tgt, pa.int64()),
+                }
+            )
+            g = part_t.group_by("l_orderkey").aggregate(
+                [("total_cents", "sum"), ("target_cents", "sum")]
+            )
+            return g.rename_columns(
+                ["l_orderkey", "total_cents", "target_cents"]
+            )
+
+        li = li.map_batches(li_prep, batch_format="pyarrow")
+        rref = ray.put(region_nk)
+        orders = _read(
+            sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+        ).join(
+            _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]),
+            join_type="inner",
+            num_partitions=parts,
+            on=("o_custkey",),
+            right_on=("c_custkey",),
+        )
+
+        def o_filter(t: pa.Table) -> pa.Table:
+            rnk = ray.get(rref)
+            d = t["o_orderdate"].to_numpy(zero_copy_only=False)
+            keep = (
+                np.isin(t["c_nationkey"].to_numpy().astype(np.int64), rnk)
+                & (d >= lo)
+                & (d < hi)
+            )
+            year = d[keep].astype("datetime64[Y]").astype(np.int64) + 1970
+            return pa.table(
+                {
+                    "o_orderkey": t["o_orderkey"].filter(pa.array(keep)),
+                    "o_year": pa.array(year, pa.int64()),
+                }
+            )
+
+        orders = orders.map_batches(o_filter, batch_format="pyarrow")
+        joined = li.join(
+            orders,
+            join_type="inner",
+            num_partitions=parts,
+            on=("l_orderkey",),
+            right_on=("o_orderkey",),
+        )
+
+    agg = (
+        joined.map_batches(
+            _partial_group_agg(["o_year"], ["total_cents", "target_cents"]),
+            batch_format="pyarrow",
+        )
+        .groupby("o_year")
+        .aggregate(
+            Sum("target_cents_partial", alias_name="target_cents"),
+            Sum("total_cents_partial", alias_name="total_cents"),
+        )
+    )
+
+    def share(t: pa.Table) -> pa.Table:
+        tgt = t["target_cents"].to_numpy()
+        tot = t["total_cents"].to_numpy()
+        bp = np.where(tot > 0, (10_000 * tgt) // np.maximum(tot, 1), 0)
+        return pa.table(
+            {
+                "o_year": t["o_year"],
+                "target_cents": t["target_cents"],
+                "total_cents": t["total_cents"],
+                "share_bp": pa.array(bp, pa.int64()),
+            }
+        )
+
+    return agg.map_batches(share, batch_format="pyarrow").sort("o_year")
+
+
+ORACLES["market_share"] = (
+    "WITH sales AS ("
+    "  SELECT year(o_orderdate)::BIGINT AS o_year, "
+    "    CAST(floor(l_extendedprice*(1-l_discount)*100+0.5) AS BIGINT) AS cents, "
+    "    sn.n_name AS supp_nation "
+    "  FROM lineitem "
+    "  JOIN part ON l_partkey = p_partkey "
+    "  JOIN supplier ON l_suppkey = s_suppkey "
+    "  JOIN nation sn ON s_nationkey = sn.n_nationkey "
+    "  JOIN orders ON l_orderkey = o_orderkey "
+    "  JOIN customer ON o_custkey = c_custkey "
+    "  JOIN nation cn ON c_nationkey = cn.n_nationkey "
+    "  JOIN region ON cn.n_regionkey = r_regionkey "
+    f"  WHERE p_type = '{Q8_PTYPE}' AND r_name = '{Q8_REGION}' "
+    f"  AND o_orderdate >= DATE '{Q8_DATE_LO}' "
+    f"  AND o_orderdate < DATE '{Q8_DATE_HI}') "
+    "SELECT o_year, "
+    f"sum(CASE WHEN supp_nation = '{Q8_NATION}' THEN cents ELSE 0 END)::BIGINT "
+    "AS target_cents, "
+    "sum(cents)::BIGINT AS total_cents, "
+    f"((10000 * sum(CASE WHEN supp_nation = '{Q8_NATION}' THEN cents ELSE 0 END)) "
+    "// sum(cents))::BIGINT AS share_bp "
+    "FROM sales GROUP BY o_year ORDER BY o_year"
+)

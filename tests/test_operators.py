@@ -70,7 +70,7 @@ ORACLE_CHECKED = [
     "cohort_retention",
     "small_qty_revenue", "top_supplier_revenue", "idle_customer_balance",
     "orders_week_over_week", "priority_ship_share", "char_class_profile",
-    "returned_item_revenue", "nation_trade_volume",
+    "returned_item_revenue", "nation_trade_volume", "market_share",
 ]
 
 
@@ -90,6 +90,7 @@ def test_query_matches_oracle(entry_mod, con, name):
         "local_supplier_volume",
         "promo_part_revenue",
         "nation_trade_volume",
+        "market_share",
     ],
 )
 def test_dim_join_fallback_matches_oracle(entry_mod, con, name, monkeypatch):
