@@ -171,6 +171,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-3 late additions (appended: the driver window is full)
         "nation_trade_volume": relational.nation_trade_volume,
         "market_share": relational.market_share,
+        "brand_qty_revenue": relational.brand_qty_revenue,
         # flagship cascade (stateful classifier -> rows-only check)
         "quality_filter_labels": reports.quality_filter_labels,
         "gate_decision_report": reports.gate_decision_report,

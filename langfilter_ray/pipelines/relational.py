@@ -3147,3 +3147,152 @@ ORACLES["market_share"] = (
     "// sum(cents))::BIGINT AS share_bp "
     "FROM sales GROUP BY o_year ORDER BY o_year"
 )
+
+
+# ---- Q19-shape: OR-of-conjunctions brand/size/quantity revenue ------------
+
+Q19_RULES = (
+    ("Brand#13", 1, 15, 1, 20),
+    ("Brand#22", 1, 25, 10, 30),
+    ("Brand#25", 1, 35, 20, 40),
+)
+
+
+def brand_qty_revenue(sf_dir: str) -> pa.Table:
+    """TPC-H Q19 shape: revenue matched by an OR of three
+    brand/size/quantity conjunctions — the reference's multi-rule
+    predicate gate (rule disjunction over per-row attributes,
+    SURVEY.md §2.4) expressed as one disjunct BITMASK probe.
+
+    Broadcast path: part is pre-filtered to rows satisfying ANY
+    disjunct's (brand, size) half and ships once via ray.put as sorted
+    partkeys + a uint8 mask of which disjuncts each part can satisfy.
+    The lineitem stream probes the mask by binary search, tests the
+    quantity half of every disjunct vectorized (mask bit AND qty range),
+    and reduces to one partial cents/count row per batch — no shuffle at
+    all beyond the final tiny sum.  Quantities are integral, so the
+    range tests are exact int64 on both sides.  Above
+    BROADCAST_DIM_MAX_ROWS the probe becomes a dense native hash join
+    against the brand-filtered part dim with the same post-join mask."""
+    import pyarrow.parquet as pq
+
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_size"]
+    )
+    brand = part["p_brand"].to_numpy(zero_copy_only=False)
+    size = part["p_size"].to_numpy().astype(np.int64)
+    mask = np.zeros(part.num_rows, dtype=np.uint8)
+    for i, (b, slo, shi, _qlo, _qhi) in enumerate(Q19_RULES):
+        mask |= ((brand == b) & (size >= slo) & (size <= shi)).astype(
+            np.uint8
+        ) << i
+    hit = mask > 0
+    pkeys = part["p_partkey"].to_numpy()[hit]
+    pmask = mask[hit]
+    order = np.argsort(pkeys)
+    n_part = _dim_num_rows(sf_dir, "part")
+
+    def li_partial_from(pk_l, q, cents, m):
+        sel = np.zeros(len(pk_l), dtype=bool)
+        for i, (_b, _slo, _shi, qlo, qhi) in enumerate(Q19_RULES):
+            sel |= ((m >> i) & 1).astype(bool) & (q >= qlo) & (q <= qhi)
+        return pa.table(
+            {
+                "cents_partial": pa.array([int(cents[sel].sum())], pa.int64()),
+                "n_partial": pa.array([int(sel.sum())], pa.int64()),
+            }
+        )
+
+    if n_part <= BROADCAST_DIM_MAX_ROWS:
+        pref = ray.put((pkeys[order], pmask[order]))
+
+        def li_probe(t: pa.Table) -> pa.Table:
+            keys, msk = ray.get(pref)
+            pk_l = t["l_partkey"].to_numpy()
+            if len(keys) == 0:
+                m = np.zeros(len(pk_l), dtype=np.uint8)
+            else:
+                pos = np.minimum(np.searchsorted(keys, pk_l), len(keys) - 1)
+                m = np.where(keys[pos] == pk_l, msk[pos], 0).astype(np.uint8)
+            q = np.floor(t["l_quantity"].to_numpy() + 0.5).astype(np.int64)
+            cents = np.floor(
+                t["l_extendedprice"].to_numpy()
+                * (1 - t["l_discount"].to_numpy())
+                * 100
+                + 0.5
+            ).astype(np.int64)
+            return li_partial_from(pk_l, q, cents, m)
+
+        stream = _read(
+            sf_dir,
+            "lineitem",
+            ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+        ).map_batches(li_probe, batch_format="pyarrow")
+    else:
+        part_f = ray.data.from_arrow(
+            pa.table(
+                {
+                    "p_partkey": pa.array(pkeys[order]),
+                    "p_mask": pa.array(pmask[order].astype(np.int64)),
+                }
+            )
+        ).repartition(_volume_join_parts(n_part))
+        joined = _read(
+            sf_dir,
+            "lineitem",
+            ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+        ).join(
+            part_f,
+            join_type="inner",
+            num_partitions=_volume_join_parts(_dim_num_rows(sf_dir, "lineitem")),
+            on=("l_partkey",),
+            right_on=("p_partkey",),
+        )
+
+        def post_mask(t: pa.Table) -> pa.Table:
+            q = np.floor(t["l_quantity"].to_numpy() + 0.5).astype(np.int64)
+            cents = np.floor(
+                t["l_extendedprice"].to_numpy()
+                * (1 - t["l_discount"].to_numpy())
+                * 100
+                + 0.5
+            ).astype(np.int64)
+            m = t["p_mask"].to_numpy().astype(np.uint8)
+            return li_partial_from(m, q, cents, m)
+
+        stream = joined.map_batches(post_mask, batch_format="pyarrow")
+
+    total = stream.sum(["cents_partial", "n_partial"])
+    if total is None:
+        return pa.table(
+            {
+                "revenue_cents": pa.array([0], pa.int64()),
+                "n_lines": pa.array([0], pa.int64()),
+            }
+        )
+    return pa.table(
+        {
+            "revenue_cents": pa.array(
+                [int(total["sum(cents_partial)"])], pa.int64()
+            ),
+            "n_lines": pa.array([int(total["sum(n_partial)"])], pa.int64()),
+        }
+    )
+
+
+def _q19_disjunct_sql() -> str:
+    parts = []
+    for b, slo, shi, qlo, qhi in Q19_RULES:
+        parts.append(
+            f"(p_brand = '{b}' AND p_size BETWEEN {slo} AND {shi} "
+            f"AND CAST(floor(l_quantity+0.5) AS BIGINT) BETWEEN {qlo} AND {qhi})"
+        )
+    return " OR ".join(parts)
+
+
+ORACLES["brand_qty_revenue"] = (
+    "SELECT CAST(coalesce(sum(CAST(floor(l_extendedprice*(1-l_discount)*100+0.5) "
+    "AS BIGINT)), 0) AS BIGINT) AS revenue_cents, count(*)::BIGINT AS n_lines "
+    "FROM lineitem JOIN part ON p_partkey = l_partkey "
+    f"WHERE {_q19_disjunct_sql()}"
+)

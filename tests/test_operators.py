@@ -71,6 +71,7 @@ ORACLE_CHECKED = [
     "small_qty_revenue", "top_supplier_revenue", "idle_customer_balance",
     "orders_week_over_week", "priority_ship_share", "char_class_profile",
     "returned_item_revenue", "nation_trade_volume", "market_share",
+    "brand_qty_revenue",
 ]
 
 
@@ -91,6 +92,7 @@ def test_query_matches_oracle(entry_mod, con, name):
         "promo_part_revenue",
         "nation_trade_volume",
         "market_share",
+        "brand_qty_revenue",
     ],
 )
 def test_dim_join_fallback_matches_oracle(entry_mod, con, name, monkeypatch):
