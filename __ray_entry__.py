@@ -172,6 +172,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_trade_volume": relational.nation_trade_volume,
         "market_share": relational.market_share,
         "brand_qty_revenue": relational.brand_qty_revenue,
+        "dup_token_stats": text_analysis.dup_token_stats,
         # flagship cascade (stateful classifier -> rows-only check)
         "quality_filter_labels": reports.quality_filter_labels,
         "gate_decision_report": reports.gate_decision_report,

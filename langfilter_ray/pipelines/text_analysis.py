@@ -1456,3 +1456,88 @@ ORACLES["char_class_profile"] = (
     "AS space_chars "
     "FROM documents GROUP BY 1 ORDER BY 1"
 )
+
+
+# ---- dup_token_stats: Gopher-style within-document repetition ------------
+
+DUP_TOKEN_NUM = 1  # high-dup iff DEN*distinct < NUM*total, i.e. <50% distinct
+DUP_TOKEN_DEN = 2
+
+
+def dup_token_stats(sf_dir: str) -> ray.data.Dataset:
+    """Within-document token repetition per language — the Gopher
+    repetition-rule family (duplicate-word fraction; reference's
+    repeated-content gate, SURVEY.md §2.4) as corpus-level stats: per
+    lang, document count, total tokens, DISTINCT tokens per doc summed,
+    and how many docs are "high-dup" (less than half their tokens
+    distinct — an exact integer inequality, 2*distinct < total, so the
+    engine and SQL agree bit-for-bit).
+
+    Fully vectorized per-doc dedup with NO Python loop over rows: the
+    batch's texts split into one flat token array (pyarrow
+    split_pattern), tokens factorize to int codes via np.unique, and
+    per-doc distinct counts come from np.unique over a combined
+    (doc_index << 32 | token_code) int64 key — one sort per batch.
+    Per-batch partials group by lang (bounded cardinality), so the
+    shuffle carries ≤ |langs| rows per batch."""
+    from ray.data.aggregate import Sum
+
+    def f(t: pa.Table) -> pa.Table:
+        text = pc.fill_null(t["text"], "")
+        toks = pc.split_pattern(text, " ")
+        flat = toks.combine_chunks().flatten() if isinstance(
+            toks, pa.ChunkedArray
+        ) else toks.flatten()
+        lengths = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        doc_idx = np.repeat(np.arange(len(lengths), dtype=np.int64), lengths)
+        _, codes = np.unique(
+            flat.to_numpy(zero_copy_only=False), return_inverse=True
+        )
+        pair = (doc_idx << np.int64(32)) | codes.astype(np.int64)
+        uniq_docs = np.unique(pair) >> np.int64(32)
+        distinct = np.bincount(uniq_docs, minlength=len(lengths)).astype(
+            np.int64
+        )
+        high = (DUP_TOKEN_DEN * distinct < DUP_TOKEN_NUM * lengths).astype(
+            np.int64
+        )
+        part = pa.table(
+            {
+                "lang": t["lang"],
+                "n_p": pa.array(np.ones(len(lengths), np.int64)),
+                "tt_p": pa.array(lengths),
+                "dt_p": pa.array(distinct),
+                "hd_p": pa.array(high),
+            }
+        )
+        g = part.group_by("lang").aggregate(
+            [("n_p", "sum"), ("tt_p", "sum"), ("dt_p", "sum"), ("hd_p", "sum")]
+        )
+        return g.rename_columns(["lang", "n_p", "tt_p", "dt_p", "hd_p"])
+
+    return (
+        _docs_cols(sf_dir, ["text", "lang"])
+        .map_batches(f, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Sum("n_p", alias_name="n_docs"),
+            Sum("tt_p", alias_name="total_tokens"),
+            Sum("dt_p", alias_name="distinct_tokens"),
+            Sum("hd_p", alias_name="high_dup_docs"),
+        )
+        .sort("lang")
+    )
+
+
+ORACLES["dup_token_stats"] = (
+    "WITH per_doc AS (SELECT lang, "
+    "len(string_split(text, ' '))::BIGINT AS total, "
+    "len(list_distinct(string_split(text, ' ')))::BIGINT AS distinct_t "
+    "FROM documents) "
+    "SELECT lang, count(*)::BIGINT AS n_docs, "
+    "sum(total)::BIGINT AS total_tokens, "
+    "sum(distinct_t)::BIGINT AS distinct_tokens, "
+    f"sum(CASE WHEN {DUP_TOKEN_DEN} * distinct_t < total THEN 1 ELSE 0 END)"
+    "::BIGINT AS high_dup_docs "
+    "FROM per_doc GROUP BY 1 ORDER BY 1"
+)
