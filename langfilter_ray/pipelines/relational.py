@@ -3296,3 +3296,101 @@ ORACLES["brand_qty_revenue"] = (
     "FROM lineitem JOIN part ON p_partkey = l_partkey "
     f"WHERE {_q19_disjunct_sql()}"
 )
+
+
+def supplier_return_rate(sf_dir: str) -> ray.data.Dataset:
+    """Suppliers whose return rate beats the corpus average — TPC-H
+    Q21's "compare each key's behaviour against a global aggregate"
+    shape (reference's per-worker failure-rate report, SURVEY.md §2.6).
+
+    One lineitem pass: per-batch pyarrow combiner groups (total,
+    returned) per suppkey, the groupby reduces to ≤ |supplier| rows, and
+    the corpus totals fold from that SAME aggregate (tiny .sum — no
+    second fact pass).  The above-average predicate cross-multiplies to
+    exact int64 (ret*T > total*R: no float rate can flip a boundary
+    row).  Survivor counts broadcast once as sorted arrays and the
+    supplier dim STREAMS past them to attach names — the broadcast is
+    bounded by |survivors| ≤ |supplier| rows of three int64s, fine for a
+    dim table; the fact table never re-ships."""
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        ret = pc.cast(pc.equal(t["l_returnflag"], "R"), pa.int64())
+        part = pa.table(
+            {
+                "l_suppkey": t["l_suppkey"],
+                "tot_p": pa.array(np.ones(t.num_rows, np.int64)),
+                "ret_p": ret,
+            }
+        )
+        g = part.group_by("l_suppkey").aggregate(
+            [("tot_p", "sum"), ("ret_p", "sum")]
+        )
+        return g.rename_columns(["l_suppkey", "tot_p", "ret_p"])
+
+    per_supp = (
+        _read(sf_dir, "lineitem", ["l_suppkey", "l_returnflag"])
+        .map_batches(per_batch, batch_format="pyarrow")
+        .groupby("l_suppkey")
+        .aggregate(
+            Sum("tot_p", alias_name="total_lines"),
+            Sum("ret_p", alias_name="returned_lines"),
+        )
+        .materialize()  # dim-bounded: one row per supplier
+    )
+    totals = per_supp.sum(["total_lines", "returned_lines"])
+    t_all = int(totals["sum(total_lines)"]) if totals else 0
+    r_all = int(totals["sum(returned_lines)"]) if totals else 0
+
+    def above_avg(t: pa.Table) -> pa.Table:
+        tot = t["total_lines"].to_numpy()
+        ret = t["returned_lines"].to_numpy()
+        return t.filter(pa.array(ret * t_all > tot * r_all))
+
+    surv = per_supp.map_batches(above_avg, batch_format="pyarrow").to_pandas()
+    skeys = surv["l_suppkey"].to_numpy()
+    order = np.argsort(skeys)
+    sref = ray.put(
+        (
+            skeys[order],
+            surv["total_lines"].to_numpy()[order],
+            surv["returned_lines"].to_numpy()[order],
+        )
+    )
+
+    def attach(t: pa.Table) -> pa.Table:
+        keys, tot, ret = ray.get(sref)
+        sk = t["s_suppkey"].to_numpy()
+        if len(keys) == 0:
+            keep = np.zeros(len(sk), dtype=bool)
+            pos = np.zeros(len(sk), dtype=np.int64)
+        else:
+            pos = np.minimum(np.searchsorted(keys, sk), len(keys) - 1)
+            keep = keys[pos] == sk
+        sub = t.filter(pa.array(keep))
+        return pa.table(
+            {
+                "s_suppkey": sub["s_suppkey"],
+                "s_name": sub["s_name"],
+                "returned_lines": pa.array(ret[pos[keep]], pa.int64()),
+                "total_lines": pa.array(tot[pos[keep]], pa.int64()),
+            }
+        )
+
+    return (
+        _read(sf_dir, "supplier", ["s_suppkey", "s_name"])
+        .map_batches(attach, batch_format="pyarrow")
+        .sort("s_suppkey")
+    )
+
+
+ORACLES["supplier_return_rate"] = (
+    "WITH per_s AS (SELECT l_suppkey, count(*)::BIGINT AS total_lines, "
+    "sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT "
+    "AS returned_lines FROM lineitem GROUP BY 1), "
+    "tot AS (SELECT sum(total_lines)::BIGINT AS t_all, "
+    "sum(returned_lines)::BIGINT AS r_all FROM per_s) "
+    "SELECT s_suppkey, s_name, returned_lines, total_lines "
+    "FROM per_s JOIN supplier ON s_suppkey = l_suppkey, tot "
+    "WHERE returned_lines * t_all > total_lines * r_all "
+    "ORDER BY s_suppkey"
+)

@@ -71,7 +71,7 @@ ORACLE_CHECKED = [
     "small_qty_revenue", "top_supplier_revenue", "idle_customer_balance",
     "orders_week_over_week", "priority_ship_share", "char_class_profile",
     "returned_item_revenue", "nation_trade_volume", "market_share",
-    "brand_qty_revenue", "dup_token_stats",
+    "brand_qty_revenue", "dup_token_stats", "supplier_return_rate",
 ]
 
 
