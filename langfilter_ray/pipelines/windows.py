@@ -793,3 +793,78 @@ ORACLES["cohort_retention"] = (
     "FROM wk JOIN f ON wk.user_id = f.user_id "
     "GROUP BY 1, 2 ORDER BY 1, 2"
 )
+
+
+# ---- LAG: previous value per user ----------------------------------------
+
+def user_value_lag(sf_dir: str) -> ray.data.Dataset:
+    """Per-event LAG: each event carries the SAME user's previous value
+    and the delta — SQL ``lag(value) OVER (PARTITION BY user ORDER BY
+    ts)``, the ordered point-to-point window Ray Data lacks natively
+    (reference's per-job delta report, SURVEY.md §2.7).
+
+    Same hash-partition + segmented-numpy backbone as
+    ``rolling_user_sum``: users co-locate per partition, one sort per
+    partition, and LAG is a single shifted-gather — ``prev[i] =
+    cents[i-1]`` masked where ``i == seg_start``.  First-event rows take
+    the ``-1`` / ``0`` sentinels on BOTH sides (nullable ints
+    hash-mismatch, see CLAUDE.md), so the output stays dense int64."""
+    parts = _window_parts(sf_dir)
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.array([], dtype="int64"),
+                    "user_id": pd.array([], dtype="int64"),
+                    "value_cents": pd.array([], dtype="int64"),
+                    "prev_value_cents": pd.array([], dtype="int64"),
+                    "diff_cents": pd.array([], dtype="int64"),
+                }
+            )
+        g, starts, ends = _user_segments(g)
+        cents = np.floor(g["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+        n = len(g)
+        prev = np.empty(n, dtype=np.int64)
+        prev[1:] = cents[:-1]
+        prev[0] = -1
+        first = np.zeros(n, dtype=bool)
+        first[starts] = True
+        prev[first] = -1
+        diff = np.where(first, 0, cents - prev)
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "user_id": g["user_id"].to_numpy(),
+                "value_cents": cents,
+                "prev_value_cents": prev,
+                "diff_cents": diff,
+            }
+        )
+
+    return (
+        _with_user_part(
+            _events(sf_dir, ["event_id", "user_id", "ts", "value"]), parts
+        )
+        .groupby("part")
+        .map_groups(per_partition, batch_format="pandas")
+        .select_columns(
+            [
+                "event_id",
+                "user_id",
+                "value_cents",
+                "prev_value_cents",
+                "diff_cents",
+            ]
+        )
+    )
+
+
+ORACLES["user_value_lag"] = (
+    "WITH e AS (SELECT event_id, user_id, ts, "
+    "CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_cents FROM events) "
+    "SELECT event_id, user_id, value_cents, "
+    "coalesce(lag(value_cents) OVER w, -1)::BIGINT AS prev_value_cents, "
+    "coalesce(value_cents - lag(value_cents) OVER w, 0)::BIGINT AS diff_cents "
+    "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+)
