@@ -175,6 +175,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_token_stats": text_analysis.dup_token_stats,
         "supplier_return_rate": relational.supplier_return_rate,
         "user_value_lag": windows.user_value_lag,
+        "chars_percentiles": text_analysis.chars_percentiles,
         # flagship cascade (stateful classifier -> rows-only check)
         "quality_filter_labels": reports.quality_filter_labels,
         "gate_decision_report": reports.gate_decision_report,

@@ -1541,3 +1541,65 @@ ORACLES["dup_token_stats"] = (
     "::BIGINT AS high_dup_docs "
     "FROM per_doc GROUP BY 1 ORDER BY 1"
 )
+
+
+# ---- chars_percentiles: exact per-group discrete percentiles -------------
+
+CHAR_PCTS = (0.5, 0.9, 0.99)
+
+
+def chars_percentiles(sf_dir: str) -> ray.data.Dataset:
+    """Exact discrete percentiles (p50/p90/p99) of document length per
+    language — the reference's per-class latency-percentile report
+    (SURVEY.md §2.6) as a grouped ORDER-STATISTIC, complementing the
+    sketch-based ``approx_quantiles``.
+
+    ``groupby(lang).map_groups`` is the right tool here BECAUSE the
+    group count is bounded (|langs|, not SF-proportional — CLAUDE.md's
+    map_groups rule), and only (lang, n_chars) — 8 bytes a row — crosses
+    the shuffle, never text.  Inside each group one sort + three gathers
+    at index ceil(p*n)-1 reproduce DuckDB's quantile_disc convention
+    exactly (verified: n=4/5 probes).  For percentiles over an
+    UNBOUNDED key space use ``approx_quantiles`` — this operator's
+    per-group gather grows with corpus size."""
+    import pandas as pd
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame(
+                {
+                    "lang": pd.array([], dtype="object"),
+                    "n_docs": pd.array([], dtype="int64"),
+                    "p50_chars": pd.array([], dtype="int64"),
+                    "p90_chars": pd.array([], dtype="int64"),
+                    "p99_chars": pd.array([], dtype="int64"),
+                }
+            )
+        v = np.sort(g["n_chars"].to_numpy().astype(np.int64))
+        n = len(v)
+        idx = [max(int(np.ceil(p * n)) - 1, 0) for p in CHAR_PCTS]
+        return pd.DataFrame(
+            {
+                "lang": [g["lang"].iloc[0]],
+                "n_docs": np.array([n], np.int64),
+                "p50_chars": np.array([v[idx[0]]], np.int64),
+                "p90_chars": np.array([v[idx[1]]], np.int64),
+                "p99_chars": np.array([v[idx[2]]], np.int64),
+            }
+        )
+
+    return (
+        _docs_cols(sf_dir, ["lang", "n_chars"])
+        .groupby("lang")
+        .map_groups(pick, batch_format="pandas")
+        .sort("lang")
+    )
+
+
+ORACLES["chars_percentiles"] = (
+    "SELECT lang, count(*)::BIGINT AS n_docs, "
+    "quantile_disc(n_chars, 0.5)::BIGINT AS p50_chars, "
+    "quantile_disc(n_chars, 0.9)::BIGINT AS p90_chars, "
+    "quantile_disc(n_chars, 0.99)::BIGINT AS p99_chars "
+    "FROM documents GROUP BY 1 ORDER BY 1"
+)
