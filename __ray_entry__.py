@@ -176,6 +176,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_return_rate": relational.supplier_return_rate,
         "user_value_lag": windows.user_value_lag,
         "chars_percentiles": text_analysis.chars_percentiles,
+        "embedding_quant_stats": similarity.embedding_quant_stats,
         # flagship cascade (stateful classifier -> rows-only check)
         "quality_filter_labels": reports.quality_filter_labels,
         "gate_decision_report": reports.gate_decision_report,

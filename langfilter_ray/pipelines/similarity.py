@@ -23,6 +23,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -457,3 +458,77 @@ ORACLES: dict[str, str] = {
         ") GROUP BY label, dim"
     ),
 }
+
+
+# ---- embedding_quant_stats: oracle-checkable list-column aggregate -------
+
+EMB_QUANT_SCALE = 1000
+
+
+def embedding_quant_stats(sf_dir: str) -> ray.data.Dataset:
+    """Per-label statistics over the list<float> embedding column with a
+    HARD value oracle — the one embeddings operator whose output DuckDB
+    can reproduce bit-for-bit (the ann_*/dedup_embedding family is
+    rows-only by nature).  Components quantize FIRST
+    (floor(x*1000+0.5) in float64, exact-identical IEEE on both sides)
+    and only int64 sums/extrema aggregate after, so no float summation
+    order can flip a value (CLAUDE.md integer-cents rule applied to
+    vectors).
+
+    Per batch: one zero-copy flatten of the list column, one vectorized
+    quantize, np.add.reduceat per-row segment sums, then a pyarrow
+    combiner per label — the shuffle carries ≤ |labels| rows per batch,
+    never a vector."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    def f(t: pa.Table) -> pa.Table:
+        emb = t["embedding"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        flat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        q = np.floor(flat * EMB_QUANT_SCALE + 0.5).astype(np.int64)
+        offs = emb.offsets.to_numpy()
+        starts = offs[:-1]
+        sums = np.add.reduceat(q, starts) if len(q) else np.array([], np.int64)
+        mins = np.minimum.reduceat(q, starts) if len(q) else np.array([], np.int64)
+        maxs = np.maximum.reduceat(q, starts) if len(q) else np.array([], np.int64)
+        part = pa.table(
+            {
+                "label": pc.cast(t["label"], pa.int64()),
+                "n_p": pa.array(np.ones(t.num_rows, np.int64)),
+                "sum_p": pa.array(sums),
+                "min_p": pa.array(mins),
+                "max_p": pa.array(maxs),
+            }
+        )
+        g = part.group_by("label").aggregate(
+            [("n_p", "sum"), ("sum_p", "sum"), ("min_p", "min"), ("max_p", "max")]
+        )
+        return g.rename_columns(["label", "n_p", "sum_p", "min_p", "max_p"])
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
+        )
+        .map_batches(f, batch_format="pyarrow")
+        .groupby("label")
+        .aggregate(
+            Sum("n_p", alias_name="n_vecs"),
+            Sum("sum_p", alias_name="sum_q"),
+            Min("min_p", alias_name="min_q"),
+            Max("max_p", alias_name="max_q"),
+        )
+        .sort("label")
+    )
+
+
+ORACLES["embedding_quant_stats"] = (
+    "WITH q AS (SELECT label::BIGINT AS label, "
+    f"list_transform(embedding, x -> floor(CAST(x AS DOUBLE)*{EMB_QUANT_SCALE}+0.5)::BIGINT) "
+    "AS ql FROM embeddings) "
+    "SELECT label, count(*)::BIGINT AS n_vecs, "
+    "sum(list_sum(ql))::BIGINT AS sum_q, "
+    "min(list_min(ql))::BIGINT AS min_q, "
+    "max(list_max(ql))::BIGINT AS max_q "
+    "FROM q GROUP BY 1 ORDER BY 1"
+)

@@ -72,7 +72,7 @@ ORACLE_CHECKED = [
     "orders_week_over_week", "priority_ship_share", "char_class_profile",
     "returned_item_revenue", "nation_trade_volume", "market_share",
     "brand_qty_revenue", "dup_token_stats", "supplier_return_rate",
-    "user_value_lag", "chars_percentiles",
+    "user_value_lag", "chars_percentiles", "embedding_quant_stats",
 ]
 
 
