@@ -177,6 +177,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_value_lag": windows.user_value_lag,
         "chars_percentiles": text_analysis.chars_percentiles,
         "embedding_quant_stats": similarity.embedding_quant_stats,
+        "orders_running_total": windows.orders_running_total,
         # flagship cascade (stateful classifier -> rows-only check)
         "quality_filter_labels": reports.quality_filter_labels,
         "gate_decision_report": reports.gate_decision_report,

@@ -868,3 +868,99 @@ ORACLES["user_value_lag"] = (
     "coalesce(value_cents - lag(value_cents) OVER w, 0)::BIGINT AS diff_cents "
     "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
 )
+
+
+# ---- running total per customer over orders ------------------------------
+
+def orders_running_total(sf_dir: str) -> ray.data.Dataset:
+    """Per-order RUNNING TOTAL of a customer's spend — SQL ``sum(price)
+    OVER (PARTITION BY custkey ORDER BY orderdate, orderkey ROWS
+    UNBOUNDED PRECEDING)`` — showing the module's hash-partition +
+    segmented-numpy backbone generalizes beyond the events table
+    (reference's cumulative per-key ledger, SURVEY.md §2.7).
+
+    Same scale shape as ``rolling_user_sum``: custkey co-locates via a
+    multiplicative hash tag (one Python callback per PARTITION, count
+    fixed by _window_parts, never by customer count), one sort per
+    partition, and the running sum is a cumsum minus each segment's
+    starting offset — two vectorized gathers.  Prices are exact int64
+    cents on both sides."""
+    import pyarrow.parquet as pq
+
+    n = pq.read_metadata(f"{sf_dir}/orders.parquet").num_rows
+    parts = max(_MIN_WINDOW_PARTS, n // _ROWS_PER_WINDOW_PART)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        h = t["o_custkey"].to_numpy().astype(np.uint64) * np.uint64(
+            0x9E3779B97F4A7C15
+        )
+        part = ((h >> np.uint64(33)) % np.uint64(parts)).astype(np.int64)
+        return t.append_column("part", pa.array(part, pa.int64()))
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame(
+                {
+                    "o_orderkey": pd.array([], dtype="int64"),
+                    "o_custkey": pd.array([], dtype="int64"),
+                    "price_cents": pd.array([], dtype="int64"),
+                    "running_cents": pd.array([], dtype="int64"),
+                    "order_seq": pd.array([], dtype="int64"),
+                }
+            )
+        g = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"]).reset_index(
+            drop=True
+        )
+        ck = g["o_custkey"].to_numpy()
+        new_c = np.empty(len(g), dtype=bool)
+        new_c[0] = True
+        new_c[1:] = ck[1:] != ck[:-1]
+        starts = np.flatnonzero(new_c)
+        ends = np.append(starts[1:], len(g))
+        cents = np.floor(g["o_totalprice"].to_numpy() * 100 + 0.5).astype(
+            np.int64
+        )
+        cs = np.cumsum(cents)
+        seg_start = np.repeat(starts, ends - starts)
+        base = np.where(seg_start > 0, cs[seg_start - 1], 0)
+        i = np.arange(len(g))
+        return pd.DataFrame(
+            {
+                "o_orderkey": g["o_orderkey"].to_numpy(),
+                "o_custkey": ck,
+                "price_cents": cents,
+                "running_cents": cs - base,
+                "order_seq": (i - seg_start + 1).astype(np.int64),
+            }
+        )
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+        )
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(per_partition, batch_format="pandas")
+        .select_columns(
+            [
+                "o_orderkey",
+                "o_custkey",
+                "price_cents",
+                "running_cents",
+                "order_seq",
+            ]
+        )
+    )
+
+
+ORACLES["orders_running_total"] = (
+    "WITH o AS (SELECT o_orderkey, o_custkey, o_orderdate, "
+    "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents "
+    "FROM orders) "
+    "SELECT o_orderkey, o_custkey, price_cents, "
+    "(sum(price_cents) OVER w)::BIGINT AS running_cents, "
+    "(count(*) OVER w)::BIGINT AS order_seq "
+    "FROM o WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, "
+    "o_orderkey ROWS UNBOUNDED PRECEDING)"
+)
