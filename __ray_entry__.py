@@ -178,6 +178,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chars_percentiles": text_analysis.chars_percentiles,
         "embedding_quant_stats": similarity.embedding_quant_stats,
         "orders_running_total": windows.orders_running_total,
+        "vocab_stats": text_analysis.vocab_stats,
         # flagship cascade (stateful classifier -> rows-only check)
         "quality_filter_labels": reports.quality_filter_labels,
         "gate_decision_report": reports.gate_decision_report,

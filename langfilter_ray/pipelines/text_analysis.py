@@ -1603,3 +1603,79 @@ ORACLES["chars_percentiles"] = (
     "quantile_disc(n_chars, 0.99)::BIGINT AS p99_chars "
     "FROM documents GROUP BY 1 ORDER BY 1"
 )
+
+
+# ---- vocab_stats: distinct-token census per language ---------------------
+
+def vocab_stats(sf_dir: str) -> ray.data.Dataset:
+    """Vocabulary census per language: distinct token count and total
+    token occurrences — the corpus-level Heaps-law signal a mixing/
+    tokenizer-budget stage reads (SURVEY.md §2.9's frequency family,
+    complementing per-token ``top_tokens``).
+
+    Two-level exact distinct with BOTH shuffles vocabulary-bounded: each
+    batch flattens its texts once (pyarrow split_pattern), np.unique
+    collapses (lang, token) pairs in-batch to one row with an occurrence
+    count, the first groupby sums occurrences per surviving pair (rows ≤
+    |vocab| x |langs|, never corpus-proportional), and a second combiner
+    reduces pairs to ≤ |langs| partials per batch before the final tiny
+    groupby.  No token string crosses the wire more than once per batch
+    per distinct value."""
+    from ray.data.aggregate import Sum
+
+    def pairs(t: pa.Table) -> pa.Table:
+        text = pc.fill_null(t["text"], "")
+        toks = pc.split_pattern(text, " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lengths = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        flat = toks.flatten().to_numpy(zero_copy_only=False)
+        langs = t["lang"].to_numpy(zero_copy_only=False)
+        doc_lang = np.repeat(langs, lengths)
+        lang_vals, lang_codes = np.unique(doc_lang, return_inverse=True)
+        tok_vals, tok_codes = np.unique(flat, return_inverse=True)
+        key = lang_codes.astype(np.int64) * np.int64(len(tok_vals)) + tok_codes
+        uniq, counts = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "lang": pa.array(
+                    lang_vals[(uniq // len(tok_vals)).astype(np.int64)]
+                ),
+                "token": pa.array(tok_vals[uniq % len(tok_vals)]),
+                "occ_p": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    def per_lang(t: pa.Table) -> pa.Table:
+        part = pa.table(
+            {
+                "lang": t["lang"],
+                "d_p": pa.array(np.ones(t.num_rows, np.int64)),
+                "o_p": t["n_occurrences"],
+            }
+        )
+        g = part.group_by("lang").aggregate([("d_p", "sum"), ("o_p", "sum")])
+        return g.rename_columns(["lang", "d_p", "o_p"])
+
+    return (
+        _docs_cols(sf_dir, ["text", "lang"])
+        .map_batches(pairs, batch_format="pyarrow")
+        .groupby(["lang", "token"])
+        .aggregate(Sum("occ_p", alias_name="n_occurrences"))
+        .map_batches(per_lang, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Sum("d_p", alias_name="n_distinct_tokens"),
+            Sum("o_p", alias_name="n_tokens"),
+        )
+        .sort("lang")
+    )
+
+
+ORACLES["vocab_stats"] = (
+    "WITH toks AS (SELECT lang, unnest(string_split(text, ' ')) AS token "
+    "FROM documents) "
+    "SELECT lang, count(DISTINCT token)::BIGINT AS n_distinct_tokens, "
+    "count(*)::BIGINT AS n_tokens "
+    "FROM toks GROUP BY 1 ORDER BY 1"
+)
