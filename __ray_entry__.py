@@ -179,6 +179,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_quant_stats": similarity.embedding_quant_stats,
         "orders_running_total": windows.orders_running_total,
         "vocab_stats": text_analysis.vocab_stats,
+        "events_dow_hour": windows.events_dow_hour,
         # flagship cascade (stateful classifier -> rows-only check)
         "quality_filter_labels": reports.quality_filter_labels,
         "gate_decision_report": reports.gate_decision_report,

@@ -964,3 +964,60 @@ ORACLES["orders_running_total"] = (
     "FROM o WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, "
     "o_orderkey ROWS UNBOUNDED PRECEDING)"
 )
+
+
+# ---- day-of-week x hour activity heatmap ---------------------------------
+
+def events_dow_hour(sf_dir: str) -> ray.data.Dataset:
+    """Event activity heatmap by (day-of-week, hour-of-day) — the
+    reference's load-profile report (SURVEY.md §2.6) exercising pure
+    TEMPORAL KEY DERIVATION: both keys come straight from the int64
+    microsecond timestamp with integer arithmetic (epoch day 0 =
+    Thursday=4, matching DuckDB's Sunday=0 dayofweek; hour = us//3.6e9
+    mod 24) — no calendar library, no Python datetime per row.  Grouped
+    output is bounded at 7x24 rows, so the in-batch combiner leaves ≤
+    168 partials per batch and the final shuffle is constant-size at
+    any corpus scale."""
+    from ray.data.aggregate import Sum
+
+    US_HOUR = 3_600_000_000
+    US_DAY = 86_400_000_000
+
+    def f(t: pa.Table) -> pa.Table:
+        us = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(
+            np.int64
+        )
+        dow = ((us // US_DAY) + 4) % 7
+        hour = (us // US_HOUR) % 24
+        cents = np.floor(t["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+        part = pa.table(
+            {
+                "dow": pa.array(dow, pa.int64()),
+                "hour": pa.array(hour, pa.int64()),
+                "n_p": pa.array(np.ones(t.num_rows, np.int64)),
+                "v_p": pa.array(cents),
+            }
+        )
+        g = part.group_by(["dow", "hour"]).aggregate(
+            [("n_p", "sum"), ("v_p", "sum")]
+        )
+        return g.rename_columns(["dow", "hour", "n_p", "v_p"])
+
+    return (
+        _events(sf_dir, ["ts", "value"])
+        .map_batches(f, batch_format="pyarrow")
+        .groupby(["dow", "hour"])
+        .aggregate(
+            Sum("n_p", alias_name="n_events"),
+            Sum("v_p", alias_name="value_cents"),
+        )
+        .sort(["dow", "hour"])
+    )
+
+
+ORACLES["events_dow_hour"] = (
+    "SELECT dayofweek(ts)::BIGINT AS dow, hour(ts)::BIGINT AS hour, "
+    "count(*)::BIGINT AS n_events, "
+    "sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT AS value_cents "
+    "FROM events GROUP BY 1, 2 ORDER BY 1, 2"
+)

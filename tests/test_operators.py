@@ -73,7 +73,7 @@ ORACLE_CHECKED = [
     "returned_item_revenue", "nation_trade_volume", "market_share",
     "brand_qty_revenue", "dup_token_stats", "supplier_return_rate",
     "user_value_lag", "chars_percentiles", "embedding_quant_stats",
-    "orders_running_total", "vocab_stats",
+    "orders_running_total", "vocab_stats", "events_dow_hour",
 ]
 
 
