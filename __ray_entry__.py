@@ -180,6 +180,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_running_total": windows.orders_running_total,
         "vocab_stats": text_analysis.vocab_stats,
         "events_dow_hour": windows.events_dow_hour,
+        "copurchase_pairs": relational.copurchase_pairs,
         # flagship cascade (stateful classifier -> rows-only check)
         "quality_filter_labels": reports.quality_filter_labels,
         "gate_decision_report": reports.gate_decision_report,

@@ -3394,3 +3394,68 @@ ORACLES["supplier_return_rate"] = (
     "WHERE returned_lines * t_all > total_lines * r_all "
     "ORDER BY s_suppkey"
 )
+
+
+# ---- copurchase_pairs: market-basket pair mining -------------------------
+
+COPURCHASE_TOP_N = 20
+
+
+def copurchase_pairs(sf_dir: str) -> ray.data.Dataset:
+    """Top part pairs bought together in one order — market-basket pair
+    mining, the self-join-per-key expansion shape (reference's
+    co-occurrence report, SURVEY.md §2.8's pair family).
+
+    Pair expansion is a hash-partitioned SELF-JOIN on orderkey — Arrow
+    C++ does the per-order cross product — per CLAUDE.md's
+    map_groups-vs-self-join finding (the groupby(part).map_groups
+    version of this operator measured 3x slower: sort-based groupby +
+    per-partition pandas merge pays two extra all-to-all fixed costs).
+    Per-order line counts are bounded, so the join output is ~k² rows
+    per order, never corpus².  The p1<p2 filter + in-batch pyarrow
+    combiner reduce the expansion to distinct-pair partials before the
+    (p1, p2) groupby, and only the tiny aggregate sorts.  Ties break on
+    (p1, p2) ascending to match the oracle ORDER BY."""
+    n_li = _dim_num_rows(sf_dir, "lineitem")
+    right = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"]).rename_columns(
+        {"l_orderkey": "o_b", "l_partkey": "p_b"}
+    )
+    joined = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"]).join(
+        right,
+        join_type="inner",
+        num_partitions=_volume_join_parts(n_li),
+        on=("l_orderkey",),
+        right_on=("o_b",),
+    )
+
+    def pairs(t: pa.Table) -> pa.Table:
+        a = t["l_partkey"].to_numpy()
+        b = t["p_b"].to_numpy()
+        keep = a < b
+        part = pa.table(
+            {
+                "p1": pa.array(a[keep]),
+                "p2": pa.array(b[keep]),
+                "n_p": pa.array(np.ones(int(keep.sum()), np.int64)),
+            }
+        )
+        g = part.group_by(["p1", "p2"]).aggregate([("n_p", "sum")])
+        return g.rename_columns(["p1", "p2", "n_p"])
+
+    return (
+        joined.map_batches(pairs, batch_format="pyarrow")
+        .groupby(["p1", "p2"])
+        .aggregate(Sum("n_p", alias_name="n_orders"))
+        .sort(["n_orders", "p1", "p2"], descending=[True, False, False])
+        .limit(COPURCHASE_TOP_N)
+    )
+
+
+ORACLES["copurchase_pairs"] = (
+    "SELECT l1.l_partkey AS p1, l2.l_partkey AS p2, count(*)::BIGINT "
+    "AS n_orders "
+    "FROM lineitem l1 JOIN lineitem l2 "
+    "ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey "
+    "GROUP BY 1, 2 "
+    f"ORDER BY n_orders DESC, p1, p2 LIMIT {COPURCHASE_TOP_N}"
+)
