@@ -1679,3 +1679,89 @@ ORACLES["vocab_stats"] = (
     "count(*)::BIGINT AS n_tokens "
     "FROM toks GROUP BY 1 ORDER BY 1"
 )
+
+
+# ---- vocab_overlap: cross-language shared-vocabulary matrix --------------
+
+def vocab_overlap(sf_dir: str) -> ray.data.Dataset:
+    """Shared-vocabulary matrix: for every language pair, how many
+    distinct tokens appear in BOTH languages — the cross-corpus
+    contamination/mixing signal (SURVEY.md §2.8's set-op family) and the
+    set-intersection-per-key shape.
+
+    Distinct (lang, token) pairs reduce exactly as in ``vocab_stats``
+    (in-batch np.unique combiner, vocabulary-bounded groupby), then the
+    pair table SELF-JOINS on token — Arrow C++ expands each token's ≤
+    |langs| rows into ≤ |langs|² pair rows, so the expansion is bounded
+    by vocabulary x langs², never corpus size (the same
+    map_groups-vs-self-join choice as ``simhash_candidates``).  The
+    lang_a < lang_b filter and an in-batch combiner shrink the result
+    to ≤ |langs|²/2 partials per batch before the final tiny groupby."""
+    from ray.data.aggregate import Sum
+
+    def pairs(t: pa.Table) -> pa.Table:
+        text = pc.fill_null(t["text"], "")
+        toks = pc.split_pattern(text, " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lengths = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        flat = toks.flatten().to_numpy(zero_copy_only=False)
+        langs = np.repeat(t["lang"].to_numpy(zero_copy_only=False), lengths)
+        lang_vals, lang_codes = np.unique(langs, return_inverse=True)
+        tok_vals, tok_codes = np.unique(flat, return_inverse=True)
+        key = lang_codes.astype(np.int64) * np.int64(len(tok_vals)) + tok_codes
+        uniq = np.unique(key)
+        return pa.table(
+            {
+                "lang": pa.array(lang_vals[(uniq // len(tok_vals)).astype(np.int64)]),
+                "token": pa.array(tok_vals[uniq % len(tok_vals)]),
+                "one": pa.array(np.ones(len(uniq), np.int64)),
+            }
+        )
+
+    vocab = (
+        _docs_cols(sf_dir, ["text", "lang"])
+        .map_batches(pairs, batch_format="pyarrow")
+        .groupby(["lang", "token"])
+        .aggregate(Sum("one", alias_name="n"))
+        .select_columns(["lang", "token"])
+    )
+    right = vocab.rename_columns({"lang": "lang_b", "token": "token_b"})
+    joined = vocab.join(
+        right,
+        join_type="inner",
+        num_partitions=4,
+        on=("token",),
+        right_on=("token_b",),
+    )
+
+    def combine(t: pa.Table) -> pa.Table:
+        a = t["lang"].to_numpy(zero_copy_only=False)
+        b = t["lang_b"].to_numpy(zero_copy_only=False)
+        keep = a < b
+        part = pa.table(
+            {
+                "lang_a": pa.array(a[keep]),
+                "lang_b": pa.array(b[keep]),
+                "s_p": pa.array(np.ones(int(keep.sum()), np.int64)),
+            }
+        )
+        g = part.group_by(["lang_a", "lang_b"]).aggregate([("s_p", "sum")])
+        return g.rename_columns(["lang_a", "lang_b", "s_p"])
+
+    return (
+        joined.map_batches(combine, batch_format="pyarrow")
+        .groupby(["lang_a", "lang_b"])
+        .aggregate(Sum("s_p", alias_name="n_shared_tokens"))
+        .sort(["lang_a", "lang_b"])
+    )
+
+
+ORACLES["vocab_overlap"] = (
+    "WITH v AS (SELECT DISTINCT lang, unnest(string_split(text, ' ')) AS token "
+    "FROM documents) "
+    "SELECT a.lang AS lang_a, b.lang AS lang_b, count(*)::BIGINT "
+    "AS n_shared_tokens "
+    "FROM v a JOIN v b ON a.token = b.token AND a.lang < b.lang "
+    "GROUP BY 1, 2 ORDER BY 1, 2"
+)
