@@ -182,6 +182,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_dow_hour": windows.events_dow_hour,
         "copurchase_pairs": relational.copurchase_pairs,
         "vocab_overlap": text_analysis.vocab_overlap,
+        "event_transitions": windows.event_transitions,
         # flagship cascade (stateful classifier -> rows-only check)
         "quality_filter_labels": reports.quality_filter_labels,
         "gate_decision_report": reports.gate_decision_report,

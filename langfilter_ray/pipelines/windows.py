@@ -1021,3 +1021,70 @@ ORACLES["events_dow_hour"] = (
     "sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT AS value_cents "
     "FROM events GROUP BY 1, 2 ORDER BY 1, 2"
 )
+
+
+# ---- event-type transition matrix (order-dependent sequence op) ----------
+
+def event_transitions(sf_dir: str) -> ray.data.Dataset:
+    """Markov transition counts between consecutive event types per user
+    — the order-dependent sequence statistic behind session-flow
+    analysis (reference's state-machine audit, SURVEY.md §2.7), and a
+    window op whose VALUE depends on per-key ordering, not just
+    membership.
+
+    Users co-locate via the standard hash partition; inside each
+    partition one sort + a shifted compare builds (prev_type, type)
+    pairs vectorized, masking each user's first event.  Pair counts
+    combine in-partition (pandas C groupby) so the final shuffle carries
+    ≤ |event_types|² rows per partition — constant-size output at any
+    corpus scale."""
+    from ray.data.aggregate import Sum
+
+    parts = _window_parts(sf_dir)
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame(
+                {
+                    "from_type": pd.array([], dtype="object"),
+                    "to_type": pd.array([], dtype="object"),
+                    "n_p": pd.array([], dtype="int64"),
+                }
+            )
+        g, starts, ends = _user_segments(g)
+        et = g["event_type"].to_numpy()
+        n = len(g)
+        first = np.zeros(n, dtype=bool)
+        first[starts] = True
+        keep = ~first
+        prev = np.empty(n, dtype=object)
+        prev[1:] = et[:-1]
+        out = pd.DataFrame(
+            {"from_type": prev[keep], "to_type": et[keep]}
+        )
+        out = (
+            out.groupby(["from_type", "to_type"], sort=False)
+            .size()
+            .reset_index(name="n_p")
+        )
+        return out.astype({"n_p": "int64"})
+
+    return (
+        _with_user_part(
+            _events(sf_dir, ["user_id", "ts", "event_id", "event_type"]), parts
+        )
+        .groupby("part")
+        .map_groups(per_partition, batch_format="pandas")
+        .groupby(["from_type", "to_type"])
+        .aggregate(Sum("n_p", alias_name="n_transitions"))
+        .sort(["from_type", "to_type"])
+    )
+
+
+ORACLES["event_transitions"] = (
+    "WITH e AS (SELECT event_type, lag(event_type) OVER "
+    "(PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events) "
+    "SELECT prev AS from_type, event_type AS to_type, count(*)::BIGINT "
+    "AS n_transitions "
+    "FROM e WHERE prev IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2"
+)

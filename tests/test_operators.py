@@ -74,7 +74,7 @@ ORACLE_CHECKED = [
     "brand_qty_revenue", "dup_token_stats", "supplier_return_rate",
     "user_value_lag", "chars_percentiles", "embedding_quant_stats",
     "orders_running_total", "vocab_stats", "events_dow_hour",
-    "copurchase_pairs", "vocab_overlap",
+    "copurchase_pairs", "vocab_overlap", "event_transitions",
 ]
 
 
