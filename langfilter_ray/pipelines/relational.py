@@ -3459,3 +3459,110 @@ ORACLES["copurchase_pairs"] = (
     "GROUP BY 1, 2 "
     f"ORDER BY n_orders DESC, p1, p2 LIMIT {COPURCHASE_TOP_N}"
 )
+
+
+# ---- segment_price_rank: rank-within-group window over a dim join --------
+
+def segment_price_rank(sf_dir: str) -> ray.data.Dataset:
+    """Every order ranked by price WITHIN its customer's market segment
+    — SQL ``rank() OVER (PARTITION BY segment ORDER BY price)`` over a
+    dimension join (reference's per-class leaderboard, SURVEY.md §2.7).
+
+    The segment attaches via the broadcast customer lookup (sorted
+    arrays + code LUT, hash-join fallback above the bound), prices
+    convert to exact int64 cents in the same pass, and the rank runs in
+    ``groupby(segment).map_groups`` — the RIGHT tool because segment
+    count is bounded (CLAUDE.md's map_groups rule) and only (orderkey,
+    custkey int, cents) cross the shuffle.  Min-rank ties come from one
+    sort + searchsorted per group; n_seg rides along so percent-rank is
+    a single downstream division."""
+
+    use_broadcast = _dim_num_rows(sf_dir, "customer") <= BROADCAST_DIM_MAX_ROWS
+    if use_broadcast:
+        ref, seg_lut = _broadcast_customer_lookup(sf_dir, "c_mktsegment")
+
+        def attach(t: pa.Table) -> pa.Table:
+            seg = _probe_lookup(ref, seg_lut, t["o_custkey"].to_numpy())
+            cents = np.floor(
+                t["o_totalprice"].to_numpy() * 100 + 0.5
+            ).astype(np.int64)
+            return pa.table(
+                {
+                    "o_orderkey": t["o_orderkey"],
+                    "seg": pa.array(seg, pa.string()),
+                    "price_cents": pa.array(cents),
+                }
+            )
+
+        tagged = _read(
+            sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"]
+        ).map_batches(attach, batch_format="pyarrow")
+    else:
+        parts = _volume_join_parts(_dim_num_rows(sf_dir, "orders"))
+        joined = _read(
+            sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"]
+        ).join(
+            _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]),
+            join_type="inner",
+            num_partitions=parts,
+            on=("o_custkey",),
+            right_on=("c_custkey",),
+        )
+
+        def project(t: pa.Table) -> pa.Table:
+            cents = np.floor(
+                t["o_totalprice"].to_numpy() * 100 + 0.5
+            ).astype(np.int64)
+            return pa.table(
+                {
+                    "o_orderkey": t["o_orderkey"],
+                    "seg": t["c_mktsegment"],
+                    "price_cents": pa.array(cents),
+                }
+            )
+
+        tagged = joined.map_batches(project, batch_format="pyarrow")
+
+    def rank_group(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame(
+                {
+                    "o_orderkey": pd.array([], dtype="int64"),
+                    "seg": pd.array([], dtype="object"),
+                    "price_cents": pd.array([], dtype="int64"),
+                    "price_rank": pd.array([], dtype="int64"),
+                    "n_seg": pd.array([], dtype="int64"),
+                }
+            )
+        cents = g["price_cents"].to_numpy()
+        srt = np.sort(cents)
+        rank = np.searchsorted(srt, cents, side="left") + 1
+        return pd.DataFrame(
+            {
+                "o_orderkey": g["o_orderkey"].to_numpy(),
+                "seg": g["seg"].to_numpy(),
+                "price_cents": cents,
+                "price_rank": rank.astype(np.int64),
+                "n_seg": np.full(len(g), len(g), np.int64),
+            }
+        )
+
+    return (
+        tagged.groupby("seg")
+        .map_groups(rank_group, batch_format="pandas")
+        .select_columns(
+            ["o_orderkey", "seg", "price_cents", "price_rank", "n_seg"]
+        )
+    )
+
+
+ORACLES["segment_price_rank"] = (
+    "WITH o AS (SELECT o_orderkey, c_mktsegment AS seg, "
+    "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents "
+    "FROM orders JOIN customer ON o_custkey = c_custkey) "
+    "SELECT o_orderkey, seg, price_cents, "
+    "(rank() OVER (PARTITION BY seg ORDER BY price_cents))::BIGINT "
+    "AS price_rank, "
+    "(count(*) OVER (PARTITION BY seg))::BIGINT AS n_seg "
+    "FROM o"
+)

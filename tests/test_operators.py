@@ -75,6 +75,7 @@ ORACLE_CHECKED = [
     "user_value_lag", "chars_percentiles", "embedding_quant_stats",
     "orders_running_total", "vocab_stats", "events_dow_hour",
     "copurchase_pairs", "vocab_overlap", "event_transitions",
+    "segment_price_rank",
 ]
 
 
@@ -96,6 +97,7 @@ def test_query_matches_oracle(entry_mod, con, name):
         "nation_trade_volume",
         "market_share",
         "brand_qty_revenue",
+        "segment_price_rank",
     ],
 )
 def test_dim_join_fallback_matches_oracle(entry_mod, con, name, monkeypatch):
