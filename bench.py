@@ -76,6 +76,8 @@ def secondary(sf_dir: str) -> dict[str, float]:
         "simhash_candidates", "approx_distinct_users",
         "heavy_hitter_tokens", "approx_quantiles", "bloom_semi_join",
         "dedup_components", "session_windows", "asof_last_login",
+        "nation_trade_volume", "copurchase_pairs", "dup_token_stats",
+        "user_value_lag",
     ]
     qs = e.queries()
     times: dict[str, float] = {}
