@@ -2965,10 +2965,11 @@ def market_share(sf_dir: str) -> ray.data.Dataset:
         def li_probe(t: pa.Table) -> pa.Table:
             pk = ray.get(pref)
             lpk = t["l_partkey"].to_numpy()
-            pos = np.minimum(np.searchsorted(pk, lpk), max(len(pk) - 1, 0))
-            keep = len(pk) > 0 and pk[pos] == lpk
-            if np.isscalar(keep):
+            if len(pk) == 0:
                 keep = np.zeros(len(lpk), dtype=bool)
+            else:
+                pos = np.minimum(np.searchsorted(pk, lpk), len(pk) - 1)
+                keep = pk[pos] == lpk
             sn = _probe_int(sref, t["l_suppkey"].to_numpy())
             cents = li_cents(t)
             tgt = np.where(sn == target_nk, cents, 0)
