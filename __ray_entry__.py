@@ -184,6 +184,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_overlap": text_analysis.vocab_overlap,
         "event_transitions": windows.event_transitions,
         "segment_price_rank": relational.segment_price_rank,
+        "first_order_profile": windows.first_order_profile,
         # flagship cascade (stateful classifier -> rows-only check)
         "quality_filter_labels": reports.quality_filter_labels,
         "gate_decision_report": reports.gate_decision_report,

@@ -1088,3 +1088,105 @@ ORACLES["event_transitions"] = (
     "AS n_transitions "
     "FROM e WHERE prev IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2"
 )
+
+
+# ---- first_order_profile: argmin-per-group (first event per key) ---------
+
+def first_order_profile(sf_dir: str) -> ray.data.Dataset:
+    """Each customer's FIRST order (date, orderkey, price) plus their
+    lifetime order count — the ARGMIN-PER-GROUP shape (row attributes at
+    the group's minimum, not just the minimum itself), which a plain
+    groupby(min) cannot express row-consistently (reference's
+    first-seen ledger, SURVEY.md §2.7).
+
+    Ray Data's aggregate can return min(date) but not the orderkey and
+    price OF that row, so this uses the windows backbone: custkey
+    co-locates via the hash partition, one lexsort per partition orders
+    (custkey, date, orderkey), and first-of-segment masks pick the
+    argmin rows while a segment-length count gives n_orders — one
+    shuffle total, one output row per customer.  Dates quantize to epoch
+    DAYS (int64) so both sides compare integers."""
+    import pyarrow.parquet as pq
+
+    n = pq.read_metadata(f"{sf_dir}/orders.parquet").num_rows
+    parts = max(_MIN_WINDOW_PARTS, n // _ROWS_PER_WINDOW_PART)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        h = t["o_custkey"].to_numpy().astype(np.uint64) * np.uint64(
+            0x9E3779B97F4A7C15
+        )
+        part = ((h >> np.uint64(33)) % np.uint64(parts)).astype(np.int64)
+        return t.append_column("part", pa.array(part, pa.int64()))
+
+    US_DAY = 86_400_000_000
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame(
+                {
+                    "o_custkey": pd.array([], dtype="int64"),
+                    "first_order_day": pd.array([], dtype="int64"),
+                    "first_orderkey": pd.array([], dtype="int64"),
+                    "first_price_cents": pd.array([], dtype="int64"),
+                    "n_orders": pd.array([], dtype="int64"),
+                }
+            )
+        g = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"]).reset_index(
+            drop=True
+        )
+        ck = g["o_custkey"].to_numpy()
+        new_c = np.empty(len(g), dtype=bool)
+        new_c[0] = True
+        new_c[1:] = ck[1:] != ck[:-1]
+        starts = np.flatnonzero(new_c)
+        ends = np.append(starts[1:], len(g))
+        day = (
+            g["o_orderdate"].to_numpy().astype("datetime64[us]").astype(np.int64)
+            // US_DAY
+        )
+        cents = np.floor(g["o_totalprice"].to_numpy() * 100 + 0.5).astype(
+            np.int64
+        )
+        return pd.DataFrame(
+            {
+                "o_custkey": ck[starts],
+                "first_order_day": day[starts],
+                "first_orderkey": g["o_orderkey"].to_numpy()[starts],
+                "first_price_cents": cents[starts],
+                "n_orders": (ends - starts).astype(np.int64),
+            }
+        )
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+        )
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(per_partition, batch_format="pandas")
+        .select_columns(
+            [
+                "o_custkey",
+                "first_order_day",
+                "first_orderkey",
+                "first_price_cents",
+                "n_orders",
+            ]
+        )
+        .sort("o_custkey")
+    )
+
+
+ORACLES["first_order_profile"] = (
+    "WITH ranked AS (SELECT o_custkey, "
+    "(epoch(o_orderdate)::BIGINT // 86400)::BIGINT AS order_day, "
+    "o_orderkey, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents, "
+    "row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, "
+    "o_orderkey) AS rn, "
+    "count(*) OVER (PARTITION BY o_custkey) AS n FROM orders) "
+    "SELECT o_custkey, order_day AS first_order_day, "
+    "o_orderkey AS first_orderkey, cents AS first_price_cents, "
+    "n::BIGINT AS n_orders "
+    "FROM ranked WHERE rn = 1 ORDER BY o_custkey"
+)
