@@ -185,6 +185,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_transitions": windows.event_transitions,
         "segment_price_rank": relational.segment_price_rank,
         "first_order_profile": windows.first_order_profile,
+        "forecast_revenue_change": relational.forecast_revenue_change,
+        "daily_active_users": windows.daily_active_users,
         # flagship cascade (stateful classifier -> rows-only check)
         "quality_filter_labels": reports.quality_filter_labels,
         "gate_decision_report": reports.gate_decision_report,

@@ -3597,3 +3597,86 @@ ORACLES["segment_price_rank"] = (
     "(count(*) OVER (PARTITION BY seg))::BIGINT AS n_seg "
     "FROM o"
 )
+
+
+# ---- Q6-shape: forecast revenue change -----------------------------------
+
+Q6_DATE_LO = "1996-01-01"
+Q6_DATE_HI = "1997-01-01"
+Q6_DISC_LO_BP = 3   # discount band in integer basis points of 0.01
+Q6_DISC_HI_BP = 7
+Q6_MAX_QTY = 24
+
+
+def forecast_revenue_change(sf_dir: str) -> pa.Table:
+    """TPC-H Q6 shape: revenue that would be regained by eliminating a
+    band of small discounts in one ship year — the pure
+    FILTER-AND-AGGREGATE with no join and no groupby (reference's
+    what-if scan, SURVEY.md §2.6), i.e. the operator whose entire cost
+    is the column-pruned read: only four lineitem columns leave storage,
+    every predicate is one vectorized compare, and each batch reduces to
+    a single (cents, count) partial row, so the "shuffle" is ≤ one row
+    per batch into a driver-side sum.
+
+    The discount band compares in integer basis points
+    (floor(d*100+0.5)), revenue in cents of extendedprice*discount —
+    exact int64 on both sides.  At 100 TB this stays a single streaming
+    pass; the row-filter pushdown variant (`read_parquet(filter=...)`)
+    is the scale knob per CLAUDE.md (fixed fragment-planning cost makes
+    it a loss at test scale)."""
+    lo = np.datetime64(Q6_DATE_LO, "us")
+    hi = np.datetime64(Q6_DATE_HI, "us")
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = t["l_shipdate"].to_numpy(zero_copy_only=False)
+        disc = t["l_discount"].to_numpy()
+        disc_bp = np.floor(disc * 100 + 0.5).astype(np.int64)
+        qty = np.floor(t["l_quantity"].to_numpy() + 0.5).astype(np.int64)
+        keep = (
+            (d >= lo)
+            & (d < hi)
+            & (disc_bp >= Q6_DISC_LO_BP)
+            & (disc_bp <= Q6_DISC_HI_BP)
+            & (qty < Q6_MAX_QTY)
+        )
+        cents = np.floor(
+            t["l_extendedprice"].to_numpy()[keep] * disc[keep] * 100 + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "c_p": pa.array([int(cents.sum())], pa.int64()),
+                "n_p": pa.array([int(keep.sum())], pa.int64()),
+            }
+        )
+
+    total = (
+        _read(
+            sf_dir,
+            "lineitem",
+            ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .sum(["c_p", "n_p"])
+    )
+    return pa.table(
+        {
+            "revenue_cents": pa.array(
+                [int(total["sum(c_p)"]) if total else 0], pa.int64()
+            ),
+            "n_lines": pa.array(
+                [int(total["sum(n_p)"]) if total else 0], pa.int64()
+            ),
+        }
+    )
+
+
+ORACLES["forecast_revenue_change"] = (
+    "SELECT CAST(coalesce(sum(CAST(floor(l_extendedprice*l_discount*100+0.5) "
+    "AS BIGINT)), 0) AS BIGINT) AS revenue_cents, count(*)::BIGINT AS n_lines "
+    "FROM lineitem "
+    f"WHERE l_shipdate >= DATE '{Q6_DATE_LO}' "
+    f"AND l_shipdate < DATE '{Q6_DATE_HI}' "
+    f"AND CAST(floor(l_discount*100+0.5) AS BIGINT) BETWEEN {Q6_DISC_LO_BP} "
+    f"AND {Q6_DISC_HI_BP} "
+    f"AND CAST(floor(l_quantity+0.5) AS BIGINT) < {Q6_MAX_QTY}"
+)

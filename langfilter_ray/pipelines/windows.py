@@ -1190,3 +1190,71 @@ ORACLES["first_order_profile"] = (
     "n::BIGINT AS n_orders "
     "FROM ranked WHERE rn = 1 ORDER BY o_custkey"
 )
+
+
+# ---- daily_active_users: distinct-per-window ------------------------------
+
+def daily_active_users(sf_dir: str) -> ray.data.Dataset:
+    """DAU: distinct users and event count per calendar day — the
+    DISTINCT-PER-WINDOW aggregate (reference's daily rollup, SURVEY.md
+    §2.7), which needs exact dedup INSIDE each window, not just a
+    count.
+
+    Two-level exact shape: each batch collapses to its distinct
+    (day, user) pairs with an in-batch pyarrow group_by that also
+    carries an event-count partial, the first groupby reduces pairs
+    globally (rows bounded by Σ per-day actives, far below event
+    count), and a second combiner folds pairs into ≤ |days| partials
+    per batch for the final tiny groupby.  Day is integer epoch-days on
+    both sides."""
+    from ray.data.aggregate import Sum
+
+    US_DAY = 86_400_000_000
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        day = (
+            t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+            // US_DAY
+        )
+        part = pa.table(
+            {
+                "day": pa.array(day, pa.int64()),
+                "user_id": t["user_id"],
+                "e_p": pa.array(np.ones(t.num_rows, np.int64)),
+            }
+        )
+        g = part.group_by(["day", "user_id"]).aggregate([("e_p", "sum")])
+        return g.rename_columns(["day", "user_id", "e_p"])
+
+    def day_partial(t: pa.Table) -> pa.Table:
+        part = pa.table(
+            {
+                "day": t["day"],
+                "u_p": pa.array(np.ones(t.num_rows, np.int64)),
+                "e_p": t["n_events"],
+            }
+        )
+        g = part.group_by("day").aggregate([("u_p", "sum"), ("e_p", "sum")])
+        return g.rename_columns(["day", "u_p", "e_p"])
+
+    return (
+        _events(sf_dir, ["ts", "user_id"])
+        .map_batches(pair_partial, batch_format="pyarrow")
+        .groupby(["day", "user_id"])
+        .aggregate(Sum("e_p", alias_name="n_events"))
+        .map_batches(day_partial, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(
+            Sum("u_p", alias_name="n_active_users"),
+            Sum("e_p", alias_name="n_events"),
+        )
+        .sort("day")
+    )
+
+
+ORACLES["daily_active_users"] = (
+    "SELECT (epoch(ts)::BIGINT // 86400)::BIGINT AS day, "
+    "count(DISTINCT user_id)::BIGINT AS n_active_users, "
+    "count(*)::BIGINT AS n_events "
+    "FROM events GROUP BY 1 ORDER BY 1"
+)

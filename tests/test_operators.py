@@ -75,7 +75,8 @@ ORACLE_CHECKED = [
     "user_value_lag", "chars_percentiles", "embedding_quant_stats",
     "orders_running_total", "vocab_stats", "events_dow_hour",
     "copurchase_pairs", "vocab_overlap", "event_transitions",
-    "segment_price_rank", "first_order_profile",
+    "segment_price_rank", "first_order_profile", "forecast_revenue_change",
+    "daily_active_users",
 ]
 
 
