@@ -2616,6 +2616,19 @@ Q7_DATE_LO = "1996-01-01"
 Q7_DATE_HI = "1998-01-01"
 
 
+def _q7_empty() -> ray.data.Dataset:
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "supp_nation": pa.array([], pa.string()),
+                "cust_nation": pa.array([], pa.string()),
+                "l_year": pa.array([], pa.int64()),
+                "revenue_cents": pa.array([], pa.int64()),
+            }
+        )
+    )
+
+
 def nation_trade_volume(sf_dir: str) -> ray.data.Dataset:
     """TPC-H Q7 shape: bilateral trade volume — revenue per (supplier
     nation, customer nation, ship year) for the two directed pairs of a
@@ -2673,6 +2686,11 @@ def nation_trade_volume(sf_dir: str) -> ray.data.Dataset:
         supp = supp.filter(
             pa.array(np.isin(supp["s_nationkey"].to_numpy(), target_nk))
         )
+        # all-empty dim short-circuit: a join whose EVERY partition is
+        # empty crashes Ray 2.49's hash shuffle (schemaless blocks) --
+        # the inner-join tolerance only covers SOME-empty partitions
+        if cust.num_rows == 0 or supp.num_rows == 0:
+            return _q7_empty()
         sref = _broadcast_int_dim(supp, "s_suppkey", "s_nationkey")
 
         def li_probe(t: pa.Table) -> pa.Table:
@@ -2837,7 +2855,7 @@ def nation_trade_volume(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
-    return (
+    out = (
         joined.map_batches(cross_only, batch_format="pyarrow")
         .map_batches(
             _partial_group_agg(
@@ -2847,8 +2865,14 @@ def nation_trade_volume(sf_dir: str) -> ray.data.Dataset:
         )
         .groupby(["supp_nation", "cust_nation", "l_year"])
         .aggregate(Sum("cents_partial", alias_name="revenue_cents"))
-        .sort(["supp_nation", "cust_nation", "l_year"])
+        .materialize()  # bounded: ≤ 2x2x|years| rows
     )
+    # typed-empty guard BEFORE the sort: a nation pair absent from the
+    # data empties the stream, the aggregate loses its schema, and a
+    # schemaless sort would crash (CLAUDE.md)
+    if out.count() == 0:
+        return _q7_empty()
+    return out.sort(["supp_nation", "cust_nation", "l_year"])
 
 
 ORACLES["nation_trade_volume"] = (
@@ -2877,6 +2901,19 @@ Q8_NATION = "NATION_3"
 Q8_PTYPE = "ECONOMY"
 Q8_DATE_LO = "1996-01-01"
 Q8_DATE_HI = "1998-01-01"
+
+
+def _q8_empty() -> ray.data.Dataset:
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "o_year": pa.array([], pa.int64()),
+                "target_cents": pa.array([], pa.int64()),
+                "total_cents": pa.array([], pa.int64()),
+                "share_bp": pa.array([], pa.int64()),
+            }
+        )
+    )
 
 
 def market_share(sf_dir: str) -> ray.data.Dataset:
@@ -2960,6 +2997,10 @@ def market_share(sf_dir: str) -> ray.data.Dataset:
             .to_numpy()
             .astype(np.int64)
         )
+        # all-empty dim short-circuit (see nation_trade_volume): a join
+        # whose every partition is empty crashes the hash shuffle
+        if len(pkeys) == 0 or len(ckeys) == 0:
+            return _q8_empty()
         cref = ray.put(ckeys)
 
         def li_probe(t: pa.Table) -> pa.Table:
@@ -3121,6 +3162,12 @@ def market_share(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
+    # typed-empty guard BEFORE the sort: an empty region/type/nation
+    # selection empties the stream, the aggregate loses its schema, and
+    # a schemaless sort would crash (CLAUDE.md)
+    agg = agg.materialize()  # bounded: one row per order year
+    if agg.count() == 0:
+        return _q8_empty()
     return agg.map_batches(share, batch_format="pyarrow").sort("o_year")
 
 

@@ -576,3 +576,25 @@ def test_cohort_retention_invariants(entry_mod, con):
     assert (df["offset_weeks"] >= 0).all()
     want = con.execute("SELECT count(DISTINCT user_id) FROM events").fetchone()[0]
     assert int(df.loc[df["offset_weeks"] == 0, "n_users"].sum()) == want
+
+
+def test_q7_q8_typed_empty_on_absent_nations(entry_mod, monkeypatch):
+    """A nation/type selection matching nothing must return a TYPED empty
+    result, not a schemaless one (the empty-aggregate failure mode from
+    CLAUDE.md / round-2 ADVICE)."""
+    from langfilter_ray.pipelines import relational
+
+    monkeypatch.setattr(relational, "Q7_NATION_A", "NO_SUCH_NATION_A")
+    monkeypatch.setattr(relational, "Q7_NATION_B", "NO_SUCH_NATION_B")
+    ds = relational.nation_trade_volume(SF)
+    assert ds.count() == 0
+    assert set(ds.schema().names) == {
+        "supp_nation", "cust_nation", "l_year", "revenue_cents"
+    }
+
+    monkeypatch.setattr(relational, "Q8_PTYPE", "NO_SUCH_TYPE")
+    ds = relational.market_share(SF)
+    assert ds.count() == 0
+    assert set(ds.schema().names) == {
+        "o_year", "target_cents", "total_cents", "share_bp"
+    }
