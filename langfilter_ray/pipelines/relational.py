@@ -3727,3 +3727,100 @@ ORACLES["forecast_revenue_change"] = (
     f"AND {Q6_DISC_HI_BP} "
     f"AND CAST(floor(l_quantity+0.5) AS BIGINT) < {Q6_MAX_QTY}"
 )
+
+
+# ---- order_skyline: Pareto front (skyline query) -------------------------
+
+def _skyline_mask(price: np.ndarray, day: np.ndarray) -> np.ndarray:
+    """Vectorized 2-D skyline: keep rows NOT dominated under
+    (price>=, day>=, strict somewhere).  One sort by price desc; a row
+    is dominated iff the max day among STRICTLY higher prices >= its
+    day, or the max day within its EQUAL-price group > its day
+    (coordinate duplicates dominate nothing, so both survive)."""
+    n = len(price)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    order = np.lexsort((-day, -price))
+    p_s, d_s = price[order], day[order]
+    new_grp = np.empty(n, dtype=bool)
+    new_grp[0] = True
+    new_grp[1:] = p_s[1:] != p_s[:-1]
+    grp = np.cumsum(new_grp) - 1
+    n_grp = grp[-1] + 1
+    grp_max = np.full(n_grp, np.iinfo(np.int64).min, dtype=np.int64)
+    np.maximum.at(grp_max, grp, d_s)
+    # max day over all STRICTLY higher price groups = prefix max of
+    # grp_max shifted by one group
+    prefix = np.empty(n_grp, dtype=np.int64)
+    prefix[0] = np.iinfo(np.int64).min
+    if n_grp > 1:
+        prefix[1:] = np.maximum.accumulate(grp_max[:-1])
+    dominated = (prefix[grp] >= d_s) | (grp_max[grp] > d_s)
+    keep = np.zeros(n, dtype=bool)
+    keep[order] = ~dominated
+    return keep
+
+
+def order_skyline(sf_dir: str) -> ray.data.Dataset:
+    """SKYLINE (Pareto front) of orders over (price, recency): orders no
+    other order beats on BOTH dimensions — the multi-objective top
+    query relational engines lack natively (reference's frontier
+    report; Börzsönyi et al.'s skyline operator, SURVEY.md §2.7).
+
+    Two-level exact shape with NO shuffle: dominance is transitive, so
+    every globally undominated row is also undominated within its own
+    batch — each batch reduces to its LOCAL skyline (one lexsort + two
+    segment maxes, `_skyline_mask`), the tiny survivor union returns to
+    the driver, and the same mask filters it globally.  Front sizes are
+    ~log-scale in practice (8 rows at sf0.01), so the driver step is
+    constant-ish work at any corpus size; a pathological all-frontier
+    distribution degrades the reduction, not correctness."""
+    US_DAY = 86_400_000_000
+
+    def local_skyline(t: pa.Table) -> pa.Table:
+        price = np.floor(t["o_totalprice"].to_numpy() * 100 + 0.5).astype(
+            np.int64
+        )
+        day = (
+            t["o_orderdate"].to_numpy().astype("datetime64[us]").astype(np.int64)
+            // US_DAY
+        )
+        keep = _skyline_mask(price, day)
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"].filter(pa.array(keep)),
+                "price_cents": pa.array(price[keep]),
+                "day": pa.array(day[keep]),
+            }
+        )
+
+    surv = (
+        _read(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_totalprice"])
+        .map_batches(local_skyline, batch_format="pyarrow")
+        .to_pandas()
+    )
+    price = surv["price_cents"].to_numpy()
+    day = surv["day"].to_numpy()
+    keep = _skyline_mask(price, day)
+    out = pa.table(
+        {
+            "o_orderkey": pa.array(surv["o_orderkey"].to_numpy()[keep]),
+            "price_cents": pa.array(price[keep]),
+            "day": pa.array(day[keep]),
+        }
+    )
+    return ray.data.from_arrow(
+        out.take(pa.array(np.argsort(out["o_orderkey"].to_numpy())))
+    )
+
+
+ORACLES["order_skyline"] = (
+    "WITH o AS (SELECT o_orderkey, "
+    "CAST(floor(o_totalprice*100+0.5) AS BIGINT) AS price_cents, "
+    "(epoch(o_orderdate)::BIGINT // 86400)::BIGINT AS day FROM orders) "
+    "SELECT o_orderkey, price_cents, day FROM o a WHERE NOT EXISTS ("
+    "SELECT 1 FROM o b WHERE b.price_cents >= a.price_cents "
+    "AND b.day >= a.day "
+    "AND (b.price_cents > a.price_cents OR b.day > a.day)) "
+    "ORDER BY o_orderkey"
+)

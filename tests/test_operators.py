@@ -76,7 +76,7 @@ ORACLE_CHECKED = [
     "orders_running_total", "vocab_stats", "events_dow_hour",
     "copurchase_pairs", "vocab_overlap", "event_transitions",
     "segment_price_rank", "first_order_profile", "forecast_revenue_change",
-    "daily_active_users",
+    "daily_active_users", "order_skyline",
 ]
 
 
@@ -598,3 +598,30 @@ def test_q7_q8_typed_empty_on_absent_nations(entry_mod, monkeypatch):
     assert set(ds.schema().names) == {
         "o_year", "target_cents", "total_cents", "share_bp"
     }
+
+
+def test_skyline_mask_duplicates_and_brute_force():
+    """Coordinate duplicates dominate nothing (both survive), and the
+    vectorized mask equals the O(n²) definition on random inputs."""
+    import numpy as np
+
+    from langfilter_ray.pipelines.relational import _skyline_mask
+
+    price = np.array([5, 5, 3, 4], dtype=np.int64)
+    day = np.array([5, 5, 7, 4], dtype=np.int64)
+    assert _skyline_mask(price, day).tolist() == [True, True, True, False]
+
+    rng = np.random.RandomState(7)
+    for _ in range(20):
+        n = rng.randint(1, 60)
+        p = rng.randint(0, 8, n).astype(np.int64)
+        d = rng.randint(0, 8, n).astype(np.int64)
+        got = _skyline_mask(p, d)
+        dominated = [
+            any(
+                (p[j] >= p[i]) and (d[j] >= d[i]) and (p[j] > p[i] or d[j] > d[i])
+                for j in range(n)
+            )
+            for i in range(n)
+        ]
+        assert got.tolist() == [not x for x in dominated]
