@@ -1765,3 +1765,69 @@ ORACLES["vocab_overlap"] = (
     "FROM v a JOIN v b ON a.token = b.token AND a.lang < b.lang "
     "GROUP BY 1, 2 ORDER BY 1, 2"
 )
+
+
+# ---- lang_source_agg: grouped collect (string_agg) -----------------------
+
+def lang_source_agg(sf_dir: str) -> ray.data.Dataset:
+    """Per language: the sorted, comma-joined set of DISTINCT sources
+    plus doc count — the grouped COLLECT/string_agg primitive (the
+    reference's per-class provenance roster, SURVEY.md §2.6), returned
+    as a string so the driver's hash compare stays scalar-typed.
+
+    Exact two-level distinct, both shuffles bounded: in-batch (lang,
+    source) np.unique dedup with a doc-count partial, a pair groupby
+    whose row count is ≤ |langs| x |sources|, then ONE bounded-group
+    map_groups joins each language's sorted sources — the join itself
+    touches ≤ |sources| strings per group, never documents."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def pairs(t: pa.Table) -> pa.Table:
+        lang = t["lang"].to_numpy(zero_copy_only=False)
+        src = t["source"].to_numpy(zero_copy_only=False)
+        lv, lc = np.unique(lang, return_inverse=True)
+        sv, sc = np.unique(src, return_inverse=True)
+        key = lc.astype(np.int64) * np.int64(len(sv)) + sc
+        uniq, counts = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "lang": pa.array(lv[(uniq // len(sv)).astype(np.int64)]),
+                "source": pa.array(sv[uniq % len(sv)]),
+                "n_p": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    def collect(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame(
+                {
+                    "lang": pd.array([], dtype="object"),
+                    "n_docs": pd.array([], dtype="int64"),
+                    "sources": pd.array([], dtype="object"),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "lang": [g["lang"].iloc[0]],
+                "n_docs": np.array([int(g["n_docs"].sum())], np.int64),
+                "sources": [",".join(sorted(g["source"]))],
+            }
+        )
+
+    return (
+        _docs_cols(sf_dir, ["lang", "source"])
+        .map_batches(pairs, batch_format="pyarrow")
+        .groupby(["lang", "source"])
+        .aggregate(Sum("n_p", alias_name="n_docs"))
+        .groupby("lang")
+        .map_groups(collect, batch_format="pandas")
+        .sort("lang")
+    )
+
+
+ORACLES["lang_source_agg"] = (
+    "SELECT lang, count(*)::BIGINT AS n_docs, "
+    "string_agg(DISTINCT source, ',' ORDER BY source) AS sources "
+    "FROM documents GROUP BY 1 ORDER BY 1"
+)

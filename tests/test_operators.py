@@ -76,7 +76,7 @@ ORACLE_CHECKED = [
     "orders_running_total", "vocab_stats", "events_dow_hour",
     "copurchase_pairs", "vocab_overlap", "event_transitions",
     "segment_price_rank", "first_order_profile", "forecast_revenue_change",
-    "daily_active_users", "order_skyline",
+    "daily_active_users", "order_skyline", "lang_source_agg",
 ]
 
 
