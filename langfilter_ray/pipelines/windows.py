@@ -1258,3 +1258,86 @@ ORACLES["daily_active_users"] = (
     "count(*)::BIGINT AS n_events "
     "FROM events GROUP BY 1 ORDER BY 1"
 )
+
+
+# ---- retained_users: INTERSECT of two activity windows -------------------
+
+RETAIN_SPLIT = "2024-01-15"
+
+
+def retained_users(sf_dir: str) -> pa.Table:
+    """Users active in BOTH halves of the event range — the set
+    INTERSECT primitive (reference's retention gate, SURVEY.md §2.8's
+    set-op family) without materializing either side's user set.
+
+    One pass: each batch reduces to its distinct users with two 0/1
+    window flags (in-batch pyarrow group_by max), the user groupby
+    OR-folds the flags via Max — shuffle bounded by |users|, 17 bytes a
+    row — and three count partials fold driver-side: |A|, |B|, |A∩B|.
+    Scalar output, so the comparator sees plain BIGINTs."""
+    from ray.data.aggregate import Max
+
+    split = np.datetime64(RETAIN_SPLIT, "us")
+
+    def flags(t: pa.Table) -> pa.Table:
+        ts = t["ts"].to_numpy(zero_copy_only=False)
+        part = pa.table(
+            {
+                "user_id": t["user_id"],
+                "in_a": pa.array((ts < split).astype(np.int64)),
+                "in_b": pa.array((ts >= split).astype(np.int64)),
+            }
+        )
+        g = part.group_by("user_id").aggregate(
+            [("in_a", "max"), ("in_b", "max")]
+        )
+        return g.rename_columns(["user_id", "in_a", "in_b"])
+
+    per_user = (
+        _events(sf_dir, ["ts", "user_id"])
+        .map_batches(flags, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Max("in_a", alias_name="a"), Max("in_b", alias_name="b"))
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy()
+        b = t["b"].to_numpy()
+        return pa.table(
+            {
+                "na": pa.array([int(a.sum())], pa.int64()),
+                "nb": pa.array([int(b.sum())], pa.int64()),
+                "nboth": pa.array([int((a & b).sum())], pa.int64()),
+            }
+        )
+
+    tot = per_user.map_batches(fold, batch_format="pyarrow").sum(
+        ["na", "nb", "nboth"]
+    )
+    return pa.table(
+        {
+            "n_first_half": pa.array(
+                [int(tot["sum(na)"]) if tot else 0], pa.int64()
+            ),
+            "n_second_half": pa.array(
+                [int(tot["sum(nb)"]) if tot else 0], pa.int64()
+            ),
+            "n_retained": pa.array(
+                [int(tot["sum(nboth)"]) if tot else 0], pa.int64()
+            ),
+        }
+    )
+
+
+ORACLES["retained_users"] = (
+    "SELECT "
+    f"(SELECT count(DISTINCT user_id) FROM events WHERE ts < TIMESTAMP "
+    f"'{RETAIN_SPLIT}')::BIGINT AS n_first_half, "
+    f"(SELECT count(DISTINCT user_id) FROM events WHERE ts >= TIMESTAMP "
+    f"'{RETAIN_SPLIT}')::BIGINT AS n_second_half, "
+    "(SELECT count(*) FROM ("
+    f"SELECT user_id FROM events WHERE ts < TIMESTAMP '{RETAIN_SPLIT}' "
+    "INTERSECT "
+    f"SELECT user_id FROM events WHERE ts >= TIMESTAMP '{RETAIN_SPLIT}'"
+    "))::BIGINT AS n_retained"
+)
