@@ -190,6 +190,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_skyline": relational.order_skyline,
         "lang_source_agg": text_analysis.lang_source_agg,
         "retained_users": windows.retained_users,
+        "event_type_unpivot": relational.event_type_unpivot,
         # flagship cascade (stateful classifier -> rows-only check)
         "quality_filter_labels": reports.quality_filter_labels,
         "gate_decision_report": reports.gate_decision_report,

@@ -3824,3 +3824,47 @@ ORACLES["order_skyline"] = (
     "AND (b.price_cents > a.price_cents OR b.day > a.day)) "
     "ORDER BY o_orderkey"
 )
+
+
+def event_type_unpivot(sf_dir: str) -> pa.Table:
+    """UNPIVOT/melt with DENSE grid fill: the (bucket, type) counts back
+    in long form, including explicit ZERO rows for combinations that
+    never occurred — the unpivot half of the wide-aggregation round trip
+    (``event_type_pivot``) and the zero-filled contingency grid
+    reporting layers expect (SURVEY.md §2.6).
+
+    Same scale shape as the pivot: the distributed groupby reduces the
+    events table to ≤ buckets x types rows, and only that bounded
+    aggregate reindexes against the full bucket x type cross product
+    driver-side — the fact table never widens or densifies."""
+    agg = event_type_by_bucket(sf_dir).to_pandas()
+    buckets = sorted(agg["user_bucket"].unique())
+    types = sorted(agg["event_type"].unique())
+    full = pd.MultiIndex.from_product(
+        [buckets, types], names=["user_bucket", "event_type"]
+    )
+    dense = (
+        agg.set_index(["user_bucket", "event_type"])["n_events"]
+        .reindex(full, fill_value=0)
+        .reset_index()
+    )
+    dense["user_bucket"] = dense["user_bucket"].astype("int64")
+    dense["n_events"] = dense["n_events"].astype("int64")
+    return pa.Table.from_pandas(
+        dense.sort_values(["user_bucket", "event_type"]).reset_index(drop=True),
+        preserve_index=False,
+    )
+
+
+ORACLES["event_type_unpivot"] = (
+    "WITH counts AS (SELECT user_id % 10 AS user_bucket, event_type, "
+    "count(*)::BIGINT AS n FROM events GROUP BY 1, 2), "
+    "b AS (SELECT DISTINCT user_bucket FROM counts), "
+    "t AS (SELECT DISTINCT event_type FROM counts) "
+    "SELECT b.user_bucket::BIGINT AS user_bucket, t.event_type, "
+    "coalesce(n, 0)::BIGINT AS n_events "
+    "FROM b CROSS JOIN t "
+    "LEFT JOIN counts ON counts.user_bucket = b.user_bucket "
+    "AND counts.event_type = t.event_type "
+    "ORDER BY 1, 2"
+)

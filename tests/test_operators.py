@@ -77,7 +77,7 @@ ORACLE_CHECKED = [
     "copurchase_pairs", "vocab_overlap", "event_transitions",
     "segment_price_rank", "first_order_profile", "forecast_revenue_change",
     "daily_active_users", "order_skyline", "lang_source_agg",
-    "retained_users",
+    "retained_users", "event_type_unpivot",
 ]
 
 
