@@ -18,6 +18,17 @@ import duckdb  # noqa: E402
 from langfilter_ray.testing import canon, compare_frames, first_diff  # noqa: E402
 
 
+
+def _verdict(line: str) -> None:
+    """Print a verdict on its OWN line, flushed: Ray worker logs share
+    stdout and can otherwise glue onto the verdict mid-buffer (the
+    CLAUDE.md 'grep OK name' gotcha)."""
+    import sys
+
+    sys.stdout.write("\n" + line + "\n")
+    sys.stdout.flush()
+
+
 def to_pandas(obj):
     import pyarrow as pa
     import ray.data
@@ -60,28 +71,28 @@ def main() -> None:
         try:
             got = canon(to_pandas(fn(sf_dir)))
         except Exception as exc:
-            print(f"FAIL  {name:26s} query raised: {exc!r}")
+            _verdict(f"FAIL  {name:26s} query raised: {exc!r}")
             failures += 1
             continue
         dt = time.time() - t0
         if name not in oracles:
-            print(f"ok*   {name:26s} rows={len(got):>7}  {dt:5.1f}s  (rows-only)")
+            _verdict(f"ok*   {name:26s} rows={len(got):>7}  {dt:5.1f}s  (rows-only)")
             continue
         try:
             want = canon(con.execute(oracles[name]).df())
         except Exception as exc:
-            print(f"FAIL  {name:26s} oracle raised: {exc!r}")
+            _verdict(f"FAIL  {name:26s} oracle raised: {exc!r}")
             failures += 1
             continue
         problems = compare_frames(got, want)
         if problems:
-            print(f"FAIL  {name:26s} {problems}")
+            _verdict(f"FAIL  {name:26s} {problems}")
             diff = first_diff(got, want)
             if diff:
                 print(f"      {diff}")
             failures += 1
         else:
-            print(f"OK    {name:26s} rows={len(got):>7}  {dt:5.1f}s")
+            _verdict(f"OK    {name:26s} rows={len(got):>7}  {dt:5.1f}s")
     ray.shutdown()
     sys.exit(1 if failures else 0)
 
