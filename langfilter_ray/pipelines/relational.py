@@ -530,15 +530,21 @@ def distinct_users_per_type(sf_dir: str) -> ray.data.Dataset:
 
 def shipping_priority(sf_dir: str) -> ray.data.Dataset:
     """Top-10 BUILDING-segment orders by lineitem revenue — the textbook
-    TPC-H Q3 physical plan: the customer DIMENSION filter is a broadcast
-    semi-join (segment custkeys shipped once via ray.put, np.isin per
-    batch — a hash join here costs ~4s of aggregator-actor overhead for a
-    side that fits in one array), and only the genuinely large-large pair
-    (lineitem ⋈ filtered orders) uses the native hash-partitioned join.
-    Integer-cent grouped sum, then sort+limit on the small aggregate.
-    The revenue float chain ep*(1-disc)*100+0.5 is evaluated identically
-    (left-to-right float64) on the Ray and SQL sides before the
-    floor-to-int, so sums compare exactly."""
+    TPC-H Q3 physical plan with the join REMOVED at dim scale: the
+    customer segment filter resolves driver-side, the surviving orders
+    (orderkey, orderdate) broadcast once via ray.put as sorted parallel
+    arrays, and the lineitem stream combines revenue per orderkey
+    in-batch then PROBES the broadcast by binary search — no shuffle at
+    all until the final tiny (orderkey, date) groupby (measured ~5 s →
+    ~1.5 s at sf0.1: the 16-partition hash join was pure
+    aggregator-actor overhead for a dim-bounded right side).  Above
+    BROADCAST_DIM_MAX_ROWS orders the operator reverts to the prior
+    plan — broadcast custkey semi-filter on the streaming orders side
+    plus ONE hash-partitioned lineitem⋈orders join (both paths pinned
+    equal by the zero-threshold fallback test).  The revenue float
+    chain ep*(1-disc)*100+0.5 is evaluated identically (left-to-right
+    float64) on the Ray and SQL sides before the floor-to-int, so sums
+    compare exactly."""
     import pyarrow.parquet as pq
 
     cust = pq.read_table(
@@ -547,54 +553,169 @@ def shipping_priority(sf_dir: str) -> ray.data.Dataset:
     keys = cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING"))[
         "c_custkey"
     ].to_numpy()
-    kref = ray.put(np.sort(keys))
 
-    def semi_filter(t: pa.Table) -> pa.Table:
-        wanted = ray.get(kref)
-        mask = np.isin(t["o_custkey"].to_numpy(), wanted, assume_unique=False)
-        return t.filter(pa.array(mask, pa.bool_())).select(
-            ["o_orderkey", "o_orderdate"]
-        )
-
-    orders_f = _read(
-        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
-    ).map_batches(semi_filter, batch_format="pyarrow")
-
-    def rev(t: pa.Table) -> pa.Table:
-        cents = np.floor(
+    def cents_of(t: pa.Table) -> np.ndarray:
+        return np.floor(
             t["l_extendedprice"].to_numpy() * (1 - t["l_discount"].to_numpy()) * 100
             + 0.5
         ).astype(np.int64)
-        # in-batch combiner: TPC-H has ~4 lineitems per order, so summing
-        # per orderkey before the join cuts the shuffled row count ~4x
-        # (int-cent Sum is associative; the post-join groupby re-sums)
-        g = (
-            pa.table(
+
+    if _dim_num_rows(sf_dir, "orders") <= BROADCAST_DIM_MAX_ROWS:
+        orders = pq.read_table(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        )
+        seg = orders.filter(
+            pa.array(np.isin(orders["o_custkey"].to_numpy(), keys))
+        )
+        okeys = seg["o_orderkey"].to_numpy()
+        order = np.argsort(okeys)
+        odate = (
+            seg["o_orderdate"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        )
+        oref = ray.put((okeys[order], odate[order]))
+
+        n_buckets = 32
+
+        def rev_probe(t: pa.Table) -> pa.Table:
+            ok, od = ray.get(oref)
+            g = (
+                pa.table(
+                    {
+                        "l_orderkey": t["l_orderkey"],
+                        "revenue_cents": pa.array(cents_of(t), pa.int64()),
+                    }
+                )
+                .group_by("l_orderkey")
+                .aggregate([("revenue_cents", "sum")])
+            )
+            lk = g["l_orderkey"].to_numpy()
+            if len(ok) == 0:
+                keep = np.zeros(len(lk), dtype=bool)
+                pos = np.zeros(len(lk), dtype=np.int64)
+            else:
+                pos = np.minimum(np.searchsorted(ok, lk), len(ok) - 1)
+                keep = ok[pos] == lk
+            h = lk[keep].astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+            return pa.table(
                 {
-                    "l_orderkey": t["l_orderkey"],
-                    "revenue_cents": pa.array(cents, pa.int64()),
+                    "l_orderkey": pa.array(lk[keep]),
+                    "date_us": pa.array(od[pos[keep]]),
+                    "revenue_cents": g["revenue_cents_sum"].filter(
+                        pa.array(keep)
+                    ),
+                    "bk": pa.array(
+                        ((h >> np.uint64(33)) % np.uint64(n_buckets)).astype(
+                            np.int64
+                        )
+                    ),
                 }
             )
-            .group_by("l_orderkey")
-            .aggregate([("revenue_cents", "sum")])
-        )
-        return pa.table(
-            {
-                "l_orderkey": g["l_orderkey"],
-                "revenue_cents": g["revenue_cents_sum"],
-            }
-        )
 
-    lineitem = _read(
-        sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]
-    ).map_batches(rev, batch_format="pyarrow")
-    joined = lineitem.join(
-        orders_f,
-        join_type="inner",
-        num_partitions=_join_parts(),
-        on=("l_orderkey",),
-        right_on=("o_orderkey",),
-    )
+        def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            # every orderkey lands in exactly one bucket, so per-bucket
+            # sums are exact and the bucket's deterministic top-10
+            # contains every global top-10 row (the copurchase_pairs
+            # bucket-reduce shape — replaces a sort-based Aggregate +
+            # Sort all-to-all pair with one partition pass)
+            if g.empty:
+                return pd.DataFrame(
+                    {
+                        "o_orderkey": pd.array([], dtype="int64"),
+                        "revenue_cents": pd.array([], dtype="int64"),
+                        "date_us": pd.array([], dtype="int64"),
+                    }
+                )
+            lk = g["l_orderkey"].to_numpy()
+            u, inv = np.unique(lk, return_inverse=True)
+            tot = np.bincount(
+                inv, weights=g["revenue_cents"].to_numpy()
+            ).astype(np.int64)
+            first = np.zeros(len(u), dtype=np.int64)
+            first[inv[::-1]] = np.arange(len(lk) - 1, -1, -1)
+            dates = g["date_us"].to_numpy()[first]
+            order = np.lexsort((u, -tot))[:10]
+            return pd.DataFrame(
+                {
+                    "o_orderkey": u[order],
+                    "revenue_cents": tot[order],
+                    "date_us": dates[order],
+                }
+            )
+
+        survivors = (
+            _read(
+                sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]
+            )
+            .map_batches(rev_probe, batch_format="pyarrow")
+            .groupby("bk")
+            .map_groups(reduce_bucket, batch_format="pandas")
+            .to_pandas()
+        )
+        top = survivors.sort_values(
+            ["revenue_cents", "o_orderkey"], ascending=[False, True]
+        ).head(10)
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "o_orderkey": pa.array(
+                        top["o_orderkey"].to_numpy(), pa.int64()
+                    ),
+                    "revenue_cents": pa.array(
+                        top["revenue_cents"].to_numpy(), pa.int64()
+                    ),
+                    "o_orderdate": pa.array(
+                        top["date_us"].to_numpy()
+                    ).cast(pa.timestamp("us")),
+                }
+            )
+        )
+    else:
+        kref = ray.put(np.sort(keys))
+
+        def semi_filter(t: pa.Table) -> pa.Table:
+            wanted = ray.get(kref)
+            mask = np.isin(t["o_custkey"].to_numpy(), wanted, assume_unique=False)
+            return t.filter(pa.array(mask, pa.bool_())).select(
+                ["o_orderkey", "o_orderdate"]
+            )
+
+        orders_f = _read(
+            sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+        ).map_batches(semi_filter, batch_format="pyarrow")
+
+        def rev(t: pa.Table) -> pa.Table:
+            # in-batch combiner: TPC-H has ~4 lineitems per order, so
+            # summing per orderkey before the join cuts the shuffled row
+            # count ~4x (int-cent Sum is associative; the post-join
+            # groupby re-sums)
+            g = (
+                pa.table(
+                    {
+                        "l_orderkey": t["l_orderkey"],
+                        "revenue_cents": pa.array(cents_of(t), pa.int64()),
+                    }
+                )
+                .group_by("l_orderkey")
+                .aggregate([("revenue_cents", "sum")])
+            )
+            return pa.table(
+                {
+                    "l_orderkey": g["l_orderkey"],
+                    "revenue_cents": g["revenue_cents_sum"],
+                }
+            )
+
+        lineitem = _read(
+            sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]
+        ).map_batches(rev, batch_format="pyarrow")
+        joined = lineitem.join(
+            orders_f,
+            join_type="inner",
+            num_partitions=_join_parts(),
+            on=("l_orderkey",),
+            right_on=("o_orderkey",),
+        )
     return (
         joined.map_batches(
             _partial_group_agg(["l_orderkey", "o_orderdate"], ["revenue_cents"]),

@@ -100,6 +100,7 @@ def test_query_matches_oracle(entry_mod, con, name):
         "market_share",
         "brand_qty_revenue",
         "segment_price_rank",
+        "shipping_priority",
     ],
 )
 def test_dim_join_fallback_matches_oracle(entry_mod, con, name, monkeypatch):
