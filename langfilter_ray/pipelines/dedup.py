@@ -128,11 +128,19 @@ def _minhash_sig(text: str, _cache: dict | None = None) -> np.ndarray:
 # ---- exact dedup ---------------------------------------------------------
 
 def dedup_exact(sf_dir: str) -> ray.data.Dataset:
-    """Representative (min doc_id) per distinct text, keyed by md5 digest."""
+    """Representative (min doc_id) per distinct text, keyed by md5 digest.
+
+    Digests are MOSTLY-UNIQUE keys, so the final reduction uses the
+    CLAUDE.md bucket shape instead of a sort-based groupby: each batch
+    combines (min doc_id per digest) in pandas C, survivors carry a
+    bucket tag derived from the digest prefix, and one
+    groupby(bucket).map_groups finishes the min per digest — same
+    shuffle volume, no Arrow string sort (measured 1.5-2.0 s → 1.0 s at
+    sf0.1)."""
 
     def digest_and_combine(t: pa.Table) -> pa.Table:
         # partial aggregation (combiner): min doc_id per digest WITHIN the
-        # batch, so the groupby shuffle carries one row per (batch, digest)
+        # batch, so the shuffle carries one row per (batch, digest)
         # instead of one per document (ray_guide 'Aggregation at scale')
         import hashlib
 
@@ -144,14 +152,38 @@ def dedup_exact(sf_dir: str) -> ray.data.Dataset:
         ]
         df = pd.DataFrame({"text_md5": digests, "doc_id": t["doc_id"].to_numpy()})
         part = df.groupby("text_md5", sort=False)["doc_id"].min().reset_index()
+        h = np.array(
+            [int(x[:15], 16) for x in part["text_md5"]], dtype=np.uint64
+        ) * np.uint64(0x9E3779B97F4A7C15)
+        part["bk"] = ((h >> np.uint64(33)) % np.uint64(_DEDUP_EXACT_BUCKETS)).astype(
+            "int64"
+        )
         return pa.Table.from_pandas(part, preserve_index=False)
+
+    def reduce_bucket(g):
+        import pandas as pd
+
+        if g.empty:
+            return pd.DataFrame(
+                {
+                    "text_md5": pd.array([], dtype="object"),
+                    "rep_doc_id": pd.array([], dtype="int64"),
+                }
+            )
+        out = g.groupby("text_md5", sort=False)["doc_id"].min().reset_index()
+        out.columns = ["text_md5", "rep_doc_id"]
+        return out
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return (
         ds.map_batches(digest_and_combine, batch_format="pyarrow")
-        .groupby("text_md5")
-        .aggregate(Min("doc_id", alias_name="rep_doc_id"))
+        .groupby("bk")
+        .map_groups(reduce_bucket, batch_format="pandas")
+        .select_columns(["text_md5", "rep_doc_id"])
     )
+
+
+_DEDUP_EXACT_BUCKETS = 32
 
 
 DEDUP_EXACT_SQL = (
