@@ -37,79 +37,50 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
 
     # NOTE on ordering: the driver's CORRECTNESS check covers only the
-    # FIRST 50 entries (dict order).  Window layout for round 3:
-    #   slots 1-6   the six round-1 hash-fails (::BIGINT fixes, still
-    #               driver-unconfirmed — r2 never re-checked them),
-    #   slots 7-11  oracle-backed queries with no driver row in ANY round,
-    #   slots 12-27 the sixteen round-3 oracle-backed additions,
-    #   slots 28-32 rows-only multimodal plumbing never run by the driver,
-    #   slots 33-50 re-confirmation filler (r1-only-green first, then
-    #               r2-double-green) — displace from the END of this block
-    #               when adding new queries, never from the front.
-    # Everything past 50 already has a hash-green or rows-only driver row.
+    # FIRST 50 entries (dict order).  Exactly ONE literal entry per query
+    # (tests/test_entry.py asserts no duplicate keys via AST).  Round-4
+    # window layout:
+    #   slots 1-22  the 22 round-3 oracle-backed queries the driver has
+    #               never hash-checked (they sat past the window in r3),
+    #   slot  23    translate_documents (new in round 4: the T6 word-map
+    #               plumbing over the documents table, oracle-checkable),
+    #   slots 24-50 re-confirmation filler: the 27 queries whose last
+    #               driver-green row is round 2 (dedup_exact first — its
+    #               digest combiner was rewritten this round).  Displace
+    #               filler from the END of this block when adding new
+    #               oracle-backed queries, never from the front.
+    # Everything past 50 has a hash-green or rows-only driver row from r3.
     return {
-        # --- former round-1 hash-fails (::BIGINT casts, fixed in r2) ----
-        "error_events_pushdown": relational.error_events_pushdown,
-        "segment_order_stats": relational.segment_order_stats,
-        "order_price_tiers": relational.order_price_tiers,
-        "shipping_priority": relational.shipping_priority,
-        "tumbling_hour_counts": windows.tumbling_hour_counts,
-        "asof_last_login": windows.asof_last_login,
-        # --- oracle-backed, never driver-checked in any round -----------
-        "hopping_counts": windows.hopping_counts,
-        "median_value_per_type": windows.median_value_per_type,
-        "daily_hopping_counts": windows.daily_hopping_counts,
-        "session_windows": windows.session_windows,
-        "payload_stats": multimodal.payload_stats,
-        # --- round-3 oracle-backed additions -----------------------------
-        "promo_window_revenue": windows.promo_window_revenue,
-        "gopher_quality": text_analysis.gopher_quality,
-        "domain_mix_weights": text_analysis.domain_mix_weights,
-        "local_supplier_volume": relational.local_supplier_volume,
-        "promo_part_revenue": relational.promo_part_revenue,
-        "rolling_user_sum": windows.rolling_user_sum,
-        "ntile_order_tiers": relational.ntile_order_tiers,
-        "inverted_index_stats": text_analysis.inverted_index_stats,
-        "tfidf_top_terms": text_analysis.tfidf_top_terms,
-        "qty_discount_corr": relational.qty_discount_corr,
-        "shared_ngram_docs": text_analysis.shared_ngram_docs,
-        "funnel_conversion": windows.funnel_conversion,
-        "cust_order_histogram": relational.cust_order_histogram,
-        "late_order_priority": relational.late_order_priority,
-        "big_order_customers": relational.big_order_customers,
-        "cohort_retention": windows.cohort_retention,
-        # --- rows-only multimodal plumbing, never driver-run -------------
-        "multimodal_decode": multimodal.multimodal_decode,
-        "multimodal_resize": multimodal.multimodal_resize,
-        "frame_sample": multimodal.frame_sample,
-        "decode_pgm": multimodal.decode_pgm,
-        "decode_wav": multimodal.decode_wav,
-        # --- re-confirmation filler: r1-green, no r2 row -----------------
-        "customers_no_big_order": relational.customers_no_big_order,
-        "top_orders_per_segment": relational.top_orders_per_segment,
-        "events_union": relational.events_union,
-        "distinct_users_per_type": relational.distinct_users_per_type,
-        "approx_distinct_users": relational.approx_distinct_users,
-        "event_type_pivot": relational.event_type_pivot,
-        "doc_stats_by_lang": text_analysis.doc_stats_by_lang,
-        "user_session_stats": windows.user_session_stats,
-        # --- round-3 late additions (Q17/Q15/Q22/Q12 shapes + series) ----
-        "small_qty_revenue": relational.small_qty_revenue,
-        "top_supplier_revenue": relational.top_supplier_revenue,
-        "idle_customer_balance": relational.idle_customer_balance,
-        "orders_week_over_week": relational.orders_week_over_week,
-        "priority_ship_share": relational.priority_ship_share,
-        "char_class_profile": text_analysis.char_class_profile,
-        "returned_item_revenue": relational.returned_item_revenue,
-        # --- re-confirmation filler: r2-double-green ----------------------
-        "token_counts": text_analysis.token_counts,
-        "stopword_stats": text_analysis.stopword_stats,
-        "langid_heuristic": text_analysis.langid_heuristic,
-        # ======== past the 50-query window (all have driver rows) ========
+        # --- round-3 oracle-backed, never driver-checked ------------------
+        "nation_trade_volume": relational.nation_trade_volume,
+        "market_share": relational.market_share,
+        "brand_qty_revenue": relational.brand_qty_revenue,
+        "dup_token_stats": text_analysis.dup_token_stats,
+        "supplier_return_rate": relational.supplier_return_rate,
+        "user_value_lag": windows.user_value_lag,
+        "chars_percentiles": text_analysis.chars_percentiles,
+        "embedding_quant_stats": similarity.embedding_quant_stats,
+        "orders_running_total": windows.orders_running_total,
+        "vocab_stats": text_analysis.vocab_stats,
+        "events_dow_hour": windows.events_dow_hour,
+        "copurchase_pairs": relational.copurchase_pairs,
+        "vocab_overlap": text_analysis.vocab_overlap,
+        "event_transitions": windows.event_transitions,
+        "segment_price_rank": relational.segment_price_rank,
+        "first_order_profile": windows.first_order_profile,
+        "forecast_revenue_change": relational.forecast_revenue_change,
+        "daily_active_users": windows.daily_active_users,
+        "order_skyline": relational.order_skyline,
+        "lang_source_agg": text_analysis.lang_source_agg,
+        "retained_users": windows.retained_users,
+        "event_type_unpivot": relational.event_type_unpivot,
+        # --- round-4: translation plumbing now oracle-checkable -----------
+        "translate_documents": reports.translate_documents,
+        # --- re-confirmation filler: last driver-green row is round 2 -----
+        "dedup_exact": dedup.dedup_exact,
         "quality_score": text_analysis.quality_score,
         "fingerprint": text_analysis.fingerprint,
         "scrub_documents": text_analysis.scrub_documents,
-        "dedup_exact": dedup.dedup_exact,
         "ann_topk": similarity.ann_topk,
         "pricing_summary": relational.pricing_summary,
         "revenue_by_nation": relational.revenue_by_nation,
@@ -133,6 +104,59 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_filtered_sorted": relational.events_filtered_sorted,
         "revenue_rollup": relational.revenue_rollup,
         "props_stats": relational.props_stats,
+        # ======== past the 50-query window (all have driver rows) ========
+        # round-3 driver-green (hash) ---------------------------------------
+        "error_events_pushdown": relational.error_events_pushdown,
+        "segment_order_stats": relational.segment_order_stats,
+        "order_price_tiers": relational.order_price_tiers,
+        "shipping_priority": relational.shipping_priority,
+        "tumbling_hour_counts": windows.tumbling_hour_counts,
+        "asof_last_login": windows.asof_last_login,
+        "hopping_counts": windows.hopping_counts,
+        "median_value_per_type": windows.median_value_per_type,
+        "daily_hopping_counts": windows.daily_hopping_counts,
+        "session_windows": windows.session_windows,
+        "payload_stats": multimodal.payload_stats,
+        "promo_window_revenue": windows.promo_window_revenue,
+        "gopher_quality": text_analysis.gopher_quality,
+        "domain_mix_weights": text_analysis.domain_mix_weights,
+        "local_supplier_volume": relational.local_supplier_volume,
+        "promo_part_revenue": relational.promo_part_revenue,
+        "rolling_user_sum": windows.rolling_user_sum,
+        "ntile_order_tiers": relational.ntile_order_tiers,
+        "inverted_index_stats": text_analysis.inverted_index_stats,
+        "tfidf_top_terms": text_analysis.tfidf_top_terms,
+        "qty_discount_corr": relational.qty_discount_corr,
+        "shared_ngram_docs": text_analysis.shared_ngram_docs,
+        "funnel_conversion": windows.funnel_conversion,
+        "cust_order_histogram": relational.cust_order_histogram,
+        "late_order_priority": relational.late_order_priority,
+        "big_order_customers": relational.big_order_customers,
+        "cohort_retention": windows.cohort_retention,
+        "customers_no_big_order": relational.customers_no_big_order,
+        "top_orders_per_segment": relational.top_orders_per_segment,
+        "events_union": relational.events_union,
+        "distinct_users_per_type": relational.distinct_users_per_type,
+        "event_type_pivot": relational.event_type_pivot,
+        "doc_stats_by_lang": text_analysis.doc_stats_by_lang,
+        "user_session_stats": windows.user_session_stats,
+        "small_qty_revenue": relational.small_qty_revenue,
+        "top_supplier_revenue": relational.top_supplier_revenue,
+        "idle_customer_balance": relational.idle_customer_balance,
+        "orders_week_over_week": relational.orders_week_over_week,
+        "priority_ship_share": relational.priority_ship_share,
+        "char_class_profile": text_analysis.char_class_profile,
+        "returned_item_revenue": relational.returned_item_revenue,
+        "token_counts": text_analysis.token_counts,
+        "stopword_stats": text_analysis.stopword_stats,
+        "langid_heuristic": text_analysis.langid_heuristic,
+        # rows-only by design (stateful / approximate / stubbed) ------------
+        "multimodal_decode": multimodal.multimodal_decode,
+        "multimodal_resize": multimodal.multimodal_resize,
+        "frame_sample": multimodal.frame_sample,
+        "decode_pgm": multimodal.decode_pgm,
+        "decode_wav": multimodal.decode_wav,
+        "approx_distinct_users": relational.approx_distinct_users,
         "decontaminate_overlap": text_analysis.decontaminate_overlap,
         "doc_perplexity": text_analysis.doc_perplexity,
         "winnow_fingerprints": text_analysis.winnow_fingerprints,
@@ -150,51 +174,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh": similarity.ann_lsh,
         "ann_ivf": similarity.ann_ivf,
         "embed_documents": similarity.embed_documents,
-        # round-3 additions (oracle-backed; placed past the window — the
-        # 50-entry check slots are reserved for the reconfirmation queue)
-        "promo_window_revenue": windows.promo_window_revenue,
-        "gopher_quality": text_analysis.gopher_quality,
-        "domain_mix_weights": text_analysis.domain_mix_weights,
-        "local_supplier_volume": relational.local_supplier_volume,
-        "promo_part_revenue": relational.promo_part_revenue,
-        "rolling_user_sum": windows.rolling_user_sum,
-        "ntile_order_tiers": relational.ntile_order_tiers,
-        "inverted_index_stats": text_analysis.inverted_index_stats,
-        "tfidf_top_terms": text_analysis.tfidf_top_terms,
-        "qty_discount_corr": relational.qty_discount_corr,
-        "shared_ngram_docs": text_analysis.shared_ngram_docs,
-        "funnel_conversion": windows.funnel_conversion,
-        "cust_order_histogram": relational.cust_order_histogram,
-        "late_order_priority": relational.late_order_priority,
-        "big_order_customers": relational.big_order_customers,
-        "cohort_retention": windows.cohort_retention,
-        # round-3 late additions (appended: the driver window is full)
-        "nation_trade_volume": relational.nation_trade_volume,
-        "market_share": relational.market_share,
-        "brand_qty_revenue": relational.brand_qty_revenue,
-        "dup_token_stats": text_analysis.dup_token_stats,
-        "supplier_return_rate": relational.supplier_return_rate,
-        "user_value_lag": windows.user_value_lag,
-        "chars_percentiles": text_analysis.chars_percentiles,
-        "embedding_quant_stats": similarity.embedding_quant_stats,
-        "orders_running_total": windows.orders_running_total,
-        "vocab_stats": text_analysis.vocab_stats,
-        "events_dow_hour": windows.events_dow_hour,
-        "copurchase_pairs": relational.copurchase_pairs,
-        "vocab_overlap": text_analysis.vocab_overlap,
-        "event_transitions": windows.event_transitions,
-        "segment_price_rank": relational.segment_price_rank,
-        "first_order_profile": windows.first_order_profile,
-        "forecast_revenue_change": relational.forecast_revenue_change,
-        "daily_active_users": windows.daily_active_users,
-        "order_skyline": relational.order_skyline,
-        "lang_source_agg": text_analysis.lang_source_agg,
-        "retained_users": windows.retained_users,
-        "event_type_unpivot": relational.event_type_unpivot,
         # flagship cascade (stateful classifier -> rows-only check)
+        "translate_kept_snippets": reports.translate_kept_snippets,
         "quality_filter_labels": reports.quality_filter_labels,
         "gate_decision_report": reports.gate_decision_report,
-        "translate_kept_snippets": reports.translate_kept_snippets,
         "repo_quality_report": reports.repo_quality_report,
         "corpus_clean": reports.corpus_clean,
     }
@@ -205,12 +188,21 @@ def oracle_sql() -> dict[str, str]:
         dedup,
         multimodal,
         relational,
+        reports,
         similarity,
         text_analysis,
         windows,
     )
 
     out: dict[str, str] = {}
-    for mod in (text_analysis, dedup, similarity, relational, multimodal, windows):
+    for mod in (
+        text_analysis,
+        dedup,
+        similarity,
+        relational,
+        multimodal,
+        windows,
+        reports,
+    ):
         out.update(mod.ORACLES)
     return out

@@ -4,6 +4,8 @@ groupby results over the labeled dataset."""
 
 from __future__ import annotations
 
+import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 from ..config import DEFAULT_CONFIG, PipelineConfig
@@ -113,6 +115,76 @@ def translate_kept_snippets(sf_dir: str) -> ray.data.Dataset:
     ).map_batches(Translator, batch_format="pyarrow", concurrency=(1, _default_pool_size()), num_cpus=1)
 
 
+def translate_documents(sf_dir: str) -> ray.data.Dataset:
+    """T6 translation plumbing made HASH-CHECKABLE: the same word-map
+    'model' (functions/translate.py, per-actor cache in ``__init__``) over
+    the shared ``documents`` table, en->fr / fr->en by row language, other
+    languages filtered out (the reference's direction guard,
+    app/translate.py:27-35).  Unlike ``translate_kept_snippets`` this does
+    not depend on the stateful cascade, so a DuckDB ``list_transform``
+    oracle can replay the exact word map and the driver hash-checks it.
+
+    Vectorized: split -> utf8_lower -> index_in(model keys) -> take ->
+    rebuild list -> binary_join; no Python loop over rows or tokens."""
+    import numpy as np  # noqa: F401  (kept for parity with sibling stages)
+
+    class VecTranslator:
+        def __init__(self) -> None:
+            from ..functions.translate import get_translator
+
+            # one 'model load' per actor (T6 singleton contract): the two
+            # direction maps become Arrow key/value arrays once.
+            self.dirs = {}
+            for src, tgt in (("en", "fr"), ("fr", "en")):
+                m = get_translator(src, tgt)
+                self.dirs[src] = (
+                    pa.array(list(m.keys()), pa.string()),
+                    pa.array(list(m.values()), pa.string()),
+                )
+
+        def _translate(self, text: pa.ChunkedArray, src: str) -> pa.Array:
+            keys, vals = self.dirs[src]
+            trimmed = pc.utf8_trim(pc.fill_null(text, ""), " \t\n\r")
+            parts = pc.split_pattern_regex(trimmed, r"\s+")
+            lst = (
+                parts.combine_chunks()
+                if isinstance(parts, pa.ChunkedArray)
+                else parts
+            )
+            flat = lst.flatten()
+            idx = pc.index_in(pc.utf8_lower(flat), value_set=keys)
+            mapped = pc.if_else(
+                pc.is_valid(idx), pc.take(vals, idx), flat
+            )
+            rebuilt = pa.ListArray.from_arrays(lst.offsets, mapped)
+            return pc.binary_join(rebuilt, " ")
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            out = []
+            for src in ("en", "fr"):
+                part = t.filter(pc.equal(t["lang"], src))
+                out.append(
+                    pa.table(
+                        {
+                            "doc_id": part["doc_id"],
+                            "lang": part["lang"],
+                            "translated": self._translate(part["text"], src),
+                        }
+                    )
+                )
+            return pa.concat_tables(out)
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
+    )
+    return ds.map_batches(
+        VecTranslator,
+        batch_format="pyarrow",
+        concurrency=(1, _default_pool_size()),
+        num_cpus=1,
+    )
+
+
 def repo_quality_report(sf_dir: str) -> ray.data.Dataset:
     """Per-repo quality rollup over the flagship's own output — the
     dashboard surface (cluster/dashboard.py:7-69 analog): keep counts and
@@ -218,3 +290,38 @@ def corpus_clean(sf_dir: str) -> ray.data.Dataset:
         )
 
     return agg.map_batches(split_key, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# DuckDB oracles.  Only translate_documents is SQL-expressible here: every
+# other query in this module derives from the stateful cascade (rows-only by
+# design).  The SQL replays the exact word map from functions/translate.py
+# via a list_transform lambda, so the Ray stage and the oracle share one
+# source of truth for the mapping.
+
+
+def _translate_case(mapping: dict[str, str]) -> str:
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    whens = " ".join(
+        f"WHEN '{q(k)}' THEN '{q(v)}'" for k, v in mapping.items()
+    )
+    return f"CASE lower(w) {whens} ELSE w END"
+
+
+def _translate_documents_sql() -> str:
+    from ..functions.translate import _EN_FR, _FR_EN
+
+    return (
+        "SELECT doc_id, lang, array_to_string(list_transform("
+        "regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(13)), '\\s+'), "
+        f"w -> CASE WHEN lang = 'en' THEN {_translate_case(_EN_FR)} "
+        f"ELSE {_translate_case(_FR_EN)} END), ' ') AS translated "
+        "FROM documents WHERE lang IN ('en', 'fr')"
+    )
+
+
+ORACLES: dict[str, str] = {
+    "translate_documents": _translate_documents_sql(),
+}

@@ -60,8 +60,75 @@ def _window_parts(sf_dir: str) -> int:
     return max(_MIN_WINDOW_PARTS, n // _ROWS_PER_WINDOW_PART)
 
 
+def _strip_meta(t: pa.Table) -> pa.Table:
+    """Drop the parquet writer's pandas schema metadata (zero-copy).
+    The embedded dict makes pyarrow.Schema UNHASHABLE, which breaks Ray's
+    schema-dedup fast path in every downstream shuffle and spams 'Failed
+    to hash the schemas (for deduplication)' from the reduce tasks
+    (round-3 verdict item; seen in BENCH_r03's own tail)."""
+    return t.replace_schema_metadata(None)
+
+
 def _events(sf_dir: str, columns: list[str]) -> ray.data.Dataset:
-    return ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
+    return ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=columns
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _partition_map(
+    ds: ray.data.Dataset, parts: int, fn
+) -> ray.data.Dataset:
+    """The module's partition exchange: HASH-shuffle rows to ``parts``
+    partitions by the precomputed ``part`` tag, then apply ``fn`` exactly
+    once per partition block (``map_batches(batch_size=None)``).
+
+    This replaces ``groupby("part").map_groups(fn)`` (round-3 verdict
+    item): the sort-based groupby (a) pays a global range sort the
+    semantics don't need — co-location by ``part`` is enough, every
+    callback re-sorts by its real key internally — and (b) never calls
+    the UDF on empty partitions, so empty sort ranges emit SCHEMALESS
+    blocks ('RefBundle with a different schema ... new schema: .' in
+    BENCH_r03).  map_batches calls ``fn`` on empty blocks too, so the
+    typed-empty guard in every callback keeps each block schema-carrying.
+
+    Aggregator-actor fan-out is capped at the session CPU count (the
+    hash-shuffle backend spawns one actor per partition otherwise —
+    CLAUDE.md's 4-CPU deadlock note); partition COUNT stays volume-sized
+    (``_window_parts``) so one partition always fits a worker heap."""
+    import ray as _ray
+    from ray.data.context import ShuffleStrategy
+
+    ctx = ds.context
+    ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    cpus = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
+    # A QUARTER of the session per hash operator's aggregator-actor pool:
+    # plans here chain up to TWO hash ops (the exchange + a downstream
+    # combiner groupby), and Ray's defaults size each aggregator at
+    # 0.0625 CPU x (partitions/aggregators), which reaches 100% of a
+    # small session's CPUs and DEADLOCKS it (aggregators hold every
+    # slot, the producer tasks feeding them can never schedule — the same
+    # failure mode as CLAUDE.md's chained-join note; reproduced at
+    # 4 CPUs both with one op at a half-session budget and with
+    # funnel_conversion's two ops before this cap was added).
+    aggs = max(2, min(parts, cpus // 4))
+    ctx.max_hash_shuffle_aggregators = aggs
+    per_part_cpu = max(0.005, (cpus / 4) / parts)
+    ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = per_part_cpu
+    ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override = per_part_cpu
+    # downstream groupbys in the same plan inherit the hash strategy; size
+    # their partition count like the exchange instead of the 200 default
+    ctx.default_hash_shuffle_parallelism = parts
+    return ds.repartition(parts, keys=["part"], sort=False).map_batches(
+        fn, batch_size=None, batch_format="pandas"
+    )
+
+
+def _user_partition_map(
+    ds: ray.data.Dataset, parts: int, fn
+) -> ray.data.Dataset:
+    """Tag ``part = hash(user_id) % parts`` then run the partition
+    exchange — the composed backbone of every per-user operator here."""
+    return _partition_map(_with_user_part(ds, parts), parts, fn)
 
 
 def _with_user_part(ds: ray.data.Dataset, parts: int) -> ray.data.Dataset:
@@ -74,7 +141,7 @@ def _with_user_part(ds: ray.data.Dataset, parts: int) -> ray.data.Dataset:
             0x9E3779B97F4A7C15
         )
         part = ((h >> np.uint64(33)) % np.uint64(parts)).astype(np.int64)
-        return t.append_column("part", pa.array(part, pa.int64()))
+        return _strip_meta(t).append_column("part", pa.array(part, pa.int64()))
 
     return ds.map_batches(add_part, batch_format="pyarrow")
 
@@ -125,11 +192,10 @@ def user_session_stats(sf_dir: str) -> ray.data.Dataset:
         )
 
     return (
-        _with_user_part(
-            _events(sf_dir, ["user_id", "ts", "event_id"]), _window_parts(sf_dir)
+        _user_partition_map(
+            _events(sf_dir, ["user_id", "ts", "event_id"]), _window_parts(sf_dir),
+            per_partition,
         )
-        .groupby("part")
-        .map_groups(per_partition, batch_format="pandas")
         .select_columns(["user_id", "n_events", "first_ts", "last_ts", "max_gap_us"])
     )
 
@@ -215,12 +281,11 @@ def asof_last_login(sf_dir: str) -> ray.data.Dataset:
         )
 
     return (
-        _with_user_part(
+        _user_partition_map(
             _events(sf_dir, ["event_id", "ts", "user_id", "event_type"]),
             _window_parts(sf_dir),
+            per_partition,
         )
-        .groupby("part")
-        .map_groups(per_partition, batch_format="pandas")
         .select_columns(["event_id", "signup_event_id"])
     )
 
@@ -447,11 +512,10 @@ def session_windows(sf_dir: str) -> ray.data.Dataset:
         )
 
     return (
-        _with_user_part(
-            _events(sf_dir, ["user_id", "ts", "event_id"]), _window_parts(sf_dir)
+        _user_partition_map(
+            _events(sf_dir, ["user_id", "ts", "event_id"]), _window_parts(sf_dir),
+            per_partition,
         )
-        .groupby("part")
-        .map_groups(per_partition, batch_format="pandas")
         .select_columns(["user_id", "session_id", "n_events", "first_ts", "last_ts"])
     )
 
@@ -620,11 +684,10 @@ def rolling_user_sum(sf_dir: str) -> ray.data.Dataset:
         )
 
     return (
-        _with_user_part(
-            _events(sf_dir, ["event_id", "user_id", "ts", "value"]), parts
+        _user_partition_map(
+            _events(sf_dir, ["event_id", "user_id", "ts", "value"]), parts,
+            per_partition,
         )
-        .groupby("part")
-        .map_groups(per_partition, batch_format="pandas")
         .select_columns(
             ["event_id", "user_id", "value_cents", "win_sum_cents", "n_window"]
         )
@@ -695,14 +758,13 @@ def funnel_conversion(sf_dir: str) -> ray.data.Dataset:
     from ray.data.aggregate import Sum
 
     return (
-        _with_user_part(
+        _user_partition_map(
             _events(sf_dir, ["user_id", "ts", "event_type"]).map_batches(
                 keep_stages, batch_format="pyarrow"
             ),
             _window_parts(sf_dir),
+            per_partition,
         )
-        .groupby("part")
-        .map_groups(per_partition, batch_format="pandas")
         .groupby("stage")
         .aggregate(Sum("n_partial", alias_name="n_users"))
     )
@@ -755,6 +817,14 @@ def cohort_retention(sf_dir: str) -> ray.data.Dataset:
         return src.group_by(["user_id", "week"]).aggregate([])
 
     def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame(
+                {
+                    "cohort_week": pd.array([], dtype="int64"),
+                    "offset_weeks": pd.array([], dtype="int64"),
+                    "n_partial": pd.array([], dtype="int64"),
+                }
+            )
         g = g.drop_duplicates(["user_id", "week"])
         w0 = g.groupby("user_id")["week"].transform("min")
         out = (
@@ -771,14 +841,13 @@ def cohort_retention(sf_dir: str) -> ray.data.Dataset:
     from ray.data.aggregate import Sum
 
     return (
-        _with_user_part(
+        _user_partition_map(
             _events(sf_dir, ["user_id", "ts"]).map_batches(
                 week_pairs, batch_format="pyarrow"
             ),
             _window_parts(sf_dir),
+            per_partition,
         )
-        .groupby("part")
-        .map_groups(per_partition, batch_format="pandas")
         .groupby(["cohort_week", "offset_weeks"])
         .aggregate(Sum("n_partial", alias_name="n_users"))
     )
@@ -843,11 +912,10 @@ def user_value_lag(sf_dir: str) -> ray.data.Dataset:
         )
 
     return (
-        _with_user_part(
-            _events(sf_dir, ["event_id", "user_id", "ts", "value"]), parts
+        _user_partition_map(
+            _events(sf_dir, ["event_id", "user_id", "ts", "value"]), parts,
+            per_partition,
         )
-        .groupby("part")
-        .map_groups(per_partition, batch_format="pandas")
         .select_columns(
             [
                 "event_id",
@@ -895,7 +963,7 @@ def orders_running_total(sf_dir: str) -> ray.data.Dataset:
             0x9E3779B97F4A7C15
         )
         part = ((h >> np.uint64(33)) % np.uint64(parts)).astype(np.int64)
-        return t.append_column("part", pa.array(part, pa.int64()))
+        return _strip_meta(t).append_column("part", pa.array(part, pa.int64()))
 
     def per_partition(g: pd.DataFrame) -> pd.DataFrame:
         if g.empty:
@@ -935,13 +1003,14 @@ def orders_running_total(sf_dir: str) -> ray.data.Dataset:
         )
 
     return (
-        ray.data.read_parquet(
-            f"{sf_dir}/orders.parquet",
-            columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+        _partition_map(
+            ray.data.read_parquet(
+                f"{sf_dir}/orders.parquet",
+                columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+            ).map_batches(add_part, batch_format="pyarrow"),
+            parts,
+            per_partition,
         )
-        .map_batches(add_part, batch_format="pyarrow")
-        .groupby("part")
-        .map_groups(per_partition, batch_format="pandas")
         .select_columns(
             [
                 "o_orderkey",
@@ -1070,11 +1139,10 @@ def event_transitions(sf_dir: str) -> ray.data.Dataset:
         return out.astype({"n_p": "int64"})
 
     return (
-        _with_user_part(
-            _events(sf_dir, ["user_id", "ts", "event_id", "event_type"]), parts
+        _user_partition_map(
+            _events(sf_dir, ["user_id", "ts", "event_id", "event_type"]), parts,
+            per_partition,
         )
-        .groupby("part")
-        .map_groups(per_partition, batch_format="pandas")
         .groupby(["from_type", "to_type"])
         .aggregate(Sum("n_p", alias_name="n_transitions"))
         .sort(["from_type", "to_type"])
@@ -1116,7 +1184,7 @@ def first_order_profile(sf_dir: str) -> ray.data.Dataset:
             0x9E3779B97F4A7C15
         )
         part = ((h >> np.uint64(33)) % np.uint64(parts)).astype(np.int64)
-        return t.append_column("part", pa.array(part, pa.int64()))
+        return _strip_meta(t).append_column("part", pa.array(part, pa.int64()))
 
     US_DAY = 86_400_000_000
 
@@ -1158,13 +1226,14 @@ def first_order_profile(sf_dir: str) -> ray.data.Dataset:
         )
 
     return (
-        ray.data.read_parquet(
-            f"{sf_dir}/orders.parquet",
-            columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+        _partition_map(
+            ray.data.read_parquet(
+                f"{sf_dir}/orders.parquet",
+                columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+            ).map_batches(add_part, batch_format="pyarrow"),
+            parts,
+            per_partition,
         )
-        .map_batches(add_part, batch_format="pyarrow")
-        .groupby("part")
-        .map_groups(per_partition, batch_format="pandas")
         .select_columns(
             [
                 "o_custkey",

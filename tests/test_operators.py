@@ -78,7 +78,54 @@ ORACLE_CHECKED = [
     "segment_price_rank", "first_order_profile", "forecast_revenue_change",
     "daily_active_users", "order_skyline", "lang_source_agg",
     "retained_users", "event_type_unpivot",
+    "translate_documents",
 ]
+
+
+def test_queries_dict_has_no_duplicate_keys():
+    """The driver's CORRECTNESS gate checks the FIRST 50 queries() entries
+    by dict order.  A duplicate key in the dict literal silently keeps the
+    first position and drops the later one, so reordering can shift the
+    window without any visible error (round-3 verdict item).  Parse the
+    AST and require every literal key to be unique."""
+    import ast
+    import pathlib
+
+    src = pathlib.Path(__file__).resolve().parent.parent / "__ray_entry__.py"
+    tree = ast.parse(src.read_text())
+    fn = next(
+        n for n in tree.body
+        if isinstance(n, ast.FunctionDef) and n.name == "queries"
+    )
+    ret = next(n for n in ast.walk(fn) if isinstance(n, ast.Return))
+    assert isinstance(ret.value, ast.Dict)
+    keys = [k.value for k in ret.value.keys if isinstance(k, ast.Constant)]
+    assert len(keys) == len(ret.value.keys), "non-literal key in queries()"
+    dupes = {k for k in keys if keys.count(k) > 1}
+    assert not dupes, f"duplicate queries() keys: {sorted(dupes)}"
+
+
+def test_round4_window_layout(entry_mod):
+    """Pin the round-4 CORRECTNESS window: the 22 round-3 oracle-backed
+    queries the driver never hash-checked plus translate_documents must
+    all sit inside the first 50 entries."""
+    window = list(entry_mod.queries())[:50]
+    must_check = {
+        "nation_trade_volume", "market_share", "brand_qty_revenue",
+        "dup_token_stats", "supplier_return_rate", "user_value_lag",
+        "chars_percentiles", "embedding_quant_stats", "orders_running_total",
+        "vocab_stats", "events_dow_hour", "copurchase_pairs",
+        "vocab_overlap", "event_transitions", "segment_price_rank",
+        "first_order_profile", "forecast_revenue_change",
+        "daily_active_users", "order_skyline", "lang_source_agg",
+        "retained_users", "event_type_unpivot", "translate_documents",
+    }
+    missing = must_check - set(window)
+    assert not missing, f"window is missing: {sorted(missing)}"
+    # every window entry must be oracle-backed (no wasted slots)
+    oracles = set(entry_mod.oracle_sql())
+    unbacked = [q for q in window if q not in oracles]
+    assert not unbacked, f"rows-only queries inside the window: {unbacked}"
 
 
 @pytest.mark.parametrize("name", ORACLE_CHECKED)
