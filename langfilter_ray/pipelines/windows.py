@@ -69,58 +69,54 @@ def _strip_meta(t: pa.Table) -> pa.Table:
     return t.replace_schema_metadata(None)
 
 
+def _clean_schema(path: str, columns: list[str]) -> pa.Schema:
+    """Column-pruned file schema with the pandas metadata REMOVED, passed
+    to read_parquet so every block is metadata-free from the source (the
+    cheapest fix for the unhashable-schema warning: no extra map stage,
+    and it covers the read operator's own bundles, which a downstream
+    strip stage cannot)."""
+    import pyarrow.parquet as pq
+
+    sch = pq.read_schema(path).remove_metadata()
+    return pa.schema([sch.field(c) for c in columns])
+
+
 def _events(sf_dir: str, columns: list[str]) -> ray.data.Dataset:
+    path = f"{sf_dir}/events.parquet"
     return ray.data.read_parquet(
-        f"{sf_dir}/events.parquet", columns=columns
-    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+        path, columns=columns, schema=_clean_schema(path, columns)
+    )
 
 
 def _partition_map(
     ds: ray.data.Dataset, parts: int, fn
 ) -> ray.data.Dataset:
-    """The module's partition exchange: HASH-shuffle rows to ``parts``
-    partitions by the precomputed ``part`` tag, then apply ``fn`` exactly
-    once per partition block (``map_batches(batch_size=None)``).
+    """The module's partition exchange: co-locate rows by the precomputed
+    ``part`` tag, then apply ``fn`` once per partition group.
 
-    This replaces ``groupby("part").map_groups(fn)`` (round-3 verdict
-    item): the sort-based groupby (a) pays a global range sort the
-    semantics don't need — co-location by ``part`` is enough, every
-    callback re-sorts by its real key internally — and (b) never calls
-    the UDF on empty partitions, so empty sort ranges emit SCHEMALESS
-    blocks ('RefBundle with a different schema ... new schema: .' in
-    BENCH_r03).  map_batches calls ``fn`` on empty blocks too, so the
-    typed-empty guard in every callback keeps each block schema-carrying.
+    Implementation note (round 4): a hash-shuffle repartition +
+    map_batches(batch_size=None) exchange was built and measured as the
+    intended replacement for this sort-based groupby — the right shape on
+    a long-lived cluster (no global range sort; the UDF runs on empty
+    partitions so every block keeps a typed schema) but Ray 2.49 spawns a
+    FRESH aggregator-actor pool per executed dataset, a fixed ~3s per
+    query at 32 CPUs that tripled every window query at bench scale
+    (user_value_lag 1.5s -> 4.5s, and it deadlocks a 4-CPU session
+    unless each pool is capped at a quarter of the CPUs).  At query
+    granularity the sort-based path reuses the warm task workers and
+    wins; ``parts`` stays volume-sized (callback count == partition
+    count, never user count) so one partition always fits a worker heap.
 
-    Aggregator-actor fan-out is capped at the session CPU count (the
-    hash-shuffle backend spawns one actor per partition otherwise —
-    CLAUDE.md's 4-CPU deadlock note); partition COUNT stays volume-sized
-    (``_window_parts``) so one partition always fits a worker heap."""
-    import ray as _ray
-    from ray.data.context import ShuffleStrategy
-
-    ctx = ds.context
-    ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-    cpus = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
-    # A QUARTER of the session per hash operator's aggregator-actor pool:
-    # plans here chain up to TWO hash ops (the exchange + a downstream
-    # combiner groupby), and Ray's defaults size each aggregator at
-    # 0.0625 CPU x (partitions/aggregators), which reaches 100% of a
-    # small session's CPUs and DEADLOCKS it (aggregators hold every
-    # slot, the producer tasks feeding them can never schedule — the same
-    # failure mode as CLAUDE.md's chained-join note; reproduced at
-    # 4 CPUs both with one op at a half-session budget and with
-    # funnel_conversion's two ops before this cap was added).
-    aggs = max(2, min(parts, cpus // 4))
-    ctx.max_hash_shuffle_aggregators = aggs
-    per_part_cpu = max(0.005, (cpus / 4) / parts)
-    ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = per_part_cpu
-    ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override = per_part_cpu
-    # downstream groupbys in the same plan inherit the hash strategy; size
-    # their partition count like the exchange instead of the 200 default
-    ctx.default_hash_shuffle_parallelism = parts
-    return ds.repartition(parts, keys=["part"], sort=False).map_batches(
-        fn, batch_size=None, batch_format="pandas"
-    )
+    Residual cosmetic warning: empty sort ranges emit one schemaless
+    block per operator ('RefBundle with a different schema ... new
+    schema: .', logged once per op).  That block is manufactured INSIDE
+    Ray for any all-to-all op with an empty output partition and
+    bypasses the UDF entirely (ray.data._internal.planner.
+    plan_udf_map_op.py:454-462, 'TODO(hchen): ... some all-to-all
+    operators output empty blocks with no schema'), so no user-side
+    typed-empty guard can remove it; the guards in every callback here
+    keep semantics correct regardless of which path delivers the batch."""
+    return ds.groupby("part").map_groups(fn, batch_format="pandas")
 
 
 def _user_partition_map(
@@ -1007,6 +1003,10 @@ def orders_running_total(sf_dir: str) -> ray.data.Dataset:
             ray.data.read_parquet(
                 f"{sf_dir}/orders.parquet",
                 columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+                schema=_clean_schema(
+                    f"{sf_dir}/orders.parquet",
+                    ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+                ),
             ).map_batches(add_part, batch_format="pyarrow"),
             parts,
             per_partition,
@@ -1230,6 +1230,10 @@ def first_order_profile(sf_dir: str) -> ray.data.Dataset:
             ray.data.read_parquet(
                 f"{sf_dir}/orders.parquet",
                 columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+                schema=_clean_schema(
+                    f"{sf_dir}/orders.parquet",
+                    ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+                ),
             ).map_batches(add_part, batch_format="pyarrow"),
             parts,
             per_partition,
