@@ -1,0 +1,126 @@
+"""Pluggable LID-model adapters for the cascade (the production-model seam).
+
+The cascade's scorer stage (``stages/cascade.py``) hosts ONE model object
+per actor and calls exactly three methods on it; any object implementing
+this contract can be plugged in via
+``CascadeScorer(cfg, model_factory=...)`` /
+``build_pipeline(..., model_factory=...)``:
+
+    classify(texts: list[str])      -> (langs: list[str], probs: ndarray)
+    classify_full(texts: list[str]) -> (langs, probs, ppls: ndarray)
+    forced_choice(texts, a="en", b="fr") -> list[str]
+
+``langs`` are ISO-639-1 codes ("und" when the model can't score a row),
+``probs`` are top-1 confidences in [0, 1], and ``ppls`` are perplexity-like
+"how unnatural is this text" scores (lower = more natural; ``inf`` for
+unscorable rows).  The factory is called once per actor in ``__init__``
+(reference pattern: the per-worker-process model singleton,
+/root/reference/langid_service/app/services/detector.py:20-47), so an
+expensive ``load_model`` is paid once per actor, never per batch.  Pass a
+module-level callable or ``functools.partial`` so Ray can pickle it to the
+actor constructors.
+
+The default model is the deterministic trigram stand-in
+(``functions/classifier.TrigramLidModel``); ``FastTextLidAdapter`` below is
+the documented real-model plug-in for fastText lid.176 (the north star's
+LID model).  fastText is not installed in this sandbox, so the adapter
+import-guards it and its unit tests run against the interface contract
+with a fake heavy model instead.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+_PPL_PROB_FLOOR = 1e-9
+
+
+class FastTextLidAdapter:
+    """fastText lid.176 behind the cascade's model interface.
+
+    Usage (outside this sandbox)::
+
+        from functools import partial
+        from langfilter_ray.functions.lid_adapters import FastTextLidAdapter
+        ds = build_pipeline(
+            read_corpus(path), cfg,
+            model_factory=partial(FastTextLidAdapter, "/models/lid.176.bin"),
+        )
+
+    Notes:
+    - ``load_model`` runs in ``__init__`` — once per actor (T1 contract).
+    - fastText labels come back as ``__label__xx``; the prefix is stripped
+      so the cascade sees bare ISO codes.
+    - fastText has no perplexity; ``ppl`` is the documented proxy
+      ``1 / max(prob, 1e-9)`` (monotone in model confidence).  The
+      cascade's ppl gates (``PipelineConfig.ppl_*``) were tuned for the
+      trigram model's exp(-mean_ll) scale, so retune them via config when
+      swapping the model in.
+    - Newlines are replaced with spaces before predict (fastText scores
+      one line per call and raises on embedded ``\\n``).
+    """
+
+    def __init__(self, model_path: str) -> None:
+        try:
+            import fasttext  # not bundled: external runtime dependency
+        except ImportError as exc:  # pragma: no cover - env-dependent
+            raise ImportError(
+                "FastTextLidAdapter requires the 'fasttext' package and a "
+                "lid.176 model file (https://fasttext.cc/docs/en/"
+                "language-identification.html); install fasttext and pass "
+                "the .bin path. In environments without it, use the default "
+                "TrigramLidModel."
+            ) from exc
+        self._model = fasttext.load_model(model_path)
+
+    @staticmethod
+    def _clean(texts: list[str]) -> list[str]:
+        return [(t or "").replace("\n", " ") for t in texts]
+
+    def classify_full(
+        self, texts: list[str]
+    ) -> tuple[list[str], np.ndarray, np.ndarray]:
+        clean = self._clean(texts)
+        n = len(clean)
+        langs: list[str] = []
+        probs = np.zeros(n, dtype=np.float64)
+        ppls = np.full(n, np.inf, dtype=np.float64)
+        if n == 0:
+            return langs, probs, ppls
+        labels, scores = self._model.predict(clean, k=1)
+        for i in range(n):
+            if not clean[i].strip() or not labels[i]:
+                langs.append("und")
+                continue
+            langs.append(labels[i][0].removeprefix("__label__"))
+            probs[i] = float(min(scores[i][0], 1.0))
+            ppls[i] = 1.0 / max(probs[i], _PPL_PROB_FLOOR)
+        return langs, probs, ppls
+
+    def classify(self, texts: list[str]) -> tuple[list[str], np.ndarray]:
+        langs, probs, _ = self.classify_full(texts)
+        return langs, probs
+
+    def forced_choice(
+        self, texts: list[str], a: str = "en", b: str = "fr"
+    ) -> list[str]:
+        """Argmax between exactly two languages over the FULL label
+        distribution (k=-1); ties and unscorable rows choose ``a``, like
+        the reference fallback (lang_gate.py:231-253)."""
+        clean = self._clean(texts)
+        out: list[str] = []
+        if not clean:
+            return out
+        la, lb = f"__label__{a}", f"__label__{b}"
+        labels, scores = self._model.predict(clean, k=-1)
+        for i in range(len(clean)):
+            row = dict(zip(labels[i], scores[i]))
+            out.append(a if row.get(la, 0.0) >= row.get(lb, 0.0) else b)
+        return out
+
+
+def fasttext_factory(model_path: str):
+    """Picklable zero-arg factory for ``model_factory=``."""
+    return partial(FastTextLidAdapter, model_path)

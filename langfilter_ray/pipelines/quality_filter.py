@@ -25,6 +25,7 @@ in the caller.
 
 from __future__ import annotations
 
+import functools
 import zlib
 
 import numpy as np
@@ -108,6 +109,7 @@ def build_pipeline(
     scorer_mode: str = "actors",
     salt: int = 1,
     live_metrics: bool = False,
+    model_factory=None,
 ) -> ray.data.Dataset:
     """Lazy Dataset: partition id -> (optional partition filter for resume)
     -> cascade actor pool (scrub fused in by default).  Nothing executes
@@ -124,6 +126,14 @@ def build_pipeline(
     millisecond-load trigram model because task scheduling work-steals
     perfectly, and worker processes are reused so the model still builds
     once per process.  Results are bit-identical in both modes.
+
+    ``model_factory``: the pluggable real-LID-model seam — a picklable
+    zero-arg callable (module-level callable or ``functools.partial``)
+    returning any object with the ``classify / classify_full /
+    forced_choice`` interface; called once per actor (or once per worker
+    process in tasks mode).  Default: the deterministic trigram stand-in.
+    See ``functions/lid_adapters.py`` for the contract and the
+    fastText-lid.176 adapter.
 
     ``live_metrics=True`` wires each scorer (actor-pool actor or
     tasks-mode per-process cache) to the shared named counter actor
@@ -166,7 +176,7 @@ def build_pipeline(
             _cascade_task,
             fn_kwargs={
                 "cfg": cfg, "scrub": fuse_scrub, "drop_content": drop_content,
-                "live_metrics": live_metrics,
+                "live_metrics": live_metrics, "model_factory": model_factory,
             },
             batch_format="pyarrow",
             batch_size=batch_size,
@@ -176,7 +186,7 @@ def build_pipeline(
             CascadeScorer,
             fn_constructor_kwargs={
                 "cfg": cfg, "scrub": fuse_scrub, "drop_content": drop_content,
-                "live_metrics": live_metrics,
+                "live_metrics": live_metrics, "model_factory": model_factory,
             },
             batch_format="pyarrow",
             batch_size=batch_size,
@@ -216,20 +226,27 @@ _TASK_SCORERS: dict = {}
 
 def _cascade_task(
     batch: pa.Table, cfg: PipelineConfig, scrub: bool, drop_content: bool,
-    live_metrics: bool = False,
+    live_metrics: bool = False, model_factory=None,
 ) -> pa.Table:
     """Stateless-task variant of the scorer stage: the model is built once
     per (worker process, config) and cached — Ray reuses worker processes,
     so this amortizes exactly like an actor would for a cheap-to-load
     model.  ``live_metrics`` wires the cached scorer to the shared named
     counter actor, same as actors mode (it would otherwise silently count
-    nothing)."""
-    key = (cfg.config_hash(), scrub, drop_content, live_metrics)
+    nothing).  ``model_factory`` keys the cache by the callable itself:
+    module-level callables and functools.partial unpickle to equal
+    objects, so the model still builds once per worker process (a closure
+    or lambda would defeat the cache — pass a named callable)."""
+    fkey = model_factory
+    if isinstance(model_factory, functools.partial):
+        fkey = (model_factory.func, model_factory.args,
+                tuple(sorted(model_factory.keywords.items())))
+    key = (cfg.config_hash(), scrub, drop_content, live_metrics, fkey)
     scorer = _TASK_SCORERS.get(key)
     if scorer is None:
         scorer = CascadeScorer(
             cfg, scrub=scrub, drop_content=drop_content,
-            live_metrics=live_metrics,
+            live_metrics=live_metrics, model_factory=model_factory,
         )
         _TASK_SCORERS[key] = scorer
     return scorer(batch)

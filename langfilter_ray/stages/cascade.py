@@ -99,11 +99,19 @@ class CascadeScorer:
         scrub: bool = False,
         drop_content: bool = False,
         live_metrics: bool = False,
+        model_factory=None,
     ) -> None:
         self.cfg = cfg
         self.scrub = scrub
         self.drop_content = drop_content
-        self.model = TrigramLidModel()   # once per actor (T1 analog)
+        # ONE model build per actor (T1 analog).  ``model_factory`` is the
+        # pluggable real-model seam: any zero-arg callable returning an
+        # object with classify / classify_full / forced_choice (interface
+        # contract + the fastText-lid.176 plug-in documented in
+        # functions/lid_adapters.py); default is the deterministic trigram
+        # stand-in.  Pass a module-level callable or functools.partial so
+        # Ray can pickle it into the actor constructor.
+        self.model = (model_factory or TrigramLidModel)()
         self._metrics = None
         if live_metrics:
             # named zero-CPU counter actor, shared across the pool; batches

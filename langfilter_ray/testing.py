@@ -102,3 +102,45 @@ def first_diff(got: pd.DataFrame, want: pd.DataFrame) -> str:
             i = neq.idxmax()
             return f"first diff [{col}] row {i}: {got[col][i]!r} vs {want[col][i]!r}"
     return ""
+
+
+# --- injectable fake model for the pluggable-LID seam ----------------------
+# Lives in the package (not tests/) so Ray workers can unpickle it: pytest
+# imports test modules as top-level names that worker processes cannot
+# resolve.
+
+import os as _os
+import tempfile as _tempfile
+
+import numpy as _np
+
+FAKE_MODEL_LOAD_LOG = _os.path.join(
+    _tempfile.gettempdir(), "langfilter_fake_model_loads.log"
+)
+
+
+class FakeHeavyModel:
+    """Stand-in for an expensive real LID model behind the cascade's
+    model interface (classify / classify_full / forced_choice): every
+    construction appends its pid to FAKE_MODEL_LOAD_LOG so tests can
+    assert one load per actor / worker process.  Scores everything as
+    confident English."""
+
+    def __init__(self) -> None:
+        with open(FAKE_MODEL_LOAD_LOG, "a") as f:
+            f.write(f"{_os.getpid()}\n")
+
+    def classify_full(self, texts):
+        n = len(texts)
+        return (
+            ["en"] * n,
+            _np.full(n, 0.99, dtype=_np.float64),
+            _np.full(n, 1.5, dtype=_np.float64),
+        )
+
+    def classify(self, texts):
+        langs, probs, _ = self.classify_full(texts)
+        return langs, probs
+
+    def forced_choice(self, texts, a="en", b="fr"):
+        return [a] * len(texts)
