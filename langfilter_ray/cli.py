@@ -64,6 +64,11 @@ def main(argv: list[str] | None = None) -> int:
                       help="override a PipelineConfig field")
     runp.add_argument("--strict", action="store_true",
                       help="strict-reject mode (drop at ingest)")
+    runp.add_argument("--incremental", action="store_true",
+                      help="process only parquet files not yet in the "
+                           "output's ingest ledger (_ingested.jsonl) — "
+                           "the continuous-queue analog; re-run after new "
+                           "files arrive and only they are processed")
 
     repp = sub.add_parser("report", help="summarize a run's manifest")
     repp.add_argument("--output", required=True)
@@ -122,13 +127,14 @@ def main(argv: list[str] | None = None) -> int:
             return 0
 
         from .config import PipelineConfig
-        from .state.checkpoint import run_with_checkpoints
+        from .state.checkpoint import run_incremental, run_with_checkpoints
 
         cfg = PipelineConfig.from_env()
         cfg = _apply_overrides(cfg, args.set)
         if args.strict:
             cfg = dataclasses.replace(cfg, strict_reject=True)
-        summary = run_with_checkpoints(
+        runner = run_incremental if args.incremental else run_with_checkpoints
+        summary = runner(
             args.input, args.output, cfg,
             num_parts=args.num_parts, batch_size=args.batch_size,
             concurrency=args.concurrency, wave_size=args.wave_size,

@@ -1,0 +1,122 @@
+"""Incremental ingest (the reference's continuous job queue, batch-native):
+re-running over a corpus directory processes ONLY files that arrived since
+the last run, the union output is byte-equal to one full run, reruns with
+nothing new are no-ops, and a crash mid-ingest resumes without duplicates."""
+
+from __future__ import annotations
+
+import json
+import shutil
+from pathlib import Path
+
+import pandas as pd
+import pyarrow.dataset as pads
+import pytest
+
+from langfilter_ray.config import PipelineConfig
+from langfilter_ray.corpus import gen_table
+from langfilter_ray.state.checkpoint import (
+    ingest_log_path,
+    run_incremental,
+    run_with_checkpoints,
+)
+
+N_PARTS = 8
+CFG = PipelineConfig()
+
+
+def _write_file(dir_: Path, name: str, n: int, start: int) -> None:
+    import pyarrow.parquet as pq
+
+    dir_.mkdir(parents=True, exist_ok=True)
+    pq.write_table(gen_table(n, 42, start), dir_ / name)
+
+
+def _labels(out_dir: Path) -> pd.DataFrame:
+    dset = pads.dataset(out_dir, format="parquet", partitioning="hive")
+    df = dset.to_table(
+        columns=["repo", "path", "commit", "keep", "gate_decision", "language"]
+    ).to_pandas()
+    return df.sort_values(["repo", "path", "commit"]).reset_index(drop=True)
+
+
+@pytest.fixture()
+def corpus(tmp_path: Path) -> Path:
+    d = tmp_path / "corpus"
+    _write_file(d, "a.parquet", 120, 0)
+    _write_file(d, "b.parquet", 120, 120)
+    return d
+
+
+def test_incremental_processes_only_new_files(ray_session, tmp_path, corpus):
+    out = tmp_path / "out"
+    s1 = run_incremental(corpus, out, CFG, num_parts=N_PARTS)
+    assert s1["new_files"] == 2 and s1["ingests"] == 1
+    assert s1["rows_in"] == 240
+
+    first_ingest = sorted(out.glob("ingest=*"))
+    assert len(first_ingest) == 1
+    stamp_before = {
+        p: p.stat().st_mtime_ns for p in first_ingest[0].rglob("*.parquet")
+    }
+
+    # a new file arrives; only it is processed, the first ingest untouched
+    _write_file(corpus, "c.parquet", 60, 240)
+    s2 = run_incremental(corpus, out, CFG, num_parts=N_PARTS)
+    assert s2["new_files"] == 1 and s2["ingests"] == 2
+    assert s2["rows_in"] == 300
+    stamp_after = {
+        p: p.stat().st_mtime_ns for p in first_ingest[0].rglob("*.parquet")
+    }
+    assert stamp_before == stamp_after, "existing ingest output was rewritten"
+
+    # union output == one full run over all three files (order-free)
+    full_out = tmp_path / "full"
+    run_with_checkpoints(corpus, full_out, CFG, num_parts=N_PARTS)
+    got, want = _labels(out), _labels(full_out)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_incremental_rerun_is_noop(ray_session, tmp_path, corpus):
+    out = tmp_path / "out"
+    run_incremental(corpus, out, CFG, num_parts=N_PARTS)
+    log_lines = ingest_log_path(out).read_text().count("\n")
+    s = run_incremental(corpus, out, CFG, num_parts=N_PARTS)
+    assert s["new_files"] == 0 and s["resumed_ingests"] == 0
+    assert ingest_log_path(out).read_text().count("\n") == log_lines
+
+
+def test_incremental_resumes_crashed_ingest_without_duplicates(
+    ray_session, tmp_path, corpus
+):
+    out = tmp_path / "out"
+    run_incremental(corpus, out, CFG, num_parts=N_PARTS)
+
+    _write_file(corpus, "c.parquet", 60, 240)
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_incremental(
+            corpus, out, CFG, num_parts=N_PARTS, wave_size=2, fail_after_waves=1
+        )
+    # the crashed ingest is claimed but not done; ANOTHER file arrives
+    _write_file(corpus, "d.parquet", 60, 300)
+    s = run_incremental(corpus, out, CFG, num_parts=N_PARTS)
+    assert s["resumed_ingests"] == 1      # c.parquet's claim finished first
+    assert s["new_files"] == 1            # d.parquet became its own ingest
+    assert s["rows_in"] == 360
+
+    full_out = tmp_path / "full"
+    run_with_checkpoints(corpus, full_out, CFG, num_parts=N_PARTS)
+    pd.testing.assert_frame_equal(_labels(out), _labels(full_out))
+
+
+def test_incremental_refuses_config_mix_on_pending(ray_session, tmp_path, corpus):
+    out = tmp_path / "out"
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_incremental(
+            corpus, out, CFG, num_parts=N_PARTS, wave_size=2, fail_after_waves=1
+        )
+    import dataclasses
+
+    other = dataclasses.replace(CFG, strict_reject=True)
+    with pytest.raises(RuntimeError, match="config_hash"):
+        run_incremental(corpus, out, other, num_parts=N_PARTS)
