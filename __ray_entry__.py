@@ -150,6 +150,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": text_analysis.token_counts,
         "stopword_stats": text_analysis.stopword_stats,
         "langid_heuristic": text_analysis.langid_heuristic,
+        # round-4 additions (oracle-backed, past the window — its slots
+        # are reserved for the reconfirmation queue; in-process oracle
+        # tests cover these at sf0.001)
+        "pack_sequences": text_analysis.pack_sequences,
         # rows-only by design (stateful / approximate / stubbed) ------------
         "multimodal_decode": multimodal.multimodal_decode,
         "multimodal_resize": multimodal.multimodal_resize,

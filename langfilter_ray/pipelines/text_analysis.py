@@ -1831,3 +1831,121 @@ ORACLES["lang_source_agg"] = (
     "string_agg(DISTINCT source, ',' ORDER BY source) AS sources "
     "FROM documents GROUP BY 1 ORDER BY 1"
 )
+
+
+# ---- sequence packing (LLM pre-training layout) ----------------------------
+
+PACK_SEQ_TOKENS = 512            # training sequence capacity, in tokens
+_PACK_ROWS_PER_PART = 2_000_000  # id-range partition sizing (metadata only)
+
+
+def pack_sequences(sf_dir: str) -> ray.data.Dataset:
+    """Concat-and-chunk sequence packing — assign every document its slot
+    in the packed pre-training token stream: documents concatenated in
+    doc_id order, chopped into PACK_SEQ_TOKENS-capacity sequences;
+    ``seq_id`` is the sequence holding the doc's FIRST token and
+    ``offset_in_seq`` its position there (docs may straddle a boundary,
+    exactly like real packing with document concatenation).
+
+    Distributed shape — a GLOBAL ORDERED PREFIX SUM, the op a naive port
+    would do with one driver-side pass over sorted rows:
+
+      pass 1  range-partition by doc_id (contiguous id ranges sized from
+              parquet metadata), count tokens per doc vectorized, and
+              reduce to ONE (part, token_sum) row per partition — only
+              ``parts`` rows ever reach the driver;
+      fold    driver cumsums the <= ``parts`` values into prefix offsets
+              (bounded driver state, annotated to_pandas);
+      pass 2  re-scan, exchange rows by part (16 bytes/row shuffle), and
+              inside each partition one sort + cumsum + the broadcast
+              offset yields the exact global running total before every
+              doc; seq assignment is an int64 divmod.
+
+    Token counting runs twice — two cheap streaming scans instead of
+    materializing the counted table, the honest distributed trade."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    path = f"{sf_dir}/documents.parquet"
+    n_rows = pq.read_metadata(path).num_rows
+    parts = max(8, n_rows // _PACK_ROWS_PER_PART)
+    cap = PACK_SEQ_TOKENS
+
+    def tokens_with_part(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        part = np.minimum(
+            ids * parts // max(n_rows, 1), parts - 1
+        ).astype(np.int64)
+        nt = pc.cast(pc.count_substring_regex(t["text"], TOKEN_RE), pa.int64())
+        return pa.table(
+            {
+                "part": pa.array(part, pa.int64()),
+                "doc_id": t["doc_id"],
+                "n_tokens": nt,
+            }
+        )
+
+    def part_partials(t: pa.Table) -> pa.Table:
+        # in-batch combiner: one row per (batch, part) crosses the shuffle
+        g = t.group_by("part").aggregate([("n_tokens", "sum")])
+        return g.rename_columns(["part", "n_partial"])
+
+    counted = lambda: _docs_cols(sf_dir, ["doc_id", "text"]).map_batches(  # noqa: E731
+        tokens_with_part, batch_format="pyarrow"
+    )
+
+    # pass 1 + fold: <= parts rows — a bounded aggregate (driver state is
+    # O(parts), never O(rows))
+    sums_df = (
+        counted()
+        .map_batches(part_partials, batch_format="pyarrow")
+        .groupby("part")
+        .aggregate(Sum("n_partial", alias_name="part_tokens"))
+        .to_pandas()
+    )
+    sums = np.zeros(parts, dtype=np.int64)
+    sums[sums_df["part"].to_numpy()] = sums_df["part_tokens"].to_numpy()
+    offsets = np.concatenate(([0], np.cumsum(sums)[:-1]))
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.array([], dtype="int64"),
+                    "n_tokens": pd.array([], dtype="int64"),
+                    "seq_id": pd.array([], dtype="int64"),
+                    "offset_in_seq": pd.array([], dtype="int64"),
+                }
+            )
+        g = g.sort_values("doc_id").reset_index(drop=True)
+        nt = g["n_tokens"].to_numpy()
+        cum_before = offsets[int(g["part"].iloc[0])] + np.concatenate(
+            ([0], np.cumsum(nt)[:-1])
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(),
+                "n_tokens": nt,
+                "seq_id": cum_before // cap,
+                "offset_in_seq": cum_before % cap,
+            }
+        )
+
+    return (
+        counted()
+        .groupby("part")
+        .map_groups(per_partition, batch_format="pandas")
+        .select_columns(["doc_id", "n_tokens", "seq_id", "offset_in_seq"])
+    )
+
+
+ORACLES["pack_sequences"] = (
+    f"WITH c AS (SELECT doc_id, len(regexp_extract_all(text, '{TOKEN_RE}'))::BIGINT "
+    "AS n_tokens FROM documents), "
+    "w AS (SELECT doc_id, n_tokens, coalesce(sum(n_tokens) OVER ("
+    "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT "
+    "AS cum_before FROM c) "
+    f"SELECT doc_id, n_tokens, (cum_before // {PACK_SEQ_TOKENS})::BIGINT AS seq_id, "
+    f"(cum_before % {PACK_SEQ_TOKENS})::BIGINT AS offset_in_seq FROM w"
+)
