@@ -154,6 +154,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # are reserved for the reconfirmation queue; in-process oracle
         # tests cover these at sf0.001)
         "pack_sequences": text_analysis.pack_sequences,
+        "mix_downsample": text_analysis.mix_downsample,
+        "shuffle_order": text_analysis.shuffle_order,
         # rows-only by design (stateful / approximate / stubbed) ------------
         "multimodal_decode": multimodal.multimodal_decode,
         "multimodal_resize": multimodal.multimodal_resize,

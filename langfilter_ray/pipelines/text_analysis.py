@@ -1949,3 +1949,157 @@ ORACLES["pack_sequences"] = (
     f"SELECT doc_id, n_tokens, (cum_before // {PACK_SEQ_TOKENS})::BIGINT AS seq_id, "
     f"(cum_before % {PACK_SEQ_TOKENS})::BIGINT AS offset_in_seq FROM w"
 )
+
+
+# ---- deterministic corpus mixing / ordering --------------------------------
+
+# target keep-rates per language in basis points (the data-mixing knob of a
+# training pipeline: rebalance a crawl toward a target language mix).
+# Shared verbatim with the SQL oracle below — one source of truth.
+MIX_RATES_BP = {"en": 9000, "fr": 7000, "de": 5000, "es": 3000}
+MIX_DEFAULT_BP = 10000           # unlisted languages keep everything
+_LCG_MOD = 2_147_483_648         # 2^31: products stay inside BIGINT/int64
+_LCG_MUL = 1_103_515_245
+_LCG_ADD = 12_345
+
+
+def _lcg_hash(ids: np.ndarray) -> np.ndarray:
+    """Deterministic per-doc hash reproducible bit-for-bit in DuckDB SQL
+    (plain BIGINT arithmetic, no engine hash functions): a single LCG
+    step over doc_id mod 2^31.  Multiplier x modulus < 2^62 so the
+    intermediate product never overflows int64 on either engine."""
+    return ((ids % _LCG_MOD) * _LCG_MUL + _LCG_ADD) % _LCG_MOD
+
+
+_LCG_SQL = f"(((doc_id % {_LCG_MOD}) * {_LCG_MUL} + {_LCG_ADD}) % {_LCG_MOD})"
+
+
+def mix_downsample(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic hash-Bernoulli downsampling to a target language mix
+    (the Pile/fineweb-style mixing step): keep a doc iff
+    ``lcg(doc_id) % 10000 < rate_bp[lang]``.  Pure per-row math — a
+    map-only filter with NO shuffle and no RNG state, so the sample is
+    identical across runs, partitionings and cluster sizes, and any
+    subset of the input can be re-sampled independently (exactly what a
+    resumable 100 TB mixing job needs)."""
+
+    langs = list(MIX_RATES_BP)
+    rate_arr = np.array(
+        [MIX_RATES_BP[lang] for lang in langs] + [MIX_DEFAULT_BP],
+        dtype=np.int64,
+    )
+    lang_keys = pa.array(langs, pa.string())
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        draw = _lcg_hash(ids) % 10000
+        idx = pc.index_in(t["lang"], value_set=lang_keys)
+        rates = rate_arr[pc.fill_null(idx, len(langs)).to_numpy()]
+        return t.filter(pa.array(draw < rates))
+
+    return _docs_cols(sf_dir, ["doc_id", "lang"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+def _mix_rate_case() -> str:
+    whens = " ".join(
+        f"WHEN '{lang}' THEN {bp}" for lang, bp in MIX_RATES_BP.items()
+    )
+    return f"CASE lang {whens} ELSE {MIX_DEFAULT_BP} END"
+
+
+ORACLES["mix_downsample"] = (
+    "SELECT doc_id, lang FROM documents "
+    f"WHERE {_LCG_SQL} % 10000 < {_mix_rate_case()}"
+)
+
+
+_SHUFFLE_PARTS_MIN = 64
+_SHUFFLE_ROWS_PER_PART = 2_000_000
+
+
+def shuffle_order(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic pseudo-random TRAINING ORDER without a global sort:
+    every doc gets its rank in the permutation induced by ordering on
+    ``(lcg(doc_id), doc_id)`` — what a naive engine computes with one
+    giant ORDER BY + row_number().
+
+    Distributed shape (second use of the global-prefix-sum pattern from
+    ``pack_sequences``): hash values range-partition into ``parts``
+    contiguous hash intervals, pass 1 reduces per-partition COUNTS
+    (<= parts rows to the driver), the fold turns them into rank
+    offsets, and pass 2 sorts only WITHIN each partition (each ~2M rows)
+    — total work O(n log(n/parts)) with no all-to-all sort exchange.
+
+    The tie-break on doc_id makes the order total, so ranks match the
+    SQL row_number oracle exactly even under LCG collisions."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    path = f"{sf_dir}/documents.parquet"
+    n_rows = pq.read_metadata(path).num_rows
+    parts = max(_SHUFFLE_PARTS_MIN, n_rows // _SHUFFLE_ROWS_PER_PART)
+
+    def hashed(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        h = _lcg_hash(ids)
+        part = np.minimum(h * parts // _LCG_MOD, parts - 1).astype(np.int64)
+        return pa.table(
+            {
+                "part": pa.array(part, pa.int64()),
+                "h": pa.array(h, pa.int64()),
+                "doc_id": t["doc_id"],
+            }
+        )
+
+    def part_counts(t: pa.Table) -> pa.Table:
+        g = t.group_by("part").aggregate([("h", "count")])
+        return g.rename_columns(["part", "n_partial"])
+
+    src = lambda: _docs_cols(sf_dir, ["doc_id"]).map_batches(  # noqa: E731
+        hashed, batch_format="pyarrow"
+    )
+
+    # pass 1 + fold: bounded driver state (<= parts rows)
+    counts_df = (
+        src()
+        .map_batches(part_counts, batch_format="pyarrow")
+        .groupby("part")
+        .aggregate(Sum("n_partial", alias_name="n"))
+        .to_pandas()
+    )
+    counts = np.zeros(parts, dtype=np.int64)
+    counts[counts_df["part"].to_numpy()] = counts_df["n"].to_numpy()
+    offsets = np.concatenate(([0], np.cumsum(counts)[:-1]))
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.array([], dtype="int64"),
+                    "train_pos": pd.array([], dtype="int64"),
+                }
+            )
+        g = g.sort_values(["h", "doc_id"]).reset_index(drop=True)
+        base = offsets[int(g["part"].iloc[0])]
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(),
+                "train_pos": base + np.arange(len(g), dtype=np.int64),
+            }
+        )
+
+    return (
+        src()
+        .groupby("part")
+        .map_groups(per_partition, batch_format="pandas")
+        .select_columns(["doc_id", "train_pos"])
+    )
+
+
+ORACLES["shuffle_order"] = (
+    f"SELECT doc_id, (row_number() OVER (ORDER BY {_LCG_SQL}, doc_id) - 1)"
+    "::BIGINT AS train_pos FROM documents"
+)

@@ -78,7 +78,8 @@ ORACLE_CHECKED = [
     "segment_price_rank", "first_order_profile", "forecast_revenue_change",
     "daily_active_users", "order_skyline", "lang_source_agg",
     "retained_users", "event_type_unpivot",
-    "translate_documents", "pack_sequences",
+    "translate_documents", "pack_sequences", "mix_downsample",
+    "shuffle_order",
 ]
 
 
