@@ -156,6 +156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": text_analysis.pack_sequences,
         "mix_downsample": text_analysis.mix_downsample,
         "shuffle_order": text_analysis.shuffle_order,
+        "bloom_semi_join_exact": relational.bloom_semi_join_exact,
         # rows-only by design (stateful / approximate / stubbed) ------------
         "multimodal_decode": multimodal.multimodal_decode,
         "multimodal_resize": multimodal.multimodal_resize,

@@ -968,6 +968,49 @@ def bloom_semi_join(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def bloom_semi_join_exact(sf_dir: str) -> ray.data.Dataset:
+    """The 100 TB shape ``bloom_semi_join`` documents, completed: the
+    Bloom superset from the prefilter is verified with an EXACT hash
+    semi-join against the distinct build keys, so the result is the
+    precise semi-join while the join only ever shuffles the prefilter's
+    survivors (matching rows + the ~1e-3 false-positive tail) instead of
+    the full probe stream.  Oracle-checked (SQL EXISTS)."""
+
+    def distinct_purchasers(t: pa.Table) -> pa.Table:
+        # in-batch unique combiner: <= distinct-per-batch rows shuffle
+        keys = t.filter(pc.equal(t["event_type"], "purchase"))["user_id"]
+        u = np.unique(keys.to_numpy())
+        return pa.table({"user_id": pa.array(u, pa.int64())})
+
+    build = (
+        _read(sf_dir, "events", ["user_id", "event_type"])
+        .map_batches(distinct_purchasers, batch_format="pyarrow")
+        .groupby("user_id")
+        .count()
+        .select_columns(["user_id"])
+    )
+    # an ALL-empty join side crashes the hash-shuffle aggregator
+    # (CLAUDE.md) — short-circuit to a typed empty result if no purchase
+    # exists (limit(1) stops the scan at the first match)
+    if build.limit(1).count() == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "event_type": pa.array([], pa.string()),
+                }
+            )
+        )
+    return bloom_semi_join(sf_dir).join(
+        build,
+        join_type="inner",
+        num_partitions=_join_parts(),
+        on=("user_id",),
+        right_on=("user_id",),
+    ).select_columns(["event_id", "user_id", "event_type"])
+
+
 # ---- approximate quantiles (mergeable histogram sketch) ------------------
 
 _QUANT_BINS = 4096
@@ -3988,4 +4031,11 @@ ORACLES["event_type_unpivot"] = (
     "LEFT JOIN counts ON counts.user_bucket = b.user_bucket "
     "AND counts.event_type = t.event_type "
     "ORDER BY 1, 2"
+)
+
+
+ORACLES["bloom_semi_join_exact"] = (
+    "SELECT event_id, user_id, event_type FROM events e "
+    "WHERE EXISTS (SELECT 1 FROM events p "
+    "WHERE p.user_id = e.user_id AND p.event_type = 'purchase')"
 )
