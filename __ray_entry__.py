@@ -157,6 +157,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mix_downsample": text_analysis.mix_downsample,
         "shuffle_order": text_analysis.shuffle_order,
         "bloom_semi_join_exact": relational.bloom_semi_join_exact,
+        "length_rank_tiers": text_analysis.length_rank_tiers,
         # rows-only by design (stateful / approximate / stubbed) ------------
         "multimodal_decode": multimodal.multimodal_decode,
         "multimodal_resize": multimodal.multimodal_resize,

@@ -2103,3 +2103,116 @@ ORACLES["shuffle_order"] = (
     f"SELECT doc_id, (row_number() OVER (ORDER BY {_LCG_SQL}, doc_id) - 1)"
     "::BIGINT AS train_pos FROM documents"
 )
+
+
+# ---- curriculum binning by document length ---------------------------------
+
+LENGTH_TIERS = 4
+
+
+def length_rank_tiers(sf_dir: str) -> ray.data.Dataset:
+    """Curriculum binning: every doc's global rank by (n_chars, doc_id)
+    plus its quartile tier ``(rank * 4) // n`` — the ordering step of a
+    short-to-long training curriculum, i.e. a global ORDER BY +
+    row_number() computed WITHOUT a global sort exchange.
+
+    Third use of the two-pass prefix pattern (``pack_sequences`` /
+    ``shuffle_order``), this time partitioned by VALUE RANGE so partition
+    order equals rank order: parquet column statistics give the exact
+    [min, max] of ``n_chars`` for free, each row maps to a contiguous
+    value interval, pass 1 folds per-interval COUNTS (<= parts rows to
+    the driver) into rank offsets, and pass 2 sorts only inside each
+    interval.  Production caveat (stated per the guide): equal-width
+    value intervals skew under concentrated distributions — swap the
+    grid for sampled quantile boundaries at real scale; rank arithmetic
+    is unchanged."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    path = f"{sf_dir}/documents.parquet"
+    md = pq.read_metadata(path)
+    n_rows = md.num_rows
+    lo, hi = None, None
+    for rg in range(md.num_row_groups):
+        for ci in range(md.num_columns):
+            col = md.row_group(rg).column(ci)
+            if col.path_in_schema == "n_chars" and col.statistics is not None:
+                st = col.statistics
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+    if lo is None:      # no stats: single partition (still correct)
+        lo, hi = 0, 0
+    span = max(hi - lo + 1, 1)
+    parts = max(8, n_rows // _PACK_ROWS_PER_PART)
+
+    def with_part(t: pa.Table) -> pa.Table:
+        nc = t["n_chars"].to_numpy()
+        part = np.clip((nc - lo) * parts // span, 0, parts - 1).astype(np.int64)
+        return pa.table(
+            {
+                "part": pa.array(part, pa.int64()),
+                "doc_id": t["doc_id"],
+                "n_chars": t["n_chars"],
+            }
+        )
+
+    def part_counts(t: pa.Table) -> pa.Table:
+        g = t.group_by("part").aggregate([("doc_id", "count")])
+        return g.rename_columns(["part", "n_partial"])
+
+    src = lambda: _docs_cols(sf_dir, ["doc_id", "n_chars"]).map_batches(  # noqa: E731
+        with_part, batch_format="pyarrow"
+    )
+
+    # pass 1 + fold: bounded driver state (<= parts rows)
+    counts_df = (
+        src()
+        .map_batches(part_counts, batch_format="pyarrow")
+        .groupby("part")
+        .aggregate(Sum("n_partial", alias_name="n"))
+        .to_pandas()
+    )
+    counts = np.zeros(parts, dtype=np.int64)
+    counts[counts_df["part"].to_numpy()] = counts_df["n"].to_numpy()
+    offsets = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    total = int(counts.sum())
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.array([], dtype="int64"),
+                    "n_chars": pd.array([], dtype="int64"),
+                    "length_rank": pd.array([], dtype="int64"),
+                    "size_tier": pd.array([], dtype="int64"),
+                }
+            )
+        g = g.sort_values(["n_chars", "doc_id"]).reset_index(drop=True)
+        rank = offsets[int(g["part"].iloc[0])] + np.arange(
+            len(g), dtype=np.int64
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(),
+                "n_chars": g["n_chars"].to_numpy(),
+                "length_rank": rank,
+                "size_tier": rank * LENGTH_TIERS // max(total, 1),
+            }
+        )
+
+    return (
+        src()
+        .groupby("part")
+        .map_groups(per_partition, batch_format="pandas")
+        .select_columns(["doc_id", "n_chars", "length_rank", "size_tier"])
+    )
+
+
+ORACLES["length_rank_tiers"] = (
+    "WITH r AS (SELECT doc_id, n_chars, "
+    "(row_number() OVER (ORDER BY n_chars, doc_id) - 1)::BIGINT AS length_rank, "
+    "count(*) OVER ()::BIGINT AS n FROM documents) "
+    "SELECT doc_id, n_chars, length_rank, "
+    f"(length_rank * {LENGTH_TIERS} // n)::BIGINT AS size_tier FROM r"
+)

@@ -79,7 +79,7 @@ ORACLE_CHECKED = [
     "daily_active_users", "order_skyline", "lang_source_agg",
     "retained_users", "event_type_unpivot",
     "translate_documents", "pack_sequences", "mix_downsample",
-    "shuffle_order", "bloom_semi_join_exact",
+    "shuffle_order", "bloom_semi_join_exact", "length_rank_tiers",
 ]
 
 
