@@ -158,6 +158,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shuffle_order": text_analysis.shuffle_order,
         "bloom_semi_join_exact": relational.bloom_semi_join_exact,
         "length_rank_tiers": text_analysis.length_rank_tiers,
+        "training_manifest": text_analysis.training_manifest,
         # rows-only by design (stateful / approximate / stubbed) ------------
         "multimodal_decode": multimodal.multimodal_decode,
         "multimodal_resize": multimodal.multimodal_resize,

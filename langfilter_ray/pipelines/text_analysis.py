@@ -2216,3 +2216,136 @@ ORACLES["length_rank_tiers"] = (
     "SELECT doc_id, n_chars, length_rank, "
     f"(length_rank * {LENGTH_TIERS} // n)::BIGINT AS size_tier FROM r"
 )
+
+
+# ---- the end-to-end training-prep composition ------------------------------
+
+def training_manifest(sf_dir: str) -> ray.data.Dataset:
+    """The whole training-data prep in ONE two-pass pipeline: rebalance to
+    the target language mix (``mix_downsample`` filter), order the
+    survivors by the deterministic shuffle permutation
+    (``shuffle_order``), and pack them into fixed-capacity training
+    sequences in that order (``pack_sequences``) — emitting, per kept
+    doc: its global training position, its sequence id and its offset.
+    This is the manifest a loader needs to stream the packed corpus.
+
+    All three stages fuse into the ONE prefix-sum skeleton: the mix
+    filter is a map; hash-range partitions make partition order equal
+    shuffle order; pass 1 folds per-partition (row count, token sum)
+    pairs — still <= ``parts`` rows to the driver — into position AND
+    token offsets; pass 2 sorts each partition by (h, doc_id) and reads
+    both assignments off one cumsum.  Two streaming scans total,
+    16-24 bytes/row on the one exchange, no global sort."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    path = f"{sf_dir}/documents.parquet"
+    n_rows = pq.read_metadata(path).num_rows
+    parts = max(8, n_rows // _PACK_ROWS_PER_PART)
+    cap = PACK_SEQ_TOKENS
+
+    langs = list(MIX_RATES_BP)
+    rate_arr = np.array(
+        [MIX_RATES_BP[lang] for lang in langs] + [MIX_DEFAULT_BP],
+        dtype=np.int64,
+    )
+    lang_keys = pa.array(langs, pa.string())
+
+    def sample_and_tag(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        h = _lcg_hash(ids)
+        idx = pc.index_in(t["lang"], value_set=lang_keys)
+        rates = rate_arr[pc.fill_null(idx, len(langs)).to_numpy()]
+        t = t.append_column("h", pa.array(h, pa.int64()))
+        t = t.filter(pa.array(h % 10000 < rates))
+        h = t["h"].to_numpy()
+        part = np.minimum(h * parts // _LCG_MOD, parts - 1).astype(np.int64)
+        nt = pc.cast(pc.count_substring_regex(t["text"], TOKEN_RE), pa.int64())
+        return pa.table(
+            {
+                "part": pa.array(part, pa.int64()),
+                "h": t["h"],
+                "doc_id": t["doc_id"],
+                "lang": t["lang"],
+                "n_tokens": nt,
+            }
+        )
+
+    def part_partials(t: pa.Table) -> pa.Table:
+        g = t.group_by("part").aggregate([("doc_id", "count"), ("n_tokens", "sum")])
+        return g.rename_columns(["part", "rows_partial", "tokens_partial"])
+
+    src = lambda: _docs_cols(sf_dir, ["doc_id", "lang", "text"]).map_batches(  # noqa: E731
+        sample_and_tag, batch_format="pyarrow"
+    )
+
+    # pass 1 + fold: <= parts rows of driver state
+    sums_df = (
+        src()
+        .map_batches(part_partials, batch_format="pyarrow")
+        .groupby("part")
+        .aggregate(
+            Sum("rows_partial", alias_name="n"),
+            Sum("tokens_partial", alias_name="toks"),
+        )
+        .to_pandas()
+    )
+    rows = np.zeros(parts, dtype=np.int64)
+    toks = np.zeros(parts, dtype=np.int64)
+    rows[sums_df["part"].to_numpy()] = sums_df["n"].to_numpy()
+    toks[sums_df["part"].to_numpy()] = sums_df["toks"].to_numpy()
+    pos_off = np.concatenate(([0], np.cumsum(rows)[:-1]))
+    tok_off = np.concatenate(([0], np.cumsum(toks)[:-1]))
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.array([], dtype="int64"),
+                    "lang": pd.array([], dtype="object"),
+                    "n_tokens": pd.array([], dtype="int64"),
+                    "train_pos": pd.array([], dtype="int64"),
+                    "seq_id": pd.array([], dtype="int64"),
+                    "offset_in_seq": pd.array([], dtype="int64"),
+                }
+            )
+        g = g.sort_values(["h", "doc_id"]).reset_index(drop=True)
+        p = int(g["part"].iloc[0])
+        nt = g["n_tokens"].to_numpy()
+        cum_before = tok_off[p] + np.concatenate(([0], np.cumsum(nt)[:-1]))
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(),
+                "lang": g["lang"].to_numpy(),
+                "n_tokens": nt,
+                "train_pos": pos_off[p] + np.arange(len(g), dtype=np.int64),
+                "seq_id": cum_before // cap,
+                "offset_in_seq": cum_before % cap,
+            }
+        )
+
+    return (
+        src()
+        .groupby("part")
+        .map_groups(per_partition, batch_format="pandas")
+        .select_columns(
+            ["doc_id", "lang", "n_tokens", "train_pos", "seq_id", "offset_in_seq"]
+        )
+    )
+
+
+ORACLES["training_manifest"] = (
+    f"WITH k AS (SELECT doc_id, lang, "
+    f"len(regexp_extract_all(text, '{TOKEN_RE}'))::BIGINT AS n_tokens, "
+    f"{_LCG_SQL} AS h FROM documents "
+    f"WHERE {_LCG_SQL} % 10000 < {_mix_rate_case()}), "
+    "o AS (SELECT doc_id, lang, n_tokens, "
+    "(row_number() OVER (ORDER BY h, doc_id) - 1)::BIGINT AS train_pos, "
+    "coalesce(sum(n_tokens) OVER (ORDER BY h, doc_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cum_before "
+    "FROM k) "
+    f"SELECT doc_id, lang, n_tokens, train_pos, "
+    f"(cum_before // {PACK_SEQ_TOKENS})::BIGINT AS seq_id, "
+    f"(cum_before % {PACK_SEQ_TOKENS})::BIGINT AS offset_in_seq FROM o"
+)
