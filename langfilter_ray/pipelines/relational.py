@@ -989,10 +989,19 @@ def bloom_semi_join_exact(sf_dir: str) -> ray.data.Dataset:
         .count()
         .select_columns(["user_id"])
     )
-    # an ALL-empty join side crashes the hash-shuffle aggregator
-    # (CLAUDE.md) — short-circuit to a typed empty result if no purchase
-    # exists (limit(1) stops the scan at the first match)
-    if build.limit(1).count() == 0:
+    # the distinct key set is tiny relative to the probe stream (it is
+    # the Bloom build side); materialize it ONCE — bounded driver/object
+    # state, same constant as the dim-broadcast bound — and branch:
+    #   small  -> sorted-array broadcast + searchsorted membership probe
+    #             (no join operator at all; measured 12-14s -> ~3s at
+    #             sf0.1: the hash join's aggregator-pool spawn dominated)
+    #   large  -> the native hash join (same fallback contract as the
+    #             customer-dim broadcasts, relational.py:205)
+    #   empty  -> typed empty result (an ALL-empty join side crashes the
+    #             hash-shuffle aggregator — CLAUDE.md)
+    build = build.materialize()
+    n_keys = build.count()
+    if n_keys == 0:
         return ray.data.from_arrow(
             pa.table(
                 {
@@ -1001,6 +1010,21 @@ def bloom_semi_join_exact(sf_dir: str) -> ray.data.Dataset:
                     "event_type": pa.array([], pa.string()),
                 }
             )
+        )
+    if n_keys <= BROADCAST_DIM_MAX_ROWS:
+        # bounded by the broadcast constant (<= 40 MB of int64 keys)
+        keys = np.sort(build.to_pandas()["user_id"].to_numpy())
+        kref = ray.put(keys)
+
+        def verify(t: pa.Table) -> pa.Table:
+            ks = ray.get(kref)
+            ids = t["user_id"].to_numpy()
+            pos = np.searchsorted(ks, ids)
+            hit = (pos < len(ks)) & (ks[np.minimum(pos, len(ks) - 1)] == ids)
+            return t.filter(pa.array(hit))
+
+        return bloom_semi_join(sf_dir).map_batches(
+            verify, batch_format="pyarrow"
         )
     return bloom_semi_join(sf_dir).join(
         build,

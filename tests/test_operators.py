@@ -150,6 +150,7 @@ def test_query_matches_oracle(entry_mod, con, name):
         "brand_qty_revenue",
         "segment_price_rank",
         "shipping_priority",
+        "bloom_semi_join_exact",
     ],
 )
 def test_dim_join_fallback_matches_oracle(entry_mod, con, name, monkeypatch):
