@@ -63,52 +63,78 @@ def gate_decision_report(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+class WordMapTranslator:
+    """Shared T6 actor: both direction word maps become Arrow key/value
+    arrays ONCE per actor in __init__ (the per-worker model singleton,
+    reference app/translate.py:12-39), and translation is a fully
+    vectorized Arrow kernel — split_pattern_regex -> utf8_lower ->
+    index_in(model keys) -> take -> rebuild ListArray -> binary_join; no
+    Python loop over rows or tokens."""
+
+    def __init__(self) -> None:
+        from ..functions.translate import get_translator
+
+        self.dirs = {}
+        for src_lang, tgt in (("en", "fr"), ("fr", "en")):
+            m = get_translator(src_lang, tgt)
+            self.dirs[src_lang] = (
+                pa.array(list(m.keys()), pa.string()),
+                pa.array(list(m.values()), pa.string()),
+            )
+
+    def translate_column(self, text, src_lang: str) -> pa.Array:
+        keys, vals = self.dirs[src_lang]
+        trimmed = pc.utf8_trim(pc.fill_null(text, ""), " \t\n\r")
+        parts = pc.split_pattern_regex(trimmed, r"\s+")
+        lst = (
+            parts.combine_chunks()
+            if isinstance(parts, pa.ChunkedArray)
+            else parts
+        )
+        flat = lst.flatten()
+        idx = pc.index_in(pc.utf8_lower(flat), value_set=keys)
+        mapped = pc.if_else(pc.is_valid(idx), pc.take(vals, idx), flat)
+        rebuilt = pa.ListArray.from_arrays(lst.offsets, mapped)
+        return pc.binary_join(rebuilt, " ")
+
+
 def translate_kept_snippets(sf_dir: str) -> ray.data.Dataset:
     """T6 enrichment surfaced as a driver query: translate the snippet of
     KEPT en/fr rows toward the opposite language (en->fr / fr->en only —
-    the reference's direction guard) via the actor-pool pattern: the
-    word-map 'model' cache builds once per actor in __init__.  Cost-ladder
-    shape: runs only on flagship survivors (cascade filters first).
-    Rows-only (deterministic stand-in model has no SQL equivalent)."""
-    import pyarrow as pa
-
+    the reference's direction guard) via the actor-pool pattern.
+    Cost-ladder shape: runs only on flagship survivors (cascade filters
+    first).  Rows-only (depends on the stateful cascade's keep decision;
+    the word-map plumbing itself is hash-checked by the
+    ``translate_documents`` twin below)."""
     cfg = PipelineConfig()
     ds = build_pipeline(read_corpus(corpus_for(sf_dir)), cfg)
 
-    class Translator:
-        def __init__(self) -> None:
-            from ..functions.translate import get_translator
-
-            # build both direction caches once per actor (T6 singleton)
-            self.maps = {
-                ("en", "fr"): get_translator("en", "fr"),
-                ("fr", "en"): get_translator("fr", "en"),
-            }
-
+    class Translator(WordMapTranslator):
         def __call__(self, t: pa.Table) -> pa.Table:
-            out_r, out_p, out_c, out_s = [], [], [], []
-            for repo, path, commit, keep, lang, snip in zip(
-                t["repo"].to_pylist(), t["path"].to_pylist(),
-                t["commit"].to_pylist(), t["keep"].to_pylist(),
-                t["language"].to_pylist(), t["snippet"].to_pylist(),
-            ):
-                if not keep or lang not in ("en", "fr") or not snip:
-                    continue
-                table = self.maps[(lang, "fr" if lang == "en" else "en")]
-                out_r.append(repo)
-                out_p.append(path)
-                out_c.append(commit)
-                out_s.append(
-                    " ".join(table.get(w.lower(), w) for w in snip.split())
+            t = t.filter(
+                pc.and_(
+                    t["keep"].combine_chunks()
+                    if isinstance(t["keep"], pa.ChunkedArray)
+                    else t["keep"],
+                    pc.not_equal(pc.fill_null(t["snippet"], ""), ""),
                 )
-            return pa.table(
-                {
-                    "repo": pa.array(out_r, pa.string()),
-                    "path": pa.array(out_p, pa.string()),
-                    "commit": pa.array(out_c, pa.string()),
-                    "translated_snippet": pa.array(out_s, pa.string()),
-                }
             )
+            out = []
+            for src_lang in ("en", "fr"):
+                part = t.filter(pc.equal(t["language"], src_lang))
+                out.append(
+                    pa.table(
+                        {
+                            "repo": part["repo"],
+                            "path": part["path"],
+                            "commit": part["commit"],
+                            "translated_snippet": self.translate_column(
+                                part["snippet"], src_lang
+                            ),
+                        }
+                    )
+                )
+            return pa.concat_tables(out)
 
     return ds.select_columns(
         ["repo", "path", "commit", "keep", "language", "snippet"]
@@ -122,53 +148,21 @@ def translate_documents(sf_dir: str) -> ray.data.Dataset:
     languages filtered out (the reference's direction guard,
     app/translate.py:27-35).  Unlike ``translate_kept_snippets`` this does
     not depend on the stateful cascade, so a DuckDB ``list_transform``
-    oracle can replay the exact word map and the driver hash-checks it.
+    oracle can replay the exact word map and the driver hash-checks it."""
 
-    Vectorized: split -> utf8_lower -> index_in(model keys) -> take ->
-    rebuild list -> binary_join; no Python loop over rows or tokens."""
-    import numpy as np  # noqa: F401  (kept for parity with sibling stages)
-
-    class VecTranslator:
-        def __init__(self) -> None:
-            from ..functions.translate import get_translator
-
-            # one 'model load' per actor (T6 singleton contract): the two
-            # direction maps become Arrow key/value arrays once.
-            self.dirs = {}
-            for src, tgt in (("en", "fr"), ("fr", "en")):
-                m = get_translator(src, tgt)
-                self.dirs[src] = (
-                    pa.array(list(m.keys()), pa.string()),
-                    pa.array(list(m.values()), pa.string()),
-                )
-
-        def _translate(self, text: pa.ChunkedArray, src: str) -> pa.Array:
-            keys, vals = self.dirs[src]
-            trimmed = pc.utf8_trim(pc.fill_null(text, ""), " \t\n\r")
-            parts = pc.split_pattern_regex(trimmed, r"\s+")
-            lst = (
-                parts.combine_chunks()
-                if isinstance(parts, pa.ChunkedArray)
-                else parts
-            )
-            flat = lst.flatten()
-            idx = pc.index_in(pc.utf8_lower(flat), value_set=keys)
-            mapped = pc.if_else(
-                pc.is_valid(idx), pc.take(vals, idx), flat
-            )
-            rebuilt = pa.ListArray.from_arrays(lst.offsets, mapped)
-            return pc.binary_join(rebuilt, " ")
-
+    class DocTranslator(WordMapTranslator):
         def __call__(self, t: pa.Table) -> pa.Table:
             out = []
-            for src in ("en", "fr"):
-                part = t.filter(pc.equal(t["lang"], src))
+            for src_lang in ("en", "fr"):
+                part = t.filter(pc.equal(t["lang"], src_lang))
                 out.append(
                     pa.table(
                         {
                             "doc_id": part["doc_id"],
                             "lang": part["lang"],
-                            "translated": self._translate(part["text"], src),
+                            "translated": self.translate_column(
+                                part["text"], src_lang
+                            ),
                         }
                     )
                 )
@@ -178,7 +172,7 @@ def translate_documents(sf_dir: str) -> ray.data.Dataset:
         f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
     )
     return ds.map_batches(
-        VecTranslator,
+        DocTranslator,
         batch_format="pyarrow",
         concurrency=(1, _default_pool_size()),
         num_cpus=1,
