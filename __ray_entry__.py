@@ -165,6 +165,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frame_sample": multimodal.frame_sample,
         "decode_pgm": multimodal.decode_pgm,
         "decode_wav": multimodal.decode_wav,
+        "decode_bmp": multimodal.decode_bmp,
         "approx_distinct_users": relational.approx_distinct_users,
         "decontaminate_overlap": text_analysis.decontaminate_overlap,
         "doc_perplexity": text_analysis.doc_perplexity,

@@ -416,3 +416,135 @@ def decode_wav(sf_dir: str) -> ray.data.Dataset:
         concurrency=(1, _default_pool_size()),
         num_cpus=1,
     )
+
+
+# ---- REAL decode: BMP (24-bit uncompressed) — no codec libs needed --------
+
+def _encode_bmp(doc_id: int) -> bytes:
+    """Deterministic valid 24-bit uncompressed BMP (BITMAPINFOHEADER):
+    little-endian struct header, BOTTOM-UP row order, BGR channel order,
+    rows padded to 4 bytes — the real quirks a BMP codec must handle.
+    Pixels are a pure function of (x, y, doc_id) so the decoder verifies
+    against a closed form."""
+    import struct
+
+    import numpy as np
+
+    w = 8 + (doc_id % 16)
+    h = 6 + (doc_id % 12)
+    row_size = (3 * w + 3) // 4 * 4
+    y, x = np.mgrid[0:h, 0:w]
+    # channel c value at (x, y): (x*7 + y*13 + doc_id + c*29) % 256
+    base = (x * 7 + y * 13 + doc_id) % 256
+    bgr = np.stack(
+        [(base + c * 29) % 256 for c in (2, 1, 0)], axis=2
+    ).astype(np.uint8)                      # file stores B,G,R
+    rows = np.zeros((h, row_size), dtype=np.uint8)
+    rows[:, : 3 * w] = bgr.reshape(h, 3 * w)
+    pixel_data = rows[::-1].tobytes()       # bottom-up
+    header = b"BM" + struct.pack("<IHHI", 14 + 40 + len(pixel_data), 0, 0, 54)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixel_data), 2835, 2835, 0, 0
+    )
+    return header + info + pixel_data
+
+
+class BmpDecoder:
+    """Second REAL image parser (alongside PGM): 24-bit uncompressed BMP
+    via struct + numpy — signature check, little-endian header fields,
+    bottom-up flip, row-padding strip, BGR->RGB — with the same poison
+    containment contract (corrupt payload -> decode_error row, never a
+    failed batch; S5 analog)."""
+
+    def __init__(self) -> None:
+        import struct
+
+        import numpy as np
+
+        self.np, self.struct = np, struct   # real impl: load_codec(...)
+
+    def _decode(self, payload: bytes):
+        np, struct = self.np, self.struct
+        if len(payload) < 54 or payload[:2] != b"BM":
+            raise ValueError("not a BMP")
+        data_off = struct.unpack_from("<I", payload, 10)[0]
+        hsz, w, h, planes, bpp, comp = struct.unpack_from(
+            "<IiiHHI", payload, 14
+        )
+        if hsz < 40 or planes != 1 or bpp != 24 or comp != 0:
+            raise ValueError(f"unsupported BMP (bpp={bpp}, comp={comp})")
+        if w <= 0 or h == 0:
+            raise ValueError("bad dimensions")
+        flip = h > 0                      # positive height = bottom-up
+        h = abs(h)
+        row_size = (3 * w + 3) // 4 * 4
+        need = data_off + row_size * h
+        if len(payload) < need:
+            raise ValueError(f"pixel data {len(payload)} < {need}")
+        rows = np.frombuffer(
+            payload, dtype=np.uint8, count=row_size * h, offset=data_off
+        ).reshape(h, row_size)
+        if flip:
+            rows = rows[::-1]
+        bgr = rows[:, : 3 * w].reshape(h, w, 3)
+        rgb = bgr[:, :, ::-1]
+        means = [int(round(float(rgb[:, :, c].mean()) * 1000)) for c in range(3)]
+        return w, h, means[0], means[1], means[2]
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, ws, hs, mr, mg, mb, errs = [], [], [], [], [], [], []
+        for doc_id, payload in zip(
+            t["doc_id"].to_pylist(), t["payload"].to_pylist()
+        ):
+            ids.append(doc_id)
+            try:
+                w, h, r, g, b = self._decode(payload or b"")
+                ws.append(w); hs.append(h)
+                mr.append(r); mg.append(g); mb.append(b)
+                errs.append(None)
+            except (ValueError, OverflowError) as exc:
+                ws.append(0); hs.append(0)
+                mr.append(0); mg.append(0); mb.append(0)
+                errs.append(str(exc))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "width": pa.array(ws, pa.int64()),
+                "height": pa.array(hs, pa.int64()),
+                "mean_r_milli": pa.array(mr, pa.int64()),
+                "mean_g_milli": pa.array(mg, pa.int64()),
+                "mean_b_milli": pa.array(mb, pa.int64()),
+                "decode_error": pa.array(errs, pa.string()),
+            }
+        )
+
+
+def decode_bmp(sf_dir: str) -> ray.data.Dataset:
+    """End-to-end REAL BMP decode: synthesize a payload per doc_id, parse
+    in the actor-pool decoder.  Every 83rd payload is truncated and every
+    101st gets a corrupted signature to exercise both poison paths."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def gen(t: pa.Table) -> pa.Table:
+        payloads = []
+        for i in t["doc_id"].to_pylist():
+            b = _encode_bmp(int(i))
+            if i % 83 == 5:
+                b = b[: len(b) // 2]
+            elif i % 101 == 9:
+                b = b"XX" + b[2:]
+            payloads.append(b)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "payload": pa.array(payloads, pa.large_binary()),
+            }
+        )
+
+    return ds.map_batches(gen, batch_format="pyarrow").map_batches(
+        BmpDecoder,
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=(1, _default_pool_size()),
+        num_cpus=1,
+    )

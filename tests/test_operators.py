@@ -190,7 +190,7 @@ def test_every_query_has_oracle_or_is_known_rows_only(entry_mod):
         "translate_kept_snippets", "repo_quality_report",
         "dedup_components", "dedup_survivors", "dedup_embedding_ivf",
         "bloom_semi_join", "approx_quantiles", "decontaminate_overlap",
-        "doc_perplexity", "decode_pgm", "decode_wav", "corpus_clean",
+        "doc_perplexity", "decode_pgm", "decode_wav", "decode_bmp", "corpus_clean",
         "embed_documents",
     }
 
@@ -538,6 +538,34 @@ def test_decode_wav_real_parse_and_poison(entry_mod):
         row = ok.loc[i]
         assert (row["n_samples"], row["sample_rate"], row["duration_ms"],
                 row["peak"], row["rms_milli"]) == (n, sr, dur, peak, rms)
+
+
+def test_decode_bmp_real_parse_and_poison(entry_mod):
+    """Second REAL image decode (24-bit BMP: little-endian header,
+    bottom-up rows, padding, BGR order): parsed dims and per-channel
+    means must equal the generator's closed form; both poison paths
+    (truncation, bad signature) land as decode_error rows."""
+    import numpy as np
+
+    got = _to_pandas(entry_mod.queries()["decode_bmp"](SF))
+    assert len(got) == 500
+    ok = got[got["decode_error"].isna()].set_index("doc_id")
+    bad = got[got["decode_error"].notna()]
+    want_bad = {
+        i for i in range(500) if i % 83 == 5 or (i % 83 != 5 and i % 101 == 9)
+    }
+    assert set(bad["doc_id"]) == want_bad
+    for i in list(ok.index[:40]):
+        w, h = 8 + i % 16, 6 + i % 12
+        y, x = np.mgrid[0:h, 0:w]
+        base = (x * 7 + y * 13 + i) % 256
+        row = ok.loc[i]
+        assert (row["width"], row["height"]) == (w, h)
+        # encoder stores BGR as (base+2*29, base+29, base); after the
+        # decoder's BGR->RGB flip: R=base, G=base+29, B=base+58
+        for col, c in (("mean_r_milli", 0), ("mean_g_milli", 1), ("mean_b_milli", 2)):
+            want = int(round(float(((base + c * 29) % 256).mean()) * 1000))
+            assert row[col] == want, (i, col)
 
 
 def test_corpus_clean_integrated(entry_mod):
