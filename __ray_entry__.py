@@ -159,6 +159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_semi_join_exact": relational.bloom_semi_join_exact,
         "length_rank_tiers": text_analysis.length_rank_tiers,
         "training_manifest": text_analysis.training_manifest,
+        "asof_next_purchase": windows.asof_next_purchase,
         # rows-only by design (stateful / approximate / stubbed) ------------
         "multimodal_decode": multimodal.multimodal_decode,
         "multimodal_resize": multimodal.multimodal_resize,

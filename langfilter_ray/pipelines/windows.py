@@ -1414,3 +1414,65 @@ ORACLES["retained_users"] = (
     f"SELECT user_id FROM events WHERE ts >= TIMESTAMP '{RETAIN_SPLIT}'"
     "))::BIGINT AS n_retained"
 )
+
+
+# ---- forward as-of: next purchase at-or-after each event -------------------
+
+def asof_next_purchase(sf_dir: str) -> ray.data.Dataset:
+    """FORWARD as-of join: for every event, the SAME user's earliest
+    purchase at-or-after its timestamp — the mirror of
+    ``asof_last_login`` (backward as-of), covering the other direction a
+    time-travel lookup needs (e.g. time-to-conversion labeling).
+
+    Same backbone, mirrored scan: within each sorted partition the
+    purchase positions suffix-cummin backward; a purchase position
+    carried across a user boundary is >= the next user's segment END, so
+    clamping by "must be < the row's segment end" erases foreign
+    carryover — one reversed ``np.minimum.accumulate``, no Python loop.
+    A purchase row matches itself (CURRENT ROW semantics, mirroring the
+    backward op's at-or-before).  ``-1`` sentinel for "no later
+    purchase" on both sides (nullable ints hash-mismatch, CLAUDE.md)."""
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.array([], dtype="int64"),
+                    "next_purchase_event_id": pd.array([], dtype="int64"),
+                }
+            )
+        g, starts, ends = _user_segments(g)
+        n = len(g)
+        eid = g["event_id"].to_numpy()
+        pos = np.where(
+            g["event_type"].to_numpy() == "purchase", np.arange(n), n
+        )
+        run = np.minimum.accumulate(pos[::-1])[::-1]
+        seg_end = np.repeat(ends, ends - starts)
+        matched = run < seg_end
+        return pd.DataFrame(
+            {
+                "event_id": eid,
+                "next_purchase_event_id": np.where(
+                    matched, eid[np.minimum(run, n - 1)], -1
+                ).astype(np.int64),
+            }
+        )
+
+    return (
+        _user_partition_map(
+            _events(sf_dir, ["event_id", "ts", "user_id", "event_type"]),
+            _window_parts(sf_dir),
+            per_partition,
+        )
+        .select_columns(["event_id", "next_purchase_event_id"])
+    )
+
+
+ORACLES["asof_next_purchase"] = (
+    "SELECT event_id, coalesce(first_value("
+    "CASE WHEN event_type = 'purchase' THEN event_id END IGNORE NULLS) "
+    "OVER (PARTITION BY user_id ORDER BY ts, event_id "
+    "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING), -1)::BIGINT "
+    "AS next_purchase_event_id FROM events"
+)
