@@ -160,6 +160,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_rank_tiers": text_analysis.length_rank_tiers,
         "training_manifest": text_analysis.training_manifest,
         "asof_next_purchase": windows.asof_next_purchase,
+        "kmeans_fit": similarity.kmeans_fit,
         # rows-only by design (stateful / approximate / stubbed) ------------
         "multimodal_decode": multimodal.multimodal_decode,
         "multimodal_resize": multimodal.multimodal_resize,

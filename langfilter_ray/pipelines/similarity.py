@@ -532,3 +532,167 @@ ORACLES["embedding_quant_stats"] = (
     "max(list_max(ql))::BIGINT AS max_q "
     "FROM q GROUP BY 1 ORDER BY 1"
 )
+
+
+# ---- fully-distributed iterative k-means (Lloyd) ---------------------------
+
+KMEANS_K = 8
+KMEANS_ITERS = 5
+_KMEANS_Q = 1_000_000        # int64 micro-quantization of embedding space
+
+
+def _kmeans_quantize(t: pa.Table) -> np.ndarray:
+    """(rows, dim) int64 micros from the list<float> column — zero-copy
+    flatten + reshape, then one deterministic round-to-int."""
+    col = t["embedding"]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    mat = flat.reshape(len(t), -1).astype(np.float64)
+    return np.floor(mat * _KMEANS_Q + 0.5).astype(np.int64)
+
+
+def _kmeans_init(sf_dir: str, k: int) -> np.ndarray:
+    """Deterministic seeds: the quantized embeddings at K linspace row
+    positions (bounded driver read: exactly K rows kept)."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    n = pf.metadata.num_rows
+    want = set(np.linspace(0, n - 1, k).astype(np.int64).tolist())
+    rows, seen = [], 0
+    for b in pf.iter_batches(columns=["embedding"]):
+        for local in range(len(b)):
+            if seen + local in want:
+                rows.append(b.slice(local, 1))
+        seen += len(b)
+        if len(rows) == len(want):
+            break
+    return np.concatenate(
+        [_kmeans_quantize(pa.Table.from_batches([r])) for r in rows]
+    )
+
+
+def _kmeans_assign(q: np.ndarray, cent: np.ndarray) -> np.ndarray:
+    """Argmin of EXACT integer squared L2 — |q|,|cent| <= ~1e6 micros and
+    dim <= 64, so every distance fits int64 with 4 decades of headroom;
+    integer distances make the argmin (lowest index on ties) identical
+    for ANY batch shape, which is what lets the distributed run equal
+    the single-machine reference bit-for-bit."""
+    qq = (q * q).sum(axis=1, keepdims=True)
+    cc = (cent * cent).sum(axis=1)[None, :]
+    d2 = qq + cc - 2 * (q @ cent.T)
+    return np.argmin(d2, axis=1)
+
+
+def kmeans_fit(sf_dir: str) -> "pa.Table":
+    """Fully-DISTRIBUTED Lloyd k-means over the whole embeddings table —
+    the iterative-algorithm archetype (contrast: ``ann_ivf`` trains its
+    coarse quantizer driver-side on a bounded sample).  Per iteration:
+
+      broadcast  centroids via ray.put (K x dim ints, tiny),
+      map        each batch quantizes, assigns by EXACT integer distance,
+                 and emits K x (dim+1) partial rows (per-cluster int64
+                 dim-sums + count) — the map-side combiner, so the
+                 shuffle is K*(dim+1) rows per batch regardless of size,
+      reduce     one bounded groupby Sums partials; the driver updates
+                 K centroids (state O(K x dim)) — empty clusters keep
+                 their previous centroid.
+
+    All accumulation is int64 on quantized values, so the result is
+    independent of partitioning and summation order: the test asserts
+    BIT-FOR-BIT equality with a single-machine numpy reference.  Returns
+    (cluster_id, n_points, centroid_micros list<int64>); rows-only (an
+    iterative fixpoint has no SQL oracle)."""
+    from ray.data.aggregate import Sum
+
+    cent = _kmeans_init(sf_dir, KMEANS_K)
+    dim = cent.shape[1]
+
+    for _ in range(KMEANS_ITERS):
+        cref = ray.put(cent)
+
+        def partials(t: pa.Table) -> pa.Table:
+            c = ray.get(cref)
+            q = _kmeans_quantize(t)
+            a = _kmeans_assign(q, c)
+            ks, ds, ss = [], [], []
+            for k in range(KMEANS_K):
+                sel = q[a == k]
+                ks.append(k); ds.append(-1); ss.append(len(sel))
+                if len(sel):
+                    sums = sel.sum(axis=0)
+                    ks.extend([k] * dim)
+                    ds.extend(range(dim))
+                    ss.extend(sums.tolist())
+            return pa.table(
+                {
+                    "k": pa.array(ks, pa.int64()),
+                    "dim": pa.array(ds, pa.int64()),
+                    "s": pa.array(ss, pa.int64()),
+                }
+            )
+
+        agg = (
+            ray.data.read_parquet(
+                f"{sf_dir}/embeddings.parquet", columns=["embedding"]
+            )
+            .map_batches(partials, batch_format="pyarrow")
+            .groupby(["k", "dim"])
+            .aggregate(Sum("s", alias_name="total"))
+            .to_pandas()          # bounded: K x (dim+1) rows
+        )
+        counts = np.zeros(KMEANS_K, dtype=np.int64)
+        sums = np.zeros((KMEANS_K, dim), dtype=np.int64)
+        for row in agg.itertuples():
+            if row.dim < 0:
+                counts[row.k] = row.total
+            else:
+                sums[row.k, row.dim] = row.total
+        new = cent.copy()
+        nz = counts > 0
+        new[nz] = np.floor(
+            sums[nz] / counts[nz, None] + 0.5
+        ).astype(np.int64)
+        cent = new
+
+    return pa.table(
+        {
+            "cluster_id": pa.array(range(KMEANS_K), pa.int64()),
+            "n_points": pa.array(counts, pa.int64()),
+            "centroid_micros": pa.array(
+                [c.tolist() for c in cent], pa.list_(pa.int64())
+            ),
+        }
+    )
+
+
+def kmeans_reference(sf_dir: str) -> "pa.Table":
+    """Single-machine numpy Lloyd with the SAME quantization, init,
+    assignment and update rules — the ground truth the distributed run
+    must equal exactly.  Test-support (not a registered query)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    q = _kmeans_quantize(t)
+    cent = _kmeans_init(sf_dir, KMEANS_K)
+    counts = np.zeros(KMEANS_K, dtype=np.int64)
+    for _ in range(KMEANS_ITERS):
+        a = _kmeans_assign(q, cent)
+        counts = np.bincount(a, minlength=KMEANS_K).astype(np.int64)
+        new = cent.copy()
+        for k in range(KMEANS_K):
+            if counts[k]:
+                new[k] = np.floor(
+                    q[a == k].sum(axis=0) / counts[k] + 0.5
+                ).astype(np.int64)
+        cent = new
+    return pa.table(
+        {
+            "cluster_id": pa.array(range(KMEANS_K), pa.int64()),
+            "n_points": pa.array(counts, pa.int64()),
+            "centroid_micros": pa.array(
+                [c.tolist() for c in cent], pa.list_(pa.int64())
+            ),
+        }
+    )

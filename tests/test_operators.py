@@ -191,6 +191,7 @@ def test_every_query_has_oracle_or_is_known_rows_only(entry_mod):
         "dedup_components", "dedup_survivors", "dedup_embedding_ivf",
         "bloom_semi_join", "approx_quantiles", "decontaminate_overlap",
         "doc_perplexity", "decode_pgm", "decode_wav", "decode_bmp", "corpus_clean",
+        "kmeans_fit",
         "embed_documents",
     }
 
@@ -566,6 +567,22 @@ def test_decode_bmp_real_parse_and_poison(entry_mod):
         for col, c in (("mean_r_milli", 0), ("mean_g_milli", 1), ("mean_b_milli", 2)):
             want = int(round(float(((base + c * 29) % 256).mean()) * 1000))
             assert row[col] == want, (i, col)
+
+
+def test_kmeans_fit_equals_single_machine_reference(entry_mod):
+    """The distributed Lloyd iterations accumulate int64 quantized sums,
+    so the result must be BIT-FOR-BIT equal to the single-machine numpy
+    reference with the same init/assign/update rules — partitioning and
+    summation order cannot change it."""
+    from langfilter_ray.pipelines.similarity import kmeans_reference
+
+    got = _to_pandas(entry_mod.queries()["kmeans_fit"](SF))
+    want = kmeans_reference(SF).to_pandas()
+    assert got["cluster_id"].tolist() == want["cluster_id"].tolist()
+    assert got["n_points"].tolist() == want["n_points"].tolist()
+    assert int(got["n_points"].sum()) == 500      # every vector assigned
+    for a, b in zip(got["centroid_micros"], want["centroid_micros"]):
+        assert list(a) == list(b)
 
 
 def test_corpus_clean_integrated(entry_mod):
