@@ -1476,3 +1476,89 @@ ORACLES["asof_next_purchase"] = (
     "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING), -1)::BIGINT "
     "AS next_purchase_event_id FROM events"
 )
+
+
+# ---- time-RANGE rolling window (last 24h per user) --------------------------
+
+RANGE_WINDOW_US = 24 * 3600 * 1_000_000
+
+
+def rolling_24h_user_sum(sf_dir: str) -> ray.data.Dataset:
+    """Per-event rolling sum of the SAME user's value over the trailing
+    24 HOURS — the time-RANGE frame (``RANGE BETWEEN INTERVAL 24 HOURS
+    PRECEDING AND CURRENT ROW``), distinct from ``rolling_user_sum``'s
+    row-count frame: the window size varies per row with event density.
+
+    Same backbone, one extra vectorized step: within each sorted
+    partition the frame's lower bound is ONE ``np.searchsorted`` of
+    (ts - 24h) against the partition's own timestamp array, clamped to
+    the user's segment start (timestamps are sorted per user but not
+    across users; the clamp makes the cross-user region irrelevant so a
+    single global searchsorted suffices).  The frame sum is then the
+    usual cumulative-sum gather.  All int64 microseconds / cents."""
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.array([], dtype="int64"),
+                    "user_id": pd.array([], dtype="int64"),
+                    "value_cents": pd.array([], dtype="int64"),
+                    "win_sum_cents": pd.array([], dtype="int64"),
+                    "n_window": pd.array([], dtype="int64"),
+                }
+            )
+        g, starts, ends = _user_segments(g)
+        us = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        cents = np.floor(g["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+        n = len(g)
+        seg_start = np.repeat(starts, ends - starts)
+        # ONE vectorized binary search for every row's frame start: the
+        # partition array is only sorted within user segments, so shift
+        # each segment into its own disjoint band (band gap > global span
+        # + window, so a query never crosses into a neighboring user) —
+        # the shifted array is globally sorted and searchsorted is valid.
+        # Magnitude check: rel <= span (~weeks of microseconds, ~1e12),
+        # bands = rel_span + window + 1, segments <= partition rows (2M)
+        # -> max shifted value ~5e18 < int64 max.
+        rel = us - us.min()
+        band = rel.max() + RANGE_WINDOW_US + 1
+        seg_id = np.repeat(
+            np.arange(len(starts), dtype=np.int64), ends - starts
+        )
+        shifted = rel + seg_id * band
+        lower = np.searchsorted(shifted, shifted - RANGE_WINDOW_US, side="left")
+        lower = np.maximum(lower, seg_start)
+        cs = np.concatenate(([0], np.cumsum(cents)))
+        i = np.arange(n)
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "user_id": g["user_id"].to_numpy(),
+                "value_cents": cents,
+                "win_sum_cents": cs[i + 1] - cs[lower],
+                "n_window": (i - lower + 1).astype(np.int64),
+            }
+        )
+
+    return (
+        _user_partition_map(
+            _events(sf_dir, ["event_id", "user_id", "ts", "value"]),
+            _window_parts(sf_dir),
+            per_partition,
+        )
+        .select_columns(
+            ["event_id", "user_id", "value_cents", "win_sum_cents", "n_window"]
+        )
+    )
+
+
+ORACLES["rolling_24h_user_sum"] = (
+    "WITH e AS (SELECT event_id, user_id, ts, "
+    "CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_cents FROM events) "
+    "SELECT event_id, user_id, value_cents, "
+    "(sum(value_cents) OVER w)::BIGINT AS win_sum_cents, "
+    "(count(*) OVER w)::BIGINT AS n_window "
+    "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts "
+    "RANGE BETWEEN INTERVAL 24 HOURS PRECEDING AND CURRENT ROW)"
+)

@@ -80,7 +80,7 @@ ORACLE_CHECKED = [
     "retained_users", "event_type_unpivot",
     "translate_documents", "pack_sequences", "mix_downsample",
     "shuffle_order", "bloom_semi_join_exact", "length_rank_tiers",
-    "training_manifest", "asof_next_purchase",
+    "training_manifest", "asof_next_purchase", "rolling_24h_user_sum",
 ]
 
 
