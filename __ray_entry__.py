@@ -162,6 +162,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_next_purchase": windows.asof_next_purchase,
         "kmeans_fit": similarity.kmeans_fit,
         "rolling_24h_user_sum": windows.rolling_24h_user_sum,
+        "first_seen_daily": windows.first_seen_daily,
         # rows-only by design (stateful / approximate / stubbed) ------------
         "multimodal_decode": multimodal.multimodal_decode,
         "multimodal_resize": multimodal.multimodal_resize,

@@ -1562,3 +1562,57 @@ ORACLES["rolling_24h_user_sum"] = (
     "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts "
     "RANGE BETWEEN INTERVAL 24 HOURS PRECEDING AND CURRENT ROW)"
 )
+
+
+# ---- windowed first-seen dedup (URL-frontier shape) -------------------------
+
+def first_seen_daily(sf_dir: str) -> ray.data.Dataset:
+    """Windowed streaming dedup: the FIRST event of each (user, day) —
+    the crawl-frontier / rate-limit primitive ("have I seen this key in
+    this window?"), i.e. argmin-per-(key, window) where the window key
+    derives from event time.  Same backbone: users co-locate, one sort
+    per partition, and (user, day) boundaries are a single shifted
+    compare — first-of-boundary rows are the survivors."""
+
+    US_DAY = 86_400_000_000
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.array([], dtype="int64"),
+                    "day": pd.array([], dtype="int64"),
+                    "first_event_id": pd.array([], dtype="int64"),
+                }
+            )
+        g, starts, ends = _user_segments(g)
+        us = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        day = us // US_DAY
+        n = len(g)
+        new_user = np.zeros(n, dtype=bool)
+        new_user[starts] = True
+        first = new_user.copy()
+        first[1:] |= day[1:] != day[:-1]
+        return pd.DataFrame(
+            {
+                "user_id": g["user_id"].to_numpy()[first],
+                "day": day[first],
+                "first_event_id": g["event_id"].to_numpy()[first],
+            }
+        )
+
+    return (
+        _user_partition_map(
+            _events(sf_dir, ["event_id", "user_id", "ts"]),
+            _window_parts(sf_dir),
+            per_partition,
+        )
+        .select_columns(["user_id", "day", "first_event_id"])
+    )
+
+
+ORACLES["first_seen_daily"] = (
+    "SELECT user_id, (epoch(ts)::BIGINT // 86400)::BIGINT AS day, "
+    "min_by(event_id, ts)::BIGINT AS first_event_id "
+    "FROM events GROUP BY 1, 2"
+)

@@ -81,6 +81,7 @@ ORACLE_CHECKED = [
     "translate_documents", "pack_sequences", "mix_downsample",
     "shuffle_order", "bloom_semi_join_exact", "length_rank_tiers",
     "training_manifest", "asof_next_purchase", "rolling_24h_user_sum",
+    "first_seen_daily",
 ]
 
 
