@@ -1837,6 +1837,9 @@ ORACLES["lang_source_agg"] = (
 
 PACK_SEQ_TOKENS = 512            # training sequence capacity, in tokens
 _PACK_ROWS_PER_PART = 2_000_000  # id-range partition sizing (metadata only)
+_PREFIX_MIN_PARTS = 8            # floor for the prefix-sum ops' partition
+                                 # count (results are partition-count
+                                 # INVARIANT — pinned by tests that vary it)
 
 
 def pack_sequences(sf_dir: str) -> ray.data.Dataset:
@@ -1869,7 +1872,7 @@ def pack_sequences(sf_dir: str) -> ray.data.Dataset:
 
     path = f"{sf_dir}/documents.parquet"
     n_rows = pq.read_metadata(path).num_rows
-    parts = max(8, n_rows // _PACK_ROWS_PER_PART)
+    parts = max(_PREFIX_MIN_PARTS, n_rows // _PACK_ROWS_PER_PART)
     cap = PACK_SEQ_TOKENS
 
     def tokens_with_part(t: pa.Table) -> pa.Table:
@@ -2144,7 +2147,7 @@ def length_rank_tiers(sf_dir: str) -> ray.data.Dataset:
     if lo is None:      # no stats: single partition (still correct)
         lo, hi = 0, 0
     span = max(hi - lo + 1, 1)
-    parts = max(8, n_rows // _PACK_ROWS_PER_PART)
+    parts = max(_PREFIX_MIN_PARTS, n_rows // _PACK_ROWS_PER_PART)
 
     def with_part(t: pa.Table) -> pa.Table:
         nc = t["n_chars"].to_numpy()
@@ -2242,7 +2245,7 @@ def training_manifest(sf_dir: str) -> ray.data.Dataset:
 
     path = f"{sf_dir}/documents.parquet"
     n_rows = pq.read_metadata(path).num_rows
-    parts = max(8, n_rows // _PACK_ROWS_PER_PART)
+    parts = max(_PREFIX_MIN_PARTS, n_rows // _PACK_ROWS_PER_PART)
     cap = PACK_SEQ_TOKENS
 
     langs = list(MIX_RATES_BP)

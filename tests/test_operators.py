@@ -167,6 +167,47 @@ def test_dim_join_fallback_matches_oracle(entry_mod, con, name, monkeypatch):
     assert not problems, (problems, first_diff(got, want))
 
 
+@pytest.mark.parametrize("min_parts", [3, 17])
+@pytest.mark.parametrize(
+    "name",
+    ["pack_sequences", "length_rank_tiers", "training_manifest"],
+)
+def test_prefix_sum_ops_partition_count_invariant(
+    entry_mod, con, name, min_parts, monkeypatch
+):
+    """The two-pass prefix-sum operators must produce IDENTICAL results at
+    any partition count (the fold carries exact integer offsets) — vary
+    the partition floor well below and above the default 8."""
+    from langfilter_ray.pipelines import text_analysis
+
+    monkeypatch.setattr(text_analysis, "_PREFIX_MIN_PARTS", min_parts)
+    got = _canon(_to_pandas(entry_mod.queries()[name](SF)))
+    want = _canon(con.execute(entry_mod.oracle_sql()[name]).df())
+    problems = compare_frames(got, want)
+    assert not problems, (problems, first_diff(got, want))
+
+
+@pytest.mark.parametrize("min_parts", [3, 29])
+@pytest.mark.parametrize(
+    "name",
+    ["user_value_lag", "rolling_24h_user_sum", "session_windows",
+     "asof_next_purchase", "first_seen_daily"],
+)
+def test_window_ops_partition_count_invariant(
+    entry_mod, con, name, min_parts, monkeypatch
+):
+    """The per-user window operators must be invariant to the hash
+    partition count (every user lands wholly in SOME partition at any
+    count) — vary the partition floor around the default 64."""
+    from langfilter_ray.pipelines import windows
+
+    monkeypatch.setattr(windows, "_MIN_WINDOW_PARTS", min_parts)
+    got = _canon(_to_pandas(entry_mod.queries()[name](SF)))
+    want = _canon(con.execute(entry_mod.oracle_sql()[name]).df())
+    problems = compare_frames(got, want)
+    assert not problems, (problems, first_diff(got, want))
+
+
 def test_comparator_catches_decimal_vs_int64():
     """Regression for round 1: DuckDB sum(BIGINT) -> decimal128 stringifies
     like int64 and slipped past the old astype(str) gate; the dtype-aware
