@@ -44,12 +44,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #               never hash-checked (they sat past the window in r3),
     #   slot  23    translate_documents (new in round 4: the T6 word-map
     #               plumbing over the documents table, oracle-checkable),
-    #   slots 24-50 re-confirmation filler: the 27 queries whose last
-    #               driver-green row is round 2 (dedup_exact first — its
-    #               digest combiner was rewritten this round).  Displace
-    #               filler from the END of this block when adding new
-    #               oracle-backed queries, never from the front.
-    # Everything past 50 has a hash-green or rows-only driver row from r3.
+    #   slots 24-41 re-confirmation filler: the oldest of the 27 queries
+    #               whose last driver-green row is round 2 (dedup_exact
+    #               first — its digest combiner was rewritten this round),
+    #   slots 42-50 the nine round-4 NEW oracle-backed operators (never
+    #               driver-checked; they displaced the newest nine
+    #               double-green reconfirmations off the end).
+    # Displace filler from the END when adding oracle-backed queries,
+    # never from the front.  Everything past 50 has a hash-green or
+    # rows-only driver row from r3.
     return {
         # --- round-3 oracle-backed, never driver-checked ------------------
         "nation_trade_volume": relational.nation_trade_volume,
@@ -95,6 +98,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_docs": text_analysis.sample_docs,
         "train_val_split": text_analysis.train_val_split,
         "dedup_embedding": dedup.dedup_embedding,
+        # --- round-4 NEW oracle-backed operators (never driver-checked;
+        #     they displaced the last nine double-green reconfirmations
+        #     per the end-of-filler displacement policy above) ----------
+        "pack_sequences": text_analysis.pack_sequences,
+        "mix_downsample": text_analysis.mix_downsample,
+        "shuffle_order": text_analysis.shuffle_order,
+        "bloom_semi_join_exact": relational.bloom_semi_join_exact,
+        "length_rank_tiers": text_analysis.length_rank_tiers,
+        "training_manifest": text_analysis.training_manifest,
+        "asof_next_purchase": windows.asof_next_purchase,
+        "rolling_24h_user_sum": windows.rolling_24h_user_sum,
+        "first_seen_daily": windows.first_seen_daily,
+        # ======== past the 50-query window (all have driver rows) ========
+        # displaced double-green reconfirmation filler -----------------------
         "similar_pairs_topk": dedup.similar_pairs_topk,
         "label_centroids": similarity.label_centroids,
         "status_counts": relational.status_counts,
@@ -104,7 +121,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_filtered_sorted": relational.events_filtered_sorted,
         "revenue_rollup": relational.revenue_rollup,
         "props_stats": relational.props_stats,
-        # ======== past the 50-query window (all have driver rows) ========
         # round-3 driver-green (hash) ---------------------------------------
         "error_events_pushdown": relational.error_events_pushdown,
         "segment_order_stats": relational.segment_order_stats,
@@ -150,19 +166,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": text_analysis.token_counts,
         "stopword_stats": text_analysis.stopword_stats,
         "langid_heuristic": text_analysis.langid_heuristic,
-        # round-4 additions (oracle-backed, past the window — its slots
-        # are reserved for the reconfirmation queue; in-process oracle
-        # tests cover these at sf0.001)
-        "pack_sequences": text_analysis.pack_sequences,
-        "mix_downsample": text_analysis.mix_downsample,
-        "shuffle_order": text_analysis.shuffle_order,
-        "bloom_semi_join_exact": relational.bloom_semi_join_exact,
-        "length_rank_tiers": text_analysis.length_rank_tiers,
-        "training_manifest": text_analysis.training_manifest,
-        "asof_next_purchase": windows.asof_next_purchase,
+        # round-4 iterative k-means (rows-only: no SQL fixpoint oracle;
+        # pinned bit-for-bit against a single-machine reference in tests)
         "kmeans_fit": similarity.kmeans_fit,
-        "rolling_24h_user_sum": windows.rolling_24h_user_sum,
-        "first_seen_daily": windows.first_seen_daily,
         # rows-only by design (stateful / approximate / stubbed) ------------
         "multimodal_decode": multimodal.multimodal_decode,
         "multimodal_resize": multimodal.multimodal_resize,

@@ -122,6 +122,10 @@ def test_round4_window_layout(entry_mod):
         "first_order_profile", "forecast_revenue_change",
         "daily_active_users", "order_skyline", "lang_source_agg",
         "retained_users", "event_type_unpivot", "translate_documents",
+        # the nine round-4 new oracle-backed operators (slots 42-50)
+        "pack_sequences", "mix_downsample", "shuffle_order",
+        "bloom_semi_join_exact", "length_rank_tiers", "training_manifest",
+        "asof_next_purchase", "rolling_24h_user_sum", "first_seen_daily",
     }
     missing = must_check - set(window)
     assert not missing, f"window is missing: {sorted(missing)}"
