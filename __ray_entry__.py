@@ -200,6 +200,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gate_decision_report": reports.gate_decision_report,
         "repo_quality_report": reports.repo_quality_report,
         "corpus_clean": reports.corpus_clean,
+        "corpus_training_manifest": reports.corpus_training_manifest,
     }
 
 

@@ -319,3 +319,169 @@ def _translate_documents_sql() -> str:
 ORACLES: dict[str, str] = {
     "translate_documents": _translate_documents_sql(),
 }
+
+
+# ---- the full training-data flow: cascade -> scrub -> dedup -> pack --------
+
+_MANIFEST_SEQ_TOKENS = 512
+_MANIFEST_PARTS = 64           # digest-prefix partitions (value-range)
+
+
+def _digest_part(col, parts: int) -> "np.ndarray":
+    """Value-range partition from the first 4 hex chars of a digest
+    column — vectorized (fixed-width ascii view, no Python per row), and
+    ORDER-PRESERVING so partition order equals digest order."""
+    import numpy as np
+    import pyarrow.compute as _pc
+
+    s4 = _pc.utf8_slice_codeunits(col, 0, 4)
+    b = s4.to_numpy(zero_copy_only=False).astype("S4").view(np.uint8)
+    b = b.reshape(-1, 4).astype(np.int64)
+    digit = np.where(b >= 97, b - 87, b - 48)      # 'a'-'f' | '0'-'9'
+    hexval = (
+        (digit[:, 0] << 12) | (digit[:, 1] << 8)
+        | (digit[:, 2] << 4) | digit[:, 3]
+    )
+    return np.minimum(hexval * parts // 65536, parts - 1)
+
+
+def _manifest_intermediate(sf_dir: str) -> str:
+    """Stage 1 of corpus_training_manifest, CHECKPOINTED: run the flagship
+    cascade+scrub once and persist the compact per-kept-doc label table
+    (content_sha256, n_tokens) to /tmp keyed by (corpus, config) — the
+    stage boundary a real pipeline would checkpoint, so the dedup+pack
+    passes scan 72 bytes/doc instead of re-running the cascade."""
+    import numpy as np
+    from pathlib import Path
+
+    from .text_analysis import TOKEN_RE
+
+    cfg = DEFAULT_CONFIG
+    corpus = corpus_for(sf_dir)
+    out = Path(
+        f"/tmp/langfilter_manifest_int/{Path(corpus).name}-{cfg.config_hash()}"
+    )
+    marker = out / "_SUCCESS"
+    if marker.exists():
+        return str(out)
+
+    ds = build_pipeline(read_corpus(corpus), cfg)
+
+    def kept_tokens(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["keep"], True))
+        n = pc.cast(pc.count_substring_regex(t["content"], TOKEN_RE), pa.int64())
+        return pa.table(
+            {"content_sha256": t["content_sha256"], "n_tokens": n}
+        )
+
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    ds.map_batches(kept_tokens, batch_format="pyarrow").write_parquet(str(out))
+    marker.touch()
+    return str(out)
+
+
+def corpus_training_manifest(sf_dir: str) -> ray.data.Dataset:
+    """THE end-to-end training-data flow as one query: quality cascade ->
+    PII scrub -> exact dedup (one row per distinct post-scrub content) ->
+    deterministic digest order -> fixed-capacity sequence packing.  The
+    output is the manifest a training loader streams: one row per
+    surviving document with its global position, sequence id and offset.
+
+    Scale shape: the cascade runs ONCE and checkpoints a compact
+    (digest, n_tokens) table (stage boundary, resumable); dedup needs no
+    groupby — the digest-prefix VALUE-RANGE partition co-locates all
+    copies of a digest, so a per-partition np.unique is exact; and the
+    pack offsets come from the module's two-pass prefix-sum skeleton
+    (per-partition (distinct rows, token sum) fold, <= parts rows of
+    driver state).  Rows-only: derives from the stateful cascade."""
+    import numpy as np
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    inter = _manifest_intermediate(sf_dir)
+    parts = _MANIFEST_PARTS
+    cap = _MANIFEST_SEQ_TOKENS
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "part",
+            pa.array(_digest_part(t["content_sha256"], parts), pa.int64()),
+        )
+
+    src = lambda: ray.data.read_parquet(inter).map_batches(  # noqa: E731
+        tag, batch_format="pyarrow"
+    )
+
+    # pass 1 counts distinct digests per part INSIDE the partition
+    # exchange (a per-batch combiner cannot: cross-batch duplicates of a
+    # digest would double-count — only the partition-local view is exact)
+    def part_counts(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame(
+                {
+                    "part": pd.array([], dtype="int64"),
+                    "n": pd.array([], dtype="int64"),
+                    "toks": pd.array([], dtype="int64"),
+                }
+            )
+        d = g.drop_duplicates("content_sha256")
+        return pd.DataFrame(
+            {
+                "part": [int(g["part"].iloc[0])],
+                "n": [len(d)],
+                "toks": [int(d["n_tokens"].sum())],
+            }
+        )
+
+    counts_df = (
+        src()
+        .groupby("part")
+        .map_groups(part_counts, batch_format="pandas")
+        .to_pandas()          # bounded: <= parts rows
+    )
+    rows = np.zeros(parts, dtype=np.int64)
+    toks = np.zeros(parts, dtype=np.int64)
+    rows[counts_df["part"].to_numpy()] = counts_df["n"].to_numpy()
+    toks[counts_df["part"].to_numpy()] = counts_df["toks"].to_numpy()
+    pos_off = np.concatenate(([0], np.cumsum(rows)[:-1]))
+    tok_off = np.concatenate(([0], np.cumsum(toks)[:-1]))
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame(
+                {
+                    "content_sha256": pd.array([], dtype="object"),
+                    "n_tokens": pd.array([], dtype="int64"),
+                    "train_pos": pd.array([], dtype="int64"),
+                    "seq_id": pd.array([], dtype="int64"),
+                    "offset_in_seq": pd.array([], dtype="int64"),
+                }
+            )
+        p = int(g["part"].iloc[0])
+        d = (
+            g.drop_duplicates("content_sha256")
+            .sort_values("content_sha256")
+            .reset_index(drop=True)
+        )
+        nt = d["n_tokens"].to_numpy()
+        cum_before = tok_off[p] + np.concatenate(([0], np.cumsum(nt)[:-1]))
+        return pd.DataFrame(
+            {
+                "content_sha256": d["content_sha256"].to_numpy(),
+                "n_tokens": nt,
+                "train_pos": pos_off[p] + np.arange(len(d), dtype=np.int64),
+                "seq_id": cum_before // cap,
+                "offset_in_seq": cum_before % cap,
+            }
+        )
+
+    return (
+        src()
+        .groupby("part")
+        .map_groups(per_partition, batch_format="pandas")
+        .select_columns(
+            ["content_sha256", "n_tokens", "train_pos", "seq_id", "offset_in_seq"]
+        )
+    )

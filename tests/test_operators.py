@@ -237,6 +237,7 @@ def test_every_query_has_oracle_or_is_known_rows_only(entry_mod):
         "dedup_components", "dedup_survivors", "dedup_embedding_ivf",
         "bloom_semi_join", "approx_quantiles", "decontaminate_overlap",
         "doc_perplexity", "decode_pgm", "decode_wav", "decode_bmp", "corpus_clean",
+        "corpus_training_manifest",
         "kmeans_fit",
         "embed_documents",
     }
@@ -613,6 +614,30 @@ def test_decode_bmp_real_parse_and_poison(entry_mod):
         for col, c in (("mean_r_milli", 0), ("mean_g_milli", 1), ("mean_b_milli", 2)):
             want = int(round(float(((base + c * 29) % 256).mean()) * 1000))
             assert row[col] == want, (i, col)
+
+
+def test_corpus_training_manifest_invariants(entry_mod):
+    """The full cascade->scrub->dedup->pack flow: exactly one manifest
+    row per distinct kept digest, token counts consistent with
+    corpus_clean's survivor set, positions a 0..n-1 permutation in
+    digest order, offsets consistent with a sequential 512-token pack."""
+    import numpy as np
+
+    got = _to_pandas(entry_mod.queries()["corpus_training_manifest"](SF))
+    clean = _to_pandas(entry_mod.queries()["corpus_clean"](SF))
+    assert sorted(got["content_sha256"]) == sorted(clean["content_sha256"])
+    assert got["content_sha256"].is_unique
+    n = len(got)
+    assert sorted(got["train_pos"]) == list(range(n))
+    g = got.sort_values("train_pos").reset_index(drop=True)
+    # digest order and exact running-pack arithmetic
+    assert list(g["content_sha256"]) == sorted(g["content_sha256"])
+    cum = np.concatenate(([0], np.cumsum(g["n_tokens"].to_numpy())[:-1]))
+    assert (g["seq_id"].to_numpy() == cum // 512).all()
+    assert (g["offset_in_seq"].to_numpy() == cum % 512).all()
+    # determinism across runs (fresh execution, cached intermediate)
+    again = _to_pandas(entry_mod.queries()["corpus_training_manifest"](SF))
+    assert again.sort_values("train_pos").reset_index(drop=True).equals(g)
 
 
 def test_kmeans_fit_equals_single_machine_reference(entry_mod):
