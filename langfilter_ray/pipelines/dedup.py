@@ -52,6 +52,9 @@ SHINGLE_N = 3
 # produce a non-empty pair set — a real corpus would use ~0.95
 COSINE_THRESHOLD = 0.40
 JACCARD_THRESHOLD = 0.5
+# dedup_jaccard gathers candidate texts via broadcast below this many
+# DISTINCT candidate docs; above it, the two-sided hash join takes over
+JACCARD_BROADCAST_MAX_DOCS = 200_000
 
 
 # odd 64-bit mixing constants (splitmix64/xxhash golden-ratio family)
@@ -510,22 +513,75 @@ def dedup_jaccard(sf_dir: str) -> ray.data.Dataset:
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
 
-    parts = _join_parts(2)
-    j = cand.join(
-        docs,
-        join_type="inner",
-        num_partitions=parts,
-        on=("doc_a",),
-        right_on=("doc_id",),
-        right_suffix="_a",
-    ).join(
-        docs,
-        join_type="inner",
-        num_partitions=parts,
-        on=("doc_b",),
-        right_on=("doc_id",),
-        right_suffix="_b",
+    # Candidate sets are tiny relative to the corpus (the LSH's whole
+    # point), so below a bound the texts of candidate docs are gathered
+    # with ONE broadcast-filtered scan and shipped to the verify stage as
+    # an object-store table — the two chained hash joins below pay ~4-5s
+    # of per-query aggregator-pool spawn for the same result (CLAUDE.md;
+    # measured 9.3s -> ~5s for the minhash+verify chain at sf0.1).  The
+    # join path remains the scale fallback, same contract as the dim
+    # broadcasts (bounded by an explicit row constant, both paths tested).
+    cand_df = cand.to_pandas()          # bounded: the materialized pair set
+    doc_ids = np.unique(
+        np.concatenate([cand_df["doc_a"].to_numpy(), cand_df["doc_b"].to_numpy()])
     )
+    if len(doc_ids) <= JACCARD_BROADCAST_MAX_DOCS:
+        wref = ray.put(doc_ids)         # sorted by construction (np.unique)
+
+        def keep_wanted(t: pa.Table) -> pa.Table:
+            wanted = ray.get(wref)
+            ids = t["doc_id"].to_numpy()
+            pos = np.searchsorted(wanted, ids)
+            hit = (pos < len(wanted)) & (
+                wanted[np.minimum(pos, len(wanted) - 1)] == ids
+            )
+            return t.filter(pa.array(hit))
+
+        # bounded: <= len(doc_ids) rows of candidate text, held in the
+        # OBJECT STORE (ray.put), never in a driver dict
+        texts_tbl = pa.concat_tables(
+            ray.get(
+                docs.map_batches(
+                    keep_wanted, batch_format="pyarrow"
+                ).to_arrow_refs()
+            )
+        )
+        tref = ray.put(texts_tbl)
+
+        def attach(t: pa.Table) -> pa.Table:
+            lut = ray.get(tref)
+            order = np.argsort(lut["doc_id"].to_numpy())
+            ids_sorted = lut["doc_id"].to_numpy()[order]
+            def gather(col):
+                pos = np.searchsorted(ids_sorted, col.to_numpy())
+                return lut["text"].take(pa.array(order[pos]))
+            return pa.table(
+                {
+                    "doc_a": t["doc_a"],
+                    "doc_b": t["doc_b"],
+                    "text_a": gather(t["doc_a"]),
+                    "text_b": gather(t["doc_b"]),
+                }
+            )
+
+        j = cand.map_batches(attach, batch_format="pyarrow")
+    else:
+        parts = _join_parts(2)
+        j = cand.join(
+            docs,
+            join_type="inner",
+            num_partitions=parts,
+            on=("doc_a",),
+            right_on=("doc_id",),
+            right_suffix="_a",
+        ).join(
+            docs,
+            join_type="inner",
+            num_partitions=parts,
+            on=("doc_b",),
+            right_on=("doc_id",),
+            right_suffix="_b",
+        )
 
     def verify(t: pa.Table) -> pa.Table:
         names = t.column_names

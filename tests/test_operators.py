@@ -445,6 +445,22 @@ def test_dedup_jaccard_matches_exhaustive_ground_truth(entry_mod):
     assert got == truth and len(truth) > 0
 
 
+def test_dedup_jaccard_join_fallback_matches_broadcast(entry_mod, monkeypatch):
+    """Above JACCARD_BROADCAST_MAX_DOCS the candidate-text gather must
+    switch to the two-sided hash join and produce the identical verified
+    pair set — forced here by zeroing the threshold."""
+    from langfilter_ray.pipelines import dedup
+
+    fast = _to_pandas(dedup.dedup_jaccard(SF))
+    monkeypatch.setattr(dedup, "JACCARD_BROADCAST_MAX_DOCS", 0)
+    slow = _to_pandas(dedup.dedup_jaccard(SF))
+    key = lambda df: sorted(  # noqa: E731
+        zip(df["doc_a"].astype(int), df["doc_b"].astype(int),
+            df["jaccard"].round(12))
+    )
+    assert key(fast) == key(slow) and len(fast) > 0
+
+
 def test_dedup_embedding_ivf_subset_and_recall(entry_mod):
     """IVF-bucketed near-dup pairs: every emitted pair must be exact (a
     subset of the brute-force pair set — same dot product) and recall must
