@@ -79,6 +79,15 @@ def main(argv: list[str] | None = None) -> int:
     genp.add_argument("--out", required=True)
     genp.add_argument("--seed", type=int, default=42)
 
+    packp = sub.add_parser(
+        "pack",
+        help="quality-filter -> dedup -> sequence-pack a corpus into a "
+             "training manifest",
+    )
+    packp.add_argument("--input", required=True, help="corpus parquet dir")
+    packp.add_argument("--output", required=True, help="manifest output dir")
+    packp.add_argument("--num-cpus", type=int, default=None)
+
     sub.add_parser("queries", help="list every pipeline query and its check")
 
     args = p.parse_args(argv)
@@ -124,6 +133,12 @@ def main(argv: list[str] | None = None) -> int:
 
             out = write_corpus(args.out, args.rows, seed=args.seed)
             print(out)
+            return 0
+
+        if args.cmd == "pack":
+            from .pipelines.reports import pack_corpus
+
+            print(json.dumps(pack_corpus(args.input, args.output), indent=2))
             return 0
 
         from .config import PipelineConfig

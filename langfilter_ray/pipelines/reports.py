@@ -345,7 +345,7 @@ def _digest_part(col, parts: int) -> "np.ndarray":
     return np.minimum(hexval * parts // 65536, parts - 1)
 
 
-def _manifest_intermediate(sf_dir: str) -> str:
+def _manifest_intermediate(corpus: str) -> str:
     """Stage 1 of corpus_training_manifest, CHECKPOINTED: run the flagship
     cascade+scrub once and persist the compact per-kept-doc label table
     (content_sha256, n_tokens) to /tmp keyed by (corpus, config) — the
@@ -357,7 +357,6 @@ def _manifest_intermediate(sf_dir: str) -> str:
     from .text_analysis import TOKEN_RE
 
     cfg = DEFAULT_CONFIG
-    corpus = corpus_for(sf_dir)
     out = Path(
         f"/tmp/langfilter_manifest_int/{Path(corpus).name}-{cfg.config_hash()}"
     )
@@ -383,6 +382,13 @@ def _manifest_intermediate(sf_dir: str) -> str:
 
 
 def corpus_training_manifest(sf_dir: str) -> ray.data.Dataset:
+    """Driver-query wrapper over the synthetic corpus for this SF — see
+    ``pack_corpus`` for the arbitrary-directory CLI surface and
+    ``_corpus_manifest_dataset`` for the plan itself."""
+    return _corpus_manifest_dataset(corpus_for(sf_dir))
+
+
+def _corpus_manifest_dataset(corpus: str) -> ray.data.Dataset:
     """THE end-to-end training-data flow as one query: quality cascade ->
     PII scrub -> exact dedup (one row per distinct post-scrub content) ->
     deterministic digest order -> fixed-capacity sequence packing.  The
@@ -400,7 +406,7 @@ def corpus_training_manifest(sf_dir: str) -> ray.data.Dataset:
     import pandas as pd
     from ray.data.aggregate import Sum
 
-    inter = _manifest_intermediate(sf_dir)
+    inter = _manifest_intermediate(corpus)
     parts = _MANIFEST_PARTS
     cap = _MANIFEST_SEQ_TOKENS
 
@@ -485,3 +491,29 @@ def corpus_training_manifest(sf_dir: str) -> ray.data.Dataset:
             ["content_sha256", "n_tokens", "train_pos", "seq_id", "offset_in_seq"]
         )
     )
+
+
+def pack_corpus(corpus_dir: str, out_dir: str) -> dict:
+    """CLI surface for the full flow over an ARBITRARY corpus directory:
+    quality cascade -> scrub -> dedup -> sequence-pack, manifest written
+    as parquet to ``out_dir``; returns summary counters (read back from
+    the tiny manifest with column pruning)."""
+    import shutil
+
+    import pyarrow.dataset as pads
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    _corpus_manifest_dataset(corpus_dir).write_parquet(out_dir)
+    t = pads.dataset(out_dir, format="parquet").to_table(
+        columns=["n_tokens", "seq_id"]
+    )
+    n = len(t)
+    total = int(pc.sum(t["n_tokens"]).as_py() or 0)
+    n_seq = int(pc.max(t["seq_id"]).as_py() or -1) + 1 if n else 0
+    return {
+        "documents": n,
+        "total_tokens": total,
+        "n_sequences": n_seq,
+        "seq_tokens": _MANIFEST_SEQ_TOKENS,
+        "output": str(out_dir),
+    }
