@@ -38,7 +38,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     # NOTE on ordering: the driver's CORRECTNESS check covers only the
     # FIRST 50 entries (dict order).  Exactly ONE literal entry per query
-    # (tests/test_entry.py asserts no duplicate keys via AST).  Round-4
+    # (tests/test_operators.py::test_queries_dict_has_no_duplicate_keys
+    # asserts it via AST).  Round-4
     # window layout:
     #   slots 1-22  the 22 round-3 oracle-backed queries the driver has
     #               never hash-checked (they sat past the window in r3),

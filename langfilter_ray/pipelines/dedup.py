@@ -530,6 +530,10 @@ def dedup_jaccard(sf_dir: str) -> ray.data.Dataset:
 
         def keep_wanted(t: pa.Table) -> pa.Table:
             wanted = ray.get(wref)
+            if len(wanted) == 0:
+                # legal on other inputs (zero LSH candidates); without this
+                # the -1 clamp below indexes into an empty array
+                return t.slice(0, 0)
             ids = t["doc_id"].to_numpy()
             pos = np.searchsorted(wanted, ids)
             hit = (pos < len(wanted)) & (

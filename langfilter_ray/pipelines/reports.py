@@ -348,17 +348,29 @@ def _digest_part(col, parts: int) -> "np.ndarray":
 def _manifest_intermediate(corpus: str) -> str:
     """Stage 1 of corpus_training_manifest, CHECKPOINTED: run the flagship
     cascade+scrub once and persist the compact per-kept-doc label table
-    (content_sha256, n_tokens) to /tmp keyed by (corpus, config) — the
-    stage boundary a real pipeline would checkpoint, so the dedup+pack
-    passes scan 72 bytes/doc instead of re-running the cascade."""
+    (content_sha256, n_tokens) to /tmp keyed by (corpus CONTENT
+    fingerprint, config) — the stage boundary a real pipeline would
+    checkpoint, so the dedup+pack passes scan 72 bytes/doc instead of
+    re-running the cascade.  The cache key is the path+size fingerprint
+    of the corpus files (state/checkpoint._input_fingerprint), NOT the
+    directory basename: two corpora sharing a basename, or a re-run
+    after the directory's contents changed, must invalidate the cache
+    rather than silently reuse a stale intermediate."""
     import numpy as np
     from pathlib import Path
 
+    from ..state.checkpoint import _input_fingerprint
     from .text_analysis import TOKEN_RE
 
     cfg = DEFAULT_CONFIG
+    cpath = Path(corpus)
+    files = (
+        [cpath] if cpath.is_file()
+        else sorted(str(p) for p in cpath.rglob("*.parquet"))
+    )
+    fp = _input_fingerprint(files) if files else "empty"
     out = Path(
-        f"/tmp/langfilter_manifest_int/{Path(corpus).name}-{cfg.config_hash()}"
+        f"/tmp/langfilter_manifest_int/{fp}-{cfg.config_hash()}"
     )
     marker = out / "_SUCCESS"
     if marker.exists():

@@ -1518,26 +1518,46 @@ def rolling_24h_user_sum(sf_dir: str) -> ray.data.Dataset:
         # each segment into its own disjoint band (band gap > global span
         # + window, so a query never crosses into a neighboring user) —
         # the shifted array is globally sorted and searchsorted is valid.
-        # Magnitude check: rel <= span (~weeks of microseconds, ~1e12),
-        # bands = rel_span + window + 1, segments <= partition rows (2M)
-        # -> max shifted value ~5e18 < int64 max.
+        # Magnitude: rel <= span, band = span + window + 1; the product
+        # band * n_segments can overflow int64 on a partition combining a
+        # long span with many segments (e.g. a year ~3e13 us x 2M users),
+        # and a wrapped array returns WRONG frames silently — so the
+        # bound is checked explicitly (Python ints, no wrap) and the rare
+        # oversized partition falls back to per-segment searchsorted.
         rel = us - us.min()
         band = rel.max() + RANGE_WINDOW_US + 1
-        seg_id = np.repeat(
-            np.arange(len(starts), dtype=np.int64), ends - starts
-        )
-        shifted = rel + seg_id * band
-        lower = np.searchsorted(shifted, shifted - RANGE_WINDOW_US, side="left")
-        lower = np.maximum(lower, seg_start)
+        n_seg = len(starts)
+        lower = np.empty(n, dtype=np.int64)
+        upper = np.empty(n, dtype=np.int64)
+        if int(band) * (n_seg - 1) + int(rel.max()) < 2 ** 63:
+            seg_id = np.repeat(
+                np.arange(n_seg, dtype=np.int64), ends - starts
+            )
+            shifted = rel + seg_id * band
+            lower = np.searchsorted(
+                shifted, shifted - RANGE_WINDOW_US, side="left"
+            )
+            lower = np.maximum(lower, seg_start)
+            # frame END: RANGE ... AND CURRENT ROW includes ALL peers with
+            # the row's ts (not just rows up to its sort position) — a
+            # same-(user, ts) tie must land in both rows' frames, exactly
+            # as the DuckDB oracle's RANGE frame does
+            upper = np.searchsorted(shifted, shifted, side="right")
+        else:                              # pragma: no cover - huge spans
+            for s, e in zip(starts, ends):
+                seg = rel[s:e]
+                lower[s:e] = s + np.searchsorted(
+                    seg, seg - RANGE_WINDOW_US, side="left"
+                )
+                upper[s:e] = s + np.searchsorted(seg, seg, side="right")
         cs = np.concatenate(([0], np.cumsum(cents)))
-        i = np.arange(n)
         return pd.DataFrame(
             {
                 "event_id": g["event_id"].to_numpy(),
                 "user_id": g["user_id"].to_numpy(),
                 "value_cents": cents,
-                "win_sum_cents": cs[i + 1] - cs[lower],
-                "n_window": (i - lower + 1).astype(np.int64),
+                "win_sum_cents": cs[upper] - cs[lower],
+                "n_window": (upper - lower).astype(np.int64),
             }
         )
 

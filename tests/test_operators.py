@@ -212,6 +212,101 @@ def test_window_ops_partition_count_invariant(
     assert not problems, (problems, first_diff(got, want))
 
 
+def test_rolling_24h_range_tie_semantics(entry_mod, tmp_path):
+    """RANGE ... AND CURRENT ROW includes ALL peers with the row's ts, so
+    two same-(user, ts) events must each see BOTH values in their frame.
+    The sf testdata has no (user_id, ts) ties (round-4 advice), so pin the
+    semantics on a synthetic events table that does."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from langfilter_ray.pipelines import windows
+
+    base = np.datetime64("2024-03-01T00:00:00", "us")
+    h = np.timedelta64(3600_000_000, "us")
+    rows = []   # (event_id, user_id, hours_offset, value)
+    # user 1: a tie pair inside the window plus one event outside it
+    rows += [(1, 1, 0, 1.00), (2, 1, 30, 2.00), (3, 1, 30, 4.00),
+             (4, 1, 31, 8.00)]
+    # user 2: a tie at the exact 24h boundary of a later event
+    rows += [(5, 2, 0, 1.00), (6, 2, 0, 2.00), (7, 2, 24, 4.00)]
+    # user 3: singleton control
+    rows += [(8, 3, 5, 16.00)]
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(
+                [base + r[2] * h for r in rows], pa.timestamp("us")
+            ),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "event_type": pa.array(["click"] * len(rows)),
+            "value": pa.array([r[3] for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows)),
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+    got = _canon(_to_pandas(windows.rolling_24h_user_sum(str(tmp_path))))
+    c = duckdb.connect()
+    c.execute(
+        f"CREATE VIEW events AS SELECT * "
+        f"FROM read_parquet('{tmp_path}/events.parquet')"
+    )
+    want = _canon(c.execute(windows.ORACLES["rolling_24h_user_sum"]).df())
+    problems = compare_frames(got, want)
+    assert not problems, (problems, first_diff(got, want))
+    # the tie rows (events 2 and 3, both at +30h) must both include each
+    # other (2+4 dollars; event 1 at +0h is outside their 24h frame)
+    by_id = got.set_index("event_id")
+    assert by_id.loc[2, "win_sum_cents"] == 600
+    assert by_id.loc[3, "win_sum_cents"] == 600
+    assert by_id.loc[2, "n_window"] == 2
+    # boundary tie: event 7 at +24h includes BOTH +0h tie rows (inclusive
+    # 24h lower bound)
+    assert by_id.loc[7, "n_window"] == 3
+
+
+def test_rolling_24h_overflow_fallback(entry_mod, tmp_path, monkeypatch):
+    """When band * n_segments would overflow int64, the per-segment
+    searchsorted fallback must produce the same frames the banded path
+    would (here: a window so huge every frame is the user's full prefix,
+    checked against a direct O(n^2) pandas computation)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from langfilter_ray.pipelines import windows
+
+    rng = np.random.RandomState(7)
+    n = 60
+    base = np.datetime64("2024-03-01T00:00:00", "us")
+    ts = base + rng.randint(0, 10**9, n).astype("timedelta64[us]")
+    df_in = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "ts": ts,
+            "user_id": rng.randint(0, 8, n).astype(np.int64),
+            "event_type": "click",
+            "value": rng.randint(1, 100, n) / 10.0,
+            "props": "{}",
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(df_in, preserve_index=False),
+                   tmp_path / "events.parquet")
+    # 8 users x band ~= 2^61 -> the banded product exceeds int64: the
+    # fallback loop must run (and agree with first principles)
+    monkeypatch.setattr(windows, "RANGE_WINDOW_US", 2 ** 61)
+    got = _to_pandas(windows.rolling_24h_user_sum(str(tmp_path)))
+    cents = np.floor(df_in["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+    by_id = got.set_index("event_id")
+    for i in range(n):
+        mask = (df_in["user_id"] == df_in["user_id"][i]) & (
+            df_in["ts"] <= df_in["ts"][i]
+        )
+        assert by_id.loc[i, "win_sum_cents"] == cents[mask.to_numpy()].sum()
+        assert by_id.loc[i, "n_window"] == int(mask.sum())
+
+
 def test_comparator_catches_decimal_vs_int64():
     """Regression for round 1: DuckDB sum(BIGINT) -> decimal128 stringifies
     like int64 and slipped past the old astype(str) gate; the dtype-aware
@@ -654,6 +749,29 @@ def test_corpus_training_manifest_invariants(entry_mod):
     # determinism across runs (fresh execution, cached intermediate)
     again = _to_pandas(entry_mod.queries()["corpus_training_manifest"](SF))
     assert again.sort_values("train_pos").reset_index(drop=True).equals(g)
+
+
+def test_manifest_intermediate_keyed_by_content(entry_mod, tmp_path):
+    """The checkpointed cascade intermediate must be keyed by the corpus
+    CONTENT fingerprint, not the directory basename (round-4 advice):
+    two corpora sharing a basename, or an in-place content change, must
+    get fresh cache directories instead of silently reusing a stale one."""
+    import shutil
+
+    from langfilter_ray.corpus import write_corpus
+    from langfilter_ray.pipelines.reports import _manifest_intermediate
+
+    a = write_corpus(tmp_path / "x" / "corpus", 60)
+    b = write_corpus(tmp_path / "y" / "corpus", 90)
+    d1 = _manifest_intermediate(str(a))
+    assert _manifest_intermediate(str(a)) == d1        # cache hit
+    d2 = _manifest_intermediate(str(b))
+    assert d2 != d1                                    # same basename, new key
+    # in-place content change invalidates the cache
+    src = next(iter((tmp_path / "x" / "corpus").glob("*.parquet")))
+    shutil.copy(src, src.with_name("extra-chunk.parquet"))
+    d3 = _manifest_intermediate(str(a))
+    assert d3 != d1
 
 
 def test_kmeans_fit_equals_single_machine_reference(entry_mod):
