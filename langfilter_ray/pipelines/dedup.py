@@ -281,6 +281,106 @@ def _band_join_parts(n_band_rows: int, cpu_parts: int) -> int:
     return max(2, min(cpu_parts, n_band_rows // _BAND_ROWS_PER_JOIN_PART))
 
 
+# Below this many band rows the hash self-join's fixed cost dominates the
+# data (a fresh-process aggregator-pool spawn is ~3s at 32 CPUs — CLAUDE.md
+# round-4 note; the sf0.1 band table is ~80k rows x 16 bytes = 1.3 MB), so
+# collision detection runs as ONE vectorized numpy pass over the gathered
+# table instead — same contract as the module's other broadcasts: explicit
+# row bound, distributed join fallback above it, both paths pinned equal by
+# a zero-threshold test.  1M rows = 16 MB gathered, well inside the
+# driver-side budget the <1M-edge union-find in dedup_components already
+# established.
+MINHASH_BROADCAST_MAX_BAND_ROWS = 1_000_000
+# pathological escape hatch: if the exact pair expansion of the gathered
+# table would exceed this (a forest of just-below-cap buckets), take the
+# distributed join path regardless — the check is an O(rows) cumsum, so
+# the guard costs nothing.
+_BROADCAST_MAX_PAIRS = 5_000_000
+
+
+def _broadcast_band_pairs(
+    bands: ray.data.Dataset, hot_bucket_cap: int | None
+) -> ray.data.Dataset | None:
+    """Small-band-table fast path: gather the (band_hash, doc_id) rows
+    (bounded by MINHASH_BROADCAST_MAX_BAND_ROWS), lexsort once, and emit
+    each bucket's pair expansion with vectorized repeat/arange arithmetic —
+    no hash shuffle, no aggregator-actor spawn, no Python loop over rows.
+    Hot buckets (> cap members) expand as stars around the bucket-min
+    doc_id, the same connectivity-exact trade as the join path (and the
+    same root the join path's exact census picks, so the paths agree
+    whenever the census is exact).  Returns None when the exact pair count
+    would exceed _BROADCAST_MAX_PAIRS — the caller falls through to the
+    distributed self-join."""
+    tbl = pa.concat_tables(ray.get(bands.to_arrow_refs()))
+    h = tbl["band_hash"].to_numpy()
+    d = tbl["doc_id"].to_numpy()
+    order = np.lexsort((d, h))
+    h, d = h[order], d[order]
+    n = len(h)
+    starts = np.flatnonzero(np.concatenate(([True], h[1:] != h[:-1])))
+    ends = np.append(starts[1:], n)
+    sizes = ends - starts
+
+    hot = (
+        sizes > hot_bucket_cap
+        if hot_bucket_cap is not None
+        else np.zeros(len(sizes), dtype=bool)
+    )
+    cold_pairs = ((sizes * (sizes - 1)) // 2)[~hot].sum()
+    if cold_pairs + (sizes[hot] - 1).sum() > _BROADCAST_MAX_PAIRS:
+        return None
+    if hot.any():
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "minhash_candidates: %d hot band bucket(s) above %d members "
+            "(largest %d) expanded as stars — candidate connectivity "
+            "preserved; pair lists within these buckets are star-shaped, "
+            "not all-pairs",
+            int(hot.sum()), hot_bucket_cap, int(sizes.max()),
+        )
+
+    row_hot = np.repeat(hot, sizes)
+    out_a = []
+    out_b = []
+    # cold buckets: full expansion — partner count per row is the number
+    # of later rows in its bucket.  Dropping hot rows keeps each cold
+    # bucket contiguous (hotness is a per-bucket property), so the
+    # expansion works on the compacted subsequence directly.
+    dc = d[~row_hot]
+    cold_sizes = sizes[~hot]
+    cends = np.cumsum(cold_sizes)
+    cnt = np.repeat(cends, cold_sizes) - np.arange(len(dc)) - 1
+    a_idx = np.repeat(np.arange(len(dc)), cnt)
+    csum = np.concatenate(([0], np.cumsum(cnt)))
+    b_idx = a_idx + 1 + (np.arange(csum[-1]) - np.repeat(csum[:-1], cnt))
+    out_a.append(dc[a_idx])
+    out_b.append(dc[b_idx])
+    # hot buckets: star around the bucket min (first row — sorted by
+    # doc_id within bucket)
+    for s, e in zip(starts[hot], ends[hot]):
+        root = d[s]
+        members = d[s + 1 : e]
+        out_a.append(np.full(len(members), root, dtype=np.int64))
+        out_b.append(members)
+    doc_a = np.concatenate(out_a)
+    doc_b = np.concatenate(out_b)
+    lo = np.minimum(doc_a, doc_b)
+    hi = np.maximum(doc_a, doc_b)
+    keep = lo < hi                      # drop self-collisions
+    uniq = np.unique(np.stack([lo[keep], hi[keep]], axis=1), axis=0)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_a": pa.array(uniq[:, 0], pa.int64()),
+                "doc_b": pa.array(uniq[:, 1], pa.int64()),
+            }
+        )
+        if len(uniq)
+        else _EMPTY_PAIRS
+    )
+
+
 def minhash_candidates(
     sf_dir: str, total_joins: int = 1, hot_bucket_cap: int = HOT_BUCKET_CAP
 ) -> ray.data.Dataset:
@@ -334,6 +434,16 @@ def minhash_candidates(
     if n_band_rows == 0:
         # an empty dataset has no schema and would crash the hash join
         return ray.data.from_arrow(_EMPTY_PAIRS)
+
+    if n_band_rows <= MINHASH_BROADCAST_MAX_BAND_ROWS:
+        # small band table: the hash self-join's fixed aggregator-pool
+        # spawn dominates (round-4 verdict) — one vectorized pass over the
+        # gathered table gives the identical pair set (zero-threshold
+        # parity test); falls through to the join when the exact pair
+        # expansion would be pathologically large
+        out = _broadcast_band_pairs(bands, hot_bucket_cap)
+        if out is not None:
+            return out
 
     # hot-bucket census — SAMPLED so its cost stays a small fraction of
     # the main pass: band rows are kept with deterministic probability

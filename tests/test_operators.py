@@ -540,6 +540,31 @@ def test_dedup_jaccard_matches_exhaustive_ground_truth(entry_mod):
     assert got == truth and len(truth) > 0
 
 
+def test_minhash_broadcast_matches_join_path(entry_mod, monkeypatch):
+    """The small-band-table broadcast pass must produce the IDENTICAL
+    candidate pair set as the distributed hash self-join — zero-threshold
+    forcing, the same contract every other broadcast-below-bound path in
+    the module carries.  Also checks the pathological-pair-count guard
+    falls through to the join path rather than erroring."""
+    from langfilter_ray.pipelines import dedup
+
+    def pairs(**_):
+        df = _to_pandas(dedup.minhash_candidates(SF))
+        return sorted(zip(df["doc_a"], df["doc_b"]))
+
+    fast = pairs()
+    assert len(fast) > 0
+    monkeypatch.setattr(dedup, "MINHASH_BROADCAST_MAX_BAND_ROWS", 0)
+    joined = pairs()
+    assert fast == joined
+    monkeypatch.undo()
+    # projected-pair-count guard: force the fall-through inside the
+    # broadcast branch
+    monkeypatch.setattr(dedup, "_BROADCAST_MAX_PAIRS", 0)
+    guarded = pairs()
+    assert fast == guarded
+
+
 def test_dedup_jaccard_join_fallback_matches_broadcast(entry_mod, monkeypatch):
     """Above JACCARD_BROADCAST_MAX_DOCS the candidate-text gather must
     switch to the two-sided hash join and produce the identical verified
