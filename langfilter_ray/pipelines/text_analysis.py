@@ -2113,6 +2113,47 @@ ORACLES["shuffle_order"] = (
 LENGTH_TIERS = 4
 
 
+_LENGTH_SAMPLE_PER_PART = 256     # boundary-sample size per target partition
+
+
+def _sampled_length_bounds(sf_dir: str, parts: int, n_rows: int) -> np.ndarray:
+    """Quantile partition boundaries for ``length_rank_tiers`` from a
+    DETERMINISTIC hash-sample (pure function of doc_id, the
+    ``stratified_sample`` trick): each doc keeps with probability
+    ~(parts * 256 / n_rows) by a threshold compare on the multiplied
+    uint64 mix, the sampled n_chars gather to the driver (bounded:
+    ~256 rows per partition), and positional quantiles of the sorted
+    sample become the ``parts - 1`` interval boundaries.  Duplicate
+    boundaries (a value holding >1/parts of the mass) collapse intervals
+    to empty — correct, and unavoidable: equal values must co-locate for
+    exact ranking, so a single value's mass can never be split."""
+    target = parts * _LENGTH_SAMPLE_PER_PART
+    if n_rows <= 0:
+        return np.array([], dtype=np.int64)
+    rate = min(1.0, target / n_rows)
+    thresh = np.uint64(min(int(rate * 2 ** 64), 2 ** 64 - 1))
+    _MIX = np.uint64(0x9E3779B97F4A7C15)
+
+    def sample(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy().astype(np.uint64)
+        keep = (ids * _MIX) < thresh
+        return pa.table(
+            {"n_chars": pa.array(t["n_chars"].to_numpy()[keep], pa.int64())}
+        )
+
+    samp = (
+        _docs_cols(sf_dir, ["doc_id", "n_chars"])
+        .map_batches(sample, batch_format="pyarrow")
+        .to_pandas()["n_chars"]          # bounded: ~parts * 256 rows
+        .to_numpy()
+    )
+    if len(samp) == 0:
+        return np.array([], dtype=np.int64)    # one partition, still exact
+    s = np.sort(samp)
+    idx = (np.arange(1, parts) * len(s)) // parts
+    return s[idx]
+
+
 def length_rank_tiers(sf_dir: str) -> ray.data.Dataset:
     """Curriculum binning: every doc's global rank by (n_chars, doc_id)
     plus its quartile tier ``(rank * 4) // n`` — the ordering step of a
@@ -2121,37 +2162,28 @@ def length_rank_tiers(sf_dir: str) -> ray.data.Dataset:
 
     Third use of the two-pass prefix pattern (``pack_sequences`` /
     ``shuffle_order``), this time partitioned by VALUE RANGE so partition
-    order equals rank order: parquet column statistics give the exact
-    [min, max] of ``n_chars`` for free, each row maps to a contiguous
-    value interval, pass 1 folds per-interval COUNTS (<= parts rows to
+    order equals rank order: boundaries come from a deterministic
+    hash-sample's quantiles (``_sampled_length_bounds`` — skew-resistant,
+    unlike the equal-width grid this replaced: a concentrated n_chars
+    distribution now splits across partitions instead of serializing
+    pass 2 through one straggler), each row maps to exactly one interval
+    by binary search, pass 1 folds per-interval COUNTS (<= parts rows to
     the driver) into rank offsets, and pass 2 sorts only inside each
-    interval.  Production caveat (stated per the guide): equal-width
-    value intervals skew under concentrated distributions — swap the
-    grid for sampled quantile boundaries at real scale; rank arithmetic
-    is unchanged."""
+    interval.  Exactness is boundary-independent: ANY boundary set gives
+    the same ranks because equal values co-locate and intervals are
+    value-ordered; the sample quality affects only balance."""
     import pandas as pd
     import pyarrow.parquet as pq
     from ray.data.aggregate import Sum
 
     path = f"{sf_dir}/documents.parquet"
-    md = pq.read_metadata(path)
-    n_rows = md.num_rows
-    lo, hi = None, None
-    for rg in range(md.num_row_groups):
-        for ci in range(md.num_columns):
-            col = md.row_group(rg).column(ci)
-            if col.path_in_schema == "n_chars" and col.statistics is not None:
-                st = col.statistics
-                lo = st.min if lo is None else min(lo, st.min)
-                hi = st.max if hi is None else max(hi, st.max)
-    if lo is None:      # no stats: single partition (still correct)
-        lo, hi = 0, 0
-    span = max(hi - lo + 1, 1)
+    n_rows = pq.read_metadata(path).num_rows
     parts = max(_PREFIX_MIN_PARTS, n_rows // _PACK_ROWS_PER_PART)
+    bounds = _sampled_length_bounds(sf_dir, parts, n_rows)
 
     def with_part(t: pa.Table) -> pa.Table:
         nc = t["n_chars"].to_numpy()
-        part = np.clip((nc - lo) * parts // span, 0, parts - 1).astype(np.int64)
+        part = np.searchsorted(bounds, nc, side="right").astype(np.int64)
         return pa.table(
             {
                 "part": pa.array(part, pa.int64()),

@@ -307,6 +307,51 @@ def test_rolling_24h_overflow_fallback(entry_mod, tmp_path, monkeypatch):
         assert by_id.loc[i, "n_window"] == int(mask.sum())
 
 
+def test_length_rank_tiers_skewed_distribution(entry_mod, tmp_path):
+    """Sampled-quantile boundaries (round-4 verdict item): a concentrated
+    n_chars distribution — 90% of rows in a 21-value band under a long
+    sparse tail — must (a) still rank exactly against the SQL oracle and
+    (b) keep per-partition row counts within 4x of the mean, where the
+    old equal-width grid put ~90% of rows into one straggler interval."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from langfilter_ray.pipelines import text_analysis as ta
+
+    rng = np.random.RandomState(3)
+    n = 12_000
+    narrow = rng.randint(100, 121, int(n * 0.9))
+    tail = rng.randint(1_000, 100_000, n - len(narrow))
+    n_chars = np.concatenate([narrow, tail])
+    rng.shuffle(n_chars)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+                "n_chars": pa.array(n_chars.astype(np.int64)),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    got = _canon(_to_pandas(ta.length_rank_tiers(str(tmp_path))))
+    c = duckdb.connect()
+    c.execute(
+        f"CREATE VIEW documents AS SELECT * "
+        f"FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    want = _canon(c.execute(ta.ORACLES["length_rank_tiers"]).df())
+    problems = compare_frames(got, want)
+    assert not problems, (problems, first_diff(got, want))
+    # balance under skew
+    parts = max(ta._PREFIX_MIN_PARTS, n // ta._PACK_ROWS_PER_PART)
+    bounds = ta._sampled_length_bounds(str(tmp_path), parts, n)
+    per_part = np.bincount(
+        np.searchsorted(bounds, n_chars, side="right"), minlength=parts
+    )
+    assert per_part.max() <= 4 * n / parts, per_part.tolist()
+
+
 def test_comparator_catches_decimal_vs_int64():
     """Regression for round 1: DuckDB sum(BIGINT) -> decimal128 stringifies
     like int64 and slipped past the old astype(str) gate; the dtype-aware
