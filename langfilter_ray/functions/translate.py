@@ -40,3 +40,125 @@ def translate_text(text: str, src: str, tgt: str) -> str:
     """Deterministic word-map translation; unknown tokens pass through."""
     table = get_translator(src, tgt)
     return " ".join(table.get(w.lower(), w) for w in text.split())
+
+
+# ---- the pluggable translator seam (mirrors functions/lid_adapters) --------
+#
+# The translation stages (pipelines/reports.py WordMapTranslator actors)
+# host ONE translator object per actor and call ONE method on it:
+#
+#     translate_batch(texts: list[str], src: str, tgt: str) -> list[str]
+#
+# Only en->fr / fr->en are legal directions (the reference's guard,
+# app/translate.py:27-35) — adapters should raise ValueError otherwise
+# (delegating the check to ``get_translator`` does this for free).  The
+# factory is called once per actor in ``__init__`` (the per-worker model
+# singleton, reference app/translate.py:12-25), so an expensive weights
+# load is paid once per actor, never per batch.  Pass a module-level
+# callable or ``functools.partial`` so Ray can pickle it to the actor
+# constructors.  An adapter MAY additionally expose
+# ``translate_column(arrow_string_array, src_lang) -> arrow_string_array``
+# — the stage uses that zero-copy fast path when present and falls back
+# to the list contract otherwise.
+
+
+class WordMapModel:
+    """Default T6 translator: both direction word maps become Arrow
+    key/value arrays ONCE per construction, and translation is a fully
+    vectorized Arrow kernel — split_pattern_regex -> utf8_lower ->
+    index_in(model keys) -> take -> rebuild ListArray -> binary_join; no
+    Python loop over rows or tokens."""
+
+    def __init__(self) -> None:
+        import pyarrow as pa
+
+        self.dirs = {}
+        for src_lang, tgt in (("en", "fr"), ("fr", "en")):
+            m = get_translator(src_lang, tgt)
+            self.dirs[src_lang] = (
+                pa.array(list(m.keys()), pa.string()),
+                pa.array(list(m.values()), pa.string()),
+            )
+
+    def translate_column(self, text, src_lang: str):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        keys, vals = self.dirs[src_lang]
+        trimmed = pc.utf8_trim(pc.fill_null(text, ""), " \t\n\r")
+        parts = pc.split_pattern_regex(trimmed, r"\s+")
+        lst = (
+            parts.combine_chunks()
+            if isinstance(parts, pa.ChunkedArray)
+            else parts
+        )
+        flat = lst.flatten()
+        idx = pc.index_in(pc.utf8_lower(flat), value_set=keys)
+        mapped = pc.if_else(pc.is_valid(idx), pc.take(vals, idx), flat)
+        rebuilt = pa.ListArray.from_arrays(lst.offsets, mapped)
+        return pc.binary_join(rebuilt, " ")
+
+    def translate_batch(
+        self, texts: list[str], src: str, tgt: str
+    ) -> list[str]:
+        import pyarrow as pa
+
+        get_translator(src, tgt)            # direction guard
+        return self.translate_column(
+            pa.array([t or "" for t in texts], pa.string()), src
+        ).to_pylist()
+
+
+class MarianTranslatorAdapter:
+    """Marian en<->fr behind the translator seam (the reference's real
+    model, app/translate.py:12-39).
+
+    Usage (outside this sandbox)::
+
+        from functools import partial
+        from langfilter_ray.functions.translate import MarianTranslatorAdapter
+        ds = translate_documents(
+            sf_dir,
+            translator_factory=partial(
+                MarianTranslatorAdapter, "/models/opus-mt-{src}-{tgt}"
+            ),
+        )
+
+    Notes:
+    - both direction models load in ``__init__`` — once per actor.
+    - ``model_dir_template`` must contain ``{src}``/``{tgt}`` placeholders
+      (Helsinki-NLP opus-mt checkpoints are per-direction).
+    - transformers/torch are not bundled in this sandbox, so the import is
+      guarded; the seam's tests run against the interface contract with a
+      fake heavy translator instead (langfilter_ray.testing)."""
+
+    def __init__(self, model_dir_template: str) -> None:
+        try:  # pragma: no cover - env-dependent
+            from transformers import MarianMTModel, MarianTokenizer
+        except ImportError as exc:
+            raise ImportError(
+                "MarianTranslatorAdapter requires the 'transformers' and "
+                "'torch' packages plus per-direction opus-mt checkpoints "
+                "(e.g. Helsinki-NLP/opus-mt-en-fr). In environments "
+                "without them, use the default WordMapModel."
+            ) from exc
+        self._models = {}
+        for src, tgt in _ALLOWED:  # pragma: no cover - env-dependent
+            path = model_dir_template.format(src=src, tgt=tgt)
+            self._models[(src, tgt)] = (
+                MarianTokenizer.from_pretrained(path),
+                MarianMTModel.from_pretrained(path),
+            )
+
+    def translate_batch(
+        self, texts: list[str], src: str, tgt: str
+    ) -> list[str]:  # pragma: no cover - env-dependent
+        if (src, tgt) not in _ALLOWED:
+            raise ValueError(
+                f"unsupported translation direction: {src}->{tgt}"
+            )
+        tok, model = self._models[(src, tgt)]
+        batch = tok([t or "" for t in texts], return_tensors="pt",
+                    padding=True, truncation=True)
+        out = model.generate(**batch)
+        return tok.batch_decode(out, skip_special_tokens=True)

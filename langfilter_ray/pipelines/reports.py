@@ -64,48 +64,42 @@ def gate_decision_report(sf_dir: str) -> ray.data.Dataset:
 
 
 class WordMapTranslator:
-    """Shared T6 actor: both direction word maps become Arrow key/value
-    arrays ONCE per actor in __init__ (the per-worker model singleton,
-    reference app/translate.py:12-39), and translation is a fully
-    vectorized Arrow kernel — split_pattern_regex -> utf8_lower ->
-    index_in(model keys) -> take -> rebuild ListArray -> binary_join; no
-    Python loop over rows or tokens."""
+    """Shared T6 actor: ONE translator model per actor, built in __init__
+    (the per-worker model singleton, reference app/translate.py:12-39).
+    ``translator_factory`` is the pluggable-model seam — the translation
+    twin of the cascade's ``model_factory``: a zero-arg picklable callable
+    returning an object with ``translate_batch(texts, src, tgt)`` (see
+    functions/translate.py for the contract and the documented Marian
+    adapter).  The default is the deterministic ``WordMapModel``, whose
+    fully-vectorized Arrow kernel the stage uses zero-copy when the model
+    exposes ``translate_column``."""
 
-    def __init__(self) -> None:
-        from ..functions.translate import get_translator
+    def __init__(self, translator_factory=None) -> None:
+        from ..functions.translate import WordMapModel
 
-        self.dirs = {}
-        for src_lang, tgt in (("en", "fr"), ("fr", "en")):
-            m = get_translator(src_lang, tgt)
-            self.dirs[src_lang] = (
-                pa.array(list(m.keys()), pa.string()),
-                pa.array(list(m.values()), pa.string()),
-            )
+        self.model = (translator_factory or WordMapModel)()
 
     def translate_column(self, text, src_lang: str) -> pa.Array:
-        keys, vals = self.dirs[src_lang]
-        trimmed = pc.utf8_trim(pc.fill_null(text, ""), " \t\n\r")
-        parts = pc.split_pattern_regex(trimmed, r"\s+")
-        lst = (
-            parts.combine_chunks()
-            if isinstance(parts, pa.ChunkedArray)
-            else parts
+        if hasattr(self.model, "translate_column"):
+            return self.model.translate_column(text, src_lang)
+        tgt = "fr" if src_lang == "en" else "en"
+        out = self.model.translate_batch(
+            pc.fill_null(text, "").to_pylist(), src_lang, tgt
         )
-        flat = lst.flatten()
-        idx = pc.index_in(pc.utf8_lower(flat), value_set=keys)
-        mapped = pc.if_else(pc.is_valid(idx), pc.take(vals, idx), flat)
-        rebuilt = pa.ListArray.from_arrays(lst.offsets, mapped)
-        return pc.binary_join(rebuilt, " ")
+        return pa.array(out, pa.string())
 
 
-def translate_kept_snippets(sf_dir: str) -> ray.data.Dataset:
+def translate_kept_snippets(
+    sf_dir: str, translator_factory=None
+) -> ray.data.Dataset:
     """T6 enrichment surfaced as a driver query: translate the snippet of
     KEPT en/fr rows toward the opposite language (en->fr / fr->en only —
     the reference's direction guard) via the actor-pool pattern.
     Cost-ladder shape: runs only on flagship survivors (cascade filters
     first).  Rows-only (depends on the stateful cascade's keep decision;
     the word-map plumbing itself is hash-checked by the
-    ``translate_documents`` twin below)."""
+    ``translate_documents`` twin below).  ``translator_factory`` plugs in
+    a real model (see WordMapTranslator)."""
     cfg = PipelineConfig()
     ds = build_pipeline(read_corpus(corpus_for(sf_dir)), cfg)
 
@@ -138,17 +132,26 @@ def translate_kept_snippets(sf_dir: str) -> ray.data.Dataset:
 
     return ds.select_columns(
         ["repo", "path", "commit", "keep", "language", "snippet"]
-    ).map_batches(Translator, batch_format="pyarrow", concurrency=(1, _default_pool_size()), num_cpus=1)
+    ).map_batches(
+        Translator,
+        batch_format="pyarrow",
+        concurrency=(1, _default_pool_size()),
+        num_cpus=1,
+        fn_constructor_kwargs={"translator_factory": translator_factory},
+    )
 
 
-def translate_documents(sf_dir: str) -> ray.data.Dataset:
+def translate_documents(
+    sf_dir: str, translator_factory=None
+) -> ray.data.Dataset:
     """T6 translation plumbing made HASH-CHECKABLE: the same word-map
     'model' (functions/translate.py, per-actor cache in ``__init__``) over
     the shared ``documents`` table, en->fr / fr->en by row language, other
     languages filtered out (the reference's direction guard,
     app/translate.py:27-35).  Unlike ``translate_kept_snippets`` this does
     not depend on the stateful cascade, so a DuckDB ``list_transform``
-    oracle can replay the exact word map and the driver hash-checks it."""
+    oracle can replay the exact word map and the driver hash-checks it.
+    ``translator_factory`` plugs in a real model (see WordMapTranslator)."""
 
     class DocTranslator(WordMapTranslator):
         def __call__(self, t: pa.Table) -> pa.Table:
@@ -176,6 +179,7 @@ def translate_documents(sf_dir: str) -> ray.data.Dataset:
         batch_format="pyarrow",
         concurrency=(1, _default_pool_size()),
         num_cpus=1,
+        fn_constructor_kwargs={"translator_factory": translator_factory},
     )
 
 

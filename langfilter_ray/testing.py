@@ -144,3 +144,28 @@ class FakeHeavyModel:
 
     def forced_choice(self, texts, a="en", b="fr"):
         return [a] * len(texts)
+
+
+FAKE_TRANSLATOR_LOAD_LOG = _os.path.join(
+    _tempfile.gettempdir(), "langfilter_fake_translator_loads.log"
+)
+
+
+class FakeHeavyTranslator:
+    """Stand-in for an expensive real translation model behind the
+    translator seam (translate_batch(texts, src, tgt) — see
+    functions/translate.py): every construction appends its pid to
+    FAKE_TRANSLATOR_LOAD_LOG so tests can assert one load per actor.
+    'Translates' by tagging each text with the direction, so outputs are
+    recognizably non-word-map."""
+
+    def __init__(self) -> None:
+        with open(FAKE_TRANSLATOR_LOAD_LOG, "a") as f:
+            f.write(f"{_os.getpid()}\n")
+
+    def translate_batch(self, texts, src, tgt):
+        from langfilter_ray.functions.translate import _ALLOWED
+
+        if (src, tgt) not in _ALLOWED:
+            raise ValueError(f"unsupported translation direction: {src}->{tgt}")
+        return [f"[{src}->{tgt}] {t or ''}" for t in texts]

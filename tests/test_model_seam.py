@@ -117,3 +117,75 @@ def test_default_model_unchanged_without_factory():
 
     scorer = CascadeScorer(PipelineConfig())
     assert isinstance(scorer.model, TrigramLidModel)
+
+
+# ---- the translator seam (round-5 verdict item, mirrors model_factory) ----
+
+from langfilter_ray.testing import (  # noqa: E402
+    FAKE_TRANSLATOR_LOAD_LOG as _TR_LOG,
+)
+from langfilter_ray.testing import FakeHeavyTranslator  # noqa: E402
+
+
+def test_translator_factory_routes_through_injected_model(ray_session):
+    """translate_documents(translator_factory=...) must run every batch
+    through the injected object (outputs carry its direction tag), while
+    the default word-map result stays byte-identical to before (pinned by
+    the translate_documents oracle test)."""
+    from langfilter_ray.pipelines.reports import translate_documents
+
+    df = translate_documents(
+        "/root/testdata/sf0.001", translator_factory=FakeHeavyTranslator
+    ).to_pandas()
+    assert len(df) > 0
+    en = df[df["lang"] == "en"]["translated"]
+    fr = df[df["lang"] == "fr"]["translated"]
+    assert len(en) and en.str.startswith("[en->fr] ").all()
+    assert len(fr) and fr.str.startswith("[fr->en] ").all()
+
+
+def test_translator_one_load_per_actor(ray_session):
+    """The factory runs once per ACTOR, never once per batch."""
+    if os.path.exists(_TR_LOG):
+        os.remove(_TR_LOG)
+    from langfilter_ray.pipelines.reports import translate_documents
+
+    ds = translate_documents(
+        "/root/testdata/sf0.001", translator_factory=FakeHeavyTranslator
+    )
+    n = ds.count()
+    assert n > 0
+    with open(_TR_LOG) as f:
+        loads = [ln for ln in f.read().splitlines() if ln]
+    # pool is (1, _default_pool_size()); loads must be bounded by the pool
+    # and strictly below the batch count (sf0.001 has many batches)
+    from langfilter_ray.pipelines.reports import _default_pool_size
+
+    assert 1 <= len(loads) <= _default_pool_size(), loads
+
+
+def test_marian_adapter_import_guard():
+    """Without transformers installed the adapter must raise a clear
+    ImportError naming the dependency, not an obscure AttributeError."""
+    from langfilter_ray.functions.translate import MarianTranslatorAdapter
+
+    with pytest.raises(ImportError, match="transformers"):
+        MarianTranslatorAdapter("/models/opus-mt-{src}-{tgt}")
+
+
+def test_word_map_model_direction_guard_and_parity():
+    """The default model obeys the direction guard and its list contract
+    agrees with the vectorized column kernel."""
+    import pyarrow as _pa
+
+    from langfilter_ray.functions.translate import WordMapModel
+
+    m = WordMapModel()
+    with pytest.raises(ValueError, match="unsupported"):
+        m.translate_batch(["x"], "en", "de")
+    texts = ["the new day", "", "  vous et nous  "]
+    via_list = m.translate_batch(texts, "en", "fr")
+    via_col = m.translate_column(
+        _pa.array(texts, _pa.string()), "en"
+    ).to_pylist()
+    assert via_list == via_col
