@@ -3,6 +3,8 @@
     python -m langfilter_ray run --input DIR --output DIR [options]
     python -m langfilter_ray report --output DIR
     python -m langfilter_ray gen-corpus --rows N --out DIR
+    python -m langfilter_ray pack --input DIR --output DIR
+    python -m langfilter_ray purge --output DIR --keep-ingests N [--apply]
 
 Mirrors the reference's env-var configuration surface (SURVEY.md §2.11):
 every PipelineConfig field can come from LANGFILTER_* env vars or be
@@ -69,6 +71,12 @@ def main(argv: list[str] | None = None) -> int:
                            "output's ingest ledger (_ingested.jsonl) — "
                            "the continuous-queue analog; re-run after new "
                            "files arrive and only they are processed")
+    runp.add_argument("--model", default=None, metavar="SPEC",
+                      help="LID model: 'trigram' (default), "
+                           "'fasttext:<path-to-lid.176.bin>', or "
+                           "'import:<module>:<factory>' for any custom "
+                           "adapter (functions/lid_adapters.py contract); "
+                           "built once per actor")
 
     repp = sub.add_parser("report", help="summarize a run's manifest")
     repp.add_argument("--output", required=True)
@@ -88,9 +96,36 @@ def main(argv: list[str] | None = None) -> int:
     packp.add_argument("--output", required=True, help="manifest output dir")
     packp.add_argument("--num-cpus", type=int, default=None)
 
+    purgep = sub.add_parser(
+        "purge",
+        help="retention: delete all but the newest N completed "
+             "ingest=<fp>/ subtrees of an incremental output (dry-run "
+             "unless --apply; purged files stay claimed, so they are not "
+             "re-ingested)",
+    )
+    purgep.add_argument("--output", required=True,
+                        help="incremental output directory")
+    purgep.add_argument("--keep-ingests", type=int, required=True,
+                        help="number of newest completed ingests to keep")
+    purgep.add_argument("--apply", action="store_true",
+                        help="actually delete (default: dry-run report)")
+
     sub.add_parser("queries", help="list every pipeline query and its check")
 
     args = p.parse_args(argv)
+
+    if args.cmd == "purge":
+        # pure filesystem maintenance — no Ray session needed
+        from .state.checkpoint import purge_ingests
+
+        print(json.dumps(
+            purge_ingests(
+                args.output, keep_ingests=args.keep_ingests,
+                apply=args.apply,
+            ),
+            indent=2,
+        ))
+        return 0
 
     if args.cmd == "queries":
         # pure introspection — no Ray session needed
@@ -148,12 +183,15 @@ def main(argv: list[str] | None = None) -> int:
         cfg = _apply_overrides(cfg, args.set)
         if args.strict:
             cfg = dataclasses.replace(cfg, strict_reject=True)
+        from .functions.lid_adapters import resolve_model_spec
+
+        model_factory = resolve_model_spec(args.model)
         runner = run_incremental if args.incremental else run_with_checkpoints
         summary = runner(
             args.input, args.output, cfg,
             num_parts=args.num_parts, batch_size=args.batch_size,
             concurrency=args.concurrency, wave_size=args.wave_size,
-            salt=args.salt,
+            salt=args.salt, model_factory=model_factory,
         )
         print(json.dumps(summary, indent=2))
         return 0

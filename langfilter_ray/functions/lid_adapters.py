@@ -124,3 +124,36 @@ class FastTextLidAdapter:
 def fasttext_factory(model_path: str):
     """Picklable zero-arg factory for ``model_factory=``."""
     return partial(FastTextLidAdapter, model_path)
+
+
+def resolve_model_spec(spec: str | None):
+    """Resolve a CLI model spec string to a ``model_factory`` callable
+    (the ``run --model`` surface):
+
+    - ``None`` / ``"trigram"``          -> None (the default TrigramLidModel)
+    - ``"fasttext:<path>"``             -> ``fasttext_factory(path)``
+    - ``"import:<module>:<attr>"``      -> the named zero-arg factory,
+      resolved by import — the generic escape hatch for any custom model
+      implementing the adapter contract at the top of this module.
+
+    Raises ValueError with the accepted forms on anything else."""
+    if spec is None or spec == "trigram":
+        return None
+    kind, _, rest = spec.partition(":")
+    if kind == "fasttext" and rest:
+        return fasttext_factory(rest)
+    if kind == "import" and rest:
+        mod_name, _, attr = rest.partition(":")
+        if mod_name and attr:
+            import importlib
+
+            try:
+                return getattr(importlib.import_module(mod_name), attr)
+            except (ImportError, AttributeError) as exc:
+                raise ValueError(
+                    f"cannot resolve model spec {spec!r}: {exc}"
+                ) from exc
+    raise ValueError(
+        f"unknown model spec {spec!r} (expected 'trigram', "
+        "'fasttext:<path>' or 'import:<module>:<attr>')"
+    )

@@ -77,6 +77,17 @@ def completed_parts(
     return done
 
 
+def _model_tag(model_factory) -> str:
+    """Deterministic identity string for a model factory, folded into the
+    manifest config hash (empty for the default model so existing
+    manifests stay valid)."""
+    if model_factory is None:
+        return ""
+    mod = getattr(model_factory, "__module__", "?")
+    name = getattr(model_factory, "__qualname__", None) or repr(model_factory)
+    return f"+model:{mod}.{name}"
+
+
 def _input_fingerprint(paths: Iterable[str | Path]) -> str:
     import hashlib
 
@@ -118,22 +129,28 @@ def run_with_checkpoints(
     wave_size: int | None = None,
     fail_after_waves: int | None = None,
     salt: int = 1,
+    model_factory=None,
 ) -> dict[str, Any]:
     """Run the flagship pipeline with per-partition commit + resume.
 
     ``fail_after_waves`` injects a crash after N committed waves (the
-    resume-fixture hook, FIXTURES.md §4).  Returns a summary dict.
+    resume-fixture hook, FIXTURES.md §4).  ``model_factory`` is the
+    pluggable-LID seam forwarded to ``build_pipeline`` (the CLI's
+    ``run --model`` surface).  Returns a summary dict.
     """
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
-    done = completed_parts(out_dir, expect_config_hash=cfg.config_hash())
+    # the manifest's config hash also carries the model identity: resuming
+    # a half-done directory under a DIFFERENT model would mix decision
+    # sources exactly like a config change would
+    cfg_hash = cfg.config_hash() + _model_tag(model_factory)
+    done = completed_parts(out_dir, expect_config_hash=cfg_hash)
     remaining = [p for p in range(num_parts) if p not in done]
     if isinstance(input_path, (str, Path)) and Path(input_path).is_dir():
         files = sorted(str(p) for p in Path(input_path).glob("*.parquet"))
     else:
         files = [input_path] if isinstance(input_path, (str, Path)) else list(input_path)
     fingerprint = _input_fingerprint(files)
-    cfg_hash = cfg.config_hash()
 
     waves: list[list[int]] = []
     if wave_size is None or wave_size >= len(remaining):
@@ -153,6 +170,7 @@ def run_with_checkpoints(
             ds, cfg, num_parts=num_parts, batch_size=batch_size,
             concurrency=concurrency, salt=salt,
             parts_filter=set(wave) if len(wave) < num_parts else None,
+            model_factory=model_factory,
         )
         ds.write_parquet(str(tmp_dir), partition_cols=["part"])
 
@@ -267,6 +285,7 @@ def run_incremental(
     wave_size: int | None = None,
     salt: int = 1,
     fail_after_waves: int | None = None,
+    model_factory=None,
 ) -> dict[str, Any]:
     """Process only parquet files NOT yet ingested from ``input_path`` —
     the batch-native analog of the reference's continuous job queue
@@ -303,7 +322,7 @@ def run_incremental(
     sized = [(f, os.stat(f).st_size) for f in files]
 
     claimed, pending = _read_ingest_log(out_dir)
-    cfg_hash = cfg.config_hash()
+    cfg_hash = cfg.config_hash() + _model_tag(model_factory)
     for rec in pending:
         if rec.get("config_hash") != cfg_hash:
             raise RuntimeError(
@@ -323,6 +342,7 @@ def run_incremental(
             wave_size=wave_size,
             salt=salt,
             fail_after_waves=fail_after_waves,
+            model_factory=model_factory,
         )
         with open(ingest_log_path(out_dir), "a") as fh:
             fh.write(
@@ -387,3 +407,77 @@ def summarize_incremental(out_dir: str | Path) -> dict[str, Any]:
             by_decision[k] = by_decision.get(k, 0) + v
     totals["by_decision"] = dict(sorted(by_decision.items()))
     return totals
+
+
+# ---- retention / purge (the reference's maintenance/purge_db.py analog) ----
+
+def purge_ingests(
+    out_dir: str | Path, *, keep_ingests: int, apply: bool = False
+) -> dict[str, Any]:
+    """Retention for incremental outputs: delete all but the newest
+    ``keep_ingests`` COMPLETED ``ingest=<fp>/`` subtrees (the reference's
+    purge_db.py:40-69 deletes old jobs + their storage artifacts the same
+    way).  Dry-run by default — ``apply=True`` actually removes.
+
+    Semantics:
+    - only completed ingests (an ``ingest_done`` ledger line) are
+      candidates, newest-first by their done timestamp; pending ingests
+      are never touched (they are still the resume queue).
+    - a purge appends an ``ingest_purged`` ledger line AFTER the subtree
+      is removed; the claim lines stay, so purged files are NOT
+      re-ingested by later ``run --incremental`` calls (aged-out data
+      stays out — retention, not reprocessing).
+    - idempotent: already-purged ingests are no longer candidates, and a
+      crash between rmtree and the ledger line just re-purges the (now
+      empty) subtree on the next call.
+    """
+    out_dir = Path(out_dir)
+    path = ingest_log_path(out_dir)
+    done_at: dict[str, float] = {}
+    purged: set[str] = set()
+    pending_ids: list[str] = []
+    if path.exists():
+        with open(path) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                rec = json.loads(line)
+                kind = rec.get("kind")
+                if kind == "ingest_done":
+                    done_at[rec["ingest"]] = float(rec.get("committed_at", 0))
+                elif kind == "ingest_purged":
+                    purged.add(rec["ingest"])
+                elif kind == "ingest_start" and rec["ingest"] not in done_at:
+                    pending_ids.append(rec["ingest"])
+    pending_ids = [i for i in pending_ids if i not in done_at]
+    completed = sorted(
+        ((t, iid) for iid, t in done_at.items() if iid not in purged)
+    )
+    n_victims = max(0, len(completed) - max(keep_ingests, 0))
+    victims = [iid for _, iid in completed[:n_victims]]
+    kept = [iid for _, iid in completed[n_victims:]]
+
+    if apply:
+        for iid in victims:
+            shutil.rmtree(out_dir / f"ingest={iid}", ignore_errors=True)
+            with open(path, "a") as fh:
+                fh.write(
+                    json.dumps(
+                        {
+                            "kind": "ingest_purged",
+                            "ingest": iid,
+                            "purged_at": time.time(),
+                        }
+                    )
+                    + "\n"
+                )
+                fh.flush()
+                os.fsync(fh.fileno())
+
+    return {
+        "dry_run": not apply,
+        "purged": victims,
+        "kept": kept,
+        "pending_untouched": pending_ids,
+        "already_purged": sorted(purged),
+    }

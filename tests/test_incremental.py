@@ -120,3 +120,79 @@ def test_incremental_refuses_config_mix_on_pending(ray_session, tmp_path, corpus
     other = dataclasses.replace(CFG, strict_reject=True)
     with pytest.raises(RuntimeError, match="config_hash"):
         run_incremental(corpus, out, other, num_parts=N_PARTS)
+
+
+# ---- retention / purge (round-5 verdict item) -------------------------------
+
+def test_purge_dry_run_apply_and_idempotence(ray_session, tmp_path, corpus):
+    from langfilter_ray.state.checkpoint import purge_ingests
+
+    out = tmp_path / "out"
+    run_incremental(corpus, out, CFG, num_parts=N_PARTS)          # ingest 1
+    _write_file(corpus, "c.parquet", 60, 240)
+    run_incremental(corpus, out, CFG, num_parts=N_PARTS)          # ingest 2
+    _write_file(corpus, "d.parquet", 60, 300)
+    run_incremental(corpus, out, CFG, num_parts=N_PARTS)          # ingest 3
+    trees = sorted(out.glob("ingest=*"))
+    assert len(trees) == 3
+
+    # dry run (the default): reports the victim, deletes nothing
+    rep = purge_ingests(out, keep_ingests=2)
+    assert rep["dry_run"] and len(rep["purged"]) == 1
+    assert sorted(out.glob("ingest=*")) == trees
+    victim = rep["purged"][0]
+    assert len(rep["kept"]) == 2 and victim not in rep["kept"]
+
+    # apply: oldest subtree gone, the two newest intact
+    rep2 = purge_ingests(out, keep_ingests=2, apply=True)
+    assert rep2["purged"] == [victim]
+    assert not (out / f"ingest={victim}").exists()
+    assert len(sorted(out.glob("ingest=*"))) == 2
+
+    # idempotent: nothing left to purge at the same retention
+    rep3 = purge_ingests(out, keep_ingests=2, apply=True)
+    assert rep3["purged"] == [] and victim in rep3["already_purged"]
+
+
+def test_purge_then_incremental_does_not_reingest(ray_session, tmp_path, corpus):
+    """Retention, not reprocessing: purged files stay claimed in the
+    ledger, so a later incremental run ingests only genuinely-new files;
+    summaries count only the surviving subtrees."""
+    from langfilter_ray.state.checkpoint import purge_ingests
+
+    out = tmp_path / "out"
+    run_incremental(corpus, out, CFG, num_parts=N_PARTS)          # a+b
+    _write_file(corpus, "c.parquet", 60, 240)
+    run_incremental(corpus, out, CFG, num_parts=N_PARTS)          # c
+    purge_ingests(out, keep_ingests=1, apply=True)                # drop a+b
+
+    s = run_incremental(corpus, out, CFG, num_parts=N_PARTS)
+    assert s["new_files"] == 0 and s["resumed_ingests"] == 0
+    assert s["ingests"] == 1 and s["rows_in"] == 60               # c only
+
+    _write_file(corpus, "e.parquet", 40, 360)
+    s2 = run_incremental(corpus, out, CFG, num_parts=N_PARTS)
+    assert s2["new_files"] == 1
+    assert s2["ingests"] == 2 and s2["rows_in"] == 100            # c + e
+
+
+def test_purge_never_touches_pending_ingests(ray_session, tmp_path, corpus):
+    from langfilter_ray.state.checkpoint import purge_ingests
+
+    out = tmp_path / "out"
+    run_incremental(corpus, out, CFG, num_parts=N_PARTS)
+    # crash mid-second-ingest: claimed but no ingest_done line
+    _write_file(corpus, "c.parquet", 60, 240)
+    with pytest.raises(RuntimeError, match="injected"):
+        run_incremental(
+            corpus, out, CFG, num_parts=N_PARTS, wave_size=2,
+            fail_after_waves=1,
+        )
+    rep = purge_ingests(out, keep_ingests=0, apply=True)
+    assert len(rep["pending_untouched"]) == 1
+    pending = rep["pending_untouched"][0]
+    assert (out / f"ingest={pending}").exists()      # resume queue intact
+    # and the pending ingest still completes afterwards
+    s = run_incremental(corpus, out, CFG, num_parts=N_PARTS)
+    assert s["resumed_ingests"] == 1 and s["ingests"] == 1
+    assert s["rows_in"] == 60

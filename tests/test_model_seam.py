@@ -189,3 +189,74 @@ def test_word_map_model_direction_guard_and_parity():
         _pa.array(texts, _pa.string()), "en"
     ).to_pylist()
     assert via_list == via_col
+
+
+# ---- CLI model-spec resolution (run --model, round-5 verdict item) ---------
+
+def test_resolve_model_spec_forms():
+    from functools import partial
+
+    from langfilter_ray.functions.lid_adapters import (
+        FastTextLidAdapter,
+        resolve_model_spec,
+    )
+
+    assert resolve_model_spec(None) is None
+    assert resolve_model_spec("trigram") is None
+    f = resolve_model_spec("fasttext:/models/lid.176.bin")
+    assert isinstance(f, partial) and f.func is FastTextLidAdapter
+    assert (
+        resolve_model_spec("import:langfilter_ray.testing:FakeHeavyModel")
+        is FakeHeavyModel
+    )
+    for bad in ("bogus", "fasttext:", "import:nope.module:X", "import:os"):
+        with pytest.raises(ValueError):
+            resolve_model_spec(bad)
+
+
+def test_cli_run_with_model_spec(tmp_path):
+    """End to end through the real CLI path (fresh subprocess, its own Ray
+    session): --model import:...FakeHeavyModel must drive every
+    model-decided row to the fake's confident-English answer — no
+    kept_mid_* / forced decisions can appear — and the manifest must
+    carry the model tag so a default-model resume in the same directory
+    is refused."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    REPO = Path(__file__).resolve().parent.parent
+    corpus = tmp_path / "corpus"
+    out = tmp_path / "out"
+    env = {"PYTHONPATH": str(REPO), "PATH": "/usr/bin:/bin",
+           "HOME": "/root", "RAY_ADDRESS": "local"}
+    subprocess.run(
+        [sys.executable, "-m", "langfilter_ray", "gen-corpus",
+         "--rows", "200", "--out", str(corpus), "--seed", "7"],
+        check=True, cwd=REPO, env=env, capture_output=True, timeout=300,
+    )
+    r = subprocess.run(
+        [sys.executable, "-m", "langfilter_ray", "run",
+         "--input", str(corpus), "--output", str(out),
+         "--num-parts", "4", "--num-cpus", "4",
+         "--model", "import:langfilter_ray.testing:FakeHeavyModel"],
+        check=True, cwd=REPO, env=env, capture_output=True, text=True,
+        timeout=300,
+    )
+    import json as _json
+
+    summary = _json.loads(r.stdout[r.stdout.index("{"):])
+    assert summary["rows_in"] == 200
+    decisions = summary["by_decision"]
+    assert any(k.startswith("kept_") for k in decisions)
+    assert not any("mid" in k or "forced" in k for k in decisions), decisions
+    # model identity is in the manifest hash: a default-model run on the
+    # same output directory must refuse to resume
+    r2 = subprocess.run(
+        [sys.executable, "-m", "langfilter_ray", "run",
+         "--input", str(corpus), "--output", str(out),
+         "--num-parts", "4", "--num-cpus", "4"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=300,
+    )
+    assert r2.returncode != 0
+    assert "refusing to resume" in (r2.stderr + r2.stdout)
