@@ -39,90 +39,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # NOTE on ordering: the driver's CORRECTNESS check covers only the
     # FIRST 50 entries (dict order).  Exactly ONE literal entry per query
     # (tests/test_operators.py::test_queries_dict_has_no_duplicate_keys
-    # asserts it via AST).  Round-4
+    # asserts it via AST).  Round-5
     # window layout:
-    #   slots 1-22  the 22 round-3 oracle-backed queries the driver has
-    #               never hash-checked (they sat past the window in r3),
-    #   slot  23    translate_documents (new in round 4: the T6 word-map
-    #               plumbing over the documents table, oracle-checkable),
-    #   slots 24-41 re-confirmation filler: the oldest of the 27 queries
-    #               whose last driver-green row is round 2 (dedup_exact
-    #               first — its digest combiner was rewritten this round),
-    #   slots 42-50 the nine round-4 NEW oracle-backed operators (never
-    #               driver-checked; they displaced the newest nine
-    #               double-green reconfirmations off the end).
+    #   slot  1     mix_rebalance (new in round 5, oracle-backed),
+    #   slots 2-4   the three queries that have never had ANY driver row
+    #               (rows-only by nature — kmeans_fit, decode_bmp,
+    #               corpus_training_manifest; a rows-only driver row still
+    #               proves they execute under the driver's Ray session),
+    #   slots 5-48  re-confirmation filler, oldest-green first: the 44
+    #               oracle-backed queries whose last driver-green row is
+    #               round 3 (everything in the round-4 window is freshly
+    #               double-green and rotates out),
+    #   slots 49-50 the two oldest displaced double-green queries.
     # Displace filler from the END when adding oracle-backed queries,
-    # never from the front.  Everything past 50 has a hash-green or
-    # rows-only driver row from r3.
+    # never from the front.  Everything past 50 has a hash-green driver
+    # row from round 4 (or a rows-only row from r3 for the stateful set).
     return {
-        # --- round-3 oracle-backed, never driver-checked ------------------
-        "nation_trade_volume": relational.nation_trade_volume,
-        "market_share": relational.market_share,
-        "brand_qty_revenue": relational.brand_qty_revenue,
-        "dup_token_stats": text_analysis.dup_token_stats,
-        "supplier_return_rate": relational.supplier_return_rate,
-        "user_value_lag": windows.user_value_lag,
-        "chars_percentiles": text_analysis.chars_percentiles,
-        "embedding_quant_stats": similarity.embedding_quant_stats,
-        "orders_running_total": windows.orders_running_total,
-        "vocab_stats": text_analysis.vocab_stats,
-        "events_dow_hour": windows.events_dow_hour,
-        "copurchase_pairs": relational.copurchase_pairs,
-        "vocab_overlap": text_analysis.vocab_overlap,
-        "event_transitions": windows.event_transitions,
-        "segment_price_rank": relational.segment_price_rank,
-        "first_order_profile": windows.first_order_profile,
-        "forecast_revenue_change": relational.forecast_revenue_change,
-        "daily_active_users": windows.daily_active_users,
-        "order_skyline": relational.order_skyline,
-        "lang_source_agg": text_analysis.lang_source_agg,
-        "retained_users": windows.retained_users,
-        "event_type_unpivot": relational.event_type_unpivot,
-        # --- round-4: translation plumbing now oracle-checkable -----------
-        "translate_documents": reports.translate_documents,
-        # --- re-confirmation filler: last driver-green row is round 2 -----
-        "dedup_exact": dedup.dedup_exact,
-        "quality_score": text_analysis.quality_score,
-        "fingerprint": text_analysis.fingerprint,
-        "scrub_documents": text_analysis.scrub_documents,
-        "ann_topk": similarity.ann_topk,
-        "pricing_summary": relational.pricing_summary,
-        "revenue_by_nation": relational.revenue_by_nation,
-        "token_counts_bpe": text_analysis.token_counts_bpe,
-        "lang_distribution": text_analysis.lang_distribution,
-        "top_tokens": text_analysis.top_tokens,
-        "heavy_hitter_tokens": text_analysis.heavy_hitter_tokens,
-        "stratified_sample": text_analysis.stratified_sample,
-        "top_bigrams": text_analysis.top_bigrams,
-        "top_docs_per_lang": text_analysis.top_docs_per_lang,
-        "distinct_sources": text_analysis.distinct_sources,
-        "sample_docs": text_analysis.sample_docs,
-        "train_val_split": text_analysis.train_val_split,
-        "dedup_embedding": dedup.dedup_embedding,
-        # --- round-4 NEW oracle-backed operators (never driver-checked;
-        #     they displaced the last nine double-green reconfirmations
-        #     per the end-of-filler displacement policy above) ----------
-        "pack_sequences": text_analysis.pack_sequences,
-        "mix_downsample": text_analysis.mix_downsample,
-        "shuffle_order": text_analysis.shuffle_order,
-        "bloom_semi_join_exact": relational.bloom_semi_join_exact,
-        "length_rank_tiers": text_analysis.length_rank_tiers,
-        "training_manifest": text_analysis.training_manifest,
-        "asof_next_purchase": windows.asof_next_purchase,
-        "rolling_24h_user_sum": windows.rolling_24h_user_sum,
-        "first_seen_daily": windows.first_seen_daily,
-        # ======== past the 50-query window (all have driver rows) ========
-        # displaced double-green reconfirmation filler -----------------------
-        "similar_pairs_topk": dedup.similar_pairs_topk,
-        "label_centroids": similarity.label_centroids,
-        "status_counts": relational.status_counts,
-        "event_type_by_bucket": relational.event_type_by_bucket,
-        "recent_window_count": relational.recent_window_count,
-        "top50_recent": relational.top50_recent,
-        "events_filtered_sorted": relational.events_filtered_sorted,
-        "revenue_rollup": relational.revenue_rollup,
-        "props_stats": relational.props_stats,
-        # round-3 driver-green (hash) ---------------------------------------
+        # --- round-5 NEW oracle-backed operator ---------------------------
+        "mix_rebalance": text_analysis.mix_rebalance,
+        # --- never had a driver row (rows-only by nature) ------------------
+        "kmeans_fit": similarity.kmeans_fit,
+        "decode_bmp": multimodal.decode_bmp,
+        "corpus_training_manifest": reports.corpus_training_manifest,
+        # --- re-confirmation filler: last driver-green row is round 3 -----
         "error_events_pushdown": relational.error_events_pushdown,
         "segment_order_stats": relational.segment_order_stats,
         "order_price_tiers": relational.order_price_tiers,
@@ -167,16 +106,75 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": text_analysis.token_counts,
         "stopword_stats": text_analysis.stopword_stats,
         "langid_heuristic": text_analysis.langid_heuristic,
-        # round-4 iterative k-means (rows-only: no SQL fixpoint oracle;
-        # pinned bit-for-bit against a single-machine reference in tests)
-        "kmeans_fit": similarity.kmeans_fit,
+        # --- the two oldest displaced double-green reconfirmations --------
+        "similar_pairs_topk": dedup.similar_pairs_topk,
+        "label_centroids": similarity.label_centroids,
+        # ======== past the 50-query window (all have driver rows) ========
+        # remaining double-green reconfirmation filler ----------------------
+        "status_counts": relational.status_counts,
+        "event_type_by_bucket": relational.event_type_by_bucket,
+        "recent_window_count": relational.recent_window_count,
+        "top50_recent": relational.top50_recent,
+        "events_filtered_sorted": relational.events_filtered_sorted,
+        "revenue_rollup": relational.revenue_rollup,
+        "props_stats": relational.props_stats,
+        # round-4 driver-green (hash), freshly rotated out ------------------
+        "nation_trade_volume": relational.nation_trade_volume,
+        "market_share": relational.market_share,
+        "brand_qty_revenue": relational.brand_qty_revenue,
+        "dup_token_stats": text_analysis.dup_token_stats,
+        "supplier_return_rate": relational.supplier_return_rate,
+        "user_value_lag": windows.user_value_lag,
+        "chars_percentiles": text_analysis.chars_percentiles,
+        "embedding_quant_stats": similarity.embedding_quant_stats,
+        "orders_running_total": windows.orders_running_total,
+        "vocab_stats": text_analysis.vocab_stats,
+        "events_dow_hour": windows.events_dow_hour,
+        "copurchase_pairs": relational.copurchase_pairs,
+        "vocab_overlap": text_analysis.vocab_overlap,
+        "event_transitions": windows.event_transitions,
+        "segment_price_rank": relational.segment_price_rank,
+        "first_order_profile": windows.first_order_profile,
+        "forecast_revenue_change": relational.forecast_revenue_change,
+        "daily_active_users": windows.daily_active_users,
+        "order_skyline": relational.order_skyline,
+        "lang_source_agg": text_analysis.lang_source_agg,
+        "retained_users": windows.retained_users,
+        "event_type_unpivot": relational.event_type_unpivot,
+        "translate_documents": reports.translate_documents,
+        "dedup_exact": dedup.dedup_exact,
+        "quality_score": text_analysis.quality_score,
+        "fingerprint": text_analysis.fingerprint,
+        "scrub_documents": text_analysis.scrub_documents,
+        "ann_topk": similarity.ann_topk,
+        "pricing_summary": relational.pricing_summary,
+        "revenue_by_nation": relational.revenue_by_nation,
+        "token_counts_bpe": text_analysis.token_counts_bpe,
+        "lang_distribution": text_analysis.lang_distribution,
+        "top_tokens": text_analysis.top_tokens,
+        "heavy_hitter_tokens": text_analysis.heavy_hitter_tokens,
+        "stratified_sample": text_analysis.stratified_sample,
+        "top_bigrams": text_analysis.top_bigrams,
+        "top_docs_per_lang": text_analysis.top_docs_per_lang,
+        "distinct_sources": text_analysis.distinct_sources,
+        "sample_docs": text_analysis.sample_docs,
+        "train_val_split": text_analysis.train_val_split,
+        "dedup_embedding": dedup.dedup_embedding,
+        "pack_sequences": text_analysis.pack_sequences,
+        "mix_downsample": text_analysis.mix_downsample,
+        "shuffle_order": text_analysis.shuffle_order,
+        "bloom_semi_join_exact": relational.bloom_semi_join_exact,
+        "length_rank_tiers": text_analysis.length_rank_tiers,
+        "training_manifest": text_analysis.training_manifest,
+        "asof_next_purchase": windows.asof_next_purchase,
+        "rolling_24h_user_sum": windows.rolling_24h_user_sum,
+        "first_seen_daily": windows.first_seen_daily,
         # rows-only by design (stateful / approximate / stubbed) ------------
         "multimodal_decode": multimodal.multimodal_decode,
         "multimodal_resize": multimodal.multimodal_resize,
         "frame_sample": multimodal.frame_sample,
         "decode_pgm": multimodal.decode_pgm,
         "decode_wav": multimodal.decode_wav,
-        "decode_bmp": multimodal.decode_bmp,
         "approx_distinct_users": relational.approx_distinct_users,
         "decontaminate_overlap": text_analysis.decontaminate_overlap,
         "doc_perplexity": text_analysis.doc_perplexity,
@@ -201,7 +199,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gate_decision_report": reports.gate_decision_report,
         "repo_quality_report": reports.repo_quality_report,
         "corpus_clean": reports.corpus_clean,
-        "corpus_training_manifest": reports.corpus_training_manifest,
     }
 
 

@@ -2018,6 +2018,85 @@ ORACLES["mix_downsample"] = (
 )
 
 
+MIX_REBALANCE_LAMBDA_BP = 5000    # interpolation weight λ in basis points
+
+
+def mix_rebalance(sf_dir: str) -> ray.data.Dataset:
+    """Temperature-style language rebalancing computed FROM the corpus
+    itself (``mix_downsample``'s rates are a fixed config; multilingual
+    LLM pipelines usually derive them from the observed distribution):
+    over-represented languages are downsampled toward the rarest
+    language's share by λ-interpolation,
+
+        keep_rate_bp(l) = (10000 - λbp) + (λbp * n_min) // n_l
+
+    — λ=0 keeps the natural mix, λ=10000 caps every language at the
+    rarest one's expected volume (the flattening limit temperature
+    sampling approaches as alpha -> 0).  All-INTEGER arithmetic so the
+    DuckDB oracle replays it bit-for-bit (a pow(p, alpha) float chain
+    would not hash-compare across engines; swapping λ for a float alpha
+    schedule is a constants change, not a shape change).
+
+    Scale shape: pass 1 is the exact per-lang count (in-batch combiner,
+    vocabulary-bounded shuffle: <= n_langs rows per batch cross); the
+    driver holds one tiny dict; pass 2 is the same map-only LCG
+    hash-Bernoulli filter as ``mix_downsample`` — no shuffle, no RNG
+    state, identical across runs/partitionings, any input subset
+    re-samples independently (resumable 100 TB mixing)."""
+    from ray.data.aggregate import Sum
+
+    def lang_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("lang").aggregate([("doc_id", "count")])
+        return g.rename_columns(["lang", "n_partial"])
+
+    counts = (
+        _docs_cols(sf_dir, ["doc_id", "lang"])
+        .map_batches(lang_partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("n_partial", alias_name="n"))
+        .to_pandas()          # bounded: one row per language
+    )
+    if counts.empty:
+        return ray.data.from_arrow(
+            pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "lang": pa.array([], pa.string())}
+            )
+        )
+    lam = MIX_REBALANCE_LAMBDA_BP
+    n_min = int(counts["n"].min())
+    rates = {
+        lang: (10000 - lam) + (lam * n_min) // int(n)
+        for lang, n in zip(counts["lang"], counts["n"])
+    }
+    langs = list(rates)
+    rate_arr = np.array([rates[lang] for lang in langs], dtype=np.int64)
+    lang_keys = pa.array(langs, pa.string())
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        draw = _lcg_hash(ids) % 10000
+        idx = pc.index_in(t["lang"], value_set=lang_keys)
+        r = rate_arr[pc.fill_null(idx, 0).to_numpy()]
+        return t.filter(pa.array(draw < r))
+
+    return _docs_cols(sf_dir, ["doc_id", "lang"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+ORACLES["mix_rebalance"] = (
+    "WITH c AS (SELECT lang, count(*)::BIGINT AS n "
+    "FROM documents GROUP BY lang), "
+    "m AS (SELECT min(n) AS n_min FROM c) "
+    "SELECT d.doc_id, d.lang FROM documents d "
+    "JOIN c ON d.lang = c.lang CROSS JOIN m "
+    f"WHERE {_LCG_SQL} % 10000 < "
+    f"(10000 - {MIX_REBALANCE_LAMBDA_BP}) "
+    f"+ ({MIX_REBALANCE_LAMBDA_BP} * m.n_min) // c.n"
+)
+
+
 _SHUFFLE_PARTS_MIN = 64
 _SHUFFLE_ROWS_PER_PART = 2_000_000
 

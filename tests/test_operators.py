@@ -82,6 +82,7 @@ ORACLE_CHECKED = [
     "shuffle_order", "bloom_semi_join_exact", "length_rank_tiers",
     "training_manifest", "asof_next_purchase", "rolling_24h_user_sum",
     "first_seen_daily",
+    "mix_rebalance",
 ]
 
 
@@ -108,31 +109,32 @@ def test_queries_dict_has_no_duplicate_keys():
     assert not dupes, f"duplicate queries() keys: {sorted(dupes)}"
 
 
-def test_round4_window_layout(entry_mod):
-    """Pin the round-4 CORRECTNESS window: the 22 round-3 oracle-backed
-    queries the driver never hash-checked plus translate_documents must
-    all sit inside the first 50 entries."""
+def test_round5_window_layout(entry_mod):
+    """Pin the round-5 CORRECTNESS window: the new oracle-backed operator,
+    the three never-driver-checked rows-only queries, and otherwise the
+    oldest-green reconfirmations (everything whose last driver-green row
+    is round 3) must all sit inside the first 50 entries."""
     window = list(entry_mod.queries())[:50]
     must_check = {
-        "nation_trade_volume", "market_share", "brand_qty_revenue",
-        "dup_token_stats", "supplier_return_rate", "user_value_lag",
-        "chars_percentiles", "embedding_quant_stats", "orders_running_total",
-        "vocab_stats", "events_dow_hour", "copurchase_pairs",
-        "vocab_overlap", "event_transitions", "segment_price_rank",
-        "first_order_profile", "forecast_revenue_change",
-        "daily_active_users", "order_skyline", "lang_source_agg",
-        "retained_users", "event_type_unpivot", "translate_documents",
-        # the nine round-4 new oracle-backed operators (slots 42-50)
-        "pack_sequences", "mix_downsample", "shuffle_order",
-        "bloom_semi_join_exact", "length_rank_tiers", "training_manifest",
-        "asof_next_purchase", "rolling_24h_user_sum", "first_seen_daily",
+        # new in round 5 (oracle-backed)
+        "mix_rebalance",
+        # never had ANY driver row before round 5 (rows-only by nature)
+        "kmeans_fit", "decode_bmp", "corpus_training_manifest",
+        # a sample of the 44 round-3-green reconfirmations
+        "error_events_pushdown", "shipping_priority", "session_windows",
+        "payload_stats", "gopher_quality", "token_counts",
+        "langid_heuristic", "cohort_retention", "funnel_conversion",
     }
     missing = must_check - set(window)
     assert not missing, f"window is missing: {sorted(missing)}"
-    # every window entry must be oracle-backed (no wasted slots)
+    # every window slot is either oracle-backed or one of the three
+    # intended rows-only entries (no wasted slots)
     oracles = set(entry_mod.oracle_sql())
-    unbacked = [q for q in window if q not in oracles]
-    assert not unbacked, f"rows-only queries inside the window: {unbacked}"
+    allowed_rows_only = {"kmeans_fit", "decode_bmp", "corpus_training_manifest"}
+    unbacked = [
+        q for q in window if q not in oracles and q not in allowed_rows_only
+    ]
+    assert not unbacked, f"unintended rows-only queries in window: {unbacked}"
 
 
 @pytest.mark.parametrize("name", ORACLE_CHECKED)
