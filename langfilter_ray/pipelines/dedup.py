@@ -175,7 +175,17 @@ def dedup_exact(sf_dir: str) -> ray.data.Dataset:
     bucket tag derived from the digest prefix, and one
     groupby(bucket).map_groups finishes the min per digest — same
     shuffle volume, no Arrow string sort (measured 1.5-2.0 s → 1.0 s at
-    sf0.1)."""
+    sf0.1).
+
+    Below DEDUP_EXACT_BROADCAST_MAX_ROWS input rows even that bucket
+    exchange is dominated by its fixed all-to-all cost (the interleaved
+    round-5 control put it at 2-5 s on a 5k-row table), so the combined
+    per-batch partials — already <= one row per (batch, digest) — are
+    gathered and finished with ONE pandas groupby-min; the bucket reduce
+    stays the scale path above the bound, pinned identical by a
+    zero-threshold parity test (the module's standard broadcast
+    contract)."""
+    import pyarrow.parquet as pq
 
     def digest_and_combine(t: pa.Table) -> pa.Table:
         # partial aggregation (combiner): min doc_id per digest WITHIN the
@@ -218,9 +228,28 @@ def dedup_exact(sf_dir: str) -> ray.data.Dataset:
         out.columns = ["text_md5", "rep_doc_id"]
         return out
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    path = f"{sf_dir}/documents.parquet"
+    ds = ray.data.read_parquet(path, columns=["doc_id", "text"])
+    combined = ds.map_batches(digest_and_combine, batch_format="pyarrow")
+    if pq.read_metadata(path).num_rows <= DEDUP_EXACT_BROADCAST_MAX_ROWS:
+        import pandas as pd
+
+        tbl = pa.concat_tables(ray.get(combined.to_arrow_refs()))
+        if len(tbl) == 0:
+            return ray.data.from_arrow(
+                pa.table(
+                    {
+                        "text_md5": pa.array([], pa.string()),
+                        "rep_doc_id": pa.array([], pa.int64()),
+                    }
+                )
+            )
+        df = tbl.select(["text_md5", "doc_id"]).to_pandas()
+        out = df.groupby("text_md5", sort=False)["doc_id"].min().reset_index()
+        out.columns = ["text_md5", "rep_doc_id"]
+        return ray.data.from_pandas(out)
     return (
-        ds.map_batches(digest_and_combine, batch_format="pyarrow")
+        combined
         .groupby("bk")
         .map_groups(reduce_bucket, batch_format="pandas")
         .select_columns(["text_md5", "rep_doc_id"])
@@ -228,6 +257,11 @@ def dedup_exact(sf_dir: str) -> ray.data.Dataset:
 
 
 _DEDUP_EXACT_BUCKETS = 32
+# below this many INPUT rows (parquet metadata, free) the bucket
+# exchange's fixed cost dominates: finish the per-batch partials with one
+# driver pandas groupby instead.  1M combined rows ~ 40 MB gathered —
+# the same bounded-gather budget as the band-table and union-find paths.
+DEDUP_EXACT_BROADCAST_MAX_ROWS = 1_000_000
 
 
 DEDUP_EXACT_SQL = (

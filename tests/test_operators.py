@@ -587,6 +587,22 @@ def test_dedup_jaccard_matches_exhaustive_ground_truth(entry_mod):
     assert got == truth and len(truth) > 0
 
 
+def test_dedup_exact_bucket_fallback_matches_broadcast(
+    entry_mod, con, monkeypatch
+):
+    """Above DEDUP_EXACT_BROADCAST_MAX_ROWS the driver gather must switch
+    to the distributed bucket reduce with identical results — forced by
+    zeroing the threshold, both sides checked against the SQL oracle."""
+    from langfilter_ray.pipelines import dedup
+
+    want = _canon(con.execute(entry_mod.oracle_sql()["dedup_exact"]).df())
+    fast = _canon(_to_pandas(dedup.dedup_exact(SF)))
+    assert not compare_frames(fast, want), first_diff(fast, want)
+    monkeypatch.setattr(dedup, "DEDUP_EXACT_BROADCAST_MAX_ROWS", 0)
+    slow = _canon(_to_pandas(dedup.dedup_exact(SF)))
+    assert not compare_frames(slow, want), first_diff(slow, want)
+
+
 def test_minhash_broadcast_matches_join_path(entry_mod, monkeypatch):
     """The small-band-table broadcast pass must produce the IDENTICAL
     candidate pair set as the distributed hash self-join — zero-threshold
