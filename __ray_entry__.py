@@ -55,8 +55,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # never from the front.  Everything past 50 has a hash-green driver
     # row from round 4 (or a rows-only row from r3 for the stateful set).
     return {
-        # --- round-5 NEW oracle-backed operator ---------------------------
+        # --- round-5 NEW oracle-backed operators --------------------------
         "mix_rebalance": text_analysis.mix_rebalance,
+        "source_quota_sample": text_analysis.source_quota_sample,
         # --- never had a driver row (rows-only by nature) ------------------
         "kmeans_fit": similarity.kmeans_fit,
         "decode_bmp": multimodal.decode_bmp,
@@ -106,11 +107,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": text_analysis.token_counts,
         "stopword_stats": text_analysis.stopword_stats,
         "langid_heuristic": text_analysis.langid_heuristic,
-        # --- the two oldest displaced double-green reconfirmations --------
+        # --- the oldest displaced double-green reconfirmation -------------
         "similar_pairs_topk": dedup.similar_pairs_topk,
-        "label_centroids": similarity.label_centroids,
         # ======== past the 50-query window (all have driver rows) ========
         # remaining double-green reconfirmation filler ----------------------
+        "label_centroids": similarity.label_centroids,
         "status_counts": relational.status_counts,
         "event_type_by_bucket": relational.event_type_by_bucket,
         "recent_window_count": relational.recent_window_count,

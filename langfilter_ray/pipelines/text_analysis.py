@@ -2097,6 +2097,71 @@ ORACLES["mix_rebalance"] = (
 )
 
 
+SOURCE_QUOTA_CAP = 20     # max docs kept per source
+
+
+def source_quota_sample(sf_dir: str) -> ray.data.Dataset:
+    """Per-domain quota sampling (the RefinedWeb/C4-style cap on any one
+    domain's contribution): keep at most SOURCE_QUOTA_CAP docs per
+    ``source``, chosen by the deterministic ``(lcg(doc_id), doc_id)``
+    order so the sample is stable across runs and partitionings, with the
+    doc's 1-based quota rank in the output.
+
+    Scale shape: a per-batch COMBINER keeps only each batch's top-cap
+    rows per source (pandas C sort + groupby-head), so the shuffle
+    carries <= sources x cap rows per batch instead of the corpus; the
+    final exact top-cap runs per source group.  Source cardinality is
+    bounded (a domain registry), so groupby(source).map_groups pays a
+    bounded number of Python callbacks — the CLAUDE.md rule's cheap
+    case."""
+    import pandas as pd
+
+    cap = SOURCE_QUOTA_CAP
+
+    def top_cap(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["lcg", "doc_id"], kind="mergesort")
+        return df.groupby("source", sort=False).head(cap)
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "doc_id": t["doc_id"].to_numpy(),
+                "source": t["source"].to_pylist(),
+                "lcg": _lcg_hash(t["doc_id"].to_numpy()),
+            }
+        )
+        return pa.Table.from_pandas(top_cap(df), preserve_index=False)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.array([], dtype="int64"),
+                    "source": pd.array([], dtype="object"),
+                    "quota_rank": pd.array([], dtype="int64"),
+                }
+            )
+        out = top_cap(df).reset_index(drop=True)
+        out["quota_rank"] = out.groupby("source", sort=False).cumcount() + 1
+        return out[["doc_id", "source", "quota_rank"]]
+
+    return (
+        _docs_cols(sf_dir, ["doc_id", "source"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .map_groups(finish, batch_format="pandas")
+        .select_columns(["doc_id", "source", "quota_rank"])
+    )
+
+
+ORACLES["source_quota_sample"] = (
+    "SELECT doc_id, source, rn::BIGINT AS quota_rank FROM ("
+    "SELECT doc_id, source, row_number() OVER (PARTITION BY source "
+    f"ORDER BY {_LCG_SQL}, doc_id) AS rn FROM documents) "
+    f"WHERE rn <= {SOURCE_QUOTA_CAP}"
+)
+
+
 _SHUFFLE_PARTS_MIN = 64
 _SHUFFLE_ROWS_PER_PART = 2_000_000
 

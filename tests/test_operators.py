@@ -82,7 +82,7 @@ ORACLE_CHECKED = [
     "shuffle_order", "bloom_semi_join_exact", "length_rank_tiers",
     "training_manifest", "asof_next_purchase", "rolling_24h_user_sum",
     "first_seen_daily",
-    "mix_rebalance",
+    "mix_rebalance", "source_quota_sample",
 ]
 
 
@@ -117,7 +117,7 @@ def test_round5_window_layout(entry_mod):
     window = list(entry_mod.queries())[:50]
     must_check = {
         # new in round 5 (oracle-backed)
-        "mix_rebalance",
+        "mix_rebalance", "source_quota_sample",
         # never had ANY driver row before round 5 (rows-only by nature)
         "kmeans_fit", "decode_bmp", "corpus_training_manifest",
         # a sample of the 44 round-3-green reconfirmations
