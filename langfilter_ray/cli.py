@@ -71,6 +71,12 @@ def main(argv: list[str] | None = None) -> int:
                            "output's ingest ledger (_ingested.jsonl) — "
                            "the continuous-queue analog; re-run after new "
                            "files arrive and only they are processed")
+    runp.add_argument("--dedup-across-ingests", action="store_true",
+                      help="with --incremental: drop rows whose exact "
+                           "post-scrub content appeared in any prior "
+                           "completed ingest (streaming dedup for a "
+                           "growing corpus; within-ingest duplicates are "
+                           "left to the downstream dedup pass)")
     runp.add_argument("--model", default=None, metavar="SPEC",
                       help="LID model: 'trigram' (default), "
                            "'fasttext:<path-to-lid.176.bin>', or "
@@ -186,12 +192,19 @@ def main(argv: list[str] | None = None) -> int:
         from .functions.lid_adapters import resolve_model_spec
 
         model_factory = resolve_model_spec(args.model)
+        extra = {}
+        if args.dedup_across_ingests:
+            if not args.incremental:
+                raise SystemExit(
+                    "--dedup-across-ingests requires --incremental"
+                )
+            extra["dedup_across_ingests"] = True
         runner = run_incremental if args.incremental else run_with_checkpoints
         summary = runner(
             args.input, args.output, cfg,
             num_parts=args.num_parts, batch_size=args.batch_size,
             concurrency=args.concurrency, wave_size=args.wave_size,
-            salt=args.salt, model_factory=model_factory,
+            salt=args.salt, model_factory=model_factory, **extra,
         )
         print(json.dumps(summary, indent=2))
         return 0

@@ -130,20 +130,26 @@ def run_with_checkpoints(
     fail_after_waves: int | None = None,
     salt: int = 1,
     model_factory=None,
+    post_filter=None,
+    config_tag: str = "",
 ) -> dict[str, Any]:
     """Run the flagship pipeline with per-partition commit + resume.
 
     ``fail_after_waves`` injects a crash after N committed waves (the
     resume-fixture hook, FIXTURES.md §4).  ``model_factory`` is the
     pluggable-LID seam forwarded to ``build_pipeline`` (the CLI's
-    ``run --model`` surface).  Returns a summary dict.
+    ``run --model`` surface).  ``post_filter`` is an optional pyarrow
+    map_batches callable applied after the pipeline (the cross-ingest
+    dedup hook); ``config_tag`` folds the caller's extra identity into
+    the manifest config hash so resumes across a semantic change are
+    refused.  Returns a summary dict.
     """
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     # the manifest's config hash also carries the model identity: resuming
     # a half-done directory under a DIFFERENT model would mix decision
     # sources exactly like a config change would
-    cfg_hash = cfg.config_hash() + _model_tag(model_factory)
+    cfg_hash = cfg.config_hash() + _model_tag(model_factory) + config_tag
     done = completed_parts(out_dir, expect_config_hash=cfg_hash)
     remaining = [p for p in range(num_parts) if p not in done]
     if isinstance(input_path, (str, Path)) and Path(input_path).is_dir():
@@ -172,6 +178,8 @@ def run_with_checkpoints(
             parts_filter=set(wave) if len(wave) < num_parts else None,
             model_factory=model_factory,
         )
+        if post_filter is not None:
+            ds = ds.map_batches(post_filter, batch_format="pyarrow")
         ds.write_parquet(str(tmp_dir), partition_cols=["part"])
 
         # atomic per-partition commit: rename, then manifest line
@@ -286,6 +294,7 @@ def run_incremental(
     salt: int = 1,
     fail_after_waves: int | None = None,
     model_factory=None,
+    dedup_across_ingests: bool = False,
 ) -> dict[str, Any]:
     """Process only parquet files NOT yet ingested from ``input_path`` —
     the batch-native analog of the reference's continuous job queue
@@ -322,7 +331,8 @@ def run_incremental(
     sized = [(f, os.stat(f).st_size) for f in files]
 
     claimed, pending = _read_ingest_log(out_dir)
-    cfg_hash = cfg.config_hash() + _model_tag(model_factory)
+    xdedup_tag = "+xdedup" if dedup_across_ingests else ""
+    cfg_hash = cfg.config_hash() + _model_tag(model_factory) + xdedup_tag
     for rec in pending:
         if rec.get("config_hash") != cfg_hash:
             raise RuntimeError(
@@ -332,6 +342,18 @@ def run_incremental(
             )
 
     def _run_ingest(ingest_id: str, ingest_files: list[str]) -> None:
+        post = None
+        if dedup_across_ingests:
+            # EXACT content seen in any prior COMPLETED ingest is dropped
+            # entirely (don't re-store known content — the streaming-dedup
+            # loop of a growing corpus).  Within-ingest duplicates are NOT
+            # dropped here; that is the downstream corpus_clean /
+            # dedup_exact pass.  The ledger snapshot is deterministic at
+            # resume (ingests complete strictly sequentially).
+            import ray as _ray
+
+            seen = _prior_content_digests(out_dir, ingest_id)
+            post = _digest_anti_filter(_ray.put(seen))
         run_with_checkpoints(
             ingest_files,
             out_dir / f"ingest={ingest_id}",
@@ -343,6 +365,8 @@ def run_incremental(
             salt=salt,
             fail_after_waves=fail_after_waves,
             model_factory=model_factory,
+            post_filter=post,
+            config_tag=xdedup_tag,
         )
         with open(ingest_log_path(out_dir), "a") as fh:
             fh.write(
@@ -481,3 +505,73 @@ def purge_ingests(
         "pending_untouched": pending_ids,
         "already_purged": sorted(purged),
     }
+
+
+# ---- cross-ingest exact dedup (streaming dedup for the continuous queue) ---
+
+# Broadcast bound for the prior-content digest ledger: 2M digests x 64
+# bytes = 128 MB in the object store, read once per worker.  Above it the
+# flag refuses with the scale design spelled out (digest-prefix-partitioned
+# ledger files merge-joined per partition), the same explicit-refusal
+# contract the exact similarity baselines use.
+DEDUP_LEDGER_BROADCAST_MAX_DIGESTS = 2_000_000
+
+
+def _prior_content_digests(out_dir: Path, exclude_ingest: str) -> "Any":
+    """Sorted unique content_sha256 of every COMPLETED ingest except
+    ``exclude_ingest`` — the dedup ledger a new ingest filters against.
+    Column-pruned read of the committed partitions (64 hex chars per row,
+    never content).  Deterministic at resume: ingests complete strictly
+    sequentially, so the completed set seen by a resumed ingest equals
+    the set at its claim."""
+    import numpy as np
+
+    _, pending = _read_ingest_log(out_dir)
+    pending_ids = {r["ingest"] for r in pending}
+    digests = []
+    for d in sorted(Path(out_dir).glob("ingest=*")):
+        iid = d.name.split("=", 1)[1]
+        if iid == exclude_ingest or iid in pending_ids:
+            continue
+        files = [str(f) for p in d.glob("part=*") for f in p.glob("*.parquet")]
+        if not files:
+            continue
+        dset = pads.dataset(files, format="parquet")
+        if dset.count_rows() == 0:
+            continue
+        col = dset.to_table(columns=["content_sha256"])["content_sha256"]
+        digests.append(col.to_numpy(zero_copy_only=False).astype("S64"))
+    if not digests:
+        return np.array([], dtype="S64")
+    seen = np.unique(np.concatenate(digests))
+    if len(seen) > DEDUP_LEDGER_BROADCAST_MAX_DIGESTS:
+        raise RuntimeError(
+            f"cross-ingest dedup ledger has {len(seen)} digests, above the "
+            f"{DEDUP_LEDGER_BROADCAST_MAX_DIGESTS} broadcast bound for this "
+            "single-node build; at that scale partition the ledger by "
+            "digest prefix (one sorted file per prefix, merge-joined per "
+            "partition) or run the downstream corpus_clean / dedup_exact "
+            "pass instead"
+        )
+    return seen
+
+
+def _digest_anti_filter(seen_ref):
+    """Post-cascade map_batches filter: drop rows whose content_sha256 is
+    in the broadcast ledger (ray.put'd sorted S64 array)."""
+    import numpy as np
+
+    def f(t):
+        import ray as _ray
+
+        seen = _ray.get(seen_ref)
+        if len(seen) == 0 or len(t) == 0:
+            return t
+        ids = t["content_sha256"].to_numpy(zero_copy_only=False).astype("S64")
+        pos = np.searchsorted(seen, ids)
+        dup = (pos < len(seen)) & (seen[np.minimum(pos, len(seen) - 1)] == ids)
+        import pyarrow as _pa
+
+        return t.filter(_pa.array(~dup))
+
+    return f

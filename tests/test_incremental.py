@@ -196,3 +196,90 @@ def test_purge_never_touches_pending_ingests(ray_session, tmp_path, corpus):
     s = run_incremental(corpus, out, CFG, num_parts=N_PARTS)
     assert s["resumed_ingests"] == 1 and s["ingests"] == 1
     assert s["rows_in"] == 60
+
+
+# ---- cross-ingest exact dedup (round-5 addition) ----------------------------
+
+def test_dedup_across_ingests_drops_prior_content(ray_session, tmp_path, corpus):
+    """Rows whose exact content appeared in a prior completed ingest are
+    dropped ENTIRELY from later ingests; fresh content flows through."""
+    out = tmp_path / "out"
+    s1 = run_incremental(
+        corpus, out, CFG, num_parts=N_PARTS, dedup_across_ingests=True
+    )
+    assert s1["rows_in"] == 240
+    # c.parquet: rows 200-239 repeat b.parquet's tail (same seed+index =>
+    # identical rows), rows 240-279 are new
+    _write_file(corpus, "c.parquet", 80, 200)
+    s2 = run_incremental(
+        corpus, out, CFG, num_parts=N_PARTS, dedup_across_ingests=True
+    )
+    assert s2["new_files"] == 1
+
+    def digests(d):
+        dset = pads.dataset(d, format="parquet", partitioning="hive")
+        return set(dset.to_table(columns=["content_sha256"])[
+            "content_sha256"].to_pylist())
+
+    ingests = sorted(out.glob("ingest=*"), key=lambda p: p.stat().st_mtime)
+    first, second = digests(ingests[0]), digests(ingests[1])
+    # dedup is by CONTENT: nothing in the second ingest repeats the first
+    assert not (first & second)
+    # the 40 identical rows (200-239) were all dropped; of the 40 new rows
+    # only those with genuinely-new content survive (the generator has
+    # content collisions across index ranges, which is the point)
+    n_second = _labels(ingests[1]).shape[0]
+    assert 0 < n_second <= 40
+    # content coverage is preserved: union digests == digests of a
+    # dedup-off run over the same files (every distinct content kept once)
+    out_ref = tmp_path / "ref"
+    run_incremental(corpus, out_ref, CFG, num_parts=N_PARTS)
+    assert (first | second) == digests(out_ref)
+    # and no full row identity appears twice in the union
+    df = _labels(out)
+    assert not df.duplicated(["repo", "path", "commit"]).any()
+
+
+def test_dedup_across_ingests_resume_matches_uncrashed(
+    ray_session, tmp_path, corpus
+):
+    """A crash mid-ingest with the dedup flag resumes to the same output
+    as an uncrashed run (the ledger snapshot is stable at resume)."""
+    out_a = tmp_path / "a"
+    out_b = tmp_path / "b"
+    for out in (out_a, out_b):
+        run_incremental(
+            corpus, out, CFG, num_parts=N_PARTS, dedup_across_ingests=True
+        )
+    _write_file(corpus, "c.parquet", 80, 200)
+    # uncrashed reference
+    run_incremental(
+        corpus, out_a, CFG, num_parts=N_PARTS, dedup_across_ingests=True
+    )
+    # crashed + resumed
+    with pytest.raises(RuntimeError, match="injected"):
+        run_incremental(
+            corpus, out_b, CFG, num_parts=N_PARTS, wave_size=2,
+            fail_after_waves=1, dedup_across_ingests=True,
+        )
+    run_incremental(
+        corpus, out_b, CFG, num_parts=N_PARTS, dedup_across_ingests=True
+    )
+    pd.testing.assert_frame_equal(_labels(out_a), _labels(out_b))
+
+
+def test_dedup_across_ingests_refuses_mixed_mode(ray_session, tmp_path, corpus):
+    """Turning the flag on over an output claimed without it must refuse
+    (the config tag folds into the ledger hash)."""
+    out = tmp_path / "out"
+    run_incremental(corpus, out, CFG, num_parts=N_PARTS)
+    _write_file(corpus, "c.parquet", 80, 200)
+    with pytest.raises(RuntimeError, match="injected"):
+        run_incremental(
+            corpus, out, CFG, num_parts=N_PARTS, wave_size=2,
+            fail_after_waves=1,
+        )
+    with pytest.raises(RuntimeError, match="config_hash"):
+        run_incremental(
+            corpus, out, CFG, num_parts=N_PARTS, dedup_across_ingests=True
+        )
