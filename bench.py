@@ -77,7 +77,7 @@ def secondary(sf_dir: str) -> dict[str, float]:
         "heavy_hitter_tokens", "approx_quantiles", "bloom_semi_join",
         "dedup_components", "session_windows", "asof_last_login",
         "nation_trade_volume", "copurchase_pairs", "dup_token_stats",
-        "user_value_lag",
+        "user_value_lag", "mix_rebalance", "source_quota_sample",
     ]
     qs = e.queries()
     times: dict[str, float] = {}
