@@ -200,6 +200,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gate_decision_report": reports.gate_decision_report,
         "repo_quality_report": reports.repo_quality_report,
         "corpus_clean": reports.corpus_clean,
+        # --- new in round 5, past the window (oracle-backed) ---------------
+        "weighted_sample": text_analysis.weighted_sample,
     }
 
 

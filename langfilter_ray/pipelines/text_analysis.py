@@ -2162,6 +2162,65 @@ ORACLES["source_quota_sample"] = (
 )
 
 
+WEIGHTED_SAMPLE_K = 200   # global sample size
+_WS_SCALE = 1_000_000     # rational-key scale: lcg < 2^31, x1e6 < 2^51 << int64
+
+
+def weighted_sample(sf_dir: str) -> "pa.Table":
+    """Importance-WEIGHTED corpus sampling: pick WEIGHTED_SAMPLE_K docs
+    with probability increasing in a per-doc weight (here ``n_chars`` —
+    swap in any integer quality score).  Every doc gets the exact-integer
+    rational key ``lcg(doc_id) * _WS_SCALE // max(n_chars, 1)`` and the
+    global K smallest keys win, with 1-based rank — doubling a doc's
+    weight stochastically halves its key, the integer analog of the
+    Efraimidis-Spirakis ``u^(1/w)`` reservoir trick.  All-integer so the
+    DuckDB oracle replays the key bit-for-bit (float ``ln(u)/w`` ordering
+    could flip ranks cross-engine; integer floor-division cannot).
+
+    Scale shape: a per-batch COMBINER keeps only each batch's K smallest
+    keys, so the driver-side finish sees <= K x blocks rows (bounded;
+    chain one more round of the same combiner if block count ever makes
+    that large).  Partitioning-independent by construction: the key is a
+    pure function of (doc_id, n_chars) and top-K is order-insensitive."""
+    k = WEIGHTED_SAMPLE_K
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        w = np.maximum(t["n_chars"].to_numpy(), 1)
+        key = _lcg_hash(ids) * _WS_SCALE // w
+        order = np.lexsort((ids, key))[:k]
+        return pa.table(
+            {
+                "doc_id": ids[order],
+                "weight": w[order].astype(np.int64),
+                "sample_key": key[order],
+            }
+        )
+
+    top = (
+        _docs_cols(sf_dir, ["doc_id", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()          # bounded: <= K rows per input block
+    )
+    top = (
+        top.sort_values(["sample_key", "doc_id"], kind="mergesort")
+        .head(k)
+        .reset_index(drop=True)
+    )
+    top["sample_rank"] = np.arange(1, len(top) + 1, dtype=np.int64)
+    return pa.Table.from_pandas(top, preserve_index=False)
+
+
+ORACLES["weighted_sample"] = (
+    "SELECT doc_id, weight, sample_key, "
+    "row_number() OVER (ORDER BY sample_key, doc_id)::BIGINT AS sample_rank "
+    "FROM (SELECT doc_id, greatest(n_chars, 1)::BIGINT AS weight, "
+    f"({_LCG_SQL} * {_WS_SCALE}) // greatest(n_chars, 1) AS sample_key "
+    "FROM documents) "
+    f"ORDER BY sample_key, doc_id LIMIT {WEIGHTED_SAMPLE_K}"
+)
+
+
 _SHUFFLE_PARTS_MIN = 64
 _SHUFFLE_ROWS_PER_PART = 2_000_000
 

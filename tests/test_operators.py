@@ -82,7 +82,7 @@ ORACLE_CHECKED = [
     "shuffle_order", "bloom_semi_join_exact", "length_rank_tiers",
     "training_manifest", "asof_next_purchase", "rolling_24h_user_sum",
     "first_seen_daily",
-    "mix_rebalance", "source_quota_sample",
+    "mix_rebalance", "source_quota_sample", "weighted_sample",
 ]
 
 
