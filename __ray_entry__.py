@@ -202,6 +202,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_clean": reports.corpus_clean,
         # --- new in round 5, past the window (oracle-backed) ---------------
         "weighted_sample": text_analysis.weighted_sample,
+        "length_trim_by_lang": text_analysis.length_trim_by_lang,
     }
 
 

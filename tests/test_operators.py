@@ -83,6 +83,7 @@ ORACLE_CHECKED = [
     "training_manifest", "asof_next_purchase", "rolling_24h_user_sum",
     "first_seen_daily",
     "mix_rebalance", "source_quota_sample", "weighted_sample",
+    "length_trim_by_lang",
 ]
 
 
@@ -352,6 +353,62 @@ def test_length_rank_tiers_skewed_distribution(entry_mod, tmp_path):
         np.searchsorted(bounds, n_chars, side="right"), minlength=parts
     )
     assert per_part.max() <= 4 * n / parts, per_part.tolist()
+
+
+def _trim_docs_table(tmp_path):
+    """Synthetic documents table whose trim cuts land INSIDE tie runs:
+    lang aa has no fully-kept value at all (every kept row goes through
+    the boundary-tie path), lang bb is one value that is BOTH boundaries,
+    lang cc is all-unique (pure interior path)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = []   # (doc_id, lang, n_chars)
+    rows += [(1, "aa", 50)] + [(i, "aa", 100) for i in range(2, 20)]
+    rows += [(20, "aa", 999)]
+    rows += [(100 + i, "bb", 7) for i in range(30)]
+    rows += [(200 + i, "cc", 10 + i) for i in range(10)]
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array(["x" * r[2] for r in rows]),
+            "lang": pa.array([r[1] for r in rows]),
+            "source": pa.array(["s"] * len(rows)),
+            "n_chars": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+
+
+def test_length_trim_boundary_ties(entry_mod, tmp_path):
+    from langfilter_ray.pipelines import text_analysis as ta
+
+    _trim_docs_table(tmp_path)
+    got = _canon(_to_pandas(ta.length_trim_by_lang(str(tmp_path))))
+    c = duckdb.connect()
+    c.execute(
+        f"CREATE VIEW documents AS SELECT * "
+        f"FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    want = _canon(c.execute(ta.ORACLES["length_trim_by_lang"]).df())
+    problems = compare_frames(got, want)
+    assert not problems, (problems, first_diff(got, want))
+    # lang aa: cnt=20 -> keep ranks 3..18; rank 1 = the 50-char doc, ranks
+    # 2..19 = the 100-char tie run by doc_id -> keep doc_ids 3..18
+    aa = got[got["lang"] == "aa"]["doc_id"].tolist()
+    assert sorted(aa) == list(range(3, 19))
+    # lang bb: one value is both boundaries -> keep tie-ranks 4..27
+    bb = got[got["lang"] == "bb"]["doc_id"].tolist()
+    assert sorted(bb) == [100 + i for i in range(3, 27)]
+
+
+def test_length_trim_boundary_bound_refusal(entry_mod, tmp_path, monkeypatch):
+    from langfilter_ray.pipelines import text_analysis as ta
+
+    _trim_docs_table(tmp_path)
+    monkeypatch.setattr(ta, "TRIM_BOUNDARY_MAX_ROWS", 0)
+    with pytest.raises(ValueError, match="boundary-value subset"):
+        ta.length_trim_by_lang(str(tmp_path))
 
 
 def test_comparator_catches_decimal_vs_int64():
