@@ -203,6 +203,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- new in round 5, past the window (oracle-backed) ---------------
         "weighted_sample": text_analysis.weighted_sample,
         "length_trim_by_lang": text_analysis.length_trim_by_lang,
+        "copurchase_pagerank": relational.copurchase_pagerank,
     }
 
 

@@ -3727,6 +3727,169 @@ ORACLES["copurchase_pairs"] = (
 )
 
 
+# ---- copurchase_pagerank: iterative graph centrality ----------------------
+
+PAGERANK_ITERS = 3
+PAGERANK_SCALE = 1_000_000      # fixed-point rank unit
+PAGERANK_TOP = 50
+_PR_BASE = (15 * PAGERANK_SCALE) // 100   # (1-damping) term, integer
+
+
+def copurchase_pagerank(sf_dir: str) -> pa.Table:
+    """PageRank over the item co-purchase graph — the link-graph
+    centrality prior that web-corpus curation uses as a document-quality
+    signal, here over the catalog graph the testdata can express.  The
+    new skeleton vs ``kmeans_fit`` (iterative, K-bounded state) and
+    ``dedup_components`` (iterative min-label): iterative MESSAGE
+    PASSING where messages are weighted integer sums over an edge list.
+
+    All arithmetic is exact fixed-point: ``r0 = SCALE``;
+    ``r_{k+1}(v) = (15*SCALE)//100 + (85 * sum_{u~v} r_k(u)//deg(u)) // 100``
+    — integer floor division both here and in the DuckDB oracle (three
+    unrolled CTE iterations), so ranks match bit-for-bit; no float
+    damping to diverge cross-engine.
+
+    Scale shape: distinct undirected edges come from the same
+    hash-partitioned self-join as ``copurchase_pairs`` (per-batch fused
+    np.unique + bucket distinct) and are MATERIALIZED once — the
+    band-table precedent in dedup — because every iteration streams
+    them.  Node count is bounded by the part CATALOG (a dimension), so
+    degrees and ranks live driver-side O(|catalog|) like kmeans'
+    centroids, broadcast per iteration via ray.put + searchsorted
+    probe; each pass emits one partial-sum row set per batch (<=
+    |catalog| x blocks).  For a web link graph whose NODE set is
+    SF-proportional the upgrade path is the join formulation: ranks as
+    a Dataset, edges ⋈ ranks per iteration + groupby(dst) sum."""
+    n_li = _dim_num_rows(sf_dir, "lineitem")
+    right = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"]).rename_columns(
+        {"l_orderkey": "o_b", "l_partkey": "p_b"}
+    )
+    joined = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"]).join(
+        right,
+        join_type="inner",
+        num_partitions=_volume_join_parts(n_li),
+        on=("l_orderkey",),
+        right_on=("o_b",),
+    )
+    n_buckets = max(32, n_li // 1_000_000)
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        a = t["l_partkey"].to_numpy()
+        b = t["p_b"].to_numpy()
+        keep = a < b
+        ph = (a[keep].astype(np.int64) << np.int64(32)) | b[keep].astype(
+            np.int64
+        )
+        u = np.unique(ph)
+        h = u.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        bk = ((h >> np.uint64(33)) % np.uint64(n_buckets)).astype(np.int64)
+        return pa.table({"ph": pa.array(u), "bk": pa.array(bk)})
+
+    def distinct_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame({"ph": pd.array([], dtype="int64")})
+        return pd.DataFrame({"ph": np.unique(g["ph"].to_numpy())})
+
+    edges = (
+        joined.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby("bk")
+        .map_groups(distinct_bucket, batch_format="pandas")
+        .select_columns(["ph"])
+        .materialize()   # ~16 B/edge; every iteration re-streams it
+    )
+
+    lo_mask = np.int64(0xFFFFFFFF)
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        ph = t["ph"].to_numpy()
+        ends = np.concatenate([ph >> np.int64(32), ph & lo_mask])
+        nd, cnt = np.unique(ends, return_counts=True)
+        return pa.table(
+            {"node": pa.array(nd), "dp": pa.array(cnt.astype(np.int64))}
+        )
+
+    degs = (
+        edges.map_batches(deg_partial, batch_format="pyarrow")
+        .to_pandas()   # bounded: |catalog| x edge blocks
+    )
+    empty = pa.table(
+        {
+            "part_key": pa.array([], pa.int64()),
+            "rank_scaled": pa.array([], pa.int64()),
+        }
+    )
+    if degs.empty:
+        return empty
+    folded = degs.groupby("node")["dp"].sum()
+    nodes = folded.index.to_numpy()          # sorted
+    d = folded.to_numpy().astype(np.int64)
+
+    r = np.full(len(nodes), PAGERANK_SCALE, np.int64)
+    for _ in range(PAGERANK_ITERS):
+        ref = ray.put((nodes, r // d))
+
+        def msg_partial(t: pa.Table, _ref=ref) -> pa.Table:
+            nd, contrib = ray.get(_ref)
+            ph = t["ph"].to_numpy()
+            ia = np.searchsorted(nd, ph >> np.int64(32))
+            ib = np.searchsorted(nd, ph & lo_mask)
+            sums = np.zeros(len(nd), np.int64)
+            np.add.at(sums, ib, contrib[ia])
+            np.add.at(sums, ia, contrib[ib])
+            nz = np.nonzero(sums)[0]
+            return pa.table(
+                {
+                    "idx": pa.array(nz.astype(np.int64)),
+                    "msum": pa.array(sums[nz]),
+                }
+            )
+
+        parts = edges.map_batches(
+            msg_partial, batch_format="pyarrow"
+        ).to_pandas()   # bounded: |catalog| x edge blocks
+        total = np.zeros(len(nodes), np.int64)
+        if len(parts):
+            np.add.at(
+                total, parts["idx"].to_numpy(), parts["msum"].to_numpy()
+            )
+        r = _PR_BASE + (85 * total) // 100
+
+    top = np.lexsort((nodes, -r))[:PAGERANK_TOP]
+    return pa.table(
+        {
+            "part_key": pa.array(nodes[top].astype(np.int64)),
+            "rank_scaled": pa.array(r[top]),
+        }
+    )
+
+
+def _pr_iter_sql(prev: str, cur: str) -> str:
+    return (
+        f"{cur}0 AS (SELECT e.dst AS node, ({_PR_BASE} + "
+        f"(85 * sum({prev}.r // {prev}.d)) // 100)::BIGINT AS r "
+        f"FROM edges e JOIN {prev} ON e.src = {prev}.node GROUP BY 1), "
+        f"{cur} AS (SELECT {cur}0.node, {cur}0.r, deg.d FROM {cur}0 "
+        f"JOIN deg ON {cur}0.node = deg.node), "
+    )
+
+
+ORACLES["copurchase_pagerank"] = (
+    "WITH pairs AS (SELECT DISTINCT l1.l_partkey AS p1, l2.l_partkey AS p2 "
+    "FROM lineitem l1 JOIN lineitem l2 "
+    "ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey), "
+    "edges AS (SELECT p1 AS src, p2 AS dst FROM pairs "
+    "UNION ALL SELECT p2 AS src, p1 AS dst FROM pairs), "
+    "deg AS (SELECT src AS node, count(*)::BIGINT AS d "
+    "FROM edges GROUP BY 1), "
+    f"r0 AS (SELECT node, {PAGERANK_SCALE}::BIGINT AS r, d FROM deg), "
+    + _pr_iter_sql("r0", "r1")
+    + _pr_iter_sql("r1", "r2")
+    + _pr_iter_sql("r2", "r3")[:-2]
+    + " SELECT node AS part_key, r AS rank_scaled FROM r3 "
+    f"ORDER BY r DESC, node LIMIT {PAGERANK_TOP}"
+)
+
+
 # ---- segment_price_rank: rank-within-group window over a dim join --------
 
 def segment_price_rank(sf_dir: str) -> ray.data.Dataset:

@@ -83,7 +83,7 @@ ORACLE_CHECKED = [
     "training_manifest", "asof_next_purchase", "rolling_24h_user_sum",
     "first_seen_daily",
     "mix_rebalance", "source_quota_sample", "weighted_sample",
-    "length_trim_by_lang",
+    "length_trim_by_lang", "copurchase_pagerank",
 ]
 
 
