@@ -204,6 +204,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": text_analysis.weighted_sample,
         "length_trim_by_lang": text_analysis.length_trim_by_lang,
         "copurchase_pagerank": relational.copurchase_pagerank,
+        "span_dedup": dedup.span_dedup,
     }
 
 

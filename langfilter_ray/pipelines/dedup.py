@@ -1444,3 +1444,246 @@ ORACLES["similar_pairs_topk"] = (
     "WHERE len(a.ws) > 0 AND len(b.ws) > 0 "
     f"ORDER BY jac DESC, doc_a, doc_b LIMIT {JACCARD_TOP_K}"
 )
+
+
+# ---- span_dedup: C4-style duplicate-span removal --------------------------
+
+SPAN_WORDS = 10
+_SPAN_IDX_BITS = 20            # fused key = doc_id << 20 | span_idx
+_SPAN_BUCKETS = 32
+# below this many input docs (parquet metadata, free) the per-batch span
+# partials are gathered and finished driver-side (the dedup_exact lesson:
+# the bucket exchange's fixed all-to-all cost dominates small inputs)
+SPAN_DEDUP_DRIVER_MAX_ROWS = 1_000_000
+# the drop list (non-first span occurrences) is broadcast via ray.put +
+# searchsorted; refuse above this bound — the scale path is a partitioned
+# drop ledger probed with a fused-key hash anti-join (shape documented in
+# the error), which trades pass 2's map-only reconstruction for a doc_id
+# re-shuffle and is only worth it when duplication itself is corpus-scale
+SPAN_DEDUP_MAX_DROPS = 2_000_000
+
+
+def _explode_spans(t: pa.Table):
+    """Vectorized split of a batch into non-overlapping SPAN_WORDS-word
+    spans.  Returns (span_doc_row, span_idx, n_spans_per_doc, span_text):
+    one Arrow string per span, built from the flattened word buffer with
+    a single ListArray re-offset + binary_join — no per-row Python.
+
+    Split semantics are pinned to DuckDB's string_split(text, ' ')
+    (consecutive delimiters yield empty words; '' yields one empty word),
+    verified identical to pc.split_pattern in tests."""
+    text = t["text"]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    words = pc.split_pattern(text, " ")
+    flat = pc.list_flatten(words)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    nw = pc.list_value_length(words).to_numpy().astype(np.int64)
+    n_spans = -(-nw // SPAN_WORDS)                    # ceil; nw >= 1 always
+    total = int(n_spans.sum())
+    doc_start = np.concatenate(([0], np.cumsum(nw)))
+    span_doc = np.repeat(np.arange(len(nw), dtype=np.int64), n_spans)
+    span_base = np.concatenate(([0], np.cumsum(n_spans)))
+    span_idx = np.arange(total, dtype=np.int64) - span_base[span_doc]
+    starts = doc_start[span_doc] + SPAN_WORDS * span_idx
+    # spans are contiguous within and across docs, so the start positions
+    # plus one terminal offset ARE the list offsets
+    offsets = np.concatenate((starts, doc_start[-1:])).astype(np.int32)
+    spans = pc.binary_join(
+        pa.ListArray.from_arrays(pa.array(offsets), flat), " "
+    )
+    return span_doc, span_idx, n_spans, spans
+
+
+_SPAN_PARTIAL_SCHEMA = pa.schema(
+    [("digest", pa.string()), ("key", pa.int64()), ("bk", pa.int64()),
+     ("local_drop", pa.int8())]
+)
+
+
+def _span_fused_keys(doc_ids: np.ndarray, span_doc: np.ndarray,
+                     span_idx: np.ndarray) -> np.ndarray:
+    assert span_idx.max(initial=0) < (1 << _SPAN_IDX_BITS)
+    assert doc_ids.max(initial=0) < (1 << (63 - _SPAN_IDX_BITS))
+    return (doc_ids[span_doc] << _SPAN_IDX_BITS) | span_idx
+
+
+def _span_partials(t: pa.Table) -> pa.Table:
+    """Per-batch combiner for the drop-detection pass: one row per
+    DISTINCT span digest in the batch (carrying its batch-min fused key,
+    which competes globally) plus one pre-resolved ``local_drop`` row per
+    additional in-batch occurrence (already a certain drop — it never
+    needs cross-batch resolution, it just rides the same exchange).  The
+    shuffle carries 32-hex digests + int64 keys, never span content."""
+    import pandas as pd
+
+    if len(t) == 0:
+        return _SPAN_PARTIAL_SCHEMA.empty_table()
+    span_doc, span_idx, _, spans = _explode_spans(t)
+    keys = _span_fused_keys(t["doc_id"].to_numpy(), span_doc, span_idx)
+    digests, prefixes = _md5_hex_column(spans)
+    df = pd.DataFrame({"digest": digests, "key": keys, "pref": prefixes})
+    g = df.groupby("digest", sort=False)
+    firsts = g.agg(key=("key", "min"), pref=("pref", "first")).reset_index()
+    firsts["local_drop"] = np.int8(0)
+    extra = df.loc[df["key"].to_numpy() != g["key"].transform("min").to_numpy(),
+                   ["digest", "key", "pref"]].copy()
+    extra["local_drop"] = np.int8(1)
+    out = pd.concat([firsts, extra], ignore_index=True)
+    h = out["pref"].to_numpy().astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    out["bk"] = ((h >> np.uint64(33)) % np.uint64(_SPAN_BUCKETS)).astype("int64")
+    # pin the schema explicitly: pd.concat with an empty `extra` frame can
+    # drift local_drop to object dtype on tiny batches
+    return pa.Table.from_pandas(
+        out[["digest", "key", "bk", "local_drop"]],
+        schema=_SPAN_PARTIAL_SCHEMA,
+        preserve_index=False,
+    )
+
+
+def _span_drops(df) -> np.ndarray:
+    """Finish drop resolution over gathered/bucketed partials: every
+    local_drop key drops outright; among the batch-first rows of each
+    digest, every key but the global min drops."""
+    local = df.loc[df["local_drop"] == 1, "key"].to_numpy()
+    cand = df[df["local_drop"] == 0]
+    mins = cand.groupby("digest", sort=False)["key"].transform("min")
+    lost = cand.loc[cand["key"].to_numpy() != mins.to_numpy(), "key"].to_numpy()
+    return np.concatenate((local, lost)).astype(np.int64)
+
+
+def span_dedup(sf_dir: str) -> ray.data.Dataset:
+    """C4-style duplicate-SPAN removal (Raffel et al. 2020 §2.2 dedup the
+    corpus at span granularity, not doc granularity): split every doc
+    into non-overlapping SPAN_WORDS-word spans, keep only the globally
+    FIRST occurrence (min (doc_id, span_idx)) of each distinct span, drop
+    every other occurrence — including repeats inside a single doc — and
+    reassemble each doc from its kept spans.  Docs that lose every span
+    vanish from the output (boilerplate-only docs).
+
+    Output: (doc_id, clean_text, kept_spans, total_spans).
+
+    Scale shape (the reference has no dedup; SURVEY.md §2.8 addition):
+      pass 1  vectorized explode -> per-batch combiner -> ONE exchange of
+              (digest, fused int64 key) rows — one row per distinct span
+              per batch plus the rare in-batch repeats; span content
+              never shuffles.  Small inputs finish driver-side (the
+              dedup_exact pattern), large ones via the bucket groupby.
+      pass 2  the drop list (duplicate occurrences only — the sparse side,
+              unlike a keep list) broadcasts once via ray.put as a sorted
+              int64 array; reconstruction is MAP-ONLY: re-explode, mask
+              dropped spans with one searchsorted probe, rebuild each
+              doc's text with a ListArray re-offset + binary_join.  No
+              doc-level shuffle, because docs are whole within batches.
+    """
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/documents.parquet"
+    docs = ray.data.read_parquet(path, columns=["doc_id", "text"])
+    combined = docs.map_batches(_span_partials, batch_format="pyarrow")
+
+    # Ray 2.49 manufactures SCHEMALESS empty blocks that bypass the UDF
+    # (CLAUDE.md round-4 note), so drop zero-row tables before concat
+    def _gather(ds) -> pa.Table | None:
+        tbls = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+        return pa.concat_tables(tbls) if tbls else None
+
+    if pq.read_metadata(path).num_rows <= SPAN_DEDUP_DRIVER_MAX_ROWS:
+        tbl = _gather(combined)
+        drops = (
+            _span_drops(tbl.select(["digest", "key", "local_drop"]).to_pandas())
+            if tbl is not None else np.empty(0, np.int64)
+        )
+    else:
+        def reduce_bucket(g):
+            import pandas as pd
+
+            if g.empty:
+                return pd.DataFrame({"key": pd.array([], dtype="int64")})
+            return pd.DataFrame({"key": _span_drops(g)})
+
+        drop_ds = combined.groupby("bk").map_groups(
+            reduce_bucket, batch_format="pandas"
+        )
+        tbl = _gather(drop_ds)
+        drops = (
+            tbl["key"].to_numpy().astype(np.int64)
+            if tbl is not None else np.empty(0, np.int64)
+        )
+
+    if len(drops) > SPAN_DEDUP_MAX_DROPS:
+        raise ValueError(
+            f"span_dedup drop list has {len(drops)} entries "
+            f"(> SPAN_DEDUP_MAX_DROPS={SPAN_DEDUP_MAX_DROPS}); duplication "
+            "is corpus-scale here — partition the drop ledger by "
+            "key >> _SPAN_IDX_BITS ranges and probe it with a fused-key "
+            "hash anti-join instead of the broadcast"
+        )
+    drops_ref = ray.put(np.sort(drops))
+
+    def rebuild(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "clean_text": pa.array([], pa.string()),
+                 "kept_spans": pa.array([], pa.int64()),
+                 "total_spans": pa.array([], pa.int64())}
+            )
+        dr = ray.get(drops_ref)
+        span_doc, span_idx, n_spans, spans = _explode_spans(t)
+        doc_ids = t["doc_id"].to_numpy()
+        keys = _span_fused_keys(doc_ids, span_doc, span_idx)
+        kept = np.ones(len(keys), dtype=bool)
+        if len(dr):
+            pos = np.searchsorted(dr, keys)
+            inb = pos < len(dr)
+            kept[inb] = dr[pos[inb]] != keys[inb]
+        kept_counts = np.bincount(
+            span_doc[kept], minlength=len(doc_ids)
+        ).astype(np.int64)
+        offsets = np.concatenate(([0], np.cumsum(kept_counts))).astype(np.int32)
+        clean = pc.binary_join(
+            pa.ListArray.from_arrays(
+                pa.array(offsets), spans.filter(pa.array(kept))
+            ),
+            " ",
+        )
+        out = pa.table(
+            {"doc_id": pa.array(doc_ids, pa.int64()),
+             "clean_text": clean,
+             "kept_spans": pa.array(kept_counts),
+             "total_spans": pa.array(n_spans.astype(np.int64))}
+        )
+        return out.filter(pc.greater(out["kept_spans"], 0))
+
+    return docs.map_batches(rebuild, batch_format="pyarrow")
+
+
+ORACLES["span_dedup"] = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+),
+spans AS (
+  SELECT doc_id, i AS span_idx,
+         array_to_string(words[i*{SPAN_WORDS}+1 : i*{SPAN_WORDS}+{SPAN_WORDS}], ' ')
+           AS span_text
+  FROM w, UNNEST(range(CAST(ceil(len(words)/{SPAN_WORDS}.0) AS BIGINT))) AS t(i)
+),
+ranked AS (
+  SELECT doc_id, span_idx, span_text,
+         row_number() OVER (PARTITION BY md5(span_text)
+                            ORDER BY doc_id, span_idx) AS rn
+  FROM spans
+),
+totals AS (
+  SELECT doc_id, count(*)::BIGINT AS total_spans FROM spans GROUP BY doc_id
+)
+SELECT k.doc_id,
+       string_agg(k.span_text, ' ' ORDER BY k.span_idx) AS clean_text,
+       count(*)::BIGINT AS kept_spans,
+       t.total_spans
+FROM ranked k JOIN totals t USING (doc_id)
+WHERE k.rn = 1
+GROUP BY k.doc_id, t.total_spans
+"""

@@ -83,7 +83,7 @@ ORACLE_CHECKED = [
     "training_manifest", "asof_next_purchase", "rolling_24h_user_sum",
     "first_seen_daily",
     "mix_rebalance", "source_quota_sample", "weighted_sample",
-    "length_trim_by_lang", "copurchase_pagerank",
+    "length_trim_by_lang", "copurchase_pagerank", "span_dedup",
 ]
 
 
@@ -1072,3 +1072,114 @@ def test_skyline_mask_duplicates_and_brute_force():
             for i in range(n)
         ]
         assert got.tolist() == [not x for x in dominated]
+
+
+def _span_docs_table(tmp_path):
+    """Documents with engineered span structure (SPAN_WORDS=10):
+      doc 0: 20 words, spans A B
+      doc 1: 25 words, spans A C D' (D' is a 5-word tail)
+      doc 2: A A B      -> every span seen before (in doc 0 / its own first
+                           span) except... A(second, in-doc dup) B -> doc 2
+                           keeps NOTHING (all three spans are repeats)
+      doc 3: 7 words    -> single short span, unique, fully kept
+      doc 4: exact copy of doc 0 -> vanishes entirely
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    A = " ".join(f"a{i}" for i in range(10))
+    B = " ".join(f"b{i}" for i in range(10))
+    C = " ".join(f"c{i}" for i in range(10))
+    D = " ".join(f"d{i}" for i in range(5))
+    E = " ".join(f"e{i}" for i in range(7))
+    texts = [f"{A} {B}", f"{A} {C} {D}", f"{A} {A} {B}", E, f"{A} {B}"]
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["t"] * len(texts)),
+            "n_chars": pa.array([len(s) for s in texts], pa.int64()),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    return A, B, C, D, E
+
+
+def test_span_dedup_ground_truth(entry_mod, tmp_path):
+    from langfilter_ray.pipelines import dedup
+
+    A, B, C, D, E = _span_docs_table(tmp_path)
+    got = dedup.span_dedup(str(tmp_path)).to_pandas()
+    got = got.sort_values("doc_id").reset_index(drop=True)
+    # doc 2 (all spans are repeats) and doc 4 (exact copy) vanish
+    assert got["doc_id"].tolist() == [0, 1, 3]
+    by = got.set_index("doc_id")
+    assert by.loc[0, "clean_text"] == f"{A} {B}"
+    assert (by.loc[0, "kept_spans"], by.loc[0, "total_spans"]) == (2, 2)
+    # doc 1 loses its leading A (doc 0 owns it), keeps C and the short tail
+    assert by.loc[1, "clean_text"] == f"{C} {D}"
+    assert (by.loc[1, "kept_spans"], by.loc[1, "total_spans"]) == (2, 3)
+    assert by.loc[3, "clean_text"] == E
+    assert (by.loc[3, "kept_spans"], by.loc[3, "total_spans"]) == (1, 1)
+    # oracle agrees on the same synthetic table
+    import duckdb as _dd
+
+    c = _dd.connect()
+    c.execute(
+        f"CREATE VIEW documents AS SELECT * "
+        f"FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    want = _canon(c.execute(dedup.ORACLES["span_dedup"]).df())
+    problems = compare_frames(_canon(got), want)
+    assert not problems, (problems, first_diff(_canon(got), want))
+
+
+def test_span_dedup_bucket_path_matches_oracle(entry_mod, con, monkeypatch):
+    """Force the distributed bucket-reduce path (zero the driver-finish
+    bound) and require identical output — the module's standard
+    broadcast-vs-scale-path contract."""
+    from langfilter_ray.pipelines import dedup
+
+    monkeypatch.setattr(dedup, "SPAN_DEDUP_DRIVER_MAX_ROWS", 0)
+    got = _canon(_to_pandas(dedup.span_dedup(SF)))
+    want = _canon(con.execute(dedup.ORACLES["span_dedup"]).df())
+    problems = compare_frames(got, want)
+    assert not problems, (problems, first_diff(got, want))
+
+
+def test_span_dedup_drop_bound_refusal(entry_mod, monkeypatch):
+    from langfilter_ray.pipelines import dedup
+
+    monkeypatch.setattr(dedup, "SPAN_DEDUP_MAX_DROPS", 0)
+    with pytest.raises(ValueError, match="drop list"):
+        dedup.span_dedup(SF)
+
+
+def test_span_dedup_split_semantics_match_duckdb(entry_mod):
+    """The explode helper's split must equal DuckDB string_split(' ') on
+    the edge cases the docstring pins: consecutive delimiters yield empty
+    words, '' yields one empty word."""
+    import duckdb as _dd
+    import pyarrow as pa
+
+    from langfilter_ray.pipelines.dedup import SPAN_WORDS, _explode_spans
+
+    texts = ["", " ", "x  y", "a b  ", " lead", "w " * 25]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+    span_doc, span_idx, n_spans, spans = _explode_spans(t)
+    got = {}
+    for d, i, s in zip(span_doc.tolist(), span_idx.tolist(), spans.to_pylist()):
+        got[(d, i)] = s
+    c = _dd.connect()
+    rows = c.execute(
+        "WITH w AS (SELECT unnest(range(len($1))) AS d, "
+        "                  string_split($1[CAST(unnest(range(len($1))) AS BIGINT)+1], ' ') AS words) "
+        "SELECT d, i, array_to_string("
+        f"words[i*{SPAN_WORDS}+1 : i*{SPAN_WORDS}+{SPAN_WORDS}], ' ') "
+        f"FROM w, UNNEST(range(CAST(ceil(len(words)/{SPAN_WORDS}.0) AS BIGINT))) AS t(i)",
+        [texts],
+    ).fetchall()
+    want = {(int(d), int(i)): s for d, i, s in rows}
+    assert got == want
