@@ -205,6 +205,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_trim_by_lang": text_analysis.length_trim_by_lang,
         "copurchase_pagerank": relational.copurchase_pagerank,
         "span_dedup": dedup.span_dedup,
+        "concurrent_sessions": windows.concurrent_sessions,
     }
 
 

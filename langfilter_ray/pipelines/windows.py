@@ -1636,3 +1636,93 @@ ORACLES["first_seen_daily"] = (
     "min_by(event_id, ts)::BIGINT AS first_event_id "
     "FROM events GROUP BY 1, 2"
 )
+
+
+# ---- concurrent_sessions: interval -> per-hour concurrency ----------------
+
+_CONC_US_HOUR = 3_600_000_000
+
+
+def concurrent_sessions(sf_dir: str) -> "pa.Table":
+    """Concurrency over time — for each epoch-HOUR, how many gap-based
+    sessions (the oracle-checked ``session_windows`` intervals) were open
+    during any part of it.  This is the classic telemetry point-in-interval
+    join ("open connections per minute", "jobs in flight"), and the THIRD
+    interval strategy in the module: tumbling/hopping bucket points,
+    promo_window_revenue binary-searches a small interval side, and this
+    one aggregates a LARGE interval side against the dense time grid
+    without expanding intervals at all.
+
+    Scale shape — a DIFFERENCE ARRAY over the value domain: each session
+    contributes +1 at its first covered hour and -1 just past its last;
+    a per-batch combiner folds a whole batch of sessions into <= 2 x
+    distinct-hours delta rows, so the exchange is bounded by the TIME
+    SPAN of the data (hours in the corpus: ~10^5 for a decade), never by
+    the session count.  The driver gathers that bounded histogram, does
+    one cumsum over the dense hour range, and emits hours with > 0 open
+    sessions — intermediate hours inside long sessions are covered by
+    the cumsum, which a sparse per-delta-point output would miss.
+    Contrast with the SQL oracle, which must EXPAND every session into
+    its covered hours (UNNEST(range(h0, h1+1))) — linear in total
+    interval length rather than in delta points."""
+    sess = session_windows(sf_dir)
+
+    def deltas(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {"hour": pa.array([], pa.int64()),
+                 "delta": pa.array([], pa.int64())}
+            )
+        first = (
+            t["first_ts"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64) // _CONC_US_HOUR
+        )
+        last = (
+            t["last_ts"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64) // _CONC_US_HOUR
+        )
+        hours = np.concatenate((first, last + 1))
+        dl = np.concatenate(
+            (np.ones(len(first), np.int64), -np.ones(len(last), np.int64))
+        )
+        u, inv = np.unique(hours, return_inverse=True)
+        d = np.bincount(inv, weights=dl).astype(np.int64)
+        keep = d != 0
+        return pa.table(
+            {"hour": pa.array(u[keep], pa.int64()),
+             "delta": pa.array(d[keep], pa.int64())}
+        )
+
+    hist = sess.map_batches(deltas, batch_format="pyarrow")
+    tbls = [t for t in ray.get(hist.to_arrow_refs()) if t.num_rows]
+    empty = pa.table(
+        {"hour": pa.array([], pa.int64()),
+         "n_concurrent": pa.array([], pa.int64())}
+    )
+    if not tbls:
+        return empty
+    df = (
+        pa.concat_tables(tbls).to_pandas()
+        .groupby("hour", sort=True)["delta"].sum()
+    )
+    pts = df.index.to_numpy()
+    dl = df.to_numpy()
+    lo, hi = int(pts[0]), int(pts[-1])          # last point is always a -1
+    dense = np.zeros(hi - lo, dtype=np.int64)
+    np.add.at(dense, pts[:-1] - lo, dl[:-1])    # the final -1 lands at hi
+    counts = np.cumsum(dense)
+    keep = counts > 0
+    return pa.table(
+        {"hour": pa.array(np.arange(lo, hi, dtype=np.int64)[keep]),
+         "n_concurrent": pa.array(counts[keep])}
+    )
+
+
+ORACLES["concurrent_sessions"] = (
+    "WITH sess AS (" + ORACLES["session_windows"] + "), "
+    "bounds AS (SELECT epoch_us(first_ts) // 3600000000 AS h0, "
+    "                  epoch_us(last_ts) // 3600000000 AS h1 FROM sess) "
+    "SELECT h AS hour, count(*)::BIGINT AS n_concurrent "
+    "FROM bounds, UNNEST(range(h0, h1 + 1)) AS t(h) "
+    "GROUP BY h"
+)

@@ -84,6 +84,7 @@ ORACLE_CHECKED = [
     "first_seen_daily",
     "mix_rebalance", "source_quota_sample", "weighted_sample",
     "length_trim_by_lang", "copurchase_pagerank", "span_dedup",
+    "concurrent_sessions",
 ]
 
 
@@ -198,7 +199,7 @@ def test_prefix_sum_ops_partition_count_invariant(
 @pytest.mark.parametrize(
     "name",
     ["user_value_lag", "rolling_24h_user_sum", "session_windows",
-     "asof_next_purchase", "first_seen_daily"],
+     "asof_next_purchase", "first_seen_daily", "concurrent_sessions"],
 )
 def test_window_ops_partition_count_invariant(
     entry_mod, con, name, min_parts, monkeypatch
@@ -1183,3 +1184,56 @@ def test_span_dedup_split_semantics_match_duckdb(entry_mod):
     ).fetchall()
     want = {(int(d), int(i)): s for d, i, s in rows}
     assert got == want
+
+
+def test_concurrent_sessions_ground_truth(entry_mod, tmp_path):
+    """Pin the difference-array semantics on hand-built sessions: a long
+    session must count in its INTERIOR hours (where no delta point
+    exists — the cumsum-only case), overlaps must add, and a session
+    touching an hour for one microsecond counts for that whole hour."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from langfilter_ray.pipelines import windows
+
+    base = np.datetime64("2024-03-01T00:00:00", "us")
+
+    def at(h, m=0):
+        return base + np.timedelta64(h * 3600 + m * 60, "s")
+
+    # user 1: one long session spanning hours 0..5 (two events, gap < 24h)
+    # user 2: session inside hour 2 only
+    # user 3: session from 4:59 to 5:01 -> touches hours 4 and 5
+    rows = [
+        (1, 1, at(0)), (2, 1, at(5, 30)),
+        (3, 2, at(2, 10)), (4, 2, at(2, 40)),
+        (5, 3, at(4, 59)), (6, 3, at(5, 1)),
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "event_type": pa.array(["click"] * len(rows)),
+            "value": pa.array([1.0] * len(rows)),
+            "props": pa.array(["{}"] * len(rows)),
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+    got = windows.concurrent_sessions(str(tmp_path)).to_pandas()
+    got = got.sort_values("hour").reset_index(drop=True)
+    h0 = int(np.datetime64("2024-03-01T00:00:00").astype("datetime64[s]").astype(np.int64)) // 3600
+    want = {h0 + 0: 1, h0 + 1: 1, h0 + 2: 2, h0 + 3: 1, h0 + 4: 2, h0 + 5: 2}
+    assert dict(zip(got["hour"], got["n_concurrent"])) == want
+    # and the SQL oracle agrees on the same table
+    import duckdb as _dd
+
+    c = _dd.connect()
+    c.execute(
+        f"CREATE VIEW events AS SELECT * "
+        f"FROM read_parquet('{tmp_path}/events.parquet')"
+    )
+    want_df = _canon(c.execute(windows.ORACLES["concurrent_sessions"]).df())
+    problems = compare_frames(_canon(got), want_df)
+    assert not problems, (problems, first_diff(_canon(got), want_df))
