@@ -206,6 +206,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchase_pagerank": relational.copurchase_pagerank,
         "span_dedup": dedup.span_dedup,
         "concurrent_sessions": windows.concurrent_sessions,
+        # rows-only (iterative driver-state op like kmeans_fit)
+        "bpe_train": text_analysis.bpe_train,
     }
 
 

@@ -2727,3 +2727,135 @@ ORACLES["training_manifest"] = (
     f"(cum_before // {PACK_SEQ_TOKENS})::BIGINT AS seq_id, "
     f"(cum_before % {PACK_SEQ_TOKENS})::BIGINT AS offset_in_seq FROM o"
 )
+
+
+# ---- bpe_train: distributed tokenizer training ----------------------------
+
+BPE_N_MERGES = 24
+# driver-state bound: train on the top-V word FORMS by (count desc, word) —
+# the same contract real trainers expose (HF tokenizers' limit_alphabet /
+# max word entries); the cut is deterministic and part of the op's spec,
+# not a silent truncation
+BPE_MAX_VOCAB_WORDS = 200_000
+_BPE_EOW = "</w>"
+
+
+def _bpe_merges_from_freqs(
+    freqs: list[tuple[str, int]], n_merges: int
+) -> list[tuple[int, str, str, int]]:
+    """Classic Sennrich-2016 BPE merge loop over a WORD-FREQUENCY table:
+    each distinct word is a symbol sequence (chars + end-of-word marker);
+    per round, count adjacent symbol pairs weighted by word frequency,
+    merge the most frequent pair everywhere (ties broken by the
+    lexicographically smallest (left, right) so the result is a pure
+    function of the frequency table), and record (rank, left, right,
+    freq).  Stops early when no pair repeats.  O(n_merges x total
+    symbols over distinct words) — bounded by the vocabulary, never the
+    corpus."""
+    words = [
+        (tuple(w) + (_BPE_EOW,), c) for w, c in freqs if w
+    ]
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(n_merges):
+        pair_counts: dict[tuple[str, str], int] = {}
+        for syms, c in words:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pair_counts[p] = pair_counts.get(p, 0) + c
+        if not pair_counts:
+            break
+        top = max(pair_counts.values())
+        left, right = min(p for p, c in pair_counts.items() if c == top)
+        merges.append((rank, left, right, top))
+        joined = left + right
+        new_words = []
+        for syms, c in words:
+            if len(syms) < 2:
+                new_words.append((syms, c))
+                continue
+            out = []
+            i = 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == left
+                    and syms[i + 1] == right
+                ):
+                    out.append(joined)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_words.append((tuple(out), c))
+        words = new_words
+    return merges
+
+
+def bpe_train(sf_dir: str) -> pa.Table:
+    """Distributed BPE tokenizer training (Sennrich et al. 2016) — the
+    missing stage of the LLM-data flow (dedup -> mix -> pack -> SHUFFLE
+    all exist; the tokenizer itself trains here).  Architecture matches
+    production trainers (HF tokenizers, sentencepiece): the corpus-scale
+    work is ONE word-frequency pass (the top_tokens combiner: in-batch
+    value_counts so the groupby shuffle carries (word, partial) rows,
+    bounded by vocabulary x batches, never corpus size), and the merge
+    loop itself runs driver-side over the BOUNDED distinct-word table —
+    at most BPE_MAX_VOCAB_WORDS forms kept by (count desc, word), the
+    documented trainer contract.  Output: one row per merge,
+    (merge_rank, left, right, pair_freq), a pure function of the corpus.
+
+    No SQL oracle (iterative state like kmeans_fit) — pinned bit-for-bit
+    against an independent single-machine reference in tests."""
+    from ray.data.aggregate import Sum
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(t["text"]), pattern="[^a-z0-9_]+"
+        )
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        vc = flat.value_counts()
+        return pa.table(
+            {
+                "word": vc.field("values"),
+                "partial": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    agg = (
+        _docs_cols(sf_dir, ["text"])
+        .map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("partial", alias_name="n"))
+    )
+    # gather is bounded by |vocab| (groupby output), then capped to the
+    # top word forms deterministically
+    tbls = [t for t in ray.get(agg.to_arrow_refs()) if t.num_rows]
+    empty = pa.table(
+        {
+            "merge_rank": pa.array([], pa.int64()),
+            "left": pa.array([], pa.string()),
+            "right": pa.array([], pa.string()),
+            "pair_freq": pa.array([], pa.int64()),
+        }
+    )
+    if not tbls:
+        return empty
+    df = pa.concat_tables(tbls).to_pandas()
+    df = df.sort_values(["n", "word"], ascending=[False, True], kind="mergesort")
+    df = df.head(BPE_MAX_VOCAB_WORDS)
+    merges = _bpe_merges_from_freqs(
+        list(zip(df["word"].tolist(), df["n"].tolist())), BPE_N_MERGES
+    )
+    if not merges:
+        return empty
+    return pa.table(
+        {
+            "merge_rank": pa.array([m[0] for m in merges], pa.int64()),
+            "left": pa.array([m[1] for m in merges], pa.string()),
+            "right": pa.array([m[2] for m in merges], pa.string()),
+            "pair_freq": pa.array([m[3] for m in merges], pa.int64()),
+        }
+    )

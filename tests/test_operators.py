@@ -440,6 +440,7 @@ def test_every_query_has_oracle_or_is_known_rows_only(entry_mod):
         "corpus_training_manifest",
         "kmeans_fit",
         "embed_documents",
+        "bpe_train",
     }
 
 
@@ -1237,3 +1238,85 @@ def test_concurrent_sessions_ground_truth(entry_mod, tmp_path):
     want_df = _canon(c.execute(windows.ORACLES["concurrent_sessions"]).df())
     problems = compare_frames(_canon(got), want_df)
     assert not problems, (problems, first_diff(_canon(got), want_df))
+
+
+def test_bpe_train_equals_independent_reference(entry_mod):
+    """The distributed word-count pass + driver merge loop must equal an
+    independent single-machine BPE over the same corpus (different code:
+    Counter + regex + its own merge loop), bit for bit."""
+    import collections
+    import re
+
+    import pyarrow.parquet as pq
+
+    from langfilter_ray.pipelines.text_analysis import (
+        BPE_N_MERGES, _BPE_EOW,
+    )
+
+    got = _to_pandas(entry_mod.queries()["bpe_train"](SF))
+    # independent reference
+    texts = pq.read_table(f"{SF}/documents.parquet", columns=["text"])
+    freqs = collections.Counter()
+    for s in texts["text"].to_pylist():
+        freqs.update(re.findall(r"[a-z0-9_]+", (s or "").lower()))
+    words = {tuple(w) + (_BPE_EOW,): c for w, c in freqs.items()}
+    merges = []
+    for rank in range(BPE_N_MERGES):
+        pc_ = collections.Counter()
+        for syms, c in words.items():
+            for a, b in zip(syms, syms[1:]):
+                pc_[(a, b)] += c
+        if not pc_:
+            break
+        top = max(pc_.values())
+        left, right = min(p for p, c in pc_.items() if c == top)
+        merges.append((rank, left, right, top))
+        new = {}
+        for syms, c in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new[tuple(out)] = new.get(tuple(out), 0) + c
+        words = new
+    assert list(zip(got["merge_rank"], got["left"], got["right"],
+                    got["pair_freq"])) == merges
+    # determinism probe
+    again = _to_pandas(entry_mod.queries()["bpe_train"](SF))
+    assert _canon(got).equals(_canon(again))
+
+
+def test_bpe_train_hand_verified_merges(entry_mod, tmp_path):
+    """Classic BPE textbook example with hand-computed first three merges,
+    including a frequency tie resolved by the lexicographically smallest
+    pair."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from langfilter_ray.pipelines import text_analysis as ta
+
+    words = (["hug"] * 10 + ["pug"] * 5 + ["pun"] * 12 + ["bun"] * 4
+             + ["hugs"] * 5)
+    text = " ".join(words)
+    t = pa.table(
+        {
+            "doc_id": pa.array([0], pa.int64()),
+            "text": pa.array([text]),
+            "lang": pa.array(["en"]),
+            "source": pa.array(["t"]),
+            "n_chars": pa.array([len(text)], pa.int64()),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    got = _to_pandas(ta.bpe_train(str(tmp_path)))
+    rows = list(zip(got["merge_rank"], got["left"], got["right"],
+                    got["pair_freq"]))
+    # hand computation: (u,g)=20 wins round 0; round 1 ties (n,</w>) and
+    # (u,n) at 16 -> smallest pair (n,</w>); round 2 (u,n</w>)=16
+    assert rows[0] == (0, "u", "g", 20)
+    assert rows[1] == (1, "n", "</w>", 16)
+    assert rows[2] == (2, "u", "n</w>", 16)
