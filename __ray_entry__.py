@@ -208,6 +208,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "concurrent_sessions": windows.concurrent_sessions,
         # rows-only (iterative driver-state op like kmeans_fit)
         "bpe_train": text_analysis.bpe_train,
+        "bpe_encode": text_analysis.bpe_encode,
     }
 
 

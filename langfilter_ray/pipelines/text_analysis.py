@@ -2859,3 +2859,82 @@ def bpe_train(sf_dir: str) -> pa.Table:
             "pair_freq": pa.array([m[3] for m in merges], pa.int64()),
         }
     )
+
+
+def _bpe_encode_word(word: str, ranks: dict[tuple[str, str], int]) -> int:
+    """Token count for one word under a trained merge table: start from
+    chars + end-of-word marker, repeatedly apply the LOWEST-RANK adjacent
+    merge present (the standard greedy BPE encode), return the surviving
+    symbol count."""
+    syms = list(word) + [_BPE_EOW]
+    while len(syms) > 1:
+        best_rank, best_i = None, -1
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_rank is None:
+            break
+        syms[best_i:best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+    return len(syms)
+
+
+def bpe_encode(sf_dir: str) -> ray.data.Dataset:
+    """Apply the bpe_train merge table to the corpus: per-document BPE
+    token count — the tokenize-for-budgeting stage that follows tokenizer
+    training (pack_sequences-style planning runs on THESE counts in a real
+    flow).  Output: (doc_id, n_bpe_tokens).
+
+    Scale shape — the broadcast-model archetype with a DERIVED artifact:
+    the merge table (BPE_N_MERGES rows) ships once via ray.put; each batch
+    tokenizes with the same Arrow regex split as training, collapses to
+    its DISTINCT words (np.unique with counts — the encode loop runs once
+    per distinct word per batch, not once per occurrence), encodes them
+    under the rank dict, and scatters counts back per doc with one
+    vectorized segment sum.  Rows-only like bpe_train (iterative merge
+    semantics have no SQL analog); pinned against an independent encode
+    in tests."""
+    merges = bpe_train(sf_dir)
+    ranks = {
+        (l, r): i
+        for i, (l, r) in enumerate(
+            zip(merges["left"].to_pylist(), merges["right"].to_pylist())
+        )
+    }
+    ranks_ref = ray.put(ranks)
+
+    def encode(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "n_bpe_tokens": pa.array([], pa.int64())}
+            )
+        rk = ray.get(ranks_ref)
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(t["text"]), pattern="[^a-z0-9_]+"
+        )
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lengths = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        words = flat.to_numpy(zero_copy_only=False)
+        doc_row = np.repeat(np.arange(len(t), dtype=np.int64), lengths)
+        nonempty = words != ""
+        words, doc_row = words[nonempty], doc_row[nonempty]
+        uniq, inv = np.unique(words, return_inverse=True)
+        per_word = np.fromiter(
+            (_bpe_encode_word(w, rk) for w in uniq),
+            dtype=np.int64, count=len(uniq),
+        )
+        counts = np.zeros(len(t), dtype=np.int64)
+        np.add.at(counts, doc_row, per_word[inv])
+        return pa.table(
+            {"doc_id": t["doc_id"],
+             "n_bpe_tokens": pa.array(counts)}
+        )
+
+    return _docs_cols(sf_dir, ["doc_id", "text"]).map_batches(
+        encode, batch_format="pyarrow"
+    )

@@ -441,6 +441,7 @@ def test_every_query_has_oracle_or_is_known_rows_only(entry_mod):
         "kmeans_fit",
         "embed_documents",
         "bpe_train",
+        "bpe_encode",
     }
 
 
@@ -1320,3 +1321,46 @@ def test_bpe_train_hand_verified_merges(entry_mod, tmp_path):
     assert rows[0] == (0, "u", "g", 20)
     assert rows[1] == (1, "n", "</w>", 16)
     assert rows[2] == (2, "u", "n</w>", 16)
+
+
+def test_bpe_encode_equals_independent_encode(entry_mod):
+    """bpe_encode's per-doc token counts must equal an independently
+    written greedy encode (recursive splitter, per-occurrence — no
+    distinct-word caching) applied under the same trained merge table."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    from langfilter_ray.pipelines.text_analysis import _BPE_EOW
+
+    merges = _to_pandas(entry_mod.queries()["bpe_train"](SF))
+    ranks = {
+        (l, r): i for i, (l, r) in enumerate(zip(merges["left"], merges["right"]))
+    }
+
+    def encode(word):
+        syms = list(word) + [_BPE_EOW]
+        while True:
+            pairs = [
+                (ranks[(a, b)], i)
+                for i, (a, b) in enumerate(zip(syms, syms[1:]))
+                if (a, b) in ranks
+            ]
+            if not pairs:
+                return len(syms)
+            _, i = min(pairs)
+            syms = syms[:i] + [syms[i] + syms[i + 1]] + syms[i + 2:]
+
+    got = _to_pandas(entry_mod.queries()["bpe_encode"](SF))
+    got = got.sort_values("doc_id").reset_index(drop=True)
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    want = {}
+    for d, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        want[d] = sum(encode(w) for w in re.findall(r"[a-z0-9_]+", (s or "").lower()))
+    assert dict(zip(got["doc_id"], got["n_bpe_tokens"])) == want
+    # each word survives as >= 1 symbol, so counts dominate word counts
+    tc = _to_pandas(entry_mod.queries()["token_counts"](SF))
+    merged = got.merge(tc, on="doc_id")
+    assert (merged["n_bpe_tokens"] >= merged["n_tokens"]).all()
+    again = _to_pandas(entry_mod.queries()["bpe_encode"](SF))
+    assert _canon(got).equals(_canon(again.sort_values("doc_id").reset_index(drop=True)))
