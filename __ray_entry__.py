@@ -206,6 +206,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchase_pagerank": relational.copurchase_pagerank,
         "span_dedup": dedup.span_dedup,
         "concurrent_sessions": windows.concurrent_sessions,
+        "streak_days": windows.streak_days,
         # rows-only (iterative driver-state op like kmeans_fit)
         "bpe_train": text_analysis.bpe_train,
         "bpe_encode": text_analysis.bpe_encode,

@@ -1726,3 +1726,99 @@ ORACLES["concurrent_sessions"] = (
     "FROM bounds, UNNEST(range(h0, h1 + 1)) AS t(h) "
     "GROUP BY h"
 )
+
+
+# ---- streak_days: gaps-and-islands over per-user active days ---------------
+
+def streak_days(sf_dir: str) -> ray.data.Dataset:
+    """Gaps-and-islands: per user, the longest run of CONSECUTIVE active
+    days ("login streak") plus the active-day and streak counts — the one
+    classic time-series SQL pattern the module didn't cover (tumbling /
+    hopping / session / rolling / as-of / first-seen / concurrency are all
+    above).  SQL needs the row_number()-difference trick (day − rank is
+    constant within an island); here islands fall out of the same
+    segmented-numpy backbone: users co-locate by hash partition, ONE sort
+    per partition, distinct (user, day) rows are a shifted compare, and an
+    island starts wherever the user changes or the day gap ≠ 1.  Run
+    lengths come from bincount over the island ids, and the three per-user
+    aggregates are reduceat over user boundaries — no Python loop over
+    users or islands, and the exchange stays one shuffle of (user_id, ts)
+    exactly like every other per-user operator here (scale bound:
+    partition count grows with the table, ~2M rows each).
+
+    Reference anchor: the per-user activity aggregates family
+    (langid_service reporting, SURVEY.md §2.6/A1–A4) — extended to the
+    consecutive-day streak shape a training-data telemetry stack needs."""
+
+    US_DAY = 86_400_000_000
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.array([], dtype="int64"),
+                    "n_active_days": pd.array([], dtype="int64"),
+                    "max_streak": pd.array([], dtype="int64"),
+                    "n_streaks": pd.array([], dtype="int64"),
+                }
+            )
+        g, starts, ends = _user_segments(g)
+        us = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        day = us // US_DAY
+        uid = g["user_id"].to_numpy()
+        n = len(g)
+        new_user = np.zeros(n, dtype=bool)
+        new_user[starts] = True
+        # distinct (user, day) rows: day is non-decreasing within a user
+        # segment because the sort is (user_id, ts)
+        first = new_user.copy()
+        first[1:] |= day[1:] != day[:-1]
+        d_uid = uid[first]
+        d_day = day[first]
+        m = len(d_uid)
+        nu = np.zeros(m, dtype=bool)
+        nu[0] = True
+        nu[1:] = d_uid[1:] != d_uid[:-1]
+        new_run = nu.copy()
+        new_run[1:] |= (d_day[1:] - d_day[:-1]) != 1
+        run_id = np.cumsum(new_run) - 1
+        run_len = np.bincount(run_id)
+        row_run_len = run_len[run_id]          # each row carries its island length
+        ustarts = np.flatnonzero(nu)
+        return pd.DataFrame(
+            {
+                "user_id": d_uid[ustarts],
+                "n_active_days": (np.append(ustarts[1:], m) - ustarts).astype(
+                    np.int64
+                ),
+                "max_streak": np.maximum.reduceat(row_run_len, ustarts).astype(
+                    np.int64
+                ),
+                "n_streaks": np.add.reduceat(
+                    new_run.astype(np.int64), ustarts
+                ).astype(np.int64),
+            }
+        )
+
+    return (
+        _user_partition_map(
+            _events(sf_dir, ["user_id", "ts", "event_id"]),
+            _window_parts(sf_dir),
+            per_partition,
+        )
+        .select_columns(["user_id", "n_active_days", "max_streak", "n_streaks"])
+    )
+
+
+ORACLES["streak_days"] = (
+    "WITH d AS (SELECT DISTINCT user_id, "
+    "(epoch(ts)::BIGINT // 86400)::BIGINT AS day FROM events), "
+    "r AS (SELECT user_id, day, "
+    "day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp "
+    "FROM d), "
+    "s AS (SELECT user_id, count(*)::BIGINT AS streak "
+    "FROM r GROUP BY user_id, grp) "
+    "SELECT user_id, sum(streak)::BIGINT AS n_active_days, "
+    "max(streak)::BIGINT AS max_streak, count(*)::BIGINT AS n_streaks "
+    "FROM s GROUP BY user_id"
+)

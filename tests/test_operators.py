@@ -84,7 +84,7 @@ ORACLE_CHECKED = [
     "first_seen_daily",
     "mix_rebalance", "source_quota_sample", "weighted_sample",
     "length_trim_by_lang", "copurchase_pagerank", "span_dedup",
-    "concurrent_sessions",
+    "concurrent_sessions", "streak_days",
 ]
 
 
