@@ -207,6 +207,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_dedup": dedup.span_dedup,
         "concurrent_sessions": windows.concurrent_sessions,
         "streak_days": windows.streak_days,
+        "rolling_7d_distinct_users": windows.rolling_7d_distinct_users,
+        "revenue_cube": relational.revenue_cube,
+        "user_value_trend": relational.user_value_trend,
         # rows-only (iterative driver-state op like kmeans_fit)
         "bpe_train": text_analysis.bpe_train,
         "bpe_encode": text_analysis.bpe_encode,

@@ -4226,3 +4226,203 @@ ORACLES["bloom_semi_join_exact"] = (
     "WHERE EXISTS (SELECT 1 FROM events p "
     "WHERE p.user_id = e.user_id AND p.event_type = 'purchase')"
 )
+
+
+# ---- revenue_cube: GROUP BY CUBE (grouping sets) ---------------------------
+
+
+def revenue_cube(sf_dir: str) -> ray.data.Dataset:
+    """Revenue and order count over ALL FOUR grouping sets of
+    (o_orderstatus, o_orderpriority) — SQL's GROUP BY CUBE, the standard
+    OLAP rollup report.  The naive plan runs four separate groupbys (four
+    scans, four shuffles); the naive distributed alternative replicates
+    every ROW once per grouping set before one groupby (4x the exchange).
+
+    Scale shape: one scan, one bounded shuffle.  Each batch reduces to
+    the FINEST grouping set via a pyarrow group_by combiner (<= |status|
+    x |priority| rows), then derives the three coarser sets from that
+    tiny partial in pandas — so the per-batch emit is <= 4x the cube's
+    own cardinality (24 rows here) regardless of batch size, and the
+    single groupby sums bounded keys.  The 'ALL' sentinel stands for the
+    rolled-up level on both sides (nullable group keys hash-mismatch the
+    driver comparator; see CLAUDE.md).
+
+    Reference anchor: the status/priority reporting family (SURVEY.md
+    S2.6 A1/A4) generalized to the multi-level rollup a corpus
+    dashboard wants (per-source x per-language totals with margins)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"o_orderstatus": pa.array([], pa.string()),
+             "o_orderpriority": pa.array([], pa.string()),
+             "revenue_cents": pa.array([], pa.int64()),
+             "n_orders": pa.array([], pa.int64())}
+        )
+        if len(t) == 0:
+            return empty
+        cents = np.floor(
+            t["o_totalprice"].to_numpy() * 100 + 0.5
+        ).astype(np.int64)
+        src = pa.table(
+            {"s": t["o_orderstatus"], "p": t["o_orderpriority"],
+             "c": pa.array(cents, pa.int64())}
+        )
+        g = (
+            src.group_by(["s", "p"])
+            .aggregate([("c", "sum"), ([], "count_all")])
+            .to_pandas()
+            .rename(columns={"c_sum": "revenue_cents", "count_all": "n_orders"})
+        )
+        gs = g.groupby("s", as_index=False)[["revenue_cents", "n_orders"]].sum()
+        gs["p"] = "ALL"
+        gp = g.groupby("p", as_index=False)[["revenue_cents", "n_orders"]].sum()
+        gp["s"] = "ALL"
+        ga = pd.DataFrame(
+            {"s": ["ALL"], "p": ["ALL"],
+             "revenue_cents": [g["revenue_cents"].sum()],
+             "n_orders": [g["n_orders"].sum()]}
+        )
+        out = pd.concat([g, gs, gp, ga], ignore_index=True)
+        return pa.table(
+            {"o_orderstatus": pa.array(out["s"], pa.string()),
+             "o_orderpriority": pa.array(out["p"], pa.string()),
+             "revenue_cents": pa.array(
+                 out["revenue_cents"].to_numpy().astype(np.int64), pa.int64()),
+             "n_orders": pa.array(
+                 out["n_orders"].to_numpy().astype(np.int64), pa.int64())}
+        )
+
+    return (
+        _read(sf_dir, "orders",
+              ["o_orderstatus", "o_orderpriority", "o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["o_orderstatus", "o_orderpriority"])
+        .aggregate(
+            Sum("revenue_cents", alias_name="revenue_cents"),
+            Sum("n_orders", alias_name="n_orders"),
+        )
+    )
+
+
+ORACLES["revenue_cube"] = (
+    "SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus, "
+    "COALESCE(o_orderpriority, 'ALL') AS o_orderpriority, "
+    "sum(CAST(floor(o_totalprice*100+0.5) AS BIGINT))::BIGINT AS revenue_cents, "
+    "count(*)::BIGINT AS n_orders "
+    "FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)"
+)
+
+
+# ---- user_value_trend: per-key regression slope from integer moments -------
+
+_TREND_DAY_ANCHOR = 19_700  # fixed epoch-day offset; slope is translation-
+                            # invariant, the shift only shrinks the moments
+
+
+def user_value_trend(sf_dir: str) -> ray.data.Dataset:
+    """Per-user linear trend of event value over time — regr_slope(value,
+    day) for every user with >= 2 distinct active days, i.e. 'is this
+    user's spend rising or falling, and how fast (cents/day)'.
+
+    Scale shape — the per-KEY variant of the exact-integer-moments
+    pattern (qty_discount_corr computes the same moments for 3 bounded
+    keys driver-side): each batch folds to one (user, n, St, Sv, Stt,
+    Stv) row per user via a pyarrow group_by combiner (many events per
+    user combine map-side, so the shuffle carries ~|users| rows per
+    batch, not |events|), one groupby sums the moments, and the slope
+    (n*Stv - St*Sv) / (n*Stt - St*St) is a vectorized int64 -> ONE float
+    division per user — never a float accumulation, so the doubles are
+    bit-identical to DuckDB's HUGEINT-then-cast arithmetic.  int64
+    bounds: t = epoch_day - 19700 (|t| < 2^15 for a century either
+    side), v <= 10^6 cents => per-user Stv < 2^36 * n and the cross
+    products n*Stv stay under 2^53 (double-exact) through ~10^8 events
+    per user; the slope is emitted by a map_batches over the aggregate,
+    never a driver loop over users.
+
+    Reference anchor: the per-user activity aggregates family (SURVEY.md
+    S2.6) extended to the trend shape a data-quality dashboard reports
+    (per-source quality drift per day)."""
+
+    US_DAY = 86_400_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"user_id": pa.array([], pa.int64()),
+             "n_partial": pa.array([], pa.int64()),
+             **{c: pa.array([], pa.int64())
+                for c in ("st", "sv", "stt", "stv")}}
+        )
+        if len(t) == 0:
+            return empty
+        day = (
+            t["ts"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64) // US_DAY
+            - _TREND_DAY_ANCHOR
+        )
+        v = np.floor(t["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+        src = pa.table(
+            {"user_id": t["user_id"],
+             "t": pa.array(day, pa.int64()),
+             "v": pa.array(v, pa.int64()),
+             "tt": pa.array(day * day, pa.int64()),
+             "tv": pa.array(day * v, pa.int64())}
+        )
+        g = src.group_by("user_id").aggregate(
+            [(c, "sum") for c in ("t", "v", "tt", "tv")] + [([], "count_all")]
+        )
+        return pa.table(
+            {"user_id": g["user_id"],
+             "n_partial": pc.cast(g["count_all"], pa.int64()),
+             "st": g["t_sum"], "sv": g["v_sum"],
+             "stt": g["tt_sum"], "stv": g["tv_sum"]}
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"user_id": pa.array([], pa.int64()),
+             "n": pa.array([], pa.int64()),
+             "slope_cents_per_day": pa.array([], pa.float64())}
+        )
+        if len(t) == 0:
+            return empty
+        n = t["n"].to_numpy()
+        st = t["st"].to_numpy()
+        sv = t["sv"].to_numpy()
+        stt = t["stt"].to_numpy()
+        stv = t["stv"].to_numpy()
+        den = n * stt - st * st
+        num = n * stv - st * sv
+        keep = den > 0               # >= 2 distinct active days
+        return pa.table(
+            {"user_id": pa.array(t["user_id"].to_numpy()[keep], pa.int64()),
+             "n": pa.array(n[keep], pa.int64()),
+             "slope_cents_per_day": pa.array(
+                 num[keep].astype(np.float64) / den[keep].astype(np.float64),
+                 pa.float64())}
+        )
+
+    return (
+        _read(sf_dir, "events", ["user_id", "ts", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(
+            Sum("n_partial", alias_name="n"),
+            *[Sum(c, alias_name=c) for c in ("st", "sv", "stt", "stv")],
+        )
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+ORACLES["user_value_trend"] = (
+    "WITH m AS (SELECT user_id, count(*)::BIGINT AS n, "
+    "sum(epoch(ts)::BIGINT // 86400 - 19700)::BIGINT AS st, "
+    "sum(CAST(floor(value*100+0.5) AS BIGINT))::BIGINT AS sv, "
+    "sum((epoch(ts)::BIGINT // 86400 - 19700)"
+    "*(epoch(ts)::BIGINT // 86400 - 19700))::BIGINT AS stt, "
+    "sum((epoch(ts)::BIGINT // 86400 - 19700)"
+    "*CAST(floor(value*100+0.5) AS BIGINT))::BIGINT AS stv "
+    "FROM events GROUP BY user_id) "
+    "SELECT user_id, n, "
+    "CAST(n*stv - st*sv AS DOUBLE) / CAST(n*stt - st*st AS DOUBLE) "
+    "AS slope_cents_per_day FROM m WHERE n*stt - st*st > 0"
+)

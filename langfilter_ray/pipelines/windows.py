@@ -1822,3 +1822,102 @@ ORACLES["streak_days"] = (
     "max(streak)::BIGINT AS max_streak, count(*)::BIGINT AS n_streaks "
     "FROM s GROUP BY user_id"
 )
+
+
+# ---- rolling_7d_distinct_users: trailing-window DISTINCT count -------------
+
+def rolling_7d_distinct_users(sf_dir: str) -> "pa.Table":
+    """For every epoch day, how many DISTINCT users were active at least
+    once in the trailing 7-day window [day-6, day].  Rolling DISTINCT is
+    the one windowed aggregate a running sum cannot express (a user with
+    three events in the window still counts once), and the standard SQL
+    shape — expand every active day into its 7 covered days, then
+    count(DISTINCT user) per day — reshuffles 7x the distinct-day rows
+    and pays a huge-cardinality distinct.
+
+    Scale shape — per-user INTERVAL UNION, then the difference array:
+    users co-locate by hash partition (one shuffle of (user_id, ts), same
+    exchange as every per-user operator here); inside a partition the
+    segmented-numpy pass dedups (user, day), merges each user's covered
+    intervals [d, d+6] wherever consecutive active days are <= 6 apart
+    (so a user contributes +1/-1 ONCE per maximal covered run, never per
+    event), and folds all interval edges into <= 2 x day-span delta rows
+    per partition.  The driver gathers that bounded histogram (state =
+    the corpus's day span, ~36k rows for a century), cumsums, and emits
+    the days with a positive count — identical output to the oracle's
+    7-way expansion at a fraction of the exchange.
+
+    Reference anchor: the recent-activity reporting family (SURVEY.md
+    S2.6/A2 recent-window count) extended to the trailing-distinct shape
+    ("7-day active users") a training-data telemetry stack reports."""
+
+    US_DAY = 86_400_000_000
+    W = 7
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"day": pd.array([], dtype="int64"),
+             "delta": pd.array([], dtype="int64")}
+        )
+        if g.empty:
+            return empty
+        g = g.sort_values(["user_id", "ts"]).reset_index(drop=True)
+        uid = g["user_id"].to_numpy()
+        day = g["ts"].astype("datetime64[us]").astype("int64").to_numpy() // US_DAY
+        n = len(g)
+        new_user = np.empty(n, dtype=bool)
+        new_user[0] = True
+        new_user[1:] = uid[1:] != uid[:-1]
+        # distinct (user, day): day is non-decreasing within a user segment
+        first = new_user.copy()
+        first[1:] |= day[1:] != day[:-1]
+        d_day = day[first]
+        m = len(d_day)
+        new_iv = new_user[first].copy()
+        new_iv[1:] |= (d_day[1:] - d_day[:-1]) > (W - 1)
+        starts = np.flatnonzero(new_iv)
+        last = np.append(starts[1:], m) - 1
+        lo = d_day[starts]               # first covered day of each run
+        hi = d_day[last] + W             # one past the last covered day
+        days = np.concatenate((lo, hi))
+        dl = np.concatenate(
+            (np.ones(len(lo), np.int64), -np.ones(len(hi), np.int64))
+        )
+        u, inv = np.unique(days, return_inverse=True)
+        d = np.bincount(inv, weights=dl).astype(np.int64)
+        keep = d != 0
+        return pd.DataFrame({"day": u[keep], "delta": d[keep]})
+
+    hist = _user_partition_map(
+        _events(sf_dir, ["user_id", "ts"]), _window_parts(sf_dir), per_partition
+    ).select_columns(["day", "delta"])
+    tbls = [t for t in ray.get(hist.to_arrow_refs()) if t.num_rows]
+    if not tbls:
+        return pa.table(
+            {"day": pa.array([], pa.int64()),
+             "n_users": pa.array([], pa.int64())}
+        )
+    df = (
+        pa.concat_tables(tbls).to_pandas()
+        .groupby("day", sort=True)["delta"].sum()
+    )
+    pts = df.index.to_numpy()
+    dl = df.to_numpy()
+    lo, hi = int(pts[0]), int(pts[-1])          # last point is always a -1
+    dense = np.zeros(hi - lo, dtype=np.int64)
+    np.add.at(dense, pts[:-1] - lo, dl[:-1])    # the final -1 lands at hi
+    counts = np.cumsum(dense)
+    keep = counts > 0
+    return pa.table(
+        {"day": pa.array(np.arange(lo, hi, dtype=np.int64)[keep]),
+         "n_users": pa.array(counts[keep])}
+    )
+
+
+ORACLES["rolling_7d_distinct_users"] = (
+    "WITH d AS (SELECT DISTINCT user_id, "
+    "epoch(ts)::BIGINT // 86400 AS day FROM events), "
+    "cov AS (SELECT DISTINCT user_id, day + o AS day "
+    "FROM d, UNNEST(range(0, 7)) AS t(o)) "
+    "SELECT day, count(*)::BIGINT AS n_users FROM cov GROUP BY day"
+)

@@ -84,7 +84,8 @@ ORACLE_CHECKED = [
     "first_seen_daily",
     "mix_rebalance", "source_quota_sample", "weighted_sample",
     "length_trim_by_lang", "copurchase_pagerank", "span_dedup",
-    "concurrent_sessions", "streak_days",
+    "concurrent_sessions", "streak_days", "rolling_7d_distinct_users",
+    "revenue_cube", "user_value_trend",
 ]
 
 
