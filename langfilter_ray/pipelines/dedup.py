@@ -1687,3 +1687,230 @@ FROM ranked k JOIN totals t USING (doc_id)
 WHERE k.rn = 1
 GROUP BY k.doc_id, t.total_spans
 """
+
+
+# ---- typo_pairs: edit-distance-1 record linkage via deletion blocking ------
+
+# Below this many (variant, key) rows the candidate generation runs as one
+# vectorized pass over the gathered table (same contract as the module's
+# other broadcasts: explicit row bound, distributed self-join fallback
+# above it, both paths pinned equal by a zero-threshold test).
+TYPO_BROADCAST_MAX_VARIANT_ROWS = 1_000_000
+_TYPO_BROADCAST_MAX_PAIRS = 5_000_000
+
+_EMPTY_TYPO = pa.table(
+    {"cust_a": pa.array([], pa.int64()), "cust_b": pa.array([], pa.int64())}
+)
+
+
+def _lev_is_1(a: str, b: str) -> bool:
+    """Exact levenshtein(a, b) == 1 for strings with |len(a)-len(b)| <= 1
+    (the only shape deletion-blocking candidates can have)."""
+    la, lb = len(a), len(b)
+    if la == lb:
+        seen = False
+        for x, y in zip(a, b):
+            if x != y:
+                if seen:
+                    return False
+                seen = True
+        return seen
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1 :]
+
+
+def _name_variants(t: pa.Table) -> pa.Table:
+    """Expand each (key, name) row into its SymSpell deletion
+    neighbourhood: the name itself plus every single-character deletion,
+    deduplicated per name (repeated characters collapse).  Two strings at
+    levenshtein distance exactly 1 ALWAYS share at least one variant
+    (substitution: both delete the mismatch position; insert/delete: the
+    shorter string IS a variant of the longer), so blocking on the
+    variant key loses nothing; distance-2 collisions are removed by the
+    exact verify.  Per-row cost is O(len^2) characters — names are
+    record-linkage KEYS (bounded length), never document text."""
+    if len(t) == 0:
+        return pa.table(
+            {"vkey": pa.array([], pa.string()),
+             "ck": pa.array([], pa.int64()),
+             "name": pa.array([], pa.string())}
+        )
+    cks = t["c_custkey"].to_numpy()
+    names = t["c_name"].to_pylist()
+    vk: list[str] = []
+    vc: list[int] = []
+    vn: list[str] = []
+    for ck, nm in zip(cks, names):
+        vs = {nm}
+        vs.update(nm[:i] + nm[i + 1 :] for i in range(len(nm)))
+        vk.extend(vs)
+        vc.extend([int(ck)] * len(vs))
+        vn.extend([nm] * len(vs))
+    return pa.table(
+        {"vkey": pa.array(vk, pa.string()),
+         "ck": pa.array(vc, pa.int64()),
+         "name": pa.array(vn, pa.string())}
+    )
+
+
+def _verify_typo_pairs(
+    fused: np.ndarray, names_of: "dict[int, str]"
+) -> pa.Table:
+    """Exact-verify fused candidate (lo<<32|hi) keys: keep levenshtein==1.
+    The Python loop runs only over the DEDUPLICATED candidate set — the
+    same bounded-candidate archetype as dedup_jaccard's verify."""
+    if len(fused) == 0:
+        return _EMPTY_TYPO
+    lo = (fused >> np.int64(32)).astype(np.int64)
+    hi = (fused & np.int64(0xFFFFFFFF)).astype(np.int64)
+    keep = np.fromiter(
+        (_lev_is_1(names_of[int(a)], names_of[int(b)]) for a, b in zip(lo, hi)),
+        dtype=bool,
+        count=len(fused),
+    )
+    if not keep.any():
+        return _EMPTY_TYPO
+    return pa.table(
+        {"cust_a": pa.array(lo[keep], pa.int64()),
+         "cust_b": pa.array(hi[keep], pa.int64())}
+    )
+
+
+def typo_pairs(
+    sf_dir: str,
+    broadcast_max_rows: int = TYPO_BROADCAST_MAX_VARIANT_ROWS,
+) -> ray.data.Dataset:
+    """All pairs of customers whose names are at levenshtein distance
+    EXACTLY 1 — fuzzy record linkage (typo'd duplicate entities), the
+    similarity-JOIN shape none of the other dedup operators cover: exact
+    dedup needs equality, MinHash/SimHash need set/bit similarity, but
+    near-identical SHORT STRINGS (names, titles, URLs) need edit
+    distance, whose naive form is an O(n^2) cross join with a per-pair
+    dynamic program.
+
+    Scale shape — SymSpell deletion-neighbourhood BLOCKING: each name
+    expands to <= len+1 deletion variants (a bounded, data-independent
+    blow-up), candidates are pairs sharing a variant key, and the exact
+    distance check runs only on candidates.  Below
+    ``broadcast_max_rows`` variant rows the candidate pass is one
+    gathered lexsort + the same vectorized bucket-expansion arithmetic
+    as _broadcast_band_pairs (no hash shuffle, no aggregator-actor
+    spawn); above it, a hash-partitioned SELF-JOIN on the variant key
+    (Arrow C++ cross product per bucket) with per-batch fused-int64
+    dedup and a bounded-bucket global unique — both paths pinned equal
+    by a zero-threshold test.  The verify loop is Python but bounded by
+    the candidate count (~true pairs + distance-2 collisions), never
+    the corpus.
+
+    Reference anchor: SURVEY.md §2.8's dedup family extended to string
+    edit distance (the reference dedups repo paths by normalized name,
+    langid_service storage layer)."""
+    from .relational import _join_parts
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    variants = ds.map_batches(_name_variants, batch_format="pyarrow").materialize()
+    n_rows = variants.count()
+    if n_rows == 0:
+        return ray.data.from_arrow(_EMPTY_TYPO)
+
+    if n_rows <= broadcast_max_rows:
+        tbl = pa.concat_tables(
+            [t for t in ray.get(variants.to_arrow_refs()) if t.num_rows]
+        )
+        vkey = np.asarray(tbl["vkey"].to_pylist(), dtype=object)
+        ck = tbl["ck"].to_numpy()
+        order = np.lexsort((ck, vkey))
+        vkey, ck = vkey[order], ck[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], vkey[1:] != vkey[:-1]))
+        )
+        sizes = np.append(starts[1:], len(vkey)) - starts
+        if ((sizes * (sizes - 1)) // 2).sum() <= _TYPO_BROADCAST_MAX_PAIRS:
+            cends = np.cumsum(sizes)
+            cnt = np.repeat(cends, sizes) - np.arange(len(ck)) - 1
+            a_idx = np.repeat(np.arange(len(ck)), cnt)
+            csum = np.concatenate(([0], np.cumsum(cnt)))
+            b_idx = a_idx + 1 + (np.arange(csum[-1]) - np.repeat(csum[:-1], cnt))
+            lo = np.minimum(ck[a_idx], ck[b_idx])
+            hi = np.maximum(ck[a_idx], ck[b_idx])
+            fused = np.unique(
+                ((lo << np.int64(32)) | hi)[lo < hi]
+            )
+            names_of = dict(zip(tbl["ck"].to_pylist(), tbl["name"].to_pylist()))
+            return ray.data.from_arrow(_verify_typo_pairs(fused, names_of))
+        # pathological bucket forest: fall through to the join path
+
+    right = variants.rename_columns(
+        {"vkey": "vkey_b", "ck": "ck_b", "name": "name_b"}
+    )
+    joined = variants.join(
+        right,
+        join_type="inner",
+        num_partitions=_band_join_parts(n_rows, _join_parts(1)),
+        on=("vkey",),
+        right_on=("vkey_b",),
+    )
+
+    def candidates(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return _EMPTY_TYPO
+        a = t["ck"].to_numpy()
+        b = t["ck_b"].to_numpy()
+        keep = a < b
+        fused = np.unique((a[keep] << np.int64(32)) | b[keep])
+        na = np.asarray(t["name"].to_pylist(), dtype=object)[keep]
+        nb = np.asarray(t["name_b"].to_pylist(), dtype=object)[keep]
+        names_of: dict[int, str] = {}
+        names_of.update(zip((int(k) for k in a[keep]), na))
+        names_of.update(zip((int(k) for k in b[keep]), nb))
+        return _verify_typo_pairs(fused, names_of)
+
+    pairs = joined.map_batches(candidates, batch_format="pyarrow")
+
+    # a verified pair can surface in more than one join batch (the same
+    # variant bucket split across batches): exact global dedup via the
+    # bounded-bucket unique (every fused key lands in exactly one bucket)
+    def tag(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {"cust_a": pa.array([], pa.int64()),
+                 "cust_b": pa.array([], pa.int64()),
+                 "bk": pa.array([], pa.int64())}
+            )
+        fused = (
+            t["cust_a"].to_numpy() << np.int64(32)
+        ) | t["cust_b"].to_numpy()
+        h = fused.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        return t.append_column(
+            "bk", pa.array(((h >> np.uint64(33)) % np.uint64(32)).astype(np.int64))
+        )
+
+    def uniq(g: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        if g.empty:
+            return pd.DataFrame(
+                {"cust_a": pd.array([], dtype="int64"),
+                 "cust_b": pd.array([], dtype="int64")}
+            )
+        return g[["cust_a", "cust_b"]].drop_duplicates()
+
+    return (
+        pairs.map_batches(tag, batch_format="pyarrow")
+        .groupby("bk")
+        .map_groups(uniq, batch_format="pandas")
+        .select_columns(["cust_a", "cust_b"])
+    )
+
+
+ORACLES["typo_pairs"] = (
+    "SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b "
+    "FROM customer a JOIN customer b "
+    "ON a.c_custkey < b.c_custkey AND levenshtein(a.c_name, b.c_name) = 1"
+)

@@ -85,7 +85,7 @@ ORACLE_CHECKED = [
     "mix_rebalance", "source_quota_sample", "weighted_sample",
     "length_trim_by_lang", "copurchase_pagerank", "span_dedup",
     "concurrent_sessions", "streak_days", "rolling_7d_distinct_users",
-    "revenue_cube", "user_value_trend",
+    "revenue_cube", "user_value_trend", "typo_pairs",
 ]
 
 
@@ -703,6 +703,23 @@ def test_dedup_jaccard_join_fallback_matches_broadcast(entry_mod, monkeypatch):
             df["jaccard"].round(12))
     )
     assert key(fast) == key(slow) and len(fast) > 0
+
+
+def test_typo_pairs_join_fallback_matches_broadcast(entry_mod):
+    """The deletion-neighbourhood blocking must produce the identical
+    verified edit-distance-1 pair set on both paths: the gathered
+    vectorized pass (default at test scale) and the hash self-join on
+    the variant key — forced by a zero broadcast bound."""
+    from langfilter_ray.pipelines import dedup
+
+    def pairs(**kw):
+        df = _to_pandas(dedup.typo_pairs(SF, **kw))
+        return sorted(zip(df["cust_a"].astype(int), df["cust_b"].astype(int)))
+
+    fast = pairs()
+    assert len(fast) > 0
+    slow = pairs(broadcast_max_rows=0)
+    assert fast == slow
 
 
 def test_dedup_embedding_ivf_subset_and_recall(entry_mod):
