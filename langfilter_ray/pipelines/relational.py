@@ -3735,31 +3735,14 @@ PAGERANK_TOP = 50
 _PR_BASE = (15 * PAGERANK_SCALE) // 100   # (1-damping) term, integer
 
 
-def copurchase_pagerank(sf_dir: str) -> pa.Table:
-    """PageRank over the item co-purchase graph — the link-graph
-    centrality prior that web-corpus curation uses as a document-quality
-    signal, here over the catalog graph the testdata can express.  The
-    new skeleton vs ``kmeans_fit`` (iterative, K-bounded state) and
-    ``dedup_components`` (iterative min-label): iterative MESSAGE
-    PASSING where messages are weighted integer sums over an edge list.
-
-    All arithmetic is exact fixed-point: ``r0 = SCALE``;
-    ``r_{k+1}(v) = (15*SCALE)//100 + (85 * sum_{u~v} r_k(u)//deg(u)) // 100``
-    — integer floor division both here and in the DuckDB oracle (three
-    unrolled CTE iterations), so ranks match bit-for-bit; no float
-    damping to diverge cross-engine.
-
-    Scale shape: distinct undirected edges come from the same
-    hash-partitioned self-join as ``copurchase_pairs`` (per-batch fused
-    np.unique + bucket distinct) and are MATERIALIZED once — the
-    band-table precedent in dedup — because every iteration streams
-    them.  Node count is bounded by the part CATALOG (a dimension), so
-    degrees and ranks live driver-side O(|catalog|) like kmeans'
-    centroids, broadcast per iteration via ray.put + searchsorted
-    probe; each pass emits one partial-sum row set per batch (<=
-    |catalog| x blocks).  For a web link graph whose NODE set is
-    SF-proportional the upgrade path is the join formulation: ranks as
-    a Dataset, edges ⋈ ranks per iteration + groupby(dst) sum."""
+def _copurchase_edges(sf_dir: str) -> ray.data.Dataset:
+    """Distinct undirected co-purchase edges as fused int64 keys
+    ``ph = (p1 << 32) | p2`` with p1 < p2 — the hash-partitioned
+    self-join on orderkey (Arrow C++ cross product per order), per-batch
+    fused np.unique, and a bounded-bucket global distinct, exactly the
+    ``copurchase_pairs`` shape minus the counting.  MATERIALIZED because
+    every consumer (pagerank iterations, triangle wedges + membership)
+    re-streams it; ~16 B/edge."""
     n_li = _dim_num_rows(sf_dir, "lineitem")
     right = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"]).rename_columns(
         {"l_orderkey": "o_b", "l_partkey": "p_b"}
@@ -3790,26 +3773,58 @@ def copurchase_pagerank(sf_dir: str) -> pa.Table:
             return pd.DataFrame({"ph": pd.array([], dtype="int64")})
         return pd.DataFrame({"ph": np.unique(g["ph"].to_numpy())})
 
-    edges = (
+    return (
         joined.map_batches(pair_partial, batch_format="pyarrow")
         .groupby("bk")
         .map_groups(distinct_bucket, batch_format="pandas")
         .select_columns(["ph"])
-        .materialize()   # ~16 B/edge; every iteration re-streams it
+        .materialize()
     )
 
-    lo_mask = np.int64(0xFFFFFFFF)
 
-    def deg_partial(t: pa.Table) -> pa.Table:
-        ph = t["ph"].to_numpy()
-        ends = np.concatenate([ph >> np.int64(32), ph & lo_mask])
-        nd, cnt = np.unique(ends, return_counts=True)
-        return pa.table(
-            {"node": pa.array(nd), "dp": pa.array(cnt.astype(np.int64))}
-        )
+_PH_LO_MASK = np.int64(0xFFFFFFFF)
+
+
+def _edge_deg_partial(t: pa.Table) -> pa.Table:
+    """Per-batch node-degree partial over fused edge keys."""
+    ph = t["ph"].to_numpy()
+    ends = np.concatenate([ph >> np.int64(32), ph & _PH_LO_MASK])
+    nd, cnt = np.unique(ends, return_counts=True)
+    return pa.table(
+        {"node": pa.array(nd), "dp": pa.array(cnt.astype(np.int64))}
+    )
+
+
+def copurchase_pagerank(sf_dir: str) -> pa.Table:
+    """PageRank over the item co-purchase graph — the link-graph
+    centrality prior that web-corpus curation uses as a document-quality
+    signal, here over the catalog graph the testdata can express.  The
+    new skeleton vs ``kmeans_fit`` (iterative, K-bounded state) and
+    ``dedup_components`` (iterative min-label): iterative MESSAGE
+    PASSING where messages are weighted integer sums over an edge list.
+
+    All arithmetic is exact fixed-point: ``r0 = SCALE``;
+    ``r_{k+1}(v) = (15*SCALE)//100 + (85 * sum_{u~v} r_k(u)//deg(u)) // 100``
+    — integer floor division both here and in the DuckDB oracle (three
+    unrolled CTE iterations), so ranks match bit-for-bit; no float
+    damping to diverge cross-engine.
+
+    Scale shape: distinct undirected edges come from the same
+    hash-partitioned self-join as ``copurchase_pairs`` (per-batch fused
+    np.unique + bucket distinct) and are MATERIALIZED once — the
+    band-table precedent in dedup — because every iteration streams
+    them.  Node count is bounded by the part CATALOG (a dimension), so
+    degrees and ranks live driver-side O(|catalog|) like kmeans'
+    centroids, broadcast per iteration via ray.put + searchsorted
+    probe; each pass emits one partial-sum row set per batch (<=
+    |catalog| x blocks).  For a web link graph whose NODE set is
+    SF-proportional the upgrade path is the join formulation: ranks as
+    a Dataset, edges ⋈ ranks per iteration + groupby(dst) sum."""
+    edges = _copurchase_edges(sf_dir)
+    lo_mask = _PH_LO_MASK
 
     degs = (
-        edges.map_batches(deg_partial, batch_format="pyarrow")
+        edges.map_batches(_edge_deg_partial, batch_format="pyarrow")
         .to_pandas()   # bounded: |catalog| x edge blocks
     )
     empty = pa.table(
@@ -4425,4 +4440,149 @@ ORACLES["user_value_trend"] = (
     "SELECT user_id, n, "
     "CAST(n*stv - st*sv AS DOUBLE) / CAST(n*stt - st*st AS DOUBLE) "
     "AS slope_cents_per_day FROM m WHERE n*stt - st*st > 0"
+)
+
+
+# ---- triangle_count: graph motif census over the co-purchase graph --------
+
+# edge-key membership probe: below this many edges the sorted fused-key
+# array broadcasts via ray.put (8 B/edge; 20M = 160 MB, object-store
+# resident, read zero-copy per task); above it the wedge keys take a hash
+# join against the edge table instead.
+TRIANGLE_EDGE_BROADCAST_MAX = 20_000_000
+
+
+def triangle_count(
+    sf_dir: str, edge_broadcast_max: int = TRIANGLE_EDGE_BROADCAST_MAX
+) -> pa.Table:
+    """Exact triangle count of the co-purchase graph — the standard graph
+    clustering/motif census (a corpus link-graph's clustering coefficient
+    numerator), and a deliberately different graph skeleton from
+    ``copurchase_pagerank`` (iterative message passing) and
+    ``dedup_components`` (label propagation): a one-shot WEDGE-JOIN
+    census.
+
+    Scale shape — DEGREE-ORDERED orientation bounds the blow-up: every
+    edge is directed from its lower-(degree, id) endpoint, so each
+    triangle has exactly ONE vertex with out-edges to the other two and
+    is counted exactly once, and per-node out-degree is O(sqrt(E)) on any
+    graph (the classic node-iterator+ bound), keeping the wedge cross
+    product near E^1.5 instead of sum(deg^2).  Wedges are generated by a
+    hash-partitioned SELF-JOIN of the oriented edge list on the source
+    (Arrow C++ does the per-source cross product — the copurchase_pairs
+    finding), and NEVER shuffled again: each batch probes its fused
+    (v, w) keys against the sorted undirected edge-key array broadcast
+    once via ray.put (searchsorted, zero-copy) and emits one partial
+    count — only scalars leave the wedge stage.  Above
+    TRIANGLE_EDGE_BROADCAST_MAX edges the probe falls back to a hash
+    join of wedge keys against the edge table (both paths pinned equal
+    by a forced-fallback test).  Degrees are gathered driver-side like
+    pagerank's (bounded by the part CATALOG, a dimension); for an
+    SF-proportional node set the upgrade path is joining degrees onto
+    edges instead of the broadcast.
+
+    Reference anchor: SURVEY.md §2.8's co-occurrence family; the oracle
+    is the textbook three-way self-join, which re-derives the same count
+    from first principles (id-ordered, orientation-independent)."""
+    edges = _copurchase_edges(sf_dir)
+    zero = pa.table({"n_triangles": pa.array([0], pa.int64())})
+
+    degs = (
+        edges.map_batches(_edge_deg_partial, batch_format="pyarrow")
+        .to_pandas()   # bounded: |catalog| x edge blocks
+    )
+    if degs.empty:
+        return zero
+    folded = degs.groupby("node")["dp"].sum()
+    nodes = folded.index.to_numpy()          # sorted
+    d = folded.to_numpy().astype(np.int64)
+    deg_ref = ray.put((nodes, d))
+
+    def orient(t: pa.Table, _ref=deg_ref) -> pa.Table:
+        nd, dg = ray.get(_ref)
+        ph = t["ph"].to_numpy()
+        a = ph >> np.int64(32)
+        b = ph & _PH_LO_MASK
+        da = dg[np.searchsorted(nd, a)]
+        db = dg[np.searchsorted(nd, b)]
+        a_first = (da < db) | ((da == db) & (a < b))
+        return pa.table(
+            {
+                "src": pa.array(np.where(a_first, a, b), pa.int64()),
+                "dst": pa.array(np.where(a_first, b, a), pa.int64()),
+            }
+        )
+
+    oriented = edges.map_batches(orient, batch_format="pyarrow").materialize()
+    n_edges = edges.count()
+    broadcast = n_edges <= edge_broadcast_max
+    # fallback path chains a second (membership) join into the same
+    # streaming plan — size BOTH pools so they cannot overcommit the CPUs
+    parts = _volume_join_parts(n_edges, 1 if broadcast else 2)
+    right = oriented.rename_columns({"src": "src_b", "dst": "dst_b"})
+    wedges = oriented.join(
+        right,
+        join_type="inner",
+        num_partitions=parts,
+        on=("src",),
+        right_on=("src_b",),
+    )
+
+    if broadcast:
+        keys = np.sort(
+            np.concatenate(
+                [t["ph"].to_numpy()
+                 for t in ray.get(edges.to_arrow_refs()) if t.num_rows]
+            )
+        )
+        keys_ref = ray.put(keys)
+
+        def count_batch(t: pa.Table, _ref=keys_ref) -> pa.Table:
+            if len(t) == 0:
+                return pa.table({"n": pa.array([0], pa.int64())})
+            k = ray.get(_ref)
+            v = t["dst"].to_numpy()
+            w = t["dst_b"].to_numpy()
+            keep = v < w
+            wk = (v[keep] << np.int64(32)) | w[keep]
+            pos = np.searchsorted(k, wk)
+            found = (pos < len(k)) & (k[np.minimum(pos, len(k) - 1)] == wk)
+            return pa.table(
+                {"n": pa.array([int(found.sum())], pa.int64())}
+            )
+
+        total = wedges.map_batches(count_batch, batch_format="pyarrow").sum("n")
+    else:
+        def wedge_keys(t: pa.Table) -> pa.Table:
+            if len(t) == 0:
+                return pa.table({"wk": pa.array([], pa.int64())})
+            v = t["dst"].to_numpy()
+            w = t["dst_b"].to_numpy()
+            keep = v < w
+            return pa.table(
+                {"wk": pa.array((v[keep] << np.int64(32)) | w[keep], pa.int64())}
+            )
+
+        matched = wedges.map_batches(wedge_keys, batch_format="pyarrow").join(
+            edges,
+            join_type="inner",
+            num_partitions=parts,
+            on=("wk",),
+            right_on=("ph",),
+        )
+        total = matched.count()
+
+    return pa.table(
+        {"n_triangles": pa.array([int(total or 0)], pa.int64())}
+    )
+
+
+ORACLES["triangle_count"] = (
+    "WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p "
+    "FROM lineitem), "
+    "e AS (SELECT DISTINCT a.p AS pa, b.p AS pb FROM li a "
+    "JOIN li b ON a.o = b.o AND a.p < b.p) "
+    "SELECT count(*)::BIGINT AS n_triangles "
+    "FROM e e1 JOIN e e2 ON e2.pa = e1.pa AND e2.pb > e1.pb "
+    "JOIN e e3 ON e3.pa = e1.pb AND e3.pb = e2.pb"
 )

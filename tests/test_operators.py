@@ -85,7 +85,7 @@ ORACLE_CHECKED = [
     "mix_rebalance", "source_quota_sample", "weighted_sample",
     "length_trim_by_lang", "copurchase_pagerank", "span_dedup",
     "concurrent_sessions", "streak_days", "rolling_7d_distinct_users",
-    "revenue_cube", "user_value_trend", "typo_pairs",
+    "revenue_cube", "user_value_trend", "typo_pairs", "triangle_count",
 ]
 
 
@@ -720,6 +720,19 @@ def test_typo_pairs_join_fallback_matches_broadcast(entry_mod):
     assert len(fast) > 0
     slow = pairs(broadcast_max_rows=0)
     assert fast == slow
+
+
+def test_triangle_count_join_fallback_matches_broadcast(entry_mod):
+    """The wedge-membership probe must count the same triangles via the
+    broadcast sorted-key searchsorted (default at test scale) and the
+    hash-join fallback — forced by a zero edge-broadcast bound."""
+    from langfilter_ray.pipelines import relational
+
+    fast = relational.triangle_count(SF)
+    slow = relational.triangle_count(SF, edge_broadcast_max=0)
+    n_fast = fast["n_triangles"][0].as_py()
+    assert n_fast == slow["n_triangles"][0].as_py()
+    assert n_fast > 0
 
 
 def test_dedup_embedding_ivf_subset_and_recall(entry_mod):
