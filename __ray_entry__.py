@@ -212,6 +212,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_value_trend": relational.user_value_trend,
         "typo_pairs": dedup.typo_pairs,
         "triangle_count": relational.triangle_count,
+        "errors_near_purchases": windows.errors_near_purchases,
         # rows-only (iterative driver-state op like kmeans_fit)
         "bpe_train": text_analysis.bpe_train,
         "bpe_encode": text_analysis.bpe_encode,

@@ -1921,3 +1921,123 @@ ORACLES["rolling_7d_distinct_users"] = (
     "FROM d, UNNEST(range(0, 7)) AS t(o)) "
     "SELECT day, count(*)::BIGINT AS n_users FROM cov GROUP BY day"
 )
+
+
+# ---- errors_near_purchases: distributed BAND JOIN (non-equi, time-only) ----
+
+_NEAR_BAND_US = 300_000_000     # +/- 5 minutes, microseconds
+_NEAR_BUCKET_US = _NEAR_BAND_US  # bucket width == band: +/-1 neighbor covers
+
+
+def errors_near_purchases(sf_dir: str) -> ray.data.Dataset:
+    """For every 'purchase' event, how many 'error' events (ANY user)
+    happened within +/-5 minutes — a pure BAND JOIN: the two streams
+    share NO equi-key, only time proximity, so neither a hash join nor
+    an as-of join (nearest single match) expresses it, and the naive
+    form is an all-pairs inequality join.
+
+    Scale shape — bucket replication: time is cut into band-width
+    buckets; each probe (purchase) goes to its OWN bucket's partition
+    exactly once, and each build row (error) is REPLICATED to its
+    bucket's +/-1 neighbors (a fixed 3x of the smaller, pre-filtered
+    side — the standard distributed range-join trade).  Every probe then
+    sees its whole +/-band inside one partition and emits its count
+    directly, so there is NO post-join combine shuffle (replicating the
+    PROBE side instead would need a per-key sum over partial counts —
+    the mostly-unique-key groupby this module avoids).  Inside a
+    partition, replicas are sorted ONCE on a fused (bucket, offset) key
+    — each bucket's +/-1 replica span shifted into a disjoint band, the
+    rolling_24h_user_sum global-sortedness trick — and all probes
+    resolve with two vectorized searchsorteds; no Python loop over
+    buckets or rows.  Partitions are hash(bucket) % parts, volume-sized
+    (_window_parts), so span growth adds partitions, not partition size.
+
+    Reference anchor: the recent-window telemetry family (SURVEY.md
+    §2.6/A2) — 'errors correlated with traffic spikes' is the on-call
+    query shape; the oracle re-derives it as DuckDB's inequality join."""
+    W = np.int64(_NEAR_BUCKET_US)
+    B = np.int64(_NEAR_BAND_US)
+    parts = _window_parts(sf_dir)
+
+    def tag(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"part": pa.array([], pa.int64()),
+             "is_probe": pa.array([], pa.int64()),
+             "event_id": pa.array([], pa.int64()),
+             "us": pa.array([], pa.int64()),
+             "bucket": pa.array([], pa.int64())}
+        )
+        if len(t) == 0:
+            return empty
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        us = (
+            t["ts"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64)
+        )
+        eid = t["event_id"].to_numpy()
+        bk = us // W
+        probe = et == "purchase"
+        build = et == "error"
+        bks = [bk[probe]]
+        flags = [np.ones(int(probe.sum()), np.int64)]
+        eids = [eid[probe]]
+        uss = [us[probe]]
+        for d in (-1, 0, 1):          # build side replicated to neighbors
+            bks.append(bk[build] + np.int64(d))
+            flags.append(np.zeros(int(build.sum()), np.int64))
+            eids.append(eid[build])
+            uss.append(us[build])
+        bko = np.concatenate(bks)
+        h = bko.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        return pa.table(
+            {"part": pa.array(
+                ((h >> np.uint64(33)) % np.uint64(parts)).astype(np.int64)),
+             "is_probe": pa.array(np.concatenate(flags)),
+             "event_id": pa.array(np.concatenate(eids)),
+             "us": pa.array(np.concatenate(uss)),
+             "bucket": pa.array(bko)}
+        )
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"event_id": pd.array([], dtype="int64"),
+             "n_near": pd.array([], dtype="int64")}
+        )
+        if g.empty:
+            return empty
+        probe = g["is_probe"].to_numpy() == 1
+        if not probe.any():
+            return empty
+        us = g["us"].to_numpy()
+        bk = g["bucket"].to_numpy()
+        # fused key: bucket * 4W + (us - (bucket-1)W); replica offsets live
+        # in [0, 3W) so consecutive buckets occupy disjoint, ordered bands
+        fused = bk * (4 * W) + (us - (bk - 1) * W)
+        fr = np.sort(fused[~probe])
+        t_us = us[probe]
+        t_bk = bk[probe]
+        base = t_bk * (4 * W) - (t_bk - 1) * W
+        lo = np.searchsorted(fr, base + t_us - B, side="left")
+        hi = np.searchsorted(fr, base + t_us + B, side="right")
+        return pd.DataFrame(
+            {"event_id": g["event_id"].to_numpy()[probe],
+             "n_near": (hi - lo).astype(np.int64)}
+        )
+
+    return _partition_map(
+        _events(sf_dir, ["event_id", "ts", "event_type"]).map_batches(
+            tag, batch_format="pyarrow"
+        ),
+        parts,
+        per_partition,
+    ).select_columns(["event_id", "n_near"])
+
+
+ORACLES["errors_near_purchases"] = (
+    "SELECT a.event_id, count(b.event_id)::BIGINT AS n_near "
+    "FROM events a LEFT JOIN events b "
+    "ON b.event_type = 'error' AND b.ts BETWEEN "
+    "a.ts - INTERVAL 5 MINUTE AND a.ts + INTERVAL 5 MINUTE "
+    "WHERE a.event_type = 'purchase' "
+    "GROUP BY a.event_id"
+)
