@@ -4459,40 +4459,127 @@ def triangle_count(
     clustering/motif census (a corpus link-graph's clustering coefficient
     numerator), and a deliberately different graph skeleton from
     ``copurchase_pagerank`` (iterative message passing) and
-    ``dedup_components`` (label propagation): a one-shot WEDGE-JOIN
-    census.
+    ``dedup_components`` (label propagation): a one-shot WEDGE census.
 
     Scale shape — DEGREE-ORDERED orientation bounds the blow-up: every
     edge is directed from its lower-(degree, id) endpoint, so each
     triangle has exactly ONE vertex with out-edges to the other two and
-    is counted exactly once, and per-node out-degree is O(sqrt(E)) on any
-    graph (the classic node-iterator+ bound), keeping the wedge cross
-    product near E^1.5 instead of sum(deg^2).  Wedges are generated by a
-    hash-partitioned SELF-JOIN of the oriented edge list on the source
-    (Arrow C++ does the per-source cross product — the copurchase_pairs
-    finding), and NEVER shuffled again: each batch probes its fused
-    (v, w) keys against the sorted undirected edge-key array broadcast
-    once via ray.put (searchsorted, zero-copy) and emits one partial
-    count — only scalars leave the wedge stage.  Above
-    TRIANGLE_EDGE_BROADCAST_MAX edges the probe falls back to a hash
-    join of wedge keys against the edge table (both paths pinned equal
-    by a forced-fallback test).  Degrees are gathered driver-side like
-    pagerank's (bounded by the part CATALOG, a dimension); for an
-    SF-proportional node set the upgrade path is joining degrees onto
-    edges instead of the broadcast.
+    is counted exactly once, and max out-degree is O(sqrt(E)) on any
+    graph (the classic node-iterator+ bound), keeping the wedge count
+    near E^1.5 instead of sum(deg^2).
+
+    Below ``edge_broadcast_max`` edges (the pagerank precedent: the
+    co-purchase NODE set is catalog-bounded and the edge list is already
+    materialized), the edge list is gathered ONCE into a sorted fused-key
+    array + oriented CSR adjacency, ray.put ONCE, and the E^1.5 wedge
+    work — the part that must be distributed — fans out over
+    cost-balanced source-node chunks (each chunk expands ~2M wedges with
+    the vectorized repeat/arange arithmetic and probes them against the
+    sorted key array in-task): after the edge build there is NO shuffle
+    at all and only scalar counts leave the tasks.  A first cut
+    generated wedges with a hash self-join of the oriented edges on
+    source — correct, but it shuffled every wedge through the object
+    store and ran 26.9 s at sf0.1 vs ~4 s for this shape (the
+    copurchase_pairs lesson: the cross product belongs IN a vectorized
+    kernel, the exchange should carry only what downstream needs).
+    Above the bound, the join formulation is the fallback: oriented
+    self-join on source -> fused wedge keys -> hash-join membership
+    against the edge table (both paths pinned equal by a forced-fallback
+    test).
 
     Reference anchor: SURVEY.md §2.8's co-occurrence family; the oracle
     is the textbook three-way self-join, which re-derives the same count
     from first principles (id-ordered, orientation-independent)."""
     edges = _copurchase_edges(sf_dir)
     zero = pa.table({"n_triangles": pa.array([0], pa.int64())})
+    n_edges = edges.count()
+    if n_edges == 0:
+        return zero
 
+    if n_edges <= edge_broadcast_max:
+        keys = np.sort(
+            np.concatenate(
+                [t["ph"].to_numpy()
+                 for t in ray.get(edges.to_arrow_refs()) if t.num_rows]
+            )
+        )
+        a = keys >> np.int64(32)
+        b = keys & _PH_LO_MASK
+        nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+        deg = np.bincount(inv)
+        da, db = deg[inv[: len(a)]], deg[inv[len(a):]]
+        a_first = (da < db) | ((da == db) & (a < b))
+        src = np.where(a_first, a, b)
+        dst = np.where(a_first, b, a)
+        order = np.lexsort((dst, src))
+        src, dst = src[order], dst[order]
+        s_starts = np.flatnonzero(
+            np.concatenate(([True], src[1:] != src[:-1]))
+        )
+        s_ends = np.append(s_starts[1:], len(src))
+        cost = (s_ends - s_starts) * (s_ends - s_starts - 1) // 2
+        keep = cost > 0
+        s_starts, s_ends, cost = s_starts[keep], s_ends[keep], cost[keep]
+        if len(s_starts) == 0:
+            return zero
+        total_cost = int(cost.sum())
+        n_chunks = int(
+            min(4096, min(len(s_starts), max(64, total_cost // 2_000_000)))
+        )
+        csum = np.cumsum(cost)
+        cuts = (
+            np.searchsorted(
+                csum, np.linspace(0, csum[-1], n_chunks + 1)[1:-1], "left"
+            )
+            + 1
+        )
+        bounds = np.unique(np.concatenate(([0], cuts, [len(s_starts)])))
+        adj_ref = ray.put((dst, keys))
+        node_ds = ray.data.from_arrow(
+            [
+                pa.table(
+                    {"s": pa.array(s_starts[lo:hi], pa.int64()),
+                     "e": pa.array(s_ends[lo:hi], pa.int64())}
+                )
+                for lo, hi in zip(bounds[:-1], bounds[1:])
+            ]
+        )
+
+        def count_chunk(t: pa.Table, _ref=adj_ref) -> pa.Table:
+            if len(t) == 0:
+                return pa.table({"n": pa.array([0], pa.int64())})
+            dsts, k = ray.get(_ref)
+            s = t["s"].to_numpy()
+            sizes = t["e"].to_numpy() - s
+            tot = int(sizes.sum())
+            # gather each node's out-neighbour run into one contiguous
+            # array (dst is ascending within a run)
+            offs = np.arange(tot) - np.repeat(np.cumsum(sizes) - sizes, sizes)
+            dloc = dsts[np.repeat(s, sizes) + offs]
+            # per-run pair expansion (the _broadcast_band_pairs arithmetic);
+            # v < w holds by the in-run sort, so keys fuse directly
+            cends = np.cumsum(sizes)
+            cnt = np.repeat(cends, sizes) - np.arange(tot) - 1
+            a_idx = np.repeat(np.arange(tot), cnt)
+            c2 = np.concatenate(([0], np.cumsum(cnt)))
+            b_idx = a_idx + 1 + (np.arange(c2[-1]) - np.repeat(c2[:-1], cnt))
+            wk = (dloc[a_idx] << np.int64(32)) | dloc[b_idx]
+            pos = np.searchsorted(k, wk)
+            found = (pos < len(k)) & (k[np.minimum(pos, len(k) - 1)] == wk)
+            return pa.table({"n": pa.array([int(found.sum())], pa.int64())})
+
+        total = node_ds.map_batches(count_chunk, batch_format="pyarrow").sum(
+            "n"
+        )
+        return pa.table(
+            {"n_triangles": pa.array([int(total or 0)], pa.int64())}
+        )
+
+    # ---- join fallback (edge list too big to gather) ----------------------
     degs = (
         edges.map_batches(_edge_deg_partial, batch_format="pyarrow")
         .to_pandas()   # bounded: |catalog| x edge blocks
     )
-    if degs.empty:
-        return zero
     folded = degs.groupby("node")["dp"].sum()
     nodes = folded.index.to_numpy()          # sorted
     d = folded.to_numpy().astype(np.int64)
@@ -4514,11 +4601,9 @@ def triangle_count(
         )
 
     oriented = edges.map_batches(orient, batch_format="pyarrow").materialize()
-    n_edges = edges.count()
-    broadcast = n_edges <= edge_broadcast_max
-    # fallback path chains a second (membership) join into the same
-    # streaming plan — size BOTH pools so they cannot overcommit the CPUs
-    parts = _volume_join_parts(n_edges, 1 if broadcast else 2)
+    # two joins (wedge + membership) share the streaming plan — size both
+    # pools so they cannot overcommit the CPUs
+    parts = _volume_join_parts(n_edges, 2)
     right = oriented.rename_columns({"src": "src_b", "dst": "dst_b"})
     wedges = oriented.join(
         right,
@@ -4528,50 +4613,24 @@ def triangle_count(
         right_on=("src_b",),
     )
 
-    if broadcast:
-        keys = np.sort(
-            np.concatenate(
-                [t["ph"].to_numpy()
-                 for t in ray.get(edges.to_arrow_refs()) if t.num_rows]
-            )
+    def wedge_keys(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"wk": pa.array([], pa.int64())})
+        v = t["dst"].to_numpy()
+        w = t["dst_b"].to_numpy()
+        keep = v < w
+        return pa.table(
+            {"wk": pa.array((v[keep] << np.int64(32)) | w[keep], pa.int64())}
         )
-        keys_ref = ray.put(keys)
 
-        def count_batch(t: pa.Table, _ref=keys_ref) -> pa.Table:
-            if len(t) == 0:
-                return pa.table({"n": pa.array([0], pa.int64())})
-            k = ray.get(_ref)
-            v = t["dst"].to_numpy()
-            w = t["dst_b"].to_numpy()
-            keep = v < w
-            wk = (v[keep] << np.int64(32)) | w[keep]
-            pos = np.searchsorted(k, wk)
-            found = (pos < len(k)) & (k[np.minimum(pos, len(k) - 1)] == wk)
-            return pa.table(
-                {"n": pa.array([int(found.sum())], pa.int64())}
-            )
-
-        total = wedges.map_batches(count_batch, batch_format="pyarrow").sum("n")
-    else:
-        def wedge_keys(t: pa.Table) -> pa.Table:
-            if len(t) == 0:
-                return pa.table({"wk": pa.array([], pa.int64())})
-            v = t["dst"].to_numpy()
-            w = t["dst_b"].to_numpy()
-            keep = v < w
-            return pa.table(
-                {"wk": pa.array((v[keep] << np.int64(32)) | w[keep], pa.int64())}
-            )
-
-        matched = wedges.map_batches(wedge_keys, batch_format="pyarrow").join(
-            edges,
-            join_type="inner",
-            num_partitions=parts,
-            on=("wk",),
-            right_on=("ph",),
-        )
-        total = matched.count()
-
+    matched = wedges.map_batches(wedge_keys, batch_format="pyarrow").join(
+        edges,
+        join_type="inner",
+        num_partitions=parts,
+        on=("wk",),
+        right_on=("ph",),
+    )
+    total = matched.count()
     return pa.table(
         {"n_triangles": pa.array([int(total or 0)], pa.int64())}
     )
