@@ -213,6 +213,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "typo_pairs": dedup.typo_pairs,
         "triangle_count": relational.triangle_count,
         "errors_near_purchases": windows.errors_near_purchases,
+        "user_value_twa": windows.user_value_twa,
+        "favorite_event_type": windows.favorite_event_type,
         # rows-only (iterative driver-state op like kmeans_fit)
         "bpe_train": text_analysis.bpe_train,
         "bpe_encode": text_analysis.bpe_encode,

@@ -2041,3 +2041,140 @@ ORACLES["errors_near_purchases"] = (
     "WHERE a.event_type = 'purchase' "
     "GROUP BY a.event_id"
 )
+
+
+# ---- user_value_twa: time-weighted average (step-function integral) --------
+
+def user_value_twa(sf_dir: str) -> ray.data.Dataset:
+    """Per-user TIME-WEIGHTED average of event value — each value holds
+    until the user's next event, so the metric is the integral of a step
+    function over the user's active span divided by that span: the
+    standard telemetry aggregate for sampled gauges (connection count,
+    queue depth) where a plain mean over-weights bursts of samples.
+
+    The integral is exact integer arithmetic on both sides: value in
+    cents, per-interval dt in whole SECONDS (floor of the µs difference
+    — summed per interval, matching the SQL, since floor does not
+    distribute over the total), numerator Σ v_i·dt_i and denominator
+    Σ dt_i as int64 sums, ONE float division at the end (bit-identical
+    to DuckDB's).  Users need >= 2 events and a positive span.
+
+    Scale shape: the per-user partition backbone (one (user_id, ts,
+    value) shuffle), then segmented numpy — consecutive-row deltas with
+    user boundaries zeroed and np.add.reduceat over segment starts; no
+    per-user callback.  int64 bounds: dt(s) < 2^32 for a century, cents
+    <= 10^6 => per-interval product < 2^52; a user holding one value for
+    a century across 10^4 events stays under 2^62.
+
+    Reference anchor: SURVEY.md §2.6's per-user telemetry family (A3's
+    rolling mean is the sample-weighted dual)."""
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"user_id": pd.array([], dtype="int64"),
+             "n": pd.array([], dtype="int64"),
+             "twa_cents": pd.array([], dtype="float64")}
+        )
+        if g.empty:
+            return empty
+        g, starts, ends = _user_segments(g)
+        us = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        v = np.floor(g["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+        uid = g["user_id"].to_numpy()
+        n = len(g)
+        dt = np.zeros(n, dtype=np.int64)
+        same = uid[1:] == uid[:-1]
+        dt[:-1] = np.where(same, (us[1:] - us[:-1]) // 1_000_000, 0)
+        num = np.add.reduceat(v * dt, starts)
+        den = np.add.reduceat(dt, starts)
+        cnt = (ends - starts).astype(np.int64)
+        keep = den > 0
+        return pd.DataFrame(
+            {"user_id": uid[starts][keep],
+             "n": cnt[keep],
+             "twa_cents": num[keep].astype(np.float64)
+             / den[keep].astype(np.float64)}
+        )
+
+    return _user_partition_map(
+        _events(sf_dir, ["user_id", "ts", "event_id", "value"]),
+        _window_parts(sf_dir),
+        per_partition,
+    ).select_columns(["user_id", "n", "twa_cents"])
+
+
+ORACLES["user_value_twa"] = (
+    "WITH x AS (SELECT user_id, epoch_us(ts) AS us, "
+    "CAST(floor(value*100+0.5) AS BIGINT) AS v, "
+    "lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+    "AS nus FROM events), "
+    "m AS (SELECT user_id, count(*)::BIGINT AS n, "
+    "sum(CASE WHEN nus IS NULL THEN 0 ELSE v * ((nus - us) // 1000000) "
+    "END)::BIGINT AS num, "
+    "sum(CASE WHEN nus IS NULL THEN 0 ELSE (nus - us) // 1000000 "
+    "END)::BIGINT AS den FROM x GROUP BY user_id) "
+    "SELECT user_id, n, CAST(num AS DOUBLE) / CAST(den AS DOUBLE) "
+    "AS twa_cents FROM m WHERE den > 0"
+)
+
+
+# ---- favorite_event_type: MODE per group (nested aggregate + argmax) -------
+
+def favorite_event_type(sf_dir: str) -> ray.data.Dataset:
+    """Each user's most frequent event type (the statistical MODE per
+    group) with a deterministic tie-break (higher count first, then
+    lexicographically smallest type) — the nested-aggregate shape
+    (count per (group, value), then argmax per group) that no plain
+    groupby().aggregate() expresses.
+
+    Scale shape: the per-user partition backbone again — ONE shuffle of
+    (user_id, event_type), then a vectorized two-level reduce inside
+    each partition (pandas C groupby for the (user, type) counts, one
+    lexsort + first-row-per-user mask for the argmax); callback count
+    == partition count, never user count.  The value domain (event
+    types) is unbounded-safe: nothing is broadcast or driver-gathered.
+
+    Reference anchor: the gate-path distribution family (SURVEY.md
+    §2.6/A4) per-user instead of global."""
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"user_id": pd.array([], dtype="int64"),
+             "fav_type": pd.array([], dtype="str"),
+             "n_fav": pd.array([], dtype="int64")}
+        )
+        if g.empty:
+            return empty
+        c = (
+            g.groupby(["user_id", "event_type"], sort=False)
+            .size()
+            .reset_index(name="n_fav")
+        )
+        uid = c["user_id"].to_numpy()
+        et = c["event_type"].to_numpy()
+        n = c["n_fav"].to_numpy()
+        order = np.lexsort((et, -n, uid))
+        uid, et, n = uid[order], et[order], n[order]
+        first = np.empty(len(uid), dtype=bool)
+        first[0] = True
+        first[1:] = uid[1:] != uid[:-1]
+        return pd.DataFrame(
+            {"user_id": uid[first],
+             "fav_type": et[first],
+             "n_fav": n[first].astype(np.int64)}
+        )
+
+    return _user_partition_map(
+        _events(sf_dir, ["user_id", "event_type"]),
+        _window_parts(sf_dir),
+        per_partition,
+    ).select_columns(["user_id", "fav_type", "n_fav"])
+
+
+ORACLES["favorite_event_type"] = (
+    "SELECT user_id, event_type AS fav_type, n AS n_fav FROM ("
+    "SELECT user_id, event_type, count(*)::BIGINT AS n, "
+    "row_number() OVER (PARTITION BY user_id "
+    "ORDER BY count(*) DESC, event_type) AS rn "
+    "FROM events GROUP BY user_id, event_type) t WHERE rn = 1"
+)
