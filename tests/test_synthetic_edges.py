@@ -1,0 +1,317 @@
+"""Synthetic edge-case ground truth for the round-5 session operators:
+each test writes a tiny hand-designed table, runs the Ray operator AND its
+registered DuckDB oracle on the SAME table (the rolling_24h tie-test
+pattern), asserts they agree, and pins the hand-computed expectations the
+sf testdata cannot exercise (exact boundary hits, tie-breaks, interval
+merges, distance-2 rejections)."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from langfilter_ray.testing import canon as _canon
+from langfilter_ray.testing import compare_frames, first_diff
+
+
+def _to_pandas(obj):
+    import ray.data
+
+    if isinstance(obj, ray.data.Dataset):
+        return obj.to_pandas()
+    if isinstance(obj, pa.Table):
+        return obj.to_pandas()
+    return obj
+
+
+def _events_table(rows):
+    """rows: (event_id, user_id, us_offset, event_type, value)."""
+    base = np.datetime64("2024-03-01T00:00:00", "us")
+    return pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(
+                [base + np.timedelta64(int(r[2]), "us") for r in rows],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows]),
+            "value": pa.array([float(r[4]) for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows)),
+        }
+    )
+
+
+def _check_vs_oracle(fn, sql, tmp_path, table_name, tbl):
+    pq.write_table(tbl, tmp_path / f"{table_name}.parquet")
+    got = _canon(_to_pandas(fn(str(tmp_path))))
+    c = duckdb.connect()
+    c.execute(
+        f"CREATE VIEW {table_name} AS SELECT * "
+        f"FROM read_parquet('{tmp_path}/{table_name}.parquet')"
+    )
+    want = _canon(c.execute(sql).df())
+    problems = compare_frames(got, want)
+    assert not problems, (problems, first_diff(got, want))
+    return got
+
+
+US_DAY = 86_400_000_000
+US_SEC = 1_000_000
+
+
+def test_streak_days_islands(ray_session, tmp_path):
+    """Consecutive-day islands: multi-event days collapse, a 1-day gap
+    extends a streak, a 2-day gap breaks it, cross-user boundaries never
+    merge."""
+    from langfilter_ray.pipelines import windows
+
+    rows = []
+    # user 1: days 0,1,2 (day 1 twice) then gap to day 4 -> streaks 3 & 1
+    for i, d in enumerate([0, 1, 1, 2, 4]):
+        rows.append((i + 1, 1, d * US_DAY + i, "click", 1.0))
+    # user 2: single day, three events -> one streak of 1
+    for i in range(3):
+        rows.append((10 + i, 2, 7 * US_DAY + i, "view", 1.0))
+    # user 3: days 4,5 -> adjacent to user 1's day 4 but must not merge
+    rows.append((20, 3, 4 * US_DAY, "click", 1.0))
+    rows.append((21, 3, 5 * US_DAY, "click", 1.0))
+    got = _check_vs_oracle(
+        windows.streak_days, windows.ORACLES["streak_days"],
+        tmp_path, "events", _events_table(rows),
+    )
+    by = got.set_index("user_id")
+    assert by.loc[1, "n_active_days"] == 4
+    assert by.loc[1, "max_streak"] == 3
+    assert by.loc[1, "n_streaks"] == 2
+    assert by.loc[2, "n_active_days"] == 1
+    assert by.loc[2, "max_streak"] == 1
+    assert by.loc[3, "max_streak"] == 2 and by.loc[3, "n_streaks"] == 1
+
+
+def test_rolling_7d_distinct_interval_union(ray_session, tmp_path):
+    """A user active on days <=6 apart contributes ONE merged interval
+    (never double-counted on overlap days); a 7-day gap starts a new
+    interval whose +1 cancels the previous -1 (adjacent coverage)."""
+    from langfilter_ray.pipelines import windows
+
+    rows = [
+        # user 1: days 0 and 3 -> covered [0, 9], counted ONCE on days 3..6
+        (1, 1, 0, "click", 1.0),
+        (2, 1, 3 * US_DAY, "click", 1.0),
+        # user 2: days 0 and 7 -> two touching intervals, covered [0, 13]
+        (3, 2, 0, "click", 1.0),
+        (4, 2, 7 * US_DAY, "click", 1.0),
+    ]
+    got = _check_vs_oracle(
+        windows.rolling_7d_distinct_users,
+        windows.ORACLES["rolling_7d_distinct_users"],
+        tmp_path, "events", _events_table(rows),
+    )
+    base_day = int(
+        np.datetime64("2024-03-01T00:00:00", "us").astype(np.int64) // US_DAY
+    )
+    by = got.set_index("day")["n_users"]
+    # both users active in the trailing window on days 0..9
+    for d in range(0, 10):
+        assert by.loc[base_day + d] == 2, d
+    # only user 2 covers days 10..13
+    for d in range(10, 14):
+        assert by.loc[base_day + d] == 1, d
+    assert base_day + 14 not in by.index
+
+
+def test_band_join_boundary_and_buckets(ray_session, tmp_path):
+    """The +/-5 min band is INCLUSIVE at both ends (a +300s error counts,
+    +300s+1us does not), matches cross bucket boundaries, and purchases
+    with no nearby errors still emit a zero row."""
+    from langfilter_ray.pipelines import windows
+
+    W = 300 * US_SEC
+    rows = [
+        (1, 1, 10 * W, "purchase", 1.0),          # mid-bucket anchor
+        (2, 2, 10 * W + W, "error", 1.0),         # exactly +300s -> in
+        (3, 3, 10 * W - W, "error", 1.0),         # exactly -300s -> in
+        (4, 4, 10 * W + W + 1, "error", 1.0),     # +300s + 1us -> out
+        (5, 5, 20 * W - 1, "purchase", 1.0),      # 1us before bucket edge
+        (6, 6, 20 * W + 1, "error", 1.0),         # neighbor bucket -> in
+        (7, 7, 40 * W, "purchase", 1.0),          # isolated -> zero row
+    ]
+    got = _check_vs_oracle(
+        windows.errors_near_purchases,
+        windows.ORACLES["errors_near_purchases"],
+        tmp_path, "events", _events_table(rows),
+    )
+    by = got.set_index("event_id")["n_near"]
+    assert by.loc[1] == 2
+    assert by.loc[5] == 1
+    assert by.loc[7] == 0
+    assert len(got) == 3
+
+
+def test_typo_pairs_edit_kinds(ray_session, tmp_path):
+    """Substitution, insertion and deletion pairs (distance exactly 1)
+    are all found; distance-2 and identical-name (distance 0) pairs are
+    rejected; repeated-character deletions do not duplicate pairs."""
+    from langfilter_ray.pipelines import dedup
+
+    names = {
+        1: "alpha",   # vs 2: substitution (alpha/alpho)
+        2: "alpho",
+        3: "alphaa",  # vs 1: insertion; repeated 'a' exercises variant dedup
+        4: "alph",    # vs 1: deletion
+        5: "beta",    # distance >= 2 from everything
+        6: "alpha",   # identical to 1 -> distance 0, must NOT pair
+    }
+    tbl = pa.table(
+        {
+            "c_custkey": pa.array(list(names), pa.int64()),
+            "c_name": pa.array([names[k] for k in names], pa.string()),
+        }
+    )
+    got = _check_vs_oracle(
+        dedup.typo_pairs, dedup.ORACLES["typo_pairs"],
+        tmp_path, "customer", tbl,
+    )
+    pairs = set(zip(got["cust_a"].astype(int), got["cust_b"].astype(int)))
+    expected = {
+        (1, 2), (1, 3), (1, 4),   # sub / insert / delete vs 'alpha'
+        (2, 4),                   # 'alpho' vs 'alph' (delete 'o')
+        (2, 6), (3, 6), (4, 6),   # same three vs the duplicate 'alpha'
+    }
+    assert pairs == expected, pairs
+
+
+def test_typo_pairs_join_path_synthetic(ray_session, tmp_path):
+    """The hash-join fallback produces the same pair set on the synthetic
+    table (cross-batch duplicate-candidate dedup exercised end to end)."""
+    from langfilter_ray.pipelines import dedup
+
+    tbl = pa.table(
+        {
+            "c_custkey": pa.array([1, 2, 3, 4], pa.int64()),
+            "c_name": pa.array(["aab", "bab", "ab", "zzz"], pa.string()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "customer.parquet")
+    fast = _to_pandas(dedup.typo_pairs(str(tmp_path)))
+    slow = _to_pandas(dedup.typo_pairs(str(tmp_path), broadcast_max_rows=0))
+    key = lambda df: sorted(zip(df["cust_a"], df["cust_b"]))  # noqa: E731
+    assert key(fast) == key(slow)
+    assert set(key(fast)) == {(1, 2), (1, 3), (2, 3)}
+
+
+def test_triangle_count_known_graph(ray_session, tmp_path):
+    """A K4 on parts {1,2,3,4} (4 triangles) plus a dangling edge {4,5}
+    and an isolated pair {6,7}: exactly 4 triangles, on both the CSR
+    broadcast path and the join fallback."""
+    from langfilter_ray.pipelines import relational
+
+    orders = []
+    # one order containing parts 1..4 -> K4
+    orders += [(100, p) for p in (1, 2, 3, 4)]
+    orders += [(200, 4), (200, 5)]
+    orders += [(300, 6), (300, 7)]
+    tbl = pa.table(
+        {
+            "l_orderkey": pa.array([o for o, _ in orders], pa.int64()),
+            "l_partkey": pa.array([p for _, p in orders], pa.int64()),
+        }
+    )
+    got = _check_vs_oracle(
+        relational.triangle_count, relational.ORACLES["triangle_count"],
+        tmp_path, "lineitem", tbl,
+    )
+    assert got["n_triangles"].iloc[0] == 4
+    slow = relational.triangle_count(str(tmp_path), edge_broadcast_max=0)
+    assert slow["n_triangles"][0].as_py() == 4
+
+
+def test_user_value_twa_integral(ray_session, tmp_path):
+    """Hand integral: value 1.00 held 10s then 2.00 held 10s -> 150 cents;
+    a same-second burst adds zero-width intervals (order-safe because the
+    tied rows contribute dt=0); single-event users are excluded."""
+    from langfilter_ray.pipelines import windows
+
+    rows = [
+        (1, 1, 0, "click", 1.00),
+        (2, 1, 10 * US_SEC, "click", 2.00),
+        (3, 1, 20 * US_SEC, "click", 9.99),     # last value never weighted
+        (10, 2, 0, "click", 5.00),              # single event -> excluded
+        (20, 3, 0, "click", 1.00),              # same-ts pair, dt = 0
+        (21, 3, 0, "click", 3.00),
+        (22, 3, 4 * US_SEC, "click", 7.00),
+    ]
+    got = _check_vs_oracle(
+        windows.user_value_twa, windows.ORACLES["user_value_twa"],
+        tmp_path, "events", _events_table(rows),
+    )
+    by = got.set_index("user_id")
+    assert by.loc[1, "twa_cents"] == pytest.approx(150.0)
+    assert 2 not in by.index
+    # user 3: event 20 holds 0s, event 21 holds 4s at 300 cents -> 300.0
+    assert by.loc[3, "twa_cents"] == pytest.approx(300.0)
+
+
+def test_favorite_event_type_tiebreak(ray_session, tmp_path):
+    """Equal counts break to the lexicographically smallest type."""
+    from langfilter_ray.pipelines import windows
+
+    rows = [
+        (1, 1, 0, "view", 1.0), (2, 1, 1, "view", 1.0),
+        (3, 1, 2, "click", 1.0), (4, 1, 3, "click", 1.0),
+        (5, 2, 0, "signup", 1.0),
+    ]
+    got = _check_vs_oracle(
+        windows.favorite_event_type, windows.ORACLES["favorite_event_type"],
+        tmp_path, "events", _events_table(rows),
+    )
+    by = got.set_index("user_id")
+    assert by.loc[1, "fav_type"] == "click" and by.loc[1, "n_fav"] == 2
+    assert by.loc[2, "fav_type"] == "signup"
+
+
+def test_revenue_cube_margins(ray_session, tmp_path):
+    """All four grouping sets sum consistently on a hand table."""
+    from langfilter_ray.pipelines import relational
+
+    tbl = pa.table(
+        {
+            "o_orderstatus": pa.array(["O", "O", "F"], pa.string()),
+            "o_orderpriority": pa.array(["1-URGENT", "2-HIGH", "1-URGENT"]),
+            "o_totalprice": pa.array([10.00, 20.00, 40.00], pa.float64()),
+        }
+    )
+    got = _check_vs_oracle(
+        relational.revenue_cube, relational.ORACLES["revenue_cube"],
+        tmp_path, "orders", tbl,
+    )
+    by = got.set_index(["o_orderstatus", "o_orderpriority"])
+    assert by.loc[("ALL", "ALL"), "revenue_cents"] == 7000
+    assert by.loc[("O", "ALL"), "revenue_cents"] == 3000
+    assert by.loc[("ALL", "1-URGENT"), "revenue_cents"] == 5000
+    assert by.loc[("O", "1-URGENT"), "n_orders"] == 1
+    assert len(got) == 3 + 2 + 2 + 1   # fine + status + priority + grand
+
+
+def test_user_value_trend_exact_slope(ray_session, tmp_path):
+    """A perfectly linear user (100 + 50*day cents) recovers slope 50.0
+    exactly; a single-day user is excluded (zero variance)."""
+    from langfilter_ray.pipelines import relational
+
+    rows = []
+    for d in range(4):   # user 1: v = 1.00 + 0.50*d dollars... in cents
+        rows.append((d + 1, 1, d * US_DAY, "click", (100 + 50 * d) / 100))
+    rows.append((10, 2, 0, "click", 3.00))
+    rows.append((11, 2, 1000, "click", 9.00))    # same day -> still excluded
+    got = _check_vs_oracle(
+        relational.user_value_trend, relational.ORACLES["user_value_trend"],
+        tmp_path, "events", _events_table(rows),
+    )
+    by = got.set_index("user_id")
+    assert by.loc[1, "slope_cents_per_day"] == 50.0
+    assert 2 not in by.index
