@@ -2938,3 +2938,115 @@ def bpe_encode(sf_dir: str) -> ray.data.Dataset:
     return _docs_cols(sf_dir, ["doc_id", "text"]).map_batches(
         encode, batch_format="pyarrow"
     )
+
+
+# ---- zscore_by_lang: per-group feature standardization ---------------------
+
+def zscore_by_lang(sf_dir: str) -> ray.data.Dataset:
+    """Per-language z-score of document length — grouped feature
+    STANDARDIZATION, the ML feature-prep archetype (normalize a quality
+    signal within each language before a global threshold, so verbose
+    languages are not over-selected).  Emits one row per document:
+    ``z_chars = (n*x - Sx) / sqrt(n*Sxx - Sx^2)`` — algebraically the
+    population z-score, but written so both engines do the SAME ops:
+    exact int64 group moments, one int->double cast of each side, one
+    IEEE divide/sqrt — bit-identical to the oracle with no float
+    accumulation anywhere.  Zero-variance languages are excluded on both
+    sides.  int64 moment bound: n * sum(x^2) per language must stay
+    under 2^63 — holds through ~3*10^11 docs/lang at 5k chars.
+
+    Scale shape: pass 1 is the in-batch pyarrow group_by combiner into a
+    LANGUAGE-bounded groupby (the standard two-pass normalize); the tiny
+    (lang, n, Sx, Sxx) table broadcasts as SORTED arrays via ray.put
+    (never a dict closure — CLAUDE.md) and pass 2 is a pure map over the
+    stream, output rows == input rows, no shuffle."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"lang": pa.array([], pa.string()),
+             "n_partial": pa.array([], pa.int64()),
+             "sx": pa.array([], pa.int64()),
+             "sxx": pa.array([], pa.int64())}
+        )
+        if len(t) == 0:
+            return empty
+        x = t["n_chars"].to_numpy()
+        src = pa.table(
+            {"lang": t["lang"],
+             "x": pa.array(x, pa.int64()),
+             "xx": pa.array(x * x, pa.int64())}
+        )
+        g = src.group_by("lang").aggregate(
+            [("x", "sum"), ("xx", "sum"), ([], "count_all")]
+        )
+        return pa.table(
+            {"lang": g["lang"],
+             "n_partial": pc.cast(g["count_all"], pa.int64()),
+             "sx": g["x_sum"], "sxx": g["xx_sum"]}
+        )
+
+    m = (
+        _docs_cols(sf_dir, ["lang", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Sum("n_partial", alias_name="n"),
+            Sum("sx", alias_name="sx"),
+            Sum("sxx", alias_name="sxx"),
+        )
+        .to_pandas()    # bounded: one row per language
+    )
+    empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()),
+         "lang": pa.array([], pa.string()),
+         "z_chars": pa.array([], pa.float64())}
+    )
+    if m.empty:
+        return ray.data.from_arrow(empty)
+    n = m["n"].to_numpy().astype(np.int64)
+    sx = m["sx"].to_numpy().astype(np.int64)
+    sxx = m["sxx"].to_numpy().astype(np.int64)
+    den2 = n * sxx - sx * sx
+    keep = den2 > 0
+    order = np.argsort(m["lang"].to_numpy()[keep])
+    langs = m["lang"].to_numpy()[keep][order].astype(str)
+    stats_ref = ray.put(
+        (langs,
+         n[keep][order],
+         sx[keep][order],
+         np.sqrt(den2[keep][order].astype(np.float64)))
+    )
+
+    def zmap(t: pa.Table, _ref=stats_ref) -> pa.Table:
+        if len(t) == 0:
+            return empty
+        lg, nn, sxs, dens = ray.get(_ref)
+        lang = t["lang"].to_numpy(zero_copy_only=False).astype(str)
+        pos = np.searchsorted(lg, lang)
+        pos_c = np.minimum(pos, len(lg) - 1)
+        ok = lg[pos_c] == lang      # drop zero-variance/unseen languages
+        x = t["n_chars"].to_numpy()
+        p = pos_c[ok]
+        z = (nn[p] * x[ok] - sxs[p]).astype(np.float64) / dens[p]
+        return pa.table(
+            {"doc_id": pa.array(t["doc_id"].to_numpy()[ok], pa.int64()),
+             "lang": pa.array(lang[ok], pa.string()),
+             "z_chars": pa.array(z, pa.float64())}
+        )
+
+    return _docs_cols(sf_dir, ["doc_id", "lang", "n_chars"]).map_batches(
+        zmap, batch_format="pyarrow"
+    )
+
+
+ORACLES["zscore_by_lang"] = (
+    "WITH m AS (SELECT lang, count(*)::BIGINT AS n, "
+    "sum(n_chars)::BIGINT AS sx, "
+    "sum(n_chars*n_chars)::BIGINT AS sxx FROM documents GROUP BY lang) "
+    "SELECT d.doc_id, d.lang, "
+    "CAST(m.n*d.n_chars - m.sx AS DOUBLE) / "
+    "sqrt(CAST(m.n*m.sxx - m.sx*m.sx AS DOUBLE)) AS z_chars "
+    "FROM documents d JOIN m USING(lang) "
+    "WHERE m.n*m.sxx - m.sx*m.sx > 0"
+)
