@@ -216,6 +216,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_value_twa": windows.user_value_twa,
         "favorite_event_type": windows.favorite_event_type,
         "zscore_by_lang": text_analysis.zscore_by_lang,
+        "user_clamped_balance": windows.user_clamped_balance,
         # rows-only (iterative driver-state op like kmeans_fit)
         "bpe_train": text_analysis.bpe_train,
         "bpe_encode": text_analysis.bpe_encode,

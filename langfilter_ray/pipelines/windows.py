@@ -2178,3 +2178,89 @@ ORACLES["favorite_event_type"] = (
     "ORDER BY count(*) DESC, event_type) AS rn "
     "FROM events GROUP BY user_id, event_type) t WHERE rn = 1"
 )
+
+
+# ---- user_clamped_balance: clamp-at-zero running balance -------------------
+
+_CLAMP_BAND_LIMIT = 2**62     # banding product bound (tests force the
+                              # per-segment fallback by zeroing this)
+
+
+def user_clamped_balance(sf_dir: str) -> ray.data.Dataset:
+    """Per-user running CREDIT BALANCE where purchases debit, everything
+    else credits, and the balance clamps at zero (no negative carry) —
+    the recurrence ``b_i = max(0, b_{i-1} + delta_i)``.  This is NOT a
+    prefix sum: the clamp makes each row depend on the clamped history,
+    the canonical "sequential-looking" stateful scan.  It parallelizes
+    through the classic identity  ``b_i = pre_i − min(0, runmin_i)``
+    (pre = plain prefix sum, runmin = running min of pre): both terms
+    ARE monoid prefixes, so the whole thing stays one backbone shuffle +
+    vectorized segmented numpy — no row recursion anywhere.
+
+    The segmented running min uses the decreasing-band trick: shift
+    segment k by −k·B (B > the partition's prefix-sum span), so
+    np.minimum.accumulate cannot leak an earlier segment's min into a
+    later one (earlier bands sit strictly higher); the shift is exactly
+    invertible.  Like rolling_24h_user_sum's banding, the product is
+    overflow-guarded with a per-segment fallback.
+
+    All arithmetic is integer cents; the oracle replays the identity
+    with two stacked window CTEs, so values match exactly.
+
+    Reference anchor: the counters/gauges family (SURVEY.md §2.6/A5) —
+    a quota ledger ("bytes remaining, floor zero") is this exact scan."""
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"event_id": pd.array([], dtype="int64"),
+             "user_id": pd.array([], dtype="int64"),
+             "balance_cents": pd.array([], dtype="int64")}
+        )
+        if g.empty:
+            return empty
+        g, starts, ends = _user_segments(g)
+        v = np.floor(g["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+        et = g["event_type"].to_numpy()
+        delta = np.where(et == "purchase", -v, v)
+        cs = np.cumsum(delta)
+        sizes = ends - starts
+        base = np.repeat(cs[starts] - delta[starts], sizes)
+        pre = cs - base
+        seg_id = np.repeat(np.arange(len(starts), dtype=np.int64), sizes)
+        span = int(pre.max()) - int(pre.min()) + 1
+        if span * len(starts) < _CLAMP_BAND_LIMIT:
+            shifted = pre - seg_id * np.int64(span)
+            runmin = np.minimum.accumulate(shifted) + seg_id * np.int64(span)
+        else:                      # banding would overflow: per-segment scan
+            runmin = np.empty_like(pre)
+            for s, e in zip(starts, ends):
+                runmin[s:e] = np.minimum.accumulate(pre[s:e])
+        balance = pre - np.minimum(runmin, 0)
+        return pd.DataFrame(
+            {"event_id": g["event_id"].to_numpy(),
+             "user_id": g["user_id"].to_numpy(),
+             "balance_cents": balance.astype(np.int64)}
+        )
+
+    return _user_partition_map(
+        _events(sf_dir, ["event_id", "user_id", "ts", "event_type", "value"]),
+        _window_parts(sf_dir),
+        per_partition,
+    ).select_columns(["event_id", "user_id", "balance_cents"])
+
+
+ORACLES["user_clamped_balance"] = (
+    "WITH x AS (SELECT event_id, user_id, ts, "
+    "CASE WHEN event_type = 'purchase' "
+    "THEN -CAST(floor(value*100+0.5) AS BIGINT) "
+    "ELSE CAST(floor(value*100+0.5) AS BIGINT) END AS delta FROM events), "
+    "p AS (SELECT event_id, user_id, ts, "
+    "sum(delta) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+    "ROWS UNBOUNDED PRECEDING)::BIGINT AS pre FROM x), "
+    "q AS (SELECT event_id, user_id, pre, "
+    "min(pre) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+    "ROWS UNBOUNDED PRECEDING)::BIGINT AS runmin FROM p) "
+    "SELECT event_id, user_id, "
+    "(pre - CASE WHEN runmin < 0 THEN runmin ELSE 0 END)::BIGINT "
+    "AS balance_cents FROM q"
+)

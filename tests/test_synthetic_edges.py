@@ -315,3 +315,47 @@ def test_user_value_trend_exact_slope(ray_session, tmp_path):
     by = got.set_index("user_id")
     assert by.loc[1, "slope_cents_per_day"] == 50.0
     assert 2 not in by.index
+
+
+def test_user_clamped_balance_semantics(ray_session, tmp_path, monkeypatch):
+    """The clamp identity b_i = pre_i - min(0, runmin_i) must reproduce
+    the sequential recurrence max(0, b_prev + delta) — pinned against a
+    direct Python scan on a hand table that actually clamps, on BOTH the
+    banded path and the per-segment fallback; oracle parity on the same
+    table."""
+    from langfilter_ray.pipelines import windows
+
+    rows = [
+        # user 1: credit 5, purchase 10 (clamps at 0), credit 3
+        (1, 1, 0, "click", 5.00),
+        (2, 1, 1, "purchase", 10.00),
+        (3, 1, 2, "click", 3.00),
+        # user 2: purchase first (clamps immediately), then credits
+        (4, 2, 0, "purchase", 7.00),
+        (5, 2, 1, "view", 2.00),
+        # user 3: never clamps
+        (6, 3, 0, "click", 4.00),
+        (7, 3, 1, "purchase", 1.00),
+    ]
+    tbl = _events_table(rows)
+
+    def sequential(rows):
+        out, bal = {}, {}
+        for eid, uid, _, et, val in sorted(rows, key=lambda r: (r[1], r[2], r[0])):
+            cents = int(np.floor(val * 100 + 0.5))
+            d = -cents if et == "purchase" else cents
+            bal[uid] = max(0, bal.get(uid, 0) + d)
+            out[eid] = bal[uid]
+        return out
+
+    want_seq = sequential(rows)
+    got = _check_vs_oracle(
+        windows.user_clamped_balance, windows.ORACLES["user_clamped_balance"],
+        tmp_path, "events", tbl,
+    )
+    assert dict(zip(got["event_id"], got["balance_cents"])) == want_seq
+    assert want_seq[2] == 0 and want_seq[4] == 0   # the table really clamps
+
+    monkeypatch.setattr(windows, "_CLAMP_BAND_LIMIT", 0)
+    fb = _to_pandas(windows.user_clamped_balance(str(tmp_path)))
+    assert dict(zip(fb["event_id"], fb["balance_cents"])) == want_seq
