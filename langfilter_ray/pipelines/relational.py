@@ -4430,11 +4430,11 @@ def user_value_trend(sf_dir: str) -> ray.data.Dataset:
 
 ORACLES["user_value_trend"] = (
     "WITH m AS (SELECT user_id, count(*)::BIGINT AS n, "
-    "sum(epoch(ts)::BIGINT // 86400 - 19700)::BIGINT AS st, "
+    "sum(epoch_us(ts) // 86400000000 - 19700)::BIGINT AS st, "
     "sum(CAST(floor(value*100+0.5) AS BIGINT))::BIGINT AS sv, "
-    "sum((epoch(ts)::BIGINT // 86400 - 19700)"
-    "*(epoch(ts)::BIGINT // 86400 - 19700))::BIGINT AS stt, "
-    "sum((epoch(ts)::BIGINT // 86400 - 19700)"
+    "sum((epoch_us(ts) // 86400000000 - 19700)"
+    "*(epoch_us(ts) // 86400000000 - 19700))::BIGINT AS stt, "
+    "sum((epoch_us(ts) // 86400000000 - 19700)"
     "*CAST(floor(value*100+0.5) AS BIGINT))::BIGINT AS stv "
     "FROM events GROUP BY user_id) "
     "SELECT user_id, n, "

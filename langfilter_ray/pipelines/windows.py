@@ -1326,7 +1326,7 @@ def daily_active_users(sf_dir: str) -> ray.data.Dataset:
 
 
 ORACLES["daily_active_users"] = (
-    "SELECT (epoch(ts)::BIGINT // 86400)::BIGINT AS day, "
+    "SELECT (epoch_us(ts) // 86400000000)::BIGINT AS day, "
     "count(DISTINCT user_id)::BIGINT AS n_active_users, "
     "count(*)::BIGINT AS n_events "
     "FROM events GROUP BY 1 ORDER BY 1"
@@ -1632,7 +1632,7 @@ def first_seen_daily(sf_dir: str) -> ray.data.Dataset:
 
 
 ORACLES["first_seen_daily"] = (
-    "SELECT user_id, (epoch(ts)::BIGINT // 86400)::BIGINT AS day, "
+    "SELECT user_id, (epoch_us(ts) // 86400000000)::BIGINT AS day, "
     "min_by(event_id, ts)::BIGINT AS first_event_id "
     "FROM events GROUP BY 1, 2"
 )
@@ -1812,7 +1812,7 @@ def streak_days(sf_dir: str) -> ray.data.Dataset:
 
 ORACLES["streak_days"] = (
     "WITH d AS (SELECT DISTINCT user_id, "
-    "(epoch(ts)::BIGINT // 86400)::BIGINT AS day FROM events), "
+    "(epoch_us(ts) // 86400000000)::BIGINT AS day FROM events), "
     "r AS (SELECT user_id, day, "
     "day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp "
     "FROM d), "
@@ -1916,7 +1916,7 @@ def rolling_7d_distinct_users(sf_dir: str) -> "pa.Table":
 
 ORACLES["rolling_7d_distinct_users"] = (
     "WITH d AS (SELECT DISTINCT user_id, "
-    "epoch(ts)::BIGINT // 86400 AS day FROM events), "
+    "epoch_us(ts) // 86400000000 AS day FROM events), "
     "cov AS (SELECT DISTINCT user_id, day + o AS day "
     "FROM d, UNNEST(range(0, 7)) AS t(o)) "
     "SELECT day, count(*)::BIGINT AS n_users FROM cov GROUP BY day"
@@ -2263,4 +2263,119 @@ ORACLES["user_clamped_balance"] = (
     "SELECT event_id, user_id, "
     "(pre - CASE WHEN runmin < 0 THEN runmin ELSE 0 END)::BIGINT "
     "AS balance_cents FROM q"
+)
+
+
+# ---- purchase_error_correlation: aligned-series Pearson --------------------
+
+def purchase_error_correlation(sf_dir: str) -> "pa.Table":
+    """Pearson correlation between the HOURLY purchase count and the
+    hourly error count — the time-series ALIGNMENT aggregate ("do errors
+    track traffic?"): two derived series must be joined on the hour grid
+    with missing hours as zero before any moment is touched, which a
+    plain groupby cannot express.
+
+    Scale shape: one pass builds per-(hour, type) counts via the
+    in-batch combiner (shuffle bounded by hours x 2, never events); the
+    aligned moments are computed on the gathered hour table (bounded by
+    the corpus TIME SPAN, the concurrent_sessions precedent) over the
+    DENSE hour range — hours where both series are zero still belong to
+    the sample, exactly as the oracle's generate_series does.  All
+    moments are exact integers; the correlation is assembled in
+    arbitrary-precision Python ints with ONE float conversion per term
+    (the qty_discount_corr discipline), so the double matches DuckDB's
+    HUGEINT-then-cast bit for bit.
+
+    Reference anchor: A4's gate-path distribution (SURVEY.md §2.6) lifted
+    to the cross-series question an on-call dashboard actually asks."""
+    US_HOUR = 3_600_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"hour": pa.array([], pa.int64()),
+             "np_": pa.array([], pa.int64()),
+             "ne_": pa.array([], pa.int64())}
+        )
+        if len(t) == 0:
+            return empty
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        keep = (et == "purchase") | (et == "error")
+        if not keep.any():
+            return empty
+        us = (
+            t["ts"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64)
+        )
+        hour = us[keep] // US_HOUR
+        is_err = (et[keep] == "error").astype(np.int64)
+        u, inv = np.unique(hour, return_inverse=True)
+        return pa.table(
+            {"hour": pa.array(u, pa.int64()),
+             "np_": pa.array(np.bincount(inv, weights=1 - is_err)
+                             .astype(np.int64)),
+             "ne_": pa.array(np.bincount(inv, weights=is_err)
+                             .astype(np.int64))}
+        )
+
+    hist = _events(sf_dir, ["ts", "event_type"]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    tbls = [t for t in ray.get(hist.to_arrow_refs()) if t.num_rows]
+    empty = pa.table(
+        {"n_hours": pa.array([], pa.int64()),
+         "corr_pe": pa.array([], pa.float64())}
+    )
+    if not tbls:
+        return empty
+    df = (
+        pa.concat_tables(tbls).to_pandas()
+        .groupby("hour", sort=True)[["np_", "ne_"]].sum()
+    )
+    hours = df.index.to_numpy()
+    lo, hi = int(hours[0]), int(hours[-1])
+    p = np.zeros(hi - lo + 1, dtype=np.int64)
+    q = np.zeros(hi - lo + 1, dtype=np.int64)
+    p[hours - lo] = df["np_"].to_numpy()
+    q[hours - lo] = df["ne_"].to_numpy()
+    n = len(p)
+    sp, sq = int(p.sum()), int(q.sum())
+    spp = int((p * p).sum())
+    sqq = int((q * q).sum())
+    spq = int((p * q).sum())
+    num = n * spq - sp * sq
+    den_p = n * spp - sp * sp
+    den_q = n * sqq - sq * sq
+    if den_p == 0 or den_q == 0:
+        corr = 0.0
+    else:
+        import math
+
+        corr = float(num) / (
+            math.sqrt(float(den_p)) * math.sqrt(float(den_q))
+        )
+    return pa.table(
+        {"n_hours": pa.array([n], pa.int64()),
+         "corr_pe": pa.array([corr], pa.float64())}
+    )
+
+
+ORACLES["purchase_error_correlation"] = (
+    "WITH b AS (SELECT min(epoch_us(ts) // 3600000000) AS h0, "
+    "max(epoch_us(ts) // 3600000000) AS h1 FROM events "
+    "WHERE event_type IN ('purchase', 'error')), "
+    "grid AS (SELECT UNNEST(range(h0, h1 + 1)) AS hour FROM b), "
+    "c AS (SELECT epoch_us(ts) // 3600000000 AS hour, "
+    "sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS p, "
+    "sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS q "
+    "FROM events WHERE event_type IN ('purchase', 'error') GROUP BY 1), "
+    "s AS (SELECT grid.hour, COALESCE(c.p, 0) AS p, COALESCE(c.q, 0) AS q "
+    "FROM grid LEFT JOIN c ON grid.hour = c.hour), "
+    "m AS (SELECT count(*)::BIGINT AS n, sum(p)::BIGINT AS sp, "
+    "sum(q)::BIGINT AS sq, sum(p*p)::BIGINT AS spp, "
+    "sum(q*q)::BIGINT AS sqq, sum(p*q)::BIGINT AS spq FROM s) "
+    "SELECT n AS n_hours, "
+    "CASE WHEN n*spp - sp*sp = 0 OR n*sqq - sq*sq = 0 THEN 0.0 "
+    "ELSE CAST(n*spq - sp*sq AS DOUBLE) / "
+    "(sqrt(CAST(n*spp - sp*sp AS DOUBLE)) * "
+    "sqrt(CAST(n*sqq - sq*sq AS DOUBLE))) END AS corr_pe FROM m"
 )

@@ -87,7 +87,7 @@ ORACLE_CHECKED = [
     "concurrent_sessions", "streak_days", "rolling_7d_distinct_users",
     "revenue_cube", "user_value_trend", "typo_pairs", "triangle_count",
     "errors_near_purchases", "user_value_twa", "favorite_event_type",
-    "zscore_by_lang", "user_clamped_balance",
+    "zscore_by_lang", "user_clamped_balance", "purchase_error_correlation",
 ]
 
 
