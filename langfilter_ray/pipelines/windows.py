@@ -851,7 +851,7 @@ def cohort_retention(sf_dir: str) -> ray.data.Dataset:
 
 ORACLES["cohort_retention"] = (
     "WITH wk AS (SELECT DISTINCT user_id, "
-    "CAST(floor(epoch(ts)/604800) AS BIGINT) AS week FROM events), "
+    "epoch_us(ts) // 604800000000 AS week FROM events), "
     "f AS (SELECT user_id, min(week) AS w0 FROM wk GROUP BY 1) "
     "SELECT f.w0 AS cohort_week, wk.week - f.w0 AS offset_weeks, "
     "count(*)::BIGINT AS n_users "
