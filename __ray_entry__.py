@@ -218,6 +218,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zscore_by_lang": text_analysis.zscore_by_lang,
         "user_clamped_balance": windows.user_clamped_balance,
         "purchase_error_correlation": windows.purchase_error_correlation,
+        "weighted_median_chars": text_analysis.weighted_median_chars,
         # rows-only (iterative driver-state op like kmeans_fit)
         "bpe_train": text_analysis.bpe_train,
         "bpe_encode": text_analysis.bpe_encode,

@@ -3050,3 +3050,80 @@ ORACLES["zscore_by_lang"] = (
     "FROM documents d JOIN m USING(lang) "
     "WHERE m.n*m.sxx - m.sx*m.sx > 0"
 )
+
+
+# ---- weighted_median_chars: grouped WEIGHTED order statistic ---------------
+
+def weighted_median_chars(sf_dir: str) -> "pa.Table":
+    """Per-language weighted median of document length, weight = the
+    length itself: the doc size below which half of each language's
+    total CHARACTER MASS lives.  The weighted order statistic is the
+    right size cut for token budgeting (a plain median over-weights the
+    long tail's row count and ignores that one 100k-char doc carries the
+    mass of a thousand tweets); 2*cum >= tot picks the lower weighted
+    median deterministically on both sides.
+
+    Scale shape: the exact value-HISTOGRAM pattern (length_rank_tiers
+    pass 1): each batch folds to (lang, value, mass) rows via the
+    in-batch combiner — the exchange is bounded by value cardinality x
+    languages, never rows — and the driver folds the bounded histogram
+    and picks each language's crossing value with one cumsum.  No
+    full-column sort anywhere (the textbook median plan), and no
+    quantile approximation: the answer is exact.
+
+    Reference anchor: SURVEY.md §2.6 percentile family
+    (chars_percentiles documents this histogram as its own scale path);
+    the weighting is the new axis."""
+    import pandas as pd
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"lang": pa.array([], pa.string()),
+             "v": pa.array([], pa.int64()),
+             "mass": pa.array([], pa.int64())}
+        )
+        if len(t) == 0:
+            return empty
+        src = pa.table({"lang": t["lang"], "v": t["n_chars"]})
+        g = src.group_by(["lang", "v"]).aggregate([("v", "sum")])
+        return pa.table(
+            {"lang": g["lang"], "v": g["v"],
+             "mass": pc.cast(g["v_sum"], pa.int64())}
+        )
+
+    hist = (
+        _docs_cols(sf_dir, ["lang", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()    # bounded: value cardinality x languages x blocks
+    )
+    empty = pa.table(
+        {"lang": pa.array([], pa.string()),
+         "wmedian_chars": pa.array([], pa.int64())}
+    )
+    if hist.empty:
+        return empty
+    hist = (
+        hist.groupby(["lang", "v"], sort=True)["mass"].sum().reset_index()
+    )
+    langs, meds = [], []
+    for lang, g in hist.groupby("lang", sort=True):
+        v = g["v"].to_numpy()
+        cm = np.cumsum(g["mass"].to_numpy())
+        idx = int(np.searchsorted(2 * cm, cm[-1], side="left"))
+        langs.append(lang)
+        meds.append(int(v[idx]))
+    return pa.table(
+        {"lang": pa.array(langs, pa.string()),
+         "wmedian_chars": pa.array(meds, pa.int64())}
+    )
+
+
+ORACLES["weighted_median_chars"] = (
+    "WITH h AS (SELECT lang, n_chars AS v, sum(n_chars)::BIGINT AS mass "
+    "FROM documents GROUP BY 1, 2), "
+    "c AS (SELECT lang, v, "
+    "sum(mass) OVER (PARTITION BY lang ORDER BY v)::BIGINT AS cm, "
+    "sum(mass) OVER (PARTITION BY lang)::BIGINT AS tot FROM h) "
+    "SELECT lang, min(v)::BIGINT AS wmedian_chars FROM c "
+    "WHERE 2*cm >= tot GROUP BY lang"
+)

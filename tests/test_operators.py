@@ -88,6 +88,7 @@ ORACLE_CHECKED = [
     "revenue_cube", "user_value_trend", "typo_pairs", "triangle_count",
     "errors_near_purchases", "user_value_twa", "favorite_event_type",
     "zscore_by_lang", "user_clamped_balance", "purchase_error_correlation",
+    "weighted_median_chars",
 ]
 
 
