@@ -219,6 +219,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_clamped_balance": windows.user_clamped_balance,
         "purchase_error_correlation": windows.purchase_error_correlation,
         "weighted_median_chars": text_analysis.weighted_median_chars,
+        "sentence_stats": text_analysis.sentence_stats,
+        "value_mad_by_type": windows.value_mad_by_type,
+        "longest_value_run": windows.longest_value_run,
+        "copurchase_degree_hist": relational.copurchase_degree_hist,
         # rows-only (iterative driver-state op like kmeans_fit)
         "bpe_train": text_analysis.bpe_train,
         "bpe_encode": text_analysis.bpe_encode,

@@ -4645,3 +4645,55 @@ ORACLES["triangle_count"] = (
     "FROM e e1 JOIN e e2 ON e2.pa = e1.pa AND e2.pb > e1.pb "
     "JOIN e e3 ON e3.pa = e1.pb AND e3.pb = e2.pb"
 )
+
+
+def copurchase_degree_hist(sf_dir: str) -> pa.Table:
+    """Degree distribution of the co-purchase graph — the shape census
+    curation runs before any graph algorithm (skew here predicts hot
+    keys in every downstream join; the pagerank/triangle docstrings'
+    cost bounds are functions of exactly this histogram).
+
+    Scale shape: distinct edges from the shared ``_copurchase_edges``
+    stream (hash self-join + bounded-bucket distinct), per-batch
+    endpoint-degree partials via ``_edge_deg_partial`` (the pagerank
+    skeleton), and a driver fold bounded by catalog nodes x blocks —
+    the same catalog-bounded-node-set argument ``copurchase_pagerank``
+    documents; corpus rows never reach the driver.  The final
+    histogram is one np.unique over the node-degree array (distinct
+    degrees << nodes)."""
+    edges = _copurchase_edges(sf_dir)
+    deg_parts = [
+        t
+        for t in ray.get(
+            edges.map_batches(
+                _edge_deg_partial, batch_format="pyarrow"
+            ).to_arrow_refs()
+        )
+        if t.num_rows  # empty read blocks bypass map UDFs (Ray 2.49)
+    ]
+    empty = pa.table(
+        {"degree": pa.array([], pa.int64()),
+         "n_parts": pa.array([], pa.int64())}
+    )
+    if not deg_parts:
+        return empty
+    t = pa.concat_tables(deg_parts)
+    _, inv = np.unique(t["node"].to_numpy(), return_inverse=True)
+    deg = np.bincount(inv, weights=t["dp"].to_numpy()).astype(np.int64)
+    dv, cnt = np.unique(deg, return_counts=True)
+    return pa.table(
+        {"degree": pa.array(dv, pa.int64()),
+         "n_parts": pa.array(cnt.astype(np.int64), pa.int64())}
+    )
+
+
+ORACLES["copurchase_degree_hist"] = (
+    "WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p "
+    "FROM lineitem), "
+    "e AS (SELECT DISTINCT a.p AS p1, b.p AS p2 FROM li a "
+    "JOIN li b ON a.o = b.o AND a.p < b.p), "
+    "ends AS (SELECT p1 AS part FROM e UNION ALL SELECT p2 FROM e), "
+    "deg AS (SELECT part, count(*)::BIGINT AS degree FROM ends "
+    "GROUP BY part) "
+    "SELECT degree, count(*)::BIGINT AS n_parts FROM deg GROUP BY degree"
+)

@@ -3127,3 +3127,79 @@ ORACLES["weighted_median_chars"] = (
     "SELECT lang, min(v)::BIGINT AS wmedian_chars FROM c "
     "WHERE 2*cm >= tot GROUP BY lang"
 )
+
+
+# ---- sentence_stats: vectorized regex census (RE2 parity) ------------------
+
+_SENT_TERM_RE = "[.!?]+"
+
+
+def sentence_stats(sf_dir: str) -> "pa.Table":
+    """Per-language sentence-terminator census: a sentence boundary is a
+    maximal run of ``[.!?]`` (the cheap segmentation a 100 TB quality
+    pass can afford before any model sees the text; counts feed the
+    avg-sentence-length style Gopher rules).  The regex runs as ONE
+    vectorized Arrow kernel per batch (``pc.count_substring_regex`` is
+    RE2, same engine as the DuckDB oracle — the scrub-rule parity
+    contract from CLAUDE.md), each batch folds to per-language partials
+    in-batch, and only languages x blocks rows reach the driver fold —
+    the exchange never scales with corpus rows.
+
+    Reference anchor: SURVEY.md §2.3 text heuristics family (stopword /
+    bracket counting); the terminator census is the same shape over a
+    different character class."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"lang": pa.array([], pa.string()),
+             "n_docs": pa.array([], pa.int64()),
+             "sum_sents": pa.array([], pa.int64()),
+             "max_sents": pa.array([], pa.int64())}
+        )
+        if len(t) == 0:
+            return empty
+        sents = pc.cast(
+            pc.count_substring_regex(t["text"], _SENT_TERM_RE), pa.int64()
+        )
+        src = pa.table({"lang": t["lang"], "s": sents})
+        g = src.group_by(["lang"]).aggregate(
+            [("s", "count"), ("s", "sum"), ("s", "max")]
+        )
+        return pa.table(
+            {"lang": g["lang"],
+             "n_docs": pc.cast(g["s_count"], pa.int64()),
+             "sum_sents": pc.cast(g["s_sum"], pa.int64()),
+             "max_sents": pc.cast(g["s_max"], pa.int64())}
+        )
+
+    parts = (
+        _docs_cols(sf_dir, ["lang", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()    # bounded: languages x blocks
+    )
+    if parts.empty:
+        return pa.table(
+            {"lang": pa.array([], pa.string()),
+             "n_docs": pa.array([], pa.int64()),
+             "sum_sents": pa.array([], pa.int64()),
+             "max_sents": pa.array([], pa.int64())}
+        )
+    g = parts.groupby("lang", sort=True).agg(
+        n_docs=("n_docs", "sum"),
+        sum_sents=("sum_sents", "sum"),
+        max_sents=("max_sents", "max"),
+    ).reset_index()
+    return pa.table(
+        {"lang": pa.array(g["lang"], pa.string()),
+         "n_docs": pa.array(g["n_docs"].astype("int64")),
+         "sum_sents": pa.array(g["sum_sents"].astype("int64")),
+         "max_sents": pa.array(g["max_sents"].astype("int64"))}
+    )
+
+
+ORACLES["sentence_stats"] = (
+    "SELECT lang, count(*)::BIGINT AS n_docs, "
+    "sum(length(regexp_extract_all(text, '[.!?]+')))::BIGINT AS sum_sents, "
+    "max(length(regexp_extract_all(text, '[.!?]+')))::BIGINT AS max_sents "
+    "FROM documents GROUP BY lang"
+)

@@ -2379,3 +2379,120 @@ ORACLES["purchase_error_correlation"] = (
     "(sqrt(CAST(n*spp - sp*sp AS DOUBLE)) * "
     "sqrt(CAST(n*sqq - sq*sq AS DOUBLE))) END AS corr_pe FROM m"
 )
+
+
+def value_mad_by_type(sf_dir: str) -> ray.data.Dataset:
+    """Per-type median absolute deviation of ``value`` — the robust
+    spread statistic (outlier-resistant sibling of the stddev in
+    zscore_by_lang), computed EXACTLY: med = median(v), mad =
+    median(|v - med|).  Same bounded-group shape as
+    median_value_per_type (5 event types, so one map_groups callback
+    per type is the honest cost of exact order statistics; CLAUDE.md's
+    map_groups-for-BOUNDED-groups rule) — both medians come from one
+    in-group numpy sort each, and the even-count average is the same
+    single float division DuckDB's ``median`` performs, so the float
+    output hash-matches without a cents dance."""
+
+    def per_type(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame(
+                {"event_type": pd.array([], dtype="object"),
+                 "median_value": pd.array([], dtype="float64"),
+                 "mad_value": pd.array([], dtype="float64")}
+            )
+        v = np.sort(g["value"].to_numpy())
+        n = len(v)
+        med = float(v[n // 2]) if n % 2 else float((v[n // 2 - 1] + v[n // 2]) / 2)
+        d = np.sort(np.abs(g["value"].to_numpy() - med))
+        mad = float(d[n // 2]) if n % 2 else float((d[n // 2 - 1] + d[n // 2]) / 2)
+        return pd.DataFrame(
+            {"event_type": [g["event_type"].iloc[0]],
+             "median_value": [med],
+             "mad_value": [mad]}
+        )
+
+    return (
+        _events(sf_dir, ["event_type", "value"])
+        .groupby("event_type")
+        .map_groups(per_type, batch_format="pandas")
+    )
+
+
+ORACLES["value_mad_by_type"] = (
+    "WITH m AS (SELECT event_type, median(value) AS med "
+    "FROM events GROUP BY 1) "
+    "SELECT e.event_type, max(m.med) AS median_value, "
+    "median(abs(e.value - m.med)) AS mad_value "
+    "FROM events e JOIN m USING (event_type) GROUP BY e.event_type"
+)
+
+
+# ---- longest_value_run: gaps-and-islands over the event sequence ----------
+
+_RUN_VALUE_THRESHOLD = 50.0
+
+
+def longest_value_run(sf_dir: str) -> ray.data.Dataset:
+    """Per-user longest streak of CONSECUTIVE events (sequence order, by
+    ts then event_id) with value >= 50 — the gaps-and-islands shape over
+    row sequence rather than calendar days (streak_days' sibling; the
+    oracle is the classic rn - rn_within_flag islands trick).
+
+    Scale shape: the module's user-hash partition exchange
+    (_partition_map), then pure segmented numpy per partition — run
+    length at each row is ``pos - last_boundary`` where the boundary
+    array (last low-value row, or the virtual row before a user's first
+    event) comes from ONE np.maximum.accumulate, and the per-user
+    maximum is ONE np.maximum.reduceat over segment starts.  No Python
+    per user, callback count == partition count (volume-sized), and
+    users with no qualifying events still emit 0 because every event
+    row carries a defined run length."""
+    parts = _window_parts(sf_dir)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        h = t["user_id"].to_numpy().astype(np.uint64) * np.uint64(
+            0x9E3779B97F4A7C15
+        )
+        part = ((h >> np.uint64(33)) % np.uint64(parts)).astype(np.int64)
+        return _strip_meta(t).append_column("part", pa.array(part, pa.int64()))
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame(
+                {"user_id": pd.array([], dtype="int64"),
+                 "longest_run": pd.array([], dtype="int64")}
+            )
+        g, starts, ends = _user_segments(g)
+        hi = g["value"].to_numpy() >= _RUN_VALUE_THRESHOLD
+        pos = np.arange(len(g), dtype=np.int64)
+        new_user = np.zeros(len(g), dtype=bool)
+        new_user[starts] = True
+        # last run boundary at or before each row: a low-value row is a
+        # real boundary (pos); a user's FIRST row, when high, anchors a
+        # virtual boundary just before the segment (pos - 1); high rows
+        # inside a run contribute nothing (-1 never wins the running max).
+        cand = np.where(~hi, pos, np.where(new_user, pos - 1, -1))
+        last_boundary = np.maximum.accumulate(cand)
+        rl = np.where(hi, pos - last_boundary, 0)
+        return pd.DataFrame(
+            {"user_id": g["user_id"].to_numpy()[starts],
+             "longest_run": np.maximum.reduceat(rl, starts).astype("int64")}
+        )
+
+    ds = _events(sf_dir, ["user_id", "ts", "event_id", "value"]).map_batches(
+        add_part, batch_format="pyarrow"
+    )
+    return _partition_map(ds, parts, per_partition)
+
+
+ORACLES["longest_value_run"] = (
+    "WITH s AS (SELECT user_id, (value >= 50.0) AS hi, "
+    "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn, "
+    "row_number() OVER (PARTITION BY user_id, (value >= 50.0) "
+    "ORDER BY ts, event_id) AS rnh FROM events), "
+    "runs AS (SELECT user_id, count(*)::BIGINT AS len FROM s "
+    "WHERE hi GROUP BY user_id, rn - rnh) "
+    "SELECT u.user_id, coalesce(max(r.len), 0)::BIGINT AS longest_run "
+    "FROM (SELECT DISTINCT user_id FROM events) u "
+    "LEFT JOIN runs r USING (user_id) GROUP BY u.user_id"
+)

@@ -88,7 +88,8 @@ ORACLE_CHECKED = [
     "revenue_cube", "user_value_trend", "typo_pairs", "triangle_count",
     "errors_near_purchases", "user_value_twa", "favorite_event_type",
     "zscore_by_lang", "user_clamped_balance", "purchase_error_correlation",
-    "weighted_median_chars",
+    "weighted_median_chars", "sentence_stats", "value_mad_by_type",
+    "longest_value_run", "copurchase_degree_hist",
 ]
 
 

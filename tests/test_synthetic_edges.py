@@ -359,3 +359,86 @@ def test_user_clamped_balance_semantics(ray_session, tmp_path, monkeypatch):
     monkeypatch.setattr(windows, "_CLAMP_BAND_LIMIT", 0)
     fb = _to_pandas(windows.user_clamped_balance(str(tmp_path)))
     assert dict(zip(fb["event_id"], fb["balance_cents"])) == want_seq
+
+
+def test_longest_value_run_islands(ray_session, tmp_path):
+    """Hand-built run shapes: a run broken by one low event, a run that
+    spans the user's whole history (virtual boundary at segment start),
+    an all-low user (longest_run = 0), and a same-ts tie ordered by
+    event_id (run survives only in event_id order)."""
+    from langfilter_ray.pipelines import windows
+
+    H, L = 60.0, 10.0  # >= / < the 50.0 threshold
+    rows = [
+        # user 1: H H L H H H  -> longest 3
+        (1, 1, 0, "view", H), (2, 1, 1, "view", H), (3, 1, 2, "view", L),
+        (4, 1, 3, "view", H), (5, 1, 4, "view", H), (6, 1, 5, "view", H),
+        # user 2: all high from the first row -> longest 4
+        (7, 2, 0, "view", H), (8, 2, 1, "view", H),
+        (9, 2, 2, "view", H), (10, 2, 3, "view", H),
+        # user 3: all low -> 0
+        (11, 3, 0, "view", L), (12, 3, 1, "view", L),
+        # user 4: same-ts tie — event_id order is H(13) L(14) H(15):
+        # runs are 1 and 1, not 2
+        (13, 4, 0, "view", H), (14, 4, 0, "view", L), (15, 4, 0, "view", H),
+        # user 5: boundary value exactly 50.0 counts as high
+        (16, 5, 0, "view", 50.0), (17, 5, 1, "view", H),
+    ]
+    got = _check_vs_oracle(
+        windows.longest_value_run,
+        windows.ORACLES["longest_value_run"],
+        tmp_path, "events", _events_table(rows),
+    )
+    want = {1: 3, 2: 4, 3: 0, 4: 1, 5: 2}
+    assert dict(zip(got["user_id"], got["longest_run"])) == want
+
+
+def test_value_mad_by_type_exact(ray_session, tmp_path):
+    """Odd and even group sizes: MAD must use the group's own median and
+    DuckDB's even-count interpolation on both statistics."""
+    from langfilter_ray.pipelines import windows
+
+    rows = [
+        # type 'a' (odd n=3): values 1, 5, 100 -> med 5, |d| = 4,0,95 -> mad 4
+        (1, 1, 0, "a", 1.0), (2, 1, 1, "a", 5.0), (3, 1, 2, "a", 100.0),
+        # type 'b' (even n=4): 1, 3, 7, 9 -> med 5, |d| = 4,2,2,4 -> mad 3
+        (4, 2, 0, "b", 1.0), (5, 2, 1, "b", 3.0),
+        (6, 2, 2, "b", 7.0), (7, 2, 3, "b", 9.0),
+    ]
+    got = _check_vs_oracle(
+        windows.value_mad_by_type,
+        windows.ORACLES["value_mad_by_type"],
+        tmp_path, "events", _events_table(rows),
+    )
+    by_type = {
+        r["event_type"]: (r["median_value"], r["mad_value"])
+        for _, r in got.iterrows()
+    }
+    assert by_type == {"a": (5.0, 4.0), "b": (5.0, 3.0)}
+
+
+def test_copurchase_degree_hist_known_graph(ray_session, tmp_path):
+    """Path graph 1-2-3-4 plus an isolated edge (5,6): degrees are
+    {1: x4 (nodes 1,4,5,6), 2: x2 (nodes 2,3)}; duplicate lineitem rows
+    must not inflate edge multiplicity."""
+    from langfilter_ray.pipelines import relational
+
+    orders_parts = [
+        (100, 1), (100, 2),           # edge 1-2
+        (101, 2), (101, 3), (101, 3),  # edge 2-3, duplicate row
+        (102, 3), (102, 4),           # edge 3-4
+        (103, 5), (103, 6),           # edge 5-6
+        (104, 1), (104, 2),           # duplicate edge 1-2 in another order
+    ]
+    tbl = pa.table(
+        {
+            "l_orderkey": pa.array([o for o, _ in orders_parts], pa.int64()),
+            "l_partkey": pa.array([p for _, p in orders_parts], pa.int64()),
+        }
+    )
+    got = _check_vs_oracle(
+        relational.copurchase_degree_hist,
+        relational.ORACLES["copurchase_degree_hist"],
+        tmp_path, "lineitem", tbl,
+    )
+    assert dict(zip(got["degree"], got["n_parts"])) == {1: 4, 2: 2}
