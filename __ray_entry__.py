@@ -223,6 +223,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_mad_by_type": windows.value_mad_by_type,
         "longest_value_run": windows.longest_value_run,
         "copurchase_degree_hist": relational.copurchase_degree_hist,
+        "percentile_rank_chars": text_analysis.percentile_rank_chars,
+        "length_token_contingency": text_analysis.length_token_contingency,
         # rows-only (iterative driver-state op like kmeans_fit)
         "bpe_train": text_analysis.bpe_train,
         "bpe_encode": text_analysis.bpe_encode,

@@ -3203,3 +3203,213 @@ ORACLES["sentence_stats"] = (
     "max(length(regexp_extract_all(text, '[.!?]+')))::BIGINT AS max_sents "
     "FROM documents GROUP BY lang"
 )
+
+
+# ---- percentile_rank_chars: RANK WITHOUT A SORT ---------------------------
+
+def percentile_rank_chars(sf_dir: str) -> ray.data.Dataset:
+    """Per-document rank of its length within its language (SQL
+    ``rank() OVER (PARTITION BY lang ORDER BY n_chars)``) — computed
+    with NO distributed sort: rank(x) = 1 + #(values < x), so pass 1
+    folds the corpus to the per-language value histogram (the
+    weighted_median_chars exchange, bounded by value cardinality x
+    languages), the driver turns it into sorted distinct values +
+    EXCLUSIVE prefix counts, ray.put's the arrays once, and pass 2 is a
+    pure map that binary-searches each row (sorted-numpy broadcast
+    probe, the relational.py dim pattern — never a dict in the
+    closure).  The classic window-function plan would range-partition
+    and sort every row; this plan ships each row once and the
+    histogram once, which is the right trade whenever value cardinality
+    << corpus rows (lengths, scores, star ratings...)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {"lang": pa.array([], pa.string()),
+                 "v": pa.array([], pa.int64()),
+                 "c": pa.array([], pa.int64())}
+            )
+        g = pa.table({"lang": t["lang"], "v": t["n_chars"]}).group_by(
+            ["lang", "v"]
+        ).aggregate([("v", "count")])
+        return pa.table(
+            {"lang": g["lang"], "v": g["v"],
+             "c": pc.cast(g["v_count"], pa.int64())}
+        )
+
+    hist = (
+        _docs_cols(sf_dir, ["lang", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()    # bounded: value cardinality x languages x blocks
+    )
+    empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()),
+         "lang": pa.array([], pa.string()),
+         "n_chars": pa.array([], pa.int64()),
+         "rank_in_lang": pa.array([], pa.int64())}
+    )
+    if hist.empty:
+        return ray.data.from_arrow(empty)
+    hist = hist.groupby(["lang", "v"], sort=True)["c"].sum().reset_index()
+    lut: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+    for lang, g in hist.groupby("lang", sort=True):
+        v = g["v"].to_numpy(dtype=np.int64)          # sorted distinct values
+        c = g["c"].to_numpy(dtype=np.int64)
+        prefix = np.concatenate(([0], np.cumsum(c)[:-1]))   # exclusive
+        lut[lang] = (v, prefix)
+    ref = ray.put(lut)
+
+    def rank_batch(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return empty
+        table = ray.get(ref)
+        langs = np.asarray(t["lang"].to_pylist())
+        x = t["n_chars"].to_numpy()
+        rank = np.empty(len(x), dtype=np.int64)
+        for lang in np.unique(langs):        # bounded language count
+            m = langs == lang
+            v, prefix = table[str(lang)]
+            rank[m] = prefix[np.searchsorted(v, x[m], side="left")] + 1
+        return pa.table(
+            {"doc_id": t["doc_id"], "lang": t["lang"],
+             "n_chars": t["n_chars"],
+             "rank_in_lang": pa.array(rank, pa.int64())}
+        )
+
+    return _docs_cols(sf_dir, ["doc_id", "lang", "n_chars"]).map_batches(
+        rank_batch, batch_format="pyarrow"
+    )
+
+
+ORACLES["percentile_rank_chars"] = (
+    "SELECT doc_id, lang, n_chars, "
+    "rank() OVER (PARTITION BY lang ORDER BY n_chars)::BIGINT "
+    "AS rank_in_lang FROM documents"
+)
+
+
+# ---- length_token_contingency: quartile cross-tab -------------------------
+
+def _quartile_bounds(v: np.ndarray, c: np.ndarray) -> tuple[int, int, int]:
+    """Lower-quartile boundary values from a sorted value histogram:
+    b_q = min v with 4*cum >= q*tot (the weighted_median crossing rule,
+    exact — no interpolation, so both engines agree on integers)."""
+    cm = np.cumsum(c)
+    tot = cm[-1]
+    return tuple(
+        int(v[np.searchsorted(4 * cm, q * tot, side="left")])
+        for q in (1, 2, 3)
+    )
+
+
+def length_token_contingency(sf_dir: str) -> "pa.Table":
+    """4x4 contingency table of length-quartile x token-count-quartile —
+    the independence check ("is token count just a proxy for length
+    here?") a curation pass runs before treating two quality features as
+    separate signals.  All-integer output; the chi-square scalar is one
+    driver-side formula away but floats would make the hash compare
+    order-sensitive, so the table IS the contract.
+
+    Scale shape: pass 1 folds the corpus to TWO value histograms in one
+    stream (dim-tagged (dim, v, c) partials; token counts from the same
+    RE2 kernel as token_counts), the driver derives exact quartile
+    boundaries from each histogram (weighted-median crossing rule —
+    never an ntile() whose tie behavior differs cross-engine), and
+    pass 2 buckets each row with six integer comparisons and folds to
+    4x4 partials in-batch.  Two streaming passes, an exchange bounded
+    by value cardinality, 16-row output."""
+
+    def hist2(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"dim": pa.array([], pa.int64()),
+             "v": pa.array([], pa.int64()),
+             "c": pa.array([], pa.int64())}
+        )
+        if len(t) == 0:
+            return empty
+        x = t["n_chars"].to_numpy()
+        y = pc.count_substring_regex(
+            pc.fill_null(t["text"], ""), TOKEN_RE
+        ).to_numpy().astype(np.int64)
+        xv, xc = np.unique(x, return_counts=True)
+        yv, yc = np.unique(y, return_counts=True)
+        return pa.table(
+            {"dim": pa.array(
+                np.concatenate([np.zeros(len(xv), np.int64),
+                                np.ones(len(yv), np.int64)])),
+             "v": pa.array(np.concatenate([xv, yv])),
+             "c": pa.array(np.concatenate([xc, yc]).astype(np.int64))}
+        )
+
+    hist = (
+        _docs_cols(sf_dir, ["n_chars", "text"])
+        .map_batches(hist2, batch_format="pyarrow")
+        .to_pandas()    # bounded: value cardinality x 2 dims x blocks
+    )
+    empty = pa.table(
+        {"len_q": pa.array([], pa.int64()),
+         "tok_q": pa.array([], pa.int64()),
+         "n_docs": pa.array([], pa.int64())}
+    )
+    if hist.empty:
+        return empty
+    hist = hist.groupby(["dim", "v"], sort=True)["c"].sum().reset_index()
+    hx = hist[hist["dim"] == 0]
+    hy = hist[hist["dim"] == 1]
+    bx = _quartile_bounds(hx["v"].to_numpy(np.int64), hx["c"].to_numpy(np.int64))
+    by = _quartile_bounds(hy["v"].to_numpy(np.int64), hy["c"].to_numpy(np.int64))
+
+    def bucket(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return empty
+        x = t["n_chars"].to_numpy()
+        y = pc.count_substring_regex(
+            pc.fill_null(t["text"], ""), TOKEN_RE
+        ).to_numpy().astype(np.int64)
+        lq = (x > bx[0]).astype(np.int64) + (x > bx[1]) + (x > bx[2])
+        tq = (y > by[0]).astype(np.int64) + (y > by[1]) + (y > by[2])
+        fused = lq * 4 + tq
+        cnt = np.bincount(fused, minlength=16)
+        return pa.table(
+            {"len_q": pa.array(np.arange(16, dtype=np.int64) // 4),
+             "tok_q": pa.array(np.arange(16, dtype=np.int64) % 4),
+             "n_docs": pa.array(cnt.astype(np.int64))}
+        )
+
+    parts = (
+        _docs_cols(sf_dir, ["n_chars", "text"])
+        .map_batches(bucket, batch_format="pyarrow")
+        .to_pandas()    # bounded: 16 rows x blocks
+    )
+    g = parts.groupby(["len_q", "tok_q"], sort=True)["n_docs"].sum().reset_index()
+    g = g[g["n_docs"] > 0]
+    return pa.table(
+        {"len_q": pa.array(g["len_q"].astype("int64")),
+         "tok_q": pa.array(g["tok_q"].astype("int64")),
+         "n_docs": pa.array(g["n_docs"].astype("int64"))}
+    )
+
+
+ORACLES["length_token_contingency"] = (
+    f"WITH f AS (SELECT n_chars AS x, "
+    f"len(regexp_extract_all(text, '{TOKEN_RE}'))::BIGINT AS y "
+    "FROM documents), "
+    "hx AS (SELECT x AS v, count(*)::BIGINT AS c FROM f GROUP BY 1), "
+    "cx AS (SELECT v, sum(c) OVER (ORDER BY v)::BIGINT AS cm, "
+    "sum(c) OVER ()::BIGINT AS tot FROM hx), "
+    "bx AS (SELECT min(CASE WHEN 4*cm >= 1*tot THEN v END) AS b1, "
+    "min(CASE WHEN 4*cm >= 2*tot THEN v END) AS b2, "
+    "min(CASE WHEN 4*cm >= 3*tot THEN v END) AS b3 FROM cx), "
+    "hy AS (SELECT y AS v, count(*)::BIGINT AS c FROM f GROUP BY 1), "
+    "cy AS (SELECT v, sum(c) OVER (ORDER BY v)::BIGINT AS cm, "
+    "sum(c) OVER ()::BIGINT AS tot FROM hy), "
+    "bq AS (SELECT min(CASE WHEN 4*cm >= 1*tot THEN v END) AS b1, "
+    "min(CASE WHEN 4*cm >= 2*tot THEN v END) AS b2, "
+    "min(CASE WHEN 4*cm >= 3*tot THEN v END) AS b3 FROM cy) "
+    "SELECT ((f.x > bx.b1)::INT + (f.x > bx.b2)::INT "
+    "+ (f.x > bx.b3)::INT)::BIGINT AS len_q, "
+    "((f.y > bq.b1)::INT + (f.y > bq.b2)::INT "
+    "+ (f.y > bq.b3)::INT)::BIGINT AS tok_q, "
+    "count(*)::BIGINT AS n_docs "
+    "FROM f, bx, bq GROUP BY 1, 2"
+)

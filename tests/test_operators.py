@@ -90,6 +90,7 @@ ORACLE_CHECKED = [
     "zscore_by_lang", "user_clamped_balance", "purchase_error_correlation",
     "weighted_median_chars", "sentence_stats", "value_mad_by_type",
     "longest_value_run", "copurchase_degree_hist",
+    "percentile_rank_chars", "length_token_contingency",
 ]
 
 

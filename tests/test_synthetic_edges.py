@@ -442,3 +442,54 @@ def test_copurchase_degree_hist_known_graph(ray_session, tmp_path):
         tmp_path, "lineitem", tbl,
     )
     assert dict(zip(got["degree"], got["n_parts"])) == {1: 4, 2: 2}
+
+
+def _docs_table(rows):
+    """rows: (doc_id, lang, n_chars, text)."""
+    return pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[3] for r in rows], pa.string()),
+            "lang": pa.array([r[1] for r in rows], pa.string()),
+            "source": pa.array(["syn"] * len(rows), pa.string()),
+            "n_chars": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+
+
+def test_percentile_rank_chars_ties(ray_session, tmp_path):
+    """rank() gap semantics on ties: en lengths [5,5,7] -> ranks 1,1,3
+    (not dense 1,1,2), and a singleton language ranks 1."""
+    from langfilter_ray.pipelines import text_analysis
+
+    rows = [
+        (1, "en", 5, "a"), (2, "en", 5, "b"), (3, "en", 7, "c"),
+        (4, "de", 2, "d"),
+    ]
+    got = _check_vs_oracle(
+        text_analysis.percentile_rank_chars,
+        text_analysis.ORACLES["percentile_rank_chars"],
+        tmp_path, "documents", _docs_table(rows),
+    )
+    assert dict(zip(got["doc_id"], got["rank_in_lang"])) == {
+        1: 1, 2: 1, 3: 3, 4: 1,
+    }
+
+
+def test_length_token_contingency_boundaries(ray_session, tmp_path):
+    """Uniform 1..8 on both features (token count = number of words in
+    text): boundaries land at 2/4/6 via the 4*cum >= q*tot crossing and
+    boundary VALUES fall in the LOWER bucket; perfectly correlated
+    features give the pure diagonal."""
+    from langfilter_ray.pipelines import text_analysis
+
+    rows = [
+        (i, "en", i, " ".join(["w"] * i)) for i in range(1, 9)
+    ]
+    got = _check_vs_oracle(
+        text_analysis.length_token_contingency,
+        text_analysis.ORACLES["length_token_contingency"],
+        tmp_path, "documents", _docs_table(rows),
+    )
+    cells = {(r["len_q"], r["tok_q"]): r["n_docs"] for _, r in got.iterrows()}
+    assert cells == {(0, 0): 2, (1, 1): 2, (2, 2): 2, (3, 3): 2}
