@@ -225,6 +225,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchase_degree_hist": relational.copurchase_degree_hist,
         "percentile_rank_chars": text_analysis.percentile_rank_chars,
         "length_token_contingency": text_analysis.length_token_contingency,
+        "monthly_price_quartiles": relational.monthly_price_quartiles,
+        "sources_per_lang": text_analysis.sources_per_lang,
         # rows-only (iterative driver-state op like kmeans_fit)
         "bpe_train": text_analysis.bpe_train,
         "bpe_encode": text_analysis.bpe_encode,

@@ -4697,3 +4697,86 @@ ORACLES["copurchase_degree_hist"] = (
     "GROUP BY part) "
     "SELECT degree, count(*)::BIGINT AS n_parts FROM deg GROUP BY degree"
 )
+
+
+def monthly_price_quartiles(sf_dir: str) -> pa.Table:
+    """Per-month exact price quartiles at DOLLAR resolution — the
+    per-group exact-quantile shape whose exchange is bounded by the
+    VALUE DOMAIN, not row count (contrast median_value_per_type's
+    in-group sort, which holds a whole group in one worker): each batch
+    folds to (month, floor(price), count) rows, months x price-domain
+    partials reach the driver, and each month's quartiles come from the
+    4*cum >= q*tot crossing rule (the weighted_median discipline —
+    never a cross-engine quantile interpolation).  Dollar flooring is
+    the documented resolution contract that keeps the histogram bounded
+    at any corpus size; float floor of a double is exact on both
+    engines."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {"m": pa.array([], pa.int64()),
+                 "v": pa.array([], pa.int64()),
+                 "c": pa.array([], pa.int64())}
+            )
+        m = (
+            pc.multiply(pc.cast(pc.year(t["o_orderdate"]), pa.int64()), 100)
+        )
+        m = pc.add(m, pc.cast(pc.month(t["o_orderdate"]), pa.int64()))
+        v = pc.cast(pc.floor(t["o_totalprice"]), pa.int64())
+        g = pa.table({"m": m, "v": v}).group_by(["m", "v"]).aggregate(
+            [("v", "count")]
+        )
+        return pa.table(
+            {"m": g["m"], "v": g["v"],
+             "c": pc.cast(g["v_count"], pa.int64())}
+        )
+
+    hist = (
+        _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()    # bounded: months x dollar domain x blocks
+    )
+    empty = pa.table(
+        {"month": pa.array([], pa.int64()),
+         "q1_dollars": pa.array([], pa.int64()),
+         "q2_dollars": pa.array([], pa.int64()),
+         "q3_dollars": pa.array([], pa.int64()),
+         "n_orders": pa.array([], pa.int64())}
+    )
+    if hist.empty:
+        return empty
+    hist = hist.groupby(["m", "v"], sort=True)["c"].sum().reset_index()
+    months, q1s, q2s, q3s, ns = [], [], [], [], []
+    for m, g in hist.groupby("m", sort=True):
+        v = g["v"].to_numpy(np.int64)
+        c = g["c"].to_numpy(np.int64)
+        cm = np.cumsum(c)
+        tot = int(cm[-1])
+        qs = [int(v[np.searchsorted(4 * cm, q * tot, side="left")])
+              for q in (1, 2, 3)]
+        months.append(int(m))
+        q1s.append(qs[0]); q2s.append(qs[1]); q3s.append(qs[2])
+        ns.append(tot)
+    return pa.table(
+        {"month": pa.array(months, pa.int64()),
+         "q1_dollars": pa.array(q1s, pa.int64()),
+         "q2_dollars": pa.array(q2s, pa.int64()),
+         "q3_dollars": pa.array(q3s, pa.int64()),
+         "n_orders": pa.array(ns, pa.int64())}
+    )
+
+
+ORACLES["monthly_price_quartiles"] = (
+    "WITH f AS (SELECT (year(o_orderdate)*100 + month(o_orderdate))::BIGINT "
+    "AS month, floor(o_totalprice)::BIGINT AS v FROM orders), "
+    "h AS (SELECT month, v, count(*)::BIGINT AS c FROM f GROUP BY 1, 2), "
+    "c AS (SELECT month, v, "
+    "sum(c) OVER (PARTITION BY month ORDER BY v)::BIGINT AS cm, "
+    "sum(c) OVER (PARTITION BY month)::BIGINT AS tot FROM h) "
+    "SELECT month, "
+    "min(CASE WHEN 4*cm >= tot THEN v END)::BIGINT AS q1_dollars, "
+    "min(CASE WHEN 4*cm >= 2*tot THEN v END)::BIGINT AS q2_dollars, "
+    "min(CASE WHEN 4*cm >= 3*tot THEN v END)::BIGINT AS q3_dollars, "
+    "max(tot)::BIGINT AS n_orders FROM c GROUP BY month"
+)

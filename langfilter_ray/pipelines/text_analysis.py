@@ -3413,3 +3413,58 @@ ORACLES["length_token_contingency"] = (
     "count(*)::BIGINT AS n_docs "
     "FROM f, bx, bq GROUP BY 1, 2"
 )
+
+
+# ---- sources_per_lang: deterministic list aggregation ----------------------
+
+def sources_per_lang(sf_dir: str) -> "pa.Table":
+    """Per-language roster of distinct sources as ONE deterministic
+    sorted CSV string (the collect-list aggregate; a string, not a list
+    column, so the cross-engine comparison is order-proof by
+    construction — DuckDB's ``string_agg(... ORDER BY ...)`` pins the
+    same order).  Scale shape: per-batch pyarrow distinct on
+    (lang, source) — the only exchange is the distinct PAIR set, bounded
+    by languages x sources regardless of corpus rows — then a driver
+    fold builds the strings."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {"lang": pa.array([], pa.string()),
+                 "source": pa.array([], pa.string())}
+            )
+        return pa.table({"lang": t["lang"], "source": t["source"]}).group_by(
+            ["lang", "source"]
+        ).aggregate([])
+
+    pairs = (
+        _docs_cols(sf_dir, ["lang", "source"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()    # bounded: languages x sources x blocks
+    )
+    empty = pa.table(
+        {"lang": pa.array([], pa.string()),
+         "n_sources": pa.array([], pa.int64()),
+         "sources_csv": pa.array([], pa.string())}
+    )
+    if pairs.empty:
+        return empty
+    pairs = pairs.drop_duplicates().sort_values(["lang", "source"])
+    langs, counts, csvs = [], [], []
+    for lang, g in pairs.groupby("lang", sort=True):
+        langs.append(lang)
+        counts.append(len(g))
+        csvs.append(",".join(g["source"].tolist()))
+    return pa.table(
+        {"lang": pa.array(langs, pa.string()),
+         "n_sources": pa.array(counts, pa.int64()),
+         "sources_csv": pa.array(csvs, pa.string())}
+    )
+
+
+ORACLES["sources_per_lang"] = (
+    "WITH d AS (SELECT DISTINCT lang, source FROM documents) "
+    "SELECT lang, count(*)::BIGINT AS n_sources, "
+    "string_agg(source, ',' ORDER BY source) AS sources_csv "
+    "FROM d GROUP BY lang"
+)

@@ -91,6 +91,7 @@ ORACLE_CHECKED = [
     "weighted_median_chars", "sentence_stats", "value_mad_by_type",
     "longest_value_run", "copurchase_degree_hist",
     "percentile_rank_chars", "length_token_contingency",
+    "monthly_price_quartiles", "sources_per_lang",
 ]
 
 

@@ -493,3 +493,35 @@ def test_length_token_contingency_boundaries(ray_session, tmp_path):
     )
     cells = {(r["len_q"], r["tok_q"]): r["n_docs"] for _, r in got.iterrows()}
     assert cells == {(0, 0): 2, (1, 1): 2, (2, 2): 2, (3, 3): 2}
+
+
+def test_monthly_price_quartiles_crossing(ray_session, tmp_path):
+    """Crossing-rule quartiles on a hand histogram: month A prices
+    1..4 dollars (q1=1, q2=2, q3=3), month B a skewed pile
+    [10,10,10,99] (q1=q2=q3=10); fractional prices floor to dollars."""
+    from langfilter_ray.pipelines import relational
+
+    a = np.datetime64("2024-01-15T00:00:00", "us")
+    b = np.datetime64("2024-02-15T00:00:00", "us")
+    prices = [1.9, 2.0, 3.5, 4.0] + [10.0, 10.7, 10.2, 99.9]
+    dates = [a] * 4 + [b] * 4
+    tbl = pa.table(
+        {
+            "o_orderkey": pa.array(range(8), pa.int64()),
+            "o_custkey": pa.array([1] * 8, pa.int64()),
+            "o_orderstatus": pa.array(["O"] * 8),
+            "o_totalprice": pa.array(prices, pa.float64()),
+            "o_orderdate": pa.array(dates, pa.timestamp("us")),
+            "o_orderpriority": pa.array(["1-URGENT"] * 8),
+        }
+    )
+    got = _check_vs_oracle(
+        relational.monthly_price_quartiles,
+        relational.ORACLES["monthly_price_quartiles"],
+        tmp_path, "orders", tbl,
+    )
+    rows = {
+        r["month"]: (r["q1_dollars"], r["q2_dollars"], r["q3_dollars"])
+        for _, r in got.iterrows()
+    }
+    assert rows == {202401: (1, 2, 3), 202402: (10, 10, 10)}
