@@ -227,6 +227,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_token_contingency": text_analysis.length_token_contingency,
         "monthly_price_quartiles": relational.monthly_price_quartiles,
         "sources_per_lang": text_analysis.sources_per_lang,
+        "users_view_no_purchase": windows.users_view_no_purchase,
+        "event_type_cooccurrence": windows.event_type_cooccurrence,
         # rows-only (iterative driver-state op like kmeans_fit)
         "bpe_train": text_analysis.bpe_train,
         "bpe_encode": text_analysis.bpe_encode,

@@ -2496,3 +2496,181 @@ ORACLES["longest_value_run"] = (
     "FROM (SELECT DISTINCT user_id FROM events) u "
     "LEFT JOIN runs r USING (user_id) GROUP BY u.user_id"
 )
+
+
+# ---- per-user event-type set ops: EXCEPT + co-occurrence census ------------
+
+def _user_type_masks(sf_dir: str):
+    """Fold the events stream to one BITMASK per user (bit i = user has
+    event type i, types factorized in sorted order — a BOUNDED alphabet,
+    5 in the testdata): per-batch distinct (user, type) pairs, then the
+    user-hash partition exchange and an in-partition OR-fold
+    (np.bitwise_or.reduceat over user segments).  Returns (sorted type
+    list, Dataset of (user_id, mask)).  The exchange carries at most
+    one row per (user, type) pair — corpus row count never crosses."""
+    types = sorted(
+        t
+        for t in _events(sf_dir, ["event_type"])
+        .unique("event_type")
+        if t is not None
+    )
+    type_arr = np.asarray(types)          # sorted; codes via searchsorted
+    parts = _window_parts(sf_dir)
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"user_id": pa.array([], pa.int64()),
+             "bit": pa.array([], pa.int64()),
+             "part": pa.array([], pa.int64())}
+        )
+        if len(t) == 0:
+            return empty
+        g = pa.table(
+            {"user_id": t["user_id"], "event_type": t["event_type"]}
+        ).group_by(["user_id", "event_type"]).aggregate([])
+        uid = g["user_id"].to_numpy()
+        codes = np.searchsorted(
+            type_arr, np.asarray(g["event_type"].to_pylist())
+        )
+        bit = (np.int64(1) << codes.astype(np.int64)).astype(np.int64)
+        h = uid.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        part = ((h >> np.uint64(33)) % np.uint64(parts)).astype(np.int64)
+        return pa.table(
+            {"user_id": pa.array(uid, pa.int64()),
+             "bit": pa.array(bit, pa.int64()),
+             "part": pa.array(part, pa.int64())}
+        )
+
+    def or_fold(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame(
+                {"user_id": pd.array([], dtype="int64"),
+                 "mask": pd.array([], dtype="int64")}
+            )
+        g = g.sort_values("user_id").reset_index(drop=True)
+        uid = g["user_id"].to_numpy()
+        new_u = np.empty(len(g), dtype=bool)
+        new_u[0] = True
+        new_u[1:] = uid[1:] != uid[:-1]
+        starts = np.flatnonzero(new_u)
+        masks = np.bitwise_or.reduceat(g["bit"].to_numpy(), starts)
+        return pd.DataFrame(
+            {"user_id": uid[starts], "mask": masks.astype("int64")}
+        )
+
+    ds = _events(sf_dir, ["user_id", "event_type"]).map_batches(
+        pair_partial, batch_format="pyarrow"
+    )
+    return types, _partition_map(ds, parts, or_fold)
+
+
+def users_view_no_purchase(sf_dir: str) -> pa.Table:
+    """Distributed EXCEPT: how many users viewed but never purchased —
+    the semi-join-difference that plain groupby().aggregate() cannot
+    express without two distinct passes.  One pass over the per-user
+    bitmask fold, then a scalar count of (mask & view) & ~purchase; the
+    only exchange is the distinct (user, type) pair set."""
+    types, masks = _user_type_masks(sf_dir)
+    if "view" not in types:    # no viewers at all (synthetic corpora)
+        return pa.table({"n_users": pa.array([0], pa.int64())})
+    view_bit = np.int64(1) << types.index("view")
+    # absent purchase type = nothing to subtract (EXCEPT an empty set)
+    buy_bit = (
+        np.int64(1) << types.index("purchase")
+        if "purchase" in types
+        else np.int64(0)
+    )
+
+    def count_batch(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"n": pa.array([], pa.int64())})
+        m = t["mask"].to_numpy()
+        has_view = (m & view_bit) > 0
+        has_buy = (m & buy_bit) > 0    # all-False when type is absent
+        n = int(has_view.sum() - (has_view & has_buy).sum())
+        return pa.table({"n": pa.array([n], pa.int64())})
+
+    parts = [
+        t
+        for t in ray.get(
+            masks.map_batches(count_batch, batch_format="pyarrow").to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    total = sum(int(x) for p in parts for x in p["n"].to_pylist())
+    return pa.table({"n_users": pa.array([total], pa.int64())})
+
+
+ORACLES["users_view_no_purchase"] = (
+    "SELECT count(*)::BIGINT AS n_users FROM ("
+    "SELECT DISTINCT user_id FROM events WHERE event_type = 'view' "
+    "EXCEPT "
+    "SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')"
+)
+
+
+def event_type_cooccurrence(sf_dir: str) -> pa.Table:
+    """Event-type CO-OCCURRENCE census: for every unordered type pair,
+    how many users did BOTH — the integer numerator of pairwise lift /
+    association mining over a bounded alphabet.  Each partition of the
+    bitmask fold emits one k*(k-1)/2-row partial (vectorized bit tests
+    over its users), so the driver folds pairs x partitions rows; no
+    per-user data ever leaves the partitions."""
+    types, masks = _user_type_masks(sf_dir)
+    k = len(types)
+    pair_a, pair_b = map(
+        np.asarray, zip(*[(i, j) for i in range(k) for j in range(i + 1, k)])
+    )
+
+    def pair_counts(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"ia": pa.array([], pa.int64()),
+             "ib": pa.array([], pa.int64()),
+             "c": pa.array([], pa.int64())}
+        )
+        if len(t) == 0:
+            return empty
+        m = t["mask"].to_numpy()
+        both = (
+            (m[:, None] & (np.int64(1) << pair_a)[None, :]) > 0
+        ) & ((m[:, None] & (np.int64(1) << pair_b)[None, :]) > 0)
+        return pa.table(
+            {"ia": pa.array(pair_a.astype(np.int64)),
+             "ib": pa.array(pair_b.astype(np.int64)),
+             "c": pa.array(both.sum(axis=0).astype(np.int64))}
+        )
+
+    parts = [
+        t
+        for t in ray.get(
+            masks.map_batches(pair_counts, batch_format="pyarrow").to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    empty = pa.table(
+        {"type_a": pa.array([], pa.string()),
+         "type_b": pa.array([], pa.string()),
+         "n_users": pa.array([], pa.int64())}
+    )
+    if not parts:
+        return empty
+    t = pa.concat_tables(parts)
+    fused = t["ia"].to_numpy() * k + t["ib"].to_numpy()
+    u, inv = np.unique(fused, return_inverse=True)
+    c = np.bincount(inv, weights=t["c"].to_numpy()).astype(np.int64)
+    keep = c > 0
+    u, c = u[keep], c[keep]
+    return pa.table(
+        {"type_a": pa.array([types[int(f) // k] for f in u], pa.string()),
+         "type_b": pa.array([types[int(f) % k] for f in u], pa.string()),
+         "n_users": pa.array(c, pa.int64())}
+    )
+
+
+ORACLES["event_type_cooccurrence"] = (
+    "WITH d AS (SELECT DISTINCT user_id, event_type FROM events) "
+    "SELECT a.event_type AS type_a, b.event_type AS type_b, "
+    "count(*)::BIGINT AS n_users FROM d a JOIN d b "
+    "ON a.user_id = b.user_id AND a.event_type < b.event_type "
+    "GROUP BY 1, 2"
+)

@@ -92,6 +92,7 @@ ORACLE_CHECKED = [
     "longest_value_run", "copurchase_degree_hist",
     "percentile_rank_chars", "length_token_contingency",
     "monthly_price_quartiles", "sources_per_lang",
+    "users_view_no_purchase", "event_type_cooccurrence",
 ]
 
 

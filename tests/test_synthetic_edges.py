@@ -525,3 +525,45 @@ def test_monthly_price_quartiles_crossing(ray_session, tmp_path):
         for _, r in got.iterrows()
     }
     assert rows == {202401: (1, 2, 3), 202402: (10, 10, 10)}
+
+
+def test_bitmask_set_ops_semantics(ray_session, tmp_path):
+    """Hand users: 1 view+purchase, 2 view only, 3 purchase only,
+    4 error only -> EXCEPT count 1; co-occurrence counts from the same
+    mask fold match the distinct-pair self-join oracle."""
+    from langfilter_ray.pipelines import windows
+
+    rows = [
+        (1, 1, 0, "view", 1.0), (2, 1, 1, "purchase", 1.0),
+        (3, 2, 0, "view", 1.0), (4, 2, 1, "view", 1.0),  # dup type rows
+        (5, 3, 0, "purchase", 1.0),
+        (6, 4, 0, "error", 1.0),
+    ]
+    tbl = _events_table(rows)
+    got = _check_vs_oracle(
+        windows.users_view_no_purchase,
+        windows.ORACLES["users_view_no_purchase"],
+        tmp_path, "events", tbl,
+    )
+    assert got["n_users"].tolist() == [1]
+    got2 = _check_vs_oracle(
+        windows.event_type_cooccurrence,
+        windows.ORACLES["event_type_cooccurrence"],
+        tmp_path, "events", tbl,
+    )
+    cells = {(r["type_a"], r["type_b"]): r["n_users"] for _, r in got2.iterrows()}
+    assert cells == {("purchase", "view"): 1}
+
+
+def test_users_view_no_purchase_absent_type(ray_session, tmp_path):
+    """Corpus with no purchase events at all: EXCEPT of an empty set
+    keeps every viewer (and a no-view corpus yields 0)."""
+    from langfilter_ray.pipelines import windows
+
+    rows = [(1, 1, 0, "view", 1.0), (2, 2, 0, "error", 1.0)]
+    got = _check_vs_oracle(
+        windows.users_view_no_purchase,
+        windows.ORACLES["users_view_no_purchase"],
+        tmp_path, "events", _events_table(rows),
+    )
+    assert got["n_users"].tolist() == [1]
