@@ -2674,3 +2674,73 @@ ORACLES["event_type_cooccurrence"] = (
     "ON a.user_id = b.user_id AND a.event_type < b.event_type "
     "GROUP BY 1, 2"
 )
+
+
+def above_avg_orders(sf_dir: str) -> ray.data.Dataset:
+    """Orders above their OWN customer's average — the canonical
+    correlated scalar subquery, decorrelated: the predicate
+    ``price > avg`` is evaluated as ``cents * n > sum_cents`` (exact
+    integers, no float average to diverge cross-engine), and both the
+    per-customer moments and the per-row comparison happen inside ONE
+    customer-hash partition exchange (segmented reduceat for sums and
+    counts, then a vectorized per-row test) — no second pass, no join:
+    the decorrelation is free because the backbone already co-locates
+    each customer.  Customers whose every order is at/below their
+    average emit nothing (inner-join decorrelation semantics)."""
+    import pyarrow.parquet as pq
+
+    n = pq.read_metadata(f"{sf_dir}/orders.parquet").num_rows
+    parts = max(_MIN_WINDOW_PARTS, n // _ROWS_PER_WINDOW_PART)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        h = t["o_custkey"].to_numpy().astype(np.uint64) * np.uint64(
+            0x9E3779B97F4A7C15
+        )
+        part = ((h >> np.uint64(33)) % np.uint64(parts)).astype(np.int64)
+        return _strip_meta(t).append_column("part", pa.array(part, pa.int64()))
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame(
+                {"o_custkey": pd.array([], dtype="int64"),
+                 "n_above": pd.array([], dtype="int64")}
+            )
+        g = g.sort_values("o_custkey").reset_index(drop=True)
+        ck = g["o_custkey"].to_numpy()
+        new_c = np.empty(len(g), dtype=bool)
+        new_c[0] = True
+        new_c[1:] = ck[1:] != ck[:-1]
+        starts = np.flatnonzero(new_c)
+        cents = np.floor(
+            g["o_totalprice"].to_numpy() * 100 + 0.5
+        ).astype(np.int64)
+        seg_sum = np.add.reduceat(cents, starts)
+        seg_n = np.diff(np.append(starts, len(g)))
+        seg_id = np.cumsum(new_c) - 1
+        above = cents * seg_n[seg_id] > seg_sum[seg_id]
+        n_above = np.add.reduceat(above.astype(np.int64), starts)
+        keep = n_above > 0
+        return pd.DataFrame(
+            {"o_custkey": ck[starts][keep],
+             "n_above": n_above[keep].astype("int64")}
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_totalprice"],
+        schema=_clean_schema(
+            f"{sf_dir}/orders.parquet", ["o_custkey", "o_totalprice"]
+        ),
+    ).map_batches(add_part, batch_format="pyarrow")
+    return _partition_map(ds, parts, per_partition)
+
+
+ORACLES["above_avg_orders"] = (
+    "WITH a AS (SELECT o_custkey, "
+    "sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT))::BIGINT AS s, "
+    "count(*)::BIGINT AS n FROM orders GROUP BY 1) "
+    "SELECT o.o_custkey, count(*)::BIGINT AS n_above "
+    "FROM orders o JOIN a USING (o_custkey) "
+    "WHERE CAST(floor(o.o_totalprice*100 + 0.5) AS BIGINT) * a.n > a.s "
+    "GROUP BY 1"
+)
