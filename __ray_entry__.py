@@ -230,6 +230,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "users_view_no_purchase": windows.users_view_no_purchase,
         "event_type_cooccurrence": windows.event_type_cooccurrence,
         "above_avg_orders": windows.above_avg_orders,
+        "purchase_attribution": windows.purchase_attribution,
         # rows-only (iterative driver-state op like kmeans_fit)
         "bpe_train": text_analysis.bpe_train,
         "bpe_encode": text_analysis.bpe_encode,

@@ -41,6 +41,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 # callback-count / partition-size knobs for the per-user operators: the
@@ -2743,4 +2744,87 @@ ORACLES["above_avg_orders"] = (
     "FROM orders o JOIN a USING (o_custkey) "
     "WHERE CAST(floor(o.o_totalprice*100 + 0.5) AS BIGINT) * a.n > a.s "
     "GROUP BY 1"
+)
+
+
+_ATTRIBUTION_WINDOW_US = 86_400_000_000  # 24h lookback
+
+
+def purchase_attribution(sf_dir: str) -> ray.data.Dataset:
+    """Last-touch attribution with a BOUNDED lookback: for every
+    purchase, the event_id of the user's most recent click within the
+    preceding 24 h, else -1 — the as-of join family (asof_last_login)
+    plus the tolerance bound real attribution needs, with "most recent"
+    defined over the (ts, event_id) SEQUENCE order (the
+    user_session_stats discipline) so same-timestamp ties are
+    deterministic on both engines.
+
+    In-partition resolution is the shifted running-argmax trick: over
+    the user-sorted rows, acc = np.maximum.accumulate(click ? pos : -1)
+    gives the latest click AT or before each row, the one-row shift
+    makes it STRICTLY before in sequence, and a row is valid only if
+    that index lands inside the row's own user segment — three
+    vectorized arrays, no per-row Python, -1 sentinel on both sides
+    (nullable-int hash rule)."""
+    parts = _window_parts(sf_dir)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        # only clicks and purchases cross the exchange (sequence-order
+        # attribution is invariant to dropping the other types)
+        t = t.filter(
+            pc.is_in(t["event_type"], value_set=pa.array(["click", "purchase"]))
+        )
+        h = t["user_id"].to_numpy().astype(np.uint64) * np.uint64(
+            0x9E3779B97F4A7C15
+        )
+        part = ((h >> np.uint64(33)) % np.uint64(parts)).astype(np.int64)
+        return _strip_meta(t).append_column("part", pa.array(part, pa.int64()))
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame(
+                {"event_id": pd.array([], dtype="int64"),
+                 "click_event_id": pd.array([], dtype="int64")}
+            )
+        g, starts, ends = _user_segments(g)
+        us = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        eid = g["event_id"].to_numpy()
+        etype = g["event_type"].to_numpy()
+        pos = np.arange(len(g), dtype=np.int64)
+        is_click = etype == "click"
+        acc = np.maximum.accumulate(np.where(is_click, pos, -1))
+        prev = np.concatenate(([-1], acc[:-1]))       # strictly before
+        seg_id = np.zeros(len(g), dtype=np.int64)
+        seg_id[starts] = 1
+        seg_id = np.cumsum(seg_id) - 1
+        seg_start = starts[seg_id]
+        is_buy = etype == "purchase"
+        lc = prev[is_buy]
+        valid = lc >= seg_start[is_buy]
+        safe = np.where(valid, lc, 0)
+        in_window = valid & (us[is_buy] - us[safe] <= _ATTRIBUTION_WINDOW_US)
+        out = np.where(in_window, eid[safe], -1).astype(np.int64)
+        return pd.DataFrame(
+            {"event_id": eid[is_buy], "click_event_id": out}
+        )
+
+    ds = _events(
+        sf_dir, ["user_id", "ts", "event_id", "event_type"]
+    ).map_batches(add_part, batch_format="pyarrow")
+    return _partition_map(ds, parts, per_partition)
+
+
+ORACLES["purchase_attribution"] = (
+    "WITH e AS (SELECT event_id, user_id, ts, event_type, "
+    "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn "
+    "FROM events WHERE event_type IN ('click', 'purchase')), "
+    "p AS (SELECT user_id, event_id, ts, event_type, "
+    "max(CASE WHEN event_type = 'click' THEN rn END) OVER "
+    "(PARTITION BY user_id ORDER BY rn "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lcrn FROM e) "
+    "SELECT p.event_id, coalesce(CASE WHEN "
+    "epoch_us(p.ts) - epoch_us(c.ts) <= 86400000000 "
+    "THEN c.event_id END, -1)::BIGINT AS click_event_id "
+    "FROM p LEFT JOIN e c ON c.user_id = p.user_id AND c.rn = p.lcrn "
+    "WHERE p.event_type = 'purchase'"
 )

@@ -567,3 +567,35 @@ def test_users_view_no_purchase_absent_type(ray_session, tmp_path):
         tmp_path, "events", _events_table(rows),
     )
     assert got["n_users"].tolist() == [1]
+
+
+def test_purchase_attribution_window_and_ties(ray_session, tmp_path):
+    """Boundary exactly 24h counts; 24h+1us does not; a click at the
+    purchase's own ts attributes only when its event_id is SMALLER
+    (sequence order); clicks never leak across users."""
+    from langfilter_ray.pipelines import windows
+
+    DAY = 86_400_000_000
+    rows = [
+        # user 1: click exactly 24h before purchase -> attributed
+        (1, 1, 0, "click", 1.0), (2, 1, DAY, "purchase", 1.0),
+        # user 2: click 24h + 1us before -> -1
+        (3, 2, 0, "click", 1.0), (4, 2, DAY + 1, "purchase", 1.0),
+        # user 3: same-ts click with smaller event_id -> attributed
+        (5, 3, 0, "click", 1.0), (6, 3, 0, "purchase", 1.0),
+        # user 4: same-ts click with LARGER event_id -> not before -> -1
+        (8, 4, 0, "purchase", 1.0), (9, 4, 0, "click", 1.0),
+        # user 5: no click at all; user 6's click must not leak in
+        (10, 5, 50, "purchase", 1.0), (11, 6, 40, "click", 1.0),
+        # user 7: two clicks, latest wins; intervening view ignored
+        (12, 7, 0, "click", 1.0), (13, 7, 10, "view", 1.0),
+        (14, 7, 20, "click", 1.0), (15, 7, 30, "purchase", 1.0),
+    ]
+    got = _check_vs_oracle(
+        windows.purchase_attribution,
+        windows.ORACLES["purchase_attribution"],
+        tmp_path, "events", _events_table(rows),
+    )
+    assert dict(zip(got["event_id"], got["click_event_id"])) == {
+        2: 1, 4: -1, 6: 5, 8: -1, 10: -1, 15: 14,
+    }
