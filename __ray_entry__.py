@@ -231,6 +231,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_cooccurrence": windows.event_type_cooccurrence,
         "above_avg_orders": windows.above_avg_orders,
         "purchase_attribution": windows.purchase_attribution,
+        "ship_lag_hist": relational.ship_lag_hist,
         # rows-only (iterative driver-state op like kmeans_fit)
         "bpe_train": text_analysis.bpe_train,
         "bpe_encode": text_analysis.bpe_encode,

@@ -4780,3 +4780,113 @@ ORACLES["monthly_price_quartiles"] = (
     "min(CASE WHEN 4*cm >= 3*tot THEN v END)::BIGINT AS q3_dollars, "
     "max(tot)::BIGINT AS n_orders FROM c GROUP BY month"
 )
+
+
+US_DAY = 86_400_000_000
+
+
+def ship_lag_hist(sf_dir: str) -> pa.Table:
+    """Histogram of order fulfillment lag (days from order date to the
+    LAST line shipment) — the fact-to-fact per-key max + join + bounded
+    rollup: per-batch pyarrow max per orderkey (the map-side combiner
+    Ray's groupby lacks), a bucket-partitioned exact max over the
+    mostly-unique key stream (the copurchase_pairs reduce — never a
+    sort-based groupby on ~1-row-per-key data), ONE volume-sized hash
+    join against orders, then per-batch lag-day partials whose exchange
+    is bounded by the lag DOMAIN (days), not rows."""
+    n_li = _dim_num_rows(sf_dir, "lineitem")
+    n_buckets = max(32, n_li // 1_000_000)
+
+    def max_partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"l_orderkey": pa.array([], pa.int64()),
+             "ship_us": pa.array([], pa.int64()),
+             "bk": pa.array([], pa.int64())}
+        )
+        if len(t) == 0:
+            return empty
+        src = pa.table(
+            {"l_orderkey": t["l_orderkey"],
+             "ship_us": pc.cast(t["l_shipdate"], pa.int64())}
+        )
+        g = src.group_by(["l_orderkey"]).aggregate([("ship_us", "max")])
+        ok = g["l_orderkey"].to_numpy()
+        h = ok.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        bk = ((h >> np.uint64(33)) % np.uint64(n_buckets)).astype(np.int64)
+        return pa.table(
+            {"l_orderkey": g["l_orderkey"],
+             "ship_us": pc.cast(g["ship_us_max"], pa.int64()),
+             "bk": pa.array(bk, pa.int64())}
+        )
+
+    def bucket_max(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame(
+                {"l_orderkey": pd.array([], dtype="int64"),
+                 "ship_us": pd.array([], dtype="int64")}
+            )
+        g = g.sort_values("l_orderkey").reset_index(drop=True)
+        ok = g["l_orderkey"].to_numpy()
+        new_k = np.empty(len(g), dtype=bool)
+        new_k[0] = True
+        new_k[1:] = ok[1:] != ok[:-1]
+        starts = np.flatnonzero(new_k)
+        mx = np.maximum.reduceat(g["ship_us"].to_numpy(), starts)
+        return pd.DataFrame(
+            {"l_orderkey": ok[starts], "ship_us": mx.astype("int64")}
+        )
+
+    per_order = (
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+        .map_batches(max_partial, batch_format="pyarrow")
+        .groupby("bk")
+        .map_groups(bucket_max, batch_format="pandas")
+    )
+    n_o = _dim_num_rows(sf_dir, "orders")
+    joined = per_order.join(
+        _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"]),
+        join_type="inner",
+        num_partitions=_volume_join_parts(n_o),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def lag_partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {"lag_days": pa.array([], pa.int64()),
+                 "n_orders": pa.array([], pa.int64())}
+            )
+        od = pc.cast(t["o_orderdate"], pa.int64()).to_numpy()
+        lag = (t["ship_us"].to_numpy() - od) // US_DAY
+        u, c = np.unique(lag, return_counts=True)
+        return pa.table(
+            {"lag_days": pa.array(u.astype(np.int64)),
+             "n_orders": pa.array(c.astype(np.int64))}
+        )
+
+    parts = (
+        joined.map_batches(lag_partial, batch_format="pyarrow").to_pandas()
+    )  # bounded: lag-day domain x blocks
+    empty = pa.table(
+        {"lag_days": pa.array([], pa.int64()),
+         "n_orders": pa.array([], pa.int64())}
+    )
+    if parts.empty:
+        return empty
+    g = parts.groupby("lag_days", sort=True)["n_orders"].sum().reset_index()
+    return pa.table(
+        {"lag_days": pa.array(g["lag_days"].astype("int64")),
+         "n_orders": pa.array(g["n_orders"].astype("int64"))}
+    )
+
+
+ORACLES["ship_lag_hist"] = (
+    "WITH m AS (SELECT l_orderkey, max(l_shipdate) AS ms FROM lineitem "
+    "GROUP BY 1), "
+    "l AS (SELECT (epoch_us(m.ms) - epoch_us(o.o_orderdate)) "
+    "// 86400000000 AS lag_days FROM m JOIN orders o "
+    "ON m.l_orderkey = o.o_orderkey) "
+    "SELECT lag_days::BIGINT AS lag_days, count(*)::BIGINT AS n_orders "
+    "FROM l GROUP BY 1"
+)

@@ -93,7 +93,7 @@ ORACLE_CHECKED = [
     "percentile_rank_chars", "length_token_contingency",
     "monthly_price_quartiles", "sources_per_lang",
     "users_view_no_purchase", "event_type_cooccurrence",
-    "above_avg_orders", "purchase_attribution",
+    "above_avg_orders", "purchase_attribution", "ship_lag_hist",
 ]
 
 
