@@ -232,6 +232,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "above_avg_orders": windows.above_avg_orders,
         "purchase_attribution": windows.purchase_attribution,
         "ship_lag_hist": relational.ship_lag_hist,
+        "event_trigrams": windows.event_trigrams,
+        "hourly_last_purchase_value": windows.hourly_last_purchase_value,
         # rows-only (iterative driver-state op like kmeans_fit)
         "bpe_train": text_analysis.bpe_train,
         "bpe_encode": text_analysis.bpe_encode,

@@ -2828,3 +2828,171 @@ ORACLES["purchase_attribution"] = (
     "FROM p LEFT JOIN e c ON c.user_id = p.user_id AND c.rn = p.lcrn "
     "WHERE p.event_type = 'purchase'"
 )
+
+
+def event_trigrams(sf_dir: str) -> pa.Table:
+    """Per-user event-type TRIGRAM census (how often each 3-step
+    behavior sequence occurs, sequence order by (ts, event_id)) — path
+    mining, the n-gram operator over event streams rather than text.
+    In-partition: two array shifts + a same-segment mask give every
+    consecutive triple, local np.unique over fused local type codes
+    counts them, and the driver folds alphabet³ x partitions rows —
+    the exchange is bounded by the type-alphabet cube, never event
+    rows."""
+    parts = _window_parts(sf_dir)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        h = t["user_id"].to_numpy().astype(np.uint64) * np.uint64(
+            0x9E3779B97F4A7C15
+        )
+        part = ((h >> np.uint64(33)) % np.uint64(parts)).astype(np.int64)
+        return _strip_meta(t).append_column("part", pa.array(part, pa.int64()))
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"t1": pd.array([], dtype="object"),
+             "t2": pd.array([], dtype="object"),
+             "t3": pd.array([], dtype="object"),
+             "n": pd.array([], dtype="int64")}
+        )
+        if len(g) < 3:
+            return empty
+        g, starts, ends = _user_segments(g)
+        types, codes = np.unique(g["event_type"].to_numpy(), return_inverse=True)
+        k = len(types)
+        seg_id = np.zeros(len(g), dtype=np.int64)
+        seg_id[starts] = 1
+        seg_id = np.cumsum(seg_id) - 1
+        a, b, c = codes[:-2], codes[1:-1], codes[2:]
+        same = seg_id[:-2] == seg_id[2:]
+        if not same.any():
+            return empty
+        fused = (a[same] * k + b[same]) * k + c[same]
+        u, cnt = np.unique(fused, return_counts=True)
+        return pd.DataFrame(
+            {"t1": types[u // (k * k)],
+             "t2": types[(u // k) % k],
+             "t3": types[u % k],
+             "n": cnt.astype("int64")}
+        )
+
+    folded = _partition_map(
+        _events(sf_dir, ["user_id", "ts", "event_id", "event_type"]).map_batches(
+            add_part, batch_format="pyarrow"
+        ),
+        parts,
+        per_partition,
+    ).to_pandas()    # bounded: alphabet^3 x partitions
+    empty = pa.table(
+        {"t1": pa.array([], pa.string()),
+         "t2": pa.array([], pa.string()),
+         "t3": pa.array([], pa.string()),
+         "n": pa.array([], pa.int64())}
+    )
+    if folded.empty:
+        return empty
+    g = folded.groupby(["t1", "t2", "t3"], sort=True)["n"].sum().reset_index()
+    return pa.table(
+        {"t1": pa.array(g["t1"], pa.string()),
+         "t2": pa.array(g["t2"], pa.string()),
+         "t3": pa.array(g["t3"], pa.string()),
+         "n": pa.array(g["n"].astype("int64"))}
+    )
+
+
+ORACLES["event_trigrams"] = (
+    "WITH s AS (SELECT user_id, event_type AS t1, "
+    "lead(event_type, 1) OVER (PARTITION BY user_id "
+    "ORDER BY ts, event_id) AS t2, "
+    "lead(event_type, 2) OVER (PARTITION BY user_id "
+    "ORDER BY ts, event_id) AS t3 FROM events) "
+    "SELECT t1, t2, t3, count(*)::BIGINT AS n FROM s "
+    "WHERE t3 IS NOT NULL GROUP BY 1, 2, 3"
+)
+
+
+def hourly_last_purchase_value(sf_dir: str) -> pa.Table:
+    """Dense hourly grid FORWARD-FILLED with the last purchase value —
+    gap filling / resampling, the step the correlation and charting
+    layers need after a sparse event stream (purchase_error_correlation
+    zero-fills counts; values must CARRY instead).  Per-batch partials
+    keep each hour's latest (ts, event_id, value) — the argmax-per-
+    bucket combiner, exchange bounded by the hour span — the driver
+    folds partials with one lexsort and numpy-ffills the grid
+    (np.maximum.accumulate over observed-hour indices).  The filled
+    value is a PICKED float (never summed), so cross-engine equality is
+    exact."""
+    US_HOUR = 3_600_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"hour": pa.array([], pa.int64()),
+             "ts_us": pa.array([], pa.int64()),
+             "event_id": pa.array([], pa.int64()),
+             "value": pa.array([], pa.float64())}
+        )
+        if len(t) == 0:
+            return empty
+        mask = pc.equal(t["event_type"], "purchase")
+        t = t.filter(mask)
+        if len(t) == 0:
+            return empty
+        us = pc.cast(t["ts"], pa.int64()).to_numpy()
+        eid = t["event_id"].to_numpy()
+        val = t["value"].to_numpy()
+        hour = us // US_HOUR
+        # per-hour argmax by (ts, event_id): lexsort ascending, last wins
+        order = np.lexsort((eid, us, hour))
+        hour, us, eid, val = hour[order], us[order], eid[order], val[order]
+        last = np.flatnonzero(
+            np.concatenate((hour[1:] != hour[:-1], [True]))
+        )
+        return pa.table(
+            {"hour": pa.array(hour[last], pa.int64()),
+             "ts_us": pa.array(us[last], pa.int64()),
+             "event_id": pa.array(eid[last], pa.int64()),
+             "value": pa.array(val[last], pa.float64())}
+        )
+
+    obs = (
+        _events(sf_dir, ["ts", "event_id", "event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()    # bounded: hour span x blocks
+    )
+    empty = pa.table(
+        {"hour": pa.array([], pa.int64()),
+         "last_value": pa.array([], pa.float64())}
+    )
+    if obs.empty:
+        return empty
+    order = np.lexsort(
+        (obs["event_id"].to_numpy(), obs["ts_us"].to_numpy(),
+         obs["hour"].to_numpy())
+    )
+    hour = obs["hour"].to_numpy()[order]
+    val = obs["value"].to_numpy()[order]
+    last = np.flatnonzero(np.concatenate((hour[1:] != hour[:-1], [True])))
+    oh, ov = hour[last], val[last]
+    grid = np.arange(oh[0], oh[-1] + 1, dtype=np.int64)
+    # index of the latest observed hour <= each grid hour
+    idx = np.searchsorted(oh, grid, side="right") - 1
+    return pa.table(
+        {"hour": pa.array(grid, pa.int64()),
+         "last_value": pa.array(ov[idx], pa.float64())}
+    )
+
+
+ORACLES["hourly_last_purchase_value"] = (
+    "WITH p AS (SELECT epoch_us(ts) // 3600000000 AS h, value, "
+    "row_number() OVER (PARTITION BY epoch_us(ts) // 3600000000 "
+    "ORDER BY ts DESC, event_id DESC) AS rn FROM events "
+    "WHERE event_type = 'purchase'), "
+    "b AS (SELECT min(h) AS h0, max(h) AS h1 FROM p), "
+    "grid AS (SELECT unnest(range(h0, h1 + 1)) AS hour FROM b), "
+    "j AS (SELECT g.hour, p.value FROM grid g LEFT JOIN "
+    "(SELECT h, value FROM p WHERE rn = 1) p ON g.hour = p.h) "
+    "SELECT hour::BIGINT AS hour, "
+    "last_value(value IGNORE NULLS) OVER (ORDER BY hour "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_value "
+    "FROM j"
+)

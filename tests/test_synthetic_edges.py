@@ -599,3 +599,50 @@ def test_purchase_attribution_window_and_ties(ray_session, tmp_path):
     assert dict(zip(got["event_id"], got["click_event_id"])) == {
         2: 1, 4: -1, 6: 5, 8: -1, 10: -1, 15: 14,
     }
+
+
+def test_event_trigrams_segment_boundary(ray_session, tmp_path):
+    """Triples never span users; same-ts rows order by event_id."""
+    from langfilter_ray.pipelines import windows
+
+    rows = [
+        # user 1: a b c d -> (a,b,c), (b,c,d)
+        (1, 1, 0, "a", 1.0), (2, 1, 1, "b", 1.0),
+        (3, 1, 2, "c", 1.0), (4, 1, 3, "d", 1.0),
+        # user 2: only two events -> no triple
+        (5, 2, 0, "a", 1.0), (6, 2, 1, "b", 1.0),
+        # user 3: same-ts trio ordered by event_id -> (b,a,c)
+        (8, 3, 0, "a", 1.0), (7, 3, 0, "b", 1.0), (9, 3, 0, "c", 1.0),
+    ]
+    got = _check_vs_oracle(
+        windows.event_trigrams,
+        windows.ORACLES["event_trigrams"],
+        tmp_path, "events", _events_table(rows),
+    )
+    cells = {(r["t1"], r["t2"], r["t3"]): r["n"] for _, r in got.iterrows()}
+    assert cells == {("a", "b", "c"): 1, ("b", "c", "d"): 1, ("b", "a", "c"): 1}
+
+
+def test_hourly_ffill_gaps_and_ties(ray_session, tmp_path):
+    """Gap hours carry the previous value; two purchases in one hour
+    resolve to the later (ts, event_id); non-purchase rows ignored."""
+    from langfilter_ray.pipelines import windows
+
+    H = 3_600_000_000
+    rows = [
+        (1, 1, 0, "purchase", 10.0),
+        (2, 1, 1, "purchase", 20.0),        # same hour, later event wins
+        (3, 1, H // 2, "view", 99.0),        # ignored
+        (4, 1, 3 * H, "purchase", 30.0),     # hours 1-2 carry 20.0
+    ]
+    got = _check_vs_oracle(
+        windows.hourly_last_purchase_value,
+        windows.ORACLES["hourly_last_purchase_value"],
+        tmp_path, "events", _events_table(rows),
+    )
+    assert dict(zip(got["hour"], got["last_value"])) == {
+        got["hour"].iloc[0]: 20.0,
+        got["hour"].iloc[0] + 1: 20.0,
+        got["hour"].iloc[0] + 2: 20.0,
+        got["hour"].iloc[0] + 3: 30.0,
+    }
