@@ -234,6 +234,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ship_lag_hist": relational.ship_lag_hist,
         "event_trigrams": windows.event_trigrams,
         "hourly_last_purchase_value": windows.hourly_last_purchase_value,
+        "anomalous_hours": windows.anomalous_hours,
         # rows-only (iterative driver-state op like kmeans_fit)
         "bpe_train": text_analysis.bpe_train,
         "bpe_encode": text_analysis.bpe_encode,

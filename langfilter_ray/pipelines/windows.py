@@ -2996,3 +2996,80 @@ ORACLES["hourly_last_purchase_value"] = (
     "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_value "
     "FROM j"
 )
+
+
+def anomalous_hours(sf_dir: str) -> pa.Table:
+    """Hours whose purchase count sits more than 2 population standard
+    deviations from the dense-grid mean — anomaly flagging with EXACT
+    integer arithmetic: z² > 4  ⇔  (n·cnt − S)² > 4·(cnt·SS − S²), so
+    no float mean/sd ever exists to diverge cross-engine (the
+    purchase_error_correlation moment discipline, applied to a
+    PREDICATE instead of a statistic).  Per-(hour) in-batch count
+    partials bound the exchange by the hour span; the driver folds the
+    grid (zero-filled gaps count) and evaluates the inequality in
+    Python ints (arbitrary precision, matching DuckDB's HUGEINT
+    products)."""
+    US_HOUR = 3_600_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"hour": pa.array([], pa.int64()),
+             "n": pa.array([], pa.int64())}
+        )
+        if len(t) == 0:
+            return empty
+        t = t.filter(pc.equal(t["event_type"], "purchase"))
+        if len(t) == 0:
+            return empty
+        hour = pc.cast(t["ts"], pa.int64()).to_numpy() // US_HOUR
+        u, c = np.unique(hour, return_counts=True)
+        return pa.table(
+            {"hour": pa.array(u.astype(np.int64)),
+             "n": pa.array(c.astype(np.int64))}
+        )
+
+    obs = (
+        _events(sf_dir, ["ts", "event_type"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()    # bounded: hour span x blocks
+    )
+    empty = pa.table(
+        {"hour": pa.array([], pa.int64()),
+         "n_events": pa.array([], pa.int64())}
+    )
+    if obs.empty:
+        return empty
+    g = obs.groupby("hour", sort=True)["n"].sum()
+    oh = g.index.to_numpy(np.int64)
+    on = g.to_numpy(np.int64)
+    grid = np.arange(oh[0], oh[-1] + 1, dtype=np.int64)
+    dense = np.zeros(len(grid), dtype=np.int64)
+    dense[oh - oh[0]] = on
+    cnt = len(grid)
+    S = int(dense.sum())
+    SS = int((dense.astype(object) * dense.astype(object)).sum())
+    rhs = 4 * (cnt * SS - S * S)
+    lhs = [(int(x) * cnt - S) ** 2 for x in dense]   # grid-span-bounded loop
+    keep = np.array([a > rhs for a in lhs], dtype=bool)
+    return pa.table(
+        {"hour": pa.array(grid[keep], pa.int64()),
+         "n_events": pa.array(dense[keep], pa.int64())}
+    )
+
+
+ORACLES["anomalous_hours"] = (
+    "WITH b AS (SELECT min(epoch_us(ts) // 3600000000) AS h0, "
+    "max(epoch_us(ts) // 3600000000) AS h1 FROM events "
+    "WHERE event_type = 'purchase'), "
+    "grid AS (SELECT unnest(range(h0, h1 + 1)) AS hour FROM b), "
+    "c AS (SELECT epoch_us(ts) // 3600000000 AS hour, "
+    "count(*)::BIGINT AS n FROM events WHERE event_type = 'purchase' "
+    "GROUP BY 1), "
+    "s AS (SELECT grid.hour, coalesce(c.n, 0)::BIGINT AS n "
+    "FROM grid LEFT JOIN c USING (hour)), "
+    "m AS (SELECT count(*)::BIGINT AS cnt, sum(n)::BIGINT AS sn, "
+    "sum(n*n)::BIGINT AS snn FROM s) "
+    "SELECT s.hour::BIGINT AS hour, s.n AS n_events FROM s, m "
+    "WHERE (s.n*m.cnt - m.sn)*(s.n*m.cnt - m.sn) "
+    "> 4*(m.cnt*m.snn - m.sn*m.sn)"
+)

@@ -94,7 +94,7 @@ ORACLE_CHECKED = [
     "monthly_price_quartiles", "sources_per_lang",
     "users_view_no_purchase", "event_type_cooccurrence",
     "above_avg_orders", "purchase_attribution", "ship_lag_hist",
-    "event_trigrams", "hourly_last_purchase_value",
+    "event_trigrams", "hourly_last_purchase_value", "anomalous_hours",
 ]
 
 
