@@ -235,6 +235,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_trigrams": windows.event_trigrams,
         "hourly_last_purchase_value": windows.hourly_last_purchase_value,
         "anomalous_hours": windows.anomalous_hours,
+        "purchase_autocorr_24h": windows.purchase_autocorr_24h,
+        "benford_prices": relational.benford_prices,
         # rows-only (iterative driver-state op like kmeans_fit)
         "bpe_train": text_analysis.bpe_train,
         "bpe_encode": text_analysis.bpe_encode,

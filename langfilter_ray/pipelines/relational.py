@@ -4890,3 +4890,51 @@ ORACLES["ship_lag_hist"] = (
     "SELECT lag_days::BIGINT AS lag_days, count(*)::BIGINT AS n_orders "
     "FROM l GROUP BY 1"
 )
+
+
+def benford_prices(sf_dir: str) -> pa.Table:
+    """First-significant-digit census of order prices — the Benford's-law
+    fraud/synthetic-data screen.  The digit is derived from the SAME
+    integer on both engines (floor to whole dollars, then the first
+    character of its decimal representation) — never a float log10,
+    whose IEEE error at exact powers of ten (log10(1000.) < 3) would
+    misclassify boundary prices.  Per-batch digit partials fold a
+    9-row histogram; the exchange is 9 x blocks."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {"digit": pa.array([], pa.int64()),
+                 "n": pa.array([], pa.int64())}
+            )
+        dollars = np.floor(t["o_totalprice"].to_numpy()).astype(np.int64)
+        digit = dollars.astype("U1").astype(np.int64)   # first decimal char
+        u, c = np.unique(digit, return_counts=True)
+        return pa.table(
+            {"digit": pa.array(u.astype(np.int64)),
+             "n": pa.array(c.astype(np.int64))}
+        )
+
+    parts = (
+        _read(sf_dir, "orders", ["o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()    # bounded: 9 digits x blocks
+    )
+    empty = pa.table(
+        {"digit": pa.array([], pa.int64()),
+         "n_orders": pa.array([], pa.int64())}
+    )
+    if parts.empty:
+        return empty
+    g = parts.groupby("digit", sort=True)["n"].sum().reset_index()
+    return pa.table(
+        {"digit": pa.array(g["digit"].astype("int64")),
+         "n_orders": pa.array(g["n"].astype("int64"))}
+    )
+
+
+ORACLES["benford_prices"] = (
+    "SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) "
+    "AS VARCHAR), 1, 1) AS BIGINT) AS digit, "
+    "count(*)::BIGINT AS n_orders FROM orders GROUP BY 1"
+)

@@ -3073,3 +3073,100 @@ ORACLES["anomalous_hours"] = (
     "WHERE (s.n*m.cnt - m.sn)*(s.n*m.cnt - m.sn) "
     "> 4*(m.cnt*m.snn - m.sn*m.sn)"
 )
+
+
+def purchase_autocorr_24h(sf_dir: str) -> pa.Table:
+    """Autocorrelation of the hourly purchase series at lag 24 h —
+    "is there a daily rhythm?", the series-vs-SHIFTED-SELF alignment
+    (purchase_error_correlation aligns two series; this aligns one
+    against its own lag, the seasonality detector).  Same scale shape:
+    per-hour in-batch count partials (exchange bounded by the hour
+    span), dense zero-filled grid on the driver, Pearson moments over
+    the (x_t, x_{t+24}) pairs in exact Python ints with ONE float
+    conversion at the end."""
+    import math
+
+    US_HOUR = 3_600_000_000
+    LAG = 24
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"hour": pa.array([], pa.int64()),
+             "n": pa.array([], pa.int64())}
+        )
+        if len(t) == 0:
+            return empty
+        t = t.filter(pc.equal(t["event_type"], "purchase"))
+        if len(t) == 0:
+            return empty
+        hour = pc.cast(t["ts"], pa.int64()).to_numpy() // US_HOUR
+        u, c = np.unique(hour, return_counts=True)
+        return pa.table(
+            {"hour": pa.array(u.astype(np.int64)),
+             "n": pa.array(c.astype(np.int64))}
+        )
+
+    obs = (
+        _events(sf_dir, ["ts", "event_type"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()    # bounded: hour span x blocks
+    )
+    empty = pa.table(
+        {"n_pairs": pa.array([], pa.int64()),
+         "autocorr": pa.array([], pa.float64())}
+    )
+    if obs.empty:
+        return empty
+    g = obs.groupby("hour", sort=True)["n"].sum()
+    oh = g.index.to_numpy(np.int64)
+    on = g.to_numpy(np.int64)
+    grid = np.arange(oh[0], oh[-1] + 1, dtype=np.int64)
+    dense = np.zeros(len(grid), dtype=np.int64)
+    dense[oh - oh[0]] = on
+    if len(dense) <= LAG:
+        return pa.table(
+            {"n_pairs": pa.array([0], pa.int64()),
+             "autocorr": pa.array([0.0], pa.float64())}
+        )
+    x = dense[:-LAG]
+    y = dense[LAG:]
+    n = len(x)
+    sx, sy = int(x.sum()), int(y.sum())
+    sxx = int((x.astype(object) * x.astype(object)).sum())
+    syy = int((y.astype(object) * y.astype(object)).sum())
+    sxy = int((x.astype(object) * y.astype(object)).sum())
+    den_x = n * sxx - sx * sx
+    den_y = n * syy - sy * sy
+    if den_x == 0 or den_y == 0:
+        r = 0.0
+    else:
+        r = float(n * sxy - sx * sy) / (
+            math.sqrt(float(den_x)) * math.sqrt(float(den_y))
+        )
+    return pa.table(
+        {"n_pairs": pa.array([n], pa.int64()),
+         "autocorr": pa.array([r], pa.float64())}
+    )
+
+
+ORACLES["purchase_autocorr_24h"] = (
+    "WITH b AS (SELECT min(epoch_us(ts) // 3600000000) AS h0, "
+    "max(epoch_us(ts) // 3600000000) AS h1 FROM events "
+    "WHERE event_type = 'purchase'), "
+    "grid AS (SELECT unnest(range(h0, h1 + 1)) AS hour FROM b), "
+    "c AS (SELECT epoch_us(ts) // 3600000000 AS hour, "
+    "count(*)::BIGINT AS n FROM events WHERE event_type = 'purchase' "
+    "GROUP BY 1), "
+    "s AS (SELECT grid.hour, coalesce(c.n, 0)::BIGINT AS n "
+    "FROM grid LEFT JOIN c USING (hour)), "
+    "p AS (SELECT a.n AS x, bb.n AS y FROM s a JOIN s bb "
+    "ON bb.hour = a.hour + 24), "
+    "m AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx, "
+    "sum(y)::BIGINT AS sy, sum(x*x)::BIGINT AS sxx, "
+    "sum(y*y)::BIGINT AS syy, sum(x*y)::BIGINT AS sxy FROM p) "
+    "SELECT n AS n_pairs, "
+    "CASE WHEN n*sxx - sx*sx = 0 OR n*syy - sy*sy = 0 THEN 0.0 "
+    "ELSE CAST(n*sxy - sx*sy AS DOUBLE) / "
+    "(sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * "
+    "sqrt(CAST(n*syy - sy*sy AS DOUBLE))) END AS autocorr FROM m"
+)

@@ -646,3 +646,31 @@ def test_hourly_ffill_gaps_and_ties(ray_session, tmp_path):
         got["hour"].iloc[0] + 2: 20.0,
         got["hour"].iloc[0] + 3: 30.0,
     }
+
+
+def test_benford_power_of_ten_boundary(ray_session, tmp_path):
+    """Prices at exact powers of ten classify by string derivation
+    (a float log10 would put 1000.0 in digit 9's bucket: IEEE
+    log10(1000.) < 3); fractional cents floor away."""
+    from langfilter_ray.pipelines import relational
+
+    prices = [1000.0, 999.99, 100.0, 10.0, 1.0, 85432.1, 7.5]
+    tbl = pa.table(
+        {
+            "o_orderkey": pa.array(range(len(prices)), pa.int64()),
+            "o_custkey": pa.array([1] * len(prices), pa.int64()),
+            "o_orderstatus": pa.array(["O"] * len(prices)),
+            "o_totalprice": pa.array(prices, pa.float64()),
+            "o_orderdate": pa.array(
+                [np.datetime64("2024-01-01T00:00:00", "us")] * len(prices),
+                pa.timestamp("us"),
+            ),
+            "o_orderpriority": pa.array(["1-URGENT"] * len(prices)),
+        }
+    )
+    got = _check_vs_oracle(
+        relational.benford_prices,
+        relational.ORACLES["benford_prices"],
+        tmp_path, "orders", tbl,
+    )
+    assert dict(zip(got["digit"], got["n_orders"])) == {1: 4, 7: 1, 8: 1, 9: 1}
