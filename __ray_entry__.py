@@ -237,6 +237,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anomalous_hours": windows.anomalous_hours,
         "purchase_autocorr_24h": windows.purchase_autocorr_24h,
         "benford_prices": relational.benford_prices,
+        "length_gini_by_source": text_analysis.length_gini_by_source,
         # rows-only (iterative driver-state op like kmeans_fit)
         "bpe_train": text_analysis.bpe_train,
         "bpe_encode": text_analysis.bpe_encode,

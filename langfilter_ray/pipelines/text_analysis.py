@@ -3468,3 +3468,81 @@ ORACLES["sources_per_lang"] = (
     "string_agg(source, ',' ORDER BY source) AS sources_csv "
     "FROM d GROUP BY lang"
 )
+
+
+# ---- length_gini_by_source: rank-weighted functional from a histogram -----
+
+def length_gini_by_source(sf_dir: str) -> "pa.Table":
+    """Per-source Gini coefficient of document length — the inequality
+    screen ("is this source one mega-doc and noise?") curation applies
+    before trusting per-source quotas.  Gini needs the RANK-weighted sum
+    Σ i·x over ascending lengths, which looks like it demands a
+    per-group sort — but over the (source, value, count) histogram each
+    distinct value occupies a CONTIGUOUS rank run, so
+    Σ i·x = Σ_v v · c_v·(2·p_v + c_v + 1)/2  (p_v = items before v),
+    all exact integers.  The exchange is therefore the bounded value
+    histogram (the weighted_median pattern), never sorted rows, and the
+    single float division at the end is the only non-integer step —
+    bit-identical to the SQL's HUGEINT→DOUBLE cast."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {"source": pa.array([], pa.string()),
+                 "v": pa.array([], pa.int64()),
+                 "c": pa.array([], pa.int64())}
+            )
+        g = pa.table(
+            {"source": t["source"], "v": t["n_chars"]}
+        ).group_by(["source", "v"]).aggregate([("v", "count")])
+        return pa.table(
+            {"source": g["source"], "v": g["v"],
+             "c": pc.cast(g["v_count"], pa.int64())}
+        )
+
+    hist = (
+        _docs_cols(sf_dir, ["source", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()    # bounded: value cardinality x sources x blocks
+    )
+    empty = pa.table(
+        {"source": pa.array([], pa.string()),
+         "n_docs": pa.array([], pa.int64()),
+         "gini": pa.array([], pa.float64())}
+    )
+    if hist.empty:
+        return empty
+    hist = hist.groupby(["source", "v"], sort=True)["c"].sum().reset_index()
+    srcs, ns, ginis = [], [], []
+    for src, g in hist.groupby("source", sort=True):
+        v = [int(x) for x in g["v"]]
+        c = [int(x) for x in g["c"]]
+        n = sum(c)
+        sx = sum(vi * ci for vi, ci in zip(v, c))
+        six, p = 0, 0
+        for vi, ci in zip(v, c):        # bounded: distinct values
+            six += vi * (ci * (2 * p + ci + 1) // 2)
+            p += ci
+        srcs.append(src)
+        ns.append(n)
+        ginis.append(
+            0.0 if sx == 0 else float(2 * six - (n + 1) * sx) / float(n * sx)
+        )
+    return pa.table(
+        {"source": pa.array(srcs, pa.string()),
+         "n_docs": pa.array(ns, pa.int64()),
+         "gini": pa.array(ginis, pa.float64())}
+    )
+
+
+ORACLES["length_gini_by_source"] = (
+    "WITH r AS (SELECT source, n_chars AS x, "
+    "row_number() OVER (PARTITION BY source ORDER BY n_chars) AS i "
+    "FROM documents), "
+    "m AS (SELECT source, count(*)::BIGINT AS n, sum(x)::BIGINT AS sx, "
+    "sum(i*x)::BIGINT AS six FROM r GROUP BY 1) "
+    "SELECT source, n AS n_docs, "
+    "CASE WHEN sx = 0 THEN 0.0 ELSE "
+    "CAST(2*six - (n+1)*sx AS DOUBLE) / CAST(n*sx AS DOUBLE) END AS gini "
+    "FROM m"
+)

@@ -95,7 +95,7 @@ ORACLE_CHECKED = [
     "users_view_no_purchase", "event_type_cooccurrence",
     "above_avg_orders", "purchase_attribution", "ship_lag_hist",
     "event_trigrams", "hourly_last_purchase_value", "anomalous_hours",
-    "purchase_autocorr_24h", "benford_prices",
+    "purchase_autocorr_24h", "benford_prices", "length_gini_by_source",
 ]
 
 

@@ -674,3 +674,37 @@ def test_benford_power_of_ten_boundary(ray_session, tmp_path):
         tmp_path, "orders", tbl,
     )
     assert dict(zip(got["digit"], got["n_orders"])) == {1: 4, 7: 1, 8: 1, 9: 1}
+
+
+def test_length_gini_known_values(ray_session, tmp_path):
+    """Known Ginis: equal lengths -> 0; all mass on one doc of four ->
+    0.75; tie runs exercise the contiguous-rank-run identity."""
+    from langfilter_ray.pipelines import text_analysis
+
+    rows = (
+        [(i, "en", 7, "t") for i in range(4)]                 # equal: 0
+        + [(10, "en", 0, "t"), (11, "en", 0, "t"),
+           (12, "en", 0, "t"), (13, "en", 4, "t")]            # 0.75
+        + [(20, "en", 3, "t"), (21, "en", 3, "t"), (22, "en", 6, "t")]
+    )
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[3] for r in rows], pa.string()),
+            "lang": pa.array([r[1] for r in rows], pa.string()),
+            "source": pa.array(
+                ["equal"] * 4 + ["skew"] * 4 + ["ties"] * 3, pa.string()
+            ),
+            "n_chars": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+    got = _check_vs_oracle(
+        text_analysis.length_gini_by_source,
+        text_analysis.ORACLES["length_gini_by_source"],
+        tmp_path, "documents", tbl,
+    )
+    by_src = dict(zip(got["source"], got["gini"]))
+    assert by_src["equal"] == 0.0
+    assert by_src["skew"] == 0.75
+    # ties: x=[3,3,6], six=3*1+3*2+6*3=27, sx=12, n=3 -> (54-48)/36
+    assert abs(by_src["ties"] - 6 / 36) < 1e-15
