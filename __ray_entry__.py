@@ -238,6 +238,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "purchase_autocorr_24h": windows.purchase_autocorr_24h,
         "benford_prices": relational.benford_prices,
         "length_gini_by_source": text_analysis.length_gini_by_source,
+        "median_order_gap_days": windows.median_order_gap_days,
         # rows-only (iterative driver-state op like kmeans_fit)
         "bpe_train": text_analysis.bpe_train,
         "bpe_encode": text_analysis.bpe_encode,

@@ -3170,3 +3170,86 @@ ORACLES["purchase_autocorr_24h"] = (
     "(sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * "
     "sqrt(CAST(n*syy - sy*sy AS DOUBLE))) END AS autocorr FROM m"
 )
+
+
+def median_order_gap_days(sf_dir: str) -> ray.data.Dataset:
+    """Per-customer EXACT median of the day gaps between consecutive
+    orders — the per-KEY order statistic where key count scales with
+    data (contrast median_value_per_type's bounded five groups): no
+    Python per key, ever.  In-partition the skeleton is TWO lexsorts —
+    one by (cust, date, orderkey) to form integer day gaps per segment,
+    one by (cust, gap) so each customer's gaps are contiguous and
+    sorted — then the two middle elements of every segment are gathered
+    with pure index arithmetic (starts + (len-1)//2, starts + len//2)
+    and averaged with the same single float division DuckDB's
+    ``median`` performs.  Customers with fewer than two orders emit
+    nothing (their gap set is empty), matching the SQL's WHERE gap IS
+    NOT NULL."""
+    import pyarrow.parquet as pq
+
+    n = pq.read_metadata(f"{sf_dir}/orders.parquet").num_rows
+    parts = max(_MIN_WINDOW_PARTS, n // _ROWS_PER_WINDOW_PART)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        h = t["o_custkey"].to_numpy().astype(np.uint64) * np.uint64(
+            0x9E3779B97F4A7C15
+        )
+        part = ((h >> np.uint64(33)) % np.uint64(parts)).astype(np.int64)
+        return _strip_meta(t).append_column("part", pa.array(part, pa.int64()))
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"o_custkey": pd.array([], dtype="int64"),
+             "median_gap_days": pd.array([], dtype="float64")}
+        )
+        if g.empty:
+            return empty
+        days = (
+            g["o_orderdate"].astype("datetime64[us]").astype("int64").to_numpy()
+            // 86_400_000_000
+        )
+        ck = g["o_custkey"].to_numpy()
+        ok = g["o_orderkey"].to_numpy()
+        order = np.lexsort((ok, days, ck))
+        ck, days = ck[order], days[order]
+        same = np.empty(len(g), dtype=bool)
+        same[0] = False
+        same[1:] = ck[1:] == ck[:-1]
+        gap = days - np.concatenate(([0], days[:-1]))   # valid where same
+        gck, gap = ck[same], gap[same]
+        if len(gap) == 0:
+            return empty
+        order2 = np.lexsort((gap, gck))
+        gck, gap = gck[order2], gap[order2]
+        new_c = np.empty(len(gck), dtype=bool)
+        new_c[0] = True
+        new_c[1:] = gck[1:] != gck[:-1]
+        starts = np.flatnonzero(new_c)
+        lens = np.diff(np.append(starts, len(gck)))
+        lo = gap[starts + (lens - 1) // 2].astype(np.float64)
+        hi = gap[starts + lens // 2].astype(np.float64)
+        return pd.DataFrame(
+            {"o_custkey": gck[starts],
+             "median_gap_days": (lo + hi) / 2.0}
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_orderdate"],
+        schema=_clean_schema(
+            f"{sf_dir}/orders.parquet",
+            ["o_custkey", "o_orderkey", "o_orderdate"],
+        ),
+    ).map_batches(add_part, batch_format="pyarrow")
+    return _partition_map(ds, parts, per_partition)
+
+
+ORACLES["median_order_gap_days"] = (
+    "WITH g AS (SELECT o_custkey, "
+    "epoch_us(o_orderdate) // 86400000000 "
+    "- lag(epoch_us(o_orderdate) // 86400000000) OVER "
+    "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS gap "
+    "FROM orders) "
+    "SELECT o_custkey, median(gap) AS median_gap_days FROM g "
+    "WHERE gap IS NOT NULL GROUP BY 1"
+)

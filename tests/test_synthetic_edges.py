@@ -708,3 +708,45 @@ def test_length_gini_known_values(ray_session, tmp_path):
     assert by_src["skew"] == 0.75
     # ties: x=[3,3,6], six=3*1+3*2+6*3=27, sx=12, n=3 -> (54-48)/36
     assert abs(by_src["ties"] - 6 / 36) < 1e-15
+
+
+def test_median_order_gap_semantics(ray_session, tmp_path):
+    """Even/odd gap counts, zero gaps (same-day orders), and the
+    single-order customer exclusion."""
+    from langfilter_ray.pipelines import windows
+
+    def d(day):
+        return np.datetime64("2024-01-01T00:00:00", "us") + np.timedelta64(
+            day * 86_400_000_000, "us"
+        )
+
+    rows = [
+        # cust 1: days 0, 10, 11 -> gaps [10, 1] -> median 5.5
+        (1, 1, 0), (2, 1, 10), (3, 1, 11),
+        # cust 2: days 0, 0, 7 -> gaps [0, 7] -> 3.5 (same-day dup)
+        (4, 2, 0), (5, 2, 0), (6, 2, 7),
+        # cust 3: single order -> excluded
+        (7, 3, 5),
+        # cust 4: days 0, 2, 4, 9 -> gaps [2, 2, 5] -> 2.0
+        (8, 4, 0), (9, 4, 2), (10, 4, 4), (11, 4, 9),
+    ]
+    tbl = pa.table(
+        {
+            "o_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+            "o_custkey": pa.array([r[1] for r in rows], pa.int64()),
+            "o_orderstatus": pa.array(["O"] * len(rows)),
+            "o_totalprice": pa.array([1.0] * len(rows), pa.float64()),
+            "o_orderdate": pa.array(
+                [d(r[2]) for r in rows], pa.timestamp("us")
+            ),
+            "o_orderpriority": pa.array(["1-URGENT"] * len(rows)),
+        }
+    )
+    got = _check_vs_oracle(
+        windows.median_order_gap_days,
+        windows.ORACLES["median_order_gap_days"],
+        tmp_path, "orders", tbl,
+    )
+    assert dict(zip(got["o_custkey"], got["median_gap_days"])) == {
+        1: 5.5, 2: 3.5, 4: 2.0,
+    }
