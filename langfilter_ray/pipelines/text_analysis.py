@@ -3546,3 +3546,135 @@ ORACLES["length_gini_by_source"] = (
     "CAST(2*six - (n+1)*sx AS DOUBLE) / CAST(n*sx AS DOUBLE) END AS gini "
     "FROM m"
 )
+
+
+# ---- spearman_length_tokens: rank correlation WITHOUT a sort ---------------
+
+def spearman_length_tokens(sf_dir: str) -> "pa.Table":
+    """Spearman rank correlation between document length and token
+    count — the monotone-association screen (Pearson sees only linear;
+    curation wants "does token count track length AT ALL").  Ranks are
+    tie-AVERAGED, and the whole statistic is computed with NO sort of
+    rows: pass 1 folds both value histograms (dim-tagged, the
+    length_token_contingency stream), the driver converts each to a
+    DOUBLED-average-rank lookup (2·r̄ = 2·#less + #equal + 1 — an exact
+    integer, and Spearman is scale-invariant so doubling cancels),
+    pass 2 maps every row to its (2rx, 2ry) pair via two broadcast
+    searchsorteds and emits int64 moment partials, folded in Python
+    ints (DuckDB HUGEINT parity) with one float conversion at the end."""
+    import math
+
+    def hist2(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"dim": pa.array([], pa.int64()),
+             "v": pa.array([], pa.int64()),
+             "c": pa.array([], pa.int64())}
+        )
+        if len(t) == 0:
+            return empty
+        x = t["n_chars"].to_numpy()
+        y = pc.count_substring_regex(
+            pc.fill_null(t["text"], ""), TOKEN_RE
+        ).to_numpy().astype(np.int64)
+        xv, xc = np.unique(x, return_counts=True)
+        yv, yc = np.unique(y, return_counts=True)
+        return pa.table(
+            {"dim": pa.array(
+                np.concatenate([np.zeros(len(xv), np.int64),
+                                np.ones(len(yv), np.int64)])),
+             "v": pa.array(np.concatenate([xv, yv])),
+             "c": pa.array(np.concatenate([xc, yc]).astype(np.int64))}
+        )
+
+    hist = (
+        _docs_cols(sf_dir, ["n_chars", "text"])
+        .map_batches(hist2, batch_format="pyarrow")
+        .to_pandas()    # bounded: value cardinality x 2 dims x blocks
+    )
+    empty = pa.table(
+        {"n_docs": pa.array([], pa.int64()),
+         "spearman": pa.array([], pa.float64())}
+    )
+    if hist.empty:
+        return empty
+    hist = hist.groupby(["dim", "v"], sort=True)["c"].sum().reset_index()
+
+    def rank_lut(d: int):
+        h = hist[hist["dim"] == d]
+        v = h["v"].to_numpy(np.int64)
+        c = h["c"].to_numpy(np.int64)
+        less = np.concatenate(([0], np.cumsum(c)[:-1]))
+        return v, 2 * less + c + 1          # doubled average rank
+
+    xv, xr = rank_lut(0)
+    yv, yr = rank_lut(1)
+    ref = ray.put((xv, xr, yv, yr))
+
+    def moments(t: pa.Table) -> pa.Table:
+        empty_m = pa.table(
+            {k: pa.array([], pa.int64())
+             for k in ("n", "sx", "sy", "sxx", "syy", "sxy")}
+        )
+        if len(t) == 0:
+            return empty_m
+        xv_, xr_, yv_, yr_ = ray.get(ref)
+        x = t["n_chars"].to_numpy()
+        y = pc.count_substring_regex(
+            pc.fill_null(t["text"], ""), TOKEN_RE
+        ).to_numpy().astype(np.int64)
+        rx = xr_[np.searchsorted(xv_, x)]
+        ry = yr_[np.searchsorted(yv_, y)]
+        return pa.table(
+            {"n": pa.array([len(x)], pa.int64()),
+             "sx": pa.array([int(rx.sum())], pa.int64()),
+             "sy": pa.array([int(ry.sum())], pa.int64()),
+             "sxx": pa.array([int((rx * rx).sum())], pa.int64()),
+             "syy": pa.array([int((ry * ry).sum())], pa.int64()),
+             "sxy": pa.array([int((rx * ry).sum())], pa.int64())}
+        )
+
+    parts = (
+        _docs_cols(sf_dir, ["n_chars", "text"])
+        .map_batches(moments, batch_format="pyarrow")
+        .to_pandas()    # bounded: 6 ints x blocks
+    )
+    n = int(parts["n"].sum())
+    if n == 0:
+        return empty
+    sx = sum(int(v) for v in parts["sx"])
+    sy = sum(int(v) for v in parts["sy"])
+    sxx = sum(int(v) for v in parts["sxx"])
+    syy = sum(int(v) for v in parts["syy"])
+    sxy = sum(int(v) for v in parts["sxy"])
+    den_x = n * sxx - sx * sx
+    den_y = n * syy - sy * sy
+    if den_x == 0 or den_y == 0:
+        rho = 0.0
+    else:
+        rho = float(n * sxy - sx * sy) / (
+            math.sqrt(float(den_x)) * math.sqrt(float(den_y))
+        )
+    return pa.table(
+        {"n_docs": pa.array([n], pa.int64()),
+         "spearman": pa.array([rho], pa.float64())}
+    )
+
+
+ORACLES["spearman_length_tokens"] = (
+    f"WITH f AS (SELECT n_chars AS x, "
+    f"len(regexp_extract_all(text, '{TOKEN_RE}'))::BIGINT AS y "
+    "FROM documents), "
+    "r AS (SELECT "
+    "(2*(rank() OVER (ORDER BY x) - 1) "
+    "+ count(*) OVER (PARTITION BY x) + 1)::BIGINT AS rx, "
+    "(2*(rank() OVER (ORDER BY y) - 1) "
+    "+ count(*) OVER (PARTITION BY y) + 1)::BIGINT AS ry FROM f), "
+    "m AS (SELECT count(*)::BIGINT AS n, sum(rx)::BIGINT AS sx, "
+    "sum(ry)::BIGINT AS sy, sum(rx*rx)::BIGINT AS sxx, "
+    "sum(ry*ry)::BIGINT AS syy, sum(rx*ry)::BIGINT AS sxy FROM r) "
+    "SELECT n AS n_docs, "
+    "CASE WHEN n*sxx - sx*sx = 0 OR n*syy - sy*sy = 0 THEN 0.0 "
+    "ELSE CAST(n*sxy - sx*sy AS DOUBLE) / "
+    "(sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * "
+    "sqrt(CAST(n*syy - sy*sy AS DOUBLE))) END AS spearman FROM m"
+)

@@ -96,7 +96,7 @@ ORACLE_CHECKED = [
     "above_avg_orders", "purchase_attribution", "ship_lag_hist",
     "event_trigrams", "hourly_last_purchase_value", "anomalous_hours",
     "purchase_autocorr_24h", "benford_prices", "length_gini_by_source",
-    "median_order_gap_days",
+    "median_order_gap_days", "spearman_length_tokens",
 ]
 
 
