@@ -240,6 +240,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_gini_by_source": text_analysis.length_gini_by_source,
         "median_order_gap_days": windows.median_order_gap_days,
         "spearman_length_tokens": text_analysis.spearman_length_tokens,
+        "events_numeric_profile": relational.events_numeric_profile,
         # rows-only (iterative driver-state op like kmeans_fit)
         "bpe_train": text_analysis.bpe_train,
         "bpe_encode": text_analysis.bpe_encode,

@@ -4938,3 +4938,144 @@ ORACLES["benford_prices"] = (
     "AS VARCHAR), 1, 1) AS BIGINT) AS digit, "
     "count(*)::BIGINT AS n_orders FROM orders GROUP BY 1"
 )
+
+
+_PROFILE_COLS = ("event_id", "user_id", "value", "ts_us")
+
+
+def events_numeric_profile(sf_dir: str) -> pa.Table:
+    """Per-column numeric PROFILE of the events stream (rows, nulls,
+    exact distinct count, min, max) — the ingestion-time data-profiling
+    meta-operator every pipeline runs before trusting a new drop; HLL
+    (approx_distinct_users) is the approximate sibling, this is the
+    exact one.  All four columns profile in the SAME two passes: pass A
+    folds (col, n_rows, n_nulls) count partials; pass B emits per-batch
+    DISTINCT (col, value) partials — the exchange is each column's
+    value cardinality, the honest cost of exact distinct — reduced in
+    (col, hash-bucket) groups whose np.unique also yields min/max for
+    free.  Values are profiled as float64 (exact for ints < 2^53;
+    ts as epoch_us)."""
+    n_ev = _dim_num_rows(sf_dir, "events")
+    n_buckets = max(32, n_ev // 1_000_000)
+
+    def col_values(t: pa.Table, name: str) -> np.ndarray:
+        if name == "ts_us":
+            arr = pc.cast(t["ts"], pa.int64())
+        else:
+            arr = t[name]
+        arr = pc.cast(pc.drop_null(arr), pa.float64())
+        return arr.to_numpy()
+
+    def counts(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"col": pa.array([], pa.string()),
+             "n_rows": pa.array([], pa.int64()),
+             "n_nulls": pa.array([], pa.int64())}
+        )
+        if len(t) == 0:
+            return empty
+        rows, nulls = [], []
+        for name in _PROFILE_COLS:
+            src = t["ts"] if name == "ts_us" else t[name]
+            rows.append(len(t))
+            nulls.append(src.null_count)
+        return pa.table(
+            {"col": pa.array(list(_PROFILE_COLS), pa.string()),
+             "n_rows": pa.array(rows, pa.int64()),
+             "n_nulls": pa.array(nulls, pa.int64())}
+        )
+
+    def distinct_partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"ci": pa.array([], pa.int64()),
+             "v": pa.array([], pa.float64()),
+             "bk": pa.array([], pa.int64())}
+        )
+        if len(t) == 0:
+            return empty
+        cis, vs = [], []
+        for ci, name in enumerate(_PROFILE_COLS):
+            u = np.unique(col_values(t, name))
+            cis.append(np.full(len(u), ci, dtype=np.int64))
+            vs.append(u)
+        ci_arr = np.concatenate(cis)
+        v_arr = np.concatenate(vs)
+        # canonicalize -0.0 -> 0.0 BEFORE the bit-pattern hash: DISTINCT
+        # treats them equal, different bit patterns would split buckets
+        v_arr = np.where(v_arr == 0.0, 0.0, v_arr)
+        h = v_arr.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        bk = (
+            (h >> np.uint64(33)) % np.uint64(n_buckets)
+        ).astype(np.int64) + ci_arr * n_buckets
+        return pa.table(
+            {"ci": pa.array(ci_arr), "v": pa.array(v_arr),
+             "bk": pa.array(bk)}
+        )
+
+    def bucket_stats(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame(
+                {"ci": pd.array([], dtype="int64"),
+                 "nd": pd.array([], dtype="int64"),
+                 "vmin": pd.array([], dtype="float64"),
+                 "vmax": pd.array([], dtype="float64")}
+            )
+        u = np.unique(g["v"].to_numpy())
+        return pd.DataFrame(
+            {"ci": [int(g["ci"].iloc[0])], "nd": [len(u)],
+             "vmin": [float(u[0])], "vmax": [float(u[-1])]}
+        )
+
+    cnt = (
+        _read(sf_dir, "events", ["event_id", "user_id", "value", "ts"])
+        .map_batches(counts, batch_format="pyarrow")
+        .to_pandas()    # bounded: 4 cols x blocks
+        .groupby("col").agg(n_rows=("n_rows", "sum"), n_nulls=("n_nulls", "sum"))
+    )
+    dist = (
+        _read(sf_dir, "events", ["event_id", "user_id", "value", "ts"])
+        .map_batches(distinct_partial, batch_format="pyarrow")
+        .groupby("bk")
+        .map_groups(bucket_stats, batch_format="pandas")
+        .to_pandas()    # bounded: buckets x 4 cols
+        .groupby("ci")
+        .agg(n_distinct=("nd", "sum"), vmin=("vmin", "min"), vmax=("vmax", "max"))
+    )
+    names = list(_PROFILE_COLS)
+    return pa.table(
+        {"col": pa.array(names, pa.string()),
+         "n_rows": pa.array(
+             [int(cnt.loc[n, "n_rows"]) for n in names], pa.int64()),
+         "n_nulls": pa.array(
+             [int(cnt.loc[n, "n_nulls"]) for n in names], pa.int64()),
+         "n_distinct": pa.array(
+             [int(dist.loc[i, "n_distinct"]) for i in range(len(names))],
+             pa.int64()),
+         "vmin": pa.array(
+             [float(dist.loc[i, "vmin"]) for i in range(len(names))],
+             pa.float64()),
+         "vmax": pa.array(
+             [float(dist.loc[i, "vmax"]) for i in range(len(names))],
+             pa.float64())}
+    )
+
+
+ORACLES["events_numeric_profile"] = (
+    "SELECT 'event_id' AS col, count(*)::BIGINT AS n_rows, "
+    "(count(*) - count(event_id))::BIGINT AS n_nulls, "
+    "count(DISTINCT event_id)::BIGINT AS n_distinct, "
+    "min(event_id)::DOUBLE AS vmin, max(event_id)::DOUBLE AS vmax "
+    "FROM events UNION ALL "
+    "SELECT 'user_id', count(*)::BIGINT, "
+    "(count(*) - count(user_id))::BIGINT, "
+    "count(DISTINCT user_id)::BIGINT, "
+    "min(user_id)::DOUBLE, max(user_id)::DOUBLE FROM events UNION ALL "
+    "SELECT 'value', count(*)::BIGINT, "
+    "(count(*) - count(value))::BIGINT, "
+    "count(DISTINCT value)::BIGINT, "
+    "min(value)::DOUBLE, max(value)::DOUBLE FROM events UNION ALL "
+    "SELECT 'ts_us', count(*)::BIGINT, "
+    "(count(*) - count(ts))::BIGINT, "
+    "count(DISTINCT epoch_us(ts))::BIGINT, "
+    "min(epoch_us(ts))::DOUBLE, max(epoch_us(ts))::DOUBLE FROM events"
+)
