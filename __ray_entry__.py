@@ -241,6 +241,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "median_order_gap_days": windows.median_order_gap_days,
         "spearman_length_tokens": text_analysis.spearman_length_tokens,
         "events_numeric_profile": relational.events_numeric_profile,
+        "dup_cluster_hist": dedup.dup_cluster_hist,
         # rows-only (iterative driver-state op like kmeans_fit)
         "bpe_train": text_analysis.bpe_train,
         "bpe_encode": text_analysis.bpe_encode,

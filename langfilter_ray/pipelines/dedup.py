@@ -1914,3 +1914,86 @@ ORACLES["typo_pairs"] = (
     "FROM customer a JOIN customer b "
     "ON a.c_custkey < b.c_custkey AND levenshtein(a.c_name, b.c_name) = 1"
 )
+
+
+def dup_cluster_hist(sf_dir: str) -> pa.Table:
+    """Histogram of EXACT-duplicate cluster sizes — the dedup planning
+    statistic ("is the corpus 2% dups in pairs or one 10k-copy boiler-
+    plate?") that decides whether survivors need the broadcast or the
+    join path.  Same stream as ``dedup_exact`` but the combiner carries
+    per-batch COUNTS per digest; the bucket reduce sums them exactly
+    (each digest lives in one prefix bucket) and emits that bucket's
+    (cluster_size, n_clusters) partial, so the driver folds
+    max-cluster-size x buckets rows — corpus rows never leave the
+    cluster."""
+
+    def digest_counts(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"text_md5": pa.array([], pa.string()),
+             "c": pa.array([], pa.int64()),
+             "bk": pa.array([], pa.int64())}
+        )
+        if len(t) == 0:
+            return empty
+        import pandas as pd
+
+        digests, prefixes = _md5_hex_column(t["text"])
+        df = pd.DataFrame({"text_md5": digests, "pref": prefixes})
+        part = (
+            df.groupby("text_md5", sort=False)
+            .agg(c=("text_md5", "size"), pref=("pref", "first"))
+            .reset_index()
+        )
+        h = part["pref"].to_numpy() * np.uint64(0x9E3779B97F4A7C15)
+        bk = ((h >> np.uint64(33)) % np.uint64(_DEDUP_EXACT_BUCKETS)).astype(
+            "int64"
+        )
+        return pa.table(
+            {"text_md5": pa.array(part["text_md5"], pa.string()),
+             "c": pa.array(part["c"].astype("int64")),
+             "bk": pa.array(bk, pa.int64())}
+        )
+
+    def bucket_hist(g) -> "pd.DataFrame":
+        import pandas as pd
+
+        if g.empty:
+            return pd.DataFrame(
+                {"cluster_size": pd.array([], dtype="int64"),
+                 "n_clusters": pd.array([], dtype="int64")}
+            )
+        sizes = g.groupby("text_md5", sort=False)["c"].sum()
+        u, n = np.unique(sizes.to_numpy(np.int64), return_counts=True)
+        return pd.DataFrame(
+            {"cluster_size": u.astype("int64"),
+             "n_clusters": n.astype("int64")}
+        )
+
+    folded = (
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["text"]
+        )
+        .map_batches(digest_counts, batch_format="pyarrow")
+        .groupby("bk")
+        .map_groups(bucket_hist, batch_format="pandas")
+        .to_pandas()    # bounded: max cluster size x buckets
+    )
+    empty = pa.table(
+        {"cluster_size": pa.array([], pa.int64()),
+         "n_clusters": pa.array([], pa.int64())}
+    )
+    if folded.empty:
+        return empty
+    g = folded.groupby("cluster_size", sort=True)["n_clusters"].sum().reset_index()
+    return pa.table(
+        {"cluster_size": pa.array(g["cluster_size"].astype("int64")),
+         "n_clusters": pa.array(g["n_clusters"].astype("int64"))}
+    )
+
+
+ORACLES["dup_cluster_hist"] = (
+    "WITH g AS (SELECT md5(text) AS d, count(*)::BIGINT AS sz "
+    "FROM documents GROUP BY 1) "
+    "SELECT sz AS cluster_size, count(*)::BIGINT AS n_clusters "
+    "FROM g GROUP BY 1"
+)

@@ -750,3 +750,30 @@ def test_median_order_gap_semantics(ray_session, tmp_path):
     assert dict(zip(got["o_custkey"], got["median_gap_days"])) == {
         1: 5.5, 2: 3.5, 4: 2.0,
     }
+
+
+def test_dup_cluster_hist_known_clusters(ray_session, tmp_path):
+    """Hand-built duplicate clusters: 3 copies of A, 2 of B, singletons
+    C and D -> histogram {1: 2, 2: 1, 3: 1} (the sf testdata is
+    all-unique, so this is the only real exercise of cluster counting
+    across batches/buckets)."""
+    from langfilter_ray.pipelines import dedup
+
+    texts = ["AAA", "AAA", "AAA", "BB", "BB", "C", "D"]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(texts), pa.string()),
+            "source": pa.array(["syn"] * len(texts), pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    got = _check_vs_oracle(
+        dedup.dup_cluster_hist,
+        dedup.ORACLES["dup_cluster_hist"],
+        tmp_path, "documents", tbl,
+    )
+    assert dict(zip(got["cluster_size"], got["n_clusters"])) == {
+        1: 2, 2: 1, 3: 1,
+    }
