@@ -3678,3 +3678,88 @@ ORACLES["spearman_length_tokens"] = (
     "(sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * "
     "sqrt(CAST(n*syy - sy*sy AS DOUBLE))) END AS spearman FROM m"
 )
+
+
+# ---- source_token_quota: largest-remainder budget apportionment ------------
+
+QUOTA_TOKEN_BUDGET = 1_000_000
+
+
+def source_token_quota(sf_dir: str) -> "pa.Table":
+    """Proportional token-budget apportionment across sources with
+    LARGEST-REMAINDER rounding — the exact integer arithmetic of corpus
+    mixing: every source gets floor(B·t/T) tokens of the budget, and the
+    B − Σfloor leftover goes one token at a time to the largest
+    remainders (B·t mod T, ties to the lexicographically first source),
+    so the quotas always sum EXACTLY to B and are a pure function of the
+    token census.  One bounded per-source token-sum exchange (the
+    token_counts RE2 kernel + in-batch combiner); the apportionment is
+    driver arithmetic in Python ints (DuckDB HUGEINT parity for B·t)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {"source": pa.array([], pa.string()),
+                 "tok": pa.array([], pa.int64())}
+            )
+        n = pc.cast(
+            pc.count_substring_regex(pc.fill_null(t["text"], ""), TOKEN_RE),
+            pa.int64(),
+        )
+        g = pa.table({"source": t["source"], "tok": n}).group_by(
+            ["source"]
+        ).aggregate([("tok", "sum")])
+        return pa.table(
+            {"source": g["source"],
+             "tok": pc.cast(g["tok_sum"], pa.int64())}
+        )
+
+    sums = (
+        _docs_cols(sf_dir, ["source", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()    # bounded: sources x blocks
+    )
+    empty = pa.table(
+        {"source": pa.array([], pa.string()),
+         "n_tokens": pa.array([], pa.int64()),
+         "quota": pa.array([], pa.int64())}
+    )
+    if sums.empty:
+        return empty
+    g = sums.groupby("source", sort=True)["tok"].sum()
+    srcs = list(g.index)
+    toks = [int(x) for x in g]
+    T = sum(toks)
+    if T == 0:
+        return empty
+    B = QUOTA_TOKEN_BUDGET
+    floors = [B * t // T for t in toks]
+    rems = [B * t % T for t in toks]
+    leftover = B - sum(floors)
+    # rank remainders: largest first, ties to lexicographically first src
+    order = sorted(range(len(srcs)), key=lambda i: (-rems[i], srcs[i]))
+    quota = list(floors)
+    for i in order[:leftover]:
+        quota[i] += 1
+    return pa.table(
+        {"source": pa.array(srcs, pa.string()),
+         "n_tokens": pa.array(toks, pa.int64()),
+         "quota": pa.array(quota, pa.int64())}
+    )
+
+
+ORACLES["source_token_quota"] = (
+    f"WITH s AS (SELECT source, "
+    f"sum(len(regexp_extract_all(text, '{TOKEN_RE}')))::BIGINT AS t "
+    "FROM documents GROUP BY 1), "
+    "tot AS (SELECT sum(t)::BIGINT AS tt FROM s), "
+    f"q AS (SELECT source, t, ({QUOTA_TOKEN_BUDGET}::HUGEINT * t // tt)::BIGINT AS fl, "
+    f"({QUOTA_TOKEN_BUDGET}::HUGEINT * t % tt)::BIGINT AS rem, "
+    "row_number() OVER (ORDER BY "
+    f"{QUOTA_TOKEN_BUDGET}::HUGEINT * t % tt DESC, source) AS rk "
+    "FROM s, tot), "
+    f"lo AS (SELECT ({QUOTA_TOKEN_BUDGET} - sum(fl))::BIGINT AS leftover FROM q) "
+    "SELECT source, t AS n_tokens, "
+    "(fl + CASE WHEN rk <= lo.leftover THEN 1 ELSE 0 END)::BIGINT AS quota "
+    "FROM q, lo"
+)

@@ -97,7 +97,7 @@ ORACLE_CHECKED = [
     "event_trigrams", "hourly_last_purchase_value", "anomalous_hours",
     "purchase_autocorr_24h", "benford_prices", "length_gini_by_source",
     "median_order_gap_days", "spearman_length_tokens",
-    "events_numeric_profile", "dup_cluster_hist",
+    "events_numeric_profile", "dup_cluster_hist", "source_token_quota",
 ]
 
 

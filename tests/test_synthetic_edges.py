@@ -777,3 +777,30 @@ def test_dup_cluster_hist_known_clusters(ray_session, tmp_path):
     assert dict(zip(got["cluster_size"], got["n_clusters"])) == {
         1: 2, 2: 1, 3: 1,
     }
+
+
+def test_source_token_quota_apportionment(ray_session, tmp_path):
+    """Largest-remainder rounding: quotas sum exactly to the budget and
+    leftovers go to the largest remainders (lexicographic tie-break)."""
+    from langfilter_ray.pipelines import text_analysis
+
+    # token counts 1, 1, 1 over budget 1,000,000: floor = 333,333 each,
+    # leftover 1 goes to the lexicographically first source (all
+    # remainders tie)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(["one", "two", "three"], pa.string()),
+            "lang": pa.array(["en"] * 3, pa.string()),
+            "source": pa.array(["a", "b", "c"], pa.string()),
+            "n_chars": pa.array([3, 3, 5], pa.int64()),
+        }
+    )
+    got = _check_vs_oracle(
+        text_analysis.source_token_quota,
+        text_analysis.ORACLES["source_token_quota"],
+        tmp_path, "documents", tbl,
+    )
+    q = dict(zip(got["source"], got["quota"]))
+    assert sum(q.values()) == text_analysis.QUOTA_TOKEN_BUDGET
+    assert q == {"a": 333_334, "b": 333_333, "c": 333_333}
