@@ -696,3 +696,93 @@ def kmeans_reference(sf_dir: str) -> "pa.Table":
             ),
         }
     )
+
+
+def label_quant_gram(sf_dir: str) -> pa.Table:
+    """Gram matrix of per-label QUANTIZED embedding sum-vectors (dot of
+    every label pair's summed vector, label_a <= label_b) — the integer
+    core of centroid-affinity analysis ("which classes point the same
+    way"), made hash-comparable by the embedding_quant_stats discipline:
+    components quantize FIRST (floor(x*1000 + 0.5) in float64, IEEE-
+    identical both engines), all aggregation after is exact int64/HUGEINT.
+
+    Scale shape: per batch one zero-copy flatten + quantize, per-label
+    column sums via a row-mask matmul-free reduction (labels are a
+    BOUNDED alphabet), so the exchange is labels x dims int64 rows per
+    batch; the driver folds and forms the K x K gram in Python ints
+    (K = labels, dims = 64 — driver state K·(K+1)/2 scalars)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"label": pa.array([], pa.int64()),
+             "dim": pa.array([], pa.int64()),
+             "sq": pa.array([], pa.int64())}
+        )
+        if len(t) == 0:
+            return empty
+        emb = t["embedding"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        flat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        q = np.floor(flat * EMB_QUANT_SCALE + 0.5).astype(np.int64)
+        offs = emb.offsets.to_numpy()
+        d = int(offs[1] - offs[0]) if len(offs) > 1 else 0
+        if d == 0:
+            return empty
+        q2d = q.reshape(-1, d)
+        labels = pc.cast(t["label"], pa.int64()).to_numpy()
+        out_l, out_d, out_s = [], [], []
+        for lab in np.unique(labels):       # bounded label alphabet
+            s = q2d[labels == lab].sum(axis=0)
+            out_l.append(np.full(d, lab, dtype=np.int64))
+            out_d.append(np.arange(1, d + 1, dtype=np.int64))
+            out_s.append(s)
+        return pa.table(
+            {"label": pa.array(np.concatenate(out_l)),
+             "dim": pa.array(np.concatenate(out_d)),
+             "sq": pa.array(np.concatenate(out_s))}
+        )
+
+    parts = (
+        ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["embedding", "label"]
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()    # bounded: labels x dims x blocks
+    )
+    empty = pa.table(
+        {"label_a": pa.array([], pa.int64()),
+         "label_b": pa.array([], pa.int64()),
+         "dot": pa.array([], pa.int64())}
+    )
+    if parts.empty:
+        return empty
+    g = parts.groupby(["label", "dim"], sort=True)["sq"].sum().reset_index()
+    labs = sorted(g["label"].unique())
+    vecs = {
+        lab: [int(x) for x in g[g["label"] == lab].sort_values("dim")["sq"]]
+        for lab in labs
+    }
+    la, lb, dots = [], [], []
+    for i, a in enumerate(labs):
+        for b in labs[i:]:
+            la.append(int(a))
+            lb.append(int(b))
+            dots.append(sum(x * y for x, y in zip(vecs[a], vecs[b])))
+    return pa.table(
+        {"label_a": pa.array(la, pa.int64()),
+         "label_b": pa.array(lb, pa.int64()),
+         "dot": pa.array(dots, pa.int64())}
+    )
+
+
+ORACLES["label_quant_gram"] = (
+    "WITH e AS (SELECT label::BIGINT AS label, i AS dim, "
+    "CAST(floor(embedding[i]::DOUBLE * 1000 + 0.5) AS BIGINT) AS q "
+    "FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)), "
+    "s AS (SELECT label, dim, sum(q)::BIGINT AS sq FROM e GROUP BY 1, 2) "
+    "SELECT a.label AS label_a, b.label AS label_b, "
+    "sum(a.sq::HUGEINT * b.sq)::BIGINT AS dot "
+    "FROM s a JOIN s b ON a.dim = b.dim AND a.label <= b.label "
+    "GROUP BY 1, 2"
+)
