@@ -244,6 +244,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_cluster_hist": dedup.dup_cluster_hist,
         "source_token_quota": text_analysis.source_token_quota,
         "label_quant_gram": similarity.label_quant_gram,
+        "referential_integrity": relational.referential_integrity,
         # rows-only (iterative driver-state op like kmeans_fit)
         "bpe_train": text_analysis.bpe_train,
         "bpe_encode": text_analysis.bpe_encode,

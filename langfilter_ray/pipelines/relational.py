@@ -5079,3 +5079,81 @@ ORACLES["events_numeric_profile"] = (
     "count(DISTINCT epoch_us(ts))::BIGINT, "
     "min(epoch_us(ts))::DOUBLE, max(epoch_us(ts))::DOUBLE FROM events"
 )
+
+
+def referential_integrity(sf_dir: str) -> pa.Table:
+    """Two-way referential-integrity census between lineitem and orders
+    (orphan lineitem orderkeys / childless orders) — the data-quality
+    audit every ingest runs on a new drop, and the SET-DIFFERENCE dual
+    of bloom_semi_join's membership shape.  Both sides fold to per-batch
+    DISTINCT keys tagged with the SAME bucket hash, one exchange
+    co-locates each key's appearances, and every bucket resolves its
+    set differences with two np.setdiff1d calls — a key lives in exactly
+    one bucket, so the counts are exact and the driver folds buckets x 2
+    scalars."""
+    n_li = _dim_num_rows(sf_dir, "lineitem")
+    n_buckets = max(32, n_li // 1_000_000)
+
+    def keys_partial(col: str, side: int):
+        def f(t: pa.Table) -> pa.Table:
+            empty = pa.table(
+                {"k": pa.array([], pa.int64()),
+                 "side": pa.array([], pa.int64()),
+                 "bk": pa.array([], pa.int64())}
+            )
+            if len(t) == 0:
+                return empty
+            u = np.unique(t[col].to_numpy())
+            h = u.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+            bk = ((h >> np.uint64(33)) % np.uint64(n_buckets)).astype(np.int64)
+            return pa.table(
+                {"k": pa.array(u.astype(np.int64)),
+                 "side": pa.array(np.full(len(u), side, np.int64)),
+                 "bk": pa.array(bk)}
+            )
+        return f
+
+    def bucket_diff(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame(
+                {"orphan_lineitem_keys": pd.array([], dtype="int64"),
+                 "childless_orders": pd.array([], dtype="int64")}
+            )
+        side = g["side"].to_numpy()
+        k = g["k"].to_numpy()
+        li = np.unique(k[side == 0])
+        od = np.unique(k[side == 1])
+        return pd.DataFrame(
+            {"orphan_lineitem_keys": [int(len(np.setdiff1d(li, od)))],
+             "childless_orders": [int(len(np.setdiff1d(od, li)))]}
+        )
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey"]).map_batches(
+        keys_partial("l_orderkey", 0), batch_format="pyarrow"
+    )
+    od = _read(sf_dir, "orders", ["o_orderkey"]).map_batches(
+        keys_partial("o_orderkey", 1), batch_format="pyarrow"
+    )
+    folded = (
+        li.union(od)
+        .groupby("bk")
+        .map_groups(bucket_diff, batch_format="pandas")
+        .to_pandas()    # bounded: buckets x 2
+    )
+    return pa.table(
+        {"orphan_lineitem_keys": pa.array(
+            [int(folded["orphan_lineitem_keys"].sum())], pa.int64()),
+         "childless_orders": pa.array(
+            [int(folded["childless_orders"].sum())], pa.int64())}
+    )
+
+
+ORACLES["referential_integrity"] = (
+    "SELECT "
+    "(SELECT count(*) FROM (SELECT DISTINCT l_orderkey FROM lineitem "
+    "EXCEPT SELECT o_orderkey FROM orders))::BIGINT "
+    "AS orphan_lineitem_keys, "
+    "(SELECT count(*) FROM (SELECT o_orderkey FROM orders "
+    "EXCEPT SELECT DISTINCT l_orderkey FROM lineitem))::BIGINT "
+    "AS childless_orders"
+)

@@ -98,7 +98,7 @@ ORACLE_CHECKED = [
     "purchase_autocorr_24h", "benford_prices", "length_gini_by_source",
     "median_order_gap_days", "spearman_length_tokens",
     "events_numeric_profile", "dup_cluster_hist", "source_token_quota",
-    "label_quant_gram",
+    "label_quant_gram", "referential_integrity",
 ]
 
 

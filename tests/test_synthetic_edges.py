@@ -804,3 +804,48 @@ def test_source_token_quota_apportionment(ray_session, tmp_path):
     q = dict(zip(got["source"], got["quota"]))
     assert sum(q.values()) == text_analysis.QUOTA_TOKEN_BUDGET
     assert q == {"a": 333_334, "b": 333_333, "c": 333_333}
+
+
+def test_referential_integrity_orphans(ray_session, tmp_path):
+    """Orphan lineitems (orderkeys 900, 901 missing from orders) and a
+    childless order (3) — both directions counted, duplicates within
+    lineitem counted once."""
+    from langfilter_ray.pipelines import relational
+
+    li = pa.table(
+        {
+            "l_orderkey": pa.array([1, 1, 2, 900, 900, 901], pa.int64()),
+            "l_partkey": pa.array([10, 11, 10, 12, 13, 14], pa.int64()),
+        }
+    )
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+            "o_custkey": pa.array([1, 1, 2], pa.int64()),
+            "o_orderstatus": pa.array(["O"] * 3),
+            "o_totalprice": pa.array([1.0] * 3, pa.float64()),
+            "o_orderdate": pa.array(
+                [np.datetime64("2024-01-01T00:00:00", "us")] * 3,
+                pa.timestamp("us"),
+            ),
+            "o_orderpriority": pa.array(["1-URGENT"] * 3),
+        }
+    )
+    pq.write_table(li, tmp_path / "lineitem.parquet")
+    pq.write_table(orders, tmp_path / "orders.parquet")
+    got = _to_pandas(relational.referential_integrity(str(tmp_path)))
+    assert got["orphan_lineitem_keys"].tolist() == [2]
+    assert got["childless_orders"].tolist() == [1]
+    import duckdb
+    c = duckdb.connect()
+    c.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/lineitem.parquet')"
+    )
+    c.execute(
+        f"CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/orders.parquet')"
+    )
+    want = c.execute(relational.ORACLES["referential_integrity"]).df()
+    problems = compare_frames(_canon(got), _canon(want))
+    assert not problems
