@@ -245,6 +245,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_token_quota": text_analysis.source_token_quota,
         "label_quant_gram": similarity.label_quant_gram,
         "referential_integrity": relational.referential_integrity,
+        "top1pct_revenue_share": relational.top1pct_revenue_share,
+        "user_mode_value_cents": windows.user_mode_value_cents,
         # rows-only (iterative driver-state op like kmeans_fit)
         "bpe_train": text_analysis.bpe_train,
         "bpe_encode": text_analysis.bpe_encode,

@@ -5157,3 +5157,87 @@ ORACLES["referential_integrity"] = (
     "EXCEPT SELECT DISTINCT l_orderkey FROM lineitem))::BIGINT "
     "AS childless_orders"
 )
+
+
+def top1pct_revenue_share(sf_dir: str) -> pa.Table:
+    """Revenue concentration: what share of total revenue comes from
+    orders at or above the 99th-percentile price — the Lorenz-point /
+    inequality statistic (length_gini_by_source's cousin on money).
+    The p99 threshold comes from the dollar-resolution value histogram
+    via the crossing rule (ties AT the threshold dollar are all
+    included — a deterministic contract both engines share), revenue
+    sums are exact integer cents, and the share is one float division.
+    Exchange: the dollar histogram plus a 2-int cents partial per
+    batch."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {"v": pa.array([], pa.int64()),
+                 "c": pa.array([], pa.int64())}
+            )
+        dollars = np.floor(t["o_totalprice"].to_numpy()).astype(np.int64)
+        u, c = np.unique(dollars, return_counts=True)
+        return pa.table(
+            {"v": pa.array(u), "c": pa.array(c.astype(np.int64))}
+        )
+
+    hist = (
+        _read(sf_dir, "orders", ["o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()    # bounded: dollar domain x blocks
+    )
+    empty = pa.table(
+        {"p99_dollars": pa.array([], pa.int64()),
+         "share_top": pa.array([], pa.float64())}
+    )
+    if hist.empty:
+        return empty
+    g = hist.groupby("v", sort=True)["c"].sum()
+    v = g.index.to_numpy(np.int64)
+    c = g.to_numpy(np.int64)
+    cm = np.cumsum(c)
+    tot = int(cm[-1])
+    b = int(v[np.searchsorted(100 * cm, 99 * tot, side="left")])
+
+    def cents_partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {"top": pa.array([], pa.int64()),
+                 "all": pa.array([], pa.int64())}
+            )
+        p = t["o_totalprice"].to_numpy()
+        cents = np.floor(p * 100 + 0.5).astype(np.int64)
+        hi = np.floor(p).astype(np.int64) >= b
+        return pa.table(
+            {"top": pa.array([int(cents[hi].sum())], pa.int64()),
+             "all": pa.array([int(cents.sum())], pa.int64())}
+        )
+
+    sums = (
+        _read(sf_dir, "orders", ["o_totalprice"])
+        .map_batches(cents_partial, batch_format="pyarrow")
+        .to_pandas()    # bounded: 2 ints x blocks
+    )
+    top = sum(int(x) for x in sums["top"])
+    allc = sum(int(x) for x in sums["all"])
+    share = 0.0 if allc == 0 else float(top) / float(allc)
+    return pa.table(
+        {"p99_dollars": pa.array([b], pa.int64()),
+         "share_top": pa.array([share], pa.float64())}
+    )
+
+
+ORACLES["top1pct_revenue_share"] = (
+    "WITH f AS (SELECT floor(o_totalprice)::BIGINT AS v, "
+    "CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS cents FROM orders), "
+    "h AS (SELECT v, count(*)::BIGINT AS c FROM f GROUP BY 1), "
+    "cc AS (SELECT v, sum(c) OVER (ORDER BY v)::BIGINT AS cm, "
+    "sum(c) OVER ()::BIGINT AS tot FROM h), "
+    "b AS (SELECT min(CASE WHEN 100*cm >= 99*tot THEN v END) AS p99 FROM cc) "
+    "SELECT b.p99::BIGINT AS p99_dollars, "
+    "CASE WHEN sum(f.cents) = 0 THEN 0.0 ELSE "
+    "CAST(sum(CASE WHEN f.v >= b.p99 THEN f.cents ELSE 0 END) AS DOUBLE) "
+    "/ CAST(sum(f.cents) AS DOUBLE) END AS share_top "
+    "FROM f, b GROUP BY b.p99"
+)

@@ -3253,3 +3253,62 @@ ORACLES["median_order_gap_days"] = (
     "SELECT o_custkey, median(gap) AS median_gap_days FROM g "
     "WHERE gap IS NOT NULL GROUP BY 1"
 )
+
+
+def user_mode_value_cents(sf_dir: str) -> ray.data.Dataset:
+    """Per-user MODE of the (cents-quantized) event value, ties to the
+    smallest value — the mode-over-an-UNBOUNDED-domain sibling of
+    favorite_event_type (whose alphabet is five strings): counts come
+    from one np.unique over fused (user, cents) int keys per partition,
+    and the per-user argmax with count-desc / value-asc tie-break is one
+    lexsort + first-per-user mask — no Python per key.  Fusing is safe:
+    user_id < 2^31 and cents < 2^31 in this schema (guarded)."""
+    parts = _window_parts(sf_dir)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        h = t["user_id"].to_numpy().astype(np.uint64) * np.uint64(
+            0x9E3779B97F4A7C15
+        )
+        part = ((h >> np.uint64(33)) % np.uint64(parts)).astype(np.int64)
+        return _strip_meta(t).append_column("part", pa.array(part, pa.int64()))
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame(
+                {"user_id": pd.array([], dtype="int64"),
+                 "mode_value_cents": pd.array([], dtype="int64"),
+                 "n_occurrences": pd.array([], dtype="int64")}
+            )
+        uid = g["user_id"].to_numpy()
+        cents = np.floor(g["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+        assert uid.max() < 2**31 and cents.max() < 2**31 and cents.min() >= 0
+        fused = (uid << np.int64(31)) | cents
+        u, cnt = np.unique(fused, return_counts=True)
+        fu = u >> np.int64(31)
+        fv = u & np.int64((1 << 31) - 1)
+        order = np.lexsort((fv, -cnt, fu))
+        fu, fv, cnt = fu[order], fv[order], cnt[order]
+        first = np.empty(len(fu), dtype=bool)
+        first[0] = True
+        first[1:] = fu[1:] != fu[:-1]
+        return pd.DataFrame(
+            {"user_id": fu[first],
+             "mode_value_cents": fv[first],
+             "n_occurrences": cnt[first].astype("int64")}
+        )
+
+    ds = _events(sf_dir, ["user_id", "value"]).map_batches(
+        add_part, batch_format="pyarrow"
+    )
+    return _partition_map(ds, parts, per_partition)
+
+
+ORACLES["user_mode_value_cents"] = (
+    "WITH c AS (SELECT user_id, "
+    "CAST(floor(value*100 + 0.5) AS BIGINT) AS cents, "
+    "count(*)::BIGINT AS n FROM events GROUP BY 1, 2), "
+    "r AS (SELECT user_id, cents, n, row_number() OVER "
+    "(PARTITION BY user_id ORDER BY n DESC, cents) AS rk FROM c) "
+    "SELECT user_id, cents AS mode_value_cents, n AS n_occurrences "
+    "FROM r WHERE rk = 1"
+)
