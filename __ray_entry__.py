@@ -247,6 +247,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "referential_integrity": relational.referential_integrity,
         "top1pct_revenue_share": relational.top1pct_revenue_share,
         "user_mode_value_cents": windows.user_mode_value_cents,
+        "vocab_growth": text_analysis.vocab_growth,
         # rows-only (iterative driver-state op like kmeans_fit)
         "bpe_train": text_analysis.bpe_train,
         "bpe_encode": text_analysis.bpe_encode,

@@ -3763,3 +3763,108 @@ ORACLES["source_token_quota"] = (
     "(fl + CASE WHEN rk <= lo.leftover THEN 1 ELSE 0 END)::BIGINT AS quota "
     "FROM q, lo"
 )
+
+
+# ---- vocab_growth: Heaps-law curve via min-first-occurrence ----------------
+
+def vocab_growth(sf_dir: str) -> "pa.Table":
+    """Vocabulary size at the 25/50/75/100% corpus prefixes (doc_id
+    order) — the Heaps'-law growth curve that decides whether a corpus
+    is still yielding new types or has saturated.  The naive plan
+    rescans each prefix; this one needs a SINGLE pass: a token counts
+    toward prefix k iff its FIRST occurrence (min doc_id) lands below k,
+    so the per-token min-doc_id fold (in-batch pyarrow min combiner +
+    prefix-bucket exact min, the dedup_exact reduce) followed by four
+    threshold counts per bucket answers every prefix at once.  Exchange:
+    one row per distinct (batch, token), then 4 ints per bucket."""
+    import pyarrow.parquet as pq
+
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    ks = [(n_docs * i) // 4 for i in (1, 2, 3, 4)]
+    n_buckets = 32
+
+    def tok_min(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"tkn": pa.array([], pa.string()),
+             "fd": pa.array([], pa.int64()),
+             "bk": pa.array([], pa.int64())}
+        )
+        if len(t) == 0:
+            return empty
+        import pandas as pd
+
+        # vectorized tokenize (the top_tokens idiom): split on the token
+        # complement, flatten, repeat doc_ids by list length
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(pc.fill_null(t["text"], "")),
+            pattern="[^a-z0-9_]+",
+        )
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy()
+        flat = pc.list_flatten(toks)
+        docrep = np.repeat(t["doc_id"].to_numpy(), lens)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        if not keep.any():
+            return empty
+        df = pd.DataFrame(
+            {"tkn": flat.to_pandas().to_numpy()[keep], "fd": docrep[keep]}
+        )
+        part = df.groupby("tkn", sort=False)["fd"].min().reset_index()
+        # deterministic cross-process token hash (NEVER Python hash():
+        # PYTHONHASHSEED differs per worker and would split a token
+        # across buckets, inflating the distinct count)
+        h = pd.util.hash_array(part["tkn"].to_numpy(object))
+        bk = (h >> np.uint64(33)) % np.uint64(n_buckets)
+        return pa.table(
+            {"tkn": pa.array(part["tkn"], pa.string()),
+             "fd": pa.array(part["fd"].astype("int64")),
+             "bk": pa.array(bk.astype(np.int64), pa.int64())}
+        )
+
+    def bucket_counts(g) -> "pd.DataFrame":
+        import pandas as pd
+
+        if g.empty:
+            return pd.DataFrame(
+                {"prefix_docs": pd.array([], dtype="int64"),
+                 "vocab": pd.array([], dtype="int64")}
+            )
+        fd = g.groupby("tkn", sort=False)["fd"].min().to_numpy(np.int64)
+        return pd.DataFrame(
+            {"prefix_docs": np.asarray(ks, dtype=np.int64),
+             "vocab": np.asarray(
+                 [int((fd < k).sum()) for k in ks], dtype=np.int64)}
+        )
+
+    folded = (
+        _docs_cols(sf_dir, ["doc_id", "text"])
+        .map_batches(tok_min, batch_format="pyarrow")
+        .groupby("bk")
+        .map_groups(bucket_counts, batch_format="pandas")
+        .to_pandas()    # bounded: 4 x buckets
+    )
+    empty = pa.table(
+        {"prefix_docs": pa.array([], pa.int64()),
+         "vocab": pa.array([], pa.int64())}
+    )
+    if folded.empty:
+        return empty
+    g = folded.groupby("prefix_docs", sort=True)["vocab"].sum().reset_index()
+    return pa.table(
+        {"prefix_docs": pa.array(g["prefix_docs"].astype("int64")),
+         "vocab": pa.array(g["vocab"].astype("int64"))}
+    )
+
+
+ORACLES["vocab_growth"] = (
+    "WITH m AS (SELECT count(*)::BIGINT AS n FROM documents), "
+    "tok AS (SELECT doc_id, "
+    f"unnest(regexp_extract_all(lower(text), '{LOWER_TOKEN_RE}')) AS tkn "
+    "FROM documents), "
+    "f AS (SELECT tkn, min(doc_id) AS first_doc FROM tok GROUP BY 1), "
+    "q AS (SELECT unnest([1, 2, 3, 4]) AS i) "
+    "SELECT (m.n * q.i) // 4 AS prefix_docs, "
+    "sum(CASE WHEN f.first_doc < (m.n * q.i) // 4 THEN 1 ELSE 0 END)"
+    "::BIGINT AS vocab FROM f, q, m GROUP BY 1"
+)

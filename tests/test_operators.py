@@ -99,7 +99,7 @@ ORACLE_CHECKED = [
     "median_order_gap_days", "spearman_length_tokens",
     "events_numeric_profile", "dup_cluster_hist", "source_token_quota",
     "label_quant_gram", "referential_integrity",
-    "top1pct_revenue_share", "user_mode_value_cents",
+    "top1pct_revenue_share", "user_mode_value_cents", "vocab_growth",
 ]
 
 
