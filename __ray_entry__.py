@@ -248,6 +248,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top1pct_revenue_share": relational.top1pct_revenue_share,
         "user_mode_value_cents": windows.user_mode_value_cents,
         "vocab_growth": text_analysis.vocab_growth,
+        "hapax_by_source": text_analysis.hapax_by_source,
         # rows-only (iterative driver-state op like kmeans_fit)
         "bpe_train": text_analysis.bpe_train,
         "bpe_encode": text_analysis.bpe_encode,

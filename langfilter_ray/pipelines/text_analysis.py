@@ -3868,3 +3868,113 @@ ORACLES["vocab_growth"] = (
     "sum(CASE WHEN f.first_doc < (m.n * q.i) // 4 THEN 1 ELSE 0 END)"
     "::BIGINT AS vocab FROM f, q, m GROUP BY 1"
 )
+
+
+# ---- hapax_by_source: type-frequency spectrum head -------------------------
+
+def hapax_by_source(sf_dir: str) -> "pa.Table":
+    """Per-source hapax legomena census (how many vocabulary types occur
+    exactly once, vs the vocabulary size) — the head of the type-
+    frequency spectrum; a high hapax share flags OCR noise / random
+    strings, a low one flags boilerplate (vocab_growth's saturation
+    complement).  Per-batch (source, token, count) partials via the
+    vectorized split idiom, a deterministic token-hash bucket exchange
+    bounded by vocabulary x sources (never token occurrences), and each
+    bucket folds its exact per-(source, token) totals to two ints per
+    source."""
+    n_buckets = 32
+
+    def tok_counts(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"source": pa.array([], pa.string()),
+             "tkn": pa.array([], pa.string()),
+             "c": pa.array([], pa.int64()),
+             "bk": pa.array([], pa.int64())}
+        )
+        if len(t) == 0:
+            return empty
+        import pandas as pd
+
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(pc.fill_null(t["text"], "")),
+            pattern="[^a-z0-9_]+",
+        )
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy()
+        flat = pc.list_flatten(toks)
+        srcrep = np.repeat(
+            np.asarray(t["source"].to_pylist(), dtype=object), lens
+        )
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        if not keep.any():
+            return empty
+        df = pd.DataFrame(
+            {"source": srcrep[keep], "tkn": flat.to_pandas().to_numpy()[keep]}
+        )
+        part = (
+            df.groupby(["source", "tkn"], sort=False)
+            .size()
+            .reset_index(name="c")
+        )
+        h = pd.util.hash_array(part["tkn"].to_numpy(object))
+        bk = (h >> np.uint64(33)) % np.uint64(n_buckets)
+        return pa.table(
+            {"source": pa.array(part["source"], pa.string()),
+             "tkn": pa.array(part["tkn"], pa.string()),
+             "c": pa.array(part["c"].astype("int64")),
+             "bk": pa.array(bk.astype(np.int64), pa.int64())}
+        )
+
+    def bucket_fold(g) -> "pd.DataFrame":
+        import pandas as pd
+
+        if g.empty:
+            return pd.DataFrame(
+                {"source": pd.array([], dtype="object"),
+                 "vocab": pd.array([], dtype="int64"),
+                 "hapax": pd.array([], dtype="int64")}
+            )
+        tot = g.groupby(["source", "tkn"], sort=False)["c"].sum().reset_index()
+        out = tot.groupby("source", sort=False).agg(
+            vocab=("c", "size"),
+            hapax=("c", lambda s: int((s == 1).sum())),
+        ).reset_index()
+        out["vocab"] = out["vocab"].astype("int64")
+        out["hapax"] = out["hapax"].astype("int64")
+        return out
+
+    folded = (
+        _docs_cols(sf_dir, ["source", "text"])
+        .map_batches(tok_counts, batch_format="pyarrow")
+        .groupby("bk")
+        .map_groups(bucket_fold, batch_format="pandas")
+        .to_pandas()    # bounded: sources x buckets
+    )
+    empty = pa.table(
+        {"source": pa.array([], pa.string()),
+         "vocab": pa.array([], pa.int64()),
+         "hapax": pa.array([], pa.int64())}
+    )
+    if folded.empty:
+        return empty
+    g = folded.groupby("source", sort=True).agg(
+        vocab=("vocab", "sum"), hapax=("hapax", "sum")
+    ).reset_index()
+    return pa.table(
+        {"source": pa.array(g["source"], pa.string()),
+         "vocab": pa.array(g["vocab"].astype("int64")),
+         "hapax": pa.array(g["hapax"].astype("int64"))}
+    )
+
+
+ORACLES["hapax_by_source"] = (
+    "WITH tok AS (SELECT source, "
+    f"unnest(regexp_extract_all(lower(text), '{LOWER_TOKEN_RE}')) AS tkn "
+    "FROM documents), "
+    "f AS (SELECT source, tkn, count(*)::BIGINT AS c FROM tok "
+    "GROUP BY 1, 2) "
+    "SELECT source, count(*)::BIGINT AS vocab, "
+    "sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS hapax "
+    "FROM f GROUP BY source"
+)
