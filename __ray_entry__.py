@@ -249,6 +249,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_mode_value_cents": windows.user_mode_value_cents,
         "vocab_growth": text_analysis.vocab_growth,
         "hapax_by_source": text_analysis.hapax_by_source,
+        "price_ending_census": relational.price_ending_census,
         # rows-only (iterative driver-state op like kmeans_fit)
         "bpe_train": text_analysis.bpe_train,
         "bpe_encode": text_analysis.bpe_encode,

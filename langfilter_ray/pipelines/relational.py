@@ -5241,3 +5241,51 @@ ORACLES["top1pct_revenue_share"] = (
     "/ CAST(sum(f.cents) AS DOUBLE) END AS share_top "
     "FROM f, b GROUP BY b.p99"
 )
+
+
+def price_ending_census(sf_dir: str) -> pa.Table:
+    """Cents-ending distribution of order prices (the .99 / .00
+    psychological-pricing screen, Benford's modular sibling — synthetic
+    or generated price columns show a uniform ending profile, scraped
+    real-world ones don't): ending = cents mod 100 from the exact
+    integer cents, per-batch 100-bin bincount partials, 100 x blocks
+    exchange."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {"ending": pa.array([], pa.int64()),
+                 "n": pa.array([], pa.int64())}
+            )
+        cents = np.floor(
+            t["o_totalprice"].to_numpy() * 100 + 0.5
+        ).astype(np.int64)
+        cnt = np.bincount(cents % 100, minlength=100)
+        return pa.table(
+            {"ending": pa.array(np.arange(100, dtype=np.int64)),
+             "n": pa.array(cnt.astype(np.int64))}
+        )
+
+    parts = (
+        _read(sf_dir, "orders", ["o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()    # bounded: 100 x blocks
+    )
+    empty = pa.table(
+        {"ending": pa.array([], pa.int64()),
+         "n_orders": pa.array([], pa.int64())}
+    )
+    if parts.empty:
+        return empty
+    g = parts.groupby("ending", sort=True)["n"].sum().reset_index()
+    g = g[g["n"] > 0]
+    return pa.table(
+        {"ending": pa.array(g["ending"].astype("int64")),
+         "n_orders": pa.array(g["n"].astype("int64"))}
+    )
+
+
+ORACLES["price_ending_census"] = (
+    "SELECT (CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) % 100) "
+    "AS ending, count(*)::BIGINT AS n_orders FROM orders GROUP BY 1"
+)
