@@ -3978,3 +3978,65 @@ ORACLES["hapax_by_source"] = (
     "sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS hapax "
     "FROM f GROUP BY source"
 )
+
+
+# ---- small_group_census: k-anonymity screen --------------------------------
+
+K_ANON_THRESHOLD = 5
+
+
+def small_group_census(sf_dir: str) -> "pa.Table":
+    """k-anonymity audit over the (lang, length-bucket) quasi-identifier:
+    how many equivalence groups have fewer than k=5 members, and how
+    many rows sit in them — the re-identification screen a corpus
+    release runs before publishing per-group statistics.  Per-batch
+    (lang, bucket, count) partials (exchange bounded by languages x
+    bucket domain), exact driver fold, three integers out."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {"lang": pa.array([], pa.string()),
+                 "b": pa.array([], pa.int64()),
+                 "c": pa.array([], pa.int64())}
+            )
+        src = pa.table(
+            {"lang": t["lang"],
+             "b": pa.array(t["n_chars"].to_numpy() // 100, pa.int64())}
+        )
+        g = src.group_by(["lang", "b"]).aggregate([("b", "count")])
+        return pa.table(
+            {"lang": g["lang"], "b": g["b"],
+             "c": pc.cast(g["b_count"], pa.int64())}
+        )
+
+    hist = (
+        _docs_cols(sf_dir, ["lang", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()    # bounded: languages x bucket domain x blocks
+    )
+    if hist.empty:
+        return pa.table(
+            {"n_groups": pa.array([0], pa.int64()),
+             "n_small_groups": pa.array([0], pa.int64()),
+             "rows_at_risk": pa.array([0], pa.int64())}
+        )
+    g = hist.groupby(["lang", "b"], sort=False)["c"].sum()
+    sz = g.to_numpy(np.int64)
+    small = sz < K_ANON_THRESHOLD
+    return pa.table(
+        {"n_groups": pa.array([int(len(sz))], pa.int64()),
+         "n_small_groups": pa.array([int(small.sum())], pa.int64()),
+         "rows_at_risk": pa.array([int(sz[small].sum())], pa.int64())}
+    )
+
+
+ORACLES["small_group_census"] = (
+    "WITH g AS (SELECT lang, n_chars // 100 AS b, count(*)::BIGINT AS sz "
+    "FROM documents GROUP BY 1, 2) "
+    "SELECT count(*)::BIGINT AS n_groups, "
+    f"sum(CASE WHEN sz < {K_ANON_THRESHOLD} THEN 1 ELSE 0 END)::BIGINT "
+    "AS n_small_groups, "
+    f"sum(CASE WHEN sz < {K_ANON_THRESHOLD} THEN sz ELSE 0 END)::BIGINT "
+    "AS rows_at_risk FROM g"
+)

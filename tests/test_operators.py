@@ -100,7 +100,7 @@ ORACLE_CHECKED = [
     "events_numeric_profile", "dup_cluster_hist", "source_token_quota",
     "label_quant_gram", "referential_integrity",
     "top1pct_revenue_share", "user_mode_value_cents", "vocab_growth",
-    "hapax_by_source", "price_ending_census",
+    "hapax_by_source", "price_ending_census", "small_group_census",
 ]
 
 
