@@ -5289,3 +5289,82 @@ ORACLES["price_ending_census"] = (
     "SELECT (CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) % 100) "
     "AS ending, count(*)::BIGINT AS n_orders FROM orders GROUP BY 1"
 )
+
+
+def revenue_lorenz_deciles(sf_dir: str) -> pa.Table:
+    """Ten-point Lorenz curve of order revenue (cumulative revenue share
+    at each count decile, bottom-up) — the full concentration picture
+    top1pct_revenue_share samples one point of.  ONE histogram pass
+    carries (dollar, count, cents_sum) partials — adding the exact cents
+    sum per dollar bucket makes every decile's cumulative share
+    computable without a second scan — and each decile's threshold is
+    the count-crossing dollar with the all-ties-included contract.
+    Integers throughout, one float division per output row."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {"v": pa.array([], pa.int64()),
+                 "c": pa.array([], pa.int64()),
+                 "s": pa.array([], pa.int64())}
+            )
+        p = t["o_totalprice"].to_numpy()
+        dollars = np.floor(p).astype(np.int64)
+        cents = np.floor(p * 100 + 0.5).astype(np.int64)
+        u, inv = np.unique(dollars, return_inverse=True)
+        return pa.table(
+            {"v": pa.array(u),
+             "c": pa.array(np.bincount(inv).astype(np.int64)),
+             "s": pa.array(
+                 np.bincount(inv, weights=cents).astype(np.int64))}
+        )
+
+    hist = (
+        _read(sf_dir, "orders", ["o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()    # bounded: dollar domain x blocks
+    )
+    empty = pa.table(
+        {"decile": pa.array([], pa.int64()),
+         "thresh_dollars": pa.array([], pa.int64()),
+         "cum_share": pa.array([], pa.float64())}
+    )
+    if hist.empty:
+        return empty
+    g = hist.groupby("v", sort=True).agg(c=("c", "sum"), s=("s", "sum"))
+    v = g.index.to_numpy(np.int64)
+    cm = np.cumsum(g["c"].to_numpy(np.int64))
+    sm = np.cumsum(g["s"].to_numpy(np.int64))
+    tot_n = int(cm[-1])
+    tot_s = int(sm[-1])
+    deciles, threshs, shares = [], [], []
+    for i in range(1, 11):
+        idx = int(np.searchsorted(10 * cm, i * tot_n, side="left"))
+        deciles.append(i)
+        threshs.append(int(v[idx]))
+        shares.append(
+            0.0 if tot_s == 0 else float(int(sm[idx])) / float(tot_s)
+        )
+    return pa.table(
+        {"decile": pa.array(deciles, pa.int64()),
+         "thresh_dollars": pa.array(threshs, pa.int64()),
+         "cum_share": pa.array(shares, pa.float64())}
+    )
+
+
+ORACLES["revenue_lorenz_deciles"] = (
+    "WITH f AS (SELECT floor(o_totalprice)::BIGINT AS v, "
+    "CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS cents FROM orders), "
+    "h AS (SELECT v, count(*)::BIGINT AS c, sum(cents)::BIGINT AS s "
+    "FROM f GROUP BY 1), "
+    "cc AS (SELECT v, sum(c) OVER (ORDER BY v)::BIGINT AS cm, "
+    "sum(s) OVER (ORDER BY v)::BIGINT AS sm, "
+    "sum(c) OVER ()::BIGINT AS tn, sum(s) OVER ()::BIGINT AS ts FROM h), "
+    "q AS (SELECT unnest(range(1, 11)) AS decile), "
+    "b AS (SELECT q.decile, min(cc.v) AS thresh, min(cc.sm) AS smx "
+    "FROM cc, q WHERE 10*cc.cm >= q.decile*cc.tn GROUP BY q.decile) "
+    "SELECT b.decile::BIGINT AS decile, b.thresh::BIGINT AS thresh_dollars, "
+    "CASE WHEN m.ts = 0 THEN 0.0 ELSE CAST(b.smx AS DOUBLE) / "
+    "CAST(m.ts AS DOUBLE) END AS cum_share "
+    "FROM b, (SELECT max(ts)::BIGINT AS ts FROM cc) m"
+)
