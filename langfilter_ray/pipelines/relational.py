@@ -5368,3 +5368,125 @@ ORACLES["revenue_lorenz_deciles"] = (
     "CAST(m.ts AS DOUBLE) END AS cum_share "
     "FROM b, (SELECT max(ts)::BIGINT AS ts FROM cc) m"
 )
+
+
+def revenue_by_part_word(sf_dir: str) -> pa.Table:
+    """Revenue attributed to each word of the part NAME — the exploded-
+    dimension join (search-facet revenue: 'how much revenue do "green"
+    parts drive?').  Fact side folds to exact cents per partkey first
+    (in-batch combiner + bucket reduce over the mostly-unique key
+    stream), ONE volume-sized hash join attaches part names to those
+    ~|catalog| rows — never to raw lineitems — and the word explode
+    happens AFTER the join on the already-aggregated rows, folding to
+    (word, cents, parts) partials whose exchange is vocabulary-bounded."""
+    n_li = _dim_num_rows(sf_dir, "lineitem")
+    n_buckets = max(32, n_li // 1_000_000)
+
+    def rev_partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {"pk": pa.array([], pa.int64()),
+                 "cents": pa.array([], pa.int64()),
+                 "bk": pa.array([], pa.int64())}
+            )
+        pk = t["l_partkey"].to_numpy()
+        cents = np.floor(
+            t["l_extendedprice"].to_numpy() * 100 + 0.5
+        ).astype(np.int64)
+        u, inv = np.unique(pk, return_inverse=True)
+        s = np.bincount(inv, weights=cents).astype(np.int64)
+        h = u.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        bk = ((h >> np.uint64(33)) % np.uint64(n_buckets)).astype(np.int64)
+        return pa.table(
+            {"pk": pa.array(u.astype(np.int64)),
+             "cents": pa.array(s), "bk": pa.array(bk)}
+        )
+
+    def bucket_sum(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame(
+                {"pk": pd.array([], dtype="int64"),
+                 "cents": pd.array([], dtype="int64")}
+            )
+        out = g.groupby("pk", sort=False)["cents"].sum().reset_index()
+        out["cents"] = out["cents"].astype("int64")
+        return out
+
+    per_part = (
+        _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice"])
+        .map_batches(rev_partial, batch_format="pyarrow")
+        .groupby("bk")
+        .map_groups(bucket_sum, batch_format="pandas")
+    )
+    n_part = _dim_num_rows(sf_dir, "part")
+    joined = per_part.join(
+        _read(sf_dir, "part", ["p_partkey", "p_name"]),
+        join_type="inner",
+        num_partitions=_volume_join_parts(n_part),
+        on=("pk",),
+        right_on=("p_partkey",),
+    )
+
+    def word_partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {"word": pa.array([], pa.string()),
+                 "cents": pa.array([], pa.int64()),
+                 "n": pa.array([], pa.int64())}
+            )
+        import pandas as pd
+
+        words = pc.split_pattern_regex(
+            pc.utf8_lower(pc.fill_null(t["p_name"], "")),
+            pattern="[^a-z]+",
+        )
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        lens = pc.list_value_length(words).to_numpy()
+        flat = pc.list_flatten(words)
+        crep = np.repeat(t["cents"].to_numpy(), lens)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {"word": flat.to_pandas().to_numpy()[keep], "cents": crep[keep]}
+        )
+        out = df.groupby("word", sort=False).agg(
+            cents=("cents", "sum"), n=("cents", "size")
+        ).reset_index()
+        return pa.table(
+            {"word": pa.array(out["word"], pa.string()),
+             "cents": pa.array(out["cents"].astype("int64")),
+             "n": pa.array(out["n"].astype("int64"))}
+        )
+
+    folded = (
+        joined.map_batches(word_partial, batch_format="pyarrow")
+        .to_pandas()    # bounded: name vocabulary x blocks
+    )
+    empty = pa.table(
+        {"word": pa.array([], pa.string()),
+         "revenue_cents": pa.array([], pa.int64()),
+         "n_parts": pa.array([], pa.int64())}
+    )
+    if folded.empty:
+        return empty
+    g = folded.groupby("word", sort=True).agg(
+        revenue_cents=("cents", "sum"), n_parts=("n", "sum")
+    ).reset_index()
+    return pa.table(
+        {"word": pa.array(g["word"], pa.string()),
+         "revenue_cents": pa.array(g["revenue_cents"].astype("int64")),
+         "n_parts": pa.array(g["n_parts"].astype("int64"))}
+    )
+
+
+ORACLES["revenue_by_part_word"] = (
+    "WITH r AS (SELECT l_partkey, "
+    "sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT))::BIGINT "
+    "AS cents FROM lineitem GROUP BY 1), "
+    "w AS (SELECT p.p_partkey, "
+    "unnest(regexp_extract_all(lower(p.p_name), '[a-z]+')) AS word "
+    "FROM part p) "
+    "SELECT w.word, sum(r.cents)::BIGINT AS revenue_cents, "
+    "count(*)::BIGINT AS n_parts FROM w JOIN r "
+    "ON w.p_partkey = r.l_partkey GROUP BY 1"
+)
