@@ -3312,3 +3312,52 @@ ORACLES["user_mode_value_cents"] = (
     "SELECT user_id, cents AS mode_value_cents, n AS n_occurrences "
     "FROM r WHERE rk = 1"
 )
+
+
+def sessions_per_user_hist(sf_dir: str) -> pa.Table:
+    """Histogram of sessions per user — the count-of-counts over the
+    sessionization output, COMPOSED on the session_windows pipeline
+    (operators as building blocks, the reference's report-over-report
+    pattern).  Each map batch is a whole partition block
+    (batch_size=None on the map_groups output — a group is never split
+    across blocks), so per-user session counts are complete in-batch
+    and only (n_sessions, n_users) partials leave — the exchange is
+    bounded by the max sessions-per-user, never user count."""
+    sessions = session_windows(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {"n_sessions": pa.array([], pa.int64()),
+                 "n_users": pa.array([], pa.int64())}
+            )
+        uid = t["user_id"].to_numpy()
+        _, counts = np.unique(uid, return_counts=True)
+        u, n = np.unique(counts, return_counts=True)
+        return pa.table(
+            {"n_sessions": pa.array(u.astype(np.int64)),
+             "n_users": pa.array(n.astype(np.int64))}
+        )
+
+    folded = sessions.map_batches(
+        partial, batch_format="pyarrow", batch_size=None
+    ).to_pandas()    # bounded: max sessions/user x blocks
+    empty = pa.table(
+        {"n_sessions": pa.array([], pa.int64()),
+         "n_users": pa.array([], pa.int64())}
+    )
+    if folded.empty:
+        return empty
+    g = folded.groupby("n_sessions", sort=True)["n_users"].sum().reset_index()
+    return pa.table(
+        {"n_sessions": pa.array(g["n_sessions"].astype("int64")),
+         "n_users": pa.array(g["n_users"].astype("int64"))}
+    )
+
+
+ORACLES["sessions_per_user_hist"] = (
+    "WITH sess AS (" + ORACLES["session_windows"] + "), "
+    "c AS (SELECT user_id, count(*)::BIGINT AS nc FROM sess GROUP BY 1) "
+    "SELECT nc AS n_sessions, count(*)::BIGINT AS n_users "
+    "FROM c GROUP BY 1"
+)
