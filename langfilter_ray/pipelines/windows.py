@@ -3361,3 +3361,74 @@ ORACLES["sessions_per_user_hist"] = (
     "SELECT nc AS n_sessions, count(*)::BIGINT AS n_users "
     "FROM c GROUP BY 1"
 )
+
+
+_THRESHOLD_CENTS = 10_000    # $100 cumulative value
+
+
+def user_time_to_100(sf_dir: str) -> ray.data.Dataset:
+    """Time from each user's FIRST event until their cumulative value
+    first reaches $100 (else −1) — the first-CROSSING detector (time-to-
+    milestone / activation metric), a different per-key scan from the
+    running sums: the answer is one INDEX per user, found vectorized as
+    np.minimum.reduceat over positions masked to crossing rows (+inf
+    where not crossed).  Cumulative cents are nondecreasing (values are
+    nonnegative), so SQL's min(ts) over crossing rows picks the same
+    event; exact integer microseconds, −1 sentinel (nullable-int hash
+    rule)."""
+    parts = _window_parts(sf_dir)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        h = t["user_id"].to_numpy().astype(np.uint64) * np.uint64(
+            0x9E3779B97F4A7C15
+        )
+        part = ((h >> np.uint64(33)) % np.uint64(parts)).astype(np.int64)
+        return _strip_meta(t).append_column("part", pa.array(part, pa.int64()))
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame(
+                {"user_id": pd.array([], dtype="int64"),
+                 "us_to_threshold": pd.array([], dtype="int64")}
+            )
+        g, starts, ends = _user_segments(g)
+        us = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        cents = np.floor(g["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+        cum = np.cumsum(cents)
+        seg_id = np.zeros(len(g), dtype=np.int64)
+        seg_id[starts] = 1
+        seg_id = np.cumsum(seg_id) - 1
+        # cum just BEFORE each segment start (0 for the first): exact
+        # rebase independent of value sign
+        pre = np.concatenate(([np.int64(0)], cum))[starts]
+        seg_cum = cum - pre[seg_id]
+        pos = np.arange(len(g), dtype=np.int64)
+        BIG = np.int64(len(g) + 1)
+        cand = np.where(seg_cum >= _THRESHOLD_CENTS, pos, BIG)
+        first = np.minimum.reduceat(cand, starts)
+        crossed = first < BIG
+        safe = np.where(crossed, first, 0)
+        out = np.where(crossed, us[safe] - us[starts], -1).astype(np.int64)
+        return pd.DataFrame(
+            {"user_id": g["user_id"].to_numpy()[starts],
+             "us_to_threshold": out}
+        )
+
+    ds = _events(sf_dir, ["user_id", "ts", "event_id", "value"]).map_batches(
+        add_part, batch_format="pyarrow"
+    )
+    return _partition_map(ds, parts, per_partition)
+
+
+ORACLES["user_time_to_100"] = (
+    "WITH s AS (SELECT user_id, ts, "
+    "sum(CAST(floor(value*100 + 0.5) AS BIGINT)) OVER "
+    "(PARTITION BY user_id ORDER BY ts, event_id "
+    "ROWS UNBOUNDED PRECEDING)::BIGINT AS cum FROM events), "
+    "f AS (SELECT user_id, min(ts) AS t0 FROM events GROUP BY 1), "
+    f"x AS (SELECT user_id, min(ts) AS tx FROM s WHERE cum >= {_THRESHOLD_CENTS} "
+    "GROUP BY 1) "
+    "SELECT f.user_id, "
+    "coalesce(epoch_us(x.tx) - epoch_us(f.t0), -1)::BIGINT "
+    "AS us_to_threshold FROM f LEFT JOIN x USING (user_id)"
+)

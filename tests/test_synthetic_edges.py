@@ -849,3 +849,29 @@ def test_referential_integrity_orphans(ray_session, tmp_path):
     want = c.execute(relational.ORACLES["referential_integrity"]).df()
     problems = compare_frames(_canon(got), _canon(want))
     assert not problems
+
+
+def test_user_time_to_100_crossing(ray_session, tmp_path):
+    """First-crossing semantics: crossing mid-history, at the very first
+    event (0 us), never crossing (-1), and exact-boundary $100.00."""
+    from langfilter_ray.pipelines import windows
+
+    rows = [
+        # user 1: 40 + 60 = exactly 100.00 at second event (t=5us)
+        (1, 1, 0, "purchase", 40.0), (2, 1, 5, "purchase", 60.0),
+        # user 2: first event already >= 100 -> 0 us
+        (3, 2, 0, "purchase", 150.0), (4, 2, 9, "view", 1.0),
+        # user 3: never crosses -> -1
+        (5, 3, 0, "view", 1.0), (6, 3, 1, "view", 2.0),
+        # user 4: crosses at third event
+        (7, 4, 0, "view", 50.0), (8, 4, 10, "view", 49.99),
+        (9, 4, 20, "view", 0.01),
+    ]
+    got = _check_vs_oracle(
+        windows.user_time_to_100,
+        windows.ORACLES["user_time_to_100"],
+        tmp_path, "events", _events_table(rows),
+    )
+    assert dict(zip(got["user_id"], got["us_to_threshold"])) == {
+        1: 5, 2: 0, 3: -1, 4: 20,
+    }
