@@ -3432,3 +3432,64 @@ ORACLES["user_time_to_100"] = (
     "coalesce(epoch_us(x.tx) - epoch_us(f.t0), -1)::BIGINT "
     "AS us_to_threshold FROM f LEFT JOIN x USING (user_id)"
 )
+
+
+def repeat_event_census(sf_dir: str) -> ray.data.Dataset:
+    """Per-user census of IDENTICAL consecutive events (same type and
+    same cents value as the previous event, sequence order) — the bot /
+    replay screen: organic users rarely repeat exact (type, value)
+    pairs back-to-back.  Pure adjacent-shift comparison inside the
+    user partition (one boolean AND of two shifted equality masks,
+    user boundaries excluded), integer outputs only — no ratio
+    division to diverge."""
+    parts = _window_parts(sf_dir)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        h = t["user_id"].to_numpy().astype(np.uint64) * np.uint64(
+            0x9E3779B97F4A7C15
+        )
+        part = ((h >> np.uint64(33)) % np.uint64(parts)).astype(np.int64)
+        return _strip_meta(t).append_column("part", pa.array(part, pa.int64()))
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame(
+                {"user_id": pd.array([], dtype="int64"),
+                 "n_pairs": pd.array([], dtype="int64"),
+                 "n_repeats": pd.array([], dtype="int64")}
+            )
+        g, starts, ends = _user_segments(g)
+        et = g["event_type"].to_numpy()
+        cents = np.floor(g["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+        same_user = np.zeros(len(g), dtype=bool)
+        same_user[1:] = g["user_id"].to_numpy()[1:] == g["user_id"].to_numpy()[:-1]
+        rep = np.zeros(len(g), dtype=np.int64)
+        rep[1:] = (
+            (et[1:] == et[:-1]) & (cents[1:] == cents[:-1])
+        ).astype(np.int64)
+        rep[~same_user] = 0
+        pair = same_user.astype(np.int64)
+        return pd.DataFrame(
+            {"user_id": g["user_id"].to_numpy()[starts],
+             "n_pairs": np.add.reduceat(pair, starts).astype("int64"),
+             "n_repeats": np.add.reduceat(rep, starts).astype("int64")}
+        )
+
+    ds = _events(
+        sf_dir, ["user_id", "ts", "event_id", "event_type", "value"]
+    ).map_batches(add_part, batch_format="pyarrow")
+    return _partition_map(ds, parts, per_partition)
+
+
+ORACLES["repeat_event_census"] = (
+    "WITH s AS (SELECT user_id, event_type, "
+    "CAST(floor(value*100 + 0.5) AS BIGINT) AS cents, "
+    "lag(event_type) OVER w AS pt, "
+    "lag(CAST(floor(value*100 + 0.5) AS BIGINT)) OVER w AS pc "
+    "FROM events WINDOW w AS "
+    "(PARTITION BY user_id ORDER BY ts, event_id)) "
+    "SELECT user_id, "
+    "sum(CASE WHEN pt IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_pairs, "
+    "sum(CASE WHEN pt = event_type AND pc = cents THEN 1 ELSE 0 END)"
+    "::BIGINT AS n_repeats FROM s GROUP BY user_id"
+)

@@ -102,7 +102,7 @@ ORACLE_CHECKED = [
     "top1pct_revenue_share", "user_mode_value_cents", "vocab_growth",
     "hapax_by_source", "price_ending_census", "small_group_census",
     "revenue_lorenz_deciles", "revenue_by_part_word",
-    "sessions_per_user_hist", "user_time_to_100",
+    "sessions_per_user_hist", "user_time_to_100", "repeat_event_census",
 ]
 
 

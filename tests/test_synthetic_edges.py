@@ -875,3 +875,26 @@ def test_user_time_to_100_crossing(ray_session, tmp_path):
     assert dict(zip(got["user_id"], got["us_to_threshold"])) == {
         1: 5, 2: 0, 3: -1, 4: 20,
     }
+
+
+def test_repeat_event_census_branches(ray_session, tmp_path):
+    """Exact repeats count; same type different value does not; pairs
+    never span users."""
+    from langfilter_ray.pipelines import windows
+
+    rows = [
+        (1, 1, 0, "click", 5.0), (2, 1, 1, "click", 5.0),   # repeat
+        (3, 1, 2, "click", 6.0),                              # not (value)
+        (4, 1, 3, "view", 6.0),                               # not (type)
+        (5, 2, 0, "click", 5.0),   # user boundary: no pair with event 4
+    ]
+    got = _check_vs_oracle(
+        windows.repeat_event_census,
+        windows.ORACLES["repeat_event_census"],
+        tmp_path, "events", _events_table(rows),
+    )
+    by_user = {
+        r["user_id"]: (r["n_pairs"], r["n_repeats"])
+        for _, r in got.iterrows()
+    }
+    assert by_user == {1: (3, 1), 2: (0, 0)}
