@@ -3493,3 +3493,87 @@ ORACLES["repeat_event_census"] = (
     "sum(CASE WHEN pt = event_type AND pc = cents THEN 1 ELSE 0 END)"
     "::BIGINT AS n_repeats FROM s GROUP BY user_id"
 )
+
+
+_WEEK_US = 604_800_000_000
+
+
+def weekly_new_vs_returning(sf_dir: str) -> pa.Table:
+    """Weekly purchases split into NEW users (first-ever event fell in
+    that same week) vs RETURNING — the acquisition-vs-retention split
+    every growth report opens with.  The user's first-event timestamp
+    is free inside the user partition (it IS the segment start after
+    the backbone sort), so one pass tags every purchase and folds to
+    (week, new, returning) partials bounded by the week span; no join
+    against a first-seen table, no second pass."""
+    parts = _window_parts(sf_dir)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        h = t["user_id"].to_numpy().astype(np.uint64) * np.uint64(
+            0x9E3779B97F4A7C15
+        )
+        part = ((h >> np.uint64(33)) % np.uint64(parts)).astype(np.int64)
+        return _strip_meta(t).append_column("part", pa.array(part, pa.int64()))
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"week": pd.array([], dtype="int64"),
+             "n_new": pd.array([], dtype="int64"),
+             "n_returning": pd.array([], dtype="int64")}
+        )
+        if g.empty:
+            return empty
+        g, starts, ends = _user_segments(g)
+        us = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        seg_id = np.zeros(len(g), dtype=np.int64)
+        seg_id[starts] = 1
+        seg_id = np.cumsum(seg_id) - 1
+        w0 = (us[starts] // _WEEK_US)[seg_id]
+        wk = us // _WEEK_US
+        buy = g["event_type"].to_numpy() == "purchase"
+        if not buy.any():
+            return empty
+        wkb, w0b = wk[buy], w0[buy]
+        new = wkb == w0b
+        uw, inv = np.unique(wkb, return_inverse=True)
+        n_new = np.bincount(inv, weights=new).astype(np.int64)
+        n_ret = np.bincount(inv, weights=~new).astype(np.int64)
+        return pd.DataFrame(
+            {"week": uw.astype("int64"),
+             "n_new": n_new, "n_returning": n_ret}
+        )
+
+    folded = _partition_map(
+        _events(
+            sf_dir, ["user_id", "ts", "event_id", "event_type"]
+        ).map_batches(add_part, batch_format="pyarrow"),
+        parts,
+        per_partition,
+    ).to_pandas()    # bounded: week span x partitions
+    empty = pa.table(
+        {"week": pa.array([], pa.int64()),
+         "n_new": pa.array([], pa.int64()),
+         "n_returning": pa.array([], pa.int64())}
+    )
+    if folded.empty:
+        return empty
+    g = folded.groupby("week", sort=True).agg(
+        n_new=("n_new", "sum"), n_returning=("n_returning", "sum")
+    ).reset_index()
+    return pa.table(
+        {"week": pa.array(g["week"].astype("int64")),
+         "n_new": pa.array(g["n_new"].astype("int64")),
+         "n_returning": pa.array(g["n_returning"].astype("int64"))}
+    )
+
+
+ORACLES["weekly_new_vs_returning"] = (
+    "WITH f AS (SELECT user_id, min(ts) AS t0 FROM events GROUP BY 1), "
+    "p AS (SELECT epoch_us(e.ts) // 604800000000 AS wk, "
+    "epoch_us(f.t0) // 604800000000 AS w0 FROM events e "
+    "JOIN f USING (user_id) WHERE e.event_type = 'purchase') "
+    "SELECT wk::BIGINT AS week, "
+    "sum(CASE WHEN wk = w0 THEN 1 ELSE 0 END)::BIGINT AS n_new, "
+    "sum(CASE WHEN wk > w0 THEN 1 ELSE 0 END)::BIGINT AS n_returning "
+    "FROM p GROUP BY 1"
+)
