@@ -3577,3 +3577,80 @@ ORACLES["weekly_new_vs_returning"] = (
     "sum(CASE WHEN wk > w0 THEN 1 ELSE 0 END)::BIGINT AS n_returning "
     "FROM p GROUP BY 1"
 )
+
+
+def type_run_length_hist(sf_dir: str) -> pa.Table:
+    """Distribution of same-type RUN lengths in each user's event
+    sequence, by type — the run-length census (burstiness profile: do
+    errors arrive in singletons or storms?).  Runs come from one
+    boundary mask (user change OR type change), lengths from the diff
+    of boundary positions — no Python per run — and the fold is
+    (type, run_len, n_runs) partials bounded by alphabet x max run."""
+    parts = _window_parts(sf_dir)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        h = t["user_id"].to_numpy().astype(np.uint64) * np.uint64(
+            0x9E3779B97F4A7C15
+        )
+        part = ((h >> np.uint64(33)) % np.uint64(parts)).astype(np.int64)
+        return _strip_meta(t).append_column("part", pa.array(part, pa.int64()))
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"event_type": pd.array([], dtype="object"),
+             "run_len": pd.array([], dtype="int64"),
+             "n_runs": pd.array([], dtype="int64")}
+        )
+        if g.empty:
+            return empty
+        g, starts, ends = _user_segments(g)
+        et = g["event_type"].to_numpy()
+        new_user = np.zeros(len(g), dtype=bool)
+        new_user[starts] = True
+        boundary = new_user.copy()
+        boundary[1:] |= et[1:] != et[:-1]
+        bpos = np.flatnonzero(boundary)
+        lens = np.diff(np.append(bpos, len(g)))
+        rtypes = et[bpos]
+        types, tcodes = np.unique(rtypes, return_inverse=True)
+        fused = tcodes.astype(np.int64) * (np.int64(lens.max()) + 1) + lens
+        u, n = np.unique(fused, return_counts=True)
+        k = np.int64(lens.max()) + 1
+        return pd.DataFrame(
+            {"event_type": types[(u // k).astype(np.int64)],
+             "run_len": (u % k).astype("int64"),
+             "n_runs": n.astype("int64")}
+        )
+
+    folded = _partition_map(
+        _events(
+            sf_dir, ["user_id", "ts", "event_id", "event_type"]
+        ).map_batches(add_part, batch_format="pyarrow"),
+        parts,
+        per_partition,
+    ).to_pandas()    # bounded: alphabet x max run x partitions
+    empty = pa.table(
+        {"event_type": pa.array([], pa.string()),
+         "run_len": pa.array([], pa.int64()),
+         "n_runs": pa.array([], pa.int64())}
+    )
+    if folded.empty:
+        return empty
+    g = folded.groupby(["event_type", "run_len"], sort=True)["n_runs"].sum().reset_index()
+    return pa.table(
+        {"event_type": pa.array(g["event_type"], pa.string()),
+         "run_len": pa.array(g["run_len"].astype("int64")),
+         "n_runs": pa.array(g["n_runs"].astype("int64"))}
+    )
+
+
+ORACLES["type_run_length_hist"] = (
+    "WITH s AS (SELECT user_id, event_type, "
+    "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn, "
+    "row_number() OVER (PARTITION BY user_id, event_type "
+    "ORDER BY ts, event_id) AS rnt FROM events), "
+    "runs AS (SELECT event_type, count(*)::BIGINT AS run_len FROM s "
+    "GROUP BY user_id, event_type, rn - rnt) "
+    "SELECT event_type, run_len, count(*)::BIGINT AS n_runs "
+    "FROM runs GROUP BY 1, 2"
+)

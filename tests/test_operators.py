@@ -103,7 +103,7 @@ ORACLE_CHECKED = [
     "hapax_by_source", "price_ending_census", "small_group_census",
     "revenue_lorenz_deciles", "revenue_by_part_word",
     "sessions_per_user_hist", "user_time_to_100", "repeat_event_census",
-    "weekly_new_vs_returning",
+    "weekly_new_vs_returning", "type_run_length_hist",
 ]
 
 
