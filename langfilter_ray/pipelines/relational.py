@@ -5490,3 +5490,83 @@ ORACLES["revenue_by_part_word"] = (
     "count(*)::BIGINT AS n_parts FROM w JOIN r "
     "ON w.p_partkey = r.l_partkey GROUP BY 1"
 )
+
+
+def priority_max_orders(sf_dir: str) -> ray.data.Dataset:
+    """Every order achieving its priority class's MAXIMUM price —
+    argmax ROW RETRIEVAL (ties kept), the two-pass broadcast filter:
+    pass 1 folds per-priority maxima (bounded alphabet, cents-exact),
+    pass 2 is a pure map filter against the broadcast maxima — no
+    shuffle touches the fact stream."""
+
+    def max_partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {"pr": pa.array([], pa.string()),
+                 "mx": pa.array([], pa.int64())}
+            )
+        cents = np.floor(
+            t["o_totalprice"].to_numpy() * 100 + 0.5
+        ).astype(np.int64)
+        pr = np.asarray(t["o_orderpriority"].to_pylist(), dtype=object)
+        u, inv = np.unique(pr.astype(str), return_inverse=True)
+        mx = np.full(len(u), np.iinfo(np.int64).min, dtype=np.int64)
+        np.maximum.at(mx, inv, cents)
+        return pa.table(
+            {"pr": pa.array(list(u), pa.string()), "mx": pa.array(mx)}
+        )
+
+    parts = (
+        _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+        .map_batches(max_partial, batch_format="pyarrow")
+        .to_pandas()    # bounded: priorities x blocks
+    )
+    if parts.empty:
+        return ray.data.from_arrow(
+            pa.table(
+                {"o_orderkey": pa.array([], pa.int64()),
+                 "o_orderpriority": pa.array([], pa.string()),
+                 "price_cents": pa.array([], pa.int64())}
+            )
+        )
+    mxmap = parts.groupby("pr")["mx"].max().to_dict()
+    pr_sorted = sorted(mxmap)
+    pr_arr = np.asarray(pr_sorted)
+    mx_arr = np.asarray([mxmap[p] for p in pr_sorted], dtype=np.int64)
+    ref = ray.put((pr_arr, mx_arr))
+
+    def flt(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"o_orderkey": pa.array([], pa.int64()),
+             "o_orderpriority": pa.array([], pa.string()),
+             "price_cents": pa.array([], pa.int64())}
+        )
+        if len(t) == 0:
+            return empty
+        pr_a, mx_a = ray.get(ref)
+        cents = np.floor(
+            t["o_totalprice"].to_numpy() * 100 + 0.5
+        ).astype(np.int64)
+        pr = np.asarray(t["o_orderpriority"].to_pylist())
+        idx = np.searchsorted(pr_a, pr)
+        keep = cents == mx_a[idx]
+        return pa.table(
+            {"o_orderkey": pa.array(t["o_orderkey"].to_numpy()[keep]),
+             "o_orderpriority": pa.array(pr[keep], pa.string()),
+             "price_cents": pa.array(cents[keep], pa.int64())}
+        )
+
+    return _read(
+        sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_totalprice"]
+    ).map_batches(flt, batch_format="pyarrow")
+
+
+ORACLES["priority_max_orders"] = (
+    "WITH m AS (SELECT o_orderpriority, "
+    "max(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT))::BIGINT AS mx "
+    "FROM orders GROUP BY 1) "
+    "SELECT o.o_orderkey, o.o_orderpriority, "
+    "CAST(floor(o.o_totalprice*100 + 0.5) AS BIGINT) AS price_cents "
+    "FROM orders o JOIN m USING (o_orderpriority) "
+    "WHERE CAST(floor(o.o_totalprice*100 + 0.5) AS BIGINT) = m.mx"
+)
