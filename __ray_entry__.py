@@ -259,6 +259,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weekly_new_vs_returning": windows.weekly_new_vs_returning,
         "type_run_length_hist": windows.type_run_length_hist,
         "priority_max_orders": relational.priority_max_orders,
+        "first_vs_later_purchase": windows.first_vs_later_purchase,
         # rows-only (iterative driver-state op like kmeans_fit)
         "bpe_train": text_analysis.bpe_train,
         "bpe_encode": text_analysis.bpe_encode,

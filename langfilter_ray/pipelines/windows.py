@@ -3654,3 +3654,75 @@ ORACLES["type_run_length_hist"] = (
     "SELECT event_type, run_len, count(*)::BIGINT AS n_runs "
     "FROM runs GROUP BY 1, 2"
 )
+
+
+def first_vs_later_purchase(sf_dir: str) -> pa.Table:
+    """Global first-purchase vs later-purchase spend split (the newbie
+    spend-gap: do users spend more on their first order?) — a
+    POSITIONAL split aggregate: the purchase stream is pre-filtered in
+    the tag stage, each user's first purchase is the segment head after
+    the backbone sort, and only four integers leave each partition
+    (users, first-cents, later-cents, later-count)."""
+    parts = _window_parts(sf_dir)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], "purchase"))
+        h = t["user_id"].to_numpy().astype(np.uint64) * np.uint64(
+            0x9E3779B97F4A7C15
+        )
+        part = ((h >> np.uint64(33)) % np.uint64(parts)).astype(np.int64)
+        return _strip_meta(t).append_column("part", pa.array(part, pa.int64()))
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame(
+                {"n_users": pd.array([], dtype="int64"),
+                 "first_cents": pd.array([], dtype="int64"),
+                 "later_cents": pd.array([], dtype="int64"),
+                 "n_later": pd.array([], dtype="int64")}
+            )
+        g, starts, ends = _user_segments(g)
+        cents = np.floor(g["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+        head = np.zeros(len(g), dtype=bool)
+        head[starts] = True
+        return pd.DataFrame(
+            {"n_users": [int(len(starts))],
+             "first_cents": [int(cents[head].sum())],
+             "later_cents": [int(cents[~head].sum())],
+             "n_later": [int((~head).sum())]}
+        )
+
+    folded = _partition_map(
+        _events(
+            sf_dir, ["user_id", "ts", "event_id", "event_type", "value"]
+        ).map_batches(add_part, batch_format="pyarrow"),
+        parts,
+        per_partition,
+    ).to_pandas()    # bounded: 4 ints x partitions
+    if folded.empty:
+        return pa.table(
+            {"n_users": pa.array([0], pa.int64()),
+             "first_cents": pa.array([0], pa.int64()),
+             "later_cents": pa.array([0], pa.int64()),
+             "n_later": pa.array([0], pa.int64())}
+        )
+    return pa.table(
+        {"n_users": pa.array([int(folded["n_users"].sum())], pa.int64()),
+         "first_cents": pa.array(
+             [int(folded["first_cents"].sum())], pa.int64()),
+         "later_cents": pa.array(
+             [int(folded["later_cents"].sum())], pa.int64()),
+         "n_later": pa.array([int(folded["n_later"].sum())], pa.int64())}
+    )
+
+
+ORACLES["first_vs_later_purchase"] = (
+    "WITH p AS (SELECT user_id, "
+    "CAST(floor(value*100 + 0.5) AS BIGINT) AS cents, "
+    "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+    "AS rn FROM events WHERE event_type = 'purchase') "
+    "SELECT count(DISTINCT user_id)::BIGINT AS n_users, "
+    "sum(CASE WHEN rn = 1 THEN cents ELSE 0 END)::BIGINT AS first_cents, "
+    "sum(CASE WHEN rn > 1 THEN cents ELSE 0 END)::BIGINT AS later_cents, "
+    "sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::BIGINT AS n_later FROM p"
+)

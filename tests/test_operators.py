@@ -104,7 +104,7 @@ ORACLE_CHECKED = [
     "revenue_lorenz_deciles", "revenue_by_part_word",
     "sessions_per_user_hist", "user_time_to_100", "repeat_event_census",
     "weekly_new_vs_returning", "type_run_length_hist",
-    "priority_max_orders",
+    "priority_max_orders", "first_vs_later_purchase",
 ]
 
 
