@@ -260,6 +260,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "type_run_length_hist": windows.type_run_length_hist,
         "priority_max_orders": relational.priority_max_orders,
         "first_vs_later_purchase": windows.first_vs_later_purchase,
+        "peak_hour_by_type": windows.peak_hour_by_type,
+        "max_idle_gap_by_type": windows.max_idle_gap_by_type,
         # rows-only (iterative driver-state op like kmeans_fit)
         "bpe_train": text_analysis.bpe_train,
         "bpe_encode": text_analysis.bpe_encode,

@@ -3726,3 +3726,106 @@ ORACLES["first_vs_later_purchase"] = (
     "sum(CASE WHEN rn > 1 THEN cents ELSE 0 END)::BIGINT AS later_cents, "
     "sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::BIGINT AS n_later FROM p"
 )
+
+
+def peak_hour_by_type(sf_dir: str) -> pa.Table:
+    """Peak hour-of-day per event type (tie → earliest hour) — the
+    argmax over a FIXED 24-bin profile: per-batch (type, hour) bincount
+    partials (alphabet x 24 exchange), driver argmax."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {"event_type": pa.array([], pa.string()),
+                 "hour": pa.array([], pa.int64()),
+                 "n": pa.array([], pa.int64())}
+            )
+        us = pc.cast(t["ts"], pa.int64()).to_numpy()
+        hour = (us // 3_600_000_000) % 24
+        et = np.asarray(t["event_type"].to_pylist())
+        u, inv = np.unique(et, return_inverse=True)
+        fused = inv.astype(np.int64) * 24 + hour
+        cnt = np.bincount(fused, minlength=len(u) * 24)
+        k = np.arange(len(u) * 24, dtype=np.int64)
+        keep = cnt > 0
+        return pa.table(
+            {"event_type": pa.array(u[(k[keep] // 24)], pa.string()),
+             "hour": pa.array(k[keep] % 24, pa.int64()),
+             "n": pa.array(cnt[keep].astype(np.int64))}
+        )
+
+    hist = (
+        _events(sf_dir, ["ts", "event_type"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()    # bounded: alphabet x 24 x blocks
+    )
+    empty = pa.table(
+        {"event_type": pa.array([], pa.string()),
+         "peak_hour": pa.array([], pa.int64()),
+         "n_at_peak": pa.array([], pa.int64())}
+    )
+    if hist.empty:
+        return empty
+    g = hist.groupby(["event_type", "hour"], sort=True)["n"].sum().reset_index()
+    out_t, out_h, out_n = [], [], []
+    for et, sub in g.groupby("event_type", sort=True):
+        n = sub["n"].to_numpy(np.int64)
+        h = sub["hour"].to_numpy(np.int64)
+        i = int(np.argmax(n))    # first max = smallest hour (sorted)
+        out_t.append(et)
+        out_h.append(int(h[i]))
+        out_n.append(int(n[i]))
+    return pa.table(
+        {"event_type": pa.array(out_t, pa.string()),
+         "peak_hour": pa.array(out_h, pa.int64()),
+         "n_at_peak": pa.array(out_n, pa.int64())}
+    )
+
+
+ORACLES["peak_hour_by_type"] = (
+    "WITH h AS (SELECT event_type, "
+    "(epoch_us(ts) // 3600000000) % 24 AS hour, count(*)::BIGINT AS n "
+    "FROM events GROUP BY 1, 2), "
+    "r AS (SELECT event_type, hour, n, row_number() OVER "
+    "(PARTITION BY event_type ORDER BY n DESC, hour) AS rk FROM h) "
+    "SELECT event_type, hour::BIGINT AS peak_hour, n AS n_at_peak "
+    "FROM r WHERE rk = 1"
+)
+
+
+def max_idle_gap_by_type(sf_dir: str) -> ray.data.Dataset:
+    """Largest GLOBAL inter-event gap per type (pipeline-outage
+    detector: 'did clicks ever go quiet for an hour?') — the bounded-
+    alphabet per-type global sort (map_groups per type, the
+    median_value_per_type cost argument), adjacent diffs in numpy,
+    exact integer microseconds."""
+
+    def per_type(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame(
+                {"event_type": pd.array([], dtype="object"),
+                 "max_gap_us": pd.array([], dtype="int64")}
+            )
+        us = np.sort(
+            g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        )
+        mx = int(np.diff(us).max()) if len(us) > 1 else 0
+        return pd.DataFrame(
+            {"event_type": [g["event_type"].iloc[0]],
+             "max_gap_us": [mx]}
+        )
+
+    return (
+        _events(sf_dir, ["event_type", "ts"])
+        .groupby("event_type")
+        .map_groups(per_type, batch_format="pandas")
+    )
+
+
+ORACLES["max_idle_gap_by_type"] = (
+    "WITH s AS (SELECT event_type, epoch_us(ts) "
+    "- lag(epoch_us(ts)) OVER (PARTITION BY event_type ORDER BY ts) "
+    "AS gap FROM events) "
+    "SELECT event_type, coalesce(max(gap), 0)::BIGINT AS max_gap_us "
+    "FROM s GROUP BY event_type"
+)
