@@ -39,21 +39,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # NOTE on ordering: the driver's CORRECTNESS check covers only the
     # FIRST 50 entries (dict order).  Exactly ONE literal entry per query
     # (tests/test_operators.py::test_queries_dict_has_no_duplicate_keys
-    # asserts it via AST).  Round-5
-    # window layout:
-    #   slot  1     mix_rebalance (new in round 5, oracle-backed),
-    #   slots 2-4   the three queries that have never had ANY driver row
+    # asserts it via AST).  Round-5 third-session window layout:
+    #   slots 1-2   mix_rebalance / source_quota_sample (new in round 5),
+    #   slots 3-5   the three queries that had never had ANY driver row
     #               (rows-only by nature — kmeans_fit, decode_bmp,
-    #               corpus_training_manifest; a rows-only driver row still
-    #               proves they execute under the driver's Ray session),
-    #   slots 5-48  re-confirmation filler, oldest-green first: the 44
-    #               oracle-backed queries whose last driver-green row is
-    #               round 3 (everything in the round-4 window is freshly
-    #               double-green and rotates out),
-    #   slots 49-50 the two oldest displaced double-green queries.
+    #               corpus_training_manifest),
+    #   slots 7-18  TWELVE never-driver-checked third-session operators
+    #               (each oracle-green at sf0.001 AND sf0.01 locally) —
+    #               first driver rows beat a third reconfirmation of the
+    #               r3-green filler they displaced,
+    #   remainder   re-confirmation filler whose last driver-green row is
+    #               round 3, oldest first.
     # Displace filler from the END when adding oracle-backed queries,
     # never from the front.  Everything past 50 has a hash-green driver
-    # row from round 4 (or a rows-only row from r3 for the stateful set).
+    # row from an earlier round (or a rows-only row for the stateful set).
     return {
         # --- round-5 NEW oracle-backed operators --------------------------
         "mix_rebalance": text_analysis.mix_rebalance,
@@ -64,22 +63,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_training_manifest": reports.corpus_training_manifest,
         # --- re-confirmation filler: last driver-green row is round 3 -----
         "error_events_pushdown": relational.error_events_pushdown,
-        "segment_order_stats": relational.segment_order_stats,
-        "order_price_tiers": relational.order_price_tiers,
+        # --- round-5 third-session operators, first driver rows -----------
+        "weighted_median_chars": text_analysis.weighted_median_chars,
+        "percentile_rank_chars": text_analysis.percentile_rank_chars,
+        "longest_value_run": windows.longest_value_run,
+        "purchase_attribution": windows.purchase_attribution,
+        "ship_lag_hist": relational.ship_lag_hist,
+        "spearman_length_tokens": text_analysis.spearman_length_tokens,
+        "events_numeric_profile": relational.events_numeric_profile,
+        "source_token_quota": text_analysis.source_token_quota,
+        "label_quant_gram": similarity.label_quant_gram,
+        "vocab_growth": text_analysis.vocab_growth,
+        "median_order_gap_days": windows.median_order_gap_days,
+        "referential_integrity": relational.referential_integrity,
+        # --- re-confirmation filler continues ------------------------------
         "shipping_priority": relational.shipping_priority,
-        "tumbling_hour_counts": windows.tumbling_hour_counts,
-        "asof_last_login": windows.asof_last_login,
-        "hopping_counts": windows.hopping_counts,
-        "median_value_per_type": windows.median_value_per_type,
-        "daily_hopping_counts": windows.daily_hopping_counts,
         "session_windows": windows.session_windows,
         "payload_stats": multimodal.payload_stats,
-        "promo_window_revenue": windows.promo_window_revenue,
         "gopher_quality": text_analysis.gopher_quality,
-        "domain_mix_weights": text_analysis.domain_mix_weights,
-        "local_supplier_volume": relational.local_supplier_volume,
-        "promo_part_revenue": relational.promo_part_revenue,
-        "rolling_user_sum": windows.rolling_user_sum,
         "ntile_order_tiers": relational.ntile_order_tiers,
         "inverted_index_stats": text_analysis.inverted_index_stats,
         "tfidf_top_terms": text_analysis.tfidf_top_terms,
@@ -110,6 +111,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- the oldest displaced double-green reconfirmation -------------
         "similar_pairs_topk": dedup.similar_pairs_topk,
         # ======== past the 50-query window (all have driver rows) ========
+        # r3-green reconfirmations displaced by the third-session rotation --
+        "segment_order_stats": relational.segment_order_stats,
+        "order_price_tiers": relational.order_price_tiers,
+        "tumbling_hour_counts": windows.tumbling_hour_counts,
+        "asof_last_login": windows.asof_last_login,
+        "hopping_counts": windows.hopping_counts,
+        "median_value_per_type": windows.median_value_per_type,
+        "daily_hopping_counts": windows.daily_hopping_counts,
+        "promo_window_revenue": windows.promo_window_revenue,
+        "domain_mix_weights": text_analysis.domain_mix_weights,
+        "local_supplier_volume": relational.local_supplier_volume,
+        "promo_part_revenue": relational.promo_part_revenue,
+        "rolling_user_sum": windows.rolling_user_sum,
         # remaining double-green reconfirmation filler ----------------------
         "label_centroids": similarity.label_centroids,
         "status_counts": relational.status_counts,
@@ -218,36 +232,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zscore_by_lang": text_analysis.zscore_by_lang,
         "user_clamped_balance": windows.user_clamped_balance,
         "purchase_error_correlation": windows.purchase_error_correlation,
-        "weighted_median_chars": text_analysis.weighted_median_chars,
         "sentence_stats": text_analysis.sentence_stats,
         "value_mad_by_type": windows.value_mad_by_type,
-        "longest_value_run": windows.longest_value_run,
         "copurchase_degree_hist": relational.copurchase_degree_hist,
-        "percentile_rank_chars": text_analysis.percentile_rank_chars,
         "length_token_contingency": text_analysis.length_token_contingency,
         "monthly_price_quartiles": relational.monthly_price_quartiles,
         "sources_per_lang": text_analysis.sources_per_lang,
         "users_view_no_purchase": windows.users_view_no_purchase,
         "event_type_cooccurrence": windows.event_type_cooccurrence,
         "above_avg_orders": windows.above_avg_orders,
-        "purchase_attribution": windows.purchase_attribution,
-        "ship_lag_hist": relational.ship_lag_hist,
         "event_trigrams": windows.event_trigrams,
         "hourly_last_purchase_value": windows.hourly_last_purchase_value,
         "anomalous_hours": windows.anomalous_hours,
         "purchase_autocorr_24h": windows.purchase_autocorr_24h,
         "benford_prices": relational.benford_prices,
         "length_gini_by_source": text_analysis.length_gini_by_source,
-        "median_order_gap_days": windows.median_order_gap_days,
-        "spearman_length_tokens": text_analysis.spearman_length_tokens,
-        "events_numeric_profile": relational.events_numeric_profile,
         "dup_cluster_hist": dedup.dup_cluster_hist,
-        "source_token_quota": text_analysis.source_token_quota,
-        "label_quant_gram": similarity.label_quant_gram,
-        "referential_integrity": relational.referential_integrity,
         "top1pct_revenue_share": relational.top1pct_revenue_share,
         "user_mode_value_cents": windows.user_mode_value_cents,
-        "vocab_growth": text_analysis.vocab_growth,
         "hapax_by_source": text_analysis.hapax_by_source,
         "price_ending_census": relational.price_ending_census,
         "small_group_census": text_analysis.small_group_census,

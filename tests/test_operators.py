@@ -143,7 +143,13 @@ def test_round5_window_layout(entry_mod):
         "mix_rebalance", "source_quota_sample",
         # never had ANY driver row before round 5 (rows-only by nature)
         "kmeans_fit", "decode_bmp", "corpus_training_manifest",
-        # a sample of the 44 round-3-green reconfirmations
+        # third-session operators rotated in for their FIRST driver rows
+        "weighted_median_chars", "percentile_rank_chars",
+        "longest_value_run", "purchase_attribution", "ship_lag_hist",
+        "spearman_length_tokens", "events_numeric_profile",
+        "source_token_quota", "label_quant_gram", "vocab_growth",
+        "median_order_gap_days", "referential_integrity",
+        # a sample of the round-3-green reconfirmations kept in-window
         "error_events_pushdown", "shipping_priority", "session_windows",
         "payload_stats", "gopher_quality", "token_counts",
         "langid_heuristic", "cohort_retention", "funnel_conversion",
