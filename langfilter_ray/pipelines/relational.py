@@ -5570,3 +5570,79 @@ ORACLES["priority_max_orders"] = (
     "FROM orders o JOIN m USING (o_orderpriority) "
     "WHERE CAST(floor(o.o_totalprice*100 + 0.5) AS BIGINT) = m.mx"
 )
+
+
+def brand_size_summary(sf_dir: str) -> pa.Table:
+    """Five-number summary (min/q1/median/q3/max) of part size per brand
+    — the boxplot aggregate, computed entirely from the bounded
+    (brand, size) histogram (p_size domain is ~50 values): quartiles via
+    the 4*cum >= q*tot crossing rule (the engine's standard exact-
+    quantile contract), extremes free from the same histogram."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {"brand": pa.array([], pa.string()),
+                 "v": pa.array([], pa.int64()),
+                 "c": pa.array([], pa.int64())}
+            )
+        g = pa.table(
+            {"brand": t["p_brand"],
+             "v": pc.cast(t["p_size"], pa.int64())}
+        ).group_by(["brand", "v"]).aggregate([("v", "count")])
+        return pa.table(
+            {"brand": g["brand"], "v": g["v"],
+             "c": pc.cast(g["v_count"], pa.int64())}
+        )
+
+    hist = (
+        _read(sf_dir, "part", ["p_brand", "p_size"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()    # bounded: brands x size domain x blocks
+    )
+    empty = pa.table(
+        {"brand": pa.array([], pa.string()),
+         "size_min": pa.array([], pa.int64()),
+         "size_q1": pa.array([], pa.int64()),
+         "size_med": pa.array([], pa.int64()),
+         "size_q3": pa.array([], pa.int64()),
+         "size_max": pa.array([], pa.int64())}
+    )
+    if hist.empty:
+        return empty
+    hist = hist.groupby(["brand", "v"], sort=True)["c"].sum().reset_index()
+    rows = {k: [] for k in
+            ("brand", "size_min", "size_q1", "size_med", "size_q3",
+             "size_max")}
+    for brand, g in hist.groupby("brand", sort=True):
+        v = g["v"].to_numpy(np.int64)
+        cm = np.cumsum(g["c"].to_numpy(np.int64))
+        tot = int(cm[-1])
+        q = [int(v[np.searchsorted(4 * cm, i * tot, side="left")])
+             for i in (1, 2, 3)]
+        rows["brand"].append(brand)
+        rows["size_min"].append(int(v[0]))
+        rows["size_q1"].append(q[0])
+        rows["size_med"].append(q[1])
+        rows["size_q3"].append(q[2])
+        rows["size_max"].append(int(v[-1]))
+    return pa.table(
+        {"brand": pa.array(rows["brand"], pa.string()),
+         **{k: pa.array(rows[k], pa.int64())
+            for k in ("size_min", "size_q1", "size_med", "size_q3",
+                      "size_max")}}
+    )
+
+
+ORACLES["brand_size_summary"] = (
+    "WITH h AS (SELECT p_brand AS brand, p_size::BIGINT AS v, "
+    "count(*)::BIGINT AS c FROM part GROUP BY 1, 2), "
+    "cc AS (SELECT brand, v, "
+    "sum(c) OVER (PARTITION BY brand ORDER BY v)::BIGINT AS cm, "
+    "sum(c) OVER (PARTITION BY brand)::BIGINT AS tot FROM h) "
+    "SELECT brand, min(v)::BIGINT AS size_min, "
+    "min(CASE WHEN 4*cm >= tot THEN v END)::BIGINT AS size_q1, "
+    "min(CASE WHEN 4*cm >= 2*tot THEN v END)::BIGINT AS size_med, "
+    "min(CASE WHEN 4*cm >= 3*tot THEN v END)::BIGINT AS size_q3, "
+    "max(v)::BIGINT AS size_max FROM cc GROUP BY brand"
+)

@@ -105,7 +105,7 @@ ORACLE_CHECKED = [
     "sessions_per_user_hist", "user_time_to_100", "repeat_event_census",
     "weekly_new_vs_returning", "type_run_length_hist",
     "priority_max_orders", "first_vs_later_purchase",
-    "peak_hour_by_type", "max_idle_gap_by_type",
+    "peak_hour_by_type", "max_idle_gap_by_type", "brand_size_summary",
 ]
 
 
