@@ -3829,3 +3829,69 @@ ORACLES["max_idle_gap_by_type"] = (
     "SELECT event_type, coalesce(max(gap), 0)::BIGINT AS max_gap_us "
     "FROM s GROUP BY event_type"
 )
+
+
+def order_audit(sf_dir: str) -> pa.Table:
+    """Is the event stream really time-ordered by arrival (event_id)?
+    Counts adjacent inversions (ts dropping between consecutive
+    event_ids) — the ingest-ordering AUDIT a streaming consumer runs
+    before trusting watermarks.  Each batch counts its INTERNAL
+    inversions after an in-batch event_id sort and emits its boundary
+    (first/last event_id + ts); the driver reconciles the boundaries —
+    event_id ranges of row-contiguous batches are disjoint because the
+    file is written in arrival order, so sorting the tiny boundary
+    table by first_eid and comparing across cuts completes the exact
+    global count with no second pass."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {"n_rows": pa.array([], pa.int64()),
+                 "inv": pa.array([], pa.int64()),
+                 "first_eid": pa.array([], pa.int64()),
+                 "last_eid": pa.array([], pa.int64()),
+                 "first_ts": pa.array([], pa.int64()),
+                 "last_ts": pa.array([], pa.int64())}
+            )
+        eid = t["event_id"].to_numpy()
+        us = pc.cast(t["ts"], pa.int64()).to_numpy()
+        order = np.argsort(eid, kind="stable")
+        eid, us = eid[order], us[order]
+        inv = int((us[1:] < us[:-1]).sum()) if len(us) > 1 else 0
+        return pa.table(
+            {"n_rows": pa.array([len(eid)], pa.int64()),
+             "inv": pa.array([inv], pa.int64()),
+             "first_eid": pa.array([int(eid[0])], pa.int64()),
+             "last_eid": pa.array([int(eid[-1])], pa.int64()),
+             "first_ts": pa.array([int(us[0])], pa.int64()),
+             "last_ts": pa.array([int(us[-1])], pa.int64())}
+        )
+
+    parts = (
+        _events(sf_dir, ["event_id", "ts"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()    # bounded: 6 ints x blocks
+    )
+    if parts.empty:
+        return pa.table(
+            {"n_rows": pa.array([0], pa.int64()),
+             "n_inversions": pa.array([0], pa.int64())}
+        )
+    parts = parts.sort_values("first_eid").reset_index(drop=True)
+    inv = int(parts["inv"].sum())
+    lt = parts["last_ts"].to_numpy(np.int64)
+    ft = parts["first_ts"].to_numpy(np.int64)
+    inv += int((ft[1:] < lt[:-1]).sum())
+    return pa.table(
+        {"n_rows": pa.array([int(parts["n_rows"].sum())], pa.int64()),
+         "n_inversions": pa.array([inv], pa.int64())}
+    )
+
+
+ORACLES["order_audit"] = (
+    "WITH s AS (SELECT ts, lag(ts) OVER (ORDER BY event_id) AS pt "
+    "FROM events) "
+    "SELECT count(*)::BIGINT AS n_rows, "
+    "sum(CASE WHEN ts < pt THEN 1 ELSE 0 END)::BIGINT AS n_inversions "
+    "FROM s"
+)

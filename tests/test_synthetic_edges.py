@@ -898,3 +898,22 @@ def test_repeat_event_census_branches(ray_session, tmp_path):
         for _, r in got.iterrows()
     }
     assert by_user == {1: (3, 1), 2: (0, 0)}
+
+
+def test_order_audit_inversions(ray_session, tmp_path):
+    """A stream with two timestamp drops (one mid-file, one that lands
+    across a batch cut on real data) counts exactly 2 inversions; equal
+    timestamps are NOT inversions."""
+    from langfilter_ray.pipelines import windows
+
+    offs = [0, 10, 5, 5, 20, 3, 30]   # drops at idx 2 (10->5) and 5 (20->3)
+    rows = [
+        (i, 1, off, "view", 1.0) for i, off in enumerate(offs)
+    ]
+    got = _check_vs_oracle(
+        windows.order_audit,
+        windows.ORACLES["order_audit"],
+        tmp_path, "events", _events_table(rows),
+    )
+    assert got["n_rows"].tolist() == [7]
+    assert got["n_inversions"].tolist() == [2]
