@@ -4040,3 +4040,110 @@ ORACLES["small_group_census"] = (
     f"sum(CASE WHEN sz < {K_ANON_THRESHOLD} THEN sz ELSE 0 END)::BIGINT "
     "AS rows_at_risk FROM g"
 )
+
+
+# ---- source_token_divergence (domain-shift screen) -----------------------
+
+def source_token_divergence(sf_dir: str) -> "pa.Table":
+    """Per-source total-variation distance between the source's token
+    distribution and the whole-corpus mixture — the domain-shift screen
+    curation runs before setting per-source mixing weights (a source far
+    from the mixture gets re-weighted or routed to its own bucket; the
+    DSIR/DoReMi-family signal with an exact, oracle-checkable statistic).
+    TV(s) = ½·Σ_t |p_s(t) − p(t)| is computed EXACTLY: over integer
+    counts, Σ_t |N·c_st − N_s·C_t| is an exact integer (a token absent
+    from the source contributes N_s·C_t), folded in Python ints (DuckDB
+    HUGEINT parity), and the statistic is ONE float division of two
+    exact integers — bit-identical to the SQL's HUGEINT→DOUBLE casts.
+    The exchange is the (source, token, count) histogram — bounded by
+    vocabulary × sources, never token occurrences; an unbounded live
+    vocabulary would move the fold into the token-hash bucket exchange
+    (the hapax_by_source pattern: C_t is bucket-local because buckets
+    key on the token) with hi/lo-split int partials."""
+
+    def tok_counts(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"source": pa.array([], pa.string()),
+             "tkn": pa.array([], pa.string()),
+             "c": pa.array([], pa.int64())}
+        )
+        if len(t) == 0:
+            return empty
+        import pandas as pd
+
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(pc.fill_null(t["text"], "")),
+            pattern="[^a-z0-9_]+",
+        )
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy()
+        flat = pc.list_flatten(toks)
+        srcrep = np.repeat(
+            np.asarray(t["source"].to_pylist(), dtype=object), lens
+        )
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        if not keep.any():
+            return empty
+        df = pd.DataFrame(
+            {"source": srcrep[keep], "tkn": flat.to_pandas().to_numpy()[keep]}
+        )
+        part = (
+            df.groupby(["source", "tkn"], sort=False)
+            .size()
+            .reset_index(name="c")
+        )
+        return pa.table(
+            {"source": pa.array(part["source"], pa.string()),
+             "tkn": pa.array(part["tkn"], pa.string()),
+             "c": pa.array(part["c"].astype("int64"))}
+        )
+
+    hist = (
+        _docs_cols(sf_dir, ["source", "text"])
+        .map_batches(tok_counts, batch_format="pyarrow")
+        .to_pandas()    # bounded: vocabulary x sources x blocks
+    )
+    empty = pa.table(
+        {"source": pa.array([], pa.string()),
+         "n_tokens": pa.array([], pa.int64()),
+         "tv_divergence": pa.array([], pa.float64())}
+    )
+    if hist.empty:
+        return empty
+    hist = hist.groupby(["source", "tkn"], sort=True)["c"].sum().reset_index()
+    ct = {t: int(c) for t, c in hist.groupby("tkn")["c"].sum().items()}
+    big_n = sum(ct.values())
+    srcs, ns_out, tvs = [], [], []
+    for src, g in hist.groupby("source", sort=True):
+        cs = dict(zip(g["tkn"], g["c"]))
+        ns = int(g["c"].sum())
+        d = 0
+        for t, c_t in ct.items():       # bounded: vocabulary
+            d += abs(big_n * int(cs.get(t, 0)) - ns * c_t)
+        srcs.append(src)
+        ns_out.append(ns)
+        tvs.append(float(d) / float(2 * ns * big_n))
+    return pa.table(
+        {"source": pa.array(srcs, pa.string()),
+         "n_tokens": pa.array(ns_out, pa.int64()),
+         "tv_divergence": pa.array(tvs, pa.float64())}
+    )
+
+
+ORACLES["source_token_divergence"] = (
+    f"WITH toks AS (SELECT source, "
+    f"unnest(regexp_extract_all(lower(text), '{LOWER_TOKEN_RE}')) AS token "
+    "FROM documents), "
+    "c AS (SELECT source, token, count(*)::BIGINT AS c "
+    "FROM toks GROUP BY 1, 2), "
+    "s AS (SELECT source, sum(c)::BIGINT AS ns FROM c GROUP BY 1), "
+    "g AS (SELECT token, sum(c)::BIGINT AS ct FROM c GROUP BY 1), "
+    "n AS (SELECT sum(c)::BIGINT AS n FROM c) "
+    "SELECT s.source, s.ns AS n_tokens, "
+    "CAST(sum(abs(n.n::HUGEINT * coalesce(c.c, 0) - s.ns::HUGEINT * g.ct)) "
+    "AS DOUBLE) / CAST(2 * s.ns::HUGEINT * n.n AS DOUBLE) AS tv_divergence "
+    "FROM s CROSS JOIN g CROSS JOIN n "
+    "LEFT JOIN c ON c.source = s.source AND c.token = g.token "
+    "GROUP BY s.source, s.ns, n.n"
+)

@@ -917,3 +917,31 @@ def test_order_audit_inversions(ray_session, tmp_path):
     )
     assert got["n_rows"].tolist() == [7]
     assert got["n_inversions"].tolist() == [2]
+
+def test_source_token_divergence_exact(ray_session, tmp_path):
+    """Hand-computed TV on two tiny sources; absent tokens contribute
+    their mixture mass; case-folding and non-token separators apply."""
+    from langfilter_ray.pipelines import text_analysis
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(["A a, b!", "b c"], pa.string()),
+            "lang": pa.array(["en", "en"], pa.string()),
+            "source": pa.array(["alpha", "beta"], pa.string()),
+            "n_chars": pa.array([7, 3], pa.int64()),
+        }
+    )
+    got = _check_vs_oracle(
+        text_analysis.source_token_divergence,
+        text_analysis.ORACLES["source_token_divergence"],
+        tmp_path, "documents", tbl,
+    )
+    by = got.set_index("source")
+    # N=5, Ns(alpha)=3 {a:2,b:1}, Ns(beta)=2 {b:1,c:1}; C={a:2,b:2,c:1}
+    # alpha: |5*2-3*2|+|5*1-3*2|+|0-3*1| = 4+1+3 = 8 -> 8/(2*3*5)
+    # beta:  |0-2*2|+|5*1-2*2|+|5*1-2*1| = 4+1+3 = 8 -> 8/(2*2*5)
+    assert by.loc["alpha", "n_tokens"] == 3
+    assert by.loc["beta", "n_tokens"] == 2
+    assert by.loc["alpha", "tv_divergence"] == 8.0 / 30.0
+    assert by.loc["beta", "tv_divergence"] == 8.0 / 20.0
