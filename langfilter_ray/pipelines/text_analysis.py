@@ -1295,6 +1295,36 @@ ORACLES["tfidf_top_terms"] = (
 SHARED_NGRAM_N = 5
 
 
+def _distinct_gram_pairs(t: pa.Table) -> pa.Table:
+    """Per-batch distinct (doc_id, word-5-gram) pairs, fully vectorized
+    (flatten words with per-doc repeats, one elementwise object-concat
+    per gram slot, a doc-boundary mask — no Python loop over docs or
+    grams); shared by shared_ngram_docs and ngram_novelty."""
+    toks = pc.split_pattern(pc.fill_null(t["text"], ""), pattern=" ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    lens = pc.list_value_length(toks).to_numpy()
+    doc = np.repeat(t["doc_id"].to_numpy(), lens)
+    words = np.array(pc.list_flatten(toks).to_pylist(), dtype=object)
+    k = SHARED_NGRAM_N - 1
+    if len(words) <= k:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()), "gram": pa.array([], pa.string())}
+        )
+    grams = words[: len(words) - k]
+    for i in range(1, SHARED_NGRAM_N):
+        grams = grams + " "
+        grams = grams + words[i : len(words) - k + i]
+    valid = doc[: len(doc) - k] == doc[k:]
+    pairs = pa.table(
+        {
+            "doc_id": pa.array(doc[: len(doc) - k][valid], pa.int64()),
+            "gram": pa.array(grams[valid], pa.string()),
+        }
+    )
+    return pairs.group_by(["doc_id", "gram"]).aggregate([])
+
+
 def shared_ngram_docs(sf_dir: str) -> ray.data.Dataset:
     """Per-document count of word 5-grams that also occur in at least one
     OTHER document — the duplicated-span signal behind suffix/substring
@@ -1315,30 +1345,7 @@ def shared_ngram_docs(sf_dir: str) -> ray.data.Dataset:
     shared-gram side can be corpus-sized, so no broadcast), and a
     combiner-backed groupby(doc_id) counts each doc's shared grams."""
 
-    def pairs_partial(t: pa.Table) -> pa.Table:
-        toks = pc.split_pattern(pc.fill_null(t["text"], ""), pattern=" ")
-        if isinstance(toks, pa.ChunkedArray):
-            toks = toks.combine_chunks()
-        lens = pc.list_value_length(toks).to_numpy()
-        doc = np.repeat(t["doc_id"].to_numpy(), lens)
-        words = np.array(pc.list_flatten(toks).to_pylist(), dtype=object)
-        k = SHARED_NGRAM_N - 1
-        if len(words) <= k:
-            return pa.table(
-                {"doc_id": pa.array([], pa.int64()), "gram": pa.array([], pa.string())}
-            )
-        grams = words[: len(words) - k]
-        for i in range(1, SHARED_NGRAM_N):
-            grams = grams + " "
-            grams = grams + words[i : len(words) - k + i]
-        valid = doc[: len(doc) - k] == doc[k:]
-        pairs = pa.table(
-            {
-                "doc_id": pa.array(doc[: len(doc) - k][valid], pa.int64()),
-                "gram": pa.array(grams[valid], pa.string()),
-            }
-        )
-        return pairs.group_by(["doc_id", "gram"]).aggregate([])
+    pairs_partial = _distinct_gram_pairs
 
     from ray.data.aggregate import Sum
 
@@ -1379,6 +1386,98 @@ ORACLES["shared_ngram_docs"] = (
     "SELECT grams.doc_id, count(*)::BIGINT AS n_shared_grams "
     "FROM grams JOIN df ON grams.g = df.g WHERE df.df >= 2 "
     "GROUP BY 1 ORDER BY 1"
+)
+
+
+def ngram_novelty(sf_dir: str) -> ray.data.Dataset:
+    """Per-document novelty census: of a doc's DISTINCT word 5-grams,
+    how many were already emitted by an earlier document (doc_id order —
+    the ingest's arrival order)?  This is the streaming-novelty signal an
+    incremental dedup keeps (a crawl snapshot whose grams are mostly
+    old is a re-crawl; a fresh corpus has a high novel share), and the
+    ordered complement of ``shared_ngram_docs``'s order-free df ≥ 2.
+
+    Shape: distinct (doc, gram) pairs (shared ``_distinct_gram_pairs``
+    partial, materialized once, consumed twice); first-seen doc per gram
+    via a MIN-combined groupby (in-batch pyarrow min so the shuffle
+    carries one row per gram per batch, never per occurrence); the
+    first-seen table hash-joins back onto the pairs (volume-sized — the
+    gram side is corpus-sized, no broadcast), and a combiner-backed
+    groupby(doc_id) folds each doc's (n_grams, n_repeated) ints.  Docs
+    with fewer than 5 words emit no row on either side."""
+    from ray.data.aggregate import Min, Sum
+
+    from .relational import _partial_group_agg, _volume_join_parts
+
+    pairs = (
+        _docs_cols(sf_dir, ["doc_id", "text"])
+        .map_batches(_distinct_gram_pairs, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def min_partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {"gram": pa.array([], pa.string()),
+                 "d0_partial": pa.array([], pa.int64())}
+            )
+        g = t.select(["gram", "doc_id"]).group_by("gram").aggregate(
+            [("doc_id", "min")]
+        )
+        return pa.table(
+            {"gram": g["gram"],
+             "d0_partial": pc.cast(g["doc_id_min"], pa.int64())}
+        )
+
+    first = (
+        pairs.map_batches(min_partial, batch_format="pyarrow")
+        .groupby("gram")
+        .aggregate(Min("d0_partial", alias_name="d0"))
+    )
+
+    def per_doc_partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "n_grams_partial": pa.array([], pa.int64()),
+                 "n_repeated_partial": pa.array([], pa.int64())}
+            )
+        rep = pc.cast(pc.less(t["d0"], t["doc_id"]), pa.int64())
+        g = pa.table(
+            {"doc_id": t["doc_id"], "rep": rep}
+        ).group_by("doc_id").aggregate([("rep", "sum"), ([], "count_all")])
+        return pa.table(
+            {"doc_id": g["doc_id"],
+             "n_grams_partial": pc.cast(g["count_all"], pa.int64()),
+             "n_repeated_partial": pc.cast(g["rep_sum"], pa.int64())}
+        )
+
+    return (
+        pairs.join(
+            first,
+            join_type="inner",
+            num_partitions=_volume_join_parts(pairs.count()),
+            on=("gram",),
+        )
+        .map_batches(per_doc_partial, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(
+            Sum("n_grams_partial", alias_name="n_grams"),
+            Sum("n_repeated_partial", alias_name="n_repeated"),
+        )
+    )
+
+
+ORACLES["ngram_novelty"] = (
+    "WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), "
+    "grams AS (SELECT DISTINCT doc_id, "
+    "array_to_string(list_slice(w, i, i + 4), ' ') AS g "
+    "FROM words, unnest(range(1, len(w) - 3)) AS t(i)), "
+    "f AS (SELECT g, min(doc_id) AS d0 FROM grams GROUP BY 1) "
+    "SELECT grams.doc_id, count(*)::BIGINT AS n_grams, "
+    "sum(CASE WHEN f.d0 < grams.doc_id THEN 1 ELSE 0 END)::BIGINT "
+    "AS n_repeated "
+    "FROM grams JOIN f ON grams.g = f.g GROUP BY 1"
 )
 
 

@@ -945,3 +945,35 @@ def test_source_token_divergence_exact(ray_session, tmp_path):
     assert by.loc["beta", "n_tokens"] == 2
     assert by.loc["alpha", "tv_divergence"] == 8.0 / 30.0
     assert by.loc["beta", "tv_divergence"] == 8.0 / 20.0
+
+def test_ngram_novelty_first_seen(ray_session, tmp_path):
+    """A gram repeated from an EARLIER doc_id counts as repeated; the
+    first holder does not; within-doc repeats are distinct-once; docs
+    under 5 words emit no row."""
+    from langfilter_ray.pipelines import text_analysis
+
+    texts = {
+        1: "a b c d e f",        # grams {abcde, bcdef}, both first here
+        2: "a b c d e x",        # {abcde (seen in 1), bcdex (new)}
+        3: "a b c d",            # too short -> no row
+        4: "z z z z z z",        # one distinct gram, first here
+    }
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(list(texts), pa.int64()),
+            "text": pa.array([texts[k] for k in texts], pa.string()),
+            "lang": pa.array(["en"] * 4, pa.string()),
+            "source": pa.array(["syn"] * 4, pa.string()),
+            "n_chars": pa.array([len(texts[k]) for k in texts], pa.int64()),
+        }
+    )
+    got = _check_vs_oracle(
+        text_analysis.ngram_novelty,
+        text_analysis.ORACLES["ngram_novelty"],
+        tmp_path, "documents", tbl,
+    )
+    by = {
+        int(r["doc_id"]): (int(r["n_grams"]), int(r["n_repeated"]))
+        for _, r in got.iterrows()
+    }
+    assert by == {1: (2, 0), 2: (2, 1), 4: (1, 0)}
