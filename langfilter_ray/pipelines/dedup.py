@@ -234,7 +234,8 @@ def dedup_exact(sf_dir: str) -> ray.data.Dataset:
     if pq.read_metadata(path).num_rows <= DEDUP_EXACT_BROADCAST_MAX_ROWS:
         import pandas as pd
 
-        tbl = pa.concat_tables(ray.get(combined.to_arrow_refs()))
+        tbls = [t for t in ray.get(combined.to_arrow_refs()) if t.num_rows]
+        tbl = pa.concat_tables(tbls) if tbls else pa.table({})
         if len(tbl) == 0:
             return ray.data.from_arrow(
                 pa.table(
@@ -1996,4 +1997,120 @@ ORACLES["dup_cluster_hist"] = (
     "FROM documents GROUP BY 1) "
     "SELECT sz AS cluster_size, count(*)::BIGINT AS n_clusters "
     "FROM g GROUP BY 1"
+)
+
+
+# ---- per-source exact-duplicate census (curation cut of dedup_exact) -----
+
+def dup_rate_by_source(sf_dir: str) -> "pa.Table":
+    """Per-source exact-duplicate census: how many of each source's docs
+    share their md5(text) with ANY other doc (its own source or another)
+    — the curation cut of ``dedup_exact`` ("which feeds are re-crawls?")
+    that sets per-source dedup priorities before mixing weights.
+
+    A digest's rows must MEET to decide dup-ness, so the exchange is the
+    same digest-bucket shape as dedup_exact: per-batch (digest, source,
+    c) partials — one row per (batch, digest, source) — bucket-tagged by
+    the digest prefix; each bucket folds exact per-digest totals and
+    emits (source, n_docs, n_dup_docs) int partials, so the driver fold
+    is bounded by sources × buckets, never rows.  Below
+    ``DEDUP_EXACT_BROADCAST_MAX_ROWS`` input rows the combined partials
+    are gathered and folded driver-side instead (the bucket exchange's
+    fixed cost dominates small inputs — dedup_exact's measured contract),
+    with the bucket reduce as the scale path, pinned identical by the
+    module's standard zero-threshold parity test."""
+    import pyarrow.parquet as pq
+
+    def digest_and_combine(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        digests, prefixes = _md5_hex_column(t["text"])
+        df = pd.DataFrame(
+            {
+                "text_md5": digests,
+                "source": np.asarray(t["source"].to_pylist(), dtype=object),
+                "pref": prefixes,
+            }
+        )
+        part = (
+            df.groupby(["text_md5", "source"], sort=False)
+            .agg(c=("pref", "size"), pref=("pref", "first"))
+            .reset_index()
+        )
+        h = part["pref"].to_numpy() * np.uint64(0x9E3779B97F4A7C15)
+        part["bk"] = (
+            (h >> np.uint64(33)) % np.uint64(_DEDUP_EXACT_BUCKETS)
+        ).astype("int64")
+        part["c"] = part["c"].astype("int64")
+        return pa.Table.from_pandas(
+            part[["text_md5", "source", "c", "bk"]], preserve_index=False
+        )
+
+    def fold(df) -> "pa.Table":
+        # exact within any frame that holds ALL rows of its digests
+        # (a whole bucket, or the gathered partials)
+        import pandas as pd
+
+        tot = df.groupby("text_md5", sort=False)["c"].sum()
+        isdup = df["text_md5"].map(tot).to_numpy() >= 2
+        n_docs = df.groupby("source", sort=False)["c"].sum()
+        n_dup = (
+            df[isdup].groupby("source", sort=False)["c"].sum()
+            .reindex(n_docs.index, fill_value=0)
+        )
+        return pa.table(
+            {"source": pa.array(n_docs.index.to_numpy(object), pa.string()),
+             "n_docs": pa.array(n_docs.to_numpy(np.int64)),
+             "n_dup_docs": pa.array(n_dup.to_numpy(np.int64))}
+        )
+
+    def reduce_bucket(g):
+        import pandas as pd
+
+        if g.empty:
+            return pd.DataFrame(
+                {"source": pd.array([], dtype="object"),
+                 "n_docs": pd.array([], dtype="int64"),
+                 "n_dup_docs": pd.array([], dtype="int64")}
+            )
+        return fold(g).to_pandas()
+
+    empty = pa.table(
+        {"source": pa.array([], pa.string()),
+         "n_docs": pa.array([], pa.int64()),
+         "n_dup_docs": pa.array([], pa.int64())}
+    )
+    path = f"{sf_dir}/documents.parquet"
+    combined = ray.data.read_parquet(
+        path, columns=["source", "text"]
+    ).map_batches(digest_and_combine, batch_format="pyarrow")
+    if pq.read_metadata(path).num_rows <= DEDUP_EXACT_BROADCAST_MAX_ROWS:
+        tbls = [t for t in ray.get(combined.to_arrow_refs()) if t.num_rows]
+        tbl = pa.concat_tables(tbls) if tbls else pa.table({})
+        if len(tbl) == 0:
+            return empty
+        out = fold(tbl.select(["text_md5", "source", "c"]).to_pandas())
+    else:
+        parts = (
+            combined.groupby("bk")
+            .map_groups(reduce_bucket, batch_format="pandas")
+            .to_pandas()    # bounded: sources x buckets
+        )
+        if parts.empty:
+            return empty
+        g = parts.groupby("source", sort=True).sum().reset_index()
+        out = pa.table(
+            {"source": pa.array(g["source"], pa.string()),
+             "n_docs": pa.array(g["n_docs"].astype("int64")),
+             "n_dup_docs": pa.array(g["n_dup_docs"].astype("int64"))}
+        )
+    return out
+
+
+ORACLES["dup_rate_by_source"] = (
+    "WITH d AS (SELECT source, md5(text) AS h FROM documents), "
+    "c AS (SELECT h, count(*) AS n FROM d GROUP BY 1) "
+    "SELECT d.source, count(*)::BIGINT AS n_docs, "
+    "sum(CASE WHEN c.n >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup_docs "
+    "FROM d JOIN c USING (h) GROUP BY 1"
 )

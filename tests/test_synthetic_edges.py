@@ -977,3 +977,38 @@ def test_ngram_novelty_first_seen(ray_session, tmp_path):
         for _, r in got.iterrows()
     }
     assert by == {1: (2, 0), 2: (2, 1), 4: (1, 0)}
+
+def test_dup_rate_by_source_cross_source(ray_session, tmp_path, monkeypatch):
+    """A digest shared ACROSS sources marks the doc dup in each source;
+    singletons don't; the zero-threshold-forced bucket reduce matches
+    the broadcast fold exactly (the module's standard parity contract)."""
+    from langfilter_ray.pipelines import dedup
+
+    texts = ["x", "y", "x", "x", "z"]
+    srcs = ["alpha", "alpha", "alpha", "beta", "beta"]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(list(range(1, 6)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * 5, pa.string()),
+            "source": pa.array(srcs, pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    got = _check_vs_oracle(
+        dedup.dup_rate_by_source,
+        dedup.ORACLES["dup_rate_by_source"],
+        tmp_path, "documents", tbl,
+    )
+    by = {
+        r["source"]: (int(r["n_docs"]), int(r["n_dup_docs"]))
+        for _, r in got.iterrows()
+    }
+    assert by == {"alpha": (3, 2), "beta": (2, 1)}
+    monkeypatch.setattr(dedup, "DEDUP_EXACT_BROADCAST_MAX_ROWS", 0)
+    again = _check_vs_oracle(
+        dedup.dup_rate_by_source,
+        dedup.ORACLES["dup_rate_by_source"],
+        tmp_path, "documents", tbl,
+    )
+    assert again.equals(got)
