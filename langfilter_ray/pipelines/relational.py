@@ -5646,3 +5646,131 @@ ORACLES["brand_size_summary"] = (
     "min(CASE WHEN 4*cm >= 3*tot THEN v END)::BIGINT AS size_q3, "
     "max(v)::BIGINT AS size_max FROM cc GROUP BY brand"
 )
+
+
+# ---- open-orders sweep (interval cardinality over the bounded day axis) --
+
+_OPEN_ORDERS_BUCKETS = 32
+
+
+def open_orders_daily(sf_dir: str) -> "pa.Table":
+    """Daily count of orders OPEN — placed (o_orderdate) but with at
+    least one line not yet shipped (open through max l_shipdate) — the
+    work-in-progress curve capacity planning reads.  An interval-
+    cardinality sweep: each order contributes +1 on its open day and −1
+    the day after it closes, and the running sum over the BOUNDED day
+    axis is the answer; rows are emitted only for days where the count
+    CHANGES (delta days), exactly the rows the oracle's windowed cumsum
+    produces.
+
+    Shape: no hash join.  Orders rows (+kind 0) and in-batch
+    max-combined lineitem rows (kind 1) UNION into one stream bucketed
+    by hash(orderkey) — every order's rows meet in its bucket, where a
+    pandas fold pairs d0 with max(d1) (inner semantics) and emits
+    (day, delta) partials bounded by the day span; the driver folds the
+    bounded histogram and takes one cumsum.  The exchange carries ~one
+    row per order + one per (batch, order) — never a lineitem-sized
+    shuffle, and the only all-to-all is the bounded bucket groupby."""
+    US_DAY = 86_400_000_000
+
+    def _bk(keys: np.ndarray) -> np.ndarray:
+        h = keys.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        return ((h >> np.uint64(33)) % np.uint64(_OPEN_ORDERS_BUCKETS)).astype(
+            np.int64
+        )
+
+    def orders_part(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {"k": pa.array([], pa.int64()),
+                 "d": pa.array([], pa.int64()),
+                 "kind": pa.array([], pa.int64()),
+                 "bk": pa.array([], pa.int64())}
+            )
+        k = t["o_orderkey"].to_numpy()
+        d = pc.cast(t["o_orderdate"], pa.int64()).to_numpy() // US_DAY
+        return pa.table(
+            {"k": pa.array(k), "d": pa.array(d),
+             "kind": pa.array(np.zeros(len(k), np.int64)),
+             "bk": pa.array(_bk(k))}
+        )
+
+    def lines_part(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {"k": pa.array([], pa.int64()),
+                 "d": pa.array([], pa.int64()),
+                 "kind": pa.array([], pa.int64()),
+                 "bk": pa.array([], pa.int64())}
+            )
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {"k": t["l_orderkey"].to_numpy(),
+             "d": pc.cast(t["l_shipdate"], pa.int64()).to_numpy() // US_DAY}
+        )
+        part = df.groupby("k", sort=False)["d"].max().reset_index()
+        k = part["k"].to_numpy()
+        return pa.table(
+            {"k": pa.array(k), "d": pa.array(part["d"].to_numpy()),
+             "kind": pa.array(np.ones(len(k), np.int64)),
+             "bk": pa.array(_bk(k))}
+        )
+
+    def bucket_deltas(g) -> "pd.DataFrame":
+        import pandas as pd
+
+        if g.empty:
+            return pd.DataFrame(
+                {"day": pd.array([], dtype="int64"),
+                 "delta": pd.array([], dtype="int64")}
+            )
+        o = g[g["kind"] == 0]
+        c = g[g["kind"] == 1].groupby("k", sort=False)["d"].max()
+        j = o[o["k"].isin(c.index)]
+        d0 = j["d"].to_numpy(np.int64)
+        d1 = j["k"].map(c).to_numpy(np.int64) + 1
+        days = np.concatenate([d0, d1])
+        w = np.concatenate(
+            [np.ones(len(d0), np.int64), -np.ones(len(d1), np.int64)]
+        )
+        uq, inv = np.unique(days, return_inverse=True)
+        s = np.bincount(inv, weights=w).astype(np.int64)
+        return pd.DataFrame({"day": uq, "delta": s})
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"]).map_batches(
+        orders_part, batch_format="pyarrow"
+    )
+    lines = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"]).map_batches(
+        lines_part, batch_format="pyarrow"
+    )
+    hist = (
+        orders.union(lines)
+        .groupby("bk")
+        .map_groups(bucket_deltas, batch_format="pandas")
+        .to_pandas()    # bounded: day span x buckets
+    )
+    if hist.empty:
+        return pa.table(
+            {"day": pa.array([], pa.int64()),
+             "n_open": pa.array([], pa.int64())}
+        )
+    agg = hist.groupby("day", sort=True)["delta"].sum()
+    return pa.table(
+        {"day": pa.array(agg.index.to_numpy(np.int64)),
+         "n_open": pa.array(np.cumsum(agg.to_numpy(np.int64)))}
+    )
+
+
+ORACLES["open_orders_daily"] = (
+    "WITH cl AS (SELECT l_orderkey AS k, "
+    "max(epoch_us(l_shipdate) // 86400000000) AS d1 FROM lineitem "
+    "GROUP BY 1), "
+    "j AS (SELECT epoch_us(o_orderdate) // 86400000000 AS d0, d1 "
+    "FROM orders JOIN cl ON o_orderkey = k), "
+    "ev AS (SELECT d0 AS d, 1 AS delta FROM j "
+    "UNION ALL SELECT d1 + 1, -1 FROM j), "
+    "agg AS (SELECT d, sum(delta) AS s FROM ev GROUP BY d) "
+    "SELECT d::BIGINT AS day, "
+    "(sum(s) OVER (ORDER BY d))::BIGINT AS n_open FROM agg ORDER BY d"
+)

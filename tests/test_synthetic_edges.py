@@ -1012,3 +1012,66 @@ def test_dup_rate_by_source_cross_source(ray_session, tmp_path, monkeypatch):
         tmp_path, "documents", tbl,
     )
     assert again.equals(got)
+
+def test_open_orders_daily_sweep(ray_session, tmp_path):
+    """Overlapping orders stack (+1/+1), the close delta lands the day
+    AFTER the last ship, an order closing same-day it opens still counts
+    that day, and an order with no lineitem rows is dropped (inner
+    semantics).  Delta days where the net change is zero still emit a
+    row (oracle GROUP BY keeps them)."""
+    import duckdb
+
+    from langfilter_ray.pipelines import relational
+
+    base = np.datetime64("2024-03-01T00:00:00", "us")
+
+    def ts(day):
+        return base + np.timedelta64(day * 86_400_000_000, "us")
+
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+            "o_custkey": pa.array([1, 1, 1, 1], pa.int64()),
+            "o_orderstatus": pa.array(["O"] * 4, pa.string()),
+            "o_totalprice": pa.array([1.0] * 4, pa.float64()),
+            "o_orderdate": pa.array(
+                [ts(0), ts(1), ts(2), ts(9)], pa.timestamp("us")
+            ),
+            "o_orderpriority": pa.array(["1-URGENT"] * 4, pa.string()),
+        }
+    )
+    # order 1 ships on days 1 and 3 (open 0..3); order 2 same-day (1..1);
+    # order 3 opens day 2 as order 2 closes; order 4 has NO lines
+    li = [(1, 1), (1, 3), (2, 1), (3, 4)]
+    lineitem = pa.table(
+        {
+            "l_orderkey": pa.array([k for k, _ in li], pa.int64()),
+            "l_partkey": pa.array([1] * 4, pa.int64()),
+            "l_suppkey": pa.array([1] * 4, pa.int64()),
+            "l_linenumber": pa.array([1] * 4, pa.int32()),
+            "l_quantity": pa.array([1.0] * 4, pa.float64()),
+            "l_extendedprice": pa.array([1.0] * 4, pa.float64()),
+            "l_discount": pa.array([0.0] * 4, pa.float64()),
+            "l_tax": pa.array([0.0] * 4, pa.float64()),
+            "l_returnflag": pa.array(["N"] * 4, pa.string()),
+            "l_linestatus": pa.array(["O"] * 4, pa.string()),
+            "l_shipdate": pa.array([ts(d) for _, d in li], pa.timestamp("us")),
+        }
+    )
+    pq.write_table(orders, tmp_path / "orders.parquet")
+    pq.write_table(lineitem, tmp_path / "lineitem.parquet")
+    got = _canon(_to_pandas(relational.open_orders_daily(str(tmp_path))))
+    c = duckdb.connect()
+    for name in ("orders", "lineitem"):
+        c.execute(
+            f"CREATE VIEW {name} AS SELECT * "
+            f"FROM read_parquet('{tmp_path}/{name}.parquet')"
+        )
+    want = _canon(c.execute(relational.ORACLES["open_orders_daily"]).df())
+    problems = compare_frames(got, want)
+    assert not problems, (problems, first_diff(got, want))
+    d0 = int(got["day"].min())
+    curve = {int(r["day"]) - d0: int(r["n_open"]) for _, r in got.iterrows()}
+    # day0: order1 opens; day1: +order2; day2: order2 closed, +order3;
+    # day4: order1 closed (shipped day 3); day5: order3 closed
+    assert curve == {0: 1, 1: 2, 2: 2, 4: 1, 5: 0}
