@@ -270,6 +270,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_novelty": text_analysis.ngram_novelty,
         "dup_rate_by_source": dedup.dup_rate_by_source,
         "open_orders_daily": relational.open_orders_daily,
+        "rfm_census": relational.rfm_census,
         # rows-only (iterative driver-state op like kmeans_fit)
         "bpe_train": text_analysis.bpe_train,
         "bpe_encode": text_analysis.bpe_encode,

@@ -5774,3 +5774,143 @@ ORACLES["open_orders_daily"] = (
     "SELECT d::BIGINT AS day, "
     "(sum(s) OVER (ORDER BY d))::BIGINT AS n_open FROM agg ORDER BY d"
 )
+
+
+# ---- RFM segmentation census (recency / frequency / monetary tiers) ------
+
+# fixed tier boundaries (exact integer comparisons on both sides):
+# recency in days-before-last-order-date, frequency in orders, monetary
+# in total-price cents.
+RFM_R_BOUNDS = (30, 90, 365)
+RFM_F_BOUNDS = (2, 4, 10)
+RFM_M_BOUNDS = (5_000_000, 15_000_000, 30_000_000)
+
+
+def rfm_census(sf_dir: str) -> "pa.Table":
+    """RFM segmentation census: every customer with at least one order
+    lands in a (recency, frequency, monetary) tier cell — the classic
+    marketing segmentation, made oracle-exact by FIXED integer tier
+    boundaries (recency against the corpus's own last order day, cents
+    for money) instead of data-dependent quantiles.
+
+    Shape: one combiner-backed groupby(custkey) folds (last order day,
+    n_orders, total cents) — the cust_order_histogram exchange, ≤ one
+    row per (batch, custkey) shuffled; the per-customer table is
+    materialized once (object store, never the driver) so the global
+    reference day is a cheap Max over it and the tier mapping reuses it
+    without recomputing the groupby; the census itself is a
+    combiner-backed groupby over ≤ 4³ cells."""
+    from ray.data.aggregate import Max
+
+    US_DAY = 86_400_000_000
+
+    def part(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {"o_custkey": pa.array([], pa.int64()),
+                 "d_part": pa.array([], pa.int64()),
+                 "n_part": pa.array([], pa.int64()),
+                 "m_part": pa.array([], pa.int64())}
+            )
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {"o_custkey": t["o_custkey"].to_numpy(),
+             "d": pc.cast(t["o_orderdate"], pa.int64()).to_numpy() // US_DAY,
+             "m": np.floor(
+                 t["o_totalprice"].to_numpy() * 100.0 + 0.5
+             ).astype(np.int64)}
+        )
+        g = df.groupby("o_custkey", sort=False).agg(
+            d_part=("d", "max"), n_part=("d", "size"), m_part=("m", "sum")
+        ).reset_index()
+        g["n_part"] = g["n_part"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    per_cust = (
+        _read(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"])
+        .map_batches(part, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(
+            Max("d_part", alias_name="last_d"),
+            Sum("n_part", alias_name="f"),
+            Sum("m_part", alias_name="m"),
+        )
+        .materialize()
+    )
+    empty = pa.table(
+        {"r_tier": pa.array([], pa.int64()),
+         "f_tier": pa.array([], pa.int64()),
+         "m_tier": pa.array([], pa.int64()),
+         "n_customers": pa.array([], pa.int64())}
+    )
+    if per_cust.count() == 0:
+        return empty
+    ref_day = int(per_cust.max("last_d"))
+
+    def tiers(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {"r_tier": pa.array([], pa.int64()),
+                 "f_tier": pa.array([], pa.int64()),
+                 "m_tier": pa.array([], pa.int64())}
+            )
+        r = ref_day - t["last_d"].to_numpy()
+        f = t["f"].to_numpy()
+        m = t["m"].to_numpy()
+
+        def tier(v, bounds):
+            out = np.zeros(len(v), np.int64)
+            for b in bounds:
+                out += v >= b
+            return out
+
+        return pa.table(
+            {"r_tier": pa.array(tier(r, RFM_R_BOUNDS)),
+             "f_tier": pa.array(tier(f, RFM_F_BOUNDS)),
+             "m_tier": pa.array(tier(m, RFM_M_BOUNDS))}
+        )
+
+    out = (
+        per_cust.map_batches(tiers, batch_format="pyarrow")
+        .map_batches(
+            _partial_group_agg(["r_tier", "f_tier", "m_tier"]),
+            batch_format="pyarrow",
+        )
+        .groupby(["r_tier", "f_tier", "m_tier"])
+        .aggregate(Sum("n_partial", alias_name="n_customers"))
+        .to_pandas()    # bounded: <= 4^3 cells
+    )
+    if out.empty:
+        return empty
+    out = out.sort_values(["r_tier", "f_tier", "m_tier"]).reset_index(drop=True)
+    return pa.table(
+        {"r_tier": pa.array(out["r_tier"].astype("int64")),
+         "f_tier": pa.array(out["f_tier"].astype("int64")),
+         "m_tier": pa.array(out["m_tier"].astype("int64")),
+         "n_customers": pa.array(out["n_customers"].astype("int64"))}
+    )
+
+
+def _rfm_tier_sql(expr: str, bounds: tuple) -> str:
+    return (
+        f"(CASE WHEN {expr} >= {bounds[2]} THEN 3 "
+        f"WHEN {expr} >= {bounds[1]} THEN 2 "
+        f"WHEN {expr} >= {bounds[0]} THEN 1 ELSE 0 END)"
+    )
+
+
+ORACLES["rfm_census"] = (
+    "WITH c AS (SELECT o_custkey, "
+    "max(epoch_us(o_orderdate) // 86400000000) AS last_d, "
+    "count(*)::BIGINT AS f, "
+    "sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))::BIGINT AS m "
+    "FROM orders GROUP BY 1), "
+    "ref AS (SELECT max(last_d) AS rd FROM c) "
+    "SELECT "
+    + _rfm_tier_sql("ref.rd - c.last_d", RFM_R_BOUNDS) + "::BIGINT AS r_tier, "
+    + _rfm_tier_sql("c.f", RFM_F_BOUNDS) + "::BIGINT AS f_tier, "
+    + _rfm_tier_sql("c.m", RFM_M_BOUNDS) + "::BIGINT AS m_tier, "
+    "count(*)::BIGINT AS n_customers "
+    "FROM c CROSS JOIN ref GROUP BY 1, 2, 3"
+)

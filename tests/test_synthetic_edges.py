@@ -1075,3 +1075,61 @@ def test_open_orders_daily_sweep(ray_session, tmp_path):
     # day0: order1 opens; day1: +order2; day2: order2 closed, +order3;
     # day4: order1 closed (shipped day 3); day5: order3 closed
     assert curve == {0: 1, 1: 2, 2: 2, 4: 1, 5: 0}
+
+def test_rfm_census_tier_boundaries(ray_session, tmp_path):
+    """Exact boundary hits land in the HIGHER tier (>= semantics) on all
+    three axes; recency is measured from the corpus's own last order
+    day; cents rounding applies to the monetary sum."""
+    import duckdb
+
+    from langfilter_ray.pipelines import relational
+
+    base = np.datetime64("2024-03-01T00:00:00", "us")
+
+    def ts(day):
+        return base + np.timedelta64(day * 86_400_000_000, "us")
+
+    # ref day = 400 (customer 3's last order).
+    # cust 1: last day 370 -> r=30 (tier 1), 2 orders (tier 1),
+    #          25_000 + 25_000.005 -> 5_000_001 cents total (tier 1)
+    # cust 2: last day 35 -> r=365 (tier 3), 1 order (tier 0), tiny m
+    # cust 3: last day 400 -> r=0 (tier 0), 4 orders (tier 2),
+    #         4 x 75_000 -> 30_000_000 cents (tier 3)
+    rows = [
+        (1, 1, 369, 25_000.00),
+        (2, 1, 370, 25_000.005),
+        (3, 2, 35, 1.00),
+        (4, 3, 397, 75_000.00),
+        (5, 3, 398, 75_000.00),
+        (6, 3, 399, 75_000.00),
+        (7, 3, 400, 75_000.00),
+    ]
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+            "o_custkey": pa.array([r[1] for r in rows], pa.int64()),
+            "o_orderstatus": pa.array(["O"] * len(rows), pa.string()),
+            "o_totalprice": pa.array([r[3] for r in rows], pa.float64()),
+            "o_orderdate": pa.array(
+                [ts(r[2]) for r in rows], pa.timestamp("us")
+            ),
+            "o_orderpriority": pa.array(["1-URGENT"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(orders, tmp_path / "orders.parquet")
+    got = _canon(_to_pandas(relational.rfm_census(str(tmp_path))))
+    c = duckdb.connect()
+    c.execute(
+        "CREATE VIEW orders AS SELECT * "
+        f"FROM read_parquet('{tmp_path}/orders.parquet')"
+    )
+    want = _canon(c.execute(relational.ORACLES["rfm_census"]).df())
+    problems = compare_frames(got, want)
+    assert not problems, (problems, first_diff(got, want))
+    cells = {
+        (int(r["r_tier"]), int(r["f_tier"]), int(r["m_tier"])): int(
+            r["n_customers"]
+        )
+        for _, r in got.iterrows()
+    }
+    assert cells == {(1, 1, 1): 1, (3, 0, 0): 1, (0, 2, 3): 1}
