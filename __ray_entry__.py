@@ -271,6 +271,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_rate_by_source": dedup.dup_rate_by_source,
         "open_orders_daily": relational.open_orders_daily,
         "rfm_census": relational.rfm_census,
+        "tax_band_revenue": relational.tax_band_revenue,
+        "source_simpson_diversity": text_analysis.source_simpson_diversity,
         # rows-only (iterative driver-state op like kmeans_fit)
         "bpe_train": text_analysis.bpe_train,
         "bpe_encode": text_analysis.bpe_encode,

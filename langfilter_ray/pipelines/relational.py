@@ -5914,3 +5914,83 @@ ORACLES["rfm_census"] = (
     "count(*)::BIGINT AS n_customers "
     "FROM c CROSS JOIN ref GROUP BY 1, 2, 3"
 )
+
+
+# ---- tax-band revenue audit (the one lineitem column nothing else reads) --
+
+
+def tax_band_revenue(sf_dir: str) -> pa.Table:
+    """Effective-tax audit: per tax band (per-mille integer), line count
+    and revenue cents before/after tax.  Pure map + bounded-domain
+    rollup — per-batch partials keyed by the ~9-value tax domain, so the
+    exchange is O(bands × batches) regardless of lineitem volume; cents
+    floored per row on BOTH sides (IEEE-identical left-assoc products,
+    see revenue_rollup) so the sums are exact integers."""
+
+    def part(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"tax_pm": pa.array([], pa.int64()),
+             "n_part": pa.array([], pa.int64()),
+             "d_part": pa.array([], pa.int64()),
+             "x_part": pa.array([], pa.int64())}
+        )
+        if len(t) == 0:
+            return empty
+        ep = t["l_extendedprice"].to_numpy()
+        disc = t["l_discount"].to_numpy()
+        tax = t["l_tax"].to_numpy()
+        band = np.floor(tax * 1000 + 0.5).astype(np.int64)
+        d_cents = np.floor(ep * (1 - disc) * 100 + 0.5).astype(np.int64)
+        x_cents = np.floor(ep * (1 - disc) * (1 + tax) * 100 + 0.5).astype(
+            np.int64
+        )
+        g = pa.table(
+            {"tax_pm": pa.array(band),
+             "d": pa.array(d_cents),
+             "x": pa.array(x_cents)}
+        ).group_by("tax_pm").aggregate(
+            [("d", "sum"), ("x", "sum"), ([], "count_all")]
+        )
+        return pa.table(
+            {"tax_pm": g["tax_pm"],
+             "n_part": pc.cast(g["count_all"], pa.int64()),
+             "d_part": g["d_sum"],
+             "x_part": g["x_sum"]}
+        )
+
+    out = (
+        _read(sf_dir, "lineitem", ["l_extendedprice", "l_discount", "l_tax"])
+        .map_batches(part, batch_format="pyarrow")
+        .groupby("tax_pm")
+        .aggregate(
+            Sum("n_part", alias_name="n_lines"),
+            Sum("d_part", alias_name="disc_cents"),
+            Sum("x_part", alias_name="taxed_cents"),
+        )
+        .to_pandas()    # bounded: tax domain (~9 bands)
+    )
+    if out.empty:
+        return pa.table(
+            {"tax_pm": pa.array([], pa.int64()),
+             "n_lines": pa.array([], pa.int64()),
+             "disc_cents": pa.array([], pa.int64()),
+             "taxed_cents": pa.array([], pa.int64())}
+        )
+    out = out.sort_values("tax_pm").reset_index(drop=True)
+    return pa.table(
+        {"tax_pm": pa.array(out["tax_pm"].astype("int64")),
+         "n_lines": pa.array(out["n_lines"].astype("int64")),
+         "disc_cents": pa.array(out["disc_cents"].astype("int64")),
+         "taxed_cents": pa.array(out["taxed_cents"].astype("int64"))}
+    )
+
+
+ORACLES["tax_band_revenue"] = (
+    "SELECT CAST(floor(l_tax * 1000 + 0.5) AS BIGINT) AS tax_pm, "
+    "count(*)::BIGINT AS n_lines, "
+    "sum(CAST(floor(l_extendedprice*(1-l_discount)*100+0.5) AS BIGINT))"
+    "::BIGINT AS disc_cents, "
+    "sum(CAST(floor(l_extendedprice*(1-l_discount)*(1+l_tax)*100+0.5) "
+    "AS BIGINT))::BIGINT AS taxed_cents "
+    "FROM lineitem GROUP BY 1 ORDER BY 1"
+)

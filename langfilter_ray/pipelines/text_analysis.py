@@ -4246,3 +4246,128 @@ ORACLES["source_token_divergence"] = (
     "LEFT JOIN c ON c.source = s.source AND c.token = g.token "
     "GROUP BY s.source, s.ns, n.n"
 )
+
+
+# ---- source_simpson_diversity: token-concentration screen -----------------
+
+
+def source_simpson_diversity(sf_dir: str) -> "pa.Table":
+    """Per-source Simpson concentration of the token distribution — the
+    probability two tokens drawn from the source are the SAME type
+    (boilerplate / template spam reads high; diverse prose reads low) —
+    the complement view to hapax_by_source's type-spectrum head.  Kept
+    oracle-exact as integers: numerator Σ_t c_t(c_t−1) and the token
+    total N travel as int64 (never the 100 TB-overflowing N(N−1)
+    product), with ONE final float division (sentinel −1.0 when N < 2).
+    Exchange shape: per-batch (source, token, count) partials, then the
+    token-hash bucket fold (each token lands in exactly one bucket, so
+    Σ c(c−1) over exact global per-token counts is bucket-additive) —
+    bounded by vocabulary × sources, never token occurrences."""
+    n_buckets = 32
+
+    def tok_counts(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"source": pa.array([], pa.string()),
+             "tkn": pa.array([], pa.string()),
+             "c": pa.array([], pa.int64()),
+             "bk": pa.array([], pa.int64())}
+        )
+        if len(t) == 0:
+            return empty
+        import pandas as pd
+
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(pc.fill_null(t["text"], "")),
+            pattern="[^a-z0-9_]+",
+        )
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy()
+        flat = pc.list_flatten(toks)
+        srcrep = np.repeat(
+            np.asarray(t["source"].to_pylist(), dtype=object), lens
+        )
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        if not keep.any():
+            return empty
+        df = pd.DataFrame(
+            {"source": srcrep[keep], "tkn": flat.to_pandas().to_numpy()[keep]}
+        )
+        part = (
+            df.groupby(["source", "tkn"], sort=False)
+            .size()
+            .reset_index(name="c")
+        )
+        h = pd.util.hash_array(part["tkn"].to_numpy(object))
+        bk = (h >> np.uint64(33)) % np.uint64(n_buckets)
+        return pa.table(
+            {"source": pa.array(part["source"], pa.string()),
+             "tkn": pa.array(part["tkn"], pa.string()),
+             "c": pa.array(part["c"].astype("int64")),
+             "bk": pa.array(bk.astype(np.int64), pa.int64())}
+        )
+
+    def bucket_fold(g) -> "pd.DataFrame":
+        import pandas as pd
+
+        if g.empty:
+            return pd.DataFrame(
+                {"source": pd.array([], dtype="object"),
+                 "n_part": pd.array([], dtype="int64"),
+                 "pairs_part": pd.array([], dtype="int64")}
+            )
+        tot = g.groupby(["source", "tkn"], sort=False)["c"].sum().reset_index()
+        c = tot["c"].to_numpy().astype(np.int64)
+        tot["pairs"] = c * (c - 1)
+        out = tot.groupby("source", sort=False).agg(
+            n_part=("c", "sum"), pairs_part=("pairs", "sum")
+        ).reset_index()
+        out["n_part"] = out["n_part"].astype("int64")
+        out["pairs_part"] = out["pairs_part"].astype("int64")
+        return out
+
+    folded = (
+        _docs_cols(sf_dir, ["source", "text"])
+        .map_batches(tok_counts, batch_format="pyarrow")
+        .groupby("bk")
+        .map_groups(bucket_fold, batch_format="pandas")
+        .to_pandas()    # bounded: sources x buckets
+    )
+    empty = pa.table(
+        {"source": pa.array([], pa.string()),
+         "n_tokens": pa.array([], pa.int64()),
+         "pairs_same": pa.array([], pa.int64()),
+         "simpson": pa.array([], pa.float64())}
+    )
+    if folded.empty:
+        return empty
+    g = folded.groupby("source", sort=True).agg(
+        n_tokens=("n_part", "sum"), pairs_same=("pairs_part", "sum")
+    ).reset_index()
+    n = g["n_tokens"].to_numpy().astype(np.int64)
+    pairs = g["pairs_same"].to_numpy().astype(np.int64)
+    den = n.astype(np.float64) * (n - 1).astype(np.float64)
+    simpson = np.full(len(n), -1.0)
+    ok = n >= 2
+    simpson[ok] = pairs[ok].astype(np.float64) / den[ok]
+    return pa.table(
+        {"source": pa.array(g["source"], pa.string()),
+         "n_tokens": pa.array(n, pa.int64()),
+         "pairs_same": pa.array(pairs, pa.int64()),
+         "simpson": pa.array(simpson, pa.float64())}
+    )
+
+
+ORACLES["source_simpson_diversity"] = (
+    "WITH tok AS (SELECT source, "
+    f"unnest(regexp_extract_all(lower(text), '{LOWER_TOKEN_RE}')) AS tkn "
+    "FROM documents), "
+    "f AS (SELECT source, tkn, count(*)::BIGINT AS c FROM tok GROUP BY 1, 2), "
+    "g AS (SELECT source, sum(c)::BIGINT AS n_tokens, "
+    "sum(c * (c - 1))::BIGINT AS pairs_same FROM f GROUP BY 1) "
+    "SELECT source, n_tokens, pairs_same, "
+    "CASE WHEN n_tokens >= 2 THEN CAST(pairs_same AS DOUBLE) / "
+    "(CAST(n_tokens AS DOUBLE) * CAST(n_tokens - 1 AS DOUBLE)) "
+    "ELSE -1.0 END AS simpson "
+    "FROM g"
+)

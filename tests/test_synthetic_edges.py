@@ -1133,3 +1133,66 @@ def test_rfm_census_tier_boundaries(ray_session, tmp_path):
         for _, r in got.iterrows()
     }
     assert cells == {(1, 1, 1): 1, (3, 0, 0): 1, (0, 2, 3): 1}
+
+def test_tax_band_revenue_rounding(ray_session, tmp_path):
+    """Cents floor-rounding applies per row BEFORE the band sum (two
+    half-cent rows must not merge into one cent), and the band key is
+    the per-mille integer of l_tax itself, not of the taxed price."""
+    from langfilter_ray.pipelines import relational
+
+    # band 0: two rows of 10.005 gross -> floor(1000.5+0.5)=1001 cents
+    #   each (rounds UP per row; a post-sum round would give 2001).
+    # band 80: 100.00 at 25% discount -> disc 7500 cents,
+    #   taxed 75*1.08 = 81.00 -> 8100 cents.
+    tbl = pa.table(
+        {
+            "l_extendedprice": pa.array([10.005, 10.005, 100.0], pa.float64()),
+            "l_discount": pa.array([0.0, 0.0, 0.25], pa.float64()),
+            "l_tax": pa.array([0.0, 0.0, 0.08], pa.float64()),
+        }
+    )
+    got = _check_vs_oracle(
+        relational.tax_band_revenue,
+        relational.ORACLES["tax_band_revenue"],
+        tmp_path,
+        "lineitem",
+        tbl,
+    )
+    rows = {
+        int(r["tax_pm"]): (
+            int(r["n_lines"]), int(r["disc_cents"]), int(r["taxed_cents"])
+        )
+        for _, r in got.iterrows()
+    }
+    assert rows == {0: (2, 2002, 2002), 80: (1, 7500, 8100)}
+
+def test_source_simpson_diversity_edges(ray_session, tmp_path):
+    """A single-token source takes the -1.0 sentinel (undefined Simpson);
+    a repeated-token source computes pairs exactly; tokens aggregate
+    across DOCS of the same source before c(c-1)."""
+    from langfilter_ray.pipelines import text_analysis
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["hello", "aa aa bb", "aa cc"], pa.string()),
+            "lang": pa.array(["en"] * 3, pa.string()),
+            "source": pa.array(["solo", "rep", "rep"], pa.string()),
+            "n_chars": pa.array([5, 8, 5], pa.int64()),
+        }
+    )
+    got = _check_vs_oracle(
+        text_analysis.source_simpson_diversity,
+        text_analysis.ORACLES["source_simpson_diversity"],
+        tmp_path,
+        "documents",
+        docs,
+    )
+    rows = {
+        r["source"]: (int(r["n_tokens"]), int(r["pairs_same"]), r["simpson"])
+        for _, r in got.iterrows()
+    }
+    # rep: tokens aa,aa,bb,aa,cc -> c = {aa:3, bb:1, cc:1};
+    #   pairs = 3*2 = 6 over N(N-1) = 20
+    assert rows["solo"] == (1, 0, -1.0)
+    assert rows["rep"] == (5, 6, 6.0 / 20.0)
