@@ -273,6 +273,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rfm_census": relational.rfm_census,
         "tax_band_revenue": relational.tax_band_revenue,
         "source_simpson_diversity": text_analysis.source_simpson_diversity,
+        "line_position_profile": relational.line_position_profile,
+        "acctbal_band_census": relational.acctbal_band_census,
+        "part_type_price_stats": relational.part_type_price_stats,
         # rows-only (iterative driver-state op like kmeans_fit)
         "bpe_train": text_analysis.bpe_train,
         "bpe_encode": text_analysis.bpe_encode,

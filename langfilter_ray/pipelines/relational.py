@@ -5994,3 +5994,220 @@ ORACLES["tax_band_revenue"] = (
     "AS BIGINT))::BIGINT AS taxed_cents "
     "FROM lineitem GROUP BY 1 ORDER BY 1"
 )
+
+
+# ---- column-completeness trio: the last three unread input columns -------
+#
+# line_position_profile (l_linenumber), acctbal_band_census (s_acctbal),
+# part_type_price_stats (p_retailprice) — with these, every column of every
+# input table is exercised by at least one oracle-checked operator.
+
+
+def line_position_profile(sf_dir: str) -> pa.Table:
+    """Revenue/quantity profile by line POSITION within the order (do
+    first lines carry more volume than later ones?): pure map + rollup
+    bounded by the 1..7 linenumber domain; quantity travels as exact
+    centi-units and revenue as cents (per-row floor, both sides)."""
+
+    def part(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"line_no": pa.array([], pa.int64()),
+             "n_part": pa.array([], pa.int64()),
+             "q_part": pa.array([], pa.int64()),
+             "r_part": pa.array([], pa.int64())}
+        )
+        if len(t) == 0:
+            return empty
+        pos = t["l_linenumber"].to_numpy().astype(np.int64)
+        q = np.floor(t["l_quantity"].to_numpy() * 100 + 0.5).astype(np.int64)
+        r = np.floor(
+            t["l_extendedprice"].to_numpy()
+            * (1 - t["l_discount"].to_numpy()) * 100 + 0.5
+        ).astype(np.int64)
+        g = pa.table(
+            {"line_no": pa.array(pos), "q": pa.array(q), "r": pa.array(r)}
+        ).group_by("line_no").aggregate(
+            [("q", "sum"), ("r", "sum"), ([], "count_all")]
+        )
+        return pa.table(
+            {"line_no": g["line_no"],
+             "n_part": pc.cast(g["count_all"], pa.int64()),
+             "q_part": g["q_sum"],
+             "r_part": g["r_sum"]}
+        )
+
+    out = (
+        _read(
+            sf_dir, "lineitem",
+            ["l_linenumber", "l_quantity", "l_extendedprice", "l_discount"],
+        )
+        .map_batches(part, batch_format="pyarrow")
+        .groupby("line_no")
+        .aggregate(
+            Sum("n_part", alias_name="n_lines"),
+            Sum("q_part", alias_name="qty_centi"),
+            Sum("r_part", alias_name="revenue_cents"),
+        )
+        .to_pandas()    # bounded: linenumber domain (1..7)
+    )
+    if out.empty:
+        return pa.table(
+            {"line_no": pa.array([], pa.int64()),
+             "n_lines": pa.array([], pa.int64()),
+             "qty_centi": pa.array([], pa.int64()),
+             "revenue_cents": pa.array([], pa.int64())}
+        )
+    out = out.sort_values("line_no").reset_index(drop=True)
+    return pa.table(
+        {"line_no": pa.array(out["line_no"].astype("int64")),
+         "n_lines": pa.array(out["n_lines"].astype("int64")),
+         "qty_centi": pa.array(out["qty_centi"].astype("int64")),
+         "revenue_cents": pa.array(out["revenue_cents"].astype("int64"))}
+    )
+
+
+ORACLES["line_position_profile"] = (
+    "SELECT l_linenumber::BIGINT AS line_no, count(*)::BIGINT AS n_lines, "
+    "sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))::BIGINT AS qty_centi, "
+    "sum(CAST(floor(l_extendedprice*(1-l_discount)*100+0.5) AS BIGINT))"
+    "::BIGINT AS revenue_cents "
+    "FROM lineitem GROUP BY 1 ORDER BY 1"
+)
+
+
+def acctbal_band_census(sf_dir: str) -> pa.Table:
+    """Account-balance band census across BOTH account-bearing dims
+    (customer + supplier union, the reference's two credential stores):
+    per (entity, 1000-unit band incl. negative bands) → account count +
+    exact balance cents.  Two column-pruned dim reads union into one
+    stream; rollup bounded by entity × band domain."""
+
+    def bander(entity: str, col: str):
+        def fn(t: pa.Table) -> pa.Table:
+            empty = pa.table(
+                {"entity": pa.array([], pa.string()),
+                 "band": pa.array([], pa.int64()),
+                 "n_part": pa.array([], pa.int64()),
+                 "b_part": pa.array([], pa.int64())}
+            )
+            if len(t) == 0:
+                return empty
+            bal = t[col].to_numpy()
+            band = np.floor(bal / 1000.0).astype(np.int64)
+            cents = np.floor(bal * 100 + 0.5).astype(np.int64)
+            g = pa.table(
+                {"band": pa.array(band), "b": pa.array(cents)}
+            ).group_by("band").aggregate([("b", "sum"), ([], "count_all")])
+            return pa.table(
+                {"entity": pa.array([entity] * len(g), pa.string()),
+                 "band": g["band"],
+                 "n_part": pc.cast(g["count_all"], pa.int64()),
+                 "b_part": g["b_sum"]}
+            )
+
+        return fn
+
+    cust = _read(sf_dir, "customer", ["c_acctbal"]).map_batches(
+        bander("customer", "c_acctbal"), batch_format="pyarrow"
+    )
+    supp = _read(sf_dir, "supplier", ["s_acctbal"]).map_batches(
+        bander("supplier", "s_acctbal"), batch_format="pyarrow"
+    )
+    out = (
+        cust.union(supp)
+        .groupby(["entity", "band"])
+        .aggregate(
+            Sum("n_part", alias_name="n_accounts"),
+            Sum("b_part", alias_name="balance_cents"),
+        )
+        .to_pandas()    # bounded: 2 entities x ~12 bands
+    )
+    if out.empty:
+        return pa.table(
+            {"entity": pa.array([], pa.string()),
+             "band": pa.array([], pa.int64()),
+             "n_accounts": pa.array([], pa.int64()),
+             "balance_cents": pa.array([], pa.int64())}
+        )
+    out = out.sort_values(["entity", "band"]).reset_index(drop=True)
+    return pa.table(
+        {"entity": pa.array(out["entity"], pa.string()),
+         "band": pa.array(out["band"].astype("int64")),
+         "n_accounts": pa.array(out["n_accounts"].astype("int64")),
+         "balance_cents": pa.array(out["balance_cents"].astype("int64"))}
+    )
+
+
+ORACLES["acctbal_band_census"] = (
+    "WITH u AS ("
+    "SELECT 'customer' AS entity, c_acctbal AS bal FROM customer "
+    "UNION ALL SELECT 'supplier', s_acctbal FROM supplier) "
+    "SELECT entity, CAST(floor(bal / 1000.0) AS BIGINT) AS band, "
+    "count(*)::BIGINT AS n_accounts, "
+    "sum(CAST(floor(bal * 100 + 0.5) AS BIGINT))::BIGINT AS balance_cents "
+    "FROM u GROUP BY 1, 2 ORDER BY 1, 2"
+)
+
+
+def part_type_price_stats(sf_dir: str) -> pa.Table:
+    """Catalog price card per part type: count + sum/min/max retail
+    cents — the Count+Sum+Min+Max combiner shape (_partial_group_stats)
+    over a cents projection, rollup bounded by the p_type domain."""
+    from ray.data.aggregate import Max, Min
+
+    def cents(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {"p_type": pa.array([], pa.string()),
+                 "c": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {"p_type": t["p_type"],
+             "c": pa.array(
+                 np.floor(
+                     t["p_retailprice"].to_numpy() * 100 + 0.5
+                 ).astype(np.int64)
+             )}
+        )
+
+    out = (
+        _read(sf_dir, "part", ["p_type", "p_retailprice"])
+        .map_batches(cents, batch_format="pyarrow")
+        .map_batches(_partial_group_stats(["p_type"], "c"), batch_format="pyarrow")
+        .groupby("p_type")
+        .aggregate(
+            Sum("n_partial", alias_name="n_parts"),
+            Sum("sum_partial", alias_name="retail_cents"),
+            Min("min_partial", alias_name="min_cents"),
+            Max("max_partial", alias_name="max_cents"),
+        )
+        .to_pandas()    # bounded: p_type domain
+    )
+    if out.empty:
+        return pa.table(
+            {"p_type": pa.array([], pa.string()),
+             "n_parts": pa.array([], pa.int64()),
+             "retail_cents": pa.array([], pa.int64()),
+             "min_cents": pa.array([], pa.int64()),
+             "max_cents": pa.array([], pa.int64())}
+        )
+    out = out.sort_values("p_type").reset_index(drop=True)
+    return pa.table(
+        {"p_type": pa.array(out["p_type"], pa.string()),
+         "n_parts": pa.array(out["n_parts"].astype("int64")),
+         "retail_cents": pa.array(out["retail_cents"].astype("int64")),
+         "min_cents": pa.array(out["min_cents"].astype("int64")),
+         "max_cents": pa.array(out["max_cents"].astype("int64"))}
+    )
+
+
+ORACLES["part_type_price_stats"] = (
+    "SELECT p_type, count(*)::BIGINT AS n_parts, "
+    "sum(CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT))::BIGINT "
+    "AS retail_cents, "
+    "min(CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT))::BIGINT "
+    "AS min_cents, "
+    "max(CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT))::BIGINT "
+    "AS max_cents "
+    "FROM part GROUP BY 1 ORDER BY 1"
+)

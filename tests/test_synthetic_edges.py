@@ -1196,3 +1196,47 @@ def test_source_simpson_diversity_edges(ray_session, tmp_path):
     #   pairs = 3*2 = 6 over N(N-1) = 20
     assert rows["solo"] == (1, 0, -1.0)
     assert rows["rep"] == (5, 6, 6.0 / 20.0)
+
+def test_acctbal_band_census_negative_bands(ray_session, tmp_path):
+    """floor() banding sends negative balances to band -1 (not
+    truncation's 0), and negative cents floor consistently on both
+    sides (floor(-846.685) = -84669, not -84668)."""
+    from langfilter_ray.pipelines import relational
+
+    customer = pa.table(
+        {
+            "c_custkey": pa.array([1, 2, 3], pa.int64()),
+            "c_name": pa.array(["a", "b", "c"], pa.string()),
+            "c_nationkey": pa.array([0, 0, 0], pa.int64()),
+            "c_acctbal": pa.array([-846.685, 0.0, 999.995], pa.float64()),
+            "c_mktsegment": pa.array(["BUILDING"] * 3, pa.string()),
+        }
+    )
+    supplier = pa.table(
+        {
+            "s_suppkey": pa.array([1], pa.int64()),
+            "s_name": pa.array(["s"], pa.string()),
+            "s_nationkey": pa.array([0], pa.int64()),
+            "s_acctbal": pa.array([-0.005], pa.float64()),
+        }
+    )
+    pq.write_table(customer, tmp_path / "customer.parquet")
+    pq.write_table(supplier, tmp_path / "supplier.parquet")
+    got = _canon(_to_pandas(relational.acctbal_band_census(str(tmp_path))))
+    c = duckdb.connect()
+    for name in ("customer", "supplier"):
+        c.execute(
+            f"CREATE VIEW {name} AS SELECT * "
+            f"FROM read_parquet('{tmp_path}/{name}.parquet')"
+        )
+    want = _canon(c.execute(relational.ORACLES["acctbal_band_census"]).df())
+    problems = compare_frames(got, want)
+    assert not problems, (problems, first_diff(got, want))
+    rows = {
+        (r["entity"], int(r["band"])): (
+            int(r["n_accounts"]), int(r["balance_cents"])
+        )
+        for _, r in got.iterrows()
+    }
+    assert rows[("customer", -1)][0] == 1
+    assert rows[("supplier", -1)] == (1, np.floor(-0.005 * 100 + 0.5))
