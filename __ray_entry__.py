@@ -76,6 +76,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_growth": text_analysis.vocab_growth,
         "median_order_gap_days": windows.median_order_gap_days,
         "referential_integrity": relational.referential_integrity,
+        # --- round-5 fourth-session operators, first driver rows ----------
+        "order_audit": windows.order_audit,
+        "source_token_divergence": text_analysis.source_token_divergence,
+        "ngram_novelty": text_analysis.ngram_novelty,
+        "dup_rate_by_source": dedup.dup_rate_by_source,
+        "open_orders_daily": relational.open_orders_daily,
+        "rfm_census": relational.rfm_census,
+        "tax_band_revenue": relational.tax_band_revenue,
+        "source_simpson_diversity": text_analysis.source_simpson_diversity,
+        "line_position_profile": relational.line_position_profile,
+        "acctbal_band_census": relational.acctbal_band_census,
+        "part_type_price_stats": relational.part_type_price_stats,
         # --- re-confirmation filler continues ------------------------------
         "shipping_priority": relational.shipping_priority,
         "session_windows": windows.session_windows,
@@ -96,6 +108,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_union": relational.events_union,
         "distinct_users_per_type": relational.distinct_users_per_type,
         "event_type_pivot": relational.event_type_pivot,
+        "token_counts": text_analysis.token_counts,
+        "langid_heuristic": text_analysis.langid_heuristic,
+        # ======== past the 50-query window (all have driver rows) ========
+        # multi-green reconfirmations displaced by the fourth-session
+        # rotation (first driver rows for new ops > another green row) ----
         "doc_stats_by_lang": text_analysis.doc_stats_by_lang,
         "user_session_stats": windows.user_session_stats,
         "small_qty_revenue": relational.small_qty_revenue,
@@ -105,12 +122,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "priority_ship_share": relational.priority_ship_share,
         "char_class_profile": text_analysis.char_class_profile,
         "returned_item_revenue": relational.returned_item_revenue,
-        "token_counts": text_analysis.token_counts,
         "stopword_stats": text_analysis.stopword_stats,
-        "langid_heuristic": text_analysis.langid_heuristic,
-        # --- the oldest displaced double-green reconfirmation -------------
         "similar_pairs_topk": dedup.similar_pairs_topk,
-        # ======== past the 50-query window (all have driver rows) ========
         # r3-green reconfirmations displaced by the third-session rotation --
         "segment_order_stats": relational.segment_order_stats,
         "order_price_tiers": relational.order_price_tiers,
@@ -265,17 +278,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "peak_hour_by_type": windows.peak_hour_by_type,
         "max_idle_gap_by_type": windows.max_idle_gap_by_type,
         "brand_size_summary": relational.brand_size_summary,
-        "order_audit": windows.order_audit,
-        "source_token_divergence": text_analysis.source_token_divergence,
-        "ngram_novelty": text_analysis.ngram_novelty,
-        "dup_rate_by_source": dedup.dup_rate_by_source,
-        "open_orders_daily": relational.open_orders_daily,
-        "rfm_census": relational.rfm_census,
-        "tax_band_revenue": relational.tax_band_revenue,
-        "source_simpson_diversity": text_analysis.source_simpson_diversity,
-        "line_position_profile": relational.line_position_profile,
-        "acctbal_band_census": relational.acctbal_band_census,
-        "part_type_price_stats": relational.part_type_price_stats,
         # rows-only (iterative driver-state op like kmeans_fit)
         "bpe_train": text_analysis.bpe_train,
         "bpe_encode": text_analysis.bpe_encode,

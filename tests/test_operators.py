@@ -149,6 +149,12 @@ def test_round5_window_layout(entry_mod):
         "spearman_length_tokens", "events_numeric_profile",
         "source_token_quota", "label_quant_gram", "vocab_growth",
         "median_order_gap_days", "referential_integrity",
+        # fourth-session operators rotated in for their FIRST driver rows
+        "order_audit", "source_token_divergence", "ngram_novelty",
+        "dup_rate_by_source", "open_orders_daily", "rfm_census",
+        "tax_band_revenue", "source_simpson_diversity",
+        "line_position_profile", "acctbal_band_census",
+        "part_type_price_stats",
         # a sample of the round-3-green reconfirmations kept in-window
         "error_events_pushdown", "shipping_priority", "session_windows",
         "payload_stats", "gopher_quality", "token_counts",
