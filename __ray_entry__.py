@@ -88,12 +88,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_position_profile": relational.line_position_profile,
         "acctbal_band_census": relational.acctbal_band_census,
         "part_type_price_stats": relational.part_type_price_stats,
+        "price_quantiles_exact": relational.price_quantiles_exact,
         # --- re-confirmation filler continues ------------------------------
         "shipping_priority": relational.shipping_priority,
         "session_windows": windows.session_windows,
         "payload_stats": multimodal.payload_stats,
         "gopher_quality": text_analysis.gopher_quality,
-        "ntile_order_tiers": relational.ntile_order_tiers,
         "inverted_index_stats": text_analysis.inverted_index_stats,
         "tfidf_top_terms": text_analysis.tfidf_top_terms,
         "qty_discount_corr": relational.qty_discount_corr,
@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ======== past the 50-query window (all have driver rows) ========
         # multi-green reconfirmations displaced by the fourth-session
         # rotation (first driver rows for new ops > another green row) ----
+        "ntile_order_tiers": relational.ntile_order_tiers,
         "doc_stats_by_lang": text_analysis.doc_stats_by_lang,
         "user_session_stats": windows.user_session_stats,
         "small_qty_revenue": relational.small_qty_revenue,

@@ -6211,3 +6211,160 @@ ORACLES["part_type_price_stats"] = (
     "AS max_cents "
     "FROM part GROUP BY 1 ORDER BY 1"
 )
+
+
+# ---- exact quantiles on a continuous column: two-pass histogram refine ----
+
+# quantile_disc convention (probed): value at 1-based rank ceil(p*n).
+PRICE_QUANTILE_PCTS = ((1, 4), (1, 2), (3, 4), (9, 10))
+_PQ_BINS = 65536
+
+
+def price_quantiles_exact(sf_dir: str) -> pa.Table:
+    """EXACT p25/p50/p75/p90 of order price cents — an order statistic
+    on a CONTINUOUS, unbounded-domain column computed with NO global
+    sort and NO row ever leaving the workers: the distributed-selection
+    pattern that completes the quantile story (chars_percentiles sorts
+    in-group and grows with corpus size; approx_quantiles trades
+    exactness for bounds; this is exact AND scale-flat).
+
+    Pass 0 reads bounds + row count from parquet METADATA only.  Pass 1
+    is a map-only per-batch ``np.bincount`` over ≤ 65536 equal-width
+    cent bins, Sum-combined into one bounded histogram; the driver's
+    cumulative walk pins each target rank ceil(p·n) (exact integer
+    arithmetic, DuckDB quantile_disc's probed convention) to one bin.
+    Pass 2 re-bins ONLY the ≤ 4 candidate bins at 1-cent resolution
+    (bin width ≤ span/65536, so one refine reaches exact cents for any
+    span ≤ 2^32 cents = $42M; recurse for wider domains), and a second
+    cumulative walk reads off the exact values.  Driver state is
+    bounded by bins, shuffles by bins × batches — independent of rows."""
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/orders.parquet"
+    md = pq.ParquetFile(path).metadata
+    n = md.num_rows
+    empty = pa.table(
+        {"n_orders": pa.array([], pa.int64()),
+         "p25_cents": pa.array([], pa.int64()),
+         "p50_cents": pa.array([], pa.int64()),
+         "p75_cents": pa.array([], pa.int64()),
+         "p90_cents": pa.array([], pa.int64())}
+    )
+    if n == 0:
+        return empty
+    lo_f = hi_f = None
+    have_stats = True
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        st = None
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            if col.path_in_schema == "o_totalprice":
+                st = col.statistics
+        if st is None or not st.has_min_max:
+            have_stats = False
+            break
+        lo_f = st.min if lo_f is None else min(lo_f, st.min)
+        hi_f = st.max if hi_f is None else max(hi_f, st.max)
+    if not have_stats:   # stats stripped: one cheap Min/Max aggregate pass
+        from ray.data.aggregate import Max, Min
+
+        mm = (
+            _read(sf_dir, "orders", ["o_totalprice"])
+            .aggregate(Min("o_totalprice"), Max("o_totalprice"))
+        )
+        lo_f, hi_f = mm["min(o_totalprice)"], mm["max(o_totalprice)"]
+    lo = int(np.floor(lo_f * 100 + 0.5))
+    hi = int(np.floor(hi_f * 100 + 0.5))
+    span = hi - lo + 1
+    width = max(1, -(-span // _PQ_BINS))
+    ranks = [(num * n + den - 1) // den for num, den in PRICE_QUANTILE_PCTS]
+
+    def hist_pass(bin_of):
+        """Map-only histogram partials under an arbitrary binning fn."""
+
+        def fn(t: pa.Table) -> pa.Table:
+            if len(t) == 0:
+                return pa.table(
+                    {"b": pa.array([], pa.int64()),
+                     "c_part": pa.array([], pa.int64())}
+                )
+            cents = np.floor(
+                t["o_totalprice"].to_numpy() * 100 + 0.5
+            ).astype(np.int64)
+            b, cnt = bin_of(cents)
+            return pa.table(
+                {"b": pa.array(b), "c_part": pa.array(cnt)}
+            )
+
+        return fn
+
+    def coarse(cents):
+        b = (cents - lo) // width
+        u, cnt = np.unique(b, return_counts=True)
+        return u, cnt.astype(np.int64)
+
+    h1 = (
+        _read(sf_dir, "orders", ["o_totalprice"])
+        .map_batches(hist_pass(coarse), batch_format="pyarrow")
+        .groupby("b")
+        .aggregate(Sum("c_part", alias_name="c"))
+        .to_pandas()    # bounded: <= _PQ_BINS rows
+    ).sort_values("b")
+    bins = h1["b"].to_numpy().astype(np.int64)
+    counts = h1["c"].to_numpy().astype(np.int64)
+    cum = np.cumsum(counts)
+    # rank k lives in the first bin whose cumulative count reaches k
+    k_bin = bins[np.searchsorted(cum, ranks)]
+    cum_before = {
+        int(b): int(cum[i] - counts[i]) for i, b in enumerate(bins)
+    }
+
+    if width == 1:
+        vals = [int(lo + b) for b in k_bin]
+    else:
+        cand = np.unique(k_bin)
+
+        def fine(cents):
+            b = (cents - lo) // width
+            m = np.isin(b, cand)
+            u, cnt = np.unique(cents[m], return_counts=True)
+            return u, cnt.astype(np.int64)
+
+        h2 = (
+            _read(sf_dir, "orders", ["o_totalprice"])
+            .map_batches(hist_pass(fine), batch_format="pyarrow")
+            .groupby("b")
+            .aggregate(Sum("c_part", alias_name="c"))
+            .to_pandas()    # bounded: <= |cand| * width cents
+        ).sort_values("b")
+        cents2 = h2["b"].to_numpy().astype(np.int64)
+        counts2 = h2["c"].to_numpy().astype(np.int64)
+        bin2 = (cents2 - lo) // width
+        vals = []
+        for k, b in zip(ranks, k_bin):
+            m = bin2 == b
+            cc = np.cumsum(counts2[m]) + cum_before[int(b)]
+            vals.append(int(cents2[m][np.searchsorted(cc, k)]))
+
+    return pa.table(
+        {"n_orders": pa.array([n], pa.int64()),
+         "p25_cents": pa.array([vals[0]], pa.int64()),
+         "p50_cents": pa.array([vals[1]], pa.int64()),
+         "p75_cents": pa.array([vals[2]], pa.int64()),
+         "p90_cents": pa.array([vals[3]], pa.int64())}
+    )
+
+
+ORACLES["price_quantiles_exact"] = (
+    "SELECT count(*)::BIGINT AS n_orders, "
+    "quantile_disc(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT), 0.25)"
+    "::BIGINT AS p25_cents, "
+    "quantile_disc(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT), 0.50)"
+    "::BIGINT AS p50_cents, "
+    "quantile_disc(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT), 0.75)"
+    "::BIGINT AS p75_cents, "
+    "quantile_disc(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT), 0.90)"
+    "::BIGINT AS p90_cents "
+    "FROM orders HAVING count(*) > 0"
+)

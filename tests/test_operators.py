@@ -154,7 +154,7 @@ def test_round5_window_layout(entry_mod):
         "dup_rate_by_source", "open_orders_daily", "rfm_census",
         "tax_band_revenue", "source_simpson_diversity",
         "line_position_profile", "acctbal_band_census",
-        "part_type_price_stats",
+        "part_type_price_stats", "price_quantiles_exact",
         # a sample of the round-3-green reconfirmations kept in-window
         "error_events_pushdown", "shipping_priority", "session_windows",
         "payload_stats", "gopher_quality", "token_counts",

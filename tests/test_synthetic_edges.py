@@ -1240,3 +1240,49 @@ def test_acctbal_band_census_negative_bands(ray_session, tmp_path):
     }
     assert rows[("customer", -1)][0] == 1
     assert rows[("supplier", -1)] == (1, np.floor(-0.005 * 100 + 0.5))
+
+def test_price_quantiles_exact_two_pass(ray_session, tmp_path):
+    """Span > 65536 cents forces the coarse-bin + refine path; the rank
+    convention is 1-based ceil(p*n) (p90 of n=4 is the MAX, p25 the
+    MIN), matching DuckDB quantile_disc."""
+    from langfilter_ray.pipelines import relational
+
+    tbl = pa.table(
+        {"o_totalprice": pa.array([700.00, 10.00, 30.00, 20.00], pa.float64())}
+    )
+    got = _check_vs_oracle(
+        relational.price_quantiles_exact,
+        relational.ORACLES["price_quantiles_exact"],
+        tmp_path,
+        "orders",
+        tbl,
+    )
+    r = got.iloc[0]
+    assert (
+        int(r["p25_cents"]), int(r["p50_cents"]),
+        int(r["p75_cents"]), int(r["p90_cents"]),
+    ) == (1000, 2000, 3000, 70000)
+
+def test_price_quantiles_exact_width1_duplicates(ray_session, tmp_path):
+    """A narrow span takes the single-pass width-1 path; duplicate
+    values occupy multiple ranks (p25 and p50 of this n=5 both land on
+    the doubled 1.01)."""
+    from langfilter_ray.pipelines import relational
+
+    tbl = pa.table(
+        {"o_totalprice": pa.array(
+            [1.03, 1.01, 1.00, 1.02, 1.01], pa.float64()
+        )}
+    )
+    got = _check_vs_oracle(
+        relational.price_quantiles_exact,
+        relational.ORACLES["price_quantiles_exact"],
+        tmp_path,
+        "orders",
+        tbl,
+    )
+    r = got.iloc[0]
+    assert (
+        int(r["p25_cents"]), int(r["p50_cents"]),
+        int(r["p75_cents"]), int(r["p90_cents"]),
+    ) == (101, 101, 102, 103)
