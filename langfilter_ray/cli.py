@@ -152,10 +152,17 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "report":
-        from .state.checkpoint import summarize_manifest
+        from pathlib import Path
+
+        from .state.checkpoint import summarize_incremental, summarize_manifest
         from .state.metrics import rollup, write_prometheus_textfile
 
-        summary = summarize_manifest(args.output)
+        # incremental outputs keep per-ingest manifests in ingest=<fp>/
+        # subtrees; fold across them instead of the (absent) top-level one
+        if any(Path(args.output).glob("ingest=*")):
+            summary = summarize_incremental(args.output)
+        else:
+            summary = summarize_manifest(args.output)
         summary["rollup"] = rollup(summary)
         if args.prom:
             write_prometheus_textfile(summary, args.prom)

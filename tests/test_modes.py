@@ -108,3 +108,33 @@ def test_salted_partitioning_spreads_mega_repo(ray_session, unit_corpus_dir):
     assert df.sort_values(["repo", "part"]).reset_index(drop=True).equals(
         df2.sort_values(["repo", "part"]).reset_index(drop=True)
     )
+
+
+def test_cli_report_folds_incremental_output(tmp_path):
+    """`report` on an --incremental output (no top-level manifest, only
+    ingest=<fp>/ subtrees) must fold the per-ingest manifests instead of
+    reporting zeros."""
+    corpus = tmp_path / "corpus"
+    out = tmp_path / "out"
+    env = {"PYTHONPATH": str(REPO), "PATH": "/usr/bin:/bin",
+           "HOME": "/root", "RAY_ADDRESS": "local"}
+    subprocess.run(
+        [sys.executable, "-m", "langfilter_ray", "gen-corpus",
+         "--rows", "200", "--out", str(corpus), "--seed", "3"],
+        check=True, cwd=REPO, env=env, capture_output=True, timeout=300,
+    )
+    subprocess.run(
+        [sys.executable, "-m", "langfilter_ray", "run",
+         "--input", str(corpus), "--output", str(out),
+         "--incremental", "--num-parts", "2", "--num-cpus", "4"],
+        check=True, cwd=REPO, env=env, capture_output=True, timeout=300,
+    )
+    r = subprocess.run(
+        [sys.executable, "-m", "langfilter_ray", "report", "--output", str(out)],
+        check=True, cwd=REPO, env=env, capture_output=True, text=True, timeout=60,
+    )
+    summary = json.loads(r.stdout)
+    assert summary["ingests"] == 1
+    assert summary["rows_in"] == 200
+    assert summary["kept"] + summary["dropped"] == 200
+    assert summary["rollup"]["total"] == 200
