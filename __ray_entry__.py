@@ -39,17 +39,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # NOTE on ordering: the driver's CORRECTNESS check covers only the
     # FIRST 50 entries (dict order).  Exactly ONE literal entry per query
     # (tests/test_operators.py::test_queries_dict_has_no_duplicate_keys
-    # asserts it via AST).  Round-5 third-session window layout:
+    # asserts it via AST).  Round-5 fourth-session window layout:
     #   slots 1-2   mix_rebalance / source_quota_sample (new in round 5),
     #   slots 3-5   the three queries that had never had ANY driver row
     #               (rows-only by nature — kmeans_fit, decode_bmp,
     #               corpus_training_manifest),
-    #   slots 7-18  TWELVE never-driver-checked third-session operators
-    #               (each oracle-green at sf0.001 AND sf0.01 locally) —
-    #               first driver rows beat a third reconfirmation of the
-    #               r3-green filler they displaced,
-    #   remainder   re-confirmation filler whose last driver-green row is
-    #               round 3, oldest first.
+    #   slots 7-18  the TWELVE third-session operators (first driver rows),
+    #   slots 19-30 the TWELVE fourth-session operators (first driver
+    #               rows; each oracle-green at sf0.001 AND sf0.01 locally),
+    #   remainder   re-confirmation filler, oldest driver-green first.
     # Displace filler from the END when adding oracle-backed queries,
     # never from the front.  Everything past 50 has a hash-green driver
     # row from an earlier round (or a rows-only row for the stateful set).

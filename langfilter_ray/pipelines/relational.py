@@ -5812,20 +5812,25 @@ def rfm_census(sf_dir: str) -> "pa.Table":
                  "n_part": pa.array([], pa.int64()),
                  "m_part": pa.array([], pa.int64())}
             )
-        import pandas as pd
-
-        df = pd.DataFrame(
-            {"o_custkey": t["o_custkey"].to_numpy(),
-             "d": pc.cast(t["o_orderdate"], pa.int64()).to_numpy() // US_DAY,
-             "m": np.floor(
-                 t["o_totalprice"].to_numpy() * 100.0 + 0.5
-             ).astype(np.int64)}
+        g = pa.table(
+            {"o_custkey": t["o_custkey"],
+             "d": pa.array(
+                 pc.cast(t["o_orderdate"], pa.int64()).to_numpy() // US_DAY
+             ),
+             "m": pa.array(
+                 np.floor(
+                     t["o_totalprice"].to_numpy() * 100.0 + 0.5
+                 ).astype(np.int64)
+             )}
+        ).group_by("o_custkey").aggregate(
+            [("d", "max"), ("m", "sum"), ([], "count_all")]
         )
-        g = df.groupby("o_custkey", sort=False).agg(
-            d_part=("d", "max"), n_part=("d", "size"), m_part=("m", "sum")
-        ).reset_index()
-        g["n_part"] = g["n_part"].astype("int64")
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.table(
+            {"o_custkey": g["o_custkey"],
+             "d_part": g["d_max"],
+             "n_part": pc.cast(g["count_all"], pa.int64()),
+             "m_part": g["m_sum"]}
+        )
 
     per_cust = (
         _read(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"])
@@ -6234,10 +6239,13 @@ def price_quantiles_exact(sf_dir: str) -> pa.Table:
     cumulative walk pins each target rank ceil(p·n) (exact integer
     arithmetic, DuckDB quantile_disc's probed convention) to one bin.
     Pass 2 re-bins ONLY the ≤ 4 candidate bins at 1-cent resolution
-    (bin width ≤ span/65536, so one refine reaches exact cents for any
-    span ≤ 2^32 cents = $42M; recurse for wider domains), and a second
-    cumulative walk reads off the exact values.  Driver state is
-    bounded by bins, shuffles by bins × batches — independent of rows."""
+    (bin width ≤ span/65536, so the refine pulls ≤ 4·width fine-grained
+    rows to the driver — exact cents in one refine for any span up to
+    2^32 cents = $42M; a wider domain would want a recursive refine to
+    keep that pull bounded, not implemented because order prices are
+    nowhere near it), and a second cumulative walk reads off the exact
+    values.  Driver state is bounded by bins, shuffles by bins ×
+    batches — independent of rows."""
     import pyarrow.parquet as pq
 
     path = f"{sf_dir}/orders.parquet"

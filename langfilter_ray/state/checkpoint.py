@@ -418,14 +418,15 @@ def summarize_incremental(out_dir: str | Path) -> dict[str, Any]:
     """Fold every ingest's per-partition manifest into cluster totals."""
     out_dir = Path(out_dir)
     totals: dict[str, Any] = {
-        "ingests": 0, "rows_in": 0, "kept": 0, "dropped": 0,
-        "scrubbed": 0, "errors": 0,
+        "ingests": 0, "partitions": 0, "rows_in": 0, "kept": 0,
+        "dropped": 0, "scrubbed": 0, "errors": 0,
     }
     by_decision: dict[str, int] = {}
     for ingest_dir in sorted(out_dir.glob("ingest=*")):
         s = summarize_manifest(ingest_dir)
         totals["ingests"] += 1
-        for k in ("rows_in", "kept", "dropped", "scrubbed", "errors"):
+        for k in ("partitions", "rows_in", "kept", "dropped", "scrubbed",
+                  "errors"):
             totals[k] += s[k]
         for k, v in s["by_decision"].items():
             by_decision[k] = by_decision.get(k, 0) + v

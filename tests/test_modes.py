@@ -129,12 +129,18 @@ def test_cli_report_folds_incremental_output(tmp_path):
          "--incremental", "--num-parts", "2", "--num-cpus", "4"],
         check=True, cwd=REPO, env=env, capture_output=True, timeout=300,
     )
+    prom = tmp_path / "node.prom"
     r = subprocess.run(
-        [sys.executable, "-m", "langfilter_ray", "report", "--output", str(out)],
+        [sys.executable, "-m", "langfilter_ray", "report",
+         "--output", str(out), "--prom", str(prom)],
         check=True, cwd=REPO, env=env, capture_output=True, text=True, timeout=60,
     )
     summary = json.loads(r.stdout)
     assert summary["ingests"] == 1
     assert summary["rows_in"] == 200
+    assert summary["partitions"] == 2
     assert summary["kept"] + summary["dropped"] == 200
     assert summary["rollup"]["total"] == 200
+    # the Prometheus surface must see the folded partition count too
+    prom_text = prom.read_text()
+    assert "langfilter_partitions_committed 2" in prom_text

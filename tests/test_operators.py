@@ -106,6 +106,11 @@ ORACLE_CHECKED = [
     "weekly_new_vs_returning", "type_run_length_hist",
     "priority_max_orders", "first_vs_later_purchase",
     "peak_hour_by_type", "max_idle_gap_by_type", "brand_size_summary",
+    "order_audit", "source_token_divergence", "ngram_novelty",
+    "dup_rate_by_source", "open_orders_daily", "rfm_census",
+    "tax_band_revenue", "source_simpson_diversity",
+    "line_position_profile", "acctbal_band_census",
+    "part_type_price_stats", "price_quantiles_exact",
 ]
 
 

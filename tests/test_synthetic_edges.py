@@ -1199,8 +1199,11 @@ def test_source_simpson_diversity_edges(ray_session, tmp_path):
 
 def test_acctbal_band_census_negative_bands(ray_session, tmp_path):
     """floor() banding sends negative balances to band -1 (not
-    truncation's 0), and negative cents floor consistently on both
-    sides (floor(-846.685) = -84669, not -84668)."""
+    truncation's 0), and negative cents floor the SAME way on both
+    sides — including the double-representation subtlety that
+    -846.685*100+0.5 lands slightly above -84668.5, so both engine and
+    oracle floor it to -84668 (what matters is parity, not the exact
+    decimal-arithmetic answer)."""
     from langfilter_ray.pipelines import relational
 
     customer = pa.table(
@@ -1286,3 +1289,23 @@ def test_price_quantiles_exact_width1_duplicates(ray_session, tmp_path):
         int(r["p25_cents"]), int(r["p50_cents"]),
         int(r["p75_cents"]), int(r["p90_cents"]),
     ) == (101, 101, 102, 103)
+
+def test_price_quantiles_exact_stats_stripped_fallback(ray_session, tmp_path):
+    """Parquet written WITHOUT column statistics forces the Min/Max
+    aggregate fallback for the histogram bounds; results must be
+    identical to the stats-backed path."""
+    from langfilter_ray.pipelines import relational
+
+    tbl = pa.table(
+        {"o_totalprice": pa.array(
+            [700.00, 10.00, 30.00, 20.00], pa.float64()
+        )}
+    )
+    pq.write_table(tbl, tmp_path / "orders.parquet", write_statistics=False)
+    md = pq.ParquetFile(tmp_path / "orders.parquet").metadata
+    assert not md.row_group(0).column(0).statistics  # fallback is exercised
+    got = relational.price_quantiles_exact(str(tmp_path)).to_pandas().iloc[0]
+    assert (
+        int(got["p25_cents"]), int(got["p50_cents"]),
+        int(got["p75_cents"]), int(got["p90_cents"]),
+    ) == (1000, 2000, 3000, 70000)
