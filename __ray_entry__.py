@@ -87,6 +87,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "acctbal_band_census": relational.acctbal_band_census,
         "part_type_price_stats": relational.part_type_price_stats,
         "price_quantiles_exact": relational.price_quantiles_exact,
+        # --- round-5 fifth-session operators, first driver rows -----------
+        "sole_return_blame": relational.sole_return_blame,
         # --- re-confirmation filler continues ------------------------------
         "shipping_priority": relational.shipping_priority,
         "session_windows": windows.session_windows,
@@ -105,10 +107,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders_per_segment": relational.top_orders_per_segment,
         "events_union": relational.events_union,
         "distinct_users_per_type": relational.distinct_users_per_type,
-        "event_type_pivot": relational.event_type_pivot,
         "token_counts": text_analysis.token_counts,
         "langid_heuristic": text_analysis.langid_heuristic,
         # ======== past the 50-query window (all have driver rows) ========
+        # displaced by the fifth-session sole_return_blame rotation --------
+        "event_type_pivot": relational.event_type_pivot,
         # multi-green reconfirmations displaced by the fourth-session
         # rotation (first driver rows for new ops > another green row) ----
         "ntile_order_tiers": relational.ntile_order_tiers,

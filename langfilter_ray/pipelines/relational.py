@@ -6376,3 +6376,140 @@ ORACLES["price_quantiles_exact"] = (
     "::BIGINT AS p90_cents "
     "FROM orders HAVING count(*) > 0"
 )
+
+
+# ---- TPC-H Q21 analog: correlated EXISTS / NOT EXISTS co-location ---------
+
+_BLAME_BUCKETS = 32
+
+
+def sole_return_blame(sf_dir: str) -> "pa.Table":
+    """Suppliers SOLELY to blame for returns on finished multi-supplier
+    orders — the TPC-H Q21 shape (correlated EXISTS + NOT EXISTS over the
+    fact table itself) with ``l_returnflag='R'`` standing in for the
+    late-receipt predicate (this dataset has no commit/receipt dates).
+    A supplier is blamed for an order when the order's status is ``F``,
+    at least one OTHER supplier has a line in the order (EXISTS), and no
+    other supplier has a RETURNED line (NOT EXISTS) — i.e. among ≥2
+    distinct suppliers exactly one returned, and it was this one.
+    ``blame_orders`` counts distinct such orders per supplier; top-100 by
+    (count desc, suppkey asc).
+
+    Shape: the correlated sub-queries require co-locating every line of
+    an order once — done with ONE union-bucket exchange (the
+    open_orders_daily pattern), not two hash joins: lineitem rows combine
+    in-batch to (orderkey, suppkey, any-returned) partials, F-status
+    order keys ride the same stream as kind-0 rows, and the bounded
+    bucket groupby resolves both EXISTS predicates per orderkey with
+    segmented pandas folds.  The exchange carries only narrow int64
+    partials (≤ one row per (batch, orderkey, suppkey) plus one per F
+    order); per-bucket output is bounded by distinct blamed suppliers, so
+    the driver fold is supplier-bounded, never order- or line-bounded."""
+
+    def _bk(keys: np.ndarray) -> np.ndarray:
+        h = keys.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        return ((h >> np.uint64(33)) % np.uint64(_BLAME_BUCKETS)).astype(
+            np.int64
+        )
+
+    def _empty_part() -> pa.Table:
+        return pa.table(
+            {"k": pa.array([], pa.int64()), "s": pa.array([], pa.int64()),
+             "ret": pa.array([], pa.int64()), "kind": pa.array([], pa.int64()),
+             "bk": pa.array([], pa.int64())}
+        )
+
+    def orders_part(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return _empty_part()
+        f = t.filter(pc.equal(t["o_orderstatus"], "F"))
+        k = f["o_orderkey"].to_numpy()
+        z = np.zeros(len(k), np.int64)
+        return pa.table(
+            {"k": pa.array(k), "s": pa.array(z), "ret": pa.array(z),
+             "kind": pa.array(z), "bk": pa.array(_bk(k))}
+        )
+
+    def lines_part(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return _empty_part()
+        df = pd.DataFrame(
+            {"k": t["l_orderkey"].to_numpy(),
+             "s": t["l_suppkey"].to_numpy(),
+             "ret": (t["l_returnflag"].to_numpy(zero_copy_only=False) == "R"
+                     ).astype(np.int64)}
+        )
+        part = df.groupby(["k", "s"], sort=False)["ret"].max().reset_index()
+        k = part["k"].to_numpy()
+        return pa.table(
+            {"k": pa.array(k), "s": pa.array(part["s"].to_numpy()),
+             "ret": pa.array(part["ret"].to_numpy()),
+             "kind": pa.array(np.ones(len(k), np.int64)),
+             "bk": pa.array(_bk(k))}
+        )
+
+    def bucket_blame(g: "pd.DataFrame") -> "pd.DataFrame":
+        empty = pd.DataFrame(
+            {"s_suppkey": pd.array([], dtype="int64"),
+             "n_partial": pd.array([], dtype="int64")}
+        )
+        if g.empty:
+            return empty
+        fkeys = g.loc[g["kind"] == 0, "k"].to_numpy()
+        lines = g[g["kind"] == 1]
+        if lines.empty or len(fkeys) == 0:
+            return empty
+        # re-combine (k, s) partials arriving from different batches
+        lr = lines.groupby(["k", "s"], sort=False)["ret"].max().reset_index()
+        per_k = lr.groupby("k", sort=False)["ret"].agg(["size", "sum"])
+        ok = per_k[(per_k["size"] > 1) & (per_k["sum"] == 1)].index.to_numpy()
+        fs = np.sort(fkeys)
+        pos = np.minimum(np.searchsorted(fs, ok), len(fs) - 1)
+        ok = ok[fs[pos] == ok]
+        blame = lr[(lr["ret"] == 1) & lr["k"].isin(ok)]
+        out = blame.groupby("s", sort=False).size().reset_index(
+            name="n_partial"
+        )
+        return pd.DataFrame(
+            {"s_suppkey": out["s"].to_numpy(np.int64),
+             "n_partial": out["n_partial"].to_numpy(np.int64)}
+        )
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"]).map_batches(
+        orders_part, batch_format="pyarrow"
+    )
+    lines = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_returnflag"]
+    ).map_batches(lines_part, batch_format="pyarrow")
+    part = (
+        orders.union(lines)
+        .groupby("bk")
+        .map_groups(bucket_blame, batch_format="pandas")
+        .to_pandas()  # bounded: <= distinct blamed suppliers x buckets
+    )
+    if part.empty:
+        return pa.table(
+            {"s_suppkey": pa.array([], pa.int64()),
+             "blame_orders": pa.array([], pa.int64())}
+        )
+    agg = part.groupby("s_suppkey", sort=False)["n_partial"].sum().reset_index()
+    agg = agg.sort_values(
+        ["n_partial", "s_suppkey"], ascending=[False, True]
+    ).head(100)
+    return pa.table(
+        {"s_suppkey": pa.array(agg["s_suppkey"].to_numpy(np.int64)),
+         "blame_orders": pa.array(agg["n_partial"].to_numpy(np.int64))}
+    )
+
+
+ORACLES["sole_return_blame"] = (
+    "WITH lr AS (SELECT l_orderkey AS k, l_suppkey AS s, "
+    "max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS ret "
+    "FROM lineitem GROUP BY 1, 2), "
+    "ag AS (SELECT k, s, ret, count(*) OVER (PARTITION BY k) AS n_supp, "
+    "sum(ret) OVER (PARTITION BY k) AS n_ret FROM lr) "
+    "SELECT s AS s_suppkey, count(*)::BIGINT AS blame_orders "
+    "FROM ag JOIN orders ON o_orderkey = k "
+    "WHERE o_orderstatus = 'F' AND ret = 1 AND n_ret = 1 AND n_supp > 1 "
+    "GROUP BY 1 ORDER BY blame_orders DESC, s_suppkey LIMIT 100"
+)

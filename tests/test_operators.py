@@ -110,7 +110,7 @@ ORACLE_CHECKED = [
     "dup_rate_by_source", "open_orders_daily", "rfm_census",
     "tax_band_revenue", "source_simpson_diversity",
     "line_position_profile", "acctbal_band_census",
-    "part_type_price_stats", "price_quantiles_exact",
+    "part_type_price_stats", "price_quantiles_exact", "sole_return_blame",
 ]
 
 
@@ -160,6 +160,8 @@ def test_round5_window_layout(entry_mod):
         "tax_band_revenue", "source_simpson_diversity",
         "line_position_profile", "acctbal_band_census",
         "part_type_price_stats", "price_quantiles_exact",
+        # fifth-session operators rotated in for their FIRST driver rows
+        "sole_return_blame",
         # a sample of the round-3-green reconfirmations kept in-window
         "error_events_pushdown", "shipping_priority", "session_windows",
         "payload_stats", "gopher_quality", "token_counts",

@@ -1309,3 +1309,76 @@ def test_price_quantiles_exact_stats_stripped_fallback(ray_session, tmp_path):
         int(got["p25_cents"]), int(got["p50_cents"]),
         int(got["p75_cents"]), int(got["p90_cents"]),
     ) == (1000, 2000, 3000, 70000)
+
+
+def test_sole_return_blame_exists_not_exists(ray_session, tmp_path):
+    """Pin all four Q21 branch outcomes the sf testdata can't isolate:
+    (1) multi-supplier F order with one returning supplier -> blamed;
+    (2) two returning suppliers -> NOT EXISTS kills both;
+    (3) single-supplier order -> EXISTS kills it;
+    (4) non-F status -> order filter kills it; plus the distinct
+    semantics: two returned lines by the same supplier in one order
+    count the order ONCE, and a supplier with a mixed (N then R) pair
+    of lines still registers as returning (per-(order,supp) max)."""
+    from langfilter_ray.pipelines import relational
+
+    # (orderkey, status): 1 blame s1; 2 both return; 3 single-supplier;
+    # 4 status O; 5 s2 returns twice (count once); 6 s1 mixed N+R lines
+    ostat = {1: "F", 2: "F", 3: "F", 4: "O", 5: "F", 6: "F"}
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array(sorted(ostat), pa.int64()),
+            "o_custkey": pa.array([1] * 6, pa.int64()),
+            "o_orderstatus": pa.array(
+                [ostat[k] for k in sorted(ostat)], pa.string()
+            ),
+            "o_totalprice": pa.array([1.0] * 6, pa.float64()),
+            "o_orderdate": pa.array(
+                [np.datetime64("2024-03-01T00:00:00", "us")] * 6,
+                pa.timestamp("us"),
+            ),
+            "o_orderpriority": pa.array(["1-URGENT"] * 6, pa.string()),
+        }
+    )
+    li = [  # (orderkey, suppkey, returnflag)
+        (1, 1, "R"), (1, 2, "N"),
+        (2, 1, "R"), (2, 2, "R"),
+        (3, 3, "R"),
+        (4, 1, "R"), (4, 2, "N"),
+        (5, 2, "R"), (5, 2, "R"), (5, 1, "N"),
+        (6, 1, "N"), (6, 1, "R"), (6, 3, "N"),
+    ]
+    n = len(li)
+    lineitem = pa.table(
+        {
+            "l_orderkey": pa.array([k for k, _, _ in li], pa.int64()),
+            "l_partkey": pa.array([1] * n, pa.int64()),
+            "l_suppkey": pa.array([s for _, s, _ in li], pa.int64()),
+            "l_linenumber": pa.array(list(range(1, n + 1)), pa.int32()),
+            "l_quantity": pa.array([1.0] * n, pa.float64()),
+            "l_extendedprice": pa.array([1.0] * n, pa.float64()),
+            "l_discount": pa.array([0.0] * n, pa.float64()),
+            "l_tax": pa.array([0.0] * n, pa.float64()),
+            "l_returnflag": pa.array([r for _, _, r in li], pa.string()),
+            "l_linestatus": pa.array(["O"] * n, pa.string()),
+            "l_shipdate": pa.array(
+                [np.datetime64("2024-03-02T00:00:00", "us")] * n,
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    pq.write_table(orders, tmp_path / "orders.parquet")
+    pq.write_table(lineitem, tmp_path / "lineitem.parquet")
+    got = _canon(_to_pandas(relational.sole_return_blame(str(tmp_path))))
+    c = duckdb.connect()
+    for name in ("orders", "lineitem"):
+        c.execute(
+            f"CREATE VIEW {name} AS SELECT * "
+            f"FROM read_parquet('{tmp_path}/{name}.parquet')"
+        )
+    want = _canon(c.execute(relational.ORACLES["sole_return_blame"]).df())
+    problems = compare_frames(got, want)
+    assert not problems, (problems, first_diff(got, want))
+    # hand-computed: s1 blamed for orders 1 and 6, s2 for order 5 (once);
+    # _canon re-sorts rows, so compare as a key->count mapping
+    assert dict(zip(got["s_suppkey"], got["blame_orders"])) == {1: 2, 2: 1}
