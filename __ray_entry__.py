@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_quantiles_exact": relational.price_quantiles_exact,
         # --- round-5 fifth-session operators, first driver rows -----------
         "sole_return_blame": relational.sole_return_blame,
+        "supplier_concentration": relational.supplier_concentration,
         # --- re-confirmation filler continues ------------------------------
         "shipping_priority": relational.shipping_priority,
         "session_windows": windows.session_windows,
@@ -106,12 +107,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_no_big_order": relational.customers_no_big_order,
         "top_orders_per_segment": relational.top_orders_per_segment,
         "events_union": relational.events_union,
-        "distinct_users_per_type": relational.distinct_users_per_type,
         "token_counts": text_analysis.token_counts,
         "langid_heuristic": text_analysis.langid_heuristic,
         # ======== past the 50-query window (all have driver rows) ========
-        # displaced by the fifth-session sole_return_blame rotation --------
+        # displaced by the fifth-session rotation ---------------------------
         "event_type_pivot": relational.event_type_pivot,
+        "distinct_users_per_type": relational.distinct_users_per_type,
         # multi-green reconfirmations displaced by the fourth-session
         # rotation (first driver rows for new ops > another green row) ----
         "ntile_order_tiers": relational.ntile_order_tiers,

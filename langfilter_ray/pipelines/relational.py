@@ -6513,3 +6513,137 @@ ORACLES["sole_return_blame"] = (
     "WHERE o_orderstatus = 'F' AND ret = 1 AND n_ret = 1 AND n_supp > 1 "
     "GROUP BY 1 ORDER BY blame_orders DESC, s_suppkey LIMIT 100"
 )
+
+
+# ---- procurement concentration: per-key argmax + fair-share census --------
+
+_CONC_BUCKETS = 32
+
+
+def supplier_concentration(sf_dir: str) -> "pa.Table":
+    """Procurement-concentration audit (TPC-H Q20's excess-stock flavor,
+    re-aimed at a data the schema supports): per supplier, on how many
+    parts is it the #1 shipper by quantity (``top_parts``, ties broken
+    to the smaller suppkey), and on how many does it ship more than
+    TWICE the part's fair share (``over2x_parts``, ``q·ns > 2·tq`` with
+    ns = the part's distinct-supplier count — exact integer inequality,
+    so engine and SQL agree bit-for-bit; strict majority never occurs in
+    this corpus, every part spreading over ~26 suppliers).  Top-100 by
+    (top_parts desc, over2x_parts desc, suppkey asc).
+
+    Shape: per-key argmax + share threshold where BOTH key (part) and
+    group (supplier) cardinalities scale with data — in-batch pyarrow
+    (partkey, suppkey) sum partials, ONE hash(partkey) bucket exchange,
+    and a segmented numpy fold per bucket (lexsort argmax + integer
+    share mask); no hash join, driver fold bounded by suppliers x
+    buckets."""
+
+    def _bk(keys: np.ndarray) -> np.ndarray:
+        h = keys.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        return ((h >> np.uint64(33)) % np.uint64(_CONC_BUCKETS)).astype(
+            np.int64
+        )
+
+    def part(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {"p": pa.array([], pa.int64()), "s": pa.array([], pa.int64()),
+                 "q": pa.array([], pa.int64()), "bk": pa.array([], pa.int64())}
+            )
+        qi = np.floor(t["l_quantity"].to_numpy() + 0.5).astype(np.int64)
+        g = (
+            pa.table(
+                {"p": t["l_partkey"], "s": t["l_suppkey"],
+                 "q": pa.array(qi)}
+            )
+            .group_by(["p", "s"])
+            .aggregate([("q", "sum")])
+        )
+        p = g["p"].to_numpy()
+        return pa.table(
+            {"p": pa.array(p), "s": g["s"],
+             "q": g["q_sum"], "bk": pa.array(_bk(p))}
+        )
+
+    def bucket_fold(g: "pd.DataFrame") -> "pd.DataFrame":
+        empty = pd.DataFrame(
+            {"s_suppkey": pd.array([], dtype="int64"),
+             "top_partial": pd.array([], dtype="int64"),
+             "over_partial": pd.array([], dtype="int64")}
+        )
+        if g.empty:
+            return empty
+        # re-combine (p, s) partials arriving from different batches
+        lr = g.groupby(["p", "s"], sort=False)["q"].sum().reset_index()
+        p = lr["p"].to_numpy(np.int64)
+        s = lr["s"].to_numpy(np.int64)
+        q = lr["q"].to_numpy(np.int64)
+        # segment rows by part: winner = first of (q desc, s asc) per p
+        order = np.lexsort((s, -q, p))
+        ps, ss, qs = p[order], s[order], q[order]
+        starts = np.flatnonzero(np.r_[True, ps[1:] != ps[:-1]])
+        seg = np.cumsum(np.r_[True, ps[1:] != ps[:-1]]) - 1
+        tq = np.add.reduceat(qs, starts)
+        ns = np.diff(np.r_[starts, len(ps)])
+        top_s = ss[starts]
+        over_mask = qs * ns[seg] > 2 * tq[seg]
+        out = pd.DataFrame(
+            {"s_suppkey": np.concatenate([top_s, ss[over_mask]]),
+             "top_partial": np.concatenate(
+                 [np.ones(len(top_s), np.int64),
+                  np.zeros(int(over_mask.sum()), np.int64)]
+             ),
+             "over_partial": np.concatenate(
+                 [np.zeros(len(top_s), np.int64),
+                  np.ones(int(over_mask.sum()), np.int64)]
+             )}
+        )
+        agg = out.groupby("s_suppkey", sort=False).sum().reset_index()
+        return pd.DataFrame(
+            {"s_suppkey": agg["s_suppkey"].to_numpy(np.int64),
+             "top_partial": agg["top_partial"].to_numpy(np.int64),
+             "over_partial": agg["over_partial"].to_numpy(np.int64)}
+        )
+
+    part_tbl = (
+        _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_quantity"])
+        .map_batches(part, batch_format="pyarrow")
+        .groupby("bk")
+        .map_groups(bucket_fold, batch_format="pandas")
+        .to_pandas()  # bounded: <= distinct suppliers x buckets
+    )
+    if part_tbl.empty:
+        return pa.table(
+            {"s_suppkey": pa.array([], pa.int64()),
+             "top_parts": pa.array([], pa.int64()),
+             "over2x_parts": pa.array([], pa.int64())}
+        )
+    agg = part_tbl.groupby("s_suppkey", sort=False)[
+        ["top_partial", "over_partial"]
+    ].sum().reset_index()
+    agg = agg.sort_values(
+        ["top_partial", "over_partial", "s_suppkey"],
+        ascending=[False, False, True],
+    ).head(100)
+    return pa.table(
+        {"s_suppkey": pa.array(agg["s_suppkey"].to_numpy(np.int64)),
+         "top_parts": pa.array(agg["top_partial"].to_numpy(np.int64)),
+         "over2x_parts": pa.array(agg["over_partial"].to_numpy(np.int64))}
+    )
+
+
+ORACLES["supplier_concentration"] = (
+    "WITH ps AS (SELECT l_partkey AS p, l_suppkey AS s, "
+    "sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS q "
+    "FROM lineitem GROUP BY 1, 2), "
+    "tot AS (SELECT p, sum(q) AS tq, count(*) AS ns FROM ps GROUP BY 1), "
+    "j AS (SELECT ps.p, ps.s, ps.q, tq, ns, "
+    "row_number() OVER (PARTITION BY ps.p ORDER BY q DESC, s) AS rn "
+    "FROM ps JOIN tot USING (p)) "
+    "SELECT s AS s_suppkey, "
+    "sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS top_parts, "
+    "sum(CASE WHEN q * ns > 2 * tq THEN 1 ELSE 0 END)::BIGINT "
+    "AS over2x_parts "
+    "FROM j GROUP BY 1 "
+    "ORDER BY top_parts DESC, over2x_parts DESC, s_suppkey LIMIT 100"
+)

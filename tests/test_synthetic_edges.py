@@ -1382,3 +1382,55 @@ def test_sole_return_blame_exists_not_exists(ray_session, tmp_path):
     # hand-computed: s1 blamed for orders 1 and 6, s2 for order 5 (once);
     # _canon re-sorts rows, so compare as a key->count mapping
     assert dict(zip(got["s_suppkey"], got["blame_orders"])) == {1: 2, 2: 1}
+
+
+def test_supplier_concentration_ties_and_boundary(ray_session, tmp_path):
+    """Pin the argmax tie-break (equal quantity -> smaller suppkey wins),
+    the STRICT over-2x-fair-share boundary (q*ns == 2*tq is NOT over),
+    the single-supplier part (winner yes, over2x never: q > 2q is false),
+    and per-(part,supplier) summing across multiple lines."""
+    from langfilter_ray.pipelines import relational
+
+    li = [  # (partkey, suppkey, quantity)
+        (1, 1, 5.0), (1, 2, 5.0),              # tie -> s1 wins; none over
+        (2, 2, 3.0), (2, 2, 4.0),              # s2 sums to 7 across lines
+        (2, 1, 1.0), (2, 3, 1.0),              # ns=3 tq=9: s2 21>18 over
+        (3, 3, 4.0),                           # single supplier: not over
+        (4, 1, 4.0), (4, 2, 1.0), (4, 3, 1.0), # s1 12 == 2*6: NOT over
+    ]
+    n = len(li)
+    lineitem = pa.table(
+        {
+            "l_orderkey": pa.array(list(range(1, n + 1)), pa.int64()),
+            "l_partkey": pa.array([p for p, _, _ in li], pa.int64()),
+            "l_suppkey": pa.array([s for _, s, _ in li], pa.int64()),
+            "l_linenumber": pa.array([1] * n, pa.int32()),
+            "l_quantity": pa.array([q for _, _, q in li], pa.float64()),
+            "l_extendedprice": pa.array([1.0] * n, pa.float64()),
+            "l_discount": pa.array([0.0] * n, pa.float64()),
+            "l_tax": pa.array([0.0] * n, pa.float64()),
+            "l_returnflag": pa.array(["N"] * n, pa.string()),
+            "l_linestatus": pa.array(["O"] * n, pa.string()),
+            "l_shipdate": pa.array(
+                [np.datetime64("2024-03-02T00:00:00", "us")] * n,
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    pq.write_table(lineitem, tmp_path / "lineitem.parquet")
+    got = _canon(
+        _to_pandas(relational.supplier_concentration(str(tmp_path)))
+    )
+    c = duckdb.connect()
+    c.execute(
+        f"CREATE VIEW lineitem AS SELECT * "
+        f"FROM read_parquet('{tmp_path}/lineitem.parquet')"
+    )
+    want = _canon(c.execute(relational.ORACLES["supplier_concentration"]).df())
+    problems = compare_frames(got, want)
+    assert not problems, (problems, first_diff(got, want))
+    by_s = {
+        int(r["s_suppkey"]): (int(r["top_parts"]), int(r["over2x_parts"]))
+        for _, r in got.iterrows()
+    }
+    assert by_s == {1: (2, 0), 2: (1, 1), 3: (1, 0)}
