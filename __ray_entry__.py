@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- round-5 fifth-session operators, first driver rows -----------
         "sole_return_blame": relational.sole_return_blame,
         "supplier_concentration": relational.supplier_concentration,
+        "revenue_changepoint": windows.revenue_changepoint,
         # --- re-confirmation filler continues ------------------------------
         "shipping_priority": relational.shipping_priority,
         "session_windows": windows.session_windows,
@@ -106,13 +107,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention": windows.cohort_retention,
         "customers_no_big_order": relational.customers_no_big_order,
         "top_orders_per_segment": relational.top_orders_per_segment,
-        "events_union": relational.events_union,
         "token_counts": text_analysis.token_counts,
         "langid_heuristic": text_analysis.langid_heuristic,
         # ======== past the 50-query window (all have driver rows) ========
         # displaced by the fifth-session rotation ---------------------------
         "event_type_pivot": relational.event_type_pivot,
         "distinct_users_per_type": relational.distinct_users_per_type,
+        "events_union": relational.events_union,
         # multi-green reconfirmations displaced by the fourth-session
         # rotation (first driver rows for new ops > another green row) ----
         "ntile_order_tiers": relational.ntile_order_tiers,

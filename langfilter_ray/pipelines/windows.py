@@ -3895,3 +3895,109 @@ ORACLES["order_audit"] = (
     "sum(CASE WHEN ts < pt THEN 1 ELSE 0 END)::BIGINT AS n_inversions "
     "FROM s"
 )
+
+
+# ---- revenue_changepoint: dense-spine scan statistic -----------------------
+
+def revenue_changepoint(sf_dir: str) -> "pa.Table":
+    """Change-point scan over the DAILY order-revenue series: for every
+    split day d, the absolute gap between the mean daily revenue of the
+    prefix [first..d] and the suffix (d..last], over the DENSE day grid
+    (days with no orders count as zero revenue, the
+    purchase_error_correlation spine precedent) — top-10 splits by gap.
+    "When did the business change?" is the scan-statistic sibling of
+    anomalous_hours' pointwise z-score: the statistic couples EVERY
+    prefix with EVERY suffix, so it cannot be expressed as a groupby.
+
+    Exactness: gap = |s1·(n−n1) − (s−s1)·n1| / (n1·(n−n1)) with all
+    moments exact int64 cents (num/den also emitted as integer columns)
+    and ONE float division per row mirroring the SQL cast order, so the
+    double — and therefore the ORDER BY — hash-matches bit for bit.
+
+    Scale shape: in-batch pyarrow (day, rev-cents) sum partials, gather
+    bounded by DAYS × blocks (the corpus time span, never rows), dense
+    zero-filled spine + cumsum fold on the driver — no shuffle, no
+    window function, no join.
+
+    Reference anchor: A2's recent-window count (SURVEY.md §2.6) lifted
+    to the retrospective "find the regime shift" question."""
+    US_DAY = 86_400_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"day": pa.array([], pa.int64()),
+             "rev": pa.array([], pa.int64())}
+        )
+        if len(t) == 0:
+            return empty
+        day = pc.cast(t["o_orderdate"], pa.int64()).to_numpy() // US_DAY
+        cents = np.floor(
+            t["o_totalprice"].to_numpy() * 100.0 + 0.5
+        ).astype(np.int64)
+        g = (
+            pa.table({"day": pa.array(day), "rev": pa.array(cents)})
+            .group_by("day")
+            .aggregate([("rev", "sum")])
+        )
+        return pa.table({"day": g["day"], "rev": g["rev_sum"]})
+
+    path = f"{sf_dir}/orders.parquet"
+    parts = (
+        ray.data.read_parquet(
+            path,
+            columns=["o_orderdate", "o_totalprice"],
+            schema=_clean_schema(path, ["o_orderdate", "o_totalprice"]),
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()    # bounded: days x blocks, never rows
+    )
+    empty = pa.table(
+        {"split_day": pa.array([], pa.int64()),
+         "gap_num": pa.array([], pa.int64()),
+         "gap_den": pa.array([], pa.int64()),
+         "mean_gap": pa.array([], pa.float64())}
+    )
+    if parts.empty:
+        return empty
+    daily = parts.groupby("day", sort=True)["rev"].sum()
+    days = daily.index.to_numpy(np.int64)
+    d0, d1 = int(days[0]), int(days[-1])
+    dense = np.zeros(d1 - d0 + 1, dtype=np.int64)
+    dense[days - d0] = daily.to_numpy(np.int64)
+    n = len(dense)
+    if n < 2:
+        return empty
+    s = int(dense.sum())
+    s1 = np.cumsum(dense)[:-1]          # prefix sums, split before last
+    n1 = np.arange(1, n, dtype=np.int64)
+    num = np.abs(s1 * (n - n1) - (s - s1) * n1)
+    den = n1 * (n - n1)
+    gap = num.astype(np.float64) / den.astype(np.float64)
+    order = np.lexsort((n1, -gap))[:10]
+    return pa.table(
+        {"split_day": pa.array(d0 + n1[order] - 1),
+         "gap_num": pa.array(num[order]),
+         "gap_den": pa.array(den[order]),
+         "mean_gap": pa.array(gap[order])}
+    )
+
+
+ORACLES["revenue_changepoint"] = (
+    "WITH daily AS (SELECT epoch_us(o_orderdate) // 86400000000 AS day, "
+    "sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))::BIGINT AS rev "
+    "FROM orders GROUP BY 1), "
+    "b AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily), "
+    "grid AS (SELECT UNNEST(range(d0, d1 + 1)) AS day FROM b), "
+    "dense AS (SELECT grid.day, COALESCE(daily.rev, 0)::BIGINT AS rev "
+    "FROM grid LEFT JOIN daily ON grid.day = daily.day), "
+    "m AS (SELECT count(*)::BIGINT AS n, sum(rev)::BIGINT AS s FROM dense), "
+    "p AS (SELECT day, sum(rev) OVER (ORDER BY day)::BIGINT AS s1, "
+    "row_number() OVER (ORDER BY day)::BIGINT AS n1 FROM dense) "
+    "SELECT day AS split_day, "
+    "abs(s1*(n-n1) - (s-s1)*n1)::BIGINT AS gap_num, "
+    "(n1*(n-n1))::BIGINT AS gap_den, "
+    "CAST(abs(s1*(n-n1) - (s-s1)*n1) AS DOUBLE) / "
+    "CAST(n1*(n-n1) AS DOUBLE) AS mean_gap "
+    "FROM p, m WHERE n1 < n "
+    "ORDER BY mean_gap DESC, split_day LIMIT 10"
+)

@@ -1434,3 +1434,75 @@ def test_supplier_concentration_ties_and_boundary(ray_session, tmp_path):
         for _, r in got.iterrows()
     }
     assert by_s == {1: (2, 0), 2: (1, 1), 3: (1, 0)}
+
+
+def _write_orders_dates(tmp_path, rows):
+    """rows = [(orderdate 'YYYY-MM-DD', totalprice), ...]"""
+    n = len(rows)
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array(list(range(1, n + 1)), pa.int64()),
+            "o_custkey": pa.array([1] * n, pa.int64()),
+            "o_orderstatus": pa.array(["O"] * n, pa.string()),
+            "o_totalprice": pa.array([p for _, p in rows], pa.float64()),
+            "o_orderdate": pa.array(
+                [np.datetime64(f"{d}T00:00:00", "us") for d, _ in rows],
+                pa.timestamp("us"),
+            ),
+            "o_orderpriority": pa.array(["1-URGENT"] * n, pa.string()),
+        }
+    )
+    pq.write_table(orders, tmp_path / "orders.parquet")
+
+
+def test_revenue_changepoint_zero_fill_and_ties(ray_session, tmp_path):
+    """Pin the DENSE-spine semantics (a day with no orders contributes a
+    ZERO to both prefix and suffix means — without it the top split
+    moves), the same-gap tie-break (symmetric series -> earlier day
+    wins), same-day summing, and the n<2 empty path."""
+    from langfilter_ray.pipelines import windows
+
+    d = tmp_path / "main"
+    d.mkdir()
+    _write_orders_dates(
+        d,
+        [("2024-01-01", 4.0), ("2024-01-01", 6.0),   # same-day sum 10.00
+         ("2024-01-02", 10.0),
+         # 2024-01-03 missing -> zero-filled
+         ("2024-01-04", 50.0), ("2024-01-05", 50.0)],
+    )
+    got = _to_pandas(windows.revenue_changepoint(str(d)))
+    c = duckdb.connect()
+    c.execute(
+        f"CREATE VIEW orders AS SELECT * "
+        f"FROM read_parquet('{d}/orders.parquet')"
+    )
+    want = c.execute(windows.ORACLES["revenue_changepoint"]).df()
+    problems = compare_frames(_canon(got), _canon(want))
+    assert not problems, (problems, first_diff(_canon(got), _canon(want)))
+    # hand-computed dense series [1000,1000,0,5000,5000] cents:
+    # the winning split is AFTER the zero-filled day (n1=3), gap 26000/6
+    day0 = 19723  # 2024-01-01 as days since epoch
+    assert list(got["split_day"]) == [day0 + 2, day0 + 3, day0 + 1, day0]
+    assert int(got["gap_num"].iloc[0]) == 26000
+    assert int(got["gap_den"].iloc[0]) == 6
+
+    # symmetric series -> equal gaps at both splits, earlier day first
+    t = tmp_path / "tie"
+    t.mkdir()
+    _write_orders_dates(
+        t, [("2024-02-01", 10.0), ("2024-02-03", 10.0)]  # [1000,0,1000]
+    )
+    got_t = _to_pandas(windows.revenue_changepoint(str(t)))
+    assert list(got_t["gap_num"]) == [1000, 1000]
+    assert list(got_t["split_day"]) == sorted(got_t["split_day"])
+
+    # a single day has no valid split -> typed empty
+    e = tmp_path / "single"
+    e.mkdir()
+    _write_orders_dates(e, [("2024-03-01", 7.0)])
+    got_e = _to_pandas(windows.revenue_changepoint(str(e)))
+    assert len(got_e) == 0
+    assert list(got_e.columns) == [
+        "split_day", "gap_num", "gap_den", "mean_gap"
+    ]
