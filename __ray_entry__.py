@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sole_return_blame": relational.sole_return_blame,
         "supplier_concentration": relational.supplier_concentration,
         "revenue_changepoint": windows.revenue_changepoint,
+        "qty_return_twosample": relational.qty_return_twosample,
         # --- re-confirmation filler continues ------------------------------
         "shipping_priority": relational.shipping_priority,
         "session_windows": windows.session_windows,
@@ -106,7 +107,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "big_order_customers": relational.big_order_customers,
         "cohort_retention": windows.cohort_retention,
         "customers_no_big_order": relational.customers_no_big_order,
-        "top_orders_per_segment": relational.top_orders_per_segment,
         "token_counts": text_analysis.token_counts,
         "langid_heuristic": text_analysis.langid_heuristic,
         # ======== past the 50-query window (all have driver rows) ========
@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_pivot": relational.event_type_pivot,
         "distinct_users_per_type": relational.distinct_users_per_type,
         "events_union": relational.events_union,
+        "top_orders_per_segment": relational.top_orders_per_segment,
         # multi-green reconfirmations displaced by the fourth-session
         # rotation (first driver rows for new ops > another green row) ----
         "ntile_order_tiers": relational.ntile_order_tiers,

@@ -6647,3 +6647,123 @@ ORACLES["supplier_concentration"] = (
     "FROM j GROUP BY 1 "
     "ORDER BY top_parts DESC, over2x_parts DESC, s_suppkey LIMIT 100"
 )
+
+
+# ---- qty_return_twosample: exact rank tests via bounded-domain histograms --
+
+def qty_return_twosample(sf_dir: str) -> "pa.Table":
+    """Two-sample distribution-shift tests — "do RETURNED items ship in
+    different quantities than kept ones?": the Mann-Whitney U statistic
+    (as the exact integer ``u2 = 2·U`` so half-ranks from ties stay
+    integral) and the Kolmogorov-Smirnov D statistic (as the exact
+    integer fraction ``ks_num/ks_den``), plus their float forms
+    ``rank_biserial = (2U − n_r·n_o)/(n_r·n_o)`` and ``ks_stat`` — each
+    ONE division of exact integers mirroring the SQL cast order
+    (sentinel ``-2.0``, outside both statistics' ranges, when either
+    group is empty).  Statistical testing is a family the census/
+    correlation operators don't cover: both statistics are functionals
+    of the PAIRING of two CDFs, not a groupby aggregate.
+
+    Scale shape: the value domain is BOUNDED (integral quantities
+    1..50), so each batch emits a (value, n_returned, n_other)
+    histogram partial — the classic sufficient-statistic reduction: the
+    gather is bounded by domain × blocks, never rows, and the driver
+    fold is a 50-step arbitrary-precision walk (exact for any row
+    count; the int64 SQL mirror is exact below ~3e9 rows per group,
+    where cum·n stays under 2^63 — DuckDB errors rather than wraps
+    past that).
+
+    Reference anchor: M3's stopword-ratio scorer feeding the keep/drop
+    decision (SURVEY.md §2.2) — this is the auditor's question one
+    level up: did the filtered-out population differ?"""
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"v": pa.array([], pa.int64()),
+             "cr": pa.array([], pa.int64()),
+             "co": pa.array([], pa.int64())}
+        )
+        if len(t) == 0:
+            return empty
+        v = np.floor(t["l_quantity"].to_numpy() + 0.5).astype(np.int64)
+        is_r = (
+            t["l_returnflag"].to_numpy(zero_copy_only=False) == "R"
+        ).astype(np.int64)
+        u, inv = np.unique(v, return_inverse=True)
+        return pa.table(
+            {"v": pa.array(u, pa.int64()),
+             "cr": pa.array(np.bincount(inv, weights=is_r)
+                            .astype(np.int64)),
+             "co": pa.array(np.bincount(inv, weights=1 - is_r)
+                            .astype(np.int64))}
+        )
+
+    hist = (
+        _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()    # bounded: domain x blocks, never rows
+    )
+    empty = pa.table(
+        {"n_r": pa.array([], pa.int64()),
+         "n_o": pa.array([], pa.int64()),
+         "u2": pa.array([], pa.int64()),
+         "ks_num": pa.array([], pa.int64()),
+         "ks_den": pa.array([], pa.int64()),
+         "rank_biserial": pa.array([], pa.float64()),
+         "ks_stat": pa.array([], pa.float64())}
+    )
+    if hist.empty:
+        return empty
+    df = hist.groupby("v", sort=True)[["cr", "co"]].sum()
+    cr = [int(x) for x in df["cr"]]
+    co = [int(x) for x in df["co"]]
+    n_r, n_o = sum(cr), sum(co)
+    u2 = 0
+    ks_num = 0
+    pre_o = cum_r = cum_o = 0
+    for a, b in zip(cr, co):
+        u2 += 2 * a * pre_o + a * b
+        pre_o += b
+        cum_r += a
+        cum_o += b
+        ks_num = max(ks_num, abs(cum_r * n_o - cum_o * n_r))
+    ks_den = n_r * n_o
+    if n_r == 0 or n_o == 0:
+        rb = ks = -2.0
+    else:
+        rb = float(u2 - n_r * n_o) / float(n_r * n_o)
+        ks = float(ks_num) / float(n_r * n_o)
+    return pa.table(
+        {"n_r": pa.array([n_r], pa.int64()),
+         "n_o": pa.array([n_o], pa.int64()),
+         "u2": pa.array([u2], pa.int64()),
+         "ks_num": pa.array([ks_num], pa.int64()),
+         "ks_den": pa.array([ks_den], pa.int64()),
+         "rank_biserial": pa.array([rb], pa.float64()),
+         "ks_stat": pa.array([ks], pa.float64())}
+    )
+
+
+ORACLES["qty_return_twosample"] = (
+    "WITH q AS (SELECT CAST(floor(l_quantity + 0.5) AS BIGINT) AS v, "
+    "CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS r FROM lineitem), "
+    "h AS (SELECT v, sum(r)::BIGINT AS cr, sum(1 - r)::BIGINT AS co "
+    "FROM q GROUP BY 1), "
+    "tot AS (SELECT sum(cr)::BIGINT AS n_r, sum(co)::BIGINT AS n_o FROM h), "
+    "c AS (SELECT v, cr, co, "
+    "COALESCE(sum(co) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING "
+    "AND 1 PRECEDING), 0)::BIGINT AS pre_o, "
+    "sum(cr) OVER (ORDER BY v)::BIGINT AS cum_r, "
+    "sum(co) OVER (ORDER BY v)::BIGINT AS cum_o FROM h), "
+    "m AS (SELECT t.n_r, t.n_o, "
+    "sum(2 * cr * pre_o + cr * co)::BIGINT AS u2, "
+    "max(abs(cum_r * t.n_o - cum_o * t.n_r))::BIGINT AS ks_num "
+    "FROM c, tot t GROUP BY 1, 2) "
+    "SELECT n_r, n_o, u2, ks_num, (n_r * n_o)::BIGINT AS ks_den, "
+    "CASE WHEN n_r = 0 OR n_o = 0 THEN -2.0 ELSE "
+    "CAST(u2 - n_r * n_o AS DOUBLE) / CAST(n_r * n_o AS DOUBLE) END "
+    "AS rank_biserial, "
+    "CASE WHEN n_r = 0 OR n_o = 0 THEN -2.0 ELSE "
+    "CAST(ks_num AS DOUBLE) / CAST(n_r * n_o AS DOUBLE) END AS ks_stat "
+    "FROM m"
+)

@@ -111,7 +111,7 @@ ORACLE_CHECKED = [
     "tax_band_revenue", "source_simpson_diversity",
     "line_position_profile", "acctbal_band_census",
     "part_type_price_stats", "price_quantiles_exact", "sole_return_blame",
-    "supplier_concentration", "revenue_changepoint",
+    "supplier_concentration", "revenue_changepoint", "qty_return_twosample",
 ]
 
 
@@ -163,7 +163,7 @@ def test_round5_window_layout(entry_mod):
         "part_type_price_stats", "price_quantiles_exact",
         # fifth-session operators rotated in for their FIRST driver rows
         "sole_return_blame", "supplier_concentration",
-        "revenue_changepoint",
+        "revenue_changepoint", "qty_return_twosample",
         # a sample of the round-3-green reconfirmations kept in-window
         "error_events_pushdown", "shipping_priority", "session_windows",
         "payload_stats", "gopher_quality", "token_counts",

@@ -1506,3 +1506,74 @@ def test_revenue_changepoint_zero_fill_and_ties(ray_session, tmp_path):
     assert list(got_e.columns) == [
         "split_day", "gap_num", "gap_den", "mean_gap"
     ]
+
+
+def _write_lineitem_qty(tmp_path, rows):
+    """rows = [(returnflag, quantity), ...] — minimal full-schema lineitem."""
+    n = len(rows)
+    lineitem = pa.table(
+        {
+            "l_orderkey": pa.array(list(range(1, n + 1)), pa.int64()),
+            "l_partkey": pa.array([1] * n, pa.int64()),
+            "l_suppkey": pa.array([1] * n, pa.int64()),
+            "l_linenumber": pa.array([1] * n, pa.int32()),
+            "l_quantity": pa.array([q for _, q in rows], pa.float64()),
+            "l_extendedprice": pa.array([1.0] * n, pa.float64()),
+            "l_discount": pa.array([0.0] * n, pa.float64()),
+            "l_tax": pa.array([0.0] * n, pa.float64()),
+            "l_returnflag": pa.array([f for f, _ in rows], pa.string()),
+            "l_linestatus": pa.array(["O"] * n, pa.string()),
+            "l_shipdate": pa.array(
+                [np.datetime64("2024-03-02T00:00:00", "us")] * n,
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    pq.write_table(lineitem, tmp_path / "lineitem.parquet")
+
+
+def test_qty_return_twosample_ties_and_sentinel(ray_session, tmp_path):
+    """Pin the tie handling (u2 = 2U keeps half-ranks integral: each
+    cross-group tie contributes 1), the KS max over the step CDFs, and
+    the -2.0 sentinel when one group is empty."""
+    from langfilter_ray.pipelines import relational
+
+    d = tmp_path / "main"
+    d.mkdir()
+    # R values [1, 2, 2]; others [2, 3] -> hand-computed:
+    # u2 = 2 (one o<r pair never occurs; two ties at v=2), rb = -2/3,
+    # ks_num = max(|1*2-0*3|, |3*2-1*3|, |3*2-2*3|) = 3, ks = 1/2
+    _write_lineitem_qty(
+        d, [("R", 1.0), ("R", 2.0), ("R", 2.0), ("N", 2.0), ("A", 3.0)]
+    )
+    got = _to_pandas(relational.qty_return_twosample(str(d)))
+    c = duckdb.connect()
+    c.execute(
+        f"CREATE VIEW lineitem AS SELECT * "
+        f"FROM read_parquet('{d}/lineitem.parquet')"
+    )
+    want = c.execute(relational.ORACLES["qty_return_twosample"]).df()
+    problems = compare_frames(_canon(got), _canon(want))
+    assert not problems, (problems, first_diff(_canon(got), _canon(want)))
+    r = got.iloc[0]
+    assert (int(r["n_r"]), int(r["n_o"]), int(r["u2"])) == (3, 2, 2)
+    assert (int(r["ks_num"]), int(r["ks_den"])) == (3, 6)
+    assert r["rank_biserial"] == (2.0 - 6.0) / 6.0
+    assert r["ks_stat"] == 0.5
+
+    # one group empty -> sentinel -2.0 on both float columns, zeros exact
+    e = tmp_path / "onegroup"
+    e.mkdir()
+    _write_lineitem_qty(e, [("N", 1.0), ("A", 2.0)])
+    got_e = _to_pandas(relational.qty_return_twosample(str(e)))
+    c2 = duckdb.connect()
+    c2.execute(
+        f"CREATE VIEW lineitem AS SELECT * "
+        f"FROM read_parquet('{e}/lineitem.parquet')"
+    )
+    want_e = c2.execute(relational.ORACLES["qty_return_twosample"]).df()
+    problems = compare_frames(_canon(got_e), _canon(want_e))
+    assert not problems, (problems, first_diff(_canon(got_e), _canon(want_e)))
+    r = got_e.iloc[0]
+    assert (int(r["n_r"]), int(r["u2"]), int(r["ks_num"])) == (0, 0, 0)
+    assert r["rank_biserial"] == -2.0 and r["ks_stat"] == -2.0
