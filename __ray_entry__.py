@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_concentration": relational.supplier_concentration,
         "revenue_changepoint": windows.revenue_changepoint,
         "qty_return_twosample": relational.qty_return_twosample,
+        "qty_permutation_test": relational.qty_permutation_test,
         # --- re-confirmation filler continues ------------------------------
         "shipping_priority": relational.shipping_priority,
         "session_windows": windows.session_windows,
@@ -106,7 +107,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "late_order_priority": relational.late_order_priority,
         "big_order_customers": relational.big_order_customers,
         "cohort_retention": windows.cohort_retention,
-        "customers_no_big_order": relational.customers_no_big_order,
         "token_counts": text_analysis.token_counts,
         "langid_heuristic": text_analysis.langid_heuristic,
         # ======== past the 50-query window (all have driver rows) ========
@@ -115,6 +115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_per_type": relational.distinct_users_per_type,
         "events_union": relational.events_union,
         "top_orders_per_segment": relational.top_orders_per_segment,
+        "customers_no_big_order": relational.customers_no_big_order,
         # multi-green reconfirmations displaced by the fourth-session
         # rotation (first driver rows for new ops > another green row) ----
         "ntile_order_tiers": relational.ntile_order_tiers,

@@ -6767,3 +6767,156 @@ ORACLES["qty_return_twosample"] = (
     "CAST(ks_num AS DOUBLE) / CAST(n_r * n_o AS DOUBLE) END AS ks_stat "
     "FROM m"
 )
+
+
+# ---- qty_permutation_test: deterministic resampling significance test ------
+
+_PERM_K = 64
+_PERM_MOD = 2_147_483_648        # 2^31: LCG products stay inside int64
+_PERM_MUL = 1_103_515_245
+_PERM_ADD = 12_345
+
+
+def qty_permutation_test(sf_dir: str) -> "pa.Table":
+    """Permutation-style significance test for the returned-vs-kept mean
+    quantity gap — the RESAMPLING-statistics family (is the observed
+    shift larger than chance relabeling produces?), which no single-pass
+    aggregate or rank test covers: the null distribution is built from
+    ``K = 64`` deterministic random RELABELINGS of the group flag (each
+    row's label in replicate k comes from the repo's 2^31 LCG seeded by
+    the unique row key ``l_orderkey·8 + l_linenumber`` and k, with
+    keep-rate ``(10000·n_r)//n`` basis points — binomial relabeling, the
+    standard label-shuffle approximation that needs no global permutation
+    exchange), and ``p = (1 + #extreme) / (K + 1)``.
+
+    Exactness: "replicate k is at least as extreme" compares
+    ``|mean_r − mean_o|`` across DIFFERENT group sizes, so both sides are
+    cross-multiplied to integers — the driver walk uses Python
+    arbitrary-precision ints and the SQL mirror HUGEINT (the products
+    exceed int64 by design), so the booleans, counts, and the ONE float
+    division for ``p_value`` agree bit for bit.  Degenerate replicates
+    (one side empty, denominator 0) count as extreme on both sides.
+
+    Scale shape: two streaming passes (the pack_sequences precedent) —
+    pass 1 folds four int64 moments (n, n_r, s, s_r); pass 2 emits K
+    per-replicate (nr_k, sr_k) partials per batch via one vectorized
+    (rows × K) LCG evaluation, gather bounded by K × blocks, never rows.
+
+    Reference anchor: the A-family metrics (SURVEY.md §2.6) asked the
+    operational question; this is the analyst's follow-up — "is the gate
+    treating the two populations differently beyond noise?"."""
+
+    def moments(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"n": pa.array([], pa.int64()), "nr": pa.array([], pa.int64()),
+             "s": pa.array([], pa.int64()), "sr": pa.array([], pa.int64())}
+        )
+        if len(t) == 0:
+            return empty
+        q = np.floor(t["l_quantity"].to_numpy() + 0.5).astype(np.int64)
+        g = (
+            t["l_returnflag"].to_numpy(zero_copy_only=False) == "R"
+        ).astype(np.int64)
+        return pa.table(
+            {"n": pa.array([len(q)], pa.int64()),
+             "nr": pa.array([int(g.sum())], pa.int64()),
+             "s": pa.array([int(q.sum())], pa.int64()),
+             "sr": pa.array([int((q * g).sum())], pa.int64())}
+        )
+
+    cols = ["l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"]
+    m = (
+        _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+        .map_batches(moments, batch_format="pyarrow")
+        .to_pandas()    # bounded: 4 ints x blocks
+    )
+    empty = pa.table(
+        {"n": pa.array([], pa.int64()), "n_r": pa.array([], pa.int64()),
+         "k_perms": pa.array([], pa.int64()),
+         "n_extreme": pa.array([], pa.int64()),
+         "obs_num": pa.array([], pa.int64()),
+         "obs_den": pa.array([], pa.int64()),
+         "p_value": pa.array([], pa.float64())}
+    )
+    if m.empty:
+        return empty
+    n, n_r = int(m["n"].sum()), int(m["nr"].sum())
+    s, s_r = int(m["s"].sum()), int(m["sr"].sum())
+    rate_bp = (10000 * n_r) // n
+    obs_num = abs(s_r * (n - n_r) - (s - s_r) * n_r)
+    obs_den = n_r * (n - n_r)
+
+    ks = np.arange(_PERM_K, dtype=np.int64)
+
+    def replicate(t: pa.Table) -> pa.Table:
+        empty_r = pa.table(
+            {"k": pa.array([], pa.int64()),
+             "nr_k": pa.array([], pa.int64()),
+             "sr_k": pa.array([], pa.int64())}
+        )
+        if len(t) == 0:
+            return empty_r
+        key = (
+            t["l_orderkey"].to_numpy() * 8 + t["l_linenumber"].to_numpy()
+        ).astype(np.int64)
+        q = np.floor(t["l_quantity"].to_numpy() + 0.5).astype(np.int64)
+        h = (key[:, None] * _PERM_K + ks[None, :]) % _PERM_MOD
+        lab = ((h * _PERM_MUL + _PERM_ADD) % _PERM_MOD) % 10000 < rate_bp
+        return pa.table(
+            {"k": pa.array(ks),
+             "nr_k": pa.array(lab.sum(axis=0).astype(np.int64)),
+             "sr_k": pa.array((q[:, None] * lab).sum(axis=0)
+                              .astype(np.int64))}
+        )
+
+    reps = (
+        _read(sf_dir, "lineitem", cols)
+        .map_batches(replicate, batch_format="pyarrow")
+        .to_pandas()    # bounded: K x blocks
+        .groupby("k", sort=True)[["nr_k", "sr_k"]].sum()
+    )
+    n_extreme = 0
+    for nr_k, sr_k in zip(reps["nr_k"], reps["sr_k"]):
+        nr_k, sr_k = int(nr_k), int(sr_k)
+        num_k = abs(sr_k * (n - nr_k) - (s - sr_k) * nr_k)
+        den_k = nr_k * (n - nr_k)
+        if num_k * obs_den >= obs_num * den_k:    # exact cross-multiply
+            n_extreme += 1
+    p = float(1 + n_extreme) / float(_PERM_K + 1)
+    return pa.table(
+        {"n": pa.array([n], pa.int64()),
+         "n_r": pa.array([n_r], pa.int64()),
+         "k_perms": pa.array([_PERM_K], pa.int64()),
+         "n_extreme": pa.array([n_extreme], pa.int64()),
+         "obs_num": pa.array([obs_num], pa.int64()),
+         "obs_den": pa.array([obs_den], pa.int64()),
+         "p_value": pa.array([p], pa.float64())}
+    )
+
+
+ORACLES["qty_permutation_test"] = (
+    "WITH r AS (SELECT l_orderkey * 8 + l_linenumber AS key, "
+    "CAST(floor(l_quantity + 0.5) AS BIGINT) AS q, "
+    "CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS g FROM lineitem), "
+    "tot AS (SELECT count(*)::BIGINT AS n, sum(g)::BIGINT AS n_r, "
+    "sum(q)::BIGINT AS s, sum(q * g)::BIGINT AS s_r FROM r), "
+    f"ks AS (SELECT UNNEST(range(0, {_PERM_K})) AS k), "
+    "lab AS (SELECT k, q, CASE WHEN "
+    f"(((key * {_PERM_K} + k) % {_PERM_MOD}) * {_PERM_MUL} + {_PERM_ADD}) "
+    f"% {_PERM_MOD} % 10000 < (SELECT (10000 * n_r) // n FROM tot) "
+    "THEN 1 ELSE 0 END AS gk FROM r, ks), "
+    "pk AS (SELECT k, sum(gk)::BIGINT AS nr_k, "
+    "sum(q * gk)::BIGINT AS sr_k FROM lab GROUP BY 1), "
+    "o AS (SELECT n, n_r, "
+    "abs(s_r * (n - n_r) - (s - s_r) * n_r)::BIGINT AS obs_num, "
+    "(n_r * (n - n_r))::BIGINT AS obs_den FROM tot), "
+    "e AS (SELECT sum(CASE WHEN "
+    "abs(sr_k::HUGEINT * (o.n - nr_k) - (tot.s - sr_k)::HUGEINT * nr_k) "
+    "* o.obs_den::HUGEINT >= "
+    "o.obs_num::HUGEINT * (nr_k::HUGEINT * (o.n - nr_k)) "
+    "THEN 1 ELSE 0 END)::BIGINT AS n_extreme FROM pk, o, tot GROUP BY ALL) "
+    f"SELECT o.n, o.n_r, {_PERM_K}::BIGINT AS k_perms, e.n_extreme, "
+    "o.obs_num, o.obs_den, "
+    f"CAST(1 + e.n_extreme AS DOUBLE) / CAST({_PERM_K + 1} AS DOUBLE) "
+    "AS p_value FROM o, e"
+)

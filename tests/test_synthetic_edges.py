@@ -1577,3 +1577,49 @@ def test_qty_return_twosample_ties_and_sentinel(ray_session, tmp_path):
     r = got_e.iloc[0]
     assert (int(r["n_r"]), int(r["u2"]), int(r["ks_num"])) == (0, 0, 0)
     assert r["rank_biserial"] == -2.0 and r["ks_stat"] == -2.0
+
+
+def test_qty_permutation_test_shift_and_degenerate(ray_session, tmp_path):
+    """Pin the resampling semantics: a strong real shift (returned rows
+    all qty 50, kept rows all qty 1) is matched by few LCG relabelings
+    (small p), a single-group corpus makes every replicate degenerate
+    (counted extreme on both sides -> p = 1.0), and the engine agrees
+    with the HUGEINT SQL mirror on both."""
+    from langfilter_ray.pipelines import relational
+
+    d = tmp_path / "shift"
+    d.mkdir()
+    rows = [("R", 50.0)] * 10 + [("N", 1.0)] * 10 + [("A", 1.0)] * 10
+    _write_lineitem_qty(d, rows)
+    got = _to_pandas(relational.qty_permutation_test(str(d)))
+    c = duckdb.connect()
+    c.execute(
+        f"CREATE VIEW lineitem AS SELECT * "
+        f"FROM read_parquet('{d}/lineitem.parquet')"
+    )
+    want = c.execute(relational.ORACLES["qty_permutation_test"]).df()
+    problems = compare_frames(_canon(got), _canon(want))
+    assert not problems, (problems, first_diff(_canon(got), _canon(want)))
+    r = got.iloc[0]
+    assert (int(r["n"]), int(r["n_r"])) == (30, 10)
+    # obs gap = |500*20 - 20*10| / 200 = 49 qty units — the maximum any
+    # relabeling could reach, so extreme replicates are rare
+    assert int(r["obs_num"]) == 9800 and int(r["obs_den"]) == 200
+    assert r["p_value"] < 0.2
+    assert r["p_value"] == (1 + int(r["n_extreme"])) / 65.0
+
+    e = tmp_path / "onegroup"
+    e.mkdir()
+    _write_lineitem_qty(e, [("N", 5.0), ("A", 9.0), ("N", 2.0)])
+    got_e = _to_pandas(relational.qty_permutation_test(str(e)))
+    c2 = duckdb.connect()
+    c2.execute(
+        f"CREATE VIEW lineitem AS SELECT * "
+        f"FROM read_parquet('{e}/lineitem.parquet')"
+    )
+    want_e = c2.execute(relational.ORACLES["qty_permutation_test"]).df()
+    problems = compare_frames(_canon(got_e), _canon(want_e))
+    assert not problems, (problems, first_diff(_canon(got_e), _canon(want_e)))
+    r = got_e.iloc[0]
+    assert int(r["n_r"]) == 0 and int(r["obs_den"]) == 0
+    assert int(r["n_extreme"]) == 64 and r["p_value"] == 1.0
