@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_changepoint": windows.revenue_changepoint,
         "qty_return_twosample": relational.qty_return_twosample,
         "qty_permutation_test": relational.qty_permutation_test,
+        "purchase_error_leadlag": windows.purchase_error_leadlag,
         # --- re-confirmation filler continues ------------------------------
         "shipping_priority": relational.shipping_priority,
         "session_windows": windows.session_windows,
@@ -104,7 +105,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shared_ngram_docs": text_analysis.shared_ngram_docs,
         "funnel_conversion": windows.funnel_conversion,
         "cust_order_histogram": relational.cust_order_histogram,
-        "late_order_priority": relational.late_order_priority,
         "big_order_customers": relational.big_order_customers,
         "cohort_retention": windows.cohort_retention,
         "token_counts": text_analysis.token_counts,
@@ -116,6 +116,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_union": relational.events_union,
         "top_orders_per_segment": relational.top_orders_per_segment,
         "customers_no_big_order": relational.customers_no_big_order,
+        "late_order_priority": relational.late_order_priority,
         # multi-green reconfirmations displaced by the fourth-session
         # rotation (first driver rows for new ops > another green row) ----
         "ntile_order_tiers": relational.ntile_order_tiers,

@@ -4001,3 +4001,136 @@ ORACLES["revenue_changepoint"] = (
     "FROM p, m WHERE n1 < n "
     "ORDER BY mean_gap DESC, split_day LIMIT 10"
 )
+
+
+# ---- purchase_error_leadlag: lagged cross-correlation ----------------------
+
+_LEADLAG_MAX = 3
+
+
+def purchase_error_leadlag(sf_dir: str) -> "pa.Table":
+    """Cross-correlation at hour lags −3..+3 between the purchase and
+    error series — purchase_error_correlation's follow-up question:
+    not "do errors track traffic?" but "which LEADS?" (a positive-lag
+    peak means purchases predict errors L hours later).  Each lag
+    correlates ``p[t]`` with ``q[t+L]`` over the overlapping slice of
+    the DENSE zero-filled hour grid, so every lag has its own sample
+    size ``n − |L|`` and its own exact moments.
+
+    Exactness and scale shape are purchase_error_correlation's verbatim:
+    in-batch (hour, np_, ne_) partials bounded by the corpus TIME SPAN,
+    exact int64 moments assembled into Python ints on the driver, and
+    per lag ONE float expression ``num / (sqrt(den_p)·sqrt(den_q))``
+    mirroring the SQL cast order (0.0 when either variance is zero).
+
+    Reference anchor: A4's gate-path distribution (SURVEY.md §2.6) — the
+    on-call dashboard's causality-direction refinement."""
+    US_HOUR = 3_600_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"hour": pa.array([], pa.int64()),
+             "np_": pa.array([], pa.int64()),
+             "ne_": pa.array([], pa.int64())}
+        )
+        if len(t) == 0:
+            return empty
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        keep = (et == "purchase") | (et == "error")
+        if not keep.any():
+            return empty
+        us = (
+            t["ts"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64)
+        )
+        hour = us[keep] // US_HOUR
+        is_err = (et[keep] == "error").astype(np.int64)
+        u, inv = np.unique(hour, return_inverse=True)
+        return pa.table(
+            {"hour": pa.array(u, pa.int64()),
+             "np_": pa.array(np.bincount(inv, weights=1 - is_err)
+                             .astype(np.int64)),
+             "ne_": pa.array(np.bincount(inv, weights=is_err)
+                             .astype(np.int64))}
+        )
+
+    hist = _events(sf_dir, ["ts", "event_type"]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    tbls = [t for t in ray.get(hist.to_arrow_refs()) if t.num_rows]
+    empty = pa.table(
+        {"lag": pa.array([], pa.int64()),
+         "n_hours": pa.array([], pa.int64()),
+         "corr_pe": pa.array([], pa.float64())}
+    )
+    if not tbls:
+        return empty
+    df = (
+        pa.concat_tables(tbls).to_pandas()
+        .groupby("hour", sort=True)[["np_", "ne_"]].sum()
+    )
+    hours = df.index.to_numpy()
+    lo, hi = int(hours[0]), int(hours[-1])
+    p = np.zeros(hi - lo + 1, dtype=np.int64)
+    q = np.zeros(hi - lo + 1, dtype=np.int64)
+    p[hours - lo] = df["np_"].to_numpy()
+    q[hours - lo] = df["ne_"].to_numpy()
+    n = len(p)
+    import math
+
+    lags, ns, corrs = [], [], []
+    for lag in range(-_LEADLAG_MAX, _LEADLAG_MAX + 1):
+        m = n - abs(lag)
+        if m < 1:
+            continue
+        # pair p[t] with q[t + lag] over the overlap
+        pa_s = p[max(0, -lag): n - max(0, lag)]
+        qa_s = q[max(0, lag): n - max(0, -lag)]
+        sp, sq = int(pa_s.sum()), int(qa_s.sum())
+        spp = int((pa_s * pa_s).sum())
+        sqq = int((qa_s * qa_s).sum())
+        spq = int((pa_s * qa_s).sum())
+        num = m * spq - sp * sq
+        den_p = m * spp - sp * sp
+        den_q = m * sqq - sq * sq
+        if den_p == 0 or den_q == 0:
+            corr = 0.0
+        else:
+            corr = float(num) / (
+                math.sqrt(float(den_p)) * math.sqrt(float(den_q))
+            )
+        lags.append(lag)
+        ns.append(m)
+        corrs.append(corr)
+    return pa.table(
+        {"lag": pa.array(lags, pa.int64()),
+         "n_hours": pa.array(ns, pa.int64()),
+         "corr_pe": pa.array(corrs, pa.float64())}
+    )
+
+
+ORACLES["purchase_error_leadlag"] = (
+    "WITH b AS (SELECT min(epoch_us(ts) // 3600000000) AS h0, "
+    "max(epoch_us(ts) // 3600000000) AS h1 FROM events "
+    "WHERE event_type IN ('purchase', 'error')), "
+    "grid AS (SELECT UNNEST(range(h0, h1 + 1)) AS hour FROM b), "
+    "c AS (SELECT epoch_us(ts) // 3600000000 AS hour, "
+    "sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS p, "
+    "sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS q "
+    "FROM events WHERE event_type IN ('purchase', 'error') GROUP BY 1), "
+    "s AS (SELECT grid.hour, COALESCE(c.p, 0) AS p, COALESCE(c.q, 0) AS q "
+    "FROM grid LEFT JOIN c ON grid.hour = c.hour), "
+    f"lags AS (SELECT UNNEST(range(-{_LEADLAG_MAX}, {_LEADLAG_MAX + 1})) "
+    "AS lag), "
+    "j AS (SELECT lags.lag, a.p AS p, bb.q AS q FROM lags, s a, s bb "
+    "WHERE bb.hour = a.hour + lags.lag), "
+    "m AS (SELECT lag, count(*)::BIGINT AS n, sum(p)::BIGINT AS sp, "
+    "sum(q)::BIGINT AS sq, sum(p*p)::BIGINT AS spp, "
+    "sum(q*q)::BIGINT AS sqq, sum(p*q)::BIGINT AS spq FROM j GROUP BY 1) "
+    "SELECT lag, n AS n_hours, "
+    "CASE WHEN n*spp - sp*sp = 0 OR n*sqq - sq*sq = 0 THEN 0.0 "
+    "ELSE CAST(n*spq - sp*sq AS DOUBLE) / "
+    "(sqrt(CAST(n*spp - sp*sp AS DOUBLE)) * "
+    "sqrt(CAST(n*sqq - sq*sq AS DOUBLE))) END AS corr_pe FROM m "
+    "ORDER BY lag"
+)

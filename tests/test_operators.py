@@ -112,7 +112,7 @@ ORACLE_CHECKED = [
     "line_position_profile", "acctbal_band_census",
     "part_type_price_stats", "price_quantiles_exact", "sole_return_blame",
     "supplier_concentration", "revenue_changepoint", "qty_return_twosample",
-    "qty_permutation_test",
+    "qty_permutation_test", "purchase_error_leadlag",
 ]
 
 
@@ -165,7 +165,7 @@ def test_round5_window_layout(entry_mod):
         # fifth-session operators rotated in for their FIRST driver rows
         "sole_return_blame", "supplier_concentration",
         "revenue_changepoint", "qty_return_twosample",
-        "qty_permutation_test",
+        "qty_permutation_test", "purchase_error_leadlag",
         # a sample of the round-3-green reconfirmations kept in-window
         "error_events_pushdown", "shipping_priority", "session_windows",
         "payload_stats", "gopher_quality", "token_counts",

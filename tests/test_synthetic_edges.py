@@ -1623,3 +1623,34 @@ def test_qty_permutation_test_shift_and_degenerate(ray_session, tmp_path):
     r = got_e.iloc[0]
     assert int(r["n_r"]) == 0 and int(r["obs_den"]) == 0
     assert int(r["n_extreme"]) == 64 and r["p_value"] == 1.0
+
+
+def test_purchase_error_leadlag_lead_detection(ray_session, tmp_path):
+    """Pin the lag alignment: errors are an EXACT copy of purchases one
+    hour later (plus dense zero hours in between), so the lag=+1
+    correlation is the unique maximum; lag rows carry their own n −
+    |lag| sample sizes; non-purchase/error types are ignored."""
+    from langfilter_ray.pipelines import windows
+
+    US_HOUR = 3_600_000_000
+    rows = []
+    eid = 1
+    # purchases at hours 0,0,2,5 (counts [2,0,1,0,0,1]); errors copy +1h
+    for h, cnt in [(0, 2), (2, 1), (5, 1)]:
+        for _ in range(cnt):
+            rows.append((eid, 1, h * US_HOUR + eid, "purchase", 1.0))
+            eid += 1
+            rows.append((eid, 1, (h + 1) * US_HOUR + eid, "error", 1.0))
+            eid += 1
+    rows.append((eid, 9, 3 * US_HOUR, "view", 1.0))   # ignored type
+    got = _check_vs_oracle(
+        windows.purchase_error_leadlag,
+        windows.ORACLES["purchase_error_leadlag"],
+        tmp_path, "events", _events_table(rows),
+    )
+    by = got.set_index("lag").sort_index()
+    assert list(by.index) == [-3, -2, -1, 0, 1, 2, 3]
+    # span hours 0..6 -> 7 hours; lag L has 7 - |L| aligned pairs
+    assert list(by["n_hours"]) == [4, 5, 6, 7, 6, 5, 4]
+    best = by["corr_pe"].idxmax()
+    assert best == 1 and by.loc[1, "corr_pe"] > 0.99
