@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "qty_return_twosample": relational.qty_return_twosample,
         "qty_permutation_test": relational.qty_permutation_test,
         "purchase_error_leadlag": windows.purchase_error_leadlag,
+        "session_path_census": windows.session_path_census,
         # --- re-confirmation filler continues ------------------------------
         "shipping_priority": relational.shipping_priority,
         "session_windows": windows.session_windows,
@@ -101,7 +102,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_quality": text_analysis.gopher_quality,
         "inverted_index_stats": text_analysis.inverted_index_stats,
         "tfidf_top_terms": text_analysis.tfidf_top_terms,
-        "qty_discount_corr": relational.qty_discount_corr,
         "shared_ngram_docs": text_analysis.shared_ngram_docs,
         "funnel_conversion": windows.funnel_conversion,
         "cust_order_histogram": relational.cust_order_histogram,
@@ -117,6 +117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders_per_segment": relational.top_orders_per_segment,
         "customers_no_big_order": relational.customers_no_big_order,
         "late_order_priority": relational.late_order_priority,
+        "qty_discount_corr": relational.qty_discount_corr,
         # multi-green reconfirmations displaced by the fourth-session
         # rotation (first driver rows for new ops > another green row) ----
         "ntile_order_tiers": relational.ntile_order_tiers,

@@ -4134,3 +4134,108 @@ ORACLES["purchase_error_leadlag"] = (
     "sqrt(CAST(n*sqq - sq*sq AS DOUBLE))) END AS corr_pe FROM m "
     "ORDER BY lag"
 )
+
+
+# ---- session_path_census: grouped variable-length sequence census ----------
+
+_PATH_CAP = 5    # census over each session's first 5 event types
+
+
+def session_path_census(sf_dir: str) -> "pa.Table":
+    """Top-25 most common session PATHS — the ordered sequence of each
+    session's first ``_PATH_CAP`` event types joined with ``>`` ("what
+    do journeys look like?"): the grouped variable-length SEQUENCE
+    census that funnel_conversion (one fixed path) and event_trigrams
+    (sliding fixed-width n-grams, not anchored to session starts) do
+    not express.  Sessions are session_windows' exact definition (24h
+    inactivity gap, (ts, event_id) order), so the two operators agree
+    on session identity by construction.
+
+    Scale shape: the user-partition exchange (complete users per
+    callback, the module pattern), sessionization + path assembly fully
+    vectorized — positions from a segmented cumsum and the join from
+    ``_PATH_CAP`` masked scatter/concat steps (bounded by the CAP, not
+    by sessions) — then per-partition (path, n) partials: the capped
+    alphabet bounds distinct paths by Σ|types|^k, so the gather and the
+    driver fold are census-bounded, never session-bounded.
+
+    Reference anchor: A4's gate-path distribution (SURVEY.md §2.6) —
+    the same question asked of multi-step journeys instead of single
+    decisions."""
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame(
+                {"path": pd.array([], dtype="object"),
+                 "n_partial": pd.array([], dtype="int64")}
+            )
+        g, starts, ends = _user_segments(g)
+        n = len(g)
+        us = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        new_user = np.zeros(n, dtype=bool)
+        new_user[starts] = True
+        gap = np.empty(n, dtype=np.int64)
+        gap[0] = 0
+        gap[1:] = us[1:] - us[:-1]
+        new_sess = new_user | (gap > SESSION_GAP_US)
+        sess_idx = np.cumsum(new_sess) - 1            # 0-based session ordinal
+        s_starts = np.flatnonzero(new_sess)
+        pos = np.arange(n) - s_starts[sess_idx]       # position within session
+        n_sess = len(s_starts)
+        et = g["event_type"].to_numpy()
+        parts = []
+        for j in range(_PATH_CAP):
+            col = np.full(n_sess, "", dtype=object)
+            m = pos == j
+            col[sess_idx[m]] = et[m]
+            parts.append(col)
+        path = parts[0]
+        for col in parts[1:]:
+            has = col != ""
+            path = np.where(has, path + ">" + col, path)
+        vc = pd.Series(path).value_counts()
+        return pd.DataFrame(
+            {"path": vc.index.to_numpy(dtype=object),
+             "n_partial": vc.to_numpy(np.int64)}
+        )
+
+    parts = (
+        _user_partition_map(
+            _events(sf_dir, ["user_id", "ts", "event_id", "event_type"]),
+            _window_parts(sf_dir),
+            per_partition,
+        )
+        .to_pandas()    # bounded: distinct capped paths x partitions
+    )
+    if parts.empty:
+        return pa.table(
+            {"path": pa.array([], pa.string()),
+             "n_sessions": pa.array([], pa.int64())}
+        )
+    agg = (
+        parts.groupby("path", sort=False)["n_partial"].sum().reset_index()
+        .sort_values(["n_partial", "path"], ascending=[False, True])
+        .head(25)
+    )
+    return pa.table(
+        {"path": pa.array(agg["path"].to_numpy(dtype=object), pa.string()),
+         "n_sessions": pa.array(agg["n_partial"].to_numpy(np.int64))}
+    )
+
+
+ORACLES["session_path_census"] = (
+    "WITH g AS (SELECT user_id, ts, event_id, event_type, "
+    "epoch_us(ts) - lag(epoch_us(ts)) OVER "
+    "(PARTITION BY user_id ORDER BY ts, event_id) AS gap_us FROM events), "
+    "s AS (SELECT user_id, event_type, ts, event_id, "
+    "sum(CASE WHEN gap_us IS NULL OR gap_us > 86400000000 THEN 1 ELSE 0 END) "
+    "OVER (PARTITION BY user_id ORDER BY ts, event_id "
+    "ROWS UNBOUNDED PRECEDING) AS sid FROM g), "
+    "r AS (SELECT user_id, sid, event_type, ts, event_id, row_number() "
+    "OVER (PARTITION BY user_id, sid ORDER BY ts, event_id) AS rn FROM s), "
+    f"p AS (SELECT user_id, sid, string_agg(event_type, '>' "
+    f"ORDER BY ts, event_id) AS path FROM r WHERE rn <= {_PATH_CAP} "
+    "GROUP BY 1, 2) "
+    "SELECT path, count(*)::BIGINT AS n_sessions FROM p GROUP BY 1 "
+    "ORDER BY n_sessions DESC, path LIMIT 25"
+)

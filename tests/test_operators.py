@@ -112,7 +112,7 @@ ORACLE_CHECKED = [
     "line_position_profile", "acctbal_band_census",
     "part_type_price_stats", "price_quantiles_exact", "sole_return_blame",
     "supplier_concentration", "revenue_changepoint", "qty_return_twosample",
-    "qty_permutation_test", "purchase_error_leadlag",
+    "qty_permutation_test", "purchase_error_leadlag", "session_path_census",
 ]
 
 
@@ -166,6 +166,7 @@ def test_round5_window_layout(entry_mod):
         "sole_return_blame", "supplier_concentration",
         "revenue_changepoint", "qty_return_twosample",
         "qty_permutation_test", "purchase_error_leadlag",
+        "session_path_census",
         # a sample of the round-3-green reconfirmations kept in-window
         "error_events_pushdown", "shipping_priority", "session_windows",
         "payload_stats", "gopher_quality", "token_counts",

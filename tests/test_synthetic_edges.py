@@ -1654,3 +1654,37 @@ def test_purchase_error_leadlag_lead_detection(ray_session, tmp_path):
     assert list(by["n_hours"]) == [4, 5, 6, 7, 6, 5, 4]
     best = by["corr_pe"].idxmax()
     assert best == 1 and by.loc[1, "corr_pe"] > 0.99
+
+
+def test_session_path_census_cap_gap_and_ties(ray_session, tmp_path):
+    """Pin the path CAP (a 7-event session contributes only its first 5
+    types), the 24h session boundary (a >24h gap starts a NEW path),
+    the (ts, event_id) tie order inside a path, and cross-user path
+    identity (identical journeys from different users sum)."""
+    from langfilter_ray.pipelines import windows
+
+    H = 3_600 * US_SEC
+    rows = []
+    # user 1: one 7-event session -> path = first FIVE types only
+    types7 = ["view", "click", "view", "purchase", "click", "error", "view"]
+    for i, t in enumerate(types7):
+        rows.append((i + 1, 1, i * H, t, 1.0))
+    # user 1 again after a >24h gap: new session (view>click)
+    rows.append((20, 1, 7 * H + 25 * 3_600 * US_SEC, "view", 1.0))
+    rows.append((21, 1, 7 * H + 26 * 3_600 * US_SEC, "click", 1.0))
+    # user 2: SAME ts for both events -> event_id breaks the tie
+    rows.append((31, 2, 0, "view", 1.0))
+    rows.append((32, 2, 0, "click", 1.0))
+    # user 3: identical journey to user 2 -> paths sum to 2
+    rows.append((41, 3, 0, "view", 1.0))
+    rows.append((42, 3, H, "click", 1.0))
+    got = _check_vs_oracle(
+        windows.session_path_census,
+        windows.ORACLES["session_path_census"],
+        tmp_path, "events", _events_table(rows),
+    )
+    by = dict(zip(got["path"], got["n_sessions"]))
+    assert by == {
+        "view>click>view>purchase>click": 1,
+        "view>click": 3,
+    }
