@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "qty_permutation_test": relational.qty_permutation_test,
         "purchase_error_leadlag": windows.purchase_error_leadlag,
         "session_path_census": windows.session_path_census,
+        "copurchase_hub_distances": relational.copurchase_hub_distances,
         # --- re-confirmation filler continues ------------------------------
         "shipping_priority": relational.shipping_priority,
         "session_windows": windows.session_windows,
@@ -104,7 +105,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": text_analysis.tfidf_top_terms,
         "shared_ngram_docs": text_analysis.shared_ngram_docs,
         "funnel_conversion": windows.funnel_conversion,
-        "cust_order_histogram": relational.cust_order_histogram,
         "big_order_customers": relational.big_order_customers,
         "cohort_retention": windows.cohort_retention,
         "token_counts": text_analysis.token_counts,
@@ -118,6 +118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_no_big_order": relational.customers_no_big_order,
         "late_order_priority": relational.late_order_priority,
         "qty_discount_corr": relational.qty_discount_corr,
+        "cust_order_histogram": relational.cust_order_histogram,
         # multi-green reconfirmations displaced by the fourth-session
         # rotation (first driver rows for new ops > another green row) ----
         "ntile_order_tiers": relational.ntile_order_tiers,

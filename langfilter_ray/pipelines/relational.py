@@ -6920,3 +6920,109 @@ ORACLES["qty_permutation_test"] = (
     f"CAST(1 + e.n_extreme AS DOUBLE) / CAST({_PERM_K + 1} AS DOUBLE) "
     "AS p_value FROM o, e"
 )
+
+
+# ---- copurchase_hub_distances: BFS traversal over the item graph ----------
+
+_BFS_MAX_DEPTH = 6
+
+
+def copurchase_hub_distances(sf_dir: str) -> "pa.Table":
+    """Breadth-first-search distance census from the co-purchase graph's
+    HUB (highest-degree part, ties to the smaller partkey): how many
+    parts sit at distance 0, 1, 2, ... ≤ 6 hops, with one ``-1`` row
+    counting parts not reached within the cap — graph TRAVERSAL, the
+    family the existing graph ops don't cover (pagerank = message
+    passing to a fixpoint, dedup_components = label convergence,
+    triangle_count = local census; BFS's per-round state is a frontier
+    whose CONTENT depends on every previous round).
+
+    Scale shape: copurchase_pagerank's exact skeleton — distinct edges
+    from ``_copurchase_edges`` materialized once, node state (dist
+    array) bounded by the part CATALOG (a dimension, like kmeans
+    centroids) and broadcast per round via ray.put, each round ONE
+    streaming pass over the edge list emitting newly-reached node ids
+    (≤ |catalog| x blocks); ≤ 6 rounds, early exit on an empty
+    frontier.  For an SF-proportional node set the documented upgrade
+    path is the join formulation (frontier as a Dataset, edges ⋈
+    frontier + anti-join visited per round).
+
+    Exactness: distances are small ints; the SQL mirror is a bounded
+    recursive CTE (UNION dedup, depth-capped) min-folded per node, so
+    the histogram matches bit for bit."""
+    edges = _copurchase_edges(sf_dir)
+    lo_mask = _PH_LO_MASK
+
+    degs = (
+        edges.map_batches(_edge_deg_partial, batch_format="pyarrow")
+        .to_pandas()   # bounded: |catalog| x edge blocks
+    )
+    empty = pa.table(
+        {"distance": pa.array([], pa.int64()),
+         "n_parts": pa.array([], pa.int64())}
+    )
+    if degs.empty:
+        return empty
+    folded = degs.groupby("node")["dp"].sum()
+    nodes = folded.index.to_numpy()          # sorted
+    d = folded.to_numpy().astype(np.int64)
+    hub_idx = int(np.lexsort((nodes, -d))[0])
+
+    dist = np.full(len(nodes), -1, np.int64)
+    dist[hub_idx] = 0
+    for depth in range(_BFS_MAX_DEPTH):
+        ref = ray.put((nodes, dist == depth, dist >= 0))
+
+        def frontier_partial(t: pa.Table, _ref=ref) -> pa.Table:
+            nd, front, seen = ray.get(_ref)
+            ph = t["ph"].to_numpy()
+            ia = np.searchsorted(nd, ph >> np.int64(32))
+            ib = np.searchsorted(nd, ph & lo_mask)
+            new = np.concatenate(
+                [ib[front[ia] & ~seen[ib]], ia[front[ib] & ~seen[ia]]]
+            )
+            return pa.table({"idx": pa.array(np.unique(new))})
+
+        parts = edges.map_batches(
+            frontier_partial, batch_format="pyarrow"
+        ).to_pandas()   # bounded: |catalog| x edge blocks
+        if parts.empty:
+            break
+        new_idx = np.unique(parts["idx"].to_numpy())
+        if len(new_idx) == 0:
+            break
+        dist[new_idx] = depth + 1
+
+    reached, counts = np.unique(dist[dist >= 0], return_counts=True)
+    out_d = [int(x) for x in reached]
+    out_n = [int(x) for x in counts]
+    unreached = int((dist < 0).sum())
+    if unreached > 0:
+        out_d = [-1] + out_d
+        out_n = [unreached] + out_n
+    return pa.table(
+        {"distance": pa.array(out_d, pa.int64()),
+         "n_parts": pa.array(out_n, pa.int64())}
+    )
+
+
+ORACLES["copurchase_hub_distances"] = (
+    "WITH RECURSIVE pairs AS (SELECT DISTINCT l1.l_partkey AS p1, "
+    "l2.l_partkey AS p2 FROM lineitem l1 JOIN lineitem l2 "
+    "ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey), "
+    "edges AS (SELECT p1 AS src, p2 AS dst FROM pairs "
+    "UNION ALL SELECT p2 AS src, p1 AS dst FROM pairs), "
+    "deg AS (SELECT src AS node, count(*)::BIGINT AS d "
+    "FROM edges GROUP BY 1), "
+    "hub AS (SELECT node FROM deg ORDER BY d DESC, node LIMIT 1), "
+    "bfs(node, dist) AS (SELECT node, 0 FROM hub UNION "
+    "SELECT e.dst, bfs.dist + 1 FROM bfs JOIN edges e "
+    f"ON e.src = bfs.node WHERE bfs.dist < {_BFS_MAX_DEPTH}), "
+    "reach AS (SELECT node, min(dist)::BIGINT AS dist FROM bfs GROUP BY 1), "
+    "un AS (SELECT count(*)::BIGINT AS c FROM deg "
+    "WHERE node NOT IN (SELECT node FROM reach)) "
+    "SELECT dist AS distance, count(*)::BIGINT AS n_parts "
+    "FROM reach GROUP BY 1 "
+    "UNION ALL SELECT -1::BIGINT, c FROM un WHERE c > 0 "
+    "ORDER BY distance"
+)

@@ -1688,3 +1688,51 @@ def test_session_path_census_cap_gap_and_ties(ray_session, tmp_path):
         "view>click>view>purchase>click": 1,
         "view>click": 3,
     }
+
+
+def test_copurchase_hub_distances_chain_and_unreached(ray_session, tmp_path):
+    """Pin the hub tie-break (max degree, then smaller partkey), exact
+    hop distances on a chain, the 6-hop cap (a 7-hop node is NOT
+    reached), and the -1 bucket counting beyond-cap plus disconnected
+    parts."""
+    from langfilter_ray.pipelines import relational
+
+    # chain 1-2-...-9 (one order per edge) + disconnected pair 100-101
+    pairs = [(i, i + 1) for i in range(1, 9)] + [(100, 101)]
+    ok_, pk_ = [], []
+    for o, (a, b) in enumerate(pairs, start=1):
+        ok_ += [o, o]
+        pk_ += [a, b]
+    n = len(ok_)
+    lineitem = pa.table(
+        {
+            "l_orderkey": pa.array(ok_, pa.int64()),
+            "l_partkey": pa.array(pk_, pa.int64()),
+            "l_suppkey": pa.array([1] * n, pa.int64()),
+            "l_linenumber": pa.array([1, 2] * (n // 2), pa.int32()),
+            "l_quantity": pa.array([1.0] * n, pa.float64()),
+            "l_extendedprice": pa.array([1.0] * n, pa.float64()),
+            "l_discount": pa.array([0.0] * n, pa.float64()),
+            "l_tax": pa.array([0.0] * n, pa.float64()),
+            "l_returnflag": pa.array(["N"] * n, pa.string()),
+            "l_linestatus": pa.array(["O"] * n, pa.string()),
+            "l_shipdate": pa.array(
+                [np.datetime64("2024-03-02T00:00:00", "us")] * n,
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    pq.write_table(lineitem, tmp_path / "lineitem.parquet")
+    got = _to_pandas(relational.copurchase_hub_distances(str(tmp_path)))
+    c = duckdb.connect()
+    c.execute(
+        f"CREATE VIEW lineitem AS SELECT * "
+        f"FROM read_parquet('{tmp_path}/lineitem.parquet')"
+    )
+    want = c.execute(relational.ORACLES["copurchase_hub_distances"]).df()
+    problems = compare_frames(_canon(got), _canon(want))
+    assert not problems, (problems, first_diff(_canon(got), _canon(want)))
+    # hub = part 2 (degree 2 tie broken to the smallest 2-degree key);
+    # node 9 sits 7 hops out (beyond cap), 100/101 are disconnected
+    by = dict(zip(got["distance"], got["n_parts"]))
+    assert by == {-1: 3, 0: 1, 1: 2, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1}
