@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "purchase_error_leadlag": windows.purchase_error_leadlag,
         "session_path_census": windows.session_path_census,
         "copurchase_hub_distances": relational.copurchase_hub_distances,
+        "embedding_top_eigval": similarity.embedding_top_eigval,
         # --- re-confirmation filler continues ------------------------------
         "shipping_priority": relational.shipping_priority,
         "session_windows": windows.session_windows,
@@ -103,7 +104,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_quality": text_analysis.gopher_quality,
         "inverted_index_stats": text_analysis.inverted_index_stats,
         "tfidf_top_terms": text_analysis.tfidf_top_terms,
-        "shared_ngram_docs": text_analysis.shared_ngram_docs,
         "funnel_conversion": windows.funnel_conversion,
         "big_order_customers": relational.big_order_customers,
         "cohort_retention": windows.cohort_retention,
@@ -119,6 +119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "late_order_priority": relational.late_order_priority,
         "qty_discount_corr": relational.qty_discount_corr,
         "cust_order_histogram": relational.cust_order_histogram,
+        "shared_ngram_docs": text_analysis.shared_ngram_docs,
         # multi-green reconfirmations displaced by the fourth-session
         # rotation (first driver rows for new ops > another green row) ----
         "ntile_order_tiers": relational.ntile_order_tiers,

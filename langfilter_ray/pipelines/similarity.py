@@ -786,3 +786,139 @@ ORACLES["label_quant_gram"] = (
     "FROM s a JOIN s b ON a.dim = b.dim AND a.label <= b.label "
     "GROUP BY 1, 2"
 )
+
+
+# ---- embedding_top_eigval: spectral power iteration, bit-exact -------------
+
+_EIG_DIM = 64          # the corpus embedding width (SQL mirror constant)
+_EIG_ITERS = 4
+_EIG_VCAP = 32768      # rescale bound between iterations
+
+
+def embedding_top_eigval(sf_dir: str) -> pa.Table:
+    """Top eigenvalue (Rayleigh quotient) of the QUANTIZED embedding
+    second-moment matrix ``C = Σ x_q·x_qᵀ`` via 4 deterministic power-
+    iteration steps — the SPECTRAL family (dominant direction / variance
+    concentration of an embedding corpus), which no census or centroid
+    op covers: the iterate couples all d² cells of a matrix fixpoint.
+
+    Exactness (the kmeans/label_quant_gram discipline, one level up):
+    components quantize first (floor(x·1000 + 0.5) in float64), C folds
+    as exact int64; every iteration is integer — matvec, then rescale by
+    ``s = max(1, max|w| // VCAP)`` with TRUNCATING division spelled
+    ``sign(w)·(|w| // s)`` on BOTH sides (DuckDB ``//`` truncates toward
+    zero, numpy floors — the explicit form is engine-independent); the
+    driver does matvecs in Python big ints and the SQL mirror in
+    HUGEINT, because v·C·v overflows int64 BY DESIGN; the single float
+    division at the end (−1.0 sentinel on a zero vector) hash-matches.
+
+    Scale shape: one streaming pass, per batch a d×d int64 gram partial
+    (q2dᵀ·q2d, one matmul) — d² cells per block, never rows; driver
+    state d² ints + a d-vector, like kmeans' centroids.
+
+    Reference anchor: T1's embedding probe (SURVEY.md §2.3) aggregated
+    to the corpus-geometry question ("is the space collapsing to one
+    direction?") that embedding-quality audits ask."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"cell": pa.array([], pa.int64()),
+             "v": pa.array([], pa.int64())}
+        )
+        if len(t) == 0:
+            return empty
+        emb = t["embedding"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        flat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        q = np.floor(flat * EMB_QUANT_SCALE + 0.5).astype(np.int64)
+        offs = emb.offsets.to_numpy()
+        d = int(offs[1] - offs[0]) if len(offs) > 1 else 0
+        if d == 0:
+            return empty
+        q2d = q.reshape(-1, d)
+        g = q2d.T @ q2d                      # d x d int64 gram partial
+        return pa.table(
+            {"cell": pa.array(np.arange(d * d, dtype=np.int64)),
+             "v": pa.array(g.reshape(-1))}
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding"]
+    )
+    parts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .to_pandas()    # bounded: d^2 x blocks, never rows
+    )
+    empty = pa.table(
+        {"n_vecs": pa.array([], pa.int64()),
+         "rayleigh": pa.array([], pa.float64()),
+         "top_coord": pa.array([], pa.int64()),
+         "top_sign": pa.array([], pa.int64())}
+    )
+    if parts.empty:
+        return empty
+    folded = parts.groupby("cell")["v"].sum()
+    d = int(round(len(folded) ** 0.5))
+    C = [[int(x) for x in row] for row in
+         folded.to_numpy().reshape(d, d)]    # Python big ints from here on
+    n_vecs = int(ds.count())
+
+    def matvec(m, vec):
+        return [sum(m[i][j] * vec[j] for j in range(d)) for i in range(d)]
+
+    v = [1] * d
+    for _ in range(_EIG_ITERS):
+        w = matvec(C, v)
+        s = max(max(abs(x) for x in w) // _EIG_VCAP, 1)
+        v = [(1 if x > 0 else -1 if x < 0 else 0) * (abs(x) // s) for x in w]
+    wf = matvec(C, v)
+    num = sum(a * b for a, b in zip(v, wf))
+    den = sum(a * a for a in v)
+    rayleigh = -1.0 if den == 0 else float(num) / float(den)
+    top = min(range(d), key=lambda i: (-abs(v[i]), i))
+    sign = 1 if v[top] > 0 else -1 if v[top] < 0 else 0
+    return pa.table(
+        {"n_vecs": pa.array([n_vecs], pa.int64()),
+         "rayleigh": pa.array([rayleigh], pa.float64()),
+         "top_coord": pa.array([top], pa.int64()),
+         "top_sign": pa.array([sign], pa.int64())}
+    )
+
+
+def _eig_iter_sql(k: int) -> str:
+    prev = f"v{k - 1}"
+    return (
+        f"w{k} AS (SELECT c.i, sum(c.v::HUGEINT * {prev}.v) AS w "
+        f"FROM c JOIN {prev} ON c.j = {prev}.i GROUP BY 1), "
+        f"s{k} AS (SELECT greatest(max(abs(w)) // {_EIG_VCAP}, "
+        "1::HUGEINT) AS s "
+        f"FROM w{k}), "
+        f"v{k} AS (SELECT i, sign(w)::HUGEINT * (abs(w) // s) AS v "
+        f"FROM w{k}, s{k}), "
+    )
+
+
+ORACLES["embedding_top_eigval"] = (
+    f"WITH r AS (SELECT e.vec_id, t.i::BIGINT AS i, "
+    "CAST(floor(CAST(e.embedding[t.i + 1] AS DOUBLE) * "
+    f"{EMB_QUANT_SCALE}.0 + 0.5) AS BIGINT) AS x "
+    f"FROM embeddings e, range({_EIG_DIM}) t(i)), "
+    "c AS (SELECT a.i, b.i AS j, sum(a.x * b.x)::BIGINT AS v "
+    "FROM r a JOIN r b USING (vec_id) GROUP BY 1, 2), "
+    f"v0 AS (SELECT i::BIGINT AS i, 1::HUGEINT AS v "
+    f"FROM range({_EIG_DIM}) t(i)), "
+    + "".join(_eig_iter_sql(k) for k in range(1, _EIG_ITERS + 1))
+    + f"wf AS (SELECT c.i, sum(c.v::HUGEINT * v{_EIG_ITERS}.v) AS w "
+    f"FROM c JOIN v{_EIG_ITERS} ON c.j = v{_EIG_ITERS}.i GROUP BY 1), "
+    f"ray AS (SELECT sum(v{_EIG_ITERS}.v * wf.w) AS num, "
+    f"sum(v{_EIG_ITERS}.v * v{_EIG_ITERS}.v) AS den "
+    f"FROM v{_EIG_ITERS} JOIN wf ON v{_EIG_ITERS}.i = wf.i), "
+    f"top AS (SELECT i, v FROM v{_EIG_ITERS} "
+    "ORDER BY abs(v) DESC, i LIMIT 1), "
+    "n AS (SELECT count(*)::BIGINT AS n_vecs FROM embeddings) "
+    "SELECT n.n_vecs, CASE WHEN ray.den = 0 THEN -1.0 ELSE "
+    "CAST(ray.num AS DOUBLE) / CAST(ray.den AS DOUBLE) END AS rayleigh, "
+    "top.i AS top_coord, sign(top.v)::BIGINT AS top_sign "
+    "FROM n, ray, top"
+)

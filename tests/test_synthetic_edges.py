@@ -1736,3 +1736,61 @@ def test_copurchase_hub_distances_chain_and_unreached(ray_session, tmp_path):
     # node 9 sits 7 hops out (beyond cap), 100/101 are disconnected
     by = dict(zip(got["distance"], got["n_parts"]))
     assert by == {-1: 3, 0: 1, 1: 2, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1}
+
+
+def _write_embeddings(tmp_path, vecs):
+    """vecs: list of 64-float lists."""
+    emb = pa.table(
+        {
+            "vec_id": pa.array(list(range(1, len(vecs) + 1)), pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            "label": pa.array([0] * len(vecs), pa.int32()),
+        }
+    )
+    pq.write_table(emb, tmp_path / "embeddings.parquet")
+
+
+def test_embedding_top_eigval_axis_and_zero(ray_session, tmp_path):
+    """Pin the spectral arithmetic on a hand-computable spectrum: all
+    vectors along coordinate 7 (C is a single diagonal cell, so the
+    Rayleigh quotient is EXACTLY n·(0.5·1000)² and the eigenvector is
+    e7 regardless of the mixed signs), and the all-zero corpus (zero
+    iterate -> -1.0 sentinel, argmax tie resolves to coordinate 0)."""
+    from langfilter_ray.pipelines import similarity
+
+    d = tmp_path / "axis"
+    d.mkdir()
+    vecs = []
+    for s in (0.5, 0.5, -0.5):
+        v = [0.0] * 64
+        v[7] = s
+        vecs.append(v)
+    _write_embeddings(d, vecs)
+    got = _to_pandas(similarity.embedding_top_eigval(str(d)))
+    c = duckdb.connect()
+    c.execute(
+        f"CREATE VIEW embeddings AS SELECT * "
+        f"FROM read_parquet('{d}/embeddings.parquet')"
+    )
+    want = c.execute(similarity.ORACLES["embedding_top_eigval"]).df()
+    problems = compare_frames(_canon(got), _canon(want))
+    assert not problems, (problems, first_diff(_canon(got), _canon(want)))
+    r = got.iloc[0]
+    assert r["rayleigh"] == 3 * 500.0 ** 2       # n * (0.5*1000)^2 exactly
+    assert (int(r["top_coord"]), int(r["top_sign"])) == (7, 1)
+
+    z = tmp_path / "zero"
+    z.mkdir()
+    _write_embeddings(z, [[0.0] * 64, [0.0] * 64])
+    got_z = _to_pandas(similarity.embedding_top_eigval(str(z)))
+    c2 = duckdb.connect()
+    c2.execute(
+        f"CREATE VIEW embeddings AS SELECT * "
+        f"FROM read_parquet('{z}/embeddings.parquet')"
+    )
+    want_z = c2.execute(similarity.ORACLES["embedding_top_eigval"]).df()
+    problems = compare_frames(_canon(got_z), _canon(want_z))
+    assert not problems, (problems, first_diff(_canon(got_z), _canon(want_z)))
+    r = got_z.iloc[0]
+    assert r["rayleigh"] == -1.0
+    assert (int(r["top_coord"]), int(r["top_sign"])) == (0, 0)
