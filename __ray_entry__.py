@@ -97,12 +97,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_path_census": windows.session_path_census,
         "copurchase_hub_distances": relational.copurchase_hub_distances,
         "embedding_top_eigval": similarity.embedding_top_eigval,
+        "part_cloud_diameter": relational.part_cloud_diameter,
         # --- re-confirmation filler continues ------------------------------
         "shipping_priority": relational.shipping_priority,
         "session_windows": windows.session_windows,
         "payload_stats": multimodal.payload_stats,
         "gopher_quality": text_analysis.gopher_quality,
-        "inverted_index_stats": text_analysis.inverted_index_stats,
         "tfidf_top_terms": text_analysis.tfidf_top_terms,
         "funnel_conversion": windows.funnel_conversion,
         "big_order_customers": relational.big_order_customers,
@@ -120,6 +120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "qty_discount_corr": relational.qty_discount_corr,
         "cust_order_histogram": relational.cust_order_histogram,
         "shared_ngram_docs": text_analysis.shared_ngram_docs,
+        "inverted_index_stats": text_analysis.inverted_index_stats,
         # multi-green reconfirmations displaced by the fourth-session
         # rotation (first driver rows for new ops > another green row) ----
         "ntile_order_tiers": relational.ntile_order_tiers,

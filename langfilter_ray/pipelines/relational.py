@@ -7026,3 +7026,123 @@ ORACLES["copurchase_hub_distances"] = (
     "UNION ALL SELECT -1::BIGINT, c FROM un WHERE c > 0 "
     "ORDER BY distance"
 )
+
+
+# ---- part_cloud_diameter: extremal pair via convex-hull reduction ----------
+
+def part_cloud_diameter(sf_dir: str) -> "pa.Table":
+    """Farthest pair (DIAMETER) of the per-part point cloud
+    ``(Σ quantity, Σ gross cents)`` — "which two parts are most
+    dissimilar by volume-and-revenue?", the computational-geometry
+    family: a global EXTREMAL-PAIR statistic that is all-pairs by
+    definition, made scale-safe by the hull theorem (both endpoints of
+    a maximum-distance pair are convex-hull VERTICES — a point strictly
+    inside a hull edge is strictly closer to everything than one of the
+    edge's endpoints), so the quadratic step runs over the hull's few
+    vertices, never the catalog.
+
+    Scale shape: in-batch pyarrow (part, qty, cents) sum partials,
+    gather bounded by the part CATALOG (a dimension, the pagerank-node
+    precedent), Andrew monotone-chain hull with Python-big-int cross
+    products on the driver, exact-int d² over hull pairs.  Tie-breaks
+    are fully pinned: per coordinate the SMALLEST partkey represents it
+    (the lexicographically smallest tie pair is always sorted(minA,
+    minB)), equal d² resolves to the smaller (part_a, part_b); if every
+    part shares one coordinate the answer is the two smallest partkeys
+    at distance 0, matching the SQL total order.
+
+    Reference anchor: O3's top-k (SURVEY.md §2.7) pushed to a PAIRWISE
+    objective no per-row sort key can express."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {"p": pa.array([], pa.int64()),
+                 "x": pa.array([], pa.int64()),
+                 "y": pa.array([], pa.int64())}
+            )
+        qi = np.floor(t["l_quantity"].to_numpy() + 0.5).astype(np.int64)
+        ci = np.floor(
+            t["l_extendedprice"].to_numpy() * 100.0 + 0.5
+        ).astype(np.int64)
+        g = (
+            pa.table({"p": t["l_partkey"], "x": pa.array(qi),
+                      "y": pa.array(ci)})
+            .group_by("p")
+            .aggregate([("x", "sum"), ("y", "sum")])
+        )
+        return pa.table({"p": g["p"], "x": g["x_sum"], "y": g["y_sum"]})
+
+    pts = (
+        _read(sf_dir, "lineitem",
+              ["l_partkey", "l_quantity", "l_extendedprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()    # bounded: |catalog| x blocks
+    )
+    empty = pa.table(
+        {"part_a": pa.array([], pa.int64()),
+         "part_b": pa.array([], pa.int64()),
+         "dist2": pa.array([], pa.int64())}
+    )
+    if pts.empty:
+        return empty
+    agg = pts.groupby("p", sort=True)[["x", "y"]].sum().reset_index()
+    if len(agg) < 2:
+        return empty
+    # smallest (and second-smallest) partkey per coordinate
+    coord: dict[tuple[int, int], list[int]] = {}
+    for p, x, y in zip(agg["p"], agg["x"], agg["y"]):
+        c = (int(x), int(y))
+        keep = coord.setdefault(c, [])
+        keep.append(int(p))
+        keep.sort()
+        del keep[2:]
+    uniq = sorted(coord)                  # lexicographic (x, y)
+    if len(uniq) == 1:
+        ps = coord[uniq[0]]
+        return pa.table(
+            {"part_a": pa.array([ps[0]], pa.int64()),
+             "part_b": pa.array([ps[1]], pa.int64()),
+             "dist2": pa.array([0], pa.int64())}
+        )
+
+    def cross(o, a, b):
+        return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+    def half(points):
+        h = []
+        for pt in points:
+            while len(h) >= 2 and cross(h[-2], h[-1], pt) <= 0:
+                h.pop()
+            h.append(pt)
+        return h
+
+    hull = half(uniq)[:-1] + half(uniq[::-1])[:-1]   # vertices only
+    best = None
+    for i in range(len(hull)):
+        for j in range(i + 1, len(hull)):
+            a, b = hull[i], hull[j]
+            d2 = (a[0] - b[0]) ** 2 + (a[1] - b[1]) ** 2
+            pair = tuple(sorted((coord[a][0], coord[b][0])))
+            key = (-d2, pair)
+            if best is None or key < best:
+                best = key
+    d2 = -best[0]
+    return pa.table(
+        {"part_a": pa.array([best[1][0]], pa.int64()),
+         "part_b": pa.array([best[1][1]], pa.int64()),
+         "dist2": pa.array([d2], pa.int64())}
+    )
+
+
+ORACLES["part_cloud_diameter"] = (
+    "WITH pts AS (SELECT l_partkey AS p, "
+    "sum(CAST(floor(l_quantity + 0.5) AS BIGINT))::BIGINT AS x, "
+    "sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT))::BIGINT "
+    "AS y FROM lineitem GROUP BY 1) "
+    "SELECT a.p AS part_a, b.p AS part_b, "
+    "((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y))::BIGINT "
+    "AS dist2 "
+    "FROM pts a JOIN pts b ON a.p < b.p "
+    "ORDER BY dist2 DESC, part_a, part_b LIMIT 1"
+)

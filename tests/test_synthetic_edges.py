@@ -1794,3 +1794,73 @@ def test_embedding_top_eigval_axis_and_zero(ray_session, tmp_path):
     r = got_z.iloc[0]
     assert r["rayleigh"] == -1.0
     assert (int(r["top_coord"]), int(r["top_sign"])) == (0, 0)
+
+
+def _write_lineitem_points(tmp_path, rows):
+    """rows = [(partkey, qty, price), ...] — one point contribution each."""
+    n = len(rows)
+    lineitem = pa.table(
+        {
+            "l_orderkey": pa.array(list(range(1, n + 1)), pa.int64()),
+            "l_partkey": pa.array([p for p, _, _ in rows], pa.int64()),
+            "l_suppkey": pa.array([1] * n, pa.int64()),
+            "l_linenumber": pa.array([1] * n, pa.int32()),
+            "l_quantity": pa.array([float(q) for _, q, _ in rows],
+                                   pa.float64()),
+            "l_extendedprice": pa.array([float(c) for _, _, c in rows],
+                                        pa.float64()),
+            "l_discount": pa.array([0.0] * n, pa.float64()),
+            "l_tax": pa.array([0.0] * n, pa.float64()),
+            "l_returnflag": pa.array(["N"] * n, pa.string()),
+            "l_linestatus": pa.array(["O"] * n, pa.string()),
+            "l_shipdate": pa.array(
+                [np.datetime64("2024-03-02T00:00:00", "us")] * n,
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    pq.write_table(lineitem, tmp_path / "lineitem.parquet")
+
+
+def test_part_cloud_diameter_hull_ties_degenerate(ray_session, tmp_path):
+    """Pin the hull reduction (a collinear boundary part never wins),
+    the coordinate-duplicate tie (the SMALLEST partkey represents a
+    coordinate), the equal-d2 tie across coordinate pairs (smaller
+    sorted pair wins), and the all-one-coordinate degenerate (two
+    smallest partkeys at distance 0)."""
+    from langfilter_ray.pipelines import relational
+
+    def run(d, rows):
+        d.mkdir()
+        _write_lineitem_points(d, rows)
+        got = _to_pandas(relational.part_cloud_diameter(str(d)))
+        c = duckdb.connect()
+        c.execute(
+            f"CREATE VIEW lineitem AS SELECT * "
+            f"FROM read_parquet('{d}/lineitem.parquet')"
+        )
+        want = c.execute(relational.ORACLES["part_cloud_diameter"]).df()
+        problems = compare_frames(_canon(got), _canon(want))
+        assert not problems, (problems, first_diff(_canon(got), _canon(want)))
+        r = got.iloc[0]
+        return (int(r["part_a"]), int(r["part_b"]), int(r["dist2"]))
+
+    # prices are in units of 0.01 -> cents == the integer passed / 1
+    # part 3 sits ON the (0,0)-(10,0) edge (collinear, not a vertex);
+    # parts 4 and 5 duplicate the endpoint coordinates with larger keys
+    case1 = run(tmp_path / "hull", [
+        (1, 0, 0.0), (2, 10, 0.0), (3, 5, 0.0), (4, 0, 0.0), (5, 10, 0.0),
+    ])
+    assert case1 == (1, 2, 100)
+
+    # square: both diagonals tie at d2=200 -> sorted pairs (5,6) vs (2,3)
+    case2 = run(tmp_path / "square", [
+        (6, 0, 0.0), (2, 10, 0.0), (3, 0, 0.1), (5, 10, 0.1),
+    ])
+    assert case2 == (2, 3, 200)
+
+    # all parts at one coordinate -> two smallest keys, distance 0
+    case3 = run(tmp_path / "point", [
+        (9, 3, 5.0), (4, 3, 5.0), (7, 3, 5.0),
+    ])
+    assert case3 == (4, 7, 0)
