@@ -6824,7 +6824,7 @@ def qty_permutation_test(sf_dir: str) -> "pa.Table":
              "sr": pa.array([int((q * g).sum())], pa.int64())}
         )
 
-    cols = ["l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"]
+    cols = ["l_orderkey", "l_linenumber", "l_quantity"]
     m = (
         _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
         .map_batches(moments, batch_format="pyarrow")
@@ -6986,12 +6986,9 @@ def copurchase_hub_distances(sf_dir: str) -> "pa.Table":
         parts = edges.map_batches(
             frontier_partial, batch_format="pyarrow"
         ).to_pandas()   # bounded: |catalog| x edge blocks
-        if parts.empty:
+        if parts.empty:    # empty frontier: BFS is done before the cap
             break
-        new_idx = np.unique(parts["idx"].to_numpy())
-        if len(new_idx) == 0:
-            break
-        dist[new_idx] = depth + 1
+        dist[np.unique(parts["idx"].to_numpy())] = depth + 1
 
     reached, counts = np.unique(dist[dist >= 0], return_counts=True)
     out_d = [int(x) for x in reached]
@@ -7089,14 +7086,16 @@ def part_cloud_diameter(sf_dir: str) -> "pa.Table":
     agg = pts.groupby("p", sort=True)[["x", "y"]].sum().reset_index()
     if len(agg) < 2:
         return empty
-    # smallest (and second-smallest) partkey per coordinate
-    coord: dict[tuple[int, int], list[int]] = {}
-    for p, x, y in zip(agg["p"], agg["x"], agg["y"]):
-        c = (int(x), int(y))
-        keep = coord.setdefault(c, [])
-        keep.append(int(p))
-        keep.sort()
-        del keep[2:]
+    # smallest (and second-smallest) partkey per coordinate — vectorized:
+    # the catalog scales with SF, so no per-part Python loop here
+    two = (
+        agg.sort_values(["x", "y", "p"])
+        .groupby(["x", "y"], sort=True)["p"].agg(list).str[:2]
+    )
+    coord = {
+        (int(x), int(y)): [int(p) for p in ps]
+        for (x, y), ps in two.items()
+    }
     uniq = sorted(coord)                  # lexicographic (x, y)
     if len(uniq) == 1:
         ps = coord[uniq[0]]

@@ -860,6 +860,11 @@ def embedding_top_eigval(sf_dir: str) -> pa.Table:
         return empty
     folded = parts.groupby("cell")["v"].sum()
     d = int(round(len(folded) ** 0.5))
+    if d != _EIG_DIM:
+        raise ValueError(
+            f"embedding width {d} != _EIG_DIM {_EIG_DIM}: the SQL mirror "
+            "hardcodes the width — update the constant with the corpus"
+        )
     C = [[int(x) for x in row] for row in
          folded.to_numpy().reshape(d, d)]    # Python big ints from here on
     n_vecs = int(ds.count())
