@@ -98,12 +98,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchase_hub_distances": relational.copurchase_hub_distances,
         "embedding_top_eigval": similarity.embedding_top_eigval,
         "part_cloud_diameter": relational.part_cloud_diameter,
+        "price_tick_gcd": relational.price_tick_gcd,
         # --- re-confirmation filler continues ------------------------------
         "shipping_priority": relational.shipping_priority,
         "session_windows": windows.session_windows,
         "payload_stats": multimodal.payload_stats,
         "gopher_quality": text_analysis.gopher_quality,
-        "tfidf_top_terms": text_analysis.tfidf_top_terms,
         "funnel_conversion": windows.funnel_conversion,
         "big_order_customers": relational.big_order_customers,
         "cohort_retention": windows.cohort_retention,
@@ -121,6 +121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cust_order_histogram": relational.cust_order_histogram,
         "shared_ngram_docs": text_analysis.shared_ngram_docs,
         "inverted_index_stats": text_analysis.inverted_index_stats,
+        "tfidf_top_terms": text_analysis.tfidf_top_terms,
         # multi-green reconfirmations displaced by the fourth-session
         # rotation (first driver rows for new ops > another green row) ----
         "ntile_order_tiers": relational.ntile_order_tiers,

@@ -7145,3 +7145,90 @@ ORACLES["part_cloud_diameter"] = (
     "FROM pts a JOIN pts b ON a.p < b.p "
     "ORDER BY dist2 DESC, part_a, part_b LIMIT 1"
 )
+
+
+# ---- price_tick_gcd: non-sum monoid reduce (tick-size detection) -----------
+
+def price_tick_gcd(sf_dir: str) -> "pa.Table":
+    """Per-priority price GRANULARITY: the GCD of every order's
+    total-price cents (plus count and max) — "what is the real tick
+    size of these prices?", the data-profiling question that detects
+    cent vs 5-cent vs dollar quantization.  The point of the operator
+    is ALGEBRAIC: GCD is an associative-commutative monoid that is
+    neither a sum nor an order statistic, so it demonstrates the
+    general partial-aggregate contract (any monoid folds per batch,
+    then once on the driver) that Ray Data's built-in aggregates don't
+    ship; the DuckDB mirror folds the same monoid via
+    ``list_reduce(list(cents), gcd)``.
+
+    Scale shape: one streaming pass; each batch emits one (priority,
+    gcd, n, max) row per BOUNDED priority group — the gather is groups
+    × blocks, never rows; ``gcd(0, x) = x`` on both engines makes the
+    zero-cent row a no-op, and the fold needs no identity element
+    because every partial comes from ≥1 row.
+
+    Reference anchor: A5's counters (SURVEY.md §2.6) generalized from
+    the sum monoid to an arbitrary one."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"priority": pa.array([], pa.string()),
+             "g": pa.array([], pa.int64()),
+             "n": pa.array([], pa.int64()),
+             "mx": pa.array([], pa.int64())}
+        )
+        if len(t) == 0:
+            return empty
+        cents = np.floor(
+            t["o_totalprice"].to_numpy() * 100.0 + 0.5
+        ).astype(np.int64)
+        pr = t["o_orderpriority"].to_numpy(zero_copy_only=False)
+        out_p, out_g, out_n, out_m = [], [], [], []
+        for p in np.unique(pr):            # bounded priority alphabet
+            c = cents[pr == p]
+            out_p.append(str(p))
+            out_g.append(int(np.gcd.reduce(c)))
+            out_n.append(len(c))
+            out_m.append(int(c.max()))
+        return pa.table(
+            {"priority": pa.array(out_p, pa.string()),
+             "g": pa.array(out_g, pa.int64()),
+             "n": pa.array(out_n, pa.int64()),
+             "mx": pa.array(out_m, pa.int64())}
+        )
+
+    parts = (
+        _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()    # bounded: priority groups x blocks
+    )
+    if parts.empty:
+        return pa.table(
+            {"priority": pa.array([], pa.string()),
+             "n_orders": pa.array([], pa.int64()),
+             "tick_cents": pa.array([], pa.int64()),
+             "max_cents": pa.array([], pa.int64())}
+        )
+    agg = parts.groupby("priority", sort=True).agg(
+        n_orders=("n", "sum"),
+        tick_cents=("g", lambda s: int(np.gcd.reduce(s.to_numpy()))),
+        max_cents=("mx", "max"),
+    ).reset_index()
+    return pa.table(
+        {"priority": pa.array(agg["priority"].to_numpy(dtype=object),
+                              pa.string()),
+         "n_orders": pa.array(agg["n_orders"].to_numpy(np.int64)),
+         "tick_cents": pa.array(agg["tick_cents"].to_numpy(np.int64)),
+         "max_cents": pa.array(agg["max_cents"].to_numpy(np.int64))}
+    )
+
+
+ORACLES["price_tick_gcd"] = (
+    "WITH c AS (SELECT o_orderpriority AS priority, "
+    "CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents "
+    "FROM orders) "
+    "SELECT priority, count(*)::BIGINT AS n_orders, "
+    "list_reduce(list(cents), (a, b) -> gcd(a, b))::BIGINT AS tick_cents, "
+    "max(cents)::BIGINT AS max_cents "
+    "FROM c GROUP BY 1 ORDER BY 1"
+)

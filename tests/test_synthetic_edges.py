@@ -1864,3 +1864,42 @@ def test_part_cloud_diameter_hull_ties_degenerate(ray_session, tmp_path):
         (9, 3, 5.0), (4, 3, 5.0), (7, 3, 5.0),
     ])
     assert case3 == (4, 7, 0)
+
+
+def test_price_tick_gcd_monoid(ray_session, tmp_path):
+    """Pin the non-sum monoid fold: a 50-cent-quantized group detects
+    tick 50, a 25-cent group detects 25, a single-order group returns
+    its own cents, and a zero-cent order is a GCD no-op."""
+    from langfilter_ray.pipelines import relational
+
+    rows = [  # (priority, totalprice)
+        ("1-URGENT", 1.50), ("1-URGENT", 2.50), ("1-URGENT", 4.00),
+        ("2-HIGH", 0.25), ("2-HIGH", 0.75), ("2-HIGH", 0.0),
+        ("3-MEDIUM", 9.99),
+    ]
+    n = len(rows)
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array(list(range(1, n + 1)), pa.int64()),
+            "o_custkey": pa.array([1] * n, pa.int64()),
+            "o_orderstatus": pa.array(["O"] * n, pa.string()),
+            "o_totalprice": pa.array([p for _, p in rows], pa.float64()),
+            "o_orderdate": pa.array(
+                [np.datetime64("2024-01-01T00:00:00", "us")] * n,
+                pa.timestamp("us"),
+            ),
+            "o_orderpriority": pa.array([pr for pr, _ in rows], pa.string()),
+        }
+    )
+    pq.write_table(orders, tmp_path / "orders.parquet")
+    got = _check_vs_oracle(
+        relational.price_tick_gcd, relational.ORACLES["price_tick_gcd"],
+        tmp_path, "orders", orders,
+    )
+    by = {r["priority"]: (int(r["tick_cents"]), int(r["n_orders"]))
+          for _, r in got.iterrows()}
+    assert by == {
+        "1-URGENT": (50, 3),      # gcd(150, 250, 400)
+        "2-HIGH": (25, 3),        # gcd(25, 75, 0) — the 0 is a no-op
+        "3-MEDIUM": (999, 1),     # single order returns its own cents
+    }
