@@ -99,13 +99,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_top_eigval": similarity.embedding_top_eigval,
         "part_cloud_diameter": relational.part_cloud_diameter,
         "price_tick_gcd": relational.price_tick_gcd,
+        "revenue_best_run": windows.revenue_best_run,
         # --- re-confirmation filler continues ------------------------------
         "shipping_priority": relational.shipping_priority,
         "session_windows": windows.session_windows,
         "payload_stats": multimodal.payload_stats,
         "gopher_quality": text_analysis.gopher_quality,
         "funnel_conversion": windows.funnel_conversion,
-        "big_order_customers": relational.big_order_customers,
         "cohort_retention": windows.cohort_retention,
         "token_counts": text_analysis.token_counts,
         "langid_heuristic": text_analysis.langid_heuristic,
@@ -122,6 +122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shared_ngram_docs": text_analysis.shared_ngram_docs,
         "inverted_index_stats": text_analysis.inverted_index_stats,
         "tfidf_top_terms": text_analysis.tfidf_top_terms,
+        "big_order_customers": relational.big_order_customers,
         # multi-green reconfirmations displaced by the fourth-session
         # rotation (first driver rows for new ops > another green row) ----
         "ntile_order_tiers": relational.ntile_order_tiers,

@@ -4239,3 +4239,116 @@ ORACLES["session_path_census"] = (
     "SELECT path, count(*)::BIGINT AS n_sessions FROM p GROUP BY 1 "
     "ORDER BY n_sessions DESC, path LIMIT 25"
 )
+
+
+# ---- revenue_best_run: maximum subarray over the dense day spine -----------
+
+def revenue_best_run(sf_dir: str) -> "pa.Table":
+    """Best consecutive ABOVE-AVERAGE revenue streak — the MAXIMUM-
+    SUBARRAY (Kadane) family: over the dense zero-filled day grid,
+    the run [start_day, end_day] maximizing the summed deviation from
+    the corpus mean daily revenue; revenue_changepoint finds the one
+    global regime split, this finds the best contiguous EXCURSION, and
+    neither is a groupby.
+
+    Exactness: the mean is eliminated rather than divided — each day's
+    deviation is scaled by n (``v = n·rev − s``, exact int64), so the
+    run score is an exact integer and the prefix-scan identity
+    ``best_j = S[j] − min(P[0..j])`` needs no floats; ties resolve to
+    the smallest end day then the smallest start day (the earliest
+    occurrence of the prefix minimum), matching the SQL total order;
+    ``excess_cents = score / n`` is the ONE float division.
+
+    Scale shape: revenue_changepoint's exact skeleton — in-batch
+    (day, cents) pyarrow partials, gather bounded by the corpus TIME
+    SPAN, one cumsum + running-min pass on the driver.
+
+    Reference anchor: A2's recent-window count (SURVEY.md §2.6) asked
+    "how much lately?"; this asks "when was the best stretch ever?"."""
+    US_DAY = 86_400_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {"day": pa.array([], pa.int64()),
+                 "rev": pa.array([], pa.int64())}
+            )
+        day = pc.cast(t["o_orderdate"], pa.int64()).to_numpy() // US_DAY
+        cents = np.floor(
+            t["o_totalprice"].to_numpy() * 100.0 + 0.5
+        ).astype(np.int64)
+        g = (
+            pa.table({"day": pa.array(day), "rev": pa.array(cents)})
+            .group_by("day")
+            .aggregate([("rev", "sum")])
+        )
+        return pa.table({"day": g["day"], "rev": g["rev_sum"]})
+
+    path = f"{sf_dir}/orders.parquet"
+    parts = (
+        ray.data.read_parquet(
+            path,
+            columns=["o_orderdate", "o_totalprice"],
+            schema=_clean_schema(path, ["o_orderdate", "o_totalprice"]),
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()    # bounded: days x blocks, never rows
+    )
+    empty = pa.table(
+        {"start_day": pa.array([], pa.int64()),
+         "end_day": pa.array([], pa.int64()),
+         "excess_scaled": pa.array([], pa.int64()),
+         "n_days": pa.array([], pa.int64()),
+         "excess_cents": pa.array([], pa.float64())}
+    )
+    if parts.empty:
+        return empty
+    daily = parts.groupby("day", sort=True)["rev"].sum()
+    days = daily.index.to_numpy(np.int64)
+    d0, d1 = int(days[0]), int(days[-1])
+    dense = np.zeros(d1 - d0 + 1, dtype=np.int64)
+    dense[days - d0] = daily.to_numpy(np.int64)
+    n = len(dense)
+    s = int(dense.sum())
+    v = n * dense - s
+    sj = np.cumsum(v)                        # S[j]
+    pj = np.concatenate([[0], sj[:-1]])      # P[j] = S[j-1]
+    mpj = np.minimum.accumulate(pj)          # min(P[0..j])
+    score = sj - mpj
+    jstar = int(np.argmax(score))            # argmax takes the FIRST max
+    istar = int(np.flatnonzero(pj[: jstar + 1] == mpj[jstar])[0])
+    best = int(score[jstar])
+    return pa.table(
+        {"start_day": pa.array([d0 + istar], pa.int64()),
+         "end_day": pa.array([d0 + jstar], pa.int64()),
+         "excess_scaled": pa.array([best], pa.int64()),
+         "n_days": pa.array([n], pa.int64()),
+         "excess_cents": pa.array([float(best) / float(n)], pa.float64())}
+    )
+
+
+ORACLES["revenue_best_run"] = (
+    "WITH daily AS (SELECT epoch_us(o_orderdate) // 86400000000 AS day, "
+    "sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))::BIGINT AS rev "
+    "FROM orders GROUP BY 1), "
+    "b AS (SELECT min(day) AS dlo, max(day) AS dhi FROM daily), "
+    "grid AS (SELECT UNNEST(range(dlo, dhi + 1)) AS day FROM b), "
+    "dense AS (SELECT grid.day, COALESCE(daily.rev, 0)::BIGINT AS rev "
+    "FROM grid LEFT JOIN daily ON grid.day = daily.day), "
+    "m AS (SELECT count(*)::BIGINT AS n, sum(rev)::BIGINT AS s FROM dense), "
+    "t AS (SELECT day, row_number() OVER (ORDER BY day) - 1 AS j, "
+    "(m.n * rev - m.s)::BIGINT AS v FROM dense, m), "
+    "ps AS (SELECT day, j, sum(v) OVER (ORDER BY j)::BIGINT AS sj FROM t), "
+    "pp AS (SELECT day, j, sj, "
+    "COALESCE(lag(sj) OVER (ORDER BY j), 0)::BIGINT AS pj FROM ps), "
+    "mp AS (SELECT day, j, sj, pj, min(pj) OVER (ORDER BY j "
+    "ROWS UNBOUNDED PRECEDING)::BIGINT AS mpj FROM pp), "
+    "best AS (SELECT j AS jstar, day AS end_day, "
+    "(sj - mpj)::BIGINT AS score, mpj FROM mp "
+    "ORDER BY sj - mpj DESC, j LIMIT 1), "
+    "st AS (SELECT min(pp.day) AS start_day FROM pp, best "
+    "WHERE pp.j <= best.jstar AND pp.pj = best.mpj) "
+    "SELECT st.start_day, best.end_day, best.score AS excess_scaled, "
+    "m.n AS n_days, CAST(best.score AS DOUBLE) / CAST(m.n AS DOUBLE) "
+    "AS excess_cents FROM best, st, m"
+)

@@ -114,7 +114,7 @@ ORACLE_CHECKED = [
     "supplier_concentration", "revenue_changepoint", "qty_return_twosample",
     "qty_permutation_test", "purchase_error_leadlag", "session_path_census",
     "copurchase_hub_distances", "embedding_top_eigval",
-    "part_cloud_diameter", "price_tick_gcd",
+    "part_cloud_diameter", "price_tick_gcd", "revenue_best_run",
 ]
 
 
@@ -170,6 +170,7 @@ def test_round5_window_layout(entry_mod):
         "qty_permutation_test", "purchase_error_leadlag",
         "session_path_census", "copurchase_hub_distances",
         "embedding_top_eigval", "part_cloud_diameter", "price_tick_gcd",
+        "revenue_best_run",
         # a sample of the round-3-green reconfirmations kept in-window
         "error_events_pushdown", "shipping_priority", "session_windows",
         "payload_stats", "gopher_quality", "token_counts",

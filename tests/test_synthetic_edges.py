@@ -1903,3 +1903,54 @@ def test_price_tick_gcd_monoid(ray_session, tmp_path):
         "2-HIGH": (25, 3),        # gcd(25, 75, 0) — the 0 is a no-op
         "3-MEDIUM": (999, 1),     # single order returns its own cents
     }
+
+
+def test_revenue_best_run_kadane_zero_fill_tie(ray_session, tmp_path):
+    """Pin the maximum-subarray semantics: the best run CROSSES a
+    zero-filled day when the mean-free sum says so, the score is the
+    exact n-scaled integer, and equal scores resolve to the smallest
+    end day (first argmax)."""
+    from langfilter_ray.pipelines import windows
+
+    d = tmp_path / "main"
+    d.mkdir()
+    # days 0..5, day 2 missing: cents [100,700,0,700,100,100]
+    _write_orders_dates(d, [
+        ("2024-01-01", 1.0), ("2024-01-02", 7.0),
+        ("2024-01-04", 7.0), ("2024-01-05", 1.0), ("2024-01-06", 1.0),
+    ])
+    got = _to_pandas(windows.revenue_best_run(str(d)))
+    c = duckdb.connect()
+    c.execute(
+        f"CREATE VIEW orders AS SELECT * "
+        f"FROM read_parquet('{d}/orders.parquet')"
+    )
+    want = c.execute(windows.ORACLES["revenue_best_run"]).df()
+    problems = compare_frames(_canon(got), _canon(want))
+    assert not problems, (problems, first_diff(_canon(got), _canon(want)))
+    r = got.iloc[0]
+    day0 = 19723
+    # hand Kadane: v = 6*rev - 1700 -> best run days 1..3 (700,0,700)
+    assert (int(r["start_day"]), int(r["end_day"])) == (day0 + 1, day0 + 3)
+    assert int(r["excess_scaled"]) == 3300
+    assert r["excess_cents"] == 3300.0 / 6.0
+
+    t = tmp_path / "tie"
+    t.mkdir()
+    _write_orders_dates(t, [
+        ("2024-02-01", 7.0), ("2024-02-02", 1.0), ("2024-02-03", 7.0),
+    ])
+    got_t = _to_pandas(windows.revenue_best_run(str(t)))
+    c2 = duckdb.connect()
+    c2.execute(
+        f"CREATE VIEW orders AS SELECT * "
+        f"FROM read_parquet('{t}/orders.parquet')"
+    )
+    want_t = c2.execute(windows.ORACLES["revenue_best_run"]).df()
+    problems = compare_frames(_canon(got_t), _canon(want_t))
+    assert not problems, (problems, first_diff(_canon(got_t), _canon(want_t)))
+    r = got_t.iloc[0]
+    # symmetric 600-score runs at day 0 and day 2 -> earliest end wins
+    day0 = 19754  # 2024-02-01
+    assert (int(r["start_day"]), int(r["end_day"])) == (day0, day0)
+    assert int(r["excess_scaled"]) == 600
