@@ -100,12 +100,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_cloud_diameter": relational.part_cloud_diameter,
         "price_tick_gcd": relational.price_tick_gcd,
         "revenue_best_run": windows.revenue_best_run,
+        "user_activity_f2": relational.user_activity_f2,
         # --- re-confirmation filler continues ------------------------------
         "shipping_priority": relational.shipping_priority,
         "session_windows": windows.session_windows,
         "payload_stats": multimodal.payload_stats,
         "gopher_quality": text_analysis.gopher_quality,
-        "funnel_conversion": windows.funnel_conversion,
         "cohort_retention": windows.cohort_retention,
         "token_counts": text_analysis.token_counts,
         "langid_heuristic": text_analysis.langid_heuristic,
@@ -123,6 +123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_index_stats": text_analysis.inverted_index_stats,
         "tfidf_top_terms": text_analysis.tfidf_top_terms,
         "big_order_customers": relational.big_order_customers,
+        "funnel_conversion": windows.funnel_conversion,
         # multi-green reconfirmations displaced by the fourth-session
         # rotation (first driver rows for new ops > another green row) ----
         "ntile_order_tiers": relational.ntile_order_tiers,

@@ -7232,3 +7232,112 @@ ORACLES["price_tick_gcd"] = (
     "max(cents)::BIGINT AS max_cents "
     "FROM c GROUP BY 1 ORDER BY 1"
 )
+
+
+# ---- user_activity_f2: second frequency moment, sketch vs exact ------------
+
+_F2_K = 16
+_F2_BUCKETS = 32
+
+
+def user_activity_f2(sf_dir: str) -> "pa.Table":
+    """SECOND FREQUENCY MOMENT of the per-user event distribution
+    (``F2 = Σ_u c_u²`` — the self-join size, the statistic a query
+    optimizer estimates before planning a user-keyed join) computed
+    BOTH ways: exactly, and by a K=16-replicate AMS random-sign sketch
+    (``Z_k = Σ_rows sign_k(user)``, ``E[Z_k²] = F2``) whose signs are
+    the parity of the first md5 hex digit of ``user·K + k`` — NOT the
+    repo's LCG: congruential bijections are LOW-DISCREPANCY over the
+    consecutive user ids, their sign sums cancel ~perfectly, and the
+    sketch collapses to ~0.03·F2 (measured); md5 behaves statistically
+    random (0.84-0.86·F2 here) and DuckDB's ``md5()`` mirrors it
+    bit-for-bit.  The sketch-vs-exact audit pattern of
+    bloom_semi_join_exact, applied to the moment family (HLL covers
+    F0, heavy hitters F∞; this closes F2).
+
+    Scale shape: the AMS side is MAP-ONLY (K running sums per batch);
+    the exact side uses the fused-key bucket reduce for mostly-unique
+    keys (CLAUDE.md round-3 rule): in-batch (user, cnt) partials tagged
+    ``hash(user) % 32``, one bounded-bucket exchange, per-bucket
+    re-combine + Σc² — ONE row leaves each bucket.  int64 is exact
+    while per-user counts stay under ~3e9 (the SQL mirror's BIGINT
+    sums error loudly past that rather than wrap).
+
+    Reference anchor: A1's status counts (SURVEY.md §2.6) lifted from
+    the first moment to the second."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"bk": pa.array([], pa.int64()),
+             "u": pa.array([], pa.int64()),
+             "c": pa.array([], pa.int64()),
+             **{f"z{k}": pa.array([], pa.int64()) for k in range(_F2_K)}}
+        )
+        if len(t) == 0:
+            return empty
+        uid = t["user_id"].to_numpy()
+        users, counts = np.unique(uid, return_counts=True)
+        h = (users.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+        bk = ((h >> np.uint64(33)) % np.uint64(_F2_BUCKETS)).astype(np.int64)
+        cols = {"bk": pa.array(bk), "u": pa.array(users.astype(np.int64)),
+                "c": pa.array(counts.astype(np.int64))}
+        # AMS signs: parity of the first md5 hex digit of user*K + k;
+        # Z partial = sum of sign * count over this batch's users
+        import hashlib
+
+        sign = np.empty((len(users), _F2_K), np.int64)
+        for i, uu in enumerate(users.astype(np.int64)):
+            base = int(uu) * _F2_K
+            for k in range(_F2_K):
+                h = hashlib.md5(str(base + k).encode()).hexdigest()
+                sign[i, k] = 1 - 2 * (int(h[0], 16) % 2)
+        z = (sign * counts[:, None]).sum(axis=0)
+        for k in range(_F2_K):
+            zc = np.zeros(len(users), np.int64)
+            zc[0] = z[k]
+            cols[f"z{k}"] = pa.array(zc)
+        return pa.table(cols)
+
+    parts = (
+        _read(sf_dir, "events", ["user_id"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()    # bounded: distinct-users-per-batch x blocks
+    )
+    empty = pa.table(
+        {"n_events": pa.array([], pa.int64()),
+         "f2_exact": pa.array([], pa.int64()),
+         "ams_sq_sum": pa.array([], pa.int64()),
+         "ams_mean_est": pa.array([], pa.float64())}
+    )
+    if parts.empty:
+        return empty
+    n_events = int(parts["c"].sum())
+    by_user = parts.groupby("u")["c"].sum()
+    f2 = int((by_user.to_numpy(np.int64) ** 2).sum())
+    sq = 0
+    for k in range(_F2_K):
+        zk = int(parts[f"z{k}"].sum())
+        sq += zk * zk
+    return pa.table(
+        {"n_events": pa.array([n_events], pa.int64()),
+         "f2_exact": pa.array([f2], pa.int64()),
+         "ams_sq_sum": pa.array([sq], pa.int64()),
+         "ams_mean_est": pa.array([float(sq) / float(_F2_K)],
+                                  pa.float64())}
+    )
+
+
+ORACLES["user_activity_f2"] = (
+    "WITH c AS (SELECT user_id AS u, count(*)::BIGINT AS c "
+    "FROM events GROUP BY 1), "
+    f"ks AS (SELECT UNNEST(range(0, {_F2_K})) AS k), "
+    "z AS (SELECT k, sum(CASE WHEN substr(md5(CAST("
+    f"u * {_F2_K} + k AS VARCHAR)), 1, 1) IN "
+    "('1','3','5','7','9','b','d','f') THEN -c ELSE c END)::BIGINT AS zk "
+    "FROM c, ks GROUP BY 1), "
+    "m AS (SELECT sum(zk * zk)::BIGINT AS sq FROM z), "
+    "e AS (SELECT sum(c)::BIGINT AS n_events, sum(c * c)::BIGINT AS f2 "
+    "FROM c) "
+    "SELECT e.n_events, e.f2 AS f2_exact, m.sq AS ams_sq_sum, "
+    f"CAST(m.sq AS DOUBLE) / {_F2_K}.0 AS ams_mean_est FROM e, m"
+)

@@ -1954,3 +1954,49 @@ def test_revenue_best_run_kadane_zero_fill_tie(ray_session, tmp_path):
     day0 = 19754  # 2024-02-01
     assert (int(r["start_day"]), int(r["end_day"])) == (day0, day0)
     assert int(r["excess_scaled"]) == 600
+
+
+def test_user_activity_f2_exact_and_sketch(ray_session, tmp_path):
+    """Pin the exact second moment on a hand-computed skew (F2 counts
+    the self-join size: 3 users with counts 3/2/1 -> 14) and the md5
+    sign determinism (ams_sq_sum reproduces the by-hand Z_k walk for a
+    single-user corpus, where Z_k = ±c so every replicate estimates
+    EXACTLY c²)."""
+    from langfilter_ray.pipelines import relational
+
+    d = tmp_path / "skew"
+    d.mkdir()
+    rows = []
+    for i, uid in enumerate([1, 1, 1, 2, 2, 3]):
+        rows.append((i + 1, uid, i * US_SEC, "click", 1.0))
+    pq.write_table(_events_table(rows), d / "events.parquet")
+    got = _to_pandas(relational.user_activity_f2(str(d)))
+    c = duckdb.connect()
+    c.execute(
+        f"CREATE VIEW events AS SELECT * "
+        f"FROM read_parquet('{d}/events.parquet')"
+    )
+    want = c.execute(relational.ORACLES["user_activity_f2"]).df()
+    problems = compare_frames(_canon(got), _canon(want))
+    assert not problems, (problems, first_diff(_canon(got), _canon(want)))
+    r = got.iloc[0]
+    assert (int(r["n_events"]), int(r["f2_exact"])) == (6, 14)
+
+    # single user, count 4: Z_k = ±4 for every k -> sq_sum = 16 * 16
+    s = tmp_path / "single"
+    s.mkdir()
+    rows = [(i + 1, 42, i * US_SEC, "view", 1.0) for i in range(4)]
+    pq.write_table(_events_table(rows), s / "events.parquet")
+    got_s = _to_pandas(relational.user_activity_f2(str(s)))
+    c2 = duckdb.connect()
+    c2.execute(
+        f"CREATE VIEW events AS SELECT * "
+        f"FROM read_parquet('{s}/events.parquet')"
+    )
+    want_s = c2.execute(relational.ORACLES["user_activity_f2"]).df()
+    problems = compare_frames(_canon(got_s), _canon(want_s))
+    assert not problems, (problems, first_diff(_canon(got_s), _canon(want_s)))
+    r = got_s.iloc[0]
+    assert int(r["f2_exact"]) == 16
+    assert int(r["ams_sq_sum"]) == 16 * 16     # every replicate exact
+    assert r["ams_mean_est"] == 16.0
