@@ -101,12 +101,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_tick_gcd": relational.price_tick_gcd,
         "revenue_best_run": windows.revenue_best_run,
         "user_activity_f2": relational.user_activity_f2,
+        "qty_gini_mean_diff": relational.qty_gini_mean_diff,
         # --- re-confirmation filler continues ------------------------------
         "shipping_priority": relational.shipping_priority,
         "session_windows": windows.session_windows,
         "payload_stats": multimodal.payload_stats,
         "gopher_quality": text_analysis.gopher_quality,
-        "cohort_retention": windows.cohort_retention,
         "token_counts": text_analysis.token_counts,
         "langid_heuristic": text_analysis.langid_heuristic,
         # ======== past the 50-query window (all have driver rows) ========
@@ -124,6 +124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": text_analysis.tfidf_top_terms,
         "big_order_customers": relational.big_order_customers,
         "funnel_conversion": windows.funnel_conversion,
+        "cohort_retention": windows.cohort_retention,
         # multi-green reconfirmations displaced by the fourth-session
         # rotation (first driver rows for new ops > another green row) ----
         "ntile_order_tiers": relational.ntile_order_tiers,

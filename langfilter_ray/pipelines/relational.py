@@ -7341,3 +7341,79 @@ ORACLES["user_activity_f2"] = (
     "SELECT e.n_events, e.f2 AS f2_exact, m.sq AS ams_sq_sum, "
     f"CAST(m.sq AS DOUBLE) / {_F2_K}.0 AS ams_mean_est FROM e, m"
 )
+
+
+# ---- qty_gini_mean_diff: pairwise-distance aggregate over bounded domain ---
+
+def qty_gini_mean_diff(sf_dir: str) -> "pa.Table":
+    """Gini mean difference of line quantities — the PAIRWISE-DISTANCE
+    aggregate ``E|X − Y|`` over all ordered row pairs (the dispersion
+    statistic that needs no mean and no variance), exact:
+    ``gmd = Σ_{i≠j} |x_i − x_j| / (n·(n−1))``.  A quadratic-by-
+    definition statistic collapsed to the BOUNDED value domain
+    (integral quantities 1..50): per-batch (value, count) histogram
+    partials are a sufficient statistic, the driver folds a D×D
+    integer walk (D ≤ 50), and the SQL mirror is the honest histogram
+    cross join — no row-level pair is ever materialized on either
+    side.  ``gmd_num/gmd_den`` are emitted as exact int64 and the one
+    float division mirrors the SQL cast order (−1.0 sentinel when
+    n < 2).
+
+    Reference anchor: M3's ratio scorer (SURVEY.md §2.2) asked for a
+    mean; this is the spread question answered at the same cost."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"v": pa.array([], pa.int64()),
+             "c": pa.array([], pa.int64())}
+        )
+        if len(t) == 0:
+            return empty
+        v = np.floor(t["l_quantity"].to_numpy() + 0.5).astype(np.int64)
+        u, cnt = np.unique(v, return_counts=True)
+        return pa.table(
+            {"v": pa.array(u), "c": pa.array(cnt.astype(np.int64))}
+        )
+
+    hist = (
+        _read(sf_dir, "lineitem", ["l_quantity"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()    # bounded: domain x blocks, never rows
+    )
+    empty = pa.table(
+        {"n": pa.array([], pa.int64()),
+         "gmd_num": pa.array([], pa.int64()),
+         "gmd_den": pa.array([], pa.int64()),
+         "gmd": pa.array([], pa.float64())}
+    )
+    if hist.empty:
+        return empty
+    df = hist.groupby("v", sort=True)["c"].sum()
+    vs = [int(x) for x in df.index]
+    cs = [int(x) for x in df.to_numpy()]
+    n = sum(cs)
+    num = 0
+    for i in range(len(vs)):
+        for j in range(len(vs)):
+            num += abs(vs[i] - vs[j]) * cs[i] * cs[j]
+    den = n * (n - 1)
+    gmd = -1.0 if den == 0 else float(num) / float(den)
+    return pa.table(
+        {"n": pa.array([n], pa.int64()),
+         "gmd_num": pa.array([num], pa.int64()),
+         "gmd_den": pa.array([den], pa.int64()),
+         "gmd": pa.array([gmd], pa.float64())}
+    )
+
+
+ORACLES["qty_gini_mean_diff"] = (
+    "WITH h AS (SELECT CAST(floor(l_quantity + 0.5) AS BIGINT) AS v, "
+    "count(*)::BIGINT AS c FROM lineitem GROUP BY 1), "
+    "m AS (SELECT sum(a.c * b.c * abs(a.v - b.v))::BIGINT AS num "
+    "FROM h a, h b), "
+    "t AS (SELECT sum(c)::BIGINT AS n FROM h) "
+    "SELECT t.n, m.num AS gmd_num, (t.n * (t.n - 1))::BIGINT AS gmd_den, "
+    "CASE WHEN t.n < 2 THEN -1.0 ELSE "
+    "CAST(m.num AS DOUBLE) / CAST(t.n * (t.n - 1) AS DOUBLE) END AS gmd "
+    "FROM t, m"
+)

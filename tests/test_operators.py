@@ -115,7 +115,7 @@ ORACLE_CHECKED = [
     "qty_permutation_test", "purchase_error_leadlag", "session_path_census",
     "copurchase_hub_distances", "embedding_top_eigval",
     "part_cloud_diameter", "price_tick_gcd", "revenue_best_run",
-    "user_activity_f2",
+    "user_activity_f2", "qty_gini_mean_diff",
 ]
 
 
@@ -171,13 +171,14 @@ def test_round5_window_layout(entry_mod):
         "qty_permutation_test", "purchase_error_leadlag",
         "session_path_census", "copurchase_hub_distances",
         "embedding_top_eigval", "part_cloud_diameter", "price_tick_gcd",
-        "revenue_best_run", "user_activity_f2",
+        "revenue_best_run", "user_activity_f2", "qty_gini_mean_diff",
         # a sample of the round-3-green reconfirmations kept in-window
-        # (funnel_conversion was displaced past 50 by the sixth-session
-        # rotation — it holds multi-round driver-green rows already)
+        # (funnel_conversion and cohort_retention were displaced past 50
+        # by the sixth-session rotation — both hold multi-round
+        # driver-green rows already)
         "error_events_pushdown", "shipping_priority", "session_windows",
         "payload_stats", "gopher_quality", "token_counts",
-        "langid_heuristic", "cohort_retention",
+        "langid_heuristic",
     }
     missing = must_check - set(window)
     assert not missing, f"window is missing: {sorted(missing)}"

@@ -2000,3 +2000,42 @@ def test_user_activity_f2_exact_and_sketch(ray_session, tmp_path):
     assert int(r["f2_exact"]) == 16
     assert int(r["ams_sq_sum"]) == 16 * 16     # every replicate exact
     assert r["ams_mean_est"] == 16.0
+
+
+def test_qty_gini_mean_diff_hand_and_degenerate(ray_session, tmp_path):
+    """Pin the pairwise-distance arithmetic on a hand-computable corpus
+    (values 1,1,4 -> ordered-pair |diff| sum 12, den 6, gmd 2.0),
+    same-value multiplicity, and the n<2 sentinel."""
+    from langfilter_ray.pipelines import relational
+
+    d = tmp_path / "hand"
+    d.mkdir()
+    _write_lineitem_qty(d, [("N", 1.0), ("N", 1.0), ("N", 4.0)])
+    got = _to_pandas(relational.qty_gini_mean_diff(str(d)))
+    c = duckdb.connect()
+    c.execute(
+        f"CREATE VIEW lineitem AS SELECT * "
+        f"FROM read_parquet('{d}/lineitem.parquet')"
+    )
+    want = c.execute(relational.ORACLES["qty_gini_mean_diff"]).df()
+    problems = compare_frames(_canon(got), _canon(want))
+    assert not problems, (problems, first_diff(_canon(got), _canon(want)))
+    r = got.iloc[0]
+    # pairs (1,4)x2 each direction -> 2*2*3 = 12; den = 3*2 = 6
+    assert (int(r["n"]), int(r["gmd_num"]), int(r["gmd_den"])) == (3, 12, 6)
+    assert r["gmd"] == 2.0
+
+    s = tmp_path / "single"
+    s.mkdir()
+    _write_lineitem_qty(s, [("N", 7.0)])
+    got_s = _to_pandas(relational.qty_gini_mean_diff(str(s)))
+    c2 = duckdb.connect()
+    c2.execute(
+        f"CREATE VIEW lineitem AS SELECT * "
+        f"FROM read_parquet('{s}/lineitem.parquet')"
+    )
+    want_s = c2.execute(relational.ORACLES["qty_gini_mean_diff"]).df()
+    problems = compare_frames(_canon(got_s), _canon(want_s))
+    assert not problems, (problems, first_diff(_canon(got_s), _canon(want_s)))
+    r = got_s.iloc[0]
+    assert (int(r["n"]), int(r["gmd_den"])) == (1, 0) and r["gmd"] == -1.0
