@@ -102,15 +102,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_best_run": windows.revenue_best_run,
         "user_activity_f2": relational.user_activity_f2,
         "qty_gini_mean_diff": relational.qty_gini_mean_diff,
+        "copurchase_mutual_best": relational.copurchase_mutual_best,
         # --- re-confirmation filler continues ------------------------------
         "shipping_priority": relational.shipping_priority,
         "session_windows": windows.session_windows,
-        "payload_stats": multimodal.payload_stats,
         "gopher_quality": text_analysis.gopher_quality,
         "token_counts": text_analysis.token_counts,
         "langid_heuristic": text_analysis.langid_heuristic,
         # ======== past the 50-query window (all have driver rows) ========
         # displaced by the fifth-session rotation ---------------------------
+        "payload_stats": multimodal.payload_stats,
         "event_type_pivot": relational.event_type_pivot,
         "distinct_users_per_type": relational.distinct_users_per_type,
         "events_union": relational.events_union,

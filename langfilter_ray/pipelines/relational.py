@@ -7417,3 +7417,136 @@ ORACLES["qty_gini_mean_diff"] = (
     "CAST(m.num AS DOUBLE) / CAST(t.n * (t.n - 1) AS DOUBLE) END AS gmd "
     "FROM t, m"
 )
+
+
+# ---- copurchase_mutual_best: mutual-kNN (k=1) over weighted pair counts ----
+
+_MB_BUCKETS = 32
+
+
+def copurchase_mutual_best(sf_dir: str) -> "pa.Table":
+    """MUTUAL best co-purchase partners — pairs where each part is the
+    other's single strongest partner (weight = co-occurring line pairs
+    across orders, argmax ties to the smaller partner key), top-20 by
+    (weight desc, part_a asc).  This is the mutual-kNN (k=1) structure
+    near-dup graph pruning uses to keep only reciprocal edges — a
+    composite no single op covers: weighted pair counting, a PER-NODE
+    argmax over a node set that scales with the catalog, and a
+    reciprocity join.
+
+    Scale shape: copurchase_pairs' hash-partitioned self-join and
+    in-batch fused-key count partials; each partial re-keys to BOTH
+    directions tagged ``hash(node) % 32``, so one bounded-bucket
+    exchange re-combines cross-batch counts AND folds the per-node
+    argmax (pandas group sum + lexsort segment heads) — ONE row per
+    node leaves each bucket; the reciprocity test is a dict probe over
+    the catalog-bounded (node, best, w) table on the driver.
+
+    Reference anchor: SURVEY.md §2.8's pair family, upgraded from
+    "which pairs co-occur most" to "which pairs CHOOSE each other"."""
+    n_li = _dim_num_rows(sf_dir, "lineitem")
+    right = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"]).rename_columns(
+        {"l_orderkey": "o_b", "l_partkey": "p_b"}
+    )
+    joined = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"]).join(
+        right,
+        join_type="inner",
+        num_partitions=_volume_join_parts(n_li),
+        on=("l_orderkey",),
+        right_on=("o_b",),
+    )
+
+    def dir_partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"bk": pa.array([], pa.int64()),
+             "src": pa.array([], pa.int64()),
+             "dst": pa.array([], pa.int64()),
+             "w": pa.array([], pa.int64())}
+        )
+        if len(t) == 0:
+            return empty
+        a = t["l_partkey"].to_numpy()
+        b = t["p_b"].to_numpy()
+        keep = a < b
+        if not keep.any():
+            return empty
+        ph = (a[keep].astype(np.int64) << np.int64(32)) | b[keep].astype(
+            np.int64
+        )
+        u, c = np.unique(ph, return_counts=True)
+        p1 = u >> np.int64(32)
+        p2 = u & _PH_LO_MASK
+        src = np.concatenate([p1, p2])
+        dst = np.concatenate([p2, p1])
+        w = np.concatenate([c, c]).astype(np.int64)
+        h = src.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        bk = ((h >> np.uint64(33)) % np.uint64(_MB_BUCKETS)).astype(np.int64)
+        return pa.table(
+            {"bk": pa.array(bk), "src": pa.array(src),
+             "dst": pa.array(dst), "w": pa.array(w)}
+        )
+
+    def bucket_best(g: "pd.DataFrame") -> "pd.DataFrame":
+        empty = pd.DataFrame(
+            {"src": pd.array([], dtype="int64"),
+             "dst": pd.array([], dtype="int64"),
+             "w": pd.array([], dtype="int64")}
+        )
+        if g.empty:
+            return empty
+        lr = g.groupby(["src", "dst"], sort=False)["w"].sum().reset_index()
+        s = lr["src"].to_numpy(np.int64)
+        d = lr["dst"].to_numpy(np.int64)
+        w = lr["w"].to_numpy(np.int64)
+        order = np.lexsort((d, -w, s))       # per src: w desc, dst asc
+        ss, dd, ww = s[order], d[order], w[order]
+        heads = np.flatnonzero(np.r_[True, ss[1:] != ss[:-1]])
+        return pd.DataFrame(
+            {"src": ss[heads], "dst": dd[heads], "w": ww[heads]}
+        )
+
+    best = (
+        joined.map_batches(dir_partial, batch_format="pyarrow")
+        .groupby("bk")
+        .map_groups(bucket_best, batch_format="pandas")
+        .to_pandas()    # bounded: one row per catalog node
+    )
+    empty = pa.table(
+        {"part_a": pa.array([], pa.int64()),
+         "part_b": pa.array([], pa.int64()),
+         "weight": pa.array([], pa.int64())}
+    )
+    if best.empty:
+        return empty
+    pick = dict(zip(best["src"].astype(int), zip(best["dst"].astype(int),
+                                                 best["w"].astype(int))))
+    rows = []
+    for a, (b, w) in pick.items():
+        if a < b and b in pick and pick[b][0] == a:
+            rows.append((w, a, b))
+    if not rows:
+        return empty
+    rows.sort(key=lambda r: (-r[0], r[1]))
+    rows = rows[:20]
+    return pa.table(
+        {"part_a": pa.array([r[1] for r in rows], pa.int64()),
+         "part_b": pa.array([r[2] for r in rows], pa.int64()),
+         "weight": pa.array([r[0] for r in rows], pa.int64())}
+    )
+
+
+ORACLES["copurchase_mutual_best"] = (
+    "WITH pw AS (SELECT l1.l_partkey AS p1, l2.l_partkey AS p2, "
+    "count(*)::BIGINT AS w FROM lineitem l1 JOIN lineitem l2 "
+    "ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey "
+    "GROUP BY 1, 2), "
+    "dir AS (SELECT p1 AS src, p2 AS dst, w FROM pw "
+    "UNION ALL SELECT p2, p1, w FROM pw), "
+    "best AS (SELECT src, dst, w FROM (SELECT src, dst, w, row_number() "
+    "OVER (PARTITION BY src ORDER BY w DESC, dst) AS rn FROM dir) "
+    "WHERE rn = 1) "
+    "SELECT a.src AS part_a, a.dst AS part_b, a.w AS weight "
+    "FROM best a JOIN best b ON a.dst = b.src AND b.dst = a.src "
+    "WHERE a.src < a.dst "
+    "ORDER BY weight DESC, part_a LIMIT 20"
+)

@@ -115,7 +115,7 @@ ORACLE_CHECKED = [
     "qty_permutation_test", "purchase_error_leadlag", "session_path_census",
     "copurchase_hub_distances", "embedding_top_eigval",
     "part_cloud_diameter", "price_tick_gcd", "revenue_best_run",
-    "user_activity_f2", "qty_gini_mean_diff",
+    "user_activity_f2", "qty_gini_mean_diff", "copurchase_mutual_best",
 ]
 
 
@@ -172,13 +172,14 @@ def test_round5_window_layout(entry_mod):
         "session_path_census", "copurchase_hub_distances",
         "embedding_top_eigval", "part_cloud_diameter", "price_tick_gcd",
         "revenue_best_run", "user_activity_f2", "qty_gini_mean_diff",
+        "copurchase_mutual_best",
         # a sample of the round-3-green reconfirmations kept in-window
-        # (funnel_conversion and cohort_retention were displaced past 50
-        # by the sixth-session rotation — both hold multi-round
-        # driver-green rows already)
+        # (funnel_conversion, cohort_retention and payload_stats were
+        # displaced past 50 by the sixth-session rotation — all hold
+        # multi-round driver-green rows, and multimodal keeps decode_bmp
+        # at slot 4)
         "error_events_pushdown", "shipping_priority", "session_windows",
-        "payload_stats", "gopher_quality", "token_counts",
-        "langid_heuristic",
+        "gopher_quality", "token_counts", "langid_heuristic",
     }
     missing = must_check - set(window)
     assert not missing, f"window is missing: {sorted(missing)}"

@@ -2039,3 +2039,58 @@ def test_qty_gini_mean_diff_hand_and_degenerate(ray_session, tmp_path):
     assert not problems, (problems, first_diff(_canon(got_s), _canon(want_s)))
     r = got_s.iloc[0]
     assert (int(r["n"]), int(r["gmd_den"])) == (1, 0) and r["gmd"] == -1.0
+
+
+def test_copurchase_mutual_best_reciprocity(ray_session, tmp_path):
+    """Pin the mutual-kNN semantics: reciprocal argmax pairs survive, a
+    one-sided best does not, the argmax tie breaks to the smaller
+    partner key, weights count row pairs (a part with two lines in one
+    order doubles the pair), and ordering is (weight desc, part_a)."""
+    from langfilter_ray.pipelines import relational
+
+    orders = {
+        1: [1, 2], 2: [1, 2],            # (1,2) w=2, mutual
+        3: [2, 3],                       # 2's best stays 1 (w2 > w1)
+        4: [3, 4], 5: [3, 4], 6: [3, 4], # (3,4) w=3, mutual
+        7: [4, 5],                       # 5->4 one-sided (4's best is 3)
+        8: [6, 7], 9: [6, 8],            # 6 ties 7/8 -> 7 wins; (6,7) mutual
+        10: [9, 9, 10],                  # two lines of 9: (9,10) w=2
+    }
+    ok_, pk_, ln_ = [], [], []
+    for o, parts in orders.items():
+        for i, p in enumerate(parts):
+            ok_.append(o)
+            pk_.append(p)
+            ln_.append(i + 1)
+    n = len(ok_)
+    lineitem = pa.table(
+        {
+            "l_orderkey": pa.array(ok_, pa.int64()),
+            "l_partkey": pa.array(pk_, pa.int64()),
+            "l_suppkey": pa.array([1] * n, pa.int64()),
+            "l_linenumber": pa.array(ln_, pa.int32()),
+            "l_quantity": pa.array([1.0] * n, pa.float64()),
+            "l_extendedprice": pa.array([1.0] * n, pa.float64()),
+            "l_discount": pa.array([0.0] * n, pa.float64()),
+            "l_tax": pa.array([0.0] * n, pa.float64()),
+            "l_returnflag": pa.array(["N"] * n, pa.string()),
+            "l_linestatus": pa.array(["O"] * n, pa.string()),
+            "l_shipdate": pa.array(
+                [np.datetime64("2024-03-02T00:00:00", "us")] * n,
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    pq.write_table(lineitem, tmp_path / "lineitem.parquet")
+    got = _to_pandas(relational.copurchase_mutual_best(str(tmp_path)))
+    c = duckdb.connect()
+    c.execute(
+        f"CREATE VIEW lineitem AS SELECT * "
+        f"FROM read_parquet('{tmp_path}/lineitem.parquet')"
+    )
+    want = c.execute(relational.ORACLES["copurchase_mutual_best"]).df()
+    problems = compare_frames(_canon(got), _canon(want))
+    assert not problems, (problems, first_diff(_canon(got), _canon(want)))
+    rows = [tuple(int(x) for x in r)
+            for r in got[["part_a", "part_b", "weight"]].itertuples(False)]
+    assert rows == [(3, 4, 3), (1, 2, 2), (9, 10, 2), (6, 7, 1)]
