@@ -297,6 +297,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only (iterative driver-state op like kmeans_fit)
         "bpe_train": text_analysis.bpe_train,
         "bpe_encode": text_analysis.bpe_encode,
+        # --- seventh-sitting additions (past the 50-window; oracle-backed,
+        # --- candidates for first driver rows next rotation) --------------
+        "qty_return_stump": relational.qty_return_stump,
     }
 
 

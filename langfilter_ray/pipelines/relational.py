@@ -7550,3 +7550,133 @@ ORACLES["copurchase_mutual_best"] = (
     "WHERE a.src < a.dst "
     "ORDER BY weight DESC, part_a LIMIT 20"
 )
+
+
+# ---- qty_return_stump: decision-stump induction (supervised split) ---------
+
+def qty_return_stump(sf_dir: str) -> "pa.Table":
+    """Best DECISION STUMP predicting the return flag from quantity: the
+    threshold t (split ``qty <= t`` / ``qty > t``) minimizing weighted
+    Gini impurity — one level of CART induction, the primitive every
+    gradient-boosted-tree trainer evaluates millions of times.
+    Supervised SPLIT SEARCH is a family no census, test or regression
+    operator covers: the statistic couples a candidate threshold with
+    the full class distribution on BOTH sides.
+
+    Exactness: per side, ``gini_s = (n_s² − Σ_c c²) / n_s²``; the
+    n-weighted two-side sum collapses over the common denominator to
+    ``num = (n_l²−Σc_l²)·n_r + (n_r²−Σc_r²)·n_l`` over ``den =
+    N·n_l·n_r`` — exact integers on both engines (Python bignums here,
+    HUGEINT in the mirror), the ARGMIN decided by cross-multiplied
+    fraction comparison (never a float), ties to the smaller threshold,
+    and ``gini`` itself ONE float division mirroring the SQL cast
+    order.  Thresholds are the distinct observed values below the max
+    (both sides non-empty by construction); a single-valued or empty
+    corpus yields the typed empty result on both engines.
+
+    Scale shape: the (quantity, flag) domain is BOUNDED (integral
+    1..50 × 3 flags), so each batch emits a ≤150-cell histogram partial
+    — gather is domain × blocks, never rows; the driver folds ≤50
+    thresholds with exact arithmetic.  int64 SQL bound: num ≈ N²·n_s
+    stays under 2^63 through ~2·10⁶ rows (the engine's bignums never
+    overflow; cross-multiplied HUGEINT comparisons hold to ~10⁹ rows).
+
+    Reference anchor: the keep/drop decision cascade (SURVEY.md §2.4)
+    — this is the trainer's question one level up: which single
+    feature cut best separates the classes the cascade assigns?"""
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"v": pa.array([], pa.int64()),
+             "f": pa.array([], pa.string()),
+             "c": pa.array([], pa.int64())}
+        )
+        if len(t) == 0:
+            return empty
+        v = np.floor(t["l_quantity"].to_numpy() + 0.5).astype(np.int64)
+        g = (
+            pa.table({"v": pa.array(v), "f": t["l_returnflag"]})
+            .group_by(["v", "f"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table({"v": g["v"], "f": g["f"], "c": g["count_all"]})
+
+    hist = (
+        _read(sf_dir, "lineitem", ["l_quantity", "l_returnflag"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()    # bounded: domain x flags x blocks, never rows
+    )
+    empty = pa.table(
+        {"threshold": pa.array([], pa.int64()),
+         "n_left": pa.array([], pa.int64()),
+         "n_right": pa.array([], pa.int64()),
+         "gini_num": pa.array([], pa.int64()),
+         "gini_den": pa.array([], pa.int64()),
+         "gini": pa.array([], pa.float64())}
+    )
+    if hist.empty:
+        return empty
+    cells = hist.groupby(["v", "f"], sort=True)["c"].sum().reset_index()
+    values = sorted(int(x) for x in cells["v"].unique())
+    if len(values) < 2:
+        return empty              # no split leaves both sides non-empty
+    flags = sorted(cells["f"].unique())
+    # per-value class counts in value order (bounded 50 x 3)
+    mat = {
+        val: {f: 0 for f in flags} for val in values
+    }
+    for _, row in cells.iterrows():
+        mat[int(row["v"])][row["f"]] += int(row["c"])
+    tot = {f: sum(mat[v][f] for v in values) for f in flags}
+    n = sum(tot.values())
+    best = None                    # (num, den, t, n_l, n_r) exact ints
+    cum = {f: 0 for f in flags}
+    n_l = 0
+    for t in values[:-1]:
+        for f in flags:
+            cum[f] += mat[t][f]
+        n_l += sum(mat[t][f] for f in flags)
+        n_r = n - n_l
+        sl2 = sum(c * c for c in cum.values())
+        sr2 = sum((tot[f] - cum[f]) ** 2 for f in flags)
+        num = (n_l * n_l - sl2) * n_r + (n_r * n_r - sr2) * n_l
+        den = n * n_l * n_r
+        if best is None or num * best[1] < best[0] * den:
+            best = (num, den, t, n_l, n_r)
+    num, den, t, n_l, n_r = best
+    return pa.table(
+        {"threshold": pa.array([t], pa.int64()),
+         "n_left": pa.array([n_l], pa.int64()),
+         "n_right": pa.array([n_r], pa.int64()),
+         "gini_num": pa.array([num], pa.int64()),
+         "gini_den": pa.array([den], pa.int64()),
+         "gini": pa.array([float(num) / float(den)], pa.float64())}
+    )
+
+
+ORACLES["qty_return_stump"] = (
+    "WITH q AS (SELECT CAST(floor(l_quantity + 0.5) AS BIGINT) AS v, "
+    "l_returnflag AS f FROM lineitem), "
+    "h AS (SELECT v, f, count(*)::BIGINT AS c FROM q GROUP BY 1, 2), "
+    "tot AS (SELECT sum(c)::BIGINT AS n FROM h), "
+    "thr AS (SELECT DISTINCT v AS t FROM h "
+    "WHERE v < (SELECT max(v) FROM h)), "
+    "side AS (SELECT thr.t, h.f, "
+    "sum(CASE WHEN h.v <= thr.t THEN h.c ELSE 0 END)::BIGINT AS cl, "
+    "sum(h.c)::BIGINT AS call FROM thr CROSS JOIN h GROUP BY 1, 2), "
+    "agg AS (SELECT t, sum(cl)::HUGEINT AS nl, "
+    "(SELECT n FROM tot)::HUGEINT - sum(cl) AS nr, "
+    "sum(cl::HUGEINT * cl)::HUGEINT AS sl2, "
+    "sum((call - cl)::HUGEINT * (call - cl))::HUGEINT AS sr2 "
+    "FROM side GROUP BY 1), "
+    "g AS (SELECT t, nl, nr, "
+    "((nl * nl - sl2) * nr + (nr * nr - sr2) * nl)::HUGEINT AS num, "
+    "((SELECT n FROM tot)::HUGEINT * nl * nr)::HUGEINT AS den FROM agg) "
+    "SELECT a.t AS threshold, a.nl::BIGINT AS n_left, "
+    "a.nr::BIGINT AS n_right, a.num::BIGINT AS gini_num, "
+    "a.den::BIGINT AS gini_den, "
+    "CAST(a.num AS DOUBLE) / CAST(a.den AS DOUBLE) AS gini "
+    "FROM g a WHERE NOT EXISTS (SELECT 1 FROM g b "
+    "WHERE b.num * a.den < a.num * b.den "
+    "OR (b.num * a.den = a.num * b.den AND b.t < a.t))"
+)

@@ -2094,3 +2094,64 @@ def test_copurchase_mutual_best_reciprocity(ray_session, tmp_path):
     rows = [tuple(int(x) for x in r)
             for r in got[["part_a", "part_b", "weight"]].itertuples(False)]
     assert rows == [(3, 4, 3), (1, 2, 2), (9, 10, 2), (6, 7, 1)]
+
+
+def test_qty_return_stump_split_tie_and_degenerate(ray_session, tmp_path):
+    """Pin the stump induction: the exact weighted-Gini argmin on a
+    hand-computed corpus, the all-one-class tie (every split has
+    impurity 0 -> smallest threshold wins), and the single-distinct-value
+    corpus (no valid split -> typed empty on BOTH engines)."""
+    from langfilter_ray.pipelines import relational
+
+    d = tmp_path / "main"
+    d.mkdir()
+    # values 1,2,3; t=1 -> num/den 6/20; t=2 -> 8/30 (smaller) -> t=2 wins
+    _write_lineitem_qty(
+        d, [("R", 1.0), ("R", 2.0), ("N", 2.0), ("N", 3.0), ("N", 3.0)]
+    )
+    got = _to_pandas(relational.qty_return_stump(str(d)))
+    c = duckdb.connect()
+    c.execute(
+        f"CREATE VIEW lineitem AS SELECT * "
+        f"FROM read_parquet('{d}/lineitem.parquet')"
+    )
+    want = c.execute(relational.ORACLES["qty_return_stump"]).df()
+    problems = compare_frames(_canon(got), _canon(want))
+    assert not problems, (problems, first_diff(_canon(got), _canon(want)))
+    r = got.iloc[0]
+    assert (int(r["threshold"]), int(r["n_left"]), int(r["n_right"])) == (2, 3, 2)
+    assert (int(r["gini_num"]), int(r["gini_den"])) == (8, 30)
+    assert r["gini"] == 8.0 / 30.0
+
+    # all one class: every split is pure -> exact-fraction tie -> t = 1
+    e = tmp_path / "pure"
+    e.mkdir()
+    _write_lineitem_qty(e, [("N", 1.0), ("N", 2.0), ("N", 3.0)])
+    got_e = _to_pandas(relational.qty_return_stump(str(e)))
+    c2 = duckdb.connect()
+    c2.execute(
+        f"CREATE VIEW lineitem AS SELECT * "
+        f"FROM read_parquet('{e}/lineitem.parquet')"
+    )
+    want_e = c2.execute(relational.ORACLES["qty_return_stump"]).df()
+    problems = compare_frames(_canon(got_e), _canon(want_e))
+    assert not problems, (problems, first_diff(_canon(got_e), _canon(want_e)))
+    r = got_e.iloc[0]
+    assert (int(r["threshold"]), int(r["gini_num"]), int(r["gini_den"])) == (1, 0, 6)
+    assert r["gini"] == 0.0
+
+    # single distinct value: no threshold leaves both sides non-empty
+    f = tmp_path / "onevalue"
+    f.mkdir()
+    _write_lineitem_qty(f, [("R", 5.0), ("N", 5.0)])
+    got_f = _to_pandas(relational.qty_return_stump(str(f)))
+    assert len(got_f) == 0
+    assert list(got_f.columns) == [
+        "threshold", "n_left", "n_right", "gini_num", "gini_den", "gini"
+    ]
+    c3 = duckdb.connect()
+    c3.execute(
+        f"CREATE VIEW lineitem AS SELECT * "
+        f"FROM read_parquet('{f}/lineitem.parquet')"
+    )
+    assert len(c3.execute(relational.ORACLES["qty_return_stump"]).df()) == 0
