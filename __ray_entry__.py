@@ -300,6 +300,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- seventh-sitting additions (past the 50-window; oracle-backed,
         # --- candidates for first driver rows next rotation) --------------
         "qty_return_stump": relational.qty_return_stump,
+        "weekly_revenue_lis": windows.weekly_revenue_lis,
     }
 
 

@@ -4352,3 +4352,110 @@ ORACLES["revenue_best_run"] = (
     "m.n AS n_days, CAST(best.score AS DOUBLE) / CAST(m.n AS DOUBLE) "
     "AS excess_cents FROM best, st, m"
 )
+
+
+# ---- weekly_revenue_lis: longest-increasing-subsequence sequence DP --------
+
+def weekly_revenue_lis(sf_dir: str) -> "pa.Table":
+    """Longest strictly-increasing subsequence of the WEEKLY revenue
+    series ("what is the longest growth story in this business, ignoring
+    setbacks?") — sequence DYNAMIC PROGRAMMING, a family the scan
+    statistics don't cover: revenue_changepoint couples prefixes with
+    suffixes and revenue_best_run (Kadane) reduces to a prefix-min
+    identity, but L[i] = 1 + max(L[j] : j < i, v[j] < v[i]) depends on
+    the FULL DP history, so it only exists on a series short enough to
+    fold driver-side.  Weekly buckets make that explicit: the series
+    length is the corpus TIME SPAN in weeks (a few hundred for decades
+    of data, independent of row count).
+
+    Output: the LIS length, plus the earliest week where a subsequence
+    of that length ends and its revenue — ties pinned (equal weekly
+    revenues do NOT extend each other: strict increase; among equal-
+    length endpoints the earliest week wins).
+
+    Scale shape: in-batch pyarrow (week, rev-cents) sum partials, gather
+    bounded by WEEKS × blocks, O(span²) exact-integer DP on the driver
+    (span ≈ 10³ even at 100 TB).  The DuckDB mirror replays the same DP
+    as a recursive CTE carrying the (rev, L) history list — exact, and
+    the reason the weekly grain matters: recursion cost is per-element.
+
+    Reference anchor: A3's rolling-average trend report (SURVEY.md
+    §2.6) asked as the retrospective growth question."""
+    US_WEEK = 604_800_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"week": pa.array([], pa.int64()),
+             "rev": pa.array([], pa.int64())}
+        )
+        if len(t) == 0:
+            return empty
+        week = pc.cast(t["o_orderdate"], pa.int64()).to_numpy() // US_WEEK
+        cents = np.floor(
+            t["o_totalprice"].to_numpy() * 100.0 + 0.5
+        ).astype(np.int64)
+        g = (
+            pa.table({"week": pa.array(week), "rev": pa.array(cents)})
+            .group_by("week")
+            .aggregate([("rev", "sum")])
+        )
+        return pa.table({"week": g["week"], "rev": g["rev_sum"]})
+
+    path = f"{sf_dir}/orders.parquet"
+    parts = (
+        ray.data.read_parquet(
+            path,
+            columns=["o_orderdate", "o_totalprice"],
+            schema=_clean_schema(path, ["o_orderdate", "o_totalprice"]),
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()    # bounded: weeks x blocks, never rows
+    )
+    empty = pa.table(
+        {"lis_len": pa.array([], pa.int64()),
+         "end_week": pa.array([], pa.int64()),
+         "end_rev_cents": pa.array([], pa.int64())}
+    )
+    if parts.empty:
+        return empty
+    weekly = parts.groupby("week", sort=True)["rev"].sum()
+    weeks = weekly.index.to_numpy(np.int64)
+    v = weekly.to_numpy(np.int64)
+    n = len(v)
+    lis = np.zeros(n, dtype=np.int64)
+    for i in range(n):               # span-bounded, never rows
+        prior = lis[:i][v[:i] < v[i]]
+        lis[i] = 1 + (int(prior.max()) if len(prior) else 0)
+    best = int(lis.max())
+    end = int(np.argmax(lis))        # first index achieving the max
+    return pa.table(
+        {"lis_len": pa.array([best], pa.int64()),
+         "end_week": pa.array([int(weeks[end])], pa.int64()),
+         "end_rev_cents": pa.array([int(v[end])], pa.int64())}
+    )
+
+
+ORACLES["weekly_revenue_lis"] = (
+    "WITH RECURSIVE weekly AS (SELECT epoch_us(o_orderdate) // "
+    "604800000000 AS week, "
+    "sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))::BIGINT AS rev "
+    "FROM orders GROUP BY 1), "
+    "spine AS (SELECT week, rev, "
+    "row_number() OVER (ORDER BY week)::BIGINT AS rn FROM weekly), "
+    "nn AS (SELECT count(*)::BIGINT AS n FROM spine), "
+    "r(i, hist) AS ("
+    "SELECT 1::BIGINT, [struct_pack(rev := rev, l := 1::BIGINT)] "
+    "FROM spine WHERE rn = 1 "
+    "UNION ALL "
+    "SELECT r.i + 1, list_append(r.hist, struct_pack(rev := s.rev, "
+    "l := (1 + coalesce(list_max(list_transform("
+    "list_filter(r.hist, x -> x.rev < s.rev), x -> x.l)), 0))::BIGINT)) "
+    "FROM r JOIN spine s ON s.rn = r.i + 1), "
+    "final AS (SELECT hist FROM r, nn WHERE r.i = nn.n), "
+    "lv AS (SELECT unnest(hist) AS h, "
+    "unnest(range(1, len(hist) + 1)) AS idx FROM final), "
+    "best AS (SELECT (h).l AS l, idx FROM lv ORDER BY l DESC, idx LIMIT 1) "
+    "SELECT b.l::BIGINT AS lis_len, s.week::BIGINT AS end_week, "
+    "s.rev::BIGINT AS end_rev_cents "
+    "FROM best b JOIN spine s ON s.rn = b.idx"
+)

@@ -2155,3 +2155,56 @@ def test_qty_return_stump_split_tie_and_degenerate(ray_session, tmp_path):
         f"FROM read_parquet('{f}/lineitem.parquet')"
     )
     assert len(c3.execute(relational.ORACLES["qty_return_stump"]).df()) == 0
+
+
+def test_weekly_revenue_lis_strictness_and_earliest_end(ray_session, tmp_path):
+    """Pin the LIS DP: same-week revenue SUMS before the DP, equal
+    values do NOT extend each other (strict increase), and among
+    equal-length endpoints the EARLIEST week wins.  Weekly values
+    [100, 200, 900, 300, 300] -> L = [1, 2, 3, 3, 3], so lis_len = 3
+    ending at the 900-cent week (not either later 300)."""
+    from langfilter_ray.pipelines import windows
+
+    d = tmp_path / "main"
+    d.mkdir()
+    _write_orders_dates(
+        d,
+        [("2024-01-01", 1.00),                        # w1: 100
+         ("2024-01-08", 1.50), ("2024-01-09", 0.50),  # w2: 200 (summed)
+         ("2024-01-15", 9.00),                        # w3: 900
+         ("2024-01-22", 3.00),                        # w4: 300
+         ("2024-01-29", 3.00)],                       # w5: 300 (== w4)
+    )
+    got = _to_pandas(windows.weekly_revenue_lis(str(d)))
+    c = duckdb.connect()
+    c.execute(
+        f"CREATE VIEW orders AS SELECT * "
+        f"FROM read_parquet('{d}/orders.parquet')"
+    )
+    want = c.execute(windows.ORACLES["weekly_revenue_lis"]).df()
+    problems = compare_frames(_canon(got), _canon(want))
+    assert not problems, (problems, first_diff(_canon(got), _canon(want)))
+    r = got.iloc[0]
+    assert int(r["lis_len"]) == 3
+    assert int(r["end_rev_cents"]) == 900
+    # the winning end is the 2024-01-15 week on the epoch-week spine
+    assert int(r["end_week"]) == int(
+        np.datetime64("2024-01-15T00:00:00", "us").astype(np.int64)
+        // 604_800_000_000
+    )
+
+    # single order -> LIS of length 1 ending at that week
+    e = tmp_path / "single"
+    e.mkdir()
+    _write_orders_dates(e, [("2024-03-01", 7.0)])
+    got_e = _to_pandas(windows.weekly_revenue_lis(str(e)))
+    c2 = duckdb.connect()
+    c2.execute(
+        f"CREATE VIEW orders AS SELECT * "
+        f"FROM read_parquet('{e}/orders.parquet')"
+    )
+    want_e = c2.execute(windows.ORACLES["weekly_revenue_lis"]).df()
+    problems = compare_frames(_canon(got_e), _canon(want_e))
+    assert not problems
+    assert int(got_e.iloc[0]["lis_len"]) == 1
+    assert int(got_e.iloc[0]["end_rev_cents"]) == 700
