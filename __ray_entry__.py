@@ -301,6 +301,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- candidates for first driver rows next rotation) --------------
         "qty_return_stump": relational.qty_return_stump,
         "weekly_revenue_lis": windows.weekly_revenue_lis,
+        "weekly_ewma_surprise": windows.weekly_ewma_surprise,
     }
 
 

@@ -4459,3 +4459,115 @@ ORACLES["weekly_revenue_lis"] = (
     "s.rev::BIGINT AS end_rev_cents "
     "FROM best b JOIN spine s ON s.rn = b.idx"
 )
+
+
+# ---- weekly_ewma_surprise: non-associative smoothing recurrence -------------
+
+def weekly_ewma_surprise(sf_dir: str) -> "pa.Table":
+    """Forecast-surprise detection over the DENSE weekly revenue grid:
+    an integer EWMA (α = 1/2) runs left-to-right — ``s₁ = v₁``,
+    ``sₜ = (sₜ₋₁ + vₜ) // 2`` — and each week's surprise is
+    ``|vₜ − sₜ₋₁|``, the gap between revenue and its smoothed forecast;
+    top-5 surprise weeks.  This is the NON-ASSOCIATIVE recurrence
+    family: unlike every partial-aggregate operator (sums, GCD, Kadane's
+    prefix identity), the EWMA state is order-dependent and cannot be
+    folded per batch — it only exists because the series is the corpus
+    TIME SPAN, not the row count, so the grid gathers driver-side and
+    the recurrence runs there.
+
+    Exactness: revenue in int64 cents; the halving is integer floor
+    division on NON-NEGATIVE state (spelled ``//`` on both engines —
+    floor == trunc here, so the DuckDB/numpy negative-division trap is
+    moot); weeks with no orders contribute ZERO revenue (the dense-spine
+    precedent of revenue_changepoint), which decays the forecast rather
+    than freezing it.  Every output column is an exact integer, so the
+    ORDER BY hash-matches with no float anywhere.
+
+    Scale shape: in-batch pyarrow (week, rev-cents) sum partials, gather
+    bounded by WEEKS × blocks; one O(span) driver recurrence.  The SQL
+    mirror replays the recurrence as a depth = span recursive CTE.
+
+    Reference anchor: A2/A3's recent-window dashboards (SURVEY.md §2.6)
+    upgraded from "what happened lately" to "what deviated from
+    forecast"."""
+    US_WEEK = 604_800_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"week": pa.array([], pa.int64()),
+             "rev": pa.array([], pa.int64())}
+        )
+        if len(t) == 0:
+            return empty
+        week = pc.cast(t["o_orderdate"], pa.int64()).to_numpy() // US_WEEK
+        cents = np.floor(
+            t["o_totalprice"].to_numpy() * 100.0 + 0.5
+        ).astype(np.int64)
+        g = (
+            pa.table({"week": pa.array(week), "rev": pa.array(cents)})
+            .group_by("week")
+            .aggregate([("rev", "sum")])
+        )
+        return pa.table({"week": g["week"], "rev": g["rev_sum"]})
+
+    path = f"{sf_dir}/orders.parquet"
+    parts = (
+        ray.data.read_parquet(
+            path,
+            columns=["o_orderdate", "o_totalprice"],
+            schema=_clean_schema(path, ["o_orderdate", "o_totalprice"]),
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()    # bounded: weeks x blocks, never rows
+    )
+    empty = pa.table(
+        {"week": pa.array([], pa.int64()),
+         "rev_cents": pa.array([], pa.int64()),
+         "forecast_cents": pa.array([], pa.int64()),
+         "surprise_cents": pa.array([], pa.int64())}
+    )
+    if parts.empty:
+        return empty
+    weekly = parts.groupby("week", sort=True)["rev"].sum()
+    weeks = weekly.index.to_numpy(np.int64)
+    w0, w1 = int(weeks[0]), int(weeks[-1])
+    dense = np.zeros(w1 - w0 + 1, dtype=np.int64)
+    dense[weeks - w0] = weekly.to_numpy(np.int64)
+    if len(dense) < 2:
+        return empty
+    s = int(dense[0])
+    rows = []                      # span-bounded recurrence
+    for i in range(1, len(dense)):
+        v = int(dense[i])
+        rows.append((w0 + i, v, s, abs(v - s)))
+        s = (s + v) // 2
+    rows.sort(key=lambda r: (-r[3], r[0]))
+    rows = rows[:5]
+    return pa.table(
+        {"week": pa.array([r[0] for r in rows], pa.int64()),
+         "rev_cents": pa.array([r[1] for r in rows], pa.int64()),
+         "forecast_cents": pa.array([r[2] for r in rows], pa.int64()),
+         "surprise_cents": pa.array([r[3] for r in rows], pa.int64())}
+    )
+
+
+ORACLES["weekly_ewma_surprise"] = (
+    "WITH RECURSIVE per AS (SELECT epoch_us(o_orderdate) // "
+    "604800000000 AS t, "
+    "sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))::BIGINT AS rev "
+    "FROM orders GROUP BY 1), "
+    "b AS (SELECT min(t) AS t0, max(t) AS t1 FROM per), "
+    "grid AS (SELECT UNNEST(range(t0, t1 + 1)) AS t FROM b), "
+    "dense AS (SELECT grid.t, COALESCE(per.rev, 0)::BIGINT AS rev, "
+    "row_number() OVER (ORDER BY grid.t)::BIGINT AS rn "
+    "FROM grid LEFT JOIN per ON grid.t = per.t), "
+    "r(i, s, t, rev, forecast, surprise) AS ("
+    "SELECT 1::BIGINT, rev, t, rev, 0::BIGINT, 0::BIGINT "
+    "FROM dense WHERE rn = 1 "
+    "UNION ALL "
+    "SELECT d.rn, (r.s + d.rev) // 2, d.t, d.rev, r.s, abs(d.rev - r.s) "
+    "FROM r JOIN dense d ON d.rn = r.i + 1) "
+    "SELECT t AS week, rev AS rev_cents, forecast AS forecast_cents, "
+    "surprise AS surprise_cents "
+    "FROM r WHERE i > 1 ORDER BY surprise DESC, week LIMIT 5"
+)

@@ -2208,3 +2208,49 @@ def test_weekly_revenue_lis_strictness_and_earliest_end(ray_session, tmp_path):
     assert not problems
     assert int(got_e.iloc[0]["lis_len"]) == 1
     assert int(got_e.iloc[0]["end_rev_cents"]) == 700
+
+
+def test_weekly_ewma_surprise_zero_fill_and_truncation(ray_session, tmp_path):
+    """Pin the recurrence: s1 = v1, surprise_t = |v_t - s_{t-1}|,
+    s_t = (s_{t-1} + v_t) // 2 with INTEGER floor on non-negative state
+    (800+401 halves to 600, not 600.5), and the zero-filled missing week
+    DECAYS the forecast (w3 contributes v=0, surprise 600, s 600->300)."""
+    from langfilter_ray.pipelines import windows
+
+    d = tmp_path / "main"
+    d.mkdir()
+    _write_orders_dates(
+        d,
+        [("2024-01-01", 8.00),     # w1: 800 (seed, no surprise row)
+         ("2024-01-08", 4.01),     # w2: 401, forecast 800, s -> 600
+         # 2024-01-15 week missing -> v=0, forecast 600, s -> 300
+         ("2024-01-22", 10.00)],   # w4: 1000, forecast 300
+    )
+    got = _to_pandas(windows.weekly_ewma_surprise(str(d)))
+    c = duckdb.connect()
+    c.execute(
+        f"CREATE VIEW orders AS SELECT * "
+        f"FROM read_parquet('{d}/orders.parquet')"
+    )
+    want = c.execute(windows.ORACLES["weekly_ewma_surprise"]).df()
+    problems = compare_frames(_canon(got), _canon(want))
+    assert not problems, (problems, first_diff(_canon(got), _canon(want)))
+    assert list(got["surprise_cents"]) == [700, 600, 399]
+    assert list(got["forecast_cents"]) == [300, 600, 800]
+    assert list(got["rev_cents"]) == [1000, 0, 401]
+
+    # a single week has no surprise row -> typed empty on both engines
+    e = tmp_path / "single"
+    e.mkdir()
+    _write_orders_dates(e, [("2024-03-01", 7.0)])
+    got_e = _to_pandas(windows.weekly_ewma_surprise(str(e)))
+    assert len(got_e) == 0
+    assert list(got_e.columns) == [
+        "week", "rev_cents", "forecast_cents", "surprise_cents"
+    ]
+    c2 = duckdb.connect()
+    c2.execute(
+        f"CREATE VIEW orders AS SELECT * "
+        f"FROM read_parquet('{e}/orders.parquet')"
+    )
+    assert len(c2.execute(windows.ORACLES["weekly_ewma_surprise"]).df()) == 0
