@@ -302,6 +302,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "qty_return_stump": relational.qty_return_stump,
         "weekly_revenue_lis": windows.weekly_revenue_lis,
         "weekly_ewma_surprise": windows.weekly_ewma_surprise,
+        "flag_status_chi2_cells": relational.flag_status_chi2_cells,
     }
 
 

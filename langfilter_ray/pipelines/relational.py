@@ -7680,3 +7680,103 @@ ORACLES["qty_return_stump"] = (
     "WHERE b.num * a.den < a.num * b.den "
     "OR (b.num * a.den = a.num * b.den AND b.t < a.t))"
 )
+
+
+# ---- flag_status_chi2_cells: chi-square independence decomposition ---------
+
+def flag_status_chi2_cells(sf_dir: str) -> "pa.Table":
+    """Chi-square INDEPENDENCE decomposition of the return-flag ×
+    line-status contingency table: per cell, the observed count, the
+    independence-model expectation ``r·c/N``, and the cell's chi-square
+    contribution ``(o·N − r·c)² / (N·r·c)`` — the categorical
+    independence test the two-sample family doesn't cover
+    (qty_return_twosample pairs two CDFs over an ORDERED domain; this
+    asks whether two UNORDERED categoricals factorize).  The per-cell
+    decomposition is the honest exact form: the headline χ² is a
+    float SUM over cells (never hash-comparable), but each cell's
+    contribution is ONE division of exact integers, so every output
+    value hash-matches bit for bit and the user sums the tiny table.
+
+    Exactness: numerator ``(o·N − r·c)²`` and denominator ``N·r·c`` in
+    Python big ints here and HUGEINT in the mirror (the numerator passes
+    2^63 already at ~10⁵ rows — by design, the reason they are not
+    emitted as integer columns), each float ONE division mirroring the
+    SQL cast order (HUGEINT→DOUBLE is correctly rounded on both
+    engines, the embedding_top_eigval precedent).
+
+    Scale shape: the cell domain is BOUNDED (3 flags × 2 statuses), so
+    each batch emits a ≤6-row count partial; gather is cells × blocks,
+    never rows, and the driver fold is exact arithmetic over 6 cells.
+
+    Reference anchor: A4's gate-path distribution (SURVEY.md §2.6) —
+    the auditor's follow-up: are gate path and outcome independent?"""
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"f": pa.array([], pa.string()),
+             "st": pa.array([], pa.string()),
+             "c": pa.array([], pa.int64())}
+        )
+        if len(t) == 0:
+            return empty
+        g = (
+            t.select(["l_returnflag", "l_linestatus"])
+            .group_by(["l_returnflag", "l_linestatus"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {"f": g["l_returnflag"], "st": g["l_linestatus"],
+             "c": g["count_all"]}
+        )
+
+    hist = (
+        _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()    # bounded: cells x blocks, never rows
+    )
+    empty = pa.table(
+        {"returnflag": pa.array([], pa.string()),
+         "linestatus": pa.array([], pa.string()),
+         "n_obs": pa.array([], pa.int64()),
+         "expected": pa.array([], pa.float64()),
+         "contrib": pa.array([], pa.float64())}
+    )
+    if hist.empty:
+        return empty
+    cells = hist.groupby(["f", "st"], sort=True)["c"].sum()
+    rf = cells.groupby(level="f").sum().to_dict()
+    cs = cells.groupby(level="st").sum().to_dict()
+    n = int(cells.sum())
+    out_f, out_s, out_o, out_e, out_x = [], [], [], [], []
+    for (f, st), o in cells.items():
+        o, r, c = int(o), int(rf[f]), int(cs[st])
+        num = (o * n - r * c) ** 2
+        den = n * r * c
+        out_f.append(f)
+        out_s.append(st)
+        out_o.append(o)
+        out_e.append(float(r * c) / float(n))
+        out_x.append(float(num) / float(den))
+    return pa.table(
+        {"returnflag": pa.array(out_f, pa.string()),
+         "linestatus": pa.array(out_s, pa.string()),
+         "n_obs": pa.array(out_o, pa.int64()),
+         "expected": pa.array(out_e, pa.float64()),
+         "contrib": pa.array(out_x, pa.float64())}
+    )
+
+
+ORACLES["flag_status_chi2_cells"] = (
+    "WITH h AS (SELECT l_returnflag AS f, l_linestatus AS st, "
+    "count(*)::BIGINT AS c FROM lineitem GROUP BY 1, 2), "
+    "r AS (SELECT f, sum(c)::BIGINT AS rf FROM h GROUP BY 1), "
+    "cc AS (SELECT st, sum(c)::BIGINT AS cs FROM h GROUP BY 1), "
+    "t AS (SELECT sum(c)::BIGINT AS n FROM h) "
+    "SELECT h.f AS returnflag, h.st AS linestatus, h.c AS n_obs, "
+    "CAST(r.rf * cc.cs AS DOUBLE) / CAST(t.n AS DOUBLE) AS expected, "
+    "CAST((h.c::HUGEINT * t.n - r.rf::HUGEINT * cc.cs) * "
+    "(h.c::HUGEINT * t.n - r.rf::HUGEINT * cc.cs) AS DOUBLE) / "
+    "CAST(t.n::HUGEINT * r.rf * cc.cs AS DOUBLE) AS contrib "
+    "FROM h JOIN r ON h.f = r.f JOIN cc ON h.st = cc.st CROSS JOIN t "
+    "ORDER BY 1, 2"
+)

@@ -2254,3 +2254,52 @@ def test_weekly_ewma_surprise_zero_fill_and_truncation(ray_session, tmp_path):
         f"FROM read_parquet('{e}/orders.parquet')"
     )
     assert len(c2.execute(windows.ORACLES["weekly_ewma_surprise"]).df()) == 0
+
+
+def test_flag_status_chi2_cells_hand_table(ray_session, tmp_path):
+    """Pin the per-cell chi-square decomposition on a hand-computed 2x2
+    table: rows (R,O)x3 (R,F)x1 (N,O)x1 (N,F)x1 -> N=6, margins R=4 N=2
+    O=4 F=2, contributions 1/24, 1/12, 1/12, 1/6 and expectations
+    r*c/6 — every value ONE exact-integer division."""
+    from langfilter_ray.pipelines import relational
+
+    d = tmp_path / "main"
+    d.mkdir()
+    rows = [("R", "O")] * 3 + [("R", "F"), ("N", "O"), ("N", "F")]
+    n = len(rows)
+    lineitem = pa.table(
+        {
+            "l_orderkey": pa.array(list(range(1, n + 1)), pa.int64()),
+            "l_partkey": pa.array([1] * n, pa.int64()),
+            "l_suppkey": pa.array([1] * n, pa.int64()),
+            "l_linenumber": pa.array([1] * n, pa.int32()),
+            "l_quantity": pa.array([1.0] * n, pa.float64()),
+            "l_extendedprice": pa.array([1.0] * n, pa.float64()),
+            "l_discount": pa.array([0.0] * n, pa.float64()),
+            "l_tax": pa.array([0.0] * n, pa.float64()),
+            "l_returnflag": pa.array([f for f, _ in rows], pa.string()),
+            "l_linestatus": pa.array([s for _, s in rows], pa.string()),
+            "l_shipdate": pa.array(
+                [np.datetime64("2024-03-02T00:00:00", "us")] * n,
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    pq.write_table(lineitem, d / "lineitem.parquet")
+    got = _to_pandas(relational.flag_status_chi2_cells(str(d)))
+    c = duckdb.connect()
+    c.execute(
+        f"CREATE VIEW lineitem AS SELECT * "
+        f"FROM read_parquet('{d}/lineitem.parquet')"
+    )
+    want = c.execute(relational.ORACLES["flag_status_chi2_cells"]).df()
+    problems = compare_frames(_canon(got), _canon(want))
+    assert not problems, (problems, first_diff(_canon(got), _canon(want)))
+    got = got.sort_values(["returnflag", "linestatus"]).reset_index(drop=True)
+    assert list(got["n_obs"]) == [1, 1, 1, 3]       # (N,F) (N,O) (R,F) (R,O)
+    assert list(got["expected"]) == [
+        4.0 / 6.0, 8.0 / 6.0, 8.0 / 6.0, 16.0 / 6.0
+    ]
+    assert list(got["contrib"]) == [
+        4.0 / 24.0, 4.0 / 48.0, 4.0 / 48.0, 4.0 / 96.0
+    ]
