@@ -303,6 +303,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weekly_revenue_lis": windows.weekly_revenue_lis,
         "weekly_ewma_surprise": windows.weekly_ewma_surprise,
         "flag_status_chi2_cells": relational.flag_status_chi2_cells,
+        "huffman_cost_top64": text_analysis.huffman_cost_top64,
     }
 
 

@@ -300,30 +300,34 @@ ORACLES: dict[str, str] = {
 
 # ---- top_tokens (flat-map explode + pre-aggregated wordcount) ------------
 
+def _token_partial_counts(t: pa.Table) -> pa.Table:
+    """Per-batch token-count combiner shared by the wordcount-shaped ops:
+    pure Arrow kernels — split on the token-class complement, flatten,
+    drop the empty boundary strings, count; no Python per-row loop.
+    "[^a-z0-9_]+" splitting == findall("[a-z0-9_]+") semantics."""
+    toks = pc.split_pattern_regex(
+        pc.utf8_lower(t["text"]), pattern="[^a-z0-9_]+"
+    )
+    flat = pc.list_flatten(toks)
+    flat = flat.filter(pc.not_equal(flat, ""))
+    vc = flat.combine_chunks().value_counts() if isinstance(
+        flat, pa.ChunkedArray
+    ) else flat.value_counts()
+    return pa.table(
+        {
+            "token": vc.field("values"),
+            "partial": pc.cast(vc.field("counts"), pa.int64()),
+        }
+    )
+
+
 def top_tokens(sf_dir: str) -> ray.data.Dataset:
     """Corpus-wide token frequency top-20 — the canonical wordcount shaped
     for scale: tokens are counted WITHIN each batch first (combiner), so
     the groupby shuffle carries (token, partial_count) rows instead of one
     row per token occurrence; the final sort+limit runs on the tiny
     aggregate.  Ties broken by token text for determinism."""
-    def partial_counts(t: pa.Table) -> pa.Table:
-        # pure Arrow kernels: split on the token-class complement, flatten,
-        # drop the empty boundary strings, count — no Python per-row loop.
-        # "[^a-z0-9_]+" splitting == findall("[a-z0-9_]+") semantics.
-        toks = pc.split_pattern_regex(
-            pc.utf8_lower(t["text"]), pattern="[^a-z0-9_]+"
-        )
-        flat = pc.list_flatten(toks)
-        flat = flat.filter(pc.not_equal(flat, ""))
-        vc = flat.combine_chunks().value_counts() if isinstance(
-            flat, pa.ChunkedArray
-        ) else flat.value_counts()
-        return pa.table(
-            {
-                "token": vc.field("values"),
-                "partial": pc.cast(vc.field("counts"), pa.int64()),
-            }
-        )
+    partial_counts = _token_partial_counts
 
     from ray.data.aggregate import Sum
 
@@ -4370,4 +4374,95 @@ ORACLES["source_simpson_diversity"] = (
     "(CAST(n_tokens AS DOUBLE) * CAST(n_tokens - 1 AS DOUBLE)) "
     "ELSE -1.0 END AS simpson "
     "FROM g"
+)
+
+
+# ---- huffman_cost_top64: optimal prefix-code cost (greedy merge fold) ------
+
+HUFFMAN_TOP_K = 64
+
+
+def huffman_cost_top64(sf_dir: str) -> "pa.Table":
+    """Optimal prefix-code (Huffman) cost of the top-64 corpus tokens —
+    "how many bits would an entropy coder actually spend on the head of
+    this vocabulary?", the tokenizer-budget estimate that needs NO
+    logarithms (the float-sum trap entropy falls into): the total cost
+    ``Σ count·depth`` equals the sum of merged internal-node weights,
+    every one an exact integer.  GREEDY PRIORITY-QUEUE algorithms are a
+    family no fold so far covers — each step merges the two CURRENT
+    smallest weights, so the state is an evolving multiset, not a
+    monoid partial; it exists here because the head is BOUNDED (K=64).
+    The minimum total cost is unique across tie-breaks (any two-smallest
+    merge yields an optimal tree), so the output is deterministic even
+    where equal weights make the tree ambiguous.
+
+    Scale shape: the token-count gather is the wordcount combiner
+    (per-batch value_counts, vocabulary-bounded groupby — top_tokens'
+    exact shuffle); the Huffman fold runs on the driver over 64 ints.
+    ``avg_bits = cost/total`` is the ONE float division.  The DuckDB
+    mirror replays the same greedy as a depth-63 recursive CTE over a
+    sorted weight list.
+
+    Reference anchor: M2's tokenizer (SURVEY.md §2.2) asked the
+    capacity-planning question one level up."""
+    import heapq
+
+    from ray.data.aggregate import Sum
+
+    top = (
+        _docs_cols(sf_dir, ["text"])
+        .map_batches(_token_partial_counts, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("partial", alias_name="n"))
+        .sort(["n", "token"], descending=[True, False])
+        .limit(HUFFMAN_TOP_K)
+        .to_pandas()    # bounded: K rows
+    )
+    empty = pa.table(
+        {"n_tokens": pa.array([], pa.int64()),
+         "total_count": pa.array([], pa.int64()),
+         "huffman_cost": pa.array([], pa.int64()),
+         "avg_bits": pa.array([], pa.float64())}
+    )
+    if top.empty:
+        return empty
+    heap = [int(x) for x in top["n"]]
+    total = sum(heap)
+    heapq.heapify(heap)
+    cost = 0
+    while len(heap) >= 2:          # bounded: K-1 merges
+        a = heapq.heappop(heap)
+        b = heapq.heappop(heap)
+        cost += a + b
+        heapq.heappush(heap, a + b)
+    return pa.table(
+        {"n_tokens": pa.array([len(top)], pa.int64()),
+         "total_count": pa.array([total], pa.int64()),
+         "huffman_cost": pa.array([cost], pa.int64()),
+         "avg_bits": pa.array(
+             [float(cost) / float(total)], pa.float64())}
+    )
+
+
+ORACLES["huffman_cost_top64"] = (
+    "WITH RECURSIVE tok AS (SELECT "
+    f"unnest(regexp_extract_all(lower(text), '{LOWER_TOKEN_RE}')) AS w "
+    "FROM documents), "
+    "cnt AS (SELECT w, count(*)::BIGINT AS n FROM tok GROUP BY 1), "
+    f"top AS (SELECT n FROM cnt ORDER BY n DESC, w LIMIT {HUFFMAN_TOP_K}), "
+    "seed AS (SELECT list_sort(list(n)) AS ws FROM top "
+    "WHERE (SELECT count(*) FROM top) >= 1), "
+    "r(ws, acc) AS ("
+    "SELECT ws, 0::BIGINT FROM seed "
+    "UNION ALL "
+    "SELECT list_sort(list_concat(list_slice(ws, 3, len(ws)), "
+    "[ws[1] + ws[2]])), acc + ws[1] + ws[2] "
+    "FROM r WHERE len(ws) >= 2), "
+    "fin AS (SELECT acc FROM r WHERE len(ws) = 1) "
+    "SELECT (SELECT count(*) FROM top)::BIGINT AS n_tokens, "
+    "(SELECT sum(n) FROM top)::BIGINT AS total_count, "
+    "f.acc::BIGINT AS huffman_cost, "
+    "CAST(f.acc AS DOUBLE) / "
+    "CAST((SELECT sum(n) FROM top) AS DOUBLE) AS avg_bits "
+    "FROM fin f"
 )

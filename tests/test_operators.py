@@ -117,7 +117,7 @@ ORACLE_CHECKED = [
     "part_cloud_diameter", "price_tick_gcd", "revenue_best_run",
     "user_activity_f2", "qty_gini_mean_diff", "copurchase_mutual_best",
     "qty_return_stump", "weekly_revenue_lis", "weekly_ewma_surprise",
-    "flag_status_chi2_cells",
+    "flag_status_chi2_cells", "huffman_cost_top64",
 ]
 
 

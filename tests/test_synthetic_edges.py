@@ -2303,3 +2303,59 @@ def test_flag_status_chi2_cells_hand_table(ray_session, tmp_path):
     assert list(got["contrib"]) == [
         4.0 / 24.0, 4.0 / 48.0, 4.0 / 48.0, 4.0 / 96.0
     ]
+
+
+def test_huffman_cost_top64_hand_weights(ray_session, tmp_path):
+    """Pin the greedy merge fold on hand weights: token counts
+    {a:5, b:2, c:1, d:1} -> merges (1+1)=2, (2+2)=4, (4+5)=9 ->
+    cost 15, i.e. depths a:1 b:2 c:3 d:3 (5+4+3+3).  Also the
+    single-distinct-token corpus: zero merges -> cost 0, avg_bits 0."""
+    from langfilter_ray.pipelines import text_analysis
+
+    d = tmp_path / "main"
+    d.mkdir()
+    docs = pa.table(
+        {"doc_id": pa.array([1, 2], pa.int64()),
+         "text": pa.array(["a a a b c d", "a a b"], pa.string()),
+         "lang": pa.array(["en", "en"], pa.string()),
+         "source": pa.array(["s1", "s1"], pa.string()),
+         "n_chars": pa.array([11, 5], pa.int64())}
+    )
+    pq.write_table(docs, d / "documents.parquet")
+    got = _to_pandas(text_analysis.huffman_cost_top64(str(d)))
+    c = duckdb.connect()
+    c.execute(
+        f"CREATE VIEW documents AS SELECT * "
+        f"FROM read_parquet('{d}/documents.parquet')"
+    )
+    want = c.execute(text_analysis.ORACLES["huffman_cost_top64"]).df()
+    problems = compare_frames(_canon(got), _canon(want))
+    assert not problems, (problems, first_diff(_canon(got), _canon(want)))
+    r = got.iloc[0]
+    assert (int(r["n_tokens"]), int(r["total_count"])) == (4, 9)
+    assert int(r["huffman_cost"]) == 15
+    assert r["avg_bits"] == 15.0 / 9.0
+
+    e = tmp_path / "single"
+    e.mkdir()
+    docs1 = pa.table(
+        {"doc_id": pa.array([1], pa.int64()),
+         "text": pa.array(["hello hello hello"], pa.string()),
+         "lang": pa.array(["en"], pa.string()),
+         "source": pa.array(["s1"], pa.string()),
+         "n_chars": pa.array([17], pa.int64())}
+    )
+    pq.write_table(docs1, e / "documents.parquet")
+    got_e = _to_pandas(text_analysis.huffman_cost_top64(str(e)))
+    c2 = duckdb.connect()
+    c2.execute(
+        f"CREATE VIEW documents AS SELECT * "
+        f"FROM read_parquet('{e}/documents.parquet')"
+    )
+    want_e = c2.execute(text_analysis.ORACLES["huffman_cost_top64"]).df()
+    problems = compare_frames(_canon(got_e), _canon(want_e))
+    assert not problems, (problems, first_diff(_canon(got_e), _canon(want_e)))
+    r = got_e.iloc[0]
+    assert (int(r["n_tokens"]), int(r["total_count"]),
+            int(r["huffman_cost"])) == (1, 3, 0)
+    assert r["avg_bits"] == 0.0
