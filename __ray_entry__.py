@@ -304,6 +304,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weekly_ewma_surprise": windows.weekly_ewma_surprise,
         "flag_status_chi2_cells": relational.flag_status_chi2_cells,
         "huffman_cost_top64": text_analysis.huffman_cost_top64,
+        "bulk_brand_cover": relational.bulk_brand_cover,
     }
 
 

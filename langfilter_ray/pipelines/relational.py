@@ -7780,3 +7780,232 @@ ORACLES["flag_status_chi2_cells"] = (
     "FROM h JOIN r ON h.f = r.f JOIN cc ON h.st = cc.st CROSS JOIN t "
     "ORDER BY 1, 2"
 )
+
+
+# ---- bulk_brand_cover: greedy set cover (submodular selection) -------------
+
+BULK_COVER_QTY_MIN = 45
+BULK_COVER_CANDIDATES = 64
+
+
+def bulk_brand_cover(sf_dir: str) -> "pa.Table":
+    """GREEDY SET COVER over the bulk-purchase relation: the smallest
+    greedy-chosen set of customers whose bulk orders (quantity ≥ 45)
+    together touch every brand sold in bulk — the submodular-selection
+    family (the 1−1/e-approximate primitive behind data-subset
+    selection and coverage-driven corpus curation) that no fold so far
+    expresses: each pick depends on everything already covered, so the
+    loop exists only over a BOUNDED candidate pool.  Candidates are the
+    top-64 customers by distinct bulk-brand count (ties → smaller key);
+    each greedy step takes the candidate covering the most uncovered
+    brands (ties → smaller key) and stops when no candidate adds
+    coverage.  Output: pick order, customer, newly/cumulatively covered.
+
+    Scale shape: the qty filter prunes the fact stream ~8×; partkey →
+    brand and orderkey → custkey resolve against ray.put-broadcast
+    sorted arrays below BROADCAST_DIM_MAX_ROWS (hash-partitioned native
+    joins above — the revenue_by_nation contract, fallback pinned by the
+    zero-threshold test); a per-batch distinct combiner bounds the
+    (cust, brand) groupby shuffle by pairs-per-batch; the candidate cut
+    is a 64-row sort+limit; only ≤ 64×|brands| membership rows ever
+    reach the driver.  The DuckDB mirror replays the greedy as a
+    recursive CTE over the same candidate lists.
+
+    Reference anchor: J2's owner/prefix routing (SURVEY.md §2.5) asked
+    as the curation question: which few owners span the catalog?"""
+    import pyarrow.parquet as pq_mod
+
+    from ray.data.aggregate import Sum
+
+    qty_min = BULK_COVER_QTY_MIN
+
+    def to_pairs_broadcast(part_ref, brand_lut, orders_ref):
+        def fn(t: pa.Table) -> pa.Table:
+            empty = pa.table(
+                {"cust": pa.array([], pa.int64()),
+                 "b": pa.array([], pa.string())}
+            )
+            qty = np.floor(
+                t["l_quantity"].to_numpy() + 0.5
+            ).astype(np.int64)
+            keep = qty >= qty_min
+            if not keep.any():
+                return empty
+            brands = _probe_lookup(
+                part_ref, brand_lut, t["l_partkey"].to_numpy()[keep]
+            )
+            custs = _probe_int(
+                orders_ref, t["l_orderkey"].to_numpy()[keep]
+            )
+            valid = np.not_equal(brands, None) & (custs != -1)
+            if not valid.any():
+                return empty
+            df = pd.DataFrame(
+                {"cust": custs[valid], "b": brands[valid]}
+            ).drop_duplicates()           # in-batch distinct combiner
+            return pa.table(
+                {"cust": pa.array(df["cust"].to_numpy(np.int64)),
+                 "b": pa.array(df["b"].to_numpy(dtype=object),
+                               pa.string())}
+            )
+        return fn
+
+    small_dims = (
+        _dim_num_rows(sf_dir, "part") <= BROADCAST_DIM_MAX_ROWS
+        and _dim_num_rows(sf_dir, "orders") <= BROADCAST_DIM_MAX_ROWS
+    )
+    if small_dims:
+        part = pq_mod.read_table(
+            f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+        )
+        pk = part["p_partkey"].to_numpy()
+        codes, uniques = pd.factorize(part["p_brand"].to_pandas())
+        order = np.argsort(pk)
+        brand_lut = np.asarray(list(uniques) + [None], dtype=object)
+        part_ref = ray.put((pk[order], codes[order].astype(np.int64)))
+        orders_t = pq_mod.read_table(
+            f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+        )
+        orders_ref = _broadcast_int_dim(orders_t, "o_orderkey", "o_custkey")
+        pairs = _read(
+            sf_dir, "lineitem", ["l_orderkey", "l_partkey", "l_quantity"]
+        ).map_batches(
+            to_pairs_broadcast(part_ref, brand_lut, orders_ref),
+            batch_format="pyarrow",
+        )
+    else:
+        li = _read(
+            sf_dir, "lineitem", ["l_orderkey", "l_partkey", "l_quantity"]
+        ).map_batches(
+            lambda t: t.filter(
+                pc.greater_equal(
+                    pc.cast(
+                        pc.floor(pc.add(t["l_quantity"], 0.5)), pa.int64()
+                    ),
+                    qty_min,
+                )
+            ).select(["l_orderkey", "l_partkey"]),
+            batch_format="pyarrow",
+        )
+        n_parts = _join_parts(2)
+        joined = li.join(
+            _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]),
+            join_type="inner",
+            num_partitions=n_parts,
+            on=("l_orderkey",),
+            right_on=("o_orderkey",),
+        ).join(
+            _read(sf_dir, "part", ["p_partkey", "p_brand"]),
+            join_type="inner",
+            num_partitions=n_parts,
+            on=("l_partkey",),
+            right_on=("p_partkey",),
+        )
+        pairs = joined.map_batches(
+            lambda t: pa.table(
+                {"cust": t["o_custkey"], "b": t["p_brand"]}
+            ) if len(t) else pa.table(
+                {"cust": pa.array([], pa.int64()),
+                 "b": pa.array([], pa.string())}
+            ),
+            batch_format="pyarrow",
+        )
+
+    # materialized once so the candidate cut and the membership gather
+    # don't each re-scan the fact table; bounded: |customers| x |brands|
+    # distinct pairs, never fact rows
+    dist = (
+        pairs.groupby(["cust", "b"])
+        .aggregate(Count(alias_name="dup"))
+        .materialize()
+    )
+    counts = (
+        dist.map_batches(
+            _partial_group_agg(["cust"]), batch_format="pyarrow"
+        )
+        .groupby("cust")
+        .aggregate(Sum("n_partial", alias_name="n"))
+        .sort(["n", "cust"], descending=[True, False])
+        .limit(BULK_COVER_CANDIDATES)
+        .to_pandas()    # bounded: candidate pool
+    )
+    empty = pa.table(
+        {"pick": pa.array([], pa.int64()),
+         "custkey": pa.array([], pa.int64()),
+         "newly_covered": pa.array([], pa.int64()),
+         "cum_covered": pa.array([], pa.int64())}
+    )
+    if counts.empty:
+        return empty
+    cand_arr = np.sort(counts["cust"].to_numpy(np.int64))
+
+    def cand_filter(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"cust": pa.array([], pa.int64()),
+             "b": pa.array([], pa.string())}
+        )
+        if len(t) == 0 or "cust" not in t.column_names:
+            return empty
+        mask = np.isin(t["cust"].to_numpy(), cand_arr)
+        if not mask.any():
+            return empty
+        return t.filter(pa.array(mask)).select(["cust", "b"])
+
+    mem_rows = dist.map_batches(
+        cand_filter, batch_format="pyarrow"
+    ).to_pandas()       # bounded: candidates x brands
+    cov = {
+        int(c): set(g["b"]) for c, g in mem_rows.groupby("cust")
+    }
+    covered: set = set()
+    rows = []
+    while cov:          # bounded: candidate pool iterations
+        key = max(cov, key=lambda c: (len(cov[c] - covered), -c))
+        gain = len(cov[key] - covered)
+        if gain == 0:
+            break
+        covered |= cov.pop(key)
+        rows.append((len(rows) + 1, key, gain, len(covered)))
+    return pa.table(
+        {"pick": pa.array([r[0] for r in rows], pa.int64()),
+         "custkey": pa.array([r[1] for r in rows], pa.int64()),
+         "newly_covered": pa.array([r[2] for r in rows], pa.int64()),
+         "cum_covered": pa.array([r[3] for r in rows], pa.int64())}
+    )
+
+
+ORACLES["bulk_brand_cover"] = (
+    "WITH RECURSIVE pairs AS (SELECT DISTINCT o.o_custkey AS cust, "
+    "p.p_brand AS b FROM lineitem l "
+    "JOIN orders o ON l.l_orderkey = o.o_orderkey "
+    "JOIN part p ON l.l_partkey = p.p_partkey "
+    f"WHERE CAST(floor(l.l_quantity + 0.5) AS BIGINT) >= "
+    f"{BULK_COVER_QTY_MIN}), "
+    "cand AS (SELECT cust FROM (SELECT cust, count(*) AS n FROM pairs "
+    f"GROUP BY 1) ORDER BY n DESC, cust LIMIT {BULK_COVER_CANDIDATES}), "
+    "mem AS (SELECT pairs.cust, list_sort(list(b)) AS toks FROM pairs "
+    "JOIN cand ON pairs.cust = cand.cust GROUP BY 1), "
+    "srcs AS (SELECT list(struct_pack(cust := cust, toks := toks) "
+    "ORDER BY cust) AS ss FROM mem), "
+    "r(step, ss, covered, picks) AS ("
+    "SELECT 0::BIGINT, ss, CAST([] AS VARCHAR[]), "
+    "CAST([] AS STRUCT(pick BIGINT, cust BIGINT, newly BIGINT, "
+    "cum BIGINT)[]) FROM srcs "
+    "UNION ALL "
+    "SELECT r.step + 1, list_filter(r.ss, x -> x.cust <> lat.b.cust), "
+    "list_sort(list_concat(r.covered, lat.b.newtoks)), "
+    "list_append(r.picks, struct_pack(pick := r.step + 1, "
+    "cust := lat.b.cust, newly := len(lat.b.newtoks)::BIGINT, "
+    "cum := (len(r.covered) + len(lat.b.newtoks))::BIGINT)) "
+    "FROM r CROSS JOIN LATERAL ("
+    "SELECT list_sort(list_transform(list_transform(r.ss, "
+    "x -> struct_pack(cust := x.cust, newtoks := list_filter(x.toks, "
+    "t -> NOT list_contains(r.covered, t)))), "
+    "y -> struct_pack(negg := -len(y.newtoks), cust := y.cust, "
+    "newtoks := y.newtoks)))[1] AS b) lat "
+    "WHERE len(r.ss) > 0 AND len(lat.b.newtoks) > 0), "
+    "fin AS (SELECT picks FROM r WHERE step = (SELECT max(step) FROM r)) "
+    "SELECT (p).pick AS pick, (p).cust AS custkey, "
+    "(p).newly AS newly_covered, (p).cum AS cum_covered "
+    "FROM (SELECT unnest(picks) AS p FROM fin) ORDER BY pick"
+)

@@ -117,7 +117,7 @@ ORACLE_CHECKED = [
     "part_cloud_diameter", "price_tick_gcd", "revenue_best_run",
     "user_activity_f2", "qty_gini_mean_diff", "copurchase_mutual_best",
     "qty_return_stump", "weekly_revenue_lis", "weekly_ewma_surprise",
-    "flag_status_chi2_cells", "huffman_cost_top64",
+    "flag_status_chi2_cells", "huffman_cost_top64", "bulk_brand_cover",
 ]
 
 
@@ -216,6 +216,7 @@ def test_query_matches_oracle(entry_mod, con, name):
         "segment_price_rank",
         "shipping_priority",
         "bloom_semi_join_exact",
+        "bulk_brand_cover",
     ],
 )
 def test_dim_join_fallback_matches_oracle(entry_mod, con, name, monkeypatch):

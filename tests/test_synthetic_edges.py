@@ -2359,3 +2359,101 @@ def test_huffman_cost_top64_hand_weights(ray_session, tmp_path):
     assert (int(r["n_tokens"]), int(r["total_count"]),
             int(r["huffman_cost"])) == (1, 3, 0)
     assert r["avg_bits"] == 0.0
+
+
+def test_bulk_brand_cover_greedy_ties_and_threshold(ray_session, tmp_path):
+    """Pin the greedy: customers 10/{B1,B2}, 11/{B3,B4}, 12/{B2,B3} all
+    via bulk (qty >= 45) lines, customer 13 only via a qty-44 line
+    (EXCLUDED).  Equal first-step gains (2,2,2) break to the smaller key
+    (10), then 11 adds 2 vs 12's 1, and 12 is never picked (gain 0
+    stops the loop)."""
+    from langfilter_ray.pipelines import relational
+
+    d = tmp_path / "main"
+    d.mkdir()
+    li = [  # (orderkey, partkey, qty)
+        (1, 1, 50.0), (1, 2, 45.0),
+        (2, 3, 50.0), (2, 4, 46.0),
+        (3, 2, 50.0), (3, 3, 50.0),
+        (4, 1, 44.0),                       # below the bulk threshold
+    ]
+    n = len(li)
+    pq.write_table(pa.table(
+        {"l_orderkey": pa.array([r[0] for r in li], pa.int64()),
+         "l_partkey": pa.array([r[1] for r in li], pa.int64()),
+         "l_suppkey": pa.array([1] * n, pa.int64()),
+         "l_linenumber": pa.array([1] * n, pa.int32()),
+         "l_quantity": pa.array([r[2] for r in li], pa.float64()),
+         "l_extendedprice": pa.array([1.0] * n, pa.float64()),
+         "l_discount": pa.array([0.0] * n, pa.float64()),
+         "l_tax": pa.array([0.0] * n, pa.float64()),
+         "l_returnflag": pa.array(["N"] * n, pa.string()),
+         "l_linestatus": pa.array(["O"] * n, pa.string()),
+         "l_shipdate": pa.array(
+             [np.datetime64("2024-03-02T00:00:00", "us")] * n,
+             pa.timestamp("us"))}
+    ), d / "lineitem.parquet")
+    pq.write_table(pa.table(
+        {"o_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+         "o_custkey": pa.array([10, 11, 12, 13], pa.int64()),
+         "o_orderstatus": pa.array(["O"] * 4, pa.string()),
+         "o_totalprice": pa.array([1.0] * 4, pa.float64()),
+         "o_orderdate": pa.array(
+             [np.datetime64("2024-03-01T00:00:00", "us")] * 4,
+             pa.timestamp("us")),
+         "o_orderpriority": pa.array(["1-URGENT"] * 4, pa.string())}
+    ), d / "orders.parquet")
+    pq.write_table(pa.table(
+        {"p_partkey": pa.array([1, 2, 3, 4], pa.int64()),
+         "p_name": pa.array(["a", "b", "c", "d"], pa.string()),
+         "p_brand": pa.array(["B1", "B2", "B3", "B4"], pa.string()),
+         "p_type": pa.array(["t"] * 4, pa.string()),
+         "p_size": pa.array([1] * 4, pa.int32()),
+         "p_retailprice": pa.array([1.0] * 4, pa.float64())}
+    ), d / "part.parquet")
+    got = _to_pandas(relational.bulk_brand_cover(str(d)))
+    c = duckdb.connect()
+    for t in ("lineitem", "orders", "part"):
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')"
+        )
+    want = c.execute(relational.ORACLES["bulk_brand_cover"]).df()
+    problems = compare_frames(_canon(got), _canon(want))
+    assert not problems, (problems, first_diff(_canon(got), _canon(want)))
+    assert list(got["custkey"]) == [10, 11]
+    assert list(got["newly_covered"]) == [2, 2]
+    assert list(got["cum_covered"]) == [2, 4]
+
+    # no bulk lines at all -> typed empty on both engines
+    e = tmp_path / "nobulk"
+    e.mkdir()
+    import shutil
+    shutil.copy(d / "orders.parquet", e / "orders.parquet")
+    shutil.copy(d / "part.parquet", e / "part.parquet")
+    li_small = pa.table(
+        {"l_orderkey": pa.array([1], pa.int64()),
+         "l_partkey": pa.array([1], pa.int64()),
+         "l_suppkey": pa.array([1], pa.int64()),
+         "l_linenumber": pa.array([1], pa.int32()),
+         "l_quantity": pa.array([10.0], pa.float64()),
+         "l_extendedprice": pa.array([1.0], pa.float64()),
+         "l_discount": pa.array([0.0], pa.float64()),
+         "l_tax": pa.array([0.0], pa.float64()),
+         "l_returnflag": pa.array(["N"], pa.string()),
+         "l_linestatus": pa.array(["O"], pa.string()),
+         "l_shipdate": pa.array(
+             [np.datetime64("2024-03-02T00:00:00", "us")],
+             pa.timestamp("us"))}
+    )
+    pq.write_table(li_small, e / "lineitem.parquet")
+    got_e = _to_pandas(relational.bulk_brand_cover(str(e)))
+    assert len(got_e) == 0
+    assert list(got_e.columns) == [
+        "pick", "custkey", "newly_covered", "cum_covered"
+    ]
+    c2 = duckdb.connect()
+    for t in ("lineitem", "orders", "part"):
+        c2.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{e}/{t}.parquet')"
+        )
+    assert len(c2.execute(relational.ORACLES["bulk_brand_cover"]).df()) == 0
