@@ -305,6 +305,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "flag_status_chi2_cells": relational.flag_status_chi2_cells,
         "huffman_cost_top64": text_analysis.huffman_cost_top64,
         "bulk_brand_cover": relational.bulk_brand_cover,
+        "brand_graph_kcore": relational.brand_graph_kcore,
     }
 
 

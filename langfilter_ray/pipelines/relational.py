@@ -8009,3 +8009,235 @@ ORACLES["bulk_brand_cover"] = (
     "(p).newly AS newly_covered, (p).cum AS cum_covered "
     "FROM (SELECT unnest(picks) AS p FROM fin) ORDER BY pick"
 )
+
+
+# ---- brand_graph_kcore: iterative k-core peeling ----------------------------
+
+BRAND_CORE_K = 3
+
+
+def brand_graph_kcore(sf_dir: str) -> "pa.Table":
+    """3-CORE of the strong brand co-purchase graph — iterative GRAPH
+    PEELING, the fixpoint family BFS (frontier expansion), PageRank
+    (value iteration) and components (label propagation) don't cover:
+    each round REMOVES nodes whose degree among survivors is < k, and a
+    removal can cascade, so the rounds are inherently sequential.  It
+    exists exactly because the node set is CATALOG-BOUNDED (≤ |brands|
+    ≈ 25 nodes, ≤ 300 edges): the peel is a driver fold, never a
+    distributed loop.  Edges: brand pairs co-purchased in one order,
+    kept when the pair weight is ≥ 1.2× the mean pair weight — the
+    exact integer inequality ``5·w·D ≥ 6·S`` (S = total weight, D =
+    distinct pairs) so both engines agree bit-for-bit and the relative
+    threshold stays meaningful at every scale.  Output: each core
+    member with its within-core degree.
+
+    Scale shape: partkey → brand-id resolves against a ray.put
+    broadcast below BROADCAST_DIM_MAX_ROWS (native hash join above);
+    per-order distinct (order, brand) pairs go through one exact
+    groupby (in-batch dedup combiner first), the pair expansion is the
+    copurchase_pairs hash self-join on orderkey (Arrow C++ cross
+    product, ≤ |brands-per-order|² rows per order), and fused-pair
+    partials gather ≤ 300 rows per batch — the peel itself is O(25²)
+    on the driver.  The DuckDB mirror replays the peel as a recursive
+    CTE filtering an alive-list to fixpoint.
+
+    Reference anchor: A4's gate-path distribution (SURVEY.md §2.6) as
+    the graph-cohesion question: which gates form a dense clique?"""
+    import pyarrow.parquet as pq_mod
+
+    n_li = _dim_num_rows(sf_dir, "lineitem")
+    empty = pa.table(
+        {"brand": pa.array([], pa.string()),
+         "core_degree": pa.array([], pa.int64())}
+    )
+    if n_li == 0:
+        return empty
+    part = pq_mod.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+    )
+    brands = np.unique(part["p_brand"].to_numpy(zero_copy_only=False))
+    bid_of = {b: i for i, b in enumerate(brands)}   # bounded ~25
+
+    if len(part) <= BROADCAST_DIM_MAX_ROWS:
+        pk = part["p_partkey"].to_numpy()
+        codes = np.array(
+            [bid_of[b] for b in
+             part["p_brand"].to_numpy(zero_copy_only=False)],
+            dtype=np.int64,
+        )
+        order = np.argsort(pk)
+        part_ref = ray.put((pk[order], codes[order]))
+
+        def to_ob(t: pa.Table) -> pa.Table:
+            empty_ob = pa.table(
+                {"o": pa.array([], pa.int64()),
+                 "bid": pa.array([], pa.int64())}
+            )
+            if len(t) == 0:
+                return empty_ob
+            bid = _probe_int(part_ref, t["l_partkey"].to_numpy())
+            ok = bid != -1
+            if not ok.any():
+                return empty_ob
+            df = pd.DataFrame(
+                {"o": t["l_orderkey"].to_numpy()[ok], "bid": bid[ok]}
+            ).drop_duplicates()         # in-batch dedup combiner
+            return pa.table(
+                {"o": pa.array(df["o"].to_numpy(np.int64)),
+                 "bid": pa.array(df["bid"].to_numpy(np.int64))}
+            )
+
+        ob = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"]).map_batches(
+            to_ob, batch_format="pyarrow"
+        )
+    else:
+        brand_arr = brands                      # bounded ~25, closure-safe
+
+        def label(t: pa.Table) -> pa.Table:
+            if len(t) == 0 or "p_brand" not in t.column_names:
+                return pa.table(
+                    {"o": pa.array([], pa.int64()),
+                     "bid": pa.array([], pa.int64())}
+                )
+            bid = np.searchsorted(
+                brand_arr, t["p_brand"].to_numpy(zero_copy_only=False)
+            )
+            df = pd.DataFrame(
+                {"o": t["l_orderkey"].to_numpy(), "bid": bid}
+            ).drop_duplicates()
+            return pa.table(
+                {"o": pa.array(df["o"].to_numpy(np.int64)),
+                 "bid": pa.array(df["bid"].to_numpy(np.int64))}
+            )
+
+        ob = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"]).join(
+            _read(sf_dir, "part", ["p_partkey", "p_brand"]),
+            join_type="inner",
+            num_partitions=_join_parts(2),
+            on=("l_partkey",),
+            right_on=("p_partkey",),
+        ).map_batches(label, batch_format="pyarrow")
+
+    # co-locate each order's brands with ONE hash-tag exchange (the
+    # windows.py partition-fold pattern: a per-key map_groups would pay
+    # a Python callback per ORDER; hash(o) % P pays one per PARTITION,
+    # with segmented numpy inside) — no hash join, no aggregator actors
+    _KCORE_PARTS = 32
+
+    def tag(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "o" not in t.column_names:
+            return pa.table(
+                {"o": pa.array([], pa.int64()),
+                 "bid": pa.array([], pa.int64()),
+                 "pt": pa.array([], pa.int64())}
+            )
+        h = t["o"].to_numpy().astype(np.uint64) * np.uint64(
+            0x9E3779B97F4A7C15
+        )
+        pt = ((h >> np.uint64(33)) % np.uint64(_KCORE_PARTS)).astype(
+            np.int64
+        )
+        return t.append_column("pt", pa.array(pt))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        empty_p = pd.DataFrame(
+            {"k": pd.array([], dtype="int64"),
+             "n": pd.array([], dtype="int64")}
+        )
+        if g.empty:
+            return empty_p
+        fused = g["o"].to_numpy(np.int64) * np.int64(64) + g[
+            "bid"
+        ].to_numpy(np.int64)
+        u = np.unique(fused)            # per-order distinct brands
+        o_arr = u >> np.int64(6)
+        b_arr = u & np.int64(63)
+        # segment bookkeeping: positions within each order's brand run
+        new = np.ones(len(u), dtype=bool)
+        new[1:] = o_arr[1:] != o_arr[:-1]
+        seg_id = np.cumsum(new) - 1
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.append(starts, len(u)))
+        pos = np.arange(len(u)) - starts[seg_id]
+        keys = []
+        m = int(lens.max()) if len(lens) else 0
+        for dlt in range(1, m):         # bounded: <= |brands| strides
+            ok = pos + dlt < lens[seg_id]
+            if not ok.any():
+                break
+            keys.append(b_arr[ok] * np.int64(64) + b_arr[
+                np.flatnonzero(ok) + dlt
+            ])
+        if not keys:
+            return empty_p
+        pk, c = np.unique(np.concatenate(keys), return_counts=True)
+        return pd.DataFrame(
+            {"k": pk.astype(np.int64), "n": c.astype(np.int64)}
+        )
+
+    parts_df = (
+        ob.map_batches(tag, batch_format="pyarrow")
+        .groupby("pt")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()    # bounded: <= |brands|^2 pairs x partitions
+    )
+    if parts_df.empty:
+        return empty
+    w = parts_df.groupby("k")["n"].sum()
+    S = int(w.sum())
+    D = int(len(w))
+    strong = [
+        (int(k) // 64, int(k) % 64)
+        for k, ww in w.items() if 5 * int(ww) * D >= 6 * S
+    ]
+    adj: dict[int, set] = {}
+    for a, b in strong:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    alive = set(adj)
+    while True:                         # bounded: <= |brands| rounds
+        drop = {n for n in alive
+                if len(adj[n] & alive) < BRAND_CORE_K}
+        if not drop:
+            break
+        alive -= drop
+    rows = sorted(
+        (str(brands[n]), len(adj[n] & alive)) for n in alive
+    )
+    return pa.table(
+        {"brand": pa.array([r[0] for r in rows], pa.string()),
+         "core_degree": pa.array([r[1] for r in rows], pa.int64())}
+    )
+
+
+ORACLES["brand_graph_kcore"] = (
+    "WITH RECURSIVE ob AS (SELECT DISTINCT l.l_orderkey AS o, "
+    "p.p_brand AS b FROM lineitem l "
+    "JOIN part p ON l.l_partkey = p.p_partkey), "
+    "pw AS (SELECT a.b AS b1, b.b AS b2, count(*)::BIGINT AS w "
+    "FROM ob a JOIN ob b ON a.o = b.o AND a.b < b.b GROUP BY 1, 2), "
+    "tot AS (SELECT sum(w)::BIGINT AS s, count(*)::BIGINT AS d FROM pw), "
+    "strong AS (SELECT b1, b2 FROM pw, tot WHERE 5 * w * d >= 6 * s), "
+    "es AS (SELECT coalesce(list(struct_pack(a := b1, b := b2)), "
+    "CAST([] AS STRUCT(a VARCHAR, b VARCHAR)[])) AS edges FROM strong), "
+    "nodes AS (SELECT coalesce(list_sort(list(DISTINCT x)), "
+    "CAST([] AS VARCHAR[])) AS ns FROM "
+    "(SELECT b1 AS x FROM strong UNION ALL SELECT b2 FROM strong)), "
+    "r(alive, prev_n) AS ("
+    "SELECT ns, -1::BIGINT FROM nodes "
+    "UNION ALL "
+    "SELECT list_filter(r.alive, n -> len(list_filter(es.edges, "
+    "e -> (e.a = n AND list_contains(r.alive, e.b)) "
+    "OR (e.b = n AND list_contains(r.alive, e.a)))) >= "
+    f"{BRAND_CORE_K}), "
+    "len(r.alive)::BIGINT "
+    "FROM r, es WHERE len(r.alive)::BIGINT <> r.prev_n), "
+    "fix AS (SELECT alive FROM r WHERE len(alive)::BIGINT = prev_n "
+    "LIMIT 1) "
+    "SELECT n AS brand, "
+    "len(list_filter(es.edges, "
+    "e -> (e.a = n AND list_contains(fix.alive, e.b)) "
+    "OR (e.b = n AND list_contains(fix.alive, e.a))))::BIGINT "
+    "AS core_degree "
+    "FROM (SELECT unnest(alive) AS n FROM fix), es, fix ORDER BY brand"
+)

@@ -2457,3 +2457,61 @@ def test_bulk_brand_cover_greedy_ties_and_threshold(ray_session, tmp_path):
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{e}/{t}.parquet')"
         )
     assert len(c2.execute(relational.ORACLES["bulk_brand_cover"]).df()) == 0
+
+
+def test_brand_graph_kcore_peel_cascade(ray_session, tmp_path):
+    """Pin the peel on a hand graph: K4 on B1..B4 (six edges, weight 10
+    each) + a strong B5-B6 edge (weight 10) + four weight-1 noise edges
+    (B5-B1, B5-B2, B6-B2, B6-B3).  S=74, D=11 -> strong iff 5*w*11 >=
+    6*74 (w >= 8.07): the seven weight-10 edges survive, the noise does
+    not; peeling at k=3 removes B5/B6 (degree 1 in the strong graph) and
+    keeps the K4, each with core degree 3."""
+    from langfilter_ray.pipelines import relational
+
+    d = tmp_path / "main"
+    d.mkdir()
+    edges10 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (5, 6)]
+    edges1 = [(5, 1), (5, 2), (6, 2), (6, 3)]
+    li_o, li_p = [], []
+    okey = 0
+    for (x, y), w in [(e, 10) for e in edges10] + [(e, 1) for e in edges1]:
+        for _ in range(w):
+            okey += 1
+            li_o += [okey, okey]
+            li_p += [x, y]
+    n = len(li_o)
+    pq.write_table(pa.table(
+        {"l_orderkey": pa.array(li_o, pa.int64()),
+         "l_partkey": pa.array(li_p, pa.int64()),
+         "l_suppkey": pa.array([1] * n, pa.int64()),
+         "l_linenumber": pa.array([1] * n, pa.int32()),
+         "l_quantity": pa.array([1.0] * n, pa.float64()),
+         "l_extendedprice": pa.array([1.0] * n, pa.float64()),
+         "l_discount": pa.array([0.0] * n, pa.float64()),
+         "l_tax": pa.array([0.0] * n, pa.float64()),
+         "l_returnflag": pa.array(["N"] * n, pa.string()),
+         "l_linestatus": pa.array(["O"] * n, pa.string()),
+         "l_shipdate": pa.array(
+             [np.datetime64("2024-03-02T00:00:00", "us")] * n,
+             pa.timestamp("us"))}
+    ), d / "lineitem.parquet")
+    pq.write_table(pa.table(
+        {"p_partkey": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+         "p_name": pa.array(list("abcdef"), pa.string()),
+         "p_brand": pa.array(
+             [f"B{i}" for i in range(1, 7)], pa.string()),
+         "p_type": pa.array(["t"] * 6, pa.string()),
+         "p_size": pa.array([1] * 6, pa.int32()),
+         "p_retailprice": pa.array([1.0] * 6, pa.float64())}
+    ), d / "part.parquet")
+    got = _to_pandas(relational.brand_graph_kcore(str(d)))
+    c = duckdb.connect()
+    for t in ("lineitem", "part"):
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')"
+        )
+    want = c.execute(relational.ORACLES["brand_graph_kcore"]).df()
+    problems = compare_frames(_canon(got), _canon(want))
+    assert not problems, (problems, first_diff(_canon(got), _canon(want)))
+    assert list(got["brand"]) == ["B1", "B2", "B3", "B4"]
+    assert list(got["core_degree"]) == [3, 3, 3, 3]
