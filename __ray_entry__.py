@@ -306,6 +306,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "huffman_cost_top64": text_analysis.huffman_cost_top64,
         "bulk_brand_cover": relational.bulk_brand_cover,
         "brand_graph_kcore": relational.brand_graph_kcore,
+        "cm_sketch_tokens": text_analysis.cm_sketch_tokens,
     }
 
 

@@ -4466,3 +4466,127 @@ ORACLES["huffman_cost_top64"] = (
     "CAST((SELECT sum(n) FROM top) AS DOUBLE) AS avg_bits "
     "FROM fin f"
 )
+
+
+# ---- cm_sketch_tokens: count-min point-query estimates vs exact -------------
+
+CM_ROWS = 4
+CM_WIDTH = 256
+CM_AUDIT_TOP = 10
+
+
+def _cm_bucket(r: int, token: str) -> int:
+    """Count-min bucket: the first two hex digits of md5("r:token") —
+    DuckDB's md5() mirrors hashlib bit-for-bit (the user_activity_f2
+    precedent), so the sketch is replayable in SQL."""
+    import hashlib
+
+    h = hashlib.md5(f"{r}:{token}".encode()).hexdigest()
+    return int(h[:2], 16)
+
+
+def cm_sketch_tokens(sf_dir: str) -> "pa.Table":
+    """COUNT-MIN SKETCH point-query audit: build a 4×256 count-min
+    sketch over the corpus token counts and report, for the top-10
+    tokens, the exact count next to the sketch estimate (min over the
+    4 hashed cells) and the over-estimation ratio — the frequency
+    point-query sketch that completes the moment suite (HLL = F0,
+    AMS = F2, heavy hitters = F∞, Bloom = membership) with the same
+    sketch-vs-exact audit shape as bloom_semi_join_exact.  CM never
+    underestimates (every cell is ≥ the token's true count), so
+    ``over_ratio ≥ 1.0`` is an engine-checkable invariant, and with
+    deterministic md5 bucketing the whole sketch is exact-replayable:
+    every output value hash-matches the SQL mirror.
+
+    Scale shape: token counts ride the shared wordcount combiner
+    (vocabulary-bounded groupby, materialized once — the same bound the
+    groupby itself pays); sketch cells are per-batch (row, bucket, n)
+    partials over the AGGREGATED vocab stream (md5 per vocab row ×4,
+    never per corpus row), gathered at 4×256 cells; the audit set is a
+    10-row sort+limit.
+
+    Reference anchor: A5's counters (SURVEY.md §2.6) — the bounded-
+    memory approximate counter a 100 TB ingest dashboard actually
+    keeps, shipped with its own error audit."""
+    from ray.data.aggregate import Sum
+
+    cnt = (
+        _docs_cols(sf_dir, ["text"])
+        .map_batches(_token_partial_counts, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("partial", alias_name="n"))
+        .materialize()  # vocabulary-bounded; read twice below
+    )
+    empty = pa.table(
+        {"token": pa.array([], pa.string()),
+         "n_exact": pa.array([], pa.int64()),
+         "cm_est": pa.array([], pa.int64()),
+         "over_ratio": pa.array([], pa.float64())}
+    )
+
+    def cell_partial(t: pa.Table) -> pa.Table:
+        out_r, out_b, out_n = [], [], []
+        if len(t) and "token" in t.column_names:
+            toks = t["token"].to_numpy(zero_copy_only=False)
+            ns = t["n"].to_numpy()
+            for r in range(CM_ROWS):        # vocab-bounded, not rows
+                agg: dict[int, int] = {}
+                for tok, nn in zip(toks, ns):
+                    b = _cm_bucket(r, str(tok))
+                    agg[b] = agg.get(b, 0) + int(nn)
+                out_r += [r] * len(agg)
+                out_b += list(agg)
+                out_n += list(agg.values())
+        return pa.table(
+            {"r": pa.array(out_r, pa.int64()),
+             "b": pa.array(out_b, pa.int64()),
+             "cell": pa.array(out_n, pa.int64())}
+        )
+
+    cells_df = cnt.map_batches(
+        cell_partial, batch_format="pyarrow"
+    ).to_pandas()   # bounded: 4 x 256 cells x blocks
+    if cells_df.empty:
+        return empty
+    cells = cells_df.groupby(["r", "b"])["cell"].sum().to_dict()
+    top = (
+        cnt.sort(["n", "token"], descending=[True, False])
+        .limit(CM_AUDIT_TOP)
+        .to_pandas()
+    )
+    toks = [str(x) for x in top["token"]]
+    ns = [int(x) for x in top["n"]]
+    ests = [
+        min(cells[(r, _cm_bucket(r, tok))] for r in range(CM_ROWS))
+        for tok in toks
+    ]
+    return pa.table(
+        {"token": pa.array(toks, pa.string()),
+         "n_exact": pa.array(ns, pa.int64()),
+         "cm_est": pa.array(ests, pa.int64()),
+         "over_ratio": pa.array(
+             [float(e) / float(n) for e, n in zip(ests, ns)],
+             pa.float64())}
+    )
+
+
+ORACLES["cm_sketch_tokens"] = (
+    "WITH cnt AS (SELECT w, count(*)::BIGINT AS n FROM (SELECT "
+    f"unnest(regexp_extract_all(lower(text), '{LOWER_TOKEN_RE}')) AS w "
+    "FROM documents) GROUP BY 1), "
+    f"rs AS (SELECT unnest(range(0, {CM_ROWS})) AS r), "
+    "bk AS (SELECT r, w, n, "
+    "(strpos('0123456789abcdef', substr(md5(concat(CAST(r AS VARCHAR), "
+    "':', w)), 1, 1)) - 1) * 16 + "
+    "(strpos('0123456789abcdef', substr(md5(concat(CAST(r AS VARCHAR), "
+    "':', w)), 2, 1)) - 1) AS b FROM cnt, rs), "
+    "cells AS (SELECT r, b, sum(n)::BIGINT AS cell FROM bk "
+    "GROUP BY 1, 2), "
+    f"top AS (SELECT w, n FROM cnt ORDER BY n DESC, w "
+    f"LIMIT {CM_AUDIT_TOP}) "
+    "SELECT t.w AS token, t.n AS n_exact, min(c.cell)::BIGINT AS cm_est, "
+    "CAST(min(c.cell) AS DOUBLE) / CAST(t.n AS DOUBLE) AS over_ratio "
+    "FROM top t JOIN bk ON bk.w = t.w "
+    "JOIN cells c ON c.r = bk.r AND c.b = bk.b "
+    "GROUP BY 1, 2 ORDER BY n_exact DESC, token"
+)

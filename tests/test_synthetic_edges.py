@@ -2515,3 +2515,43 @@ def test_brand_graph_kcore_peel_cascade(ray_session, tmp_path):
     assert not problems, (problems, first_diff(_canon(got), _canon(want)))
     assert list(got["brand"]) == ["B1", "B2", "B3", "B4"]
     assert list(got["core_degree"]) == [3, 3, 3, 3]
+
+
+def test_cm_sketch_tokens_no_collision_exact(ray_session, tmp_path):
+    """With far fewer tokens than buckets and no md5 collisions the
+    count-min estimate equals the exact count (over_ratio exactly 1.0);
+    CM never underestimates, so over_ratio >= 1.0 is asserted as the
+    engine invariant too."""
+    from langfilter_ray.pipelines import text_analysis
+
+    d = tmp_path / "main"
+    d.mkdir()
+    docs = pa.table(
+        {"doc_id": pa.array([1, 2], pa.int64()),
+         "text": pa.array(["alpha alpha beta", "alpha beta gamma"],
+                          pa.string()),
+         "lang": pa.array(["en", "en"], pa.string()),
+         "source": pa.array(["s1", "s1"], pa.string()),
+         "n_chars": pa.array([16, 16], pa.int64())}
+    )
+    pq.write_table(docs, d / "documents.parquet")
+    got = _to_pandas(text_analysis.cm_sketch_tokens(str(d)))
+    c = duckdb.connect()
+    c.execute(
+        f"CREATE VIEW documents AS SELECT * "
+        f"FROM read_parquet('{d}/documents.parquet')"
+    )
+    want = c.execute(text_analysis.ORACLES["cm_sketch_tokens"]).df()
+    problems = compare_frames(_canon(got), _canon(want))
+    assert not problems, (problems, first_diff(_canon(got), _canon(want)))
+    assert list(got["token"]) == ["alpha", "beta", "gamma"]
+    assert list(got["n_exact"]) == [3, 2, 1]
+    # 3 tokens in 256 buckets: verify collision-freeness per row, then
+    # the estimates must be exactly the true counts
+    buckets = {
+        r: [text_analysis._cm_bucket(r, t) for t in ("alpha", "beta", "gamma")]
+        for r in range(text_analysis.CM_ROWS)
+    }
+    assert any(len(set(v)) == 3 for v in buckets.values())
+    assert (got["over_ratio"] >= 1.0).all()
+    assert list(got["cm_est"]) == [3, 2, 1]
