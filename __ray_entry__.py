@@ -307,6 +307,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bulk_brand_cover": relational.bulk_brand_cover,
         "brand_graph_kcore": relational.brand_graph_kcore,
         "cm_sketch_tokens": text_analysis.cm_sketch_tokens,
+        "user_lcs_top2": windows.user_lcs_top2,
     }
 
 

@@ -4571,3 +4571,172 @@ ORACLES["weekly_ewma_surprise"] = (
     "surprise AS surprise_cents "
     "FROM r WHERE i > 1 ORDER BY surprise DESC, week LIMIT 5"
 )
+
+
+# ---- user_lcs_top2: sequence-alignment DP (LCS) ------------------------------
+
+LCS_CAP = 24
+
+
+def user_lcs_top2(sf_dir: str) -> "pa.Table":
+    """Longest common subsequence between the event-type sequences of
+    the two BUSIEST users (first 24 events each, (ts, event_id) order)
+    — pairwise SEQUENCE ALIGNMENT, the 2-D dynamic program
+    (``dp[i][j] = max(dp[i-1][j], dp[i][j-1], dp[i-1][j-1]+eq)``) that
+    no 1-D fold expresses: "do the two heaviest actors follow the same
+    behavioural script?"  typo_pairs bounds edit distance by deletion
+    blocking; this is the actual alignment DP, existing because both
+    sequences are CAPPED — the 24×24 table is a driver fold.
+
+    Scale shape: pass 1 is the per-user count combiner + a 2-row
+    sort+limit; pass 2 filters the fact stream to the two winners and
+    keeps ≤ CAP earliest events PER USER PER BATCH (a per-batch top-k
+    partial), so the gather is 2·CAP × blocks even if one user has
+    millions of events; the DP is O(CAP²) on the driver.  The DuckDB
+    mirror replays the row-major DP cell-by-cell as a recursive CTE
+    that CARRIES the sequences in its state (a re-joined CTE per
+    iteration measured 11× slower).
+
+    Reference anchor: the session-comparison question over A1's status
+    streams (SURVEY.md §2.6) — are two workloads the same shape?"""
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {"u": pa.array([], pa.int64()),
+                 "c": pa.array([], pa.int64())}
+            )
+        g = (
+            t.select(["user_id"]).group_by("user_id")
+            .aggregate([([], "count_all")])
+        )
+        return pa.table({"u": g["user_id"], "c": g["count_all"]})
+
+    from ray.data.aggregate import Sum
+
+    top = (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["user_id"],
+            schema=_clean_schema(f"{sf_dir}/events.parquet", ["user_id"]),
+        )
+        .map_batches(count_partial, batch_format="pyarrow")
+        .groupby("u")
+        .aggregate(Sum("c", alias_name="n"))
+        .sort(["n", "u"], descending=[True, False])
+        .limit(2)
+        .to_pandas()
+    )
+    empty = pa.table(
+        {"user_a": pa.array([], pa.int64()),
+         "user_b": pa.array([], pa.int64()),
+         "len_a": pa.array([], pa.int64()),
+         "len_b": pa.array([], pa.int64()),
+         "lcs_len": pa.array([], pa.int64())}
+    )
+    if len(top) < 2:
+        return empty
+    u1, u2 = int(top["u"].iloc[0]), int(top["u"].iloc[1])
+
+    def seq_partial(t: pa.Table) -> pa.Table:
+        empty_s = pa.table(
+            {"u": pa.array([], pa.int64()),
+             "ts": pa.array([], pa.int64()),
+             "eid": pa.array([], pa.int64()),
+             "ty": pa.array([], pa.string())}
+        )
+        if len(t) == 0:
+            return empty_s
+        uid = t["user_id"].to_numpy()
+        keep = (uid == u1) | (uid == u2)
+        if not keep.any():
+            return empty_s
+        ts = pc.cast(t["ts"], pa.int64()).to_numpy()[keep]
+        eid = t["event_id"].to_numpy()[keep]
+        ty = t["event_type"].to_numpy(zero_copy_only=False)[keep]
+        uid = uid[keep]
+        out = []
+        for u in (u1, u2):              # per-batch top-CAP partial
+            m = uid == u
+            if not m.any():
+                continue
+            order = np.lexsort((eid[m], ts[m]))[:LCS_CAP]
+            out.append((u, ts[m][order], eid[m][order], ty[m][order]))
+        return pa.table(
+            {"u": pa.array(
+                np.concatenate([np.full(len(o[1]), o[0]) for o in out])
+                .astype(np.int64)),
+             "ts": pa.array(np.concatenate([o[1] for o in out])),
+             "eid": pa.array(np.concatenate([o[2] for o in out])),
+             "ty": pa.array(
+                 np.concatenate([o[3] for o in out]).astype(object),
+                 pa.string())}
+        )
+
+    rows = (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["user_id", "ts", "event_id", "event_type"],
+            schema=_clean_schema(
+                f"{sf_dir}/events.parquet",
+                ["user_id", "ts", "event_id", "event_type"],
+            ),
+        )
+        .map_batches(seq_partial, batch_format="pyarrow")
+        .to_pandas()    # bounded: 2 x CAP x blocks
+    )
+
+    def seq(u: int) -> list:
+        g = rows[rows["u"] == u].sort_values(["ts", "eid"]).head(LCS_CAP)
+        return list(g["ty"])
+
+    a, b = seq(u1), seq(u2)
+    la, lb = len(a), len(b)
+    dp = np.zeros((la + 1, lb + 1), dtype=np.int64)
+    for i in range(1, la + 1):          # CAP-bounded DP, never rows
+        for j in range(1, lb + 1):
+            dp[i, j] = max(
+                dp[i - 1, j], dp[i, j - 1],
+                dp[i - 1, j - 1] + (1 if a[i - 1] == b[j - 1] else 0),
+            )
+    return pa.table(
+        {"user_a": pa.array([u1], pa.int64()),
+         "user_b": pa.array([u2], pa.int64()),
+         "len_a": pa.array([la], pa.int64()),
+         "len_b": pa.array([lb], pa.int64()),
+         "lcs_len": pa.array([int(dp[la, lb])], pa.int64())}
+    )
+
+
+ORACLES["user_lcs_top2"] = (
+    "WITH RECURSIVE uc AS (SELECT user_id AS u, count(*)::BIGINT AS n "
+    "FROM events GROUP BY 1), "
+    "top2 AS (SELECT u, row_number() OVER (ORDER BY n DESC, u) AS rk "
+    "FROM uc ORDER BY n DESC, u LIMIT 2), "
+    "seqs AS (SELECT t.rk, list(e.event_type ORDER BY e.ts, e.event_id) "
+    "AS sq FROM top2 t JOIN (SELECT user_id, event_type, ts, event_id, "
+    "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+    "AS rn FROM events) e ON e.user_id = t.u "
+    f"WHERE e.rn <= {LCS_CAP} GROUP BY 1), "
+    "ab AS (SELECT (SELECT sq FROM seqs WHERE rk = 1) AS a, "
+    "(SELECT sq FROM seqs WHERE rk = 2) AS b), "
+    "r(idx, dp, a, b, lb, nmax) AS ("
+    "SELECT 0::BIGINT, CAST([] AS BIGINT[]), a, b, len(b)::BIGINT, "
+    "(len(a) * len(b))::BIGINT FROM ab "
+    "WHERE len(a) > 0 AND len(b) > 0 "
+    "UNION ALL "
+    "SELECT r.idx + 1, list_append(r.dp, GREATEST("
+    "CASE WHEN r.idx >= r.lb THEN r.dp[r.idx - r.lb + 1] ELSE 0 END, "
+    "CASE WHEN (r.idx % r.lb) >= 1 THEN r.dp[r.idx] ELSE 0 END, "
+    "(CASE WHEN r.idx >= r.lb AND (r.idx % r.lb) >= 1 "
+    "THEN r.dp[r.idx - r.lb] ELSE 0 END) "
+    "+ CASE WHEN r.a[(r.idx // r.lb) + 1] = r.b[(r.idx % r.lb) + 1] "
+    "THEN 1 ELSE 0 END)), r.a, r.b, r.lb, r.nmax "
+    "FROM r WHERE r.idx < r.nmax), "
+    "fin AS (SELECT dp, nmax FROM r WHERE idx = nmax) "
+    "SELECT (SELECT u FROM top2 WHERE rk = 1) AS user_a, "
+    "(SELECT u FROM top2 WHERE rk = 2) AS user_b, "
+    "(SELECT len(a) FROM ab)::BIGINT AS len_a, "
+    "(SELECT len(b) FROM ab)::BIGINT AS len_b, "
+    "f.dp[f.nmax]::BIGINT AS lcs_len FROM fin f"
+)

@@ -118,7 +118,7 @@ ORACLE_CHECKED = [
     "user_activity_f2", "qty_gini_mean_diff", "copurchase_mutual_best",
     "qty_return_stump", "weekly_revenue_lis", "weekly_ewma_surprise",
     "flag_status_chi2_cells", "huffman_cost_top64", "bulk_brand_cover",
-    "brand_graph_kcore", "cm_sketch_tokens",
+    "brand_graph_kcore", "cm_sketch_tokens", "user_lcs_top2",
 ]
 
 

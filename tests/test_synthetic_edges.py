@@ -2555,3 +2555,57 @@ def test_cm_sketch_tokens_no_collision_exact(ray_session, tmp_path):
     assert any(len(set(v)) == 3 for v in buckets.values())
     assert (got["over_ratio"] >= 1.0).all()
     assert list(got["cm_est"]) == [3, 2, 1]
+
+
+def test_user_lcs_top2_cap_and_tie_order(ray_session, tmp_path):
+    """Pin the alignment: user 1 has 26 events (CAP trims to 24 -> the
+    trailing 'error's never enter, len_a = 24) cycling
+    click/view/purchase; user 2's four events include a SAME-TIMESTAMP
+    pair ordered by event_id (click id=102 before purchase id=103) —
+    the sequence [view, click, purchase, view] embeds in the cycle for
+    LCS 4; the flipped tie order would only reach 3.  User 3 exists but
+    is not in the top 2."""
+    from langfilter_ray.pipelines import windows
+
+    d = tmp_path / "main"
+    d.mkdir()
+    cyc = ["click", "view", "purchase"]
+    rows = [(i + 1, 1, i * 1000, cyc[i % 3], 1.0) for i in range(24)]
+    rows += [(25, 1, 24000, "error", 1.0), (26, 1, 25000, "error", 1.0)]
+    rows += [(101, 2, 100, "view", 1.0),
+             (102, 2, 5000, "click", 1.0),
+             (103, 2, 5000, "purchase", 1.0),   # same ts, later id
+             (104, 2, 9000, "view", 1.0)]
+    rows += [(201, 3, 0, "signup", 1.0), (202, 3, 1, "signup", 1.0)]
+    pq.write_table(_events_table(rows), d / "events.parquet")
+    got = _to_pandas(windows.user_lcs_top2(str(d)))
+    c = duckdb.connect()
+    c.execute(
+        f"CREATE VIEW events AS SELECT * "
+        f"FROM read_parquet('{d}/events.parquet')"
+    )
+    want = c.execute(windows.ORACLES["user_lcs_top2"]).df()
+    problems = compare_frames(_canon(got), _canon(want))
+    assert not problems, (problems, first_diff(_canon(got), _canon(want)))
+    r = got.iloc[0]
+    assert (int(r["user_a"]), int(r["user_b"])) == (1, 2)
+    assert (int(r["len_a"]), int(r["len_b"])) == (24, 4)
+    assert int(r["lcs_len"]) == 4
+
+    # fewer than two users -> typed empty on both engines
+    e = tmp_path / "oneuser"
+    e.mkdir()
+    pq.write_table(
+        _events_table([(1, 1, 0, "view", 1.0)]), e / "events.parquet"
+    )
+    got_e = _to_pandas(windows.user_lcs_top2(str(e)))
+    assert len(got_e) == 0
+    assert list(got_e.columns) == [
+        "user_a", "user_b", "len_a", "len_b", "lcs_len"
+    ]
+    c2 = duckdb.connect()
+    c2.execute(
+        f"CREATE VIEW events AS SELECT * "
+        f"FROM read_parquet('{e}/events.parquet')"
+    )
+    assert len(c2.execute(windows.ORACLES["user_lcs_top2"]).df()) == 0
