@@ -59,8 +59,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_fit": similarity.kmeans_fit,
         "decode_bmp": multimodal.decode_bmp,
         "corpus_training_manifest": reports.corpus_training_manifest,
-        # --- re-confirmation filler: last driver-green row is round 3 -----
-        "error_events_pushdown": relational.error_events_pushdown,
+        # --- round-5 seventh-sitting operator, first driver row -----------
+        "qty_return_stump": relational.qty_return_stump,
         # --- round-5 third-session operators, first driver rows -----------
         "weighted_median_chars": text_analysis.weighted_median_chars,
         "percentile_rank_chars": text_analysis.percentile_rank_chars,
@@ -103,13 +103,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_activity_f2": relational.user_activity_f2,
         "qty_gini_mean_diff": relational.qty_gini_mean_diff,
         "copurchase_mutual_best": relational.copurchase_mutual_best,
-        # --- re-confirmation filler continues ------------------------------
+        # --- round-5 seventh-sitting operators, first driver rows ---------
+        "weekly_revenue_lis": windows.weekly_revenue_lis,
+        "weekly_ewma_surprise": windows.weekly_ewma_surprise,
+        "huffman_cost_top64": text_analysis.huffman_cost_top64,
+        "bulk_brand_cover": relational.bulk_brand_cover,
+        "brand_graph_kcore": relational.brand_graph_kcore,
+        # ======== past the 50-query window (all have driver rows) ========
+        # reconfirmation filler displaced by the seventh-sitting rotation --
+        "error_events_pushdown": relational.error_events_pushdown,
         "shipping_priority": relational.shipping_priority,
         "session_windows": windows.session_windows,
         "gopher_quality": text_analysis.gopher_quality,
         "token_counts": text_analysis.token_counts,
         "langid_heuristic": text_analysis.langid_heuristic,
-        # ======== past the 50-query window (all have driver rows) ========
         # displaced by the fifth-session rotation ---------------------------
         "payload_stats": multimodal.payload_stats,
         "event_type_pivot": relational.event_type_pivot,
@@ -297,15 +304,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only (iterative driver-state op like kmeans_fit)
         "bpe_train": text_analysis.bpe_train,
         "bpe_encode": text_analysis.bpe_encode,
-        # --- seventh-sitting additions (past the 50-window; oracle-backed,
-        # --- candidates for first driver rows next rotation) --------------
-        "qty_return_stump": relational.qty_return_stump,
-        "weekly_revenue_lis": windows.weekly_revenue_lis,
-        "weekly_ewma_surprise": windows.weekly_ewma_surprise,
+        # --- seventh-sitting additions past the 50-window (oracle-backed;
+        # --- six siblings rotated into window slots 6 and 46-50) ----------
         "flag_status_chi2_cells": relational.flag_status_chi2_cells,
-        "huffman_cost_top64": text_analysis.huffman_cost_top64,
-        "bulk_brand_cover": relational.bulk_brand_cover,
-        "brand_graph_kcore": relational.brand_graph_kcore,
         "cm_sketch_tokens": text_analysis.cm_sketch_tokens,
         "user_lcs_top2": windows.user_lcs_top2,
     }

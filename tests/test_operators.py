@@ -176,13 +176,14 @@ def test_round5_window_layout(entry_mod):
         "embedding_top_eigval", "part_cloud_diameter", "price_tick_gcd",
         "revenue_best_run", "user_activity_f2", "qty_gini_mean_diff",
         "copurchase_mutual_best",
-        # a sample of the round-3-green reconfirmations kept in-window
-        # (funnel_conversion, cohort_retention and payload_stats were
-        # displaced past 50 by the sixth-session rotation — all hold
-        # multi-round driver-green rows, and multimodal keeps decode_bmp
-        # at slot 4)
-        "error_events_pushdown", "shipping_priority", "session_windows",
-        "gopher_quality", "token_counts", "langid_heuristic",
+        # seventh-sitting operators rotated in for their FIRST driver rows
+        # (the round-3-green reconfirmation fillers — error_events_pushdown,
+        # shipping_priority, session_windows, gopher_quality, token_counts,
+        # langid_heuristic — were displaced past 50: every one holds
+        # multi-round driver-green rows, and a first driver row beats
+        # another reconfirmation)
+        "qty_return_stump", "weekly_revenue_lis", "weekly_ewma_surprise",
+        "huffman_cost_top64", "bulk_brand_cover", "brand_graph_kcore",
     }
     missing = must_check - set(window)
     assert not missing, f"window is missing: {sorted(missing)}"
