@@ -309,6 +309,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "flag_status_chi2_cells": relational.flag_status_chi2_cells,
         "cm_sketch_tokens": text_analysis.cm_sketch_tokens,
         "user_lcs_top2": windows.user_lcs_top2,
+        "brand_widest_path": relational.brand_widest_path,
+        "part_knapsack_best": relational.part_knapsack_best,
     }
 
 

@@ -8011,47 +8011,26 @@ ORACLES["bulk_brand_cover"] = (
 )
 
 
-# ---- brand_graph_kcore: iterative k-core peeling ----------------------------
+# ---- brand pair census (shared by the brand-graph operators) ----------------
 
-BRAND_CORE_K = 3
-
-
-def brand_graph_kcore(sf_dir: str) -> "pa.Table":
-    """3-CORE of the strong brand co-purchase graph — iterative GRAPH
-    PEELING, the fixpoint family BFS (frontier expansion), PageRank
-    (value iteration) and components (label propagation) don't cover:
-    each round REMOVES nodes whose degree among survivors is < k, and a
-    removal can cascade, so the rounds are inherently sequential.  It
-    exists exactly because the node set is CATALOG-BOUNDED (≤ |brands|
-    ≈ 25 nodes, ≤ 300 edges): the peel is a driver fold, never a
-    distributed loop.  Edges: brand pairs co-purchased in one order,
-    kept when the pair weight is ≥ 1.2× the mean pair weight — the
-    exact integer inequality ``5·w·D ≥ 6·S`` (S = total weight, D =
-    distinct pairs) so both engines agree bit-for-bit and the relative
-    threshold stays meaningful at every scale.  Output: each core
-    member with its within-core degree.
-
-    Scale shape: partkey → brand-id resolves against a ray.put
-    broadcast below BROADCAST_DIM_MAX_ROWS (native hash join above);
-    per-order distinct (order, brand) pairs go through one exact
-    groupby (in-batch dedup combiner first), the pair expansion is the
-    copurchase_pairs hash self-join on orderkey (Arrow C++ cross
-    product, ≤ |brands-per-order|² rows per order), and fused-pair
-    partials gather ≤ 300 rows per batch — the peel itself is O(25²)
-    on the driver.  The DuckDB mirror replays the peel as a recursive
-    CTE filtering an alive-list to fixpoint.
-
-    Reference anchor: A4's gate-path distribution (SURVEY.md §2.6) as
-    the graph-cohesion question: which gates form a dense clique?"""
+def _brand_pair_census(sf_dir: str):
+    """(brands, weights) for the brand co-purchase graph: ``brands`` is
+    the sorted brand universe from the part catalog and ``weights`` a
+    pandas Series mapping fused ``bid_a·64 + bid_b`` (bid_a < bid_b)
+    pair keys to the number of DISTINCT orders containing both brands —
+    or None when there are no pairs.  partkey → brand-id resolves
+    against a ray.put broadcast below BROADCAST_DIM_MAX_ROWS (native
+    hash join above); per-order brands co-locate via ONE hash-tag
+    exchange (the windows.py partition-fold pattern — a per-key
+    map_groups would pay a Python callback per ORDER; hash(o) % P pays
+    one per PARTITION, segmented numpy inside), so there is no hash
+    join and no aggregator-actor pool on the hot path; fused-pair
+    partials gather ≤ |brands|² rows per partition."""
     import pyarrow.parquet as pq_mod
 
     n_li = _dim_num_rows(sf_dir, "lineitem")
-    empty = pa.table(
-        {"brand": pa.array([], pa.string()),
-         "core_degree": pa.array([], pa.int64())}
-    )
     if n_li == 0:
-        return empty
+        return np.array([], dtype=object), None
     part = pq_mod.read_table(
         f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
     )
@@ -8118,10 +8097,6 @@ def brand_graph_kcore(sf_dir: str) -> "pa.Table":
             right_on=("p_partkey",),
         ).map_batches(label, batch_format="pyarrow")
 
-    # co-locate each order's brands with ONE hash-tag exchange (the
-    # windows.py partition-fold pattern: a per-key map_groups would pay
-    # a Python callback per ORDER; hash(o) % P pays one per PARTITION,
-    # with segmented numpy inside) — no hash join, no aggregator actors
     _KCORE_PARTS = 32
 
     def tag(t: pa.Table) -> pa.Table:
@@ -8170,9 +8145,9 @@ def brand_graph_kcore(sf_dir: str) -> "pa.Table":
             ])
         if not keys:
             return empty_p
-        pk, c = np.unique(np.concatenate(keys), return_counts=True)
+        pk2, c = np.unique(np.concatenate(keys), return_counts=True)
         return pd.DataFrame(
-            {"k": pk.astype(np.int64), "n": c.astype(np.int64)}
+            {"k": pk2.astype(np.int64), "n": c.astype(np.int64)}
         )
 
     parts_df = (
@@ -8182,8 +8157,45 @@ def brand_graph_kcore(sf_dir: str) -> "pa.Table":
         .to_pandas()    # bounded: <= |brands|^2 pairs x partitions
     )
     if parts_df.empty:
+        return brands, None
+    return brands, parts_df.groupby("k")["n"].sum()
+
+
+# ---- brand_graph_kcore: iterative k-core peeling ----------------------------
+
+BRAND_CORE_K = 3
+
+
+def brand_graph_kcore(sf_dir: str) -> "pa.Table":
+    """3-CORE of the strong brand co-purchase graph — iterative GRAPH
+    PEELING, the fixpoint family BFS (frontier expansion), PageRank
+    (value iteration) and components (label propagation) don't cover:
+    each round REMOVES nodes whose degree among survivors is < k, and a
+    removal can cascade, so the rounds are inherently sequential.  It
+    exists exactly because the node set is CATALOG-BOUNDED (≤ |brands|
+    ≈ 25 nodes, ≤ 300 edges): the peel is a driver fold, never a
+    distributed loop.  Edges: brand pairs co-purchased in one order,
+    kept when the pair weight is ≥ 1.2× the mean pair weight — the
+    exact integer inequality ``5·w·D ≥ 6·S`` (S = total weight, D =
+    distinct pairs) so both engines agree bit-for-bit and the relative
+    threshold stays meaningful at every scale.  Output: each core
+    member with its within-core degree.
+
+    Scale shape: the pair weights come from ``_brand_pair_census``
+    (broadcast dim probe + ONE hash-tag partition-fold exchange, no
+    hash join — see its docstring); the peel itself is O(25²) on the
+    driver.  The DuckDB mirror replays the peel as a recursive CTE
+    filtering an alive-list to fixpoint.
+
+    Reference anchor: A4's gate-path distribution (SURVEY.md §2.6) as
+    the graph-cohesion question: which gates form a dense clique?"""
+    empty = pa.table(
+        {"brand": pa.array([], pa.string()),
+         "core_degree": pa.array([], pa.int64())}
+    )
+    brands, w = _brand_pair_census(sf_dir)
+    if w is None:
         return empty
-    w = parts_df.groupby("k")["n"].sum()
     S = int(w.sum())
     D = int(len(w))
     strong = [
@@ -8240,4 +8252,208 @@ ORACLES["brand_graph_kcore"] = (
     "OR (e.b = n AND list_contains(fix.alive, e.a))))::BIGINT "
     "AS core_degree "
     "FROM (SELECT unnest(alive) AS n FROM fix), es, fix ORDER BY brand"
+)
+
+
+# ---- brand_widest_path: bottleneck (max-min) path optimization --------------
+
+def brand_widest_path(sf_dir: str) -> "pa.Table":
+    """WIDEST PATH (maximum-bottleneck) from the co-purchase hub brand
+    to every other brand: the best achievable minimum edge weight along
+    any path — "how strongly is each brand connected to the center of
+    the catalog, allowing multi-hop chains?"  Bottleneck optimization
+    is the max-min semiring, a different algebra from BFS (hop counts),
+    PageRank (weighted sums) and k-core (degree peeling): the fold is
+    ``bw[n] = max over edges (u,n) of min(bw[u], w(u,n))`` iterated to
+    fixpoint (Bellman-Ford-style relaxation, ≤ |nodes| rounds).  The
+    hub is the brand with the largest total co-purchase weight (ties →
+    lexicographically smaller brand); its own bw is the sentinel S+1
+    (greater than any edge weight, exact on both engines).  Unreachable
+    brands are omitted.
+
+    Scale shape: pair weights from ``_brand_pair_census`` (broadcast
+    dim probe + one partition-fold exchange); the relaxation is O(25·
+    300) on the driver.  The DuckDB mirror replays the same relaxation
+    as a recursive CTE carrying the bw list to fixpoint.
+
+    Reference anchor: J2's owner/prefix routing (SURVEY.md §2.5) asked
+    as the connectivity-strength question."""
+    empty = pa.table(
+        {"brand": pa.array([], pa.string()),
+         "bottleneck": pa.array([], pa.int64())}
+    )
+    brands, w = _brand_pair_census(sf_dir)
+    if w is None:
+        return empty
+    S = int(w.sum())
+    edges = [
+        (int(k) // 64, int(k) % 64, int(ww)) for k, ww in w.items()
+    ]
+    tw: dict[int, int] = {}
+    for a, b, ww in edges:
+        tw[a] = tw.get(a, 0) + ww
+        tw[b] = tw.get(b, 0) + ww
+    # hub: max total weight, ties -> lexicographically smaller brand
+    hub = min(tw, key=lambda n: (-tw[n], str(brands[n])))
+    bw = {n: 0 for n in tw}
+    bw[hub] = S + 1
+    while True:                         # bounded: <= |brands| rounds
+        changed = False
+        for a, b, ww in edges:
+            na = max(bw[a], min(bw[b], ww))
+            nb = max(bw[b], min(bw[a], ww))
+            if na > bw[a]:
+                bw[a] = na
+                changed = True
+            if nb > bw[b]:
+                bw[b] = nb
+                changed = True
+        if not changed:
+            break
+    rows = sorted(
+        (str(brands[n]), v) for n, v in bw.items()
+        if n != hub and v > 0
+    )
+    return pa.table(
+        {"brand": pa.array([r[0] for r in rows], pa.string()),
+         "bottleneck": pa.array([r[1] for r in rows], pa.int64())}
+    )
+
+
+ORACLES["brand_widest_path"] = (
+    "WITH RECURSIVE ob AS (SELECT DISTINCT l.l_orderkey AS o, "
+    "p.p_brand AS b FROM lineitem l "
+    "JOIN part p ON l.l_partkey = p.p_partkey), "
+    "pw AS (SELECT a.b AS b1, b.b AS b2, count(*)::BIGINT AS w "
+    "FROM ob a JOIN ob b ON a.o = b.o AND a.b < b.b GROUP BY 1, 2), "
+    "deg AS (SELECT x AS b, sum(w)::BIGINT AS tw FROM "
+    "(SELECT b1 AS x, w FROM pw UNION ALL SELECT b2, w FROM pw) "
+    "GROUP BY 1), "
+    "hub AS (SELECT b FROM deg ORDER BY tw DESC, b LIMIT 1), "
+    "ns AS (SELECT list_sort(list(b)) AS nodes FROM deg), "
+    "tot AS (SELECT sum(w)::BIGINT + 1 AS inf FROM pw), "
+    "es AS (SELECT list(struct_pack("
+    "ia := list_position(ns.nodes, b1), "
+    "ib := list_position(ns.nodes, b2), w := w)) AS edges "
+    "FROM pw, ns GROUP BY ns.nodes), "
+    "seed AS (SELECT list_transform(range(1, len(ns.nodes) + 1), "
+    "i -> CASE WHEN ns.nodes[i] = hub.b THEN tot.inf "
+    "ELSE 0::BIGINT END) AS bw, "
+    "ns.nodes AS nodes, es.edges AS edges FROM ns, hub, tot, es), "
+    "r(bw, prev, nodes, edges) AS ("
+    "SELECT bw, CAST(NULL AS BIGINT[]), nodes, edges FROM seed "
+    "UNION ALL "
+    "SELECT list_transform(range(1, len(r.nodes) + 1), i -> "
+    "GREATEST(r.bw[i], coalesce(list_max(list_transform("
+    "list_filter(r.edges, e -> e.ia = i OR e.ib = i), "
+    "e -> LEAST(CASE WHEN e.ia = i THEN r.bw[e.ib] "
+    "ELSE r.bw[e.ia] END, e.w))), 0))), "
+    "r.bw, r.nodes, r.edges "
+    "FROM r WHERE r.bw IS DISTINCT FROM r.prev), "
+    "fix AS (SELECT bw, nodes FROM r WHERE bw = prev LIMIT 1) "
+    "SELECT nodes[i] AS brand, bw[i]::BIGINT AS bottleneck "
+    "FROM fix, (SELECT unnest(range(1, len(nodes) + 1)) AS i FROM fix) "
+    "WHERE nodes[i] <> (SELECT b FROM hub) AND bw[i] > 0 "
+    "ORDER BY brand"
+)
+
+
+# ---- part_knapsack_best: 0/1 knapsack DP (budgeted selection) ----------------
+
+KNAPSACK_CAPACITY = 100
+KNAPSACK_CANDIDATES = 64
+
+
+def part_knapsack_best(sf_dir: str) -> "pa.Table":
+    """0/1 KNAPSACK over the part catalog: the maximum total retail
+    price (cents) achievable by packing parts into a size budget of
+    100, choosing among the 64 priciest candidates (ties → smaller
+    partkey) — budgeted selection, the DP-over-RESOURCE family (the
+    capacity dimension is the DP state, unlike the sequence DPs): the
+    optimum couples every item with every residual capacity, so no
+    fold or greedy expresses it exactly.  The candidate cap is the
+    bulk_brand_cover contract: a deterministic bounded pool makes the
+    exponential problem a 64×101 driver DP, and the DP VALUE is
+    selection-order-independent given the candidate SET, so the output
+    is deterministic.
+
+    Scale shape: per-batch top-64 (value desc, partkey asc) partials
+    bound the gather to 64 × blocks even over a billion-part catalog;
+    the DP is O(64·101) exact int64 on the driver.  The DuckDB mirror
+    replays the DP as a depth-64 recursive CTE carrying the value
+    array per capacity.
+
+    Reference anchor: S3's size-budget validator (SURVEY.md §2.1)
+    asked as the optimizer's question: the most value a fixed budget
+    admits."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty_p = pa.table(
+            {"pk": pa.array([], pa.int64()),
+             "v": pa.array([], pa.int64()),
+             "w": pa.array([], pa.int64())}
+        )
+        if len(t) == 0:
+            return empty_p
+        v = np.floor(
+            t["p_retailprice"].to_numpy() * 100.0 + 0.5
+        ).astype(np.int64)
+        pk = t["p_partkey"].to_numpy()
+        w = t["p_size"].to_numpy().astype(np.int64)
+        order = np.lexsort((pk, -v))[:KNAPSACK_CANDIDATES]
+        return pa.table(
+            {"pk": pa.array(pk[order].astype(np.int64)),
+             "v": pa.array(v[order]),
+             "w": pa.array(w[order])}
+        )
+
+    cand = (
+        _read(sf_dir, "part", ["p_partkey", "p_retailprice", "p_size"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()    # bounded: K x blocks
+    )
+    empty = pa.table(
+        {"capacity": pa.array([], pa.int64()),
+         "n_candidates": pa.array([], pa.int64()),
+         "best_cents": pa.array([], pa.int64())}
+    )
+    if cand.empty:
+        return empty
+    cand = cand.sort_values(
+        ["v", "pk"], ascending=[False, True]
+    ).head(KNAPSACK_CANDIDATES)
+    dp = np.zeros(KNAPSACK_CAPACITY + 1, dtype=np.int64)
+    for v, w in zip(cand["v"], cand["w"]):      # bounded: K items
+        v, w = int(v), int(w)
+        if w <= KNAPSACK_CAPACITY:
+            shifted = dp[: KNAPSACK_CAPACITY + 1 - w] + v
+            dp[w:] = np.maximum(dp[w:], shifted)
+    return pa.table(
+        {"capacity": pa.array([KNAPSACK_CAPACITY], pa.int64()),
+         "n_candidates": pa.array([len(cand)], pa.int64()),
+         "best_cents": pa.array([int(dp[KNAPSACK_CAPACITY])], pa.int64())}
+    )
+
+
+ORACLES["part_knapsack_best"] = (
+    "WITH RECURSIVE items AS (SELECT "
+    "CAST(floor(p_retailprice * 100.0 + 0.5) AS BIGINT) AS v, "
+    "p_size::BIGINT AS w FROM part "
+    f"ORDER BY v DESC, p_partkey LIMIT {KNAPSACK_CANDIDATES}), "
+    "its AS (SELECT list(struct_pack(v := v, w := w)) AS arr, "
+    "count(*)::BIGINT AS k FROM items), "
+    "r(i, vals, arr, k) AS ("
+    f"SELECT 0::BIGINT, list_transform(range(0, {KNAPSACK_CAPACITY} + 1), "
+    "c -> 0::BIGINT), arr, k FROM its WHERE k > 0 "
+    "UNION ALL "
+    f"SELECT r.i + 1, list_transform(range(0, {KNAPSACK_CAPACITY} + 1), "
+    "c -> CASE WHEN c >= r.arr[r.i + 1].w "
+    "THEN GREATEST(r.vals[c + 1], "
+    "r.vals[c - r.arr[r.i + 1].w + 1] + r.arr[r.i + 1].v) "
+    "ELSE r.vals[c + 1] END), r.arr, r.k "
+    "FROM r WHERE r.i < r.k), "
+    "fin AS (SELECT vals, k FROM r WHERE i = k) "
+    f"SELECT {KNAPSACK_CAPACITY}::BIGINT AS capacity, "
+    "f.k AS n_candidates, "
+    f"f.vals[{KNAPSACK_CAPACITY} + 1]::BIGINT AS best_cents FROM fin f"
 )

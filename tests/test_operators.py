@@ -119,6 +119,7 @@ ORACLE_CHECKED = [
     "qty_return_stump", "weekly_revenue_lis", "weekly_ewma_surprise",
     "flag_status_chi2_cells", "huffman_cost_top64", "bulk_brand_cover",
     "brand_graph_kcore", "cm_sketch_tokens", "user_lcs_top2",
+    "brand_widest_path", "part_knapsack_best",
 ]
 
 

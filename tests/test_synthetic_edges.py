@@ -2609,3 +2609,88 @@ def test_user_lcs_top2_cap_and_tie_order(ray_session, tmp_path):
         f"FROM read_parquet('{e}/events.parquet')"
     )
     assert len(c2.execute(windows.ORACLES["user_lcs_top2"]).df()) == 0
+
+
+def test_brand_widest_path_multi_hop_bottleneck(ray_session, tmp_path):
+    """Pin the max-min relaxation: edges B1-B2 w=10, B2-B3 w=8,
+    B1-B3 w=3, B3-B4 w=6 -> hub is B2 (total weight 18); B4 is NOT
+    adjacent to the hub and its best bottleneck is the two-hop chain
+    B2->B3(8)->B4(6) = 6, while B1's direct 10 beats the 3-weight
+    detour; an isolated brand B5 is omitted."""
+    from langfilter_ray.pipelines import relational
+
+    d = tmp_path / "main"
+    d.mkdir()
+    edges = [((1, 2), 10), ((2, 3), 8), ((1, 3), 3), ((3, 4), 6)]
+    li_o, li_p = [], []
+    okey = 0
+    for (x, y), w in edges:
+        for _ in range(w):
+            okey += 1
+            li_o += [okey, okey]
+            li_p += [x, y]
+    n = len(li_o)
+    pq.write_table(pa.table(
+        {"l_orderkey": pa.array(li_o, pa.int64()),
+         "l_partkey": pa.array(li_p, pa.int64()),
+         "l_suppkey": pa.array([1] * n, pa.int64()),
+         "l_linenumber": pa.array([1] * n, pa.int32()),
+         "l_quantity": pa.array([1.0] * n, pa.float64()),
+         "l_extendedprice": pa.array([1.0] * n, pa.float64()),
+         "l_discount": pa.array([0.0] * n, pa.float64()),
+         "l_tax": pa.array([0.0] * n, pa.float64()),
+         "l_returnflag": pa.array(["N"] * n, pa.string()),
+         "l_linestatus": pa.array(["O"] * n, pa.string()),
+         "l_shipdate": pa.array(
+             [np.datetime64("2024-03-02T00:00:00", "us")] * n,
+             pa.timestamp("us"))}
+    ), d / "lineitem.parquet")
+    pq.write_table(pa.table(
+        {"p_partkey": pa.array([1, 2, 3, 4, 5], pa.int64()),
+         "p_name": pa.array(list("abcde"), pa.string()),
+         "p_brand": pa.array([f"B{i}" for i in range(1, 6)], pa.string()),
+         "p_type": pa.array(["t"] * 5, pa.string()),
+         "p_size": pa.array([1] * 5, pa.int32()),
+         "p_retailprice": pa.array([1.0] * 5, pa.float64())}
+    ), d / "part.parquet")
+    got = _to_pandas(relational.brand_widest_path(str(d)))
+    c = duckdb.connect()
+    for t in ("lineitem", "part"):
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')"
+        )
+    want = c.execute(relational.ORACLES["brand_widest_path"]).df()
+    problems = compare_frames(_canon(got), _canon(want))
+    assert not problems, (problems, first_diff(_canon(got), _canon(want)))
+    assert list(got["brand"]) == ["B1", "B3", "B4"]
+    assert list(got["bottleneck"]) == [10, 8, 6]
+
+
+def test_part_knapsack_best_beats_greedy(ray_session, tmp_path):
+    """Pin the DP: items (price cents, size) = (1000, 60), (900, 50),
+    (800, 50), (50, 1) under capacity 100 -> greedy-by-value takes the
+    1000 item and strands capacity (best 1050); the DP finds 900+800 =
+    1700 at exactly 100."""
+    from langfilter_ray.pipelines import relational
+
+    d = tmp_path / "main"
+    d.mkdir()
+    pq.write_table(pa.table(
+        {"p_partkey": pa.array([1, 2, 3, 4], pa.int64()),
+         "p_name": pa.array(list("abcd"), pa.string()),
+         "p_brand": pa.array(["B1"] * 4, pa.string()),
+         "p_type": pa.array(["t"] * 4, pa.string()),
+         "p_size": pa.array([60, 50, 50, 1], pa.int32()),
+         "p_retailprice": pa.array([10.0, 9.0, 8.0, 0.5], pa.float64())}
+    ), d / "part.parquet")
+    got = _to_pandas(relational.part_knapsack_best(str(d)))
+    c = duckdb.connect()
+    c.execute(
+        f"CREATE VIEW part AS SELECT * FROM read_parquet('{d}/part.parquet')"
+    )
+    want = c.execute(relational.ORACLES["part_knapsack_best"]).df()
+    problems = compare_frames(_canon(got), _canon(want))
+    assert not problems, (problems, first_diff(_canon(got), _canon(want)))
+    r = got.iloc[0]
+    assert (int(r["capacity"]), int(r["n_candidates"])) == (100, 4)
+    assert int(r["best_cents"]) == 1700
