@@ -311,6 +311,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_lcs_top2": windows.user_lcs_top2,
         "brand_widest_path": relational.brand_widest_path,
         "part_knapsack_best": relational.part_knapsack_best,
+        # --- eighth-sitting additions (oracle-backed) ----------------------
+        "user_coverage_us": windows.user_coverage_us,
+        "distinct_substrings_cap": text_analysis.distinct_substrings_cap,
     }
 
 

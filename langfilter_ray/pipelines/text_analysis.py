@@ -4590,3 +4590,131 @@ ORACLES["cm_sketch_tokens"] = (
     "JOIN cells c ON c.r = bk.r AND c.b = bk.b "
     "GROUP BY 1, 2 ORDER BY n_exact DESC, token"
 )
+
+
+# ---- distinct_substrings_cap: suffix automaton over the longest doc --------
+
+SUBSTR_CAP = 200
+
+
+def _suffix_automaton_states(s: str) -> list[tuple[int, int]]:
+    """Build the suffix automaton of ``s`` (Blumer et al. 1985 online
+    construction) and return ``(len, link_len)`` per non-root state.
+    The number of DISTINCT substrings of ``s`` is
+    ``sum(len(v) - len(link(v)))`` — each state v contributes exactly
+    the substrings of lengths (len(link(v)), len(v)] of its longest
+    member, each distinct substring counted once (the defining property
+    of the automaton's endpos equivalence classes)."""
+    # state arrays: maxlen, suffix link, transitions
+    maxlen = [0]
+    link = [-1]
+    nxt: list[dict[str, int]] = [{}]
+    last = 0
+    for ch in s:
+        cur = len(maxlen)
+        maxlen.append(maxlen[last] + 1)
+        link.append(-1)
+        nxt.append({})
+        p = last
+        while p != -1 and ch not in nxt[p]:
+            nxt[p][ch] = cur
+            p = link[p]
+        if p == -1:
+            link[cur] = 0
+        else:
+            q = nxt[p][ch]
+            if maxlen[p] + 1 == maxlen[q]:
+                link[cur] = q
+            else:
+                clone = len(maxlen)
+                maxlen.append(maxlen[p] + 1)
+                link.append(link[q])
+                nxt.append(dict(nxt[q]))
+                while p != -1 and nxt[p].get(ch) == q:
+                    nxt[p][ch] = clone
+                    p = link[p]
+                link[q] = clone
+                link[cur] = clone
+        last = cur
+    return [(maxlen[v], maxlen[link[v]]) for v in range(1, len(maxlen))]
+
+
+def distinct_substrings_cap(sf_dir: str) -> "pa.Table":
+    """Count the DISTINCT substrings of the longest document's first
+    ``SUBSTR_CAP`` characters — the suffix-structure family (suffix
+    automaton / suffix tree): a linear-time data structure whose state
+    count answers a question that is quadratic by enumeration.  Output
+    is one row: the winning doc, its capped length, the distinct count,
+    and the total substring count ``L(L+1)/2`` (their gap measures
+    internal repetitiveness).
+
+    Scale shape: pass 1 is a distributed ARGMAX — each batch emits its
+    single best (max n_chars, then min doc_id) row with the text already
+    capped to SUBSTR_CAP chars, so the gather is blocks × 1 short row;
+    the O(L) automaton runs on the driver over a CAPPED string (the
+    user_lcs_top2 precedent for bounded-input DPs).  The DuckDB mirror
+    enumerates all L(L+1)/2 substrings via a lateral generate_series
+    cross product and COUNT(DISTINCT ...) — feasible exactly because
+    the cap bounds it, and an independent quadratic check of the
+    automaton's linear-time answer.
+
+    Reference anchor: M1's probe slicing (SURVEY.md §2.3) — bound the
+    text, then run the expensive analysis on the bounded probe."""
+
+    def argmax_partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "n_chars": pa.array([], pa.int64()),
+             "head": pa.array([], pa.string())}
+        )
+        if len(t) == 0:
+            return empty
+        nc = t["n_chars"].to_numpy()
+        did = t["doc_id"].to_numpy()
+        i = int(np.lexsort((did, -nc))[0])
+        return pa.table(
+            {"doc_id": pa.array([int(did[i])], pa.int64()),
+             "n_chars": pa.array([int(nc[i])], pa.int64()),
+             "head": pa.array(
+                 [t["text"][i].as_py()[:SUBSTR_CAP]], pa.string())}
+        )
+
+    best = (
+        _docs_cols(sf_dir, ["doc_id", "text", "n_chars"])
+        .map_batches(argmax_partial, batch_format="pyarrow")
+        .to_pandas()    # bounded: one short row per block
+    )
+    empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()),
+         "cap_len": pa.array([], pa.int64()),
+         "n_distinct": pa.array([], pa.int64()),
+         "n_total": pa.array([], pa.int64())}
+    )
+    if best.empty:
+        return empty
+    best = best.sort_values(["n_chars", "doc_id"],
+                            ascending=[False, True]).iloc[0]
+    s = best["head"]
+    L = len(s)
+    n_distinct = sum(m - lk for m, lk in _suffix_automaton_states(s))
+    return pa.table(
+        {"doc_id": pa.array([int(best["doc_id"])], pa.int64()),
+         "cap_len": pa.array([L], pa.int64()),
+         "n_distinct": pa.array([n_distinct], pa.int64()),
+         "n_total": pa.array([L * (L + 1) // 2], pa.int64())}
+    )
+
+
+ORACLES["distinct_substrings_cap"] = (
+    f"WITH d AS (SELECT doc_id, substr(text, 1, {SUBSTR_CAP}) AS s "
+    "FROM documents ORDER BY n_chars DESC, doc_id LIMIT 1), "
+    "subs AS (SELECT d.doc_id, length(d.s) AS L, "
+    "substr(d.s, i.i, j.j) AS sub "
+    f"FROM d, generate_series(1, {SUBSTR_CAP}) i(i), "
+    f"generate_series(1, {SUBSTR_CAP}) j(j) "
+    "WHERE i.i + j.j - 1 <= length(d.s)) "
+    "SELECT doc_id, max(L)::BIGINT AS cap_len, "
+    "count(DISTINCT sub)::BIGINT AS n_distinct, "
+    "((max(L) * (max(L) + 1)) // 2)::BIGINT AS n_total "
+    "FROM subs GROUP BY doc_id"
+)

@@ -4740,3 +4740,64 @@ ORACLES["user_lcs_top2"] = (
     "(SELECT len(b) FROM ab)::BIGINT AS len_b, "
     "f.dp[f.nmax]::BIGINT AS lcs_len FROM fin f"
 )
+
+
+# ---- user_coverage_us: interval-union sweep (islands & gaps) ---------------
+
+_COVERAGE_WINDOW_US = 3_600_000_000  # each event covers [ts, ts + 1h)
+
+
+def user_coverage_us(sf_dir: str) -> ray.data.Dataset:
+    """Total ACTIVE time per user: the length of the UNION of the
+    per-event intervals ``[ts, ts + 1h)`` — the interval-union /
+    sweep-line family ("islands and gaps"): overlapping covers collapse,
+    so the answer is neither a count nor a sum of durations.  The classic
+    identity makes it a segmented fold, no sweep state needed: for
+    timestamps sorted within a user, union length =
+    ``sum(min(next_ts - ts, W))`` over consecutive pairs plus ``W`` for
+    the last event (duplicate timestamps contribute 0, exactly as a
+    degenerate overlap should).
+
+    Scale shape: the standard per-user partition exchange
+    (``part = hash(user) % parts``, one callback per PARTITION, never
+    per user), segmented numpy inside (sort + boundary masks +
+    ``reduceat``); output is one row per user.  The DuckDB mirror is the
+    textbook gaps-and-islands window: ``lead(ts) OVER (PARTITION BY
+    user_id ORDER BY ts, event_id)`` then ``LEAST(diff, W)`` — exact
+    integer microseconds on both sides.
+
+    Reference anchor: A2's recent-window activity (SURVEY.md §2.6)
+    generalised from a count to a measure-of-union."""
+    W = _COVERAGE_WINDOW_US
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame(
+                {"user_id": pd.array([], dtype="int64"),
+                 "covered_us": pd.array([], dtype="int64")}
+            )
+        g, starts, ends = _user_segments(g)
+        us = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        # consecutive-pair contribution; the slot after each user's LAST
+        # row pairs two different users -> overwrite with the terminal W
+        contrib = np.append(us[1:] - us[:-1], np.int64(W))
+        np.minimum(contrib, W, out=contrib)
+        contrib[ends - 1] = W
+        covered = np.add.reduceat(contrib, starts)
+        return pd.DataFrame(
+            {"user_id": g["user_id"].to_numpy()[starts],
+             "covered_us": covered.astype(np.int64)}
+        )
+
+    ds = _events(sf_dir, ["event_id", "ts", "user_id"])
+    return _user_partition_map(ds, _window_parts(sf_dir), per_partition)
+
+
+ORACLES["user_coverage_us"] = (
+    "WITH s AS (SELECT user_id, epoch_us(ts) AS t, "
+    "lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+    "AS nxt FROM events) "
+    "SELECT user_id, sum(CASE WHEN nxt IS NULL THEN 3600000000 "
+    "ELSE LEAST(nxt - t, 3600000000) END)::BIGINT AS covered_us "
+    "FROM s GROUP BY user_id ORDER BY user_id"
+)

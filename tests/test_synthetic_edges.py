@@ -2694,3 +2694,59 @@ def test_part_knapsack_best_beats_greedy(ray_session, tmp_path):
     r = got.iloc[0]
     assert (int(r["capacity"]), int(r["n_candidates"])) == (100, 4)
     assert int(r["best_cents"]) == 1700
+
+
+def test_user_coverage_us_overlap_dup_and_gap(ray_session, tmp_path):
+    """Pin the union semantics: user 1 has events at 0, +30min (overlap:
+    contributes 1800s, not 3600), +30min duplicate ts (contributes 0),
+    and one at +10h (gap > W: the previous island closes with a full W).
+    covered = 1800s + 0 + 3600s + 3600s = 9000s.  User 2 has a single
+    event -> exactly W."""
+    from langfilter_ray.pipelines import windows
+
+    H = 3_600_000_000
+    rows = [
+        (1, 1, 0, "view", 1.0),
+        (2, 1, H // 2, "view", 1.0),
+        (3, 1, H // 2, "click", 1.0),        # duplicate timestamp
+        (4, 1, 10 * H, "view", 1.0),
+        (5, 2, 42, "view", 1.0),
+    ]
+    got = _check_vs_oracle(
+        windows.user_coverage_us,
+        windows.ORACLES["user_coverage_us"],
+        tmp_path, "events", _events_table(rows),
+    )
+    cov = dict(zip(got["user_id"], got["covered_us"]))
+    assert cov[1] == H // 2 + 0 + H + H
+    assert cov[2] == H
+
+
+def test_distinct_substrings_cap_repetitive_and_tiebreak(ray_session,
+                                                         tmp_path):
+    """'aaaa' has 4 distinct substrings of its 10 total; the argmax
+    tiebreak picks the SMALLEST doc_id among equal n_chars (doc 1 over
+    doc 2); 'abab' (doc 3, shorter) never wins."""
+    from langfilter_ray.pipelines import text_analysis
+
+    rows = [
+        (1, "en", 4, "aaaa"),
+        (2, "en", 4, "abcd"),
+        (3, "en", 3, "aba"),
+    ]
+    got = _check_vs_oracle(
+        text_analysis.distinct_substrings_cap,
+        text_analysis.ORACLES["distinct_substrings_cap"],
+        tmp_path, "documents", _docs_table(rows),
+    )
+    r = got.iloc[0]
+    assert int(r["doc_id"]) == 1
+    assert int(r["cap_len"]) == 4
+    assert int(r["n_distinct"]) == 4      # a, aa, aaa, aaaa
+    assert int(r["n_total"]) == 10
+
+    # automaton sanity on a string with a clone-triggering structure
+    states = text_analysis._suffix_automaton_states("abcbc")
+    n = sum(m - lk for m, lk in states)
+    subs = {"abcbc"[i:j] for i in range(5) for j in range(i + 1, 6)}
+    assert n == len(subs)
