@@ -4718,3 +4718,82 @@ ORACLES["distinct_substrings_cap"] = (
     "((max(L) * (max(L) + 1)) // 2)::BIGINT AS n_total "
     "FROM subs GROUP BY doc_id"
 )
+
+
+# ---- dict_match_census: multi-pattern dictionary matching ------------------
+
+# Fixed match dictionary.  Every pattern is BORDERLESS (no proper prefix
+# equals a suffix), so occurrences cannot overlap themselves and the three
+# countable semantics coincide: overlapping == non-overlapping ==
+# the replace-length trick the SQL mirror uses.
+DICT_PATTERNS = (
+    "batch", "fast", "merge", "part", "scan", "spark", "table", "value",
+)
+
+
+def dict_match_census(sf_dir: str) -> ray.data.Dataset:
+    """Per-(source, pattern) census of a fixed DICTIONARY of literal
+    patterns: total occurrences and number of documents hit — the
+    multi-pattern string-matching family (dictionary matching).  With a
+    BOUNDED dictionary the vectorized form is one Arrow C++
+    ``count_substring`` scan per pattern (8 zero-copy passes); at large
+    dictionary sizes the same operator would switch to an Aho-Corasick
+    automaton built once per actor (one pass, O(text + matches)) — the
+    per-pattern kernel is the measured-faster shape here because the
+    automaton's per-char transition is a Python-level loop.
+
+    Scale shape: map-only; each batch emits at most |sources| × |dict|
+    partial rows (both bounded alphabets), then a bounded groupby —
+    nothing row-proportional crosses the exchange.
+
+    Reference anchor: M3's stopword counting (SURVEY.md §2.3) widened
+    from one vocabulary to an arbitrary pattern dictionary."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"source": pa.array([], pa.string()),
+             "pat": pa.array([], pa.string()),
+             "m": pa.array([], pa.int64()),
+             "h": pa.array([], pa.int64())}
+        )
+        if len(t) == 0:
+            return empty
+        chunks = []
+        for p in DICT_PATTERNS:
+            n = pc.cast(pc.count_substring(t["text"], p), pa.int64())
+            g = (
+                pa.table({"source": t["source"], "m": n,
+                          "h": pc.cast(pc.greater(n, 0), pa.int64())})
+                .group_by("source")
+                .aggregate([("m", "sum"), ("h", "sum")])
+            )
+            chunks.append(pa.table(
+                {"source": g["source"],
+                 "pat": pa.array([p] * len(g), pa.string()),
+                 "m": g["m_sum"], "h": g["h_sum"]}
+            ))
+        return pa.concat_tables(chunks)
+
+    from ray.data.aggregate import Sum
+
+    return (
+        _docs_cols(sf_dir, ["source", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["source", "pat"])
+        .aggregate(Sum("m", alias_name="n_matches"),
+                   Sum("h", alias_name="n_docs_hit"))
+    )
+
+
+ORACLES["dict_match_census"] = (
+    "WITH per AS ("
+    + " UNION ALL ".join(
+        f"SELECT source, '{p}' AS pat, "
+        f"(length(text) - length(replace(text, '{p}', ''))) // {len(p)} "
+        "AS m FROM documents"
+        for p in DICT_PATTERNS
+    )
+    + ") SELECT source, pat, sum(m)::BIGINT AS n_matches, "
+    "sum(CASE WHEN m > 0 THEN 1 ELSE 0 END)::BIGINT AS n_docs_hit "
+    "FROM per GROUP BY 1, 2 ORDER BY 1, 2"
+)

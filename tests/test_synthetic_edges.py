@@ -2750,3 +2750,30 @@ def test_distinct_substrings_cap_repetitive_and_tiebreak(ray_session,
     n = sum(m - lk for m, lk in states)
     subs = {"abcbc"[i:j] for i in range(5) for j in range(i + 1, 6)}
     assert n == len(subs)
+
+
+def test_dict_match_census_adjacent_and_zero_rows(ray_session, tmp_path):
+    """Adjacent occurrences both count ('valuevalue' -> 2); a source with
+    zero matches still emits its (source, pattern) rows with 0/0; doc-hit
+    counts documents, not occurrences."""
+    from langfilter_ray.pipelines import text_analysis
+
+    tbl = pa.table(
+        {"doc_id": pa.array([1, 2, 3], pa.int64()),
+         "text": pa.array(
+             ["valuevalue table", "value", "zzz qqq"], pa.string()),
+         "lang": pa.array(["en"] * 3, pa.string()),
+         "source": pa.array(["a", "a", "b"], pa.string()),
+         "n_chars": pa.array([16, 5, 7], pa.int64())}
+    )
+    got = _check_vs_oracle(
+        text_analysis.dict_match_census,
+        text_analysis.ORACLES["dict_match_census"],
+        tmp_path, "documents", tbl,
+    )
+    assert len(got) == 16     # 2 sources x 8 patterns
+    by = {(r["source"], r["pat"]): (r["n_matches"], r["n_docs_hit"])
+          for _, r in got.iterrows()}
+    assert by[("a", "value")] == (3, 2)   # 2 adjacent + 1
+    assert by[("a", "table")] == (1, 1)
+    assert by[("b", "value")] == (0, 0)
