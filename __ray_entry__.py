@@ -315,6 +315,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_coverage_us": windows.user_coverage_us,
         "distinct_substrings_cap": text_analysis.distinct_substrings_cap,
         "dict_match_census": text_analysis.dict_match_census,
+        "orders_max_rectangle": windows.orders_max_rectangle,
     }
 
 

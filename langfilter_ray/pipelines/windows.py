@@ -4801,3 +4801,122 @@ ORACLES["user_coverage_us"] = (
     "ELSE LEAST(nxt - t, 3600000000) END)::BIGINT AS covered_us "
     "FROM s GROUP BY user_id ORDER BY user_id"
 )
+
+
+# ---- orders_max_rectangle: monotonic-stack largest rectangle ---------------
+
+def orders_max_rectangle(sf_dir: str) -> "pa.Table":
+    """Largest RECTANGLE under the daily order-count histogram over the
+    dense day grid: the maximal ``height × width`` block such that every
+    day in a ``width``-day run placed at least ``height`` orders — "the
+    longest sustained-throughput guarantee".  This is the classic
+    monotonic-stack problem: for each bar the maximal window it rules is
+    bounded by the nearest STRICTLY SMALLER bar on each side, a coupling
+    (like revenue_changepoint's prefix/suffix scan) that no groupby or
+    per-row window frame expresses.
+
+    Exactness/tie-break: all integer; best = (area DESC, height DESC,
+    start_day ASC).  Equal-height plateau bars share the same strict
+    (left, right) boundaries, so they collapse to identical rows on both
+    engines.
+
+    Scale shape: in-batch pyarrow (day, count) partials, gather bounded
+    by DAYS × blocks; the O(n) stack runs on the driver over the
+    bounded day span.  The DuckDB mirror computes each bar's nearest
+    smaller neighbours by correlated min/max subqueries — O(n²) but
+    bounded by the same span, and an independent quadratic check of the
+    stack's linear answer.
+
+    Reference anchor: A2's recent-window count (SURVEY.md §2.6) pushed
+    to "how long did a rate of at least h/day HOLD?"."""
+    US_DAY = 86_400_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"day": pa.array([], pa.int64()),
+             "c": pa.array([], pa.int64())}
+        )
+        if len(t) == 0:
+            return empty
+        day = pc.cast(t["o_orderdate"], pa.int64()).to_numpy() // US_DAY
+        g = (
+            pa.table({"day": pa.array(day)})
+            .group_by("day")
+            .aggregate([([], "count_all")])
+        )
+        return pa.table({"day": g["day"], "c": g["count_all"]})
+
+    path = f"{sf_dir}/orders.parquet"
+    parts = (
+        ray.data.read_parquet(
+            path, columns=["o_orderdate"],
+            schema=_clean_schema(path, ["o_orderdate"]),
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()    # bounded: days x blocks, never rows
+    )
+    empty = pa.table(
+        {"area": pa.array([], pa.int64()),
+         "height": pa.array([], pa.int64()),
+         "width": pa.array([], pa.int64()),
+         "start_day": pa.array([], pa.int64()),
+         "end_day": pa.array([], pa.int64())}
+    )
+    if parts.empty:
+        return empty
+    daily = parts.groupby("day", sort=True)["c"].sum()
+    days = daily.index.to_numpy(np.int64)
+    d0 = int(days[0])
+    dense = np.zeros(int(days[-1]) - d0 + 1, dtype=np.int64)
+    dense[days - d0] = daily.to_numpy(np.int64)
+    n = len(dense)
+    # nearest strictly-smaller neighbour on each side via one stack pass
+    # per direction (indices are 0-based; sentinel -1 / n)
+    left = np.empty(n, dtype=np.int64)
+    right = np.empty(n, dtype=np.int64)
+    stack: list[int] = []
+    for i in range(n):
+        while stack and dense[stack[-1]] >= dense[i]:
+            stack.pop()
+        left[i] = stack[-1] if stack else -1
+        stack.append(i)
+    stack.clear()
+    for i in range(n - 1, -1, -1):
+        while stack and dense[stack[-1]] >= dense[i]:
+            stack.pop()
+        right[i] = stack[-1] if stack else n
+        stack.append(i)
+    width = right - left - 1
+    area = dense * width
+    # best by (area desc, height desc, start asc)
+    order = np.lexsort((left + 1, -dense, -area))
+    b = int(order[0])
+    return pa.table(
+        {"area": pa.array([int(area[b])], pa.int64()),
+         "height": pa.array([int(dense[b])], pa.int64()),
+         "width": pa.array([int(width[b])], pa.int64()),
+         "start_day": pa.array([d0 + int(left[b]) + 1], pa.int64()),
+         "end_day": pa.array([d0 + int(right[b]) - 1], pa.int64())}
+    )
+
+
+ORACLES["orders_max_rectangle"] = (
+    "WITH daily AS (SELECT epoch_us(o_orderdate) // 86400000000 AS day, "
+    "count(*)::BIGINT AS c FROM orders GROUP BY 1), "
+    "b AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily), "
+    "grid AS (SELECT UNNEST(range(d0, d1 + 1)) AS day FROM b), "
+    "dense AS (SELECT grid.day, COALESCE(daily.c, 0)::BIGINT AS c "
+    "FROM grid LEFT JOIN daily ON grid.day = daily.day), "
+    "idx AS (SELECT row_number() OVER (ORDER BY day)::BIGINT AS i, c "
+    "FROM dense), "
+    "lr AS (SELECT a.i, a.c, "
+    "COALESCE((SELECT max(x.i) FROM idx x WHERE x.i < a.i AND x.c < a.c), "
+    "0) AS L, "
+    "COALESCE((SELECT min(x.i) FROM idx x WHERE x.i > a.i AND x.c < a.c), "
+    "(SELECT max(i) + 1 FROM idx)) AS R FROM idx a) "
+    "SELECT (c * (R - L - 1))::BIGINT AS area, c::BIGINT AS height, "
+    "(R - L - 1)::BIGINT AS width, "
+    "((SELECT d0 FROM b) + L)::BIGINT AS start_day, "
+    "((SELECT d0 FROM b) + R - 2)::BIGINT AS end_day "
+    "FROM lr ORDER BY area DESC, height DESC, start_day LIMIT 1"
+)

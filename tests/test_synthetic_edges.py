@@ -2777,3 +2777,42 @@ def test_dict_match_census_adjacent_and_zero_rows(ray_session, tmp_path):
     assert by[("a", "value")] == (3, 2)   # 2 adjacent + 1
     assert by[("a", "table")] == (1, 1)
     assert by[("b", "value")] == (0, 0)
+
+
+def test_orders_max_rectangle_plateau_and_gap(ray_session, tmp_path):
+    """Histogram [3, 2, 2, 0, 4] (day 4 empty -> zero bar): candidates
+    3x1=3, 2x3=6, 4x1=4 -> best is the height-2 plateau spanning days
+    1-3 (both plateau bars collapse to the same row); the zero bar must
+    break the run."""
+    import pandas as pd
+    from langfilter_ray.pipelines import windows
+
+    base = np.datetime64("2024-03-01T12:00:00", "us")
+    DAY = np.timedelta64(86_400_000_000, "us")
+    counts = {0: 3, 1: 2, 2: 2, 4: 4}
+    dates, keys = [], []
+    k = 1
+    for d, c in counts.items():
+        for _ in range(c):
+            dates.append(base + d * DAY)
+            keys.append(k)
+            k += 1
+    tbl = pa.table(
+        {"o_orderkey": pa.array(keys, pa.int64()),
+         "o_custkey": pa.array([1] * len(keys), pa.int64()),
+         "o_orderstatus": pa.array(["O"] * len(keys), pa.string()),
+         "o_totalprice": pa.array([10.0] * len(keys), pa.float64()),
+         "o_orderdate": pa.array(dates, pa.timestamp("us")),
+         "o_orderpriority": pa.array(["1-URGENT"] * len(keys), pa.string())}
+    )
+    got = _check_vs_oracle(
+        windows.orders_max_rectangle,
+        windows.ORACLES["orders_max_rectangle"],
+        tmp_path, "orders", tbl,
+    )
+    r = got.iloc[0]
+    d0 = int(pa.compute.cast(pa.array([base]), pa.int64())[0].as_py()
+             // 86_400_000_000)
+    assert (int(r["area"]), int(r["height"]), int(r["width"])) == (6, 2, 3)
+    assert int(r["start_day"]) == d0
+    assert int(r["end_day"]) == d0 + 2
