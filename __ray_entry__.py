@@ -316,6 +316,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_substrings_cap": text_analysis.distinct_substrings_cap,
         "dict_match_census": text_analysis.dict_match_census,
         "orders_max_rectangle": windows.orders_max_rectangle,
+        "embedding_closest_pair": similarity.embedding_closest_pair,
     }
 
 

@@ -927,3 +927,161 @@ ORACLES["embedding_top_eigval"] = (
     "top.i AS top_coord, sign(top.v)::BIGINT AS top_sign "
     "FROM n, ray, top"
 )
+
+
+# ---- embedding_closest_pair: grid-hashed exact closest pair ----------------
+
+CLOSEST_PAIR_MAX_ROWS = 2_000_000     # exact-anchor row bound (see guard)
+
+
+def embedding_closest_pair(sf_dir: str) -> "pa.Table":
+    """CLOSEST pair of the 2-D integer projection of the embedding cloud
+    (``x = floor(emb[0]·1000), y = floor(emb[1]·1000)``) — the dual of
+    part_cloud_diameter's farthest pair, and a different algorithm
+    family: the hull theorem is useless for minima, so this is the
+    Rabin GRID-HASHING method — (1) one lexicographic sweep yields an
+    upper bound d0 (min distance over coordinate-sorted neighbours);
+    (2) bucket points into cells of side s > d0; every pair at distance
+    ≤ d0 then differs by ≤ 1 in each cell coordinate, so candidates are
+    exactly the same-cell + 4-neighbour-offset cell joins — expected
+    O(n) candidates instead of O(n²).
+
+    Scale shape: the per-batch partial projects each vector to two
+    int64s (24 B/row crosses the exchange, never the embeddings); the
+    gather is an EXACT ANCHOR with an explicit row bound
+    (``CLOSEST_PAIR_MAX_ROWS``, the similar_pairs_topk precedent) —
+    above it the same cell keys become the partition keys of a
+    distributed self-join (the dedup_simhash band shape).  Tie-breaks
+    are pinned: coordinates collapse to their two smallest vec_ids
+    (duplicate coordinates short-circuit to dist2 = 0), equal dist2
+    resolves to the smallest sorted (vec_a, vec_b) — the lexicographic
+    minimum over a coord pair is always sorted((min_a, min_b)).
+
+    Reference anchor: O3's top-k (SURVEY.md §2.7) pushed to a pairwise
+    MINIMUM objective — "which two corpus items are nearest?" is the
+    1-NN dual of ann_topk."""
+    import pyarrow.parquet as pq
+
+    n_rows = pq.ParquetFile(
+        f"{sf_dir}/embeddings.parquet"
+    ).metadata.num_rows
+    if n_rows > CLOSEST_PAIR_MAX_ROWS:
+        raise ValueError(
+            f"embedding_closest_pair is the exact anchor (≤"
+            f"{CLOSEST_PAIR_MAX_ROWS} rows; got {n_rows}); at this scale "
+            "run the grid cell keys through a distributed self-join "
+            "(dedup_simhash band shape) instead of the driver gather"
+        )
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"v": pa.array([], pa.int64()),
+             "x": pa.array([], pa.int64()),
+             "y": pa.array([], pa.int64())}
+        )
+        if len(t) == 0:
+            return empty
+        emb = t["embedding"]
+        flat = emb.combine_chunks()
+        vals = flat.values.to_numpy(zero_copy_only=False).astype(np.float64)
+        offs = flat.offsets.to_numpy()
+        x = np.floor(vals[offs[:-1]] * 1000.0).astype(np.int64)
+        y = np.floor(vals[offs[:-1] + 1] * 1000.0).astype(np.int64)
+        return pa.table(
+            {"v": t["vec_id"], "x": pa.array(x), "y": pa.array(y)}
+        )
+
+    pts = (
+        ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()    # bounded by the guard above (24 B/row)
+    )
+    empty = pa.table(
+        {"vec_a": pa.array([], pa.int64()),
+         "vec_b": pa.array([], pa.int64()),
+         "dist2": pa.array([], pa.int64())}
+    )
+    if len(pts) < 2:
+        return empty
+    v = pts["v"].to_numpy(np.int64)
+    x = pts["x"].to_numpy(np.int64)
+    y = pts["y"].to_numpy(np.int64)
+    order = np.lexsort((v, y, x))
+    v, x, y = v[order], x[order], y[order]
+
+    def result(a: int, b: int, d2: int) -> pa.Table:
+        a, b = (a, b) if a < b else (b, a)
+        return pa.table(
+            {"vec_a": pa.array([a], pa.int64()),
+             "vec_b": pa.array([b], pa.int64()),
+             "dist2": pa.array([d2], pa.int64())}
+        )
+
+    same = (x[1:] == x[:-1]) & (y[1:] == y[:-1])
+    if same.any():
+        # duplicate coordinates: dist2 = 0; ids are (x, y, v)-sorted so the
+        # first duplicate run already holds each coord's two smallest ids;
+        # pick the lexicographically smallest (v_i, v_i+1) pair
+        idx = np.flatnonzero(same)
+        best = min((int(v[i]), int(v[i + 1])) for i in idx)
+        return result(best[0], best[1], 0)
+
+    # coords now unique; v[i] is the smallest vec_id of its coordinate
+    dx, dy = x[1:] - x[:-1], y[1:] - y[:-1]
+    d0sq = int(np.min(dx * dx + dy * dy))
+    import math
+
+    s = math.isqrt(d0sq) + 1             # cell side s > d0 >= d_min
+    cx, cy = x // s, y // s
+    assert np.abs(cx).max() < 2**30 and np.abs(cy).max() < 2**30
+    key = cx * (1 << 32) + (cy + (1 << 31))
+    korder = np.argsort(key, kind="stable")
+    ks, vs, xs, ys = key[korder], v[korder], x[korder], y[korder]
+
+    cand_a: list[np.ndarray] = []
+    cand_b: list[np.ndarray] = []
+    for off in (0,                      # same cell
+                1,                      # (0, +1)
+                (1 << 32) - 1,          # (+1, -1)
+                (1 << 32),              # (+1, 0)
+                (1 << 32) + 1):         # (+1, +1)
+        lo = np.searchsorted(ks, ks + off, side="left")
+        hi = np.searchsorted(ks, ks + off, side="right")
+        if off == 0:
+            lo = np.arange(len(ks)) + 1          # i<j within the cell
+        cnt = hi - lo
+        m = cnt > 0
+        if not m.any():
+            continue
+        a = np.repeat(np.flatnonzero(m), cnt[m])
+        b = (np.arange(int(cnt[m].sum()))
+             - np.repeat(np.cumsum(cnt[m]) - cnt[m], cnt[m])
+             + np.repeat(lo[m], cnt[m]))
+        cand_a.append(a)
+        cand_b.append(b)
+    ia = np.concatenate(cand_a)
+    ib = np.concatenate(cand_b)
+    d2 = (xs[ia] - xs[ib]) ** 2 + (ys[ia] - ys[ib]) ** 2
+    dmin = int(d2.min())
+    sel = np.flatnonzero(d2 == dmin)
+    best = min(
+        (min(int(vs[ia[i]]), int(vs[ib[i]])),
+         max(int(vs[ia[i]]), int(vs[ib[i]])))
+        for i in sel
+    )
+    return result(best[0], best[1], dmin)
+
+
+ORACLES["embedding_closest_pair"] = (
+    "WITH pts AS (SELECT vec_id AS p, "
+    "CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000.0) AS BIGINT) AS x, "
+    "CAST(floor(CAST(embedding[2] AS DOUBLE) * 1000.0) AS BIGINT) AS y "
+    "FROM embeddings) "
+    "SELECT a.p AS vec_a, b.p AS vec_b, "
+    "((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y))::BIGINT "
+    "AS dist2 "
+    "FROM pts a JOIN pts b ON a.p < b.p "
+    "ORDER BY dist2, vec_a, vec_b LIMIT 1"
+)

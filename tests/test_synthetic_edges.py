@@ -2816,3 +2816,51 @@ def test_orders_max_rectangle_plateau_and_gap(ray_session, tmp_path):
     assert (int(r["area"]), int(r["height"]), int(r["width"])) == (6, 2, 3)
     assert int(r["start_day"]) == d0
     assert int(r["end_day"]) == d0 + 2
+
+
+def test_embedding_closest_pair_grid_dups_and_ties(ray_session, tmp_path):
+    """Three regimes: (1) duplicate coordinates short-circuit to dist2=0
+    with the smallest id pair among ALL duplicate coords; (2) distinct
+    coords where the closest pair straddles two grid cells; (3) a random
+    cloud where the grid answer must equal the brute-force SQL oracle."""
+    from langfilter_ray.pipelines import similarity
+
+    def vec(x, y):
+        return [x / 1000.0 + 0.0001, y / 1000.0 + 0.0001] + [0.0] * 62
+
+    # (1) dups: ids 3&4 share (50,50); ids 1&5 share (90,90) -> lexmin (1,5)
+    d1 = tmp_path / "dups"
+    d1.mkdir()
+    vs = {1: (90, 90), 2: (0, 0), 3: (50, 50), 4: (50, 50), 5: (90, 90)}
+    _write_embeddings(d1, [vec(*vs[i]) for i in sorted(vs)])
+    got = _to_pandas(similarity.embedding_closest_pair(str(d1)))
+    assert (int(got["vec_a"][0]), int(got["vec_b"][0]),
+            int(got["dist2"][0])) == (1, 5, 0)
+
+    # (2) far-flung cloud: closest pair (1000,1000)-(1003,1004) d2=25
+    # in different cells for any s<=4; d0 comes from a distant pair
+    d2 = tmp_path / "cells"
+    d2.mkdir()
+    pts = [(0, 0), (1000, 1000), (1003, 1004), (2000, 0), (2000, 30)]
+    _write_embeddings(d2, [vec(*p) for p in pts])
+    got = _check_vs_oracle(
+        similarity.embedding_closest_pair,
+        similarity.ORACLES["embedding_closest_pair"],
+        d2, "embeddings",
+        pq.read_table(d2 / "embeddings.parquet"),
+    )
+    assert (int(got["vec_a"][0]), int(got["vec_b"][0]),
+            int(got["dist2"][0])) == (2, 3, 25)
+
+    # (3) 200-point deterministic random cloud vs the O(n^2) oracle
+    d3 = tmp_path / "rand"
+    d3.mkdir()
+    rng = np.random.RandomState(11)
+    cloud = rng.randint(-400, 400, size=(200, 2))
+    _write_embeddings(d3, [vec(int(a), int(b)) for a, b in cloud])
+    _check_vs_oracle(
+        similarity.embedding_closest_pair,
+        similarity.ORACLES["embedding_closest_pair"],
+        d3, "embeddings",
+        pq.read_table(d3 / "embeddings.parquet"),
+    )
