@@ -317,6 +317,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dict_match_census": text_analysis.dict_match_census,
         "orders_max_rectangle": windows.orders_max_rectangle,
         "embedding_closest_pair": similarity.embedding_closest_pair,
+        "longest_palindrome_cap": text_analysis.longest_palindrome_cap,
     }
 
 

@@ -4597,6 +4597,43 @@ ORACLES["cm_sketch_tokens"] = (
 SUBSTR_CAP = 200
 
 
+def _argmax_doc_head(sf_dir: str) -> tuple[int, str] | None:
+    """Distributed ARGMAX shared by the capped-string analysers
+    (distinct_substrings_cap, longest_palindrome_cap): each batch emits
+    its single best (max n_chars, then min doc_id) row with the text
+    already capped to SUBSTR_CAP chars, so the gather is blocks × 1
+    short row.  Returns (doc_id, capped_text) or None on empty input."""
+
+    def argmax_partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "n_chars": pa.array([], pa.int64()),
+             "head": pa.array([], pa.string())}
+        )
+        if len(t) == 0:
+            return empty
+        nc = t["n_chars"].to_numpy()
+        did = t["doc_id"].to_numpy()
+        i = int(np.lexsort((did, -nc))[0])
+        return pa.table(
+            {"doc_id": pa.array([int(did[i])], pa.int64()),
+             "n_chars": pa.array([int(nc[i])], pa.int64()),
+             "head": pa.array(
+                 [t["text"][i].as_py()[:SUBSTR_CAP]], pa.string())}
+        )
+
+    best = (
+        _docs_cols(sf_dir, ["doc_id", "text", "n_chars"])
+        .map_batches(argmax_partial, batch_format="pyarrow")
+        .to_pandas()    # bounded: one short row per block
+    )
+    if best.empty:
+        return None
+    best = best.sort_values(["n_chars", "doc_id"],
+                            ascending=[False, True]).iloc[0]
+    return int(best["doc_id"]), best["head"]
+
+
 def _suffix_automaton_states(s: str) -> list[tuple[int, int]]:
     """Build the suffix automaton of ``s`` (Blumer et al. 1985 online
     construction) and return ``(len, link_len)`` per non-root state.
@@ -4660,45 +4697,20 @@ def distinct_substrings_cap(sf_dir: str) -> "pa.Table":
 
     Reference anchor: M1's probe slicing (SURVEY.md §2.3) — bound the
     text, then run the expensive analysis on the bounded probe."""
-
-    def argmax_partial(t: pa.Table) -> pa.Table:
-        empty = pa.table(
-            {"doc_id": pa.array([], pa.int64()),
-             "n_chars": pa.array([], pa.int64()),
-             "head": pa.array([], pa.string())}
-        )
-        if len(t) == 0:
-            return empty
-        nc = t["n_chars"].to_numpy()
-        did = t["doc_id"].to_numpy()
-        i = int(np.lexsort((did, -nc))[0])
-        return pa.table(
-            {"doc_id": pa.array([int(did[i])], pa.int64()),
-             "n_chars": pa.array([int(nc[i])], pa.int64()),
-             "head": pa.array(
-                 [t["text"][i].as_py()[:SUBSTR_CAP]], pa.string())}
-        )
-
-    best = (
-        _docs_cols(sf_dir, ["doc_id", "text", "n_chars"])
-        .map_batches(argmax_partial, batch_format="pyarrow")
-        .to_pandas()    # bounded: one short row per block
-    )
     empty = pa.table(
         {"doc_id": pa.array([], pa.int64()),
          "cap_len": pa.array([], pa.int64()),
          "n_distinct": pa.array([], pa.int64()),
          "n_total": pa.array([], pa.int64())}
     )
-    if best.empty:
+    hit = _argmax_doc_head(sf_dir)
+    if hit is None:
         return empty
-    best = best.sort_values(["n_chars", "doc_id"],
-                            ascending=[False, True]).iloc[0]
-    s = best["head"]
+    doc_id, s = hit
     L = len(s)
     n_distinct = sum(m - lk for m, lk in _suffix_automaton_states(s))
     return pa.table(
-        {"doc_id": pa.array([int(best["doc_id"])], pa.int64()),
+        {"doc_id": pa.array([doc_id], pa.int64()),
          "cap_len": pa.array([L], pa.int64()),
          "n_distinct": pa.array([n_distinct], pa.int64()),
          "n_total": pa.array([L * (L + 1) // 2], pa.int64())}
@@ -4796,4 +4808,76 @@ ORACLES["dict_match_census"] = (
     + ") SELECT source, pat, sum(m)::BIGINT AS n_matches, "
     "sum(CASE WHEN m > 0 THEN 1 ELSE 0 END)::BIGINT AS n_docs_hit "
     "FROM per GROUP BY 1, 2 ORDER BY 1, 2"
+)
+
+
+# ---- longest_palindrome_cap: Manacher over the capped argmax doc -----------
+
+def longest_palindrome_cap(sf_dir: str) -> "pa.Table":
+    """Longest PALINDROMIC substring of the longest document's first
+    ``SUBSTR_CAP`` characters — Manacher's algorithm, the linear-time
+    center-expansion DP (each expansion either grows the global right
+    frontier or is mirrored from an earlier center, so total work is
+    O(L) despite L palindromic centers).  Output: the winning doc, the
+    palindrome length, and its 1-based start (ties: longest first, then
+    smallest start — both engines' total order).
+
+    Scale shape: shares the distributed argmax gather
+    (``_argmax_doc_head``: blocks × 1 short row); Manacher runs on the
+    driver over the CAPPED string.  The DuckDB mirror brute-forces all
+    L(L+1)/2 substrings with ``sub = reverse(sub)`` — an independent
+    quadratic check of the linear answer, feasible because of the cap.
+
+    Reference anchor: M1's probe slicing (SURVEY.md §2.3), same family
+    as distinct_substrings_cap."""
+    empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()),
+         "pal_len": pa.array([], pa.int64()),
+         "start_pos": pa.array([], pa.int64())}
+    )
+    hit = _argmax_doc_head(sf_dir)
+    if hit is None:
+        return empty
+    doc_id, s = hit
+    if not s:
+        return empty
+    # Manacher over the separator-transformed string (handles odd+even)
+    t = "\x01\x02" + "\x02".join(s) + "\x02\x03"
+    n = len(t)
+    p = [0] * n
+    c = r = 0
+    for i in range(1, n - 1):
+        if i < r:
+            p[i] = min(r - i, p[2 * c - i])
+        while t[i + p[i] + 1] == t[i - p[i] - 1]:
+            p[i] += 1
+        if i + p[i] > r:
+            c, r = i, i + p[i]
+    best_len, best_start = 0, 0
+    for i in range(1, n - 1):
+        if p[i] == 0:
+            continue
+        start = (i - p[i]) // 2          # 0-based in s
+        if p[i] > best_len or (p[i] == best_len and start < best_start):
+            best_len, best_start = p[i], start
+    if best_len == 0:                    # all-distinct chars: any single
+        best_len, best_start = 1, 0      # char; smallest start wins
+    return pa.table(
+        {"doc_id": pa.array([doc_id], pa.int64()),
+         "pal_len": pa.array([best_len], pa.int64()),
+         "start_pos": pa.array([best_start + 1], pa.int64())}
+    )
+
+
+ORACLES["longest_palindrome_cap"] = (
+    f"WITH d AS (SELECT doc_id, substr(text, 1, {SUBSTR_CAP}) AS s "
+    "FROM documents ORDER BY n_chars DESC, doc_id LIMIT 1), "
+    "subs AS (SELECT d.doc_id, i.i AS start_pos, j.j AS len, "
+    "substr(d.s, i.i, j.j) AS sub "
+    f"FROM d, generate_series(1, {SUBSTR_CAP}) i(i), "
+    f"generate_series(1, {SUBSTR_CAP}) j(j) "
+    "WHERE i.i + j.j - 1 <= length(d.s)) "
+    "SELECT doc_id, len::BIGINT AS pal_len, start_pos::BIGINT AS start_pos "
+    "FROM subs WHERE sub = reverse(sub) "
+    "ORDER BY len DESC, start_pos LIMIT 1"
 )

@@ -2864,3 +2864,32 @@ def test_embedding_closest_pair_grid_dups_and_ties(ray_session, tmp_path):
         d3, "embeddings",
         pq.read_table(d3 / "embeddings.parquet"),
     )
+
+
+def test_longest_palindrome_cap_even_and_tie(ray_session, tmp_path):
+    """'xabbaqccq' -> even palindrome 'abba' (len 4, start 2) beats the
+    equally-long 'qccq' by smaller start; Manacher must handle even
+    centers and report 1-based positions."""
+    from langfilter_ray.pipelines import text_analysis
+
+    rows = [(1, "en", 9, "xabbaqccq"), (2, "en", 3, "zzz")]
+    got = _check_vs_oracle(
+        text_analysis.longest_palindrome_cap,
+        text_analysis.ORACLES["longest_palindrome_cap"],
+        tmp_path, "documents", _docs_table(rows),
+    )
+    r = got.iloc[0]
+    assert (int(r["doc_id"]), int(r["pal_len"]),
+            int(r["start_pos"])) == (1, 4, 2)
+
+    # all-distinct chars: a single-char palindrome at the first position
+    e = tmp_path / "nopal"
+    e.mkdir()
+    got2 = _check_vs_oracle(
+        text_analysis.longest_palindrome_cap,
+        text_analysis.ORACLES["longest_palindrome_cap"],
+        e, "documents", _docs_table([(7, "en", 4, "abcd")]),
+    )
+    r2 = got2.iloc[0]
+    assert (int(r2["doc_id"]), int(r2["pal_len"]),
+            int(r2["start_pos"])) == (7, 1, 1)
