@@ -318,6 +318,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_max_rectangle": windows.orders_max_rectangle,
         "embedding_closest_pair": similarity.embedding_closest_pair,
         "longest_palindrome_cap": text_analysis.longest_palindrome_cap,
+        "dow_hour_max_block": windows.dow_hour_max_block,
     }
 
 

@@ -4920,3 +4920,109 @@ ORACLES["orders_max_rectangle"] = (
     "((SELECT d0 FROM b) + R - 2)::BIGINT AS end_day "
     "FROM lr ORDER BY area DESC, height DESC, start_day LIMIT 1"
 )
+
+
+# ---- dow_hour_max_block: 2-D max-sum submatrix (summed-area table) ---------
+
+def dow_hour_max_block(sf_dir: str) -> "pa.Table":
+    """Hottest CONTIGUOUS (day-of-week × hour) block: the axis-aligned
+    submatrix of the 7×24 activity grid maximizing the n-scaled
+    mean-free count sum ``Σ(c·168 − total)`` — revenue_best_run's
+    Kadane excursion lifted to TWO dimensions ("which contiguous
+    week-schedule block is busiest relative to uniform?").  The engine
+    builds a SUMMED-AREA TABLE (integral image) so every rectangle sum
+    is four lookups; the bounded 7×24 domain makes the full rectangle
+    enumeration exact, and the tie-break (score DESC, then dow_lo,
+    dow_hi, hour_lo, hour_hi) is the same total order the SQL mirror
+    sorts by.  All integer — no float drift.
+
+    Scale shape: the in-batch combiner leaves ≤168 partial rows per
+    batch (bounded alphabet), the gather is 168 × blocks; the O(7²·24²)
+    enumeration runs on the driver over the constant-size grid.
+
+    Reference anchor: A4's gate-path distribution (SURVEY.md §2.6)
+    pushed to a contiguous-block scan statistic."""
+    US_HOUR = 3_600_000_000
+    US_DAY = 86_400_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"dow": pa.array([], pa.int64()),
+             "hour": pa.array([], pa.int64()),
+             "c": pa.array([], pa.int64())}
+        )
+        if len(t) == 0:
+            return empty
+        us = t["ts"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        g = (
+            pa.table(
+                {"dow": pa.array(((us // US_DAY) + 4) % 7),
+                 "hour": pa.array((us // US_HOUR) % 24)}
+            )
+            .group_by(["dow", "hour"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {"dow": g["dow"], "hour": g["hour"], "c": g["count_all"]}
+        )
+
+    parts = (
+        _events(sf_dir, ["ts"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()    # bounded: 168 x blocks
+    )
+    M = np.zeros((7, 24), dtype=np.int64)
+    if not parts.empty:
+        agg = parts.groupby(["dow", "hour"])["c"].sum()
+        for (d, h), c in agg.items():
+            M[int(d), int(h)] = int(c)
+    A = M * np.int64(168) - np.int64(M.sum())
+    # summed-area table: S[i, j] = sum of A[:i, :j]
+    S = np.zeros((8, 25), dtype=np.int64)
+    S[1:, 1:] = A.cumsum(axis=0).cumsum(axis=1)
+    best = None
+    for d1 in range(7):
+        for d2 in range(d1, 7):
+            # all (h1 <= h2) column spans of this row band, vectorized:
+            # band[j] = sum of rows d1..d2, cols < j
+            band = S[d2 + 1] - S[d1]
+            s = band[None, 1:] - band[:-1, None]     # s[h1, h2'] h2'=h2+1-1
+            h1g, h2g = np.meshgrid(np.arange(24), np.arange(24),
+                                   indexing="ij")
+            valid = h2g >= h1g
+            sv = s[valid]
+            h1v, h2v = h1g[valid], h2g[valid]
+            k = np.lexsort((h2v, h1v, -sv))[0]
+            cand = (int(sv[k]), d1, d2, int(h1v[k]), int(h2v[k]))
+            if best is None or (-cand[0], *cand[1:]) < (-best[0], *best[1:]):
+                best = cand
+    return pa.table(
+        {"block_score": pa.array([best[0]], pa.int64()),
+         "dow_lo": pa.array([best[1]], pa.int64()),
+         "dow_hi": pa.array([best[2]], pa.int64()),
+         "hour_lo": pa.array([best[3]], pa.int64()),
+         "hour_hi": pa.array([best[4]], pa.int64())}
+    )
+
+
+ORACLES["dow_hour_max_block"] = (
+    "WITH cells AS (SELECT dayofweek(ts) AS d, hour(ts) AS h, "
+    "count(*)::BIGINT AS c FROM events GROUP BY 1, 2), "
+    "tot AS (SELECT COALESCE(sum(c), 0)::BIGINT AS s FROM cells), "
+    "allrect AS (SELECT r1.x AS d1, r2.x AS d2, c1.x AS h1, c2.x AS h2 "
+    "FROM generate_series(0, 6) r1(x), generate_series(0, 6) r2(x), "
+    "generate_series(0, 23) c1(x), generate_series(0, 23) c2(x) "
+    "WHERE r1.x <= r2.x AND c1.x <= c2.x), "
+    "inner_sums AS (SELECT a.d1, a.d2, a.h1, a.h2, sum(c.c)::BIGINT AS cs "
+    "FROM allrect a, cells c WHERE c.d BETWEEN a.d1 AND a.d2 "
+    "AND c.h BETWEEN a.h1 AND a.h2 GROUP BY 1, 2, 3, 4), "
+    "rect AS (SELECT a.d1, a.d2, a.h1, a.h2, "
+    "(168 * COALESCE(i.cs, 0) - (SELECT s FROM tot) * "
+    "(a.d2 - a.d1 + 1) * (a.h2 - a.h1 + 1))::BIGINT AS s "
+    "FROM allrect a LEFT JOIN inner_sums i ON a.d1 = i.d1 "
+    "AND a.d2 = i.d2 AND a.h1 = i.h1 AND a.h2 = i.h2) "
+    "SELECT s AS block_score, d1 AS dow_lo, d2 AS dow_hi, "
+    "h1 AS hour_lo, h2 AS hour_hi "
+    "FROM rect ORDER BY s DESC, d1, d2, h1, h2 LIMIT 1"
+)

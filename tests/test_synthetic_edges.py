@@ -2893,3 +2893,31 @@ def test_longest_palindrome_cap_even_and_tie(ray_session, tmp_path):
     r2 = got2.iloc[0]
     assert (int(r2["doc_id"]), int(r2["pal_len"]),
             int(r2["start_pos"])) == (7, 1, 1)
+
+
+def test_dow_hour_max_block_hot_block(ray_session, tmp_path):
+    """A hot 2x2 block (Mon/Tue 10-11h, 5 events each) over sparse noise
+    must be found with exact bounds; scores are n-scaled mean-free ints
+    (20 hot cells*168 - area*total)."""
+    from langfilter_ray.pipelines import windows
+
+    # _events_table's base is 2024-03-01, a FRIDAY (dow=5): shift by 2
+    # days so offset day 0 lands on Sunday (dow=0)
+    DAY = 86_400_000_000
+    HOUR = 3_600_000_000
+    rows = []
+    eid = 1
+    for d, h, c in [(1, 10, 5), (1, 11, 5), (2, 10, 5), (2, 11, 5),
+                    (5, 3, 1), (0, 22, 1)]:
+        for _ in range(c):
+            rows.append((eid, 1, (d + 2) * DAY + h * HOUR, "view", 1.0))
+            eid += 1
+    got = _check_vs_oracle(
+        windows.dow_hour_max_block,
+        windows.ORACLES["dow_hour_max_block"],
+        tmp_path, "events", _events_table(rows),
+    )
+    r = got.iloc[0]
+    assert (int(r["dow_lo"]), int(r["dow_hi"]),
+            int(r["hour_lo"]), int(r["hour_hi"])) == (1, 2, 10, 11)
+    assert int(r["block_score"]) == 20 * 168 - 4 * 22
