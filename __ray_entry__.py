@@ -319,6 +319,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_closest_pair": similarity.embedding_closest_pair,
         "longest_palindrome_cap": text_analysis.longest_palindrome_cap,
         "dow_hour_max_block": windows.dow_hour_max_block,
+        "brand_mst_weight": relational.brand_mst_weight,
     }
 
 

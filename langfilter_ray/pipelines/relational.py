@@ -8457,3 +8457,99 @@ ORACLES["part_knapsack_best"] = (
     "f.k AS n_candidates, "
     f"f.vals[{KNAPSACK_CAPACITY} + 1]::BIGINT AS best_cents FROM fin f"
 )
+
+
+# ---- brand_mst_weight: Kruskal maximum spanning forest ----------------------
+
+def brand_mst_weight(sf_dir: str) -> "pa.Table":
+    """MAXIMUM SPANNING FOREST of the brand co-purchase graph — the
+    strongest acyclic backbone that keeps every co-purchased brand
+    connected: Kruskal's greedy matroid algorithm (scan edges by weight
+    descending, accept iff the endpoints are in different components),
+    the spanning-tree family that k-core (peeling), widest-path
+    (max-min relaxation) and BFS (hops) don't cover.  Edge order is
+    fully pinned (weight DESC, then brand_a, brand_b), so both engines
+    accept the identical edge sequence even under weight ties.  Output:
+    one row (n_nodes, n_components, n_edges, forest_weight).
+
+    Scale shape: pair weights from ``_brand_pair_census`` (broadcast
+    dim probe + one partition-fold exchange, ≤ |brands|² pairs); the
+    union-find scan is O(|edges| α) on the driver over the BOUNDED
+    brand alphabet.  The DuckDB mirror replays the same Kruskal scan as
+    a recursive CTE carrying the component-label list.
+
+    Reference anchor: J2's owner routing (SURVEY.md §2.5) asked as
+    "what is the minimal strongest wiring of the catalog?"."""
+    empty = pa.table(
+        {"n_nodes": pa.array([], pa.int64()),
+         "n_components": pa.array([], pa.int64()),
+         "n_edges": pa.array([], pa.int64()),
+         "forest_weight": pa.array([], pa.int64())}
+    )
+    brands, w = _brand_pair_census(sf_dir)
+    if w is None:
+        return empty
+    edges = sorted(
+        ((int(ww), int(k) // 64, int(k) % 64) for k, ww in w.items()),
+        key=lambda e: (-e[0], str(brands[e[1]]), str(brands[e[2]])),
+    )
+    nodes = sorted({a for _, a, _ in edges} | {b for _, _, b in edges})
+    parent = {n: n for n in nodes}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    total = n_acc = 0
+    for ww, a, b in edges:              # bounded: <= |brands|^2 edges
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+            total += ww
+            n_acc += 1
+    return pa.table(
+        {"n_nodes": pa.array([len(nodes)], pa.int64()),
+         "n_components": pa.array([len(nodes) - n_acc], pa.int64()),
+         "n_edges": pa.array([n_acc], pa.int64()),
+         "forest_weight": pa.array([total], pa.int64())}
+    )
+
+
+ORACLES["brand_mst_weight"] = (
+    "WITH RECURSIVE ob AS (SELECT DISTINCT l.l_orderkey AS o, "
+    "p.p_brand AS b FROM lineitem l "
+    "JOIN part p ON l.l_partkey = p.p_partkey), "
+    "pw AS (SELECT a.b AS b1, b.b AS b2, count(*)::BIGINT AS w "
+    "FROM ob a JOIN ob b ON a.o = b.o AND a.b < b.b GROUP BY 1, 2), "
+    "ns AS (SELECT list_sort(list(DISTINCT x)) AS nodes FROM "
+    "(SELECT b1 AS x FROM pw UNION SELECT b2 FROM pw)), "
+    "es AS (SELECT list(struct_pack("
+    "ia := list_position(ns.nodes, b1), "
+    "ib := list_position(ns.nodes, b2), w := w) "
+    "ORDER BY w DESC, b1, b2) AS arr, count(*)::BIGINT AS k "
+    "FROM pw, ns GROUP BY ns.nodes), "
+    "r(i, labels, total, acc) AS ("
+    "SELECT 0::BIGINT, list_transform(range(1, len(ns.nodes) + 1), "
+    "x -> x), 0::BIGINT, 0::BIGINT FROM ns, es "
+    "UNION ALL "
+    "SELECT r.i + 1, "
+    "CASE WHEN r.labels[es.arr[r.i + 1].ia] <> "
+    "r.labels[es.arr[r.i + 1].ib] THEN "
+    "list_transform(r.labels, x -> CASE WHEN "
+    "x = r.labels[es.arr[r.i + 1].ib] "
+    "THEN r.labels[es.arr[r.i + 1].ia] ELSE x END) "
+    "ELSE r.labels END, "
+    "r.total + CASE WHEN r.labels[es.arr[r.i + 1].ia] <> "
+    "r.labels[es.arr[r.i + 1].ib] THEN es.arr[r.i + 1].w "
+    "ELSE 0 END, "
+    "r.acc + CASE WHEN r.labels[es.arr[r.i + 1].ia] <> "
+    "r.labels[es.arr[r.i + 1].ib] THEN 1 ELSE 0 END "
+    "FROM r, es WHERE r.i < es.k), "
+    "fin AS (SELECT total, acc FROM r, es WHERE r.i = es.k) "
+    "SELECT (SELECT len(nodes) FROM ns)::BIGINT AS n_nodes, "
+    "((SELECT len(nodes) FROM ns) - f.acc)::BIGINT AS n_components, "
+    "f.acc::BIGINT AS n_edges, f.total::BIGINT AS forest_weight "
+    "FROM fin f"
+)

@@ -2921,3 +2921,59 @@ def test_dow_hour_max_block_hot_block(ray_session, tmp_path):
     assert (int(r["dow_lo"]), int(r["dow_hi"]),
             int(r["hour_lo"]), int(r["hour_hi"])) == (1, 2, 10, 11)
     assert int(r["block_score"]) == 20 * 168 - 4 * 22
+
+
+def test_brand_mst_weight_cycle_and_two_components(ray_session, tmp_path):
+    """Graph: triangle B1-B2(10), B2-B3(10), B1-B3(4) plus a separate
+    edge B4-B5(7).  Kruskal takes both 10s (the 4 closes a cycle ->
+    rejected) and the 7: forest weight 27, 3 edges, 5 nodes in 2
+    components.  The weight-10 tie is resolved by (b1, b2) order on
+    both engines."""
+    from langfilter_ray.pipelines import relational
+
+    d = tmp_path / "main"
+    d.mkdir()
+    edges = [((1, 2), 10), ((2, 3), 10), ((1, 3), 4), ((4, 5), 7)]
+    li_o, li_p = [], []
+    okey = 0
+    for (x, y), w in edges:
+        for _ in range(w):
+            okey += 1
+            li_o += [okey, okey]
+            li_p += [x, y]
+    n = len(li_o)
+    pq.write_table(pa.table(
+        {"l_orderkey": pa.array(li_o, pa.int64()),
+         "l_partkey": pa.array(li_p, pa.int64()),
+         "l_suppkey": pa.array([1] * n, pa.int64()),
+         "l_linenumber": pa.array([1] * n, pa.int32()),
+         "l_quantity": pa.array([1.0] * n, pa.float64()),
+         "l_extendedprice": pa.array([1.0] * n, pa.float64()),
+         "l_discount": pa.array([0.0] * n, pa.float64()),
+         "l_tax": pa.array([0.0] * n, pa.float64()),
+         "l_returnflag": pa.array(["N"] * n, pa.string()),
+         "l_linestatus": pa.array(["O"] * n, pa.string()),
+         "l_shipdate": pa.array(
+             [np.datetime64("2024-03-02T00:00:00", "us")] * n,
+             pa.timestamp("us"))}
+    ), d / "lineitem.parquet")
+    pq.write_table(pa.table(
+        {"p_partkey": pa.array([1, 2, 3, 4, 5], pa.int64()),
+         "p_name": pa.array(list("abcde"), pa.string()),
+         "p_brand": pa.array([f"B{i}" for i in range(1, 6)], pa.string()),
+         "p_type": pa.array(["t"] * 5, pa.string()),
+         "p_size": pa.array([1] * 5, pa.int32()),
+         "p_retailprice": pa.array([1.0] * 5, pa.float64())}
+    ), d / "part.parquet")
+    got = _to_pandas(relational.brand_mst_weight(str(d)))
+    c = duckdb.connect()
+    for t in ("lineitem", "part"):
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')"
+        )
+    want = c.execute(relational.ORACLES["brand_mst_weight"]).df()
+    problems = compare_frames(_canon(got), _canon(want))
+    assert not problems, (problems, first_diff(_canon(got), _canon(want)))
+    r = got.iloc[0]
+    assert (int(r["n_nodes"]), int(r["n_components"]),
+            int(r["n_edges"]), int(r["forest_weight"])) == (5, 2, 3, 27)
