@@ -320,6 +320,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "longest_palindrome_cap": text_analysis.longest_palindrome_cap,
         "dow_hour_max_block": windows.dow_hour_max_block,
         "brand_mst_weight": relational.brand_mst_weight,
+        "daily_revenue_kendall": windows.daily_revenue_kendall,
     }
 
 

@@ -4354,6 +4354,114 @@ ORACLES["revenue_best_run"] = (
 )
 
 
+# ---- daily_revenue_kendall: concordance / inversion-count statistic --------
+
+def daily_revenue_kendall(sf_dir: str) -> "pa.Table":
+    """Kendall tau-a between TIME and daily revenue — the CONCORDANCE /
+    INVERSION-COUNT family (is the series trending up, counted pair by
+    pair?) that Spearman (rank correlation on a per-row sample) and the
+    scan statistics (changepoint, Kadane) do not cover: over the
+    OBSERVED daily revenue series (days with at least one order,
+    ordered by day), count the concordant pairs (later day, strictly
+    higher revenue), the discordant pairs (later day, strictly lower —
+    the classical INVERSION count of the sequence), and the ties;
+    ``tau_a = (C − D) / pairs``.
+
+    Exactness: C, D, T and pairs are exact int64 (the day span is
+    ~2.4k so pairs ≈ 3M fits trivially); ``tau_a`` is ONE float
+    division of exact integers mirroring the SQL cast order, so the
+    double hash-matches bit for bit.  Fewer than two observed days
+    has no pairs -> typed empty on both engines.
+
+    Scale shape: in-batch pyarrow (day, rev-cents) sum partials
+    (revenue_changepoint's gather, bounded by DAYS x blocks — the
+    corpus time span, never rows); the driver folds the span-bounded
+    series and counts pairs with one triangular broadcast compare
+    (span² ≈ 6M int comparisons).  The SQL mirror is the honest
+    O(span²) self-join over the same observed series.
+
+    Reference anchor: A2's recent-window count (SURVEY.md §2.6) lifted
+    to the monotone-trend question a drift monitor asks."""
+    US_DAY = 86_400_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"day": pa.array([], pa.int64()),
+             "rev": pa.array([], pa.int64())}
+        )
+        if len(t) == 0:
+            return empty
+        day = pc.cast(t["o_orderdate"], pa.int64()).to_numpy() // US_DAY
+        cents = np.floor(
+            t["o_totalprice"].to_numpy() * 100.0 + 0.5
+        ).astype(np.int64)
+        g = (
+            pa.table({"day": pa.array(day), "rev": pa.array(cents)})
+            .group_by("day")
+            .aggregate([("rev", "sum")])
+        )
+        return pa.table({"day": g["day"], "rev": g["rev_sum"]})
+
+    path = f"{sf_dir}/orders.parquet"
+    parts = (
+        ray.data.read_parquet(
+            path,
+            columns=["o_orderdate", "o_totalprice"],
+            schema=_clean_schema(path, ["o_orderdate", "o_totalprice"]),
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()    # bounded: days x blocks, never rows
+    )
+    empty = pa.table(
+        {"n_days": pa.array([], pa.int64()),
+         "n_pairs": pa.array([], pa.int64()),
+         "concordant": pa.array([], pa.int64()),
+         "discordant": pa.array([], pa.int64()),
+         "tied": pa.array([], pa.int64()),
+         "tau_a": pa.array([], pa.float64())}
+    )
+    if parts.empty:
+        return empty
+    daily = parts.groupby("day", sort=True)["rev"].sum()
+    rev = daily.to_numpy(np.int64)
+    n = len(rev)
+    if n < 2:
+        return empty
+    # triangular broadcast over the span-bounded series: sign of
+    # rev[j] - rev[i] for i < j (later day minus earlier day)
+    diff = np.sign(rev[None, :].astype(np.int64)
+                   - rev[:, None].astype(np.int64))
+    upper = np.triu(np.ones((n, n), dtype=bool), k=1)
+    conc = int((diff[upper] > 0).sum())
+    disc = int((diff[upper] < 0).sum())
+    pairs = n * (n - 1) // 2
+    return pa.table(
+        {"n_days": pa.array([n], pa.int64()),
+         "n_pairs": pa.array([pairs], pa.int64()),
+         "concordant": pa.array([conc], pa.int64()),
+         "discordant": pa.array([disc], pa.int64()),
+         "tied": pa.array([pairs - conc - disc], pa.int64()),
+         "tau_a": pa.array([float(conc - disc) / float(pairs)],
+                           pa.float64())}
+    )
+
+
+ORACLES["daily_revenue_kendall"] = (
+    "WITH daily AS (SELECT epoch_us(o_orderdate) // 86400000000 AS day, "
+    "sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))::BIGINT AS rev "
+    "FROM orders GROUP BY 1), "
+    "p AS (SELECT count(*)::BIGINT AS n_pairs, "
+    "sum(CASE WHEN b.rev > a.rev THEN 1 ELSE 0 END)::BIGINT AS conc, "
+    "sum(CASE WHEN b.rev < a.rev THEN 1 ELSE 0 END)::BIGINT AS disc "
+    "FROM daily a, daily b WHERE a.day < b.day) "
+    "SELECT (SELECT count(*) FROM daily)::BIGINT AS n_days, "
+    "n_pairs, conc AS concordant, disc AS discordant, "
+    "(n_pairs - conc - disc)::BIGINT AS tied, "
+    "CAST(conc - disc AS DOUBLE) / CAST(n_pairs AS DOUBLE) AS tau_a "
+    "FROM p WHERE n_pairs > 0"
+)
+
+
 # ---- weekly_revenue_lis: longest-increasing-subsequence sequence DP --------
 
 def weekly_revenue_lis(sf_dir: str) -> "pa.Table":

@@ -119,8 +119,24 @@ ORACLE_CHECKED = [
     "qty_return_stump", "weekly_revenue_lis", "weekly_ewma_surprise",
     "flag_status_chi2_cells", "huffman_cost_top64", "bulk_brand_cover",
     "brand_graph_kcore", "cm_sketch_tokens", "user_lcs_top2",
-    "brand_widest_path", "part_knapsack_best",
+    "brand_widest_path", "part_knapsack_best", "user_coverage_us",
+    "distinct_substrings_cap", "dict_match_census", "orders_max_rectangle",
+    "embedding_closest_pair", "longest_palindrome_cap", "dow_hour_max_block",
+    "brand_mst_weight", "daily_revenue_kendall",
 ]
+
+
+def test_oracle_checked_is_complete(entry_mod):
+    """Every oracle-backed queries() entry must be parametrized in
+    test_query_matches_oracle — the eighth-sitting audit found eight
+    operators whose ORACLE_CHECKED rows were never added, so the in-suite
+    parity net silently narrowed.  Pin set equality so it can't recur."""
+    backed = set(entry_mod.queries()) & set(entry_mod.oracle_sql())
+    listed = set(ORACLE_CHECKED)
+    assert listed == backed, (
+        f"missing from ORACLE_CHECKED: {sorted(backed - listed)}; "
+        f"stale entries: {sorted(listed - backed)}"
+    )
 
 
 def test_queries_dict_has_no_duplicate_keys():

@@ -1956,6 +1956,49 @@ def test_revenue_best_run_kadane_zero_fill_tie(ray_session, tmp_path):
     assert int(r["excess_scaled"]) == 600
 
 
+def test_daily_revenue_kendall_hand_counts(ray_session, tmp_path):
+    """Pin the concordance semantics on a hand-computed series:
+    same-day orders SUM before pairing, the series is OBSERVED days
+    only (a calendar gap does NOT zero-fill — n_days stays 4), ties
+    are counted apart from concordant/discordant, and a single
+    observed day has no pairs -> typed empty."""
+    from langfilter_ray.pipelines import windows
+
+    d = tmp_path / "main"
+    d.mkdir()
+    # observed days -> cents [1000, 3000, 2000, 2000] (01-03/01-04 gap)
+    _write_orders_dates(d, [
+        ("2024-01-01", 4.0), ("2024-01-01", 6.0),   # same-day sum 10.00
+        ("2024-01-02", 30.0),
+        ("2024-01-05", 20.0), ("2024-01-06", 20.0),
+    ])
+    got = _to_pandas(windows.daily_revenue_kendall(str(d)))
+    c = duckdb.connect()
+    c.execute(
+        f"CREATE VIEW orders AS SELECT * "
+        f"FROM read_parquet('{d}/orders.parquet')"
+    )
+    want = c.execute(windows.ORACLES["daily_revenue_kendall"]).df()
+    problems = compare_frames(_canon(got), _canon(want))
+    assert not problems, (problems, first_diff(_canon(got), _canon(want)))
+    r = got.iloc[0]
+    # pairs of [1000,3000,2000,2000]: C=3 (1000<3000,1000<2000 x2),
+    # D=2 (3000>2000 x2), T=1 (2000,2000); zero-fill would change n_days
+    assert int(r["n_days"]) == 4 and int(r["n_pairs"]) == 6
+    assert (int(r["concordant"]), int(r["discordant"]),
+            int(r["tied"])) == (3, 2, 1)
+    assert r["tau_a"] == 1.0 / 6.0
+
+    e = tmp_path / "single"
+    e.mkdir()
+    _write_orders_dates(e, [("2024-03-01", 7.0)])
+    got_e = _to_pandas(windows.daily_revenue_kendall(str(e)))
+    assert len(got_e) == 0
+    assert list(got_e.columns) == [
+        "n_days", "n_pairs", "concordant", "discordant", "tied", "tau_a"
+    ]
+
+
 def test_user_activity_f2_exact_and_sketch(ray_session, tmp_path):
     """Pin the exact second moment on a hand-computed skew (F2 counts
     the self-join size: 3 users with counts 3/2/1 -> 14) and the md5
