@@ -321,6 +321,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dow_hour_max_block": windows.dow_hour_max_block,
         "brand_mst_weight": relational.brand_mst_weight,
         "daily_revenue_kendall": windows.daily_revenue_kendall,
+        "doc_period_cap": text_analysis.doc_period_cap,
     }
 
 

@@ -4732,6 +4732,89 @@ ORACLES["distinct_substrings_cap"] = (
 )
 
 
+# ---- doc_period_cap: KMP failure function / string periodicity -------------
+
+def doc_period_cap(sf_dir: str) -> "pa.Table":
+    """Longest BORDER and smallest PERIOD of the longest document's
+    first ``SUBSTR_CAP`` characters — the KMP FAILURE-FUNCTION family
+    (string periodicity): a border is a proper prefix that is also a
+    suffix, the smallest period is ``L − border_len`` (the classic
+    border/period duality), and the string is fully periodic iff that
+    period divides L.  ``n_borders`` counts the whole failure chain
+    (every border of a border is a border), pinning the full structure
+    rather than just its top element.  Neither the suffix automaton
+    (distinct substrings) nor Manacher (palindromes) computes borders —
+    this closes the third classic linear-time string structure.
+
+    Scale shape: shares the distributed argmax gather
+    (``_argmax_doc_head``: blocks × 1 short row, text pre-capped); the
+    O(L) prefix-function scan runs on the driver over the CAPPED
+    string.  The DuckDB mirror enumerates all L−1 candidate borders
+    with ``substr`` prefix/suffix equality — an independent quadratic
+    check of the linear-time chain.
+
+    Reference anchor: M1's probe slicing (SURVEY.md §2.3), same family
+    as distinct_substrings_cap / longest_palindrome_cap."""
+    empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()),
+         "cap_len": pa.array([], pa.int64()),
+         "border_len": pa.array([], pa.int64()),
+         "n_borders": pa.array([], pa.int64()),
+         "period": pa.array([], pa.int64()),
+         "is_periodic": pa.array([], pa.int64())}
+    )
+    hit = _argmax_doc_head(sf_dir)
+    if hit is None:
+        return empty
+    doc_id, s = hit
+    L = len(s)
+    if L == 0:
+        return empty
+    # KMP prefix function: pi[i] = longest proper border of s[:i]
+    pi = [0] * (L + 1)
+    k = 0
+    for i in range(1, L):
+        while k > 0 and s[i] != s[k]:
+            k = pi[k]
+        if s[i] == s[k]:
+            k += 1
+        pi[i + 1] = k
+    border = pi[L]
+    n_borders = 0
+    k = border
+    while k > 0:            # the failure chain IS the set of borders
+        n_borders += 1
+        k = pi[k]
+    period = L - border
+    is_periodic = 1 if border > 0 and L % period == 0 else 0
+    return pa.table(
+        {"doc_id": pa.array([doc_id], pa.int64()),
+         "cap_len": pa.array([L], pa.int64()),
+         "border_len": pa.array([border], pa.int64()),
+         "n_borders": pa.array([n_borders], pa.int64()),
+         "period": pa.array([period], pa.int64()),
+         "is_periodic": pa.array([is_periodic], pa.int64())}
+    )
+
+
+ORACLES["doc_period_cap"] = (
+    f"WITH d AS (SELECT doc_id, substr(text, 1, {SUBSTR_CAP}) AS s "
+    "FROM documents ORDER BY n_chars DESC, doc_id LIMIT 1), "
+    "b AS (SELECT d.doc_id, k.k AS k "
+    f"FROM d, generate_series(1, {SUBSTR_CAP}) k(k) "
+    "WHERE k.k < length(d.s) "
+    "AND substr(d.s, 1, k.k) = substr(d.s, length(d.s) - k.k + 1, k.k)) "
+    "SELECT d.doc_id, length(d.s)::BIGINT AS cap_len, "
+    "COALESCE(max(b.k), 0)::BIGINT AS border_len, "
+    "count(b.k)::BIGINT AS n_borders, "
+    "(length(d.s) - COALESCE(max(b.k), 0))::BIGINT AS period, "
+    "(CASE WHEN COALESCE(max(b.k), 0) > 0 "
+    "AND length(d.s) % (length(d.s) - max(b.k)) = 0 "
+    "THEN 1 ELSE 0 END)::BIGINT AS is_periodic "
+    "FROM d LEFT JOIN b ON d.doc_id = b.doc_id GROUP BY d.doc_id, d.s"
+)
+
+
 # ---- dict_match_census: multi-pattern dictionary matching ------------------
 
 # Fixed match dictionary.  Every pattern is BORDERLESS (no proper prefix

@@ -122,7 +122,7 @@ ORACLE_CHECKED = [
     "brand_widest_path", "part_knapsack_best", "user_coverage_us",
     "distinct_substrings_cap", "dict_match_census", "orders_max_rectangle",
     "embedding_closest_pair", "longest_palindrome_cap", "dow_hour_max_block",
-    "brand_mst_weight", "daily_revenue_kendall",
+    "brand_mst_weight", "daily_revenue_kendall", "doc_period_cap",
 ]
 
 

@@ -2795,6 +2795,50 @@ def test_distinct_substrings_cap_repetitive_and_tiebreak(ray_session,
     assert n == len(subs)
 
 
+def test_doc_period_cap_border_chain(ray_session, tmp_path):
+    """Pin the failure-function semantics on hand strings: 'abcabcab'
+    has the border chain {abcab, ab} (n_borders=2, border 5, period 3,
+    NOT fully periodic since 3 does not divide 8); 'abab' is fully
+    periodic (border 2, period 2); a borderless string reports
+    period = L with zero borders."""
+    from langfilter_ray.pipelines import text_analysis
+
+    d = tmp_path / "chain"
+    d.mkdir()
+    got = _check_vs_oracle(
+        text_analysis.doc_period_cap,
+        text_analysis.ORACLES["doc_period_cap"],
+        d, "documents",
+        _docs_table([(1, "en", 8, "abcabcab"), (2, "en", 3, "xyz")]),
+    )
+    r = got.iloc[0]
+    assert int(r["doc_id"]) == 1 and int(r["cap_len"]) == 8
+    assert (int(r["border_len"]), int(r["n_borders"])) == (5, 2)
+    assert (int(r["period"]), int(r["is_periodic"])) == (3, 0)
+
+    p = tmp_path / "periodic"
+    p.mkdir()
+    got_p = _check_vs_oracle(
+        text_analysis.doc_period_cap,
+        text_analysis.ORACLES["doc_period_cap"],
+        p, "documents", _docs_table([(1, "en", 4, "abab")]),
+    )
+    r = got_p.iloc[0]
+    assert (int(r["border_len"]), int(r["n_borders"])) == (2, 1)
+    assert (int(r["period"]), int(r["is_periodic"])) == (2, 1)
+
+    b = tmp_path / "borderless"
+    b.mkdir()
+    got_b = _check_vs_oracle(
+        text_analysis.doc_period_cap,
+        text_analysis.ORACLES["doc_period_cap"],
+        b, "documents", _docs_table([(1, "en", 4, "abcd")]),
+    )
+    r = got_b.iloc[0]
+    assert (int(r["border_len"]), int(r["n_borders"])) == (0, 0)
+    assert (int(r["period"]), int(r["is_periodic"])) == (4, 0)
+
+
 def test_dict_match_census_adjacent_and_zero_rows(ray_session, tmp_path):
     """Adjacent occurrences both count ('valuevalue' -> 2); a source with
     zero matches still emits its (source, pattern) rows with 0/0; doc-hit
