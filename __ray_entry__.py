@@ -322,6 +322,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "brand_mst_weight": relational.brand_mst_weight,
         "daily_revenue_kendall": windows.daily_revenue_kendall,
         "doc_period_cap": text_analysis.doc_period_cap,
+        "max_nonoverlap_shipments": windows.max_nonoverlap_shipments,
     }
 
 

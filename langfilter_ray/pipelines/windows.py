@@ -4462,6 +4462,110 @@ ORACLES["daily_revenue_kendall"] = (
 )
 
 
+# ---- max_nonoverlap_shipments: interval-scheduling greedy ------------------
+
+def max_nonoverlap_shipments(sf_dir: str) -> "pa.Table":
+    """Maximum number of NON-OVERLAPPING shipments one bay could host —
+    each lineitem occupies ``[ship_day, ship_day + quantity]`` (one day
+    per unit) and the next shipment must START strictly after the
+    previous one ENDS — the INTERVAL-SCHEDULING greedy (earliest-
+    finish-first, the exchange-argument greedy on a TIMELINE), a family
+    the set-cover / Huffman / knapsack selections don't touch and
+    concurrent_sessions' max-overlap sweep doesn't answer.
+
+    The scale insight: the greedy only ever picks ``min end among
+    intervals with start > t``, so the SUFFICIENT STATISTIC is the
+    per-start-day MINIMUM end — a span-bounded array, never the
+    row-proportional interval set.  The driver folds per-batch
+    (start_day, min_end) partials, builds one suffix-min, and walks the
+    chain (each step advances t by ≥ 2 days, so ≤ span/2 steps).  The
+    DuckDB mirror replays the same walk as a recursive CTE over the
+    identical per-start-day aggregate.
+
+    Exactness: all integer days (quantity rounds half-up to int like
+    every cents conversion); outputs n_intervals, n_selected, and the
+    first/last chosen end days pin the chain itself, not just its
+    length.  Empty lineitem -> typed empty on both engines.
+
+    Reference anchor: S4's storage writer admission (SURVEY.md §2.1)
+    asked as the scheduler's question: how many jobs fit one lane?"""
+    US_DAY = 86_400_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"s": pa.array([], pa.int64()),
+             "me": pa.array([], pa.int64())}
+        )
+        if len(t) == 0:
+            return empty
+        s = pc.cast(t["l_shipdate"], pa.int64()).to_numpy() // US_DAY
+        qty = np.floor(t["l_quantity"].to_numpy() + 0.5).astype(np.int64)
+        e = s + qty
+        g = (
+            pa.table({"s": pa.array(s), "e": pa.array(e),
+                      "n": pa.array(np.ones(len(s), np.int64))})
+            .group_by("s")
+            .aggregate([("e", "min"), ("n", "sum")])
+        )
+        return pa.table({"s": g["s"], "me": g["e_min"], "n": g["n_sum"]})
+
+    path = f"{sf_dir}/lineitem.parquet"
+    parts = (
+        ray.data.read_parquet(
+            path,
+            columns=["l_shipdate", "l_quantity"],
+            schema=_clean_schema(path, ["l_shipdate", "l_quantity"]),
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()    # bounded: start-days x blocks, never rows
+    )
+    empty = pa.table(
+        {"n_intervals": pa.array([], pa.int64()),
+         "n_selected": pa.array([], pa.int64()),
+         "first_end": pa.array([], pa.int64()),
+         "last_end": pa.array([], pa.int64())}
+    )
+    if parts.empty:
+        return empty
+    g = parts.groupby("s", sort=True).agg(me=("me", "min"), n=("n", "sum"))
+    starts = g.index.to_numpy(np.int64)
+    minend = g["me"].to_numpy(np.int64)
+    n_total = int(g["n"].sum())
+    # suffix min: best (earliest) end among intervals starting at >= s
+    sufmin = np.minimum.accumulate(minend[::-1])[::-1]
+    t = np.iinfo(np.int64).min
+    ends = []
+    while True:
+        i = int(np.searchsorted(starts, t, side="right"))
+        if i >= len(starts):
+            break
+        e = int(sufmin[i])
+        ends.append(e)
+        t = e
+    return pa.table(
+        {"n_intervals": pa.array([n_total], pa.int64()),
+         "n_selected": pa.array([len(ends)], pa.int64()),
+         "first_end": pa.array([ends[0]], pa.int64()),
+         "last_end": pa.array([ends[-1]], pa.int64())}
+    )
+
+
+ORACLES["max_nonoverlap_shipments"] = (
+    "WITH RECURSIVE ms AS (SELECT epoch_us(l_shipdate) // 86400000000 AS s, "
+    "min(epoch_us(l_shipdate) // 86400000000 "
+    "+ CAST(floor(l_quantity + 0.5) AS BIGINT))::BIGINT AS me, "
+    "count(*)::BIGINT AS n FROM lineitem GROUP BY 1), "
+    "walk(cnt, t) AS ("
+    "SELECT 1::BIGINT, min(me) FROM ms HAVING count(*) > 0 "
+    "UNION ALL "
+    "SELECT cnt + 1, (SELECT min(me) FROM ms WHERE ms.s > walk.t) "
+    "FROM walk WHERE EXISTS (SELECT 1 FROM ms WHERE ms.s > walk.t)) "
+    "SELECT (SELECT sum(n) FROM ms)::BIGINT AS n_intervals, "
+    "max(cnt)::BIGINT AS n_selected, min(t)::BIGINT AS first_end, "
+    "max(t)::BIGINT AS last_end FROM walk HAVING count(*) > 0"
+)
+
+
 # ---- weekly_revenue_lis: longest-increasing-subsequence sequence DP --------
 
 def weekly_revenue_lis(sf_dir: str) -> "pa.Table":

@@ -1532,6 +1532,70 @@ def _write_lineitem_qty(tmp_path, rows):
     pq.write_table(lineitem, tmp_path / "lineitem.parquet")
 
 
+def _write_lineitem_ship(tmp_path, rows):
+    """rows = [(shipdate 'YYYY-MM-DD', quantity), ...]"""
+    n = len(rows)
+    lineitem = pa.table(
+        {
+            "l_orderkey": pa.array(list(range(1, n + 1)), pa.int64()),
+            "l_partkey": pa.array([1] * n, pa.int64()),
+            "l_suppkey": pa.array([1] * n, pa.int64()),
+            "l_linenumber": pa.array([1] * n, pa.int32()),
+            "l_quantity": pa.array([q for _, q in rows], pa.float64()),
+            "l_extendedprice": pa.array([1.0] * n, pa.float64()),
+            "l_discount": pa.array([0.0] * n, pa.float64()),
+            "l_tax": pa.array([0.0] * n, pa.float64()),
+            "l_returnflag": pa.array(["N"] * n, pa.string()),
+            "l_linestatus": pa.array(["O"] * n, pa.string()),
+            "l_shipdate": pa.array(
+                [np.datetime64(f"{d}T00:00:00", "us") for d, _ in rows],
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    pq.write_table(lineitem, tmp_path / "lineitem.parquet")
+
+
+def test_max_nonoverlap_shipments_greedy(ray_session, tmp_path):
+    """Pin the earliest-finish greedy: same-start intervals collapse to
+    the min end (the 5-day twin never matters), a start EQUAL to the
+    last end is blocked (strict start > end), and the long early
+    interval is passed over for the short one.  Empty lineitem ->
+    typed empty."""
+    from langfilter_ray.pipelines import windows
+
+    d = tmp_path / "main"
+    d.mkdir()
+    day0 = 19723  # 2024-01-01
+    _write_lineitem_ship(d, [
+        ("2024-01-01", 2.0),   # A [d0, d0+2]  -> picked
+        ("2024-01-01", 5.0),   # B same start, longer -> shadowed by A
+        ("2024-01-03", 1.0),   # C [d0+2, d0+3] start == A's end -> blocked
+        ("2024-01-04", 1.0),   # D [d0+3, d0+4] -> picked
+        ("2024-01-05", 10.0),  # E [d0+4, ...]  start == D's end -> blocked
+        ("2024-01-06", 3.0),   # F [d0+5, d0+8] -> picked
+    ])
+    got = _check_vs_oracle(
+        windows.max_nonoverlap_shipments,
+        windows.ORACLES["max_nonoverlap_shipments"],
+        d, "lineitem", pq.read_table(d / "lineitem.parquet"),
+    )
+    r = got.iloc[0]
+    assert int(r["n_intervals"]) == 6
+    assert int(r["n_selected"]) == 3            # A, D, F
+    assert int(r["first_end"]) == day0 + 2
+    assert int(r["last_end"]) == day0 + 8
+
+    e = tmp_path / "empty"
+    e.mkdir()
+    _write_lineitem_ship(e, [])
+    got_e = _to_pandas(windows.max_nonoverlap_shipments(str(e)))
+    assert len(got_e) == 0
+    assert list(got_e.columns) == [
+        "n_intervals", "n_selected", "first_end", "last_end"
+    ]
+
+
 def test_qty_return_twosample_ties_and_sentinel(ray_session, tmp_path):
     """Pin the tie handling (u2 = 2U keeps half-ranks integral: each
     cross-group tie contributes 1), the KS max over the step CDFs, and
