@@ -323,6 +323,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_revenue_kendall": windows.daily_revenue_kendall,
         "doc_period_cap": text_analysis.doc_period_cap,
         "max_nonoverlap_shipments": windows.max_nonoverlap_shipments,
+        "lcsubstr_top2": text_analysis.lcsubstr_top2,
     }
 
 

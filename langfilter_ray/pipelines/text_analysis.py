@@ -4815,6 +4815,126 @@ ORACLES["doc_period_cap"] = (
 )
 
 
+# ---- lcsubstr_top2: longest common substring (local exact alignment) -------
+
+def _argmax2_doc_heads(sf_dir: str) -> list[tuple[int, str]]:
+    """Distributed TOP-2 argmax: each batch emits its two best
+    (max n_chars, then min doc_id) rows with the text pre-capped to
+    SUBSTR_CAP chars, so the gather is blocks × 2 short rows.  Returns
+    the global top-2 as [(doc_id, head), ...] (may be shorter)."""
+
+    def top2_partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "n_chars": pa.array([], pa.int64()),
+             "head": pa.array([], pa.string())}
+        )
+        if len(t) == 0:
+            return empty
+        nc = t["n_chars"].to_numpy()
+        did = t["doc_id"].to_numpy()
+        idx = np.lexsort((did, -nc))[:2]
+        return pa.table(
+            {"doc_id": pa.array(did[idx].astype(np.int64)),
+             "n_chars": pa.array(nc[idx].astype(np.int64)),
+             "head": pa.array(
+                 [t["text"][int(i)].as_py()[:SUBSTR_CAP] for i in idx],
+                 pa.string())}
+        )
+
+    best = (
+        _docs_cols(sf_dir, ["doc_id", "text", "n_chars"])
+        .map_batches(top2_partial, batch_format="pyarrow")
+        .to_pandas()    # bounded: two short rows per block
+    )
+    if best.empty:
+        return []
+    best = best.sort_values(["n_chars", "doc_id"],
+                            ascending=[False, True]).iloc[:2]
+    return [(int(r["doc_id"]), r["head"]) for _, r in best.iterrows()]
+
+
+def lcsubstr_top2(sf_dir: str) -> "pa.Table":
+    """Longest COMMON SUBSTRING between the two longest documents'
+    capped heads — LOCAL exact alignment, the cross-document sibling of
+    the single-string suffix structures: user_lcs_top2 aligns
+    SUBSEQUENCES (gaps allowed), this finds the longest contiguous
+    shared run ("what literal text do the two biggest files share?"),
+    the primitive behind clone detection and plagiarism checks.  Among
+    equal-length maxima the lexicographically SMALLEST substring wins
+    (the same total order the SQL mirror sorts by); disjoint alphabets
+    report length 0 with an empty string.
+
+    Scale shape: one distributed top-2 argmax gather (per-batch top-2
+    short rows, text pre-capped — blocks × 2 rows cross the exchange);
+    the O(L²) row-vectorized DP runs on the driver over two CAPPED
+    strings.  The DuckDB mirror enumerates all L(L+1)/2 substrings of
+    doc A and keeps those contained in doc B — the honest quadratic
+    check of the DP.
+
+    Reference anchor: §2.8's near-dup verification (SURVEY.md) asked
+    as an exact-span question rather than a shingle estimate."""
+    empty = pa.table(
+        {"doc_a": pa.array([], pa.int64()),
+         "doc_b": pa.array([], pa.int64()),
+         "len_a": pa.array([], pa.int64()),
+         "len_b": pa.array([], pa.int64()),
+         "len_lcs": pa.array([], pa.int64()),
+         "lcs": pa.array([], pa.string())}
+    )
+    top = _argmax2_doc_heads(sf_dir)
+    if len(top) < 2:
+        return empty
+    (id_a, a), (id_b, b) = top
+    n, m = len(a), len(b)
+    aa = np.frombuffer(a.encode("utf-8"), dtype=np.uint8) \
+        if a.isascii() else np.array([ord(c) for c in a], dtype=np.int64)
+    bb = np.frombuffer(b.encode("utf-8"), dtype=np.uint8) \
+        if b.isascii() else np.array([ord(c) for c in b], dtype=np.int64)
+    best_len = 0
+    best_subs: set[str] = set()
+    prev = np.zeros(m + 1, dtype=np.int32)
+    for i in range(1, n + 1):
+        cur = np.zeros(m + 1, dtype=np.int32)
+        eq = aa[i - 1] == bb
+        cur[1:][eq] = prev[:-1][eq] + 1
+        row_max = int(cur.max())
+        if row_max > best_len:
+            best_len = row_max
+            best_subs = {a[i - best_len:i]}
+        elif row_max == best_len and best_len > 0:
+            best_subs.add(a[i - best_len:i])
+        prev = cur
+    lcs = min(best_subs) if best_subs else ""
+    return pa.table(
+        {"doc_a": pa.array([id_a], pa.int64()),
+         "doc_b": pa.array([id_b], pa.int64()),
+         "len_a": pa.array([n], pa.int64()),
+         "len_b": pa.array([m], pa.int64()),
+         "len_lcs": pa.array([best_len], pa.int64()),
+         "lcs": pa.array([lcs], pa.string())}
+    )
+
+
+ORACLES["lcsubstr_top2"] = (
+    f"WITH t2 AS (SELECT doc_id, substr(text, 1, {SUBSTR_CAP}) AS s, "
+    "row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rk "
+    "FROM documents ORDER BY n_chars DESC, doc_id LIMIT 2), "
+    "a AS (SELECT doc_id, s FROM t2 WHERE rk = 1), "
+    "b AS (SELECT doc_id, s FROM t2 WHERE rk = 2), "
+    "cand AS (SELECT substr(a.s, i.i, j.j) AS sub, j.j AS L "
+    f"FROM a, b, generate_series(1, {SUBSTR_CAP}) i(i), "
+    f"generate_series(1, {SUBSTR_CAP}) j(j) "
+    "WHERE i.i + j.j - 1 <= length(a.s) "
+    "AND strpos(b.s, substr(a.s, i.i, j.j)) > 0 "
+    "UNION ALL SELECT '', 0 FROM a, b) "
+    "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+    "length(a.s)::BIGINT AS len_a, length(b.s)::BIGINT AS len_b, "
+    "L::BIGINT AS len_lcs, sub AS lcs FROM cand, a, b "
+    "ORDER BY L DESC, sub LIMIT 1"
+)
+
+
 # ---- dict_match_census: multi-pattern dictionary matching ------------------
 
 # Fixed match dictionary.  Every pattern is BORDERLESS (no proper prefix

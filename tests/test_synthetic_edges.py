@@ -2903,6 +2903,58 @@ def test_doc_period_cap_border_chain(ray_session, tmp_path):
     assert (int(r["period"]), int(r["is_periodic"])) == (4, 0)
 
 
+def test_lcsubstr_top2_alignment_and_ties(ray_session, tmp_path):
+    """Pin the local-alignment semantics: the shared run 'abcde' wins
+    over shorter overlaps; among equal-length maxima the
+    lexicographically smallest substring is reported ('ab' beats 'zz');
+    disjoint alphabets -> length 0 / empty string; <2 docs -> typed
+    empty."""
+    from langfilter_ray.pipelines import text_analysis
+
+    d = tmp_path / "main"
+    d.mkdir()
+    got = _check_vs_oracle(
+        text_analysis.lcsubstr_top2,
+        text_analysis.ORACLES["lcsubstr_top2"],
+        d, "documents",
+        _docs_table([(1, "en", 9, "xxabcdeyy"), (2, "en", 7, "qabcdez")]),
+    )
+    r = got.iloc[0]
+    assert (int(r["doc_a"]), int(r["doc_b"])) == (1, 2)
+    assert (int(r["len_lcs"]), r["lcs"]) == (5, "abcde")
+
+    t = tmp_path / "tie"
+    t.mkdir()
+    got_t = _check_vs_oracle(
+        text_analysis.lcsubstr_top2,
+        text_analysis.ORACLES["lcsubstr_top2"],
+        t, "documents",
+        _docs_table([(1, "en", 6, "xxzzab"), (2, "en", 4, "abzz")]),
+    )
+    r = got_t.iloc[0]
+    assert (int(r["len_lcs"]), r["lcs"]) == (2, "ab")
+
+    z = tmp_path / "disjoint"
+    z.mkdir()
+    got_z = _check_vs_oracle(
+        text_analysis.lcsubstr_top2,
+        text_analysis.ORACLES["lcsubstr_top2"],
+        z, "documents",
+        _docs_table([(1, "en", 3, "aaa"), (2, "en", 3, "bbb")]),
+    )
+    r = got_z.iloc[0]
+    assert (int(r["len_lcs"]), r["lcs"]) == (0, "")
+
+    s = tmp_path / "single"
+    s.mkdir()
+    got_s = _check_vs_oracle(
+        text_analysis.lcsubstr_top2,
+        text_analysis.ORACLES["lcsubstr_top2"],
+        s, "documents", _docs_table([(1, "en", 3, "aaa")]),
+    )
+    assert len(got_s) == 0
+
+
 def test_dict_match_census_adjacent_and_zero_rows(ray_session, tmp_path):
     """Adjacent occurrences both count ('valuevalue' -> 2); a source with
     zero matches still emits its (source, pattern) rows with 0/0; doc-hit
