@@ -324,6 +324,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_period_cap": text_analysis.doc_period_cap,
         "max_nonoverlap_shipments": windows.max_nonoverlap_shipments,
         "lcsubstr_top2": text_analysis.lcsubstr_top2,
+        "ffd_bin_count": relational.ffd_bin_count,
     }
 
 

@@ -6651,6 +6651,142 @@ ORACLES["supplier_concentration"] = (
 
 # ---- qty_return_twosample: exact rank tests via bounded-domain histograms --
 
+FFD_BIN_CAP = 100
+
+
+def ffd_bin_count(sf_dir: str) -> "pa.Table":
+    """First-fit-decreasing BIN PACKING of the busiest supplier's
+    shipment quantities into trucks of capacity ``FFD_BIN_CAP`` — the
+    capacity-PACKING family: pack_sequences fills consecutive bins in
+    stream order and never revisits one, FFD sorts items descending and
+    revisits every open bin (the classic 11/9·OPT+1 heuristic), and
+    knapsack maximizes value in ONE bin; three different questions.
+    Output pins the whole packing: bin count, max/min load, and the
+    total — with quantities sorted by VALUE only, equal items are
+    interchangeable, so the bin-load multiset is deterministic.
+
+    Scale shape: pass 1 is the per-supplier count combiner (in-batch
+    pyarrow groupby partials, gather ≤ suppliers × blocks) + a 1-row
+    argmax; pass 2 filters the stream to the winner and emits per-batch
+    (quantity, count) HISTOGRAM partials — the quantity domain is
+    bounded (≤ 50 cells), so the gather is 50 × blocks even though one
+    supplier's rows may span many blocks; the FFD fold expands the
+    histogram (per-supplier rows are catalog-bounded: lineitems/supplier
+    is ~constant in SF) and runs O(items × bins) on the driver.  The
+    DuckDB mirror replays FFD item-by-item as a recursive CTE carrying
+    the bin-load list.
+
+    Reference anchor: S4's storage writer (SURVEY.md §2.1) asked as the
+    shard-packing question: how many fixed-size files does one
+    producer's output need?"""
+
+    def census(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {"sk": pa.array([], pa.int64()),
+                 "n": pa.array([], pa.int64())}
+            )
+        g = (
+            pa.table({"sk": t["l_suppkey"],
+                      "n": pa.array(np.ones(len(t), np.int64))})
+            .group_by("sk")
+            .aggregate([("n", "sum")])
+        )
+        return pa.table({"sk": g["sk"], "n": g["n_sum"]})
+
+    counts = (
+        _read(sf_dir, "lineitem", ["l_suppkey"])
+        .map_batches(census, batch_format="pyarrow")
+        .to_pandas()    # bounded: suppliers x blocks
+    )
+    empty = pa.table(
+        {"suppkey": pa.array([], pa.int64()),
+         "n_items": pa.array([], pa.int64()),
+         "total_qty": pa.array([], pa.int64()),
+         "n_bins": pa.array([], pa.int64()),
+         "max_load": pa.array([], pa.int64()),
+         "min_load": pa.array([], pa.int64())}
+    )
+    if counts.empty:
+        return empty
+    agg = counts.groupby("sk", sort=True)["n"].sum()
+    order = np.lexsort((agg.index.to_numpy(np.int64),
+                        -agg.to_numpy(np.int64)))
+    winner = int(agg.index.to_numpy(np.int64)[order[0]])
+
+    def hist(t: pa.Table) -> pa.Table:
+        e = pa.table(
+            {"q": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+        )
+        if len(t) == 0:
+            return e
+        keep = pc.equal(t["l_suppkey"], winner)
+        qf = t.filter(keep)["l_quantity"].to_numpy()
+        if len(qf) == 0:
+            return e
+        qi = np.floor(qf + 0.5).astype(np.int64)
+        u, c = np.unique(qi, return_counts=True)
+        return pa.table(
+            {"q": pa.array(u), "n": pa.array(c.astype(np.int64))}
+        )
+
+    h = (
+        _read(sf_dir, "lineitem", ["l_suppkey", "l_quantity"])
+        .map_batches(hist, batch_format="pyarrow")
+        .to_pandas()    # bounded: <= 50 quantity cells x blocks
+    )
+    hh = h.groupby("q", sort=True)["n"].sum()
+    qs = hh.index.to_numpy(np.int64)
+    ns = hh.to_numpy(np.int64)
+    items = np.repeat(qs, ns)[::-1]     # ascending -> reversed = desc
+    loads: list[int] = []
+    for q in items:
+        q = int(q)
+        for b in range(len(loads)):
+            if loads[b] + q <= FFD_BIN_CAP:
+                loads[b] += q
+                break
+        else:
+            loads.append(q)
+    return pa.table(
+        {"suppkey": pa.array([winner], pa.int64()),
+         "n_items": pa.array([int(ns.sum())], pa.int64()),
+         "total_qty": pa.array([int((qs * ns).sum())], pa.int64()),
+         "n_bins": pa.array([len(loads)], pa.int64()),
+         "max_load": pa.array([max(loads)], pa.int64()),
+         "min_load": pa.array([min(loads)], pa.int64())}
+    )
+
+
+ORACLES["ffd_bin_count"] = (
+    "WITH RECURSIVE win AS (SELECT l_suppkey AS sk, count(*) AS n "
+    "FROM lineitem GROUP BY 1 ORDER BY n DESC, sk LIMIT 1), "
+    "items AS (SELECT CAST(floor(l_quantity + 0.5) AS BIGINT) AS q, "
+    "row_number() OVER (ORDER BY floor(l_quantity + 0.5) DESC) AS i "
+    "FROM lineitem, win WHERE l_suppkey = win.sk), "
+    "r(i, loads) AS ("
+    "SELECT 0::BIGINT, CAST([] AS BIGINT[]) FROM win "
+    "UNION ALL "
+    "SELECT r.i + 1, "
+    "CASE WHEN list_filter(range(1, len(r.loads) + 1), "
+    f"x -> r.loads[x] + it.q <= {FFD_BIN_CAP})[1] IS NULL "
+    "THEN list_append(r.loads, it.q) "
+    "ELSE list_transform(range(1, len(r.loads) + 1), "
+    "x -> CASE WHEN x = list_filter(range(1, len(r.loads) + 1), "
+    f"y -> r.loads[y] + it.q <= {FFD_BIN_CAP})[1] "
+    "THEN r.loads[x] + it.q ELSE r.loads[x] END) END "
+    "FROM r JOIN items it ON it.i = r.i + 1), "
+    "fin AS (SELECT loads FROM r ORDER BY i DESC LIMIT 1) "
+    "SELECT win.sk::BIGINT AS suppkey, "
+    "(SELECT count(*) FROM items)::BIGINT AS n_items, "
+    "(SELECT sum(q) FROM items)::BIGINT AS total_qty, "
+    "len(loads)::BIGINT AS n_bins, "
+    "list_aggregate(loads, 'max')::BIGINT AS max_load, "
+    "list_aggregate(loads, 'min')::BIGINT AS min_load "
+    "FROM fin, win"
+)
+
+
 def qty_return_twosample(sf_dir: str) -> "pa.Table":
     """Two-sample distribution-shift tests — "do RETURNED items ship in
     different quantities than kept ones?": the Mann-Whitney U statistic

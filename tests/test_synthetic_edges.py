@@ -1596,6 +1596,66 @@ def test_max_nonoverlap_shipments_greedy(ray_session, tmp_path):
     ]
 
 
+def _write_lineitem_supp_qty(tmp_path, rows):
+    """rows = [(suppkey, quantity), ...]"""
+    n = len(rows)
+    lineitem = pa.table(
+        {
+            "l_orderkey": pa.array(list(range(1, n + 1)), pa.int64()),
+            "l_partkey": pa.array([1] * n, pa.int64()),
+            "l_suppkey": pa.array([s for s, _ in rows], pa.int64()),
+            "l_linenumber": pa.array([1] * n, pa.int32()),
+            "l_quantity": pa.array([q for _, q in rows], pa.float64()),
+            "l_extendedprice": pa.array([1.0] * n, pa.float64()),
+            "l_discount": pa.array([0.0] * n, pa.float64()),
+            "l_tax": pa.array([0.0] * n, pa.float64()),
+            "l_returnflag": pa.array(["N"] * n, pa.string()),
+            "l_linestatus": pa.array(["O"] * n, pa.string()),
+            "l_shipdate": pa.array(
+                [np.datetime64("2024-03-02T00:00:00", "us")] * n,
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    pq.write_table(lineitem, tmp_path / "lineitem.parquet")
+
+
+def test_ffd_bin_count_packing_and_winner(ray_session, tmp_path):
+    """Pin FFD on the classic [60,50,40,30,20,10] (bins land exactly
+    [100,100,10] — the 40 REVISITS bin 1, which sequential packing never
+    does), exact-fill is allowed (load == cap), the busiest supplier
+    wins on COUNT not total quantity, and the count tie goes to the
+    smaller suppkey."""
+    from langfilter_ray.pipelines import relational
+
+    d = tmp_path / "main"
+    d.mkdir()
+    _write_lineitem_supp_qty(d, [
+        (2, 60.0), (2, 50.0), (2, 40.0), (2, 30.0), (2, 20.0), (2, 10.0),
+        (9, 50.0), (9, 50.0),       # fewer items, winner stays 2
+    ])
+    got = _check_vs_oracle(
+        relational.ffd_bin_count,
+        relational.ORACLES["ffd_bin_count"],
+        d, "lineitem", pq.read_table(d / "lineitem.parquet"),
+    )
+    r = got.iloc[0]
+    assert int(r["suppkey"]) == 2
+    assert (int(r["n_items"]), int(r["total_qty"])) == (6, 210)
+    assert (int(r["n_bins"]), int(r["max_load"]), int(r["min_load"])) \
+        == (3, 100, 10)
+
+    t = tmp_path / "tie"
+    t.mkdir()
+    _write_lineitem_supp_qty(t, [(3, 10.0), (1, 10.0)])
+    got_t = _check_vs_oracle(
+        relational.ffd_bin_count,
+        relational.ORACLES["ffd_bin_count"],
+        t, "lineitem", pq.read_table(t / "lineitem.parquet"),
+    )
+    assert int(got_t.iloc[0]["suppkey"]) == 1
+
+
 def test_qty_return_twosample_ties_and_sentinel(ray_session, tmp_path):
     """Pin the tie handling (u2 = 2U keeps half-ranks integral: each
     cross-group tie contributes 1), the KS max over the step CDFs, and
