@@ -325,6 +325,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "max_nonoverlap_shipments": windows.max_nonoverlap_shipments,
         "lcsubstr_top2": text_analysis.lcsubstr_top2,
         "ffd_bin_count": relational.ffd_bin_count,
+        "stable_match_brands": relational.stable_match_brands,
     }
 
 

@@ -6787,6 +6787,291 @@ ORACLES["ffd_bin_count"] = (
 )
 
 
+GS_K = 8
+
+
+def stable_match_brands(sf_dir: str) -> "pa.Table":
+    """STABLE MATCHING (Gale-Shapley deferred acceptance) between the
+    top-``GS_K`` suppliers and their top-``GS_K`` brands, preferences on
+    BOTH sides ranked by shipped quantity — the two-sided MATCHING
+    family (assignment under ranked preferences with no blocking pair)
+    that copurchase_mutual_best's reciprocal-argmax greedy, bulk set
+    cover and the flow-free relaxations don't touch: a matched outcome
+    where no supplier-brand pair both prefer each other over their
+    assignments.  Suppliers propose in SYNCHRONIZED rounds (all free
+    proposers at once; each brand keeps the best of holder + proposers
+    by its own ranking) — deferred acceptance converges to the same
+    proposer-optimal matching regardless of order, and the synchronous
+    schedule is what the SQL mirror replays.  All preference ties are
+    pinned: quantity DESC then brand lex / suppkey ASC.
+
+    Scale shape: pass 1 is the per-supplier quantity combiner + an
+    8-row sort+limit; pass 2 filters the stream to the 8 winners and
+    resolves partkey → brand against the ray.put-broadcast part dim
+    (`_broadcast_int_dim` + factorized brand LUT) below
+    BROADCAST_DIM_MAX_ROWS, the native hash join above (the
+    bulk_brand_cover contract, fallback pinned by a zero-threshold
+    test); partials are ≤ 8 × |brands| rows per batch, the 8×8 G-S fold
+    runs on the driver.  The DuckDB mirror replays the synchronous
+    rounds as a recursive CTE carrying the (next-proposal, engagement)
+    lists, preferences carried as LIST(LIST) state.
+
+    Reference anchor: J2's owner/prefix routing (SURVEY.md §2.5) asked
+    as the allocation question: which producer should own which shard
+    class so that no pair wants to defect?"""
+
+    def census(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {"sk": pa.array([], pa.int64()),
+                 "v": pa.array([], pa.int64())}
+            )
+        qi = np.floor(t["l_quantity"].to_numpy() + 0.5).astype(np.int64)
+        g = (
+            pa.table({"sk": t["l_suppkey"], "v": pa.array(qi)})
+            .group_by("sk")
+            .aggregate([("v", "sum")])
+        )
+        return pa.table({"sk": g["sk"], "v": g["v_sum"]})
+
+    counts = (
+        _read(sf_dir, "lineitem", ["l_suppkey", "l_quantity"])
+        .map_batches(census, batch_format="pyarrow")
+        .to_pandas()    # bounded: suppliers x blocks
+    )
+    empty = pa.table(
+        {"suppkey": pa.array([], pa.int64()),
+         "brand": pa.array([], pa.string()),
+         "s_rank": pa.array([], pa.int64()),
+         "b_rank": pa.array([], pa.int64())}
+    )
+    if counts.empty:
+        return empty
+    agg = counts.groupby("sk", sort=True)["v"].sum()
+    sk_all = agg.index.to_numpy(np.int64)
+    order = np.lexsort((sk_all, -agg.to_numpy(np.int64)))[:GS_K]
+    sup_arr = np.sort(sk_all[order])          # index 1..K by suppkey asc
+
+    import pyarrow.parquet as pq
+
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+    )
+    use_broadcast = len(part) <= BROADCAST_DIM_MAX_ROWS
+
+    def vol_partial_broadcast(part_ref, brand_lut):
+        def fn(t: pa.Table) -> pa.Table:
+            e = pa.table(
+                {"sk": pa.array([], pa.int64()),
+                 "brand": pa.array([], pa.string()),
+                 "v": pa.array([], pa.int64())}
+            )
+            if len(t) == 0:
+                return e
+            sk = t["l_suppkey"].to_numpy()
+            keep = np.isin(sk, sup_arr)
+            if not keep.any():
+                return e
+            brands = _probe_lookup(
+                part_ref, brand_lut, t["l_partkey"].to_numpy()[keep]
+            )
+            qi = np.floor(
+                t["l_quantity"].to_numpy()[keep] + 0.5
+            ).astype(np.int64)
+            valid = np.not_equal(brands, None)
+            if not valid.any():
+                return e
+            g = (
+                pa.table(
+                    {"sk": pa.array(sk[keep][valid]),
+                     "brand": pa.array(
+                         [str(b) for b in brands[valid]], pa.string()),
+                     "v": pa.array(qi[valid])}
+                )
+                .group_by(["sk", "brand"])
+                .aggregate([("v", "sum")])
+            )
+            return pa.table(
+                {"sk": g["sk"], "brand": g["brand"], "v": g["v_sum"]}
+            )
+        return fn
+
+    if use_broadcast:
+        codes, uniques = pd.factorize(part["p_brand"].to_pandas())
+        brand_lut = np.asarray(list(uniques) + [None], dtype=object)
+        part_ref = _broadcast_int_dim(
+            pa.table({"k": part["p_partkey"],
+                      "c": pa.array(codes.astype(np.int64))}),
+            "k", "c",
+        )
+        vols = (
+            _read(sf_dir, "lineitem",
+                  ["l_suppkey", "l_partkey", "l_quantity"])
+            .map_batches(vol_partial_broadcast(part_ref, brand_lut),
+                         batch_format="pyarrow")
+            .to_pandas()    # bounded: <= 8 x |brands| rows per block
+        )
+    else:
+        def prefilter(t: pa.Table) -> pa.Table:
+            if len(t) == 0:
+                return t
+            return t.filter(
+                pa.array(np.isin(t["l_suppkey"].to_numpy(), sup_arr)))
+
+        li = (
+            _read(sf_dir, "lineitem",
+                  ["l_suppkey", "l_partkey", "l_quantity"])
+            .map_batches(prefilter, batch_format="pyarrow")
+        )
+        joined = li.join(
+            _read(sf_dir, "part", ["p_partkey", "p_brand"]),
+            join_type="inner",
+            num_partitions=_join_parts(1),
+            on=("l_partkey",),
+            right_on=("p_partkey",),
+        )
+
+        def pair_partial(t: pa.Table) -> pa.Table:
+            e = pa.table(
+                {"sk": pa.array([], pa.int64()),
+                 "brand": pa.array([], pa.string()),
+                 "v": pa.array([], pa.int64())}
+            )
+            if len(t) == 0:
+                return e
+            qi = np.floor(t["l_quantity"].to_numpy() + 0.5).astype(np.int64)
+            g = (
+                pa.table({"sk": t["l_suppkey"], "brand": t["p_brand"],
+                          "v": pa.array(qi)})
+                .group_by(["sk", "brand"])
+                .aggregate([("v", "sum")])
+            )
+            return pa.table(
+                {"sk": g["sk"], "brand": g["brand"], "v": g["v_sum"]}
+            )
+
+        vols = joined.map_batches(
+            pair_partial, batch_format="pyarrow"
+        ).to_pandas()
+
+    if vols.empty:
+        return empty
+    vv = vols.groupby(["sk", "brand"], sort=True)["v"].sum().reset_index()
+    btot = vv.groupby("brand", sort=True)["v"].sum()
+    bnames = btot.index.to_numpy()
+    border = np.lexsort((bnames, -btot.to_numpy(np.int64)))[:GS_K]
+    brands = sorted(bnames[border])           # index 1..K by brand asc
+    K_s, K_b = len(sup_arr), len(brands)
+    V = np.zeros((K_s, K_b), dtype=np.int64)
+    b_pos = {b: j for j, b in enumerate(brands)}
+    s_pos = {int(s): i for i, s in enumerate(sup_arr)}
+    for _, row in vv.iterrows():
+        if int(row["sk"]) in s_pos and row["brand"] in b_pos:
+            V[s_pos[int(row["sk"])], b_pos[row["brand"]]] = int(row["v"])
+    # preference lists: suppliers rank brands, brands rank suppliers
+    sp = [
+        sorted(range(K_b), key=lambda j: (-V[i, j], brands[j]))
+        for i in range(K_s)
+    ]
+    bp_rank = np.empty((K_b, K_s), dtype=np.int64)
+    for j in range(K_b):
+        byv = sorted(range(K_s), key=lambda i: (-V[i, j], sup_arr[i]))
+        for r, i in enumerate(byv):
+            bp_rank[j, i] = r
+    # synchronized deferred acceptance
+    ni = [0] * K_s
+    mb = [-1] * K_b
+    engaged = [False] * K_s
+    while any(not engaged[s] and ni[s] < K_b for s in range(K_s)):
+        proposals: dict[int, list[int]] = {}
+        for s in range(K_s):
+            if not engaged[s] and ni[s] < K_b:
+                proposals.setdefault(sp[s][ni[s]], []).append(s)
+                ni[s] += 1
+        for b, cands in proposals.items():
+            if mb[b] >= 0:
+                cands = cands + [mb[b]]
+            best = min(cands, key=lambda s: bp_rank[b][s])
+            if mb[b] != best:
+                if mb[b] >= 0:
+                    engaged[mb[b]] = False
+                mb[b] = best
+                engaged[best] = True
+    rows = []
+    for b in range(K_b):
+        s = mb[b]
+        if s >= 0:
+            rows.append(
+                (int(sup_arr[s]), brands[b],
+                 sp[s].index(b) + 1, int(bp_rank[b][s]) + 1)
+            )
+    rows.sort()
+    return pa.table(
+        {"suppkey": pa.array([r[0] for r in rows], pa.int64()),
+         "brand": pa.array([r[1] for r in rows], pa.string()),
+         "s_rank": pa.array([r[2] for r in rows], pa.int64()),
+         "b_rank": pa.array([r[3] for r in rows], pa.int64())}
+    )
+
+
+ORACLES["stable_match_brands"] = (
+    f"WITH RECURSIVE sup8 AS (SELECT l_suppkey AS sk, "
+    "sum(CAST(floor(l_quantity + 0.5) AS BIGINT))::BIGINT AS v "
+    f"FROM lineitem GROUP BY 1 ORDER BY v DESC, sk LIMIT {GS_K}), "
+    "sidx AS (SELECT sk, row_number() OVER (ORDER BY sk) AS si FROM sup8), "
+    "vol AS (SELECT s.si, s.sk, p.p_brand AS brand, "
+    "sum(CAST(floor(l.l_quantity + 0.5) AS BIGINT))::BIGINT AS v "
+    "FROM lineitem l JOIN sidx s ON l.l_suppkey = s.sk "
+    "JOIN part p ON l.l_partkey = p.p_partkey GROUP BY 1, 2, 3), "
+    "b8 AS (SELECT brand, sum(v) AS tv FROM vol GROUP BY 1 "
+    f"ORDER BY tv DESC, brand LIMIT {GS_K}), "
+    "bidx AS (SELECT brand, row_number() OVER (ORDER BY brand) AS bi "
+    "FROM b8), "
+    "grid AS (SELECT s.si, s.sk, b.bi, b.brand, "
+    "COALESCE(v.v, 0)::BIGINT AS v FROM sidx s CROSS JOIN bidx b "
+    "LEFT JOIN vol v ON v.si = s.si AND v.brand = b.brand), "
+    "sp_rows AS (SELECT si, list(bi ORDER BY v DESC, brand) AS l "
+    "FROM grid GROUP BY si), "
+    "bp_rows AS (SELECT bi, list(r ORDER BY si) AS l FROM "
+    "(SELECT bi, si, row_number() OVER (PARTITION BY bi "
+    "ORDER BY v DESC, sk) AS r FROM grid) GROUP BY bi), "
+    "pref AS (SELECT (SELECT list(l ORDER BY si) FROM sp_rows) AS sp, "
+    "(SELECT list(l ORDER BY bi) FROM bp_rows) AS bp "
+    "WHERE (SELECT count(*) FROM sp_rows) > 0), "
+    "r(step, ni, mb) AS ("
+    "SELECT 0::BIGINT, "
+    "list_transform(range(1, (SELECT count(*) FROM sidx) + 1), "
+    "x -> 1::BIGINT), "
+    "list_transform(range(1, (SELECT count(*) FROM bidx) + 1), "
+    "x -> 0::BIGINT) FROM pref "
+    "UNION ALL "
+    "SELECT r.step + 1, "
+    "list_transform(range(1, len(r.ni) + 1), s -> r.ni[s] + "
+    "CASE WHEN NOT list_contains(r.mb, s) AND r.ni[s] <= len(r.mb) "
+    "THEN 1 ELSE 0 END), "
+    "list_transform(range(1, len(r.mb) + 1), b -> "
+    "CASE WHEN len(list_filter(range(1, len(r.ni) + 1), "
+    "s -> (NOT list_contains(r.mb, s) AND r.ni[s] <= len(r.mb) "
+    "AND p.sp[s][r.ni[s]] = b) OR r.mb[b] = s)) = 0 THEN 0 "
+    "ELSE list_aggregate(list_transform("
+    "list_filter(range(1, len(r.ni) + 1), "
+    "s -> (NOT list_contains(r.mb, s) AND r.ni[s] <= len(r.mb) "
+    "AND p.sp[s][r.ni[s]] = b) OR r.mb[b] = s), "
+    "s -> p.bp[b][s] * 16 + s), 'min') % 16 END) "
+    "FROM r, pref p "
+    "WHERE len(list_filter(range(1, len(r.ni) + 1), "
+    "s -> NOT list_contains(r.mb, s) AND r.ni[s] <= len(r.mb))) > 0), "
+    "fin AS (SELECT mb FROM r ORDER BY step DESC LIMIT 1), "
+    "pairs AS (SELECT b.bi, b.brand, fin.mb[b.bi] AS si "
+    "FROM fin, bidx b WHERE fin.mb[b.bi] > 0) "
+    "SELECT s.sk::BIGINT AS suppkey, pairs.brand AS brand, "
+    "list_position(p.sp[pairs.si], pairs.bi)::BIGINT AS s_rank, "
+    "p.bp[pairs.bi][pairs.si]::BIGINT AS b_rank "
+    "FROM pairs JOIN sidx s ON s.si = pairs.si CROSS JOIN pref p "
+    "ORDER BY suppkey"
+)
+
+
 def qty_return_twosample(sf_dir: str) -> "pa.Table":
     """Two-sample distribution-shift tests — "do RETURNED items ship in
     different quantities than kept ones?": the Mann-Whitney U statistic

@@ -1656,6 +1656,82 @@ def test_ffd_bin_count_packing_and_winner(ray_session, tmp_path):
     assert int(got_t.iloc[0]["suppkey"]) == 1
 
 
+def _write_gs_corpus(d):
+    rows = [
+        # (suppkey, partkey, qty): volume matrix
+        #        BA   BB   BC
+        # s1:    90   50   10   (BA volume split across two rows)
+        # s2:    80   60   20
+        # s3:    30   40    5
+        (1, 1, 40.0), (1, 1, 50.0), (1, 2, 50.0), (1, 3, 10.0),
+        (2, 1, 80.0), (2, 2, 60.0), (2, 3, 20.0),
+        (3, 1, 30.0), (3, 2, 40.0), (3, 3, 5.0),
+    ]
+    n = len(rows)
+    pq.write_table(pa.table(
+        {"l_orderkey": pa.array(list(range(1, n + 1)), pa.int64()),
+         "l_partkey": pa.array([p for _, p, _ in rows], pa.int64()),
+         "l_suppkey": pa.array([s for s, _, _ in rows], pa.int64()),
+         "l_linenumber": pa.array([1] * n, pa.int32()),
+         "l_quantity": pa.array([q for _, _, q in rows], pa.float64()),
+         "l_extendedprice": pa.array([1.0] * n, pa.float64()),
+         "l_discount": pa.array([0.0] * n, pa.float64()),
+         "l_tax": pa.array([0.0] * n, pa.float64()),
+         "l_returnflag": pa.array(["N"] * n, pa.string()),
+         "l_linestatus": pa.array(["O"] * n, pa.string()),
+         "l_shipdate": pa.array(
+             [np.datetime64("2024-03-02T00:00:00", "us")] * n,
+             pa.timestamp("us"))}
+    ), d / "lineitem.parquet")
+    pq.write_table(pa.table(
+        {"p_partkey": pa.array([1, 2, 3], pa.int64()),
+         "p_name": pa.array(["a", "b", "c"], pa.string()),
+         "p_brand": pa.array(["BA", "BB", "BC"], pa.string()),
+         "p_type": pa.array(["t"] * 3, pa.string()),
+         "p_size": pa.array([1] * 3, pa.int32()),
+         "p_retailprice": pa.array([1.0] * 3, pa.float64())}
+    ), d / "part.parquet")
+
+
+def _gs_check(d):
+    from langfilter_ray.pipelines import relational
+
+    got = _to_pandas(relational.stable_match_brands(str(d)))
+    c = duckdb.connect()
+    for t in ("lineitem", "part"):
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')"
+        )
+    want = c.execute(relational.ORACLES["stable_match_brands"]).df()
+    problems = compare_frames(_canon(got), _canon(want))
+    assert not problems, (problems, first_diff(_canon(got), _canon(want)))
+    return got
+
+
+def test_stable_match_brands_deferred_acceptance(ray_session, tmp_path,
+                                                 monkeypatch):
+    """Hand-simulated Gale-Shapley: s1 and s2 both want BA (s1 wins on
+    volume), s2's round-2 proposal BUMPS s3 off BB, and s3 — rejected at
+    BA too — settles for BC at its LAST preference.  The bump is what a
+    greedy one-shot assignment never produces.  Same-pair volumes sum
+    before ranking (s1's BA rows 40+50).  The broadcast dim probe and
+    the native-join fallback must agree (zero-threshold re-run)."""
+    from langfilter_ray.pipelines import relational
+
+    d = tmp_path / "main"
+    d.mkdir()
+    _write_gs_corpus(d)
+    got = _gs_check(d)
+    assert list(got["suppkey"]) == [1, 2, 3]
+    assert list(got["brand"]) == ["BA", "BB", "BC"]
+    assert list(got["s_rank"]) == [1, 2, 3]   # s3 lands its worst choice
+    assert list(got["b_rank"]) == [1, 1, 3]
+
+    monkeypatch.setattr(relational, "BROADCAST_DIM_MAX_ROWS", 0)
+    got_fb = _gs_check(d)
+    assert got_fb.equals(got)
+
+
 def test_qty_return_twosample_ties_and_sentinel(ray_session, tmp_path):
     """Pin the tie handling (u2 = 2U keeps half-ranks integral: each
     cross-group tie contributes 1), the KS max over the step CDFs, and
