@@ -326,6 +326,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lcsubstr_top2": text_analysis.lcsubstr_top2,
         "ffd_bin_count": relational.ffd_bin_count,
         "stable_match_brands": relational.stable_match_brands,
+        "brand_cheapest_path": relational.brand_cheapest_path,
     }
 
 

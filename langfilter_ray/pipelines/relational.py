@@ -8779,6 +8779,116 @@ ORACLES["brand_widest_path"] = (
 )
 
 
+# ---- brand_cheapest_path: (min,+) shortest path — the semiring trio --------
+
+def brand_cheapest_path(sf_dir: str) -> "pa.Table":
+    """CHEAPEST PATH from the co-purchase hub to every brand under the
+    integer edge cost ``S // w + 1`` (S = total pair weight; heavily
+    co-purchased pairs are cheap to traverse) — the (min,+) SEMIRING,
+    completing the path-algebra trio the brand graph now carries:
+    copurchase_hub_distances folds (min, +1) hop counts, brand_widest_
+    path folds (max, min) bottlenecks, and this folds true weighted
+    shortest-path costs; one relaxation skeleton, three algebras, which
+    is exactly the generalized-semiring framing of distributed graph
+    analytics.  The hub is the max-total-weight brand (ties → lex
+    smaller), its own cost 0; unreachable brands are omitted; the
+    UNREACHED sentinel ``25·(S+1)`` exceeds any real path cost (≤ 24
+    edges × max cost S+1) so relaxation through unreached nodes can
+    never undercut a real path — no reachability guard needed, the
+    arithmetic is self-protecting on both engines.
+
+    Scale shape: pair weights from ``_brand_pair_census`` (broadcast
+    dim probe + one partition-fold exchange); the relaxation is
+    O(25·300) on the driver.  The DuckDB mirror replays the identical
+    relaxation as a recursive CTE carrying the cost list to fixpoint.
+
+    Reference anchor: J2's owner/prefix routing (SURVEY.md §2.5) asked
+    as the routing-cost question."""
+    empty = pa.table(
+        {"brand": pa.array([], pa.string()),
+         "cost": pa.array([], pa.int64())}
+    )
+    brands, w = _brand_pair_census(sf_dir)
+    if w is None:
+        return empty
+    S = int(w.sum())
+    edges = [
+        (int(k) // 64, int(k) % 64, S // int(ww) + 1)
+        for k, ww in w.items()
+    ]
+    tw: dict[int, int] = {}
+    for k, ww in w.items():
+        a, b = int(k) // 64, int(k) % 64
+        tw[a] = tw.get(a, 0) + int(ww)
+        tw[b] = tw.get(b, 0) + int(ww)
+    hub = min(tw, key=lambda n: (-tw[n], str(brands[n])))
+    INF = 25 * (S + 1)
+    dist = {n: INF for n in tw}
+    dist[hub] = 0
+    while True:                         # bounded: <= |brands| rounds
+        changed = False
+        for a, b, c in edges:
+            na = min(dist[a], dist[b] + c)
+            nb = min(dist[b], dist[a] + c)
+            if na < dist[a]:
+                dist[a] = na
+                changed = True
+            if nb < dist[b]:
+                dist[b] = nb
+                changed = True
+        if not changed:
+            break
+    rows = sorted(
+        (str(brands[n]), v) for n, v in dist.items()
+        if n != hub and v < INF
+    )
+    return pa.table(
+        {"brand": pa.array([r[0] for r in rows], pa.string()),
+         "cost": pa.array([r[1] for r in rows], pa.int64())}
+    )
+
+
+ORACLES["brand_cheapest_path"] = (
+    "WITH RECURSIVE ob AS (SELECT DISTINCT l.l_orderkey AS o, "
+    "p.p_brand AS b FROM lineitem l "
+    "JOIN part p ON l.l_partkey = p.p_partkey), "
+    "pw AS (SELECT a.b AS b1, b.b AS b2, count(*)::BIGINT AS w "
+    "FROM ob a JOIN ob b ON a.o = b.o AND a.b < b.b GROUP BY 1, 2), "
+    "deg AS (SELECT x AS b, sum(w)::BIGINT AS tw FROM "
+    "(SELECT b1 AS x, w FROM pw UNION ALL SELECT b2, w FROM pw) "
+    "GROUP BY 1), "
+    "hub AS (SELECT b FROM deg ORDER BY tw DESC, b LIMIT 1), "
+    "ns AS (SELECT list_sort(list(b)) AS nodes FROM deg), "
+    "tot AS (SELECT sum(w)::BIGINT AS s, "
+    "25 * (sum(w)::BIGINT + 1) AS inf FROM pw), "
+    "es AS (SELECT list(struct_pack("
+    "ia := list_position(ns.nodes, b1), "
+    "ib := list_position(ns.nodes, b2), "
+    "c := tot.s // w + 1)) AS edges "
+    "FROM pw, ns, tot GROUP BY ns.nodes), "
+    "seed AS (SELECT list_transform(range(1, len(ns.nodes) + 1), "
+    "i -> CASE WHEN ns.nodes[i] = hub.b THEN 0::BIGINT "
+    "ELSE tot.inf END) AS d, "
+    "ns.nodes AS nodes, es.edges AS edges, tot.inf AS inf "
+    "FROM ns, hub, tot, es), "
+    "r(d, prev, nodes, edges, inf) AS ("
+    "SELECT d, CAST(NULL AS BIGINT[]), nodes, edges, inf FROM seed "
+    "UNION ALL "
+    "SELECT list_transform(range(1, len(r.nodes) + 1), i -> "
+    "LEAST(r.d[i], coalesce(list_min(list_transform("
+    "list_filter(r.edges, e -> e.ia = i OR e.ib = i), "
+    "e -> (CASE WHEN e.ia = i THEN r.d[e.ib] "
+    "ELSE r.d[e.ia] END) + e.c)), r.inf))), "
+    "r.d, r.nodes, r.edges, r.inf "
+    "FROM r WHERE r.d IS DISTINCT FROM r.prev), "
+    "fix AS (SELECT d, nodes, inf FROM r WHERE d = prev LIMIT 1) "
+    "SELECT nodes[i] AS brand, d[i]::BIGINT AS cost "
+    "FROM fix, (SELECT unnest(range(1, len(nodes) + 1)) AS i FROM fix) "
+    "WHERE nodes[i] <> (SELECT b FROM hub) AND d[i] < inf "
+    "ORDER BY brand"
+)
+
+
 # ---- part_knapsack_best: 0/1 knapsack DP (budgeted selection) ----------------
 
 KNAPSACK_CAPACITY = 100

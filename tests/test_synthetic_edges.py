@@ -2909,6 +2909,62 @@ def test_brand_widest_path_multi_hop_bottleneck(ray_session, tmp_path):
     assert list(got["bottleneck"]) == [10, 8, 6]
 
 
+def test_brand_cheapest_path_multi_hop_beats_direct(ray_session, tmp_path):
+    """Pin the (min,+) relaxation under cost = S//w + 1 (S = 28):
+    edges B1-B2 w=10 (c=3), B2-B3 w=8 (c=4), B1-B3 w=3 (c=10),
+    B3-B4 w=6 (c=5), B2-B4 w=1 (c=29) -> hub is B2 (total 19); B4's
+    DIRECT hub edge costs 29 but the two-hop B2->B3->B4 = 9 wins;
+    B3's direct 4 beats its 13-cost detour; isolated B5 omitted."""
+    from langfilter_ray.pipelines import relational
+
+    d = tmp_path / "main"
+    d.mkdir()
+    edges = [((1, 2), 10), ((2, 3), 8), ((1, 3), 3), ((3, 4), 6),
+             ((2, 4), 1)]
+    li_o, li_p = [], []
+    okey = 0
+    for (x, y), w in edges:
+        for _ in range(w):
+            okey += 1
+            li_o += [okey, okey]
+            li_p += [x, y]
+    n = len(li_o)
+    pq.write_table(pa.table(
+        {"l_orderkey": pa.array(li_o, pa.int64()),
+         "l_partkey": pa.array(li_p, pa.int64()),
+         "l_suppkey": pa.array([1] * n, pa.int64()),
+         "l_linenumber": pa.array([1] * n, pa.int32()),
+         "l_quantity": pa.array([1.0] * n, pa.float64()),
+         "l_extendedprice": pa.array([1.0] * n, pa.float64()),
+         "l_discount": pa.array([0.0] * n, pa.float64()),
+         "l_tax": pa.array([0.0] * n, pa.float64()),
+         "l_returnflag": pa.array(["N"] * n, pa.string()),
+         "l_linestatus": pa.array(["O"] * n, pa.string()),
+         "l_shipdate": pa.array(
+             [np.datetime64("2024-03-02T00:00:00", "us")] * n,
+             pa.timestamp("us"))}
+    ), d / "lineitem.parquet")
+    pq.write_table(pa.table(
+        {"p_partkey": pa.array([1, 2, 3, 4, 5], pa.int64()),
+         "p_name": pa.array(list("abcde"), pa.string()),
+         "p_brand": pa.array([f"B{i}" for i in range(1, 6)], pa.string()),
+         "p_type": pa.array(["t"] * 5, pa.string()),
+         "p_size": pa.array([1] * 5, pa.int32()),
+         "p_retailprice": pa.array([1.0] * 5, pa.float64())}
+    ), d / "part.parquet")
+    got = _to_pandas(relational.brand_cheapest_path(str(d)))
+    c = duckdb.connect()
+    for t in ("lineitem", "part"):
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')"
+        )
+    want = c.execute(relational.ORACLES["brand_cheapest_path"]).df()
+    problems = compare_frames(_canon(got), _canon(want))
+    assert not problems, (problems, first_diff(_canon(got), _canon(want)))
+    assert list(got["brand"]) == ["B1", "B3", "B4"]
+    assert list(got["cost"]) == [3, 4, 9]
+
+
 def test_part_knapsack_best_beats_greedy(ray_session, tmp_path):
     """Pin the DP: items (price cents, size) = (1000, 60), (900, 50),
     (800, 50), (50, 1) under capacity 100 -> greedy-by-value takes the
