@@ -327,6 +327,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ffd_bin_count": relational.ffd_bin_count,
         "stable_match_brands": relational.stable_match_brands,
         "brand_cheapest_path": relational.brand_cheapest_path,
+        "token_trie_nodes": text_analysis.token_trie_nodes,
     }
 
 

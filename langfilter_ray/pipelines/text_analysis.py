@@ -4815,6 +4815,99 @@ ORACLES["doc_period_cap"] = (
 )
 
 
+# ---- token_trie_nodes: prefix-tree (trie) structure census ------------------
+
+TRIE_PREFIX_CAP = 12
+
+
+def token_trie_nodes(sf_dir: str) -> "pa.Table":
+    """TRIE node census over the corpus vocabulary: the number of
+    distinct PREFIXES of the (length-capped) distinct tokens equals the
+    node count of the uncompressed prefix tree — the PREFIX-STRUCTURE
+    family ("how much does the vocabulary share spelling?") that token
+    counts, n-grams and the suffix structures (which index INFIXES of
+    one string, not prefixes of a set) don't measure.
+    ``path_compression = n_nodes / total_token_chars`` is the fraction
+    of character slots a trie actually allocates — low means heavy
+    prefix sharing (a radix tree would compress well).
+
+    Scale shape: per-batch DISTINCT capped tokens via Arrow kernels
+    (split + flatten + unique — the `_token_partial_counts` combiner
+    with dedup instead of counts), gather bounded by VOCABULARY ×
+    blocks; the driver unions the vocab and expands prefixes with 12
+    vectorized slice passes (vocab × CAP short strings).  The DuckDB
+    mirror expands the same prefixes via generate_series and counts
+    DISTINCT.
+
+    Reference anchor: M2's tokenizer (SURVEY.md §2.3) asked as the
+    dictionary-layout question an autocomplete index or a
+    shared-prefix compressor would ask."""
+
+    def distinct_tokens(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(t["text"]), pattern="[^a-z0-9_]+"
+        )
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        capped = pc.utf8_slice_codeunits(flat, 0, TRIE_PREFIX_CAP)
+        u = pc.unique(
+            capped.combine_chunks() if isinstance(capped, pa.ChunkedArray)
+            else capped
+        )
+        return pa.table({"w": u})
+
+    parts = (
+        _docs_cols(sf_dir, ["text"])
+        .map_batches(distinct_tokens, batch_format="pyarrow")
+        .to_pandas()    # bounded: vocabulary x blocks
+    )
+    empty = pa.table(
+        {"n_tokens": pa.array([], pa.int64()),
+         "n_nodes": pa.array([], pa.int64()),
+         "total_token_chars": pa.array([], pa.int64()),
+         "path_compression": pa.array([], pa.float64())}
+    )
+    if parts.empty:
+        return empty
+    vocab = np.unique(parts["w"].to_numpy())
+    if len(vocab) == 0:
+        return empty
+    lens = np.char.str_len(vocab.astype(str))
+    total_chars = int(lens.sum())
+    prefixes: set[str] = set()
+    for k in range(1, TRIE_PREFIX_CAP + 1):     # 12 vectorized passes
+        sel = vocab[lens >= k].astype(str)
+        if len(sel) == 0:
+            break
+        prefixes.update({w[:k] for w in sel.tolist()})
+    return pa.table(
+        {"n_tokens": pa.array([len(vocab)], pa.int64()),
+         "n_nodes": pa.array([len(prefixes)], pa.int64()),
+         "total_token_chars": pa.array([total_chars], pa.int64()),
+         "path_compression": pa.array(
+             [float(len(prefixes)) / float(total_chars)], pa.float64())}
+    )
+
+
+ORACLES["token_trie_nodes"] = (
+    "WITH tok AS (SELECT "
+    f"unnest(regexp_extract_all(lower(text), '{LOWER_TOKEN_RE}')) AS w "
+    "FROM documents), "
+    f"utok AS (SELECT DISTINCT substr(w, 1, {TRIE_PREFIX_CAP}) AS w "
+    "FROM tok WHERE w <> ''), "
+    "pref AS (SELECT DISTINCT substr(w, 1, k.k) AS p FROM utok, "
+    f"generate_series(1, {TRIE_PREFIX_CAP}) k(k) "
+    "WHERE k.k <= length(w)) "
+    "SELECT (SELECT count(*) FROM utok)::BIGINT AS n_tokens, "
+    "(SELECT count(*) FROM pref)::BIGINT AS n_nodes, "
+    "(SELECT sum(length(w)) FROM utok)::BIGINT AS total_token_chars, "
+    "CAST((SELECT count(*) FROM pref) AS DOUBLE) / "
+    "CAST((SELECT sum(length(w)) FROM utok) AS DOUBLE) "
+    "AS path_compression "
+    "WHERE (SELECT count(*) FROM utok) > 0"
+)
+
+
 # ---- lcsubstr_top2: longest common substring (local exact alignment) -------
 
 def _argmax2_doc_heads(sf_dir: str) -> list[tuple[int, str]]:

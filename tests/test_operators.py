@@ -124,7 +124,7 @@ ORACLE_CHECKED = [
     "embedding_closest_pair", "longest_palindrome_cap", "dow_hour_max_block",
     "brand_mst_weight", "daily_revenue_kendall", "doc_period_cap",
     "max_nonoverlap_shipments", "lcsubstr_top2", "ffd_bin_count",
-    "stable_match_brands", "brand_cheapest_path",
+    "stable_match_brands", "brand_cheapest_path", "token_trie_nodes",
 ]
 
 

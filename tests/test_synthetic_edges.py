@@ -3095,6 +3095,40 @@ def test_doc_period_cap_border_chain(ray_session, tmp_path):
     assert (int(r["period"]), int(r["is_periodic"])) == (4, 0)
 
 
+def test_token_trie_nodes_hand_trie(ray_session, tmp_path):
+    """Pin the trie census: vocabulary {car, cart, dog} (case-folded,
+    duplicates collapse) has 7 distinct prefixes over 10 token chars;
+    a 15-char token is capped to 12, so its prefixes stop there."""
+    from langfilter_ray.pipelines import text_analysis
+
+    d = tmp_path / "main"
+    d.mkdir()
+    got = _check_vs_oracle(
+        text_analysis.token_trie_nodes,
+        text_analysis.ORACLES["token_trie_nodes"],
+        d, "documents",
+        _docs_table([(1, "en", 16, "Car cart dog car")]),
+    )
+    r = got.iloc[0]
+    # prefixes: c ca car cart d do dog
+    assert (int(r["n_tokens"]), int(r["n_nodes"]),
+            int(r["total_token_chars"])) == (3, 7, 10)
+    assert r["path_compression"] == 7.0 / 10.0
+
+    t = tmp_path / "cap"
+    t.mkdir()
+    got_t = _check_vs_oracle(
+        text_analysis.token_trie_nodes,
+        text_analysis.ORACLES["token_trie_nodes"],
+        t, "documents",
+        _docs_table([(1, "en", 19, "aaaaaaaaaaaaaaa aaa")]),
+    )
+    r = got_t.iloc[0]
+    # capped vocab {aaa, a*12}: prefixes a..a*12 -> 12 nodes, 15 chars
+    assert (int(r["n_tokens"]), int(r["n_nodes"]),
+            int(r["total_token_chars"])) == (2, 12, 15)
+
+
 def test_lcsubstr_top2_alignment_and_ties(ray_session, tmp_path):
     """Pin the local-alignment semantics: the shared run 'abcde' wins
     over shorter overlaps; among equal-length maxima the
