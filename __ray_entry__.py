@@ -328,6 +328,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stable_match_brands": relational.stable_match_brands,
         "brand_cheapest_path": relational.brand_cheapest_path,
         "token_trie_nodes": text_analysis.token_trie_nodes,
+        "revenue_rank_cycles": windows.revenue_rank_cycles,
     }
 
 

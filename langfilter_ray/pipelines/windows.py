@@ -4462,6 +4462,128 @@ ORACLES["daily_revenue_kendall"] = (
 )
 
 
+# ---- revenue_rank_cycles: permutation cycle decomposition ------------------
+
+def revenue_rank_cycles(sf_dir: str) -> "pa.Table":
+    """CYCLE DECOMPOSITION of the day-order → revenue-rank permutation:
+    the minimum number of SWAPS that sorts the observed daily revenue
+    series is ``n − #cycles`` (selection-sort distance), a PERMUTATION-
+    GROUP census — a different sortedness algebra from the inversion
+    count (daily_revenue_kendall measures ADJACENT-swap / bubble
+    distance; one far-misplaced element costs n−1 inversions but only
+    one swap).  The permutation maps each day position to the rank of
+    its revenue under (rev ASC, day ASC) — the tie-break makes it a
+    bijection, so the cycle structure is well-defined on both engines.
+    Output: n_days, n_cycles, min_swaps, and the largest cycle length.
+
+    Scale shape: the (day, rev-cents) combiner gather of
+    revenue_changepoint (bounded by DAYS × blocks); the driver builds
+    the inverse permutation with one argsort and walks cycles in O(n).
+    The DuckDB mirror finds the same cycles by MIN-LABEL propagation
+    over the permutation's functional graph as a recursive CTE carrying
+    the label list to fixpoint (the dedup_components identity: each
+    cycle collapses to its smallest position, so #cycles = #distinct
+    labels) — label windows double per round, so ≤ log₂(max cycle)
+    rounds.
+
+    Reference anchor: O1's sort (SURVEY.md §2.7) asked as "how FAR from
+    sorted is the series, in swaps?"."""
+    US_DAY = 86_400_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"day": pa.array([], pa.int64()),
+             "rev": pa.array([], pa.int64())}
+        )
+        if len(t) == 0:
+            return empty
+        day = pc.cast(t["o_orderdate"], pa.int64()).to_numpy() // US_DAY
+        cents = np.floor(
+            t["o_totalprice"].to_numpy() * 100.0 + 0.5
+        ).astype(np.int64)
+        g = (
+            pa.table({"day": pa.array(day), "rev": pa.array(cents)})
+            .group_by("day")
+            .aggregate([("rev", "sum")])
+        )
+        return pa.table({"day": g["day"], "rev": g["rev_sum"]})
+
+    path = f"{sf_dir}/orders.parquet"
+    parts = (
+        ray.data.read_parquet(
+            path,
+            columns=["o_orderdate", "o_totalprice"],
+            schema=_clean_schema(path, ["o_orderdate", "o_totalprice"]),
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()    # bounded: days x blocks, never rows
+    )
+    empty = pa.table(
+        {"n_days": pa.array([], pa.int64()),
+         "n_cycles": pa.array([], pa.int64()),
+         "min_swaps": pa.array([], pa.int64()),
+         "max_cycle": pa.array([], pa.int64())}
+    )
+    if parts.empty:
+        return empty
+    daily = parts.groupby("day", sort=True)["rev"].sum()
+    rev = daily.to_numpy(np.int64)
+    n = len(rev)
+    # perm[i] = sorted position of element i under (rev asc, day asc)
+    order = np.lexsort((np.arange(n), rev))
+    perm = np.empty(n, dtype=np.int64)
+    perm[order] = np.arange(n)
+    seen = np.zeros(n, dtype=bool)
+    n_cycles = 0
+    max_cycle = 0
+    for i in range(n):                  # O(n) total: each node visited once
+        if seen[i]:
+            continue
+        n_cycles += 1
+        length = 0
+        j = i
+        while not seen[j]:
+            seen[j] = True
+            length += 1
+            j = int(perm[j])
+        max_cycle = max(max_cycle, length)
+    return pa.table(
+        {"n_days": pa.array([n], pa.int64()),
+         "n_cycles": pa.array([n_cycles], pa.int64()),
+         "min_swaps": pa.array([n - n_cycles], pa.int64()),
+         "max_cycle": pa.array([max_cycle], pa.int64())}
+    )
+
+
+ORACLES["revenue_rank_cycles"] = (
+    "WITH RECURSIVE daily AS (SELECT "
+    "epoch_us(o_orderdate) // 86400000000 AS day, "
+    "sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))::BIGINT AS rev "
+    "FROM orders GROUP BY 1), "
+    "idx AS (SELECT row_number() OVER (ORDER BY day) AS i, "
+    "row_number() OVER (ORDER BY rev, day) AS p FROM daily), "
+    "pm AS (SELECT list(p ORDER BY i) AS perm FROM idx "
+    "WHERE (SELECT count(*) FROM idx) > 0), "
+    "r(labels, prev, perm) AS ("
+    "SELECT list_transform(range(1, len(perm) + 1), i -> i), "
+    "CAST(NULL AS BIGINT[]), perm FROM pm "
+    "UNION ALL "
+    "SELECT list_transform(range(1, len(r.perm) + 1), "
+    "i -> LEAST(r.labels[i], r.labels[r.perm[i]])), "
+    "r.labels, r.perm FROM r "
+    "WHERE r.labels IS DISTINCT FROM r.prev), "
+    "fix AS (SELECT labels FROM r WHERE labels = prev LIMIT 1), "
+    "cyc AS (SELECT unnest(labels) AS lab FROM fix), "
+    "cs AS (SELECT lab, count(*)::BIGINT AS sz FROM cyc GROUP BY 1) "
+    "SELECT (SELECT count(*) FROM cyc)::BIGINT AS n_days, "
+    "(SELECT count(*) FROM cs)::BIGINT AS n_cycles, "
+    "((SELECT count(*) FROM cyc) - (SELECT count(*) FROM cs))::BIGINT "
+    "AS min_swaps, "
+    "(SELECT max(sz) FROM cs)::BIGINT AS max_cycle "
+    "WHERE (SELECT count(*) FROM cyc) > 0"
+)
+
+
 # ---- max_nonoverlap_shipments: interval-scheduling greedy ------------------
 
 def max_nonoverlap_shipments(sf_dir: str) -> "pa.Table":

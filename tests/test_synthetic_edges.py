@@ -2199,6 +2199,51 @@ def test_daily_revenue_kendall_hand_counts(ray_session, tmp_path):
     ]
 
 
+def test_revenue_rank_cycles_permutation(ray_session, tmp_path):
+    """Pin the cycle algebra: series [30,10,20] is ONE 3-cycle (2 swaps
+    sort it) though it has 2 inversions — swaps ≠ inversions; an
+    equal-revenue pair is ALREADY sorted under the (rev, day) tie-break
+    (identity permutation, 0 swaps); a single day is its own cycle."""
+    from langfilter_ray.pipelines import windows
+
+    d = tmp_path / "main"
+    d.mkdir()
+    _write_orders_dates(d, [
+        ("2024-01-01", 30.0), ("2024-01-02", 10.0), ("2024-01-03", 20.0),
+    ])
+    got = _check_vs_oracle(
+        windows.revenue_rank_cycles,
+        windows.ORACLES["revenue_rank_cycles"],
+        d, "orders", pq.read_table(d / "orders.parquet"),
+    )
+    r = got.iloc[0]
+    assert (int(r["n_days"]), int(r["n_cycles"]),
+            int(r["min_swaps"]), int(r["max_cycle"])) == (3, 1, 2, 3)
+
+    t = tmp_path / "ties"
+    t.mkdir()
+    _write_orders_dates(t, [("2024-02-01", 10.0), ("2024-02-02", 10.0)])
+    got_t = _check_vs_oracle(
+        windows.revenue_rank_cycles,
+        windows.ORACLES["revenue_rank_cycles"],
+        t, "orders", pq.read_table(t / "orders.parquet"),
+    )
+    r = got_t.iloc[0]
+    assert (int(r["n_cycles"]), int(r["min_swaps"])) == (2, 0)
+
+    s = tmp_path / "single"
+    s.mkdir()
+    _write_orders_dates(s, [("2024-03-01", 7.0)])
+    got_s = _check_vs_oracle(
+        windows.revenue_rank_cycles,
+        windows.ORACLES["revenue_rank_cycles"],
+        s, "orders", pq.read_table(s / "orders.parquet"),
+    )
+    r = got_s.iloc[0]
+    assert (int(r["n_days"]), int(r["n_cycles"]),
+            int(r["min_swaps"]), int(r["max_cycle"])) == (1, 1, 0, 1)
+
+
 def test_user_activity_f2_exact_and_sketch(ray_session, tmp_path):
     """Pin the exact second moment on a hand-computed skew (F2 counts
     the self-join size: 3 users with counts 3/2/1 -> 14) and the md5
