@@ -329,6 +329,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "brand_cheapest_path": relational.brand_cheapest_path,
         "token_trie_nodes": text_analysis.token_trie_nodes,
         "revenue_rank_cycles": windows.revenue_rank_cycles,
+        "bwt_runs_cap": text_analysis.bwt_runs_cap,
     }
 
 

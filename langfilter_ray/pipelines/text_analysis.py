@@ -4908,6 +4908,86 @@ ORACLES["token_trie_nodes"] = (
 )
 
 
+# ---- bwt_runs_cap: Burrows-Wheeler run census (rotation sort) --------------
+
+def bwt_runs_cap(sf_dir: str) -> "pa.Table":
+    """Burrows-Wheeler transform RUN census of the longest document's
+    capped head — the ROTATION-SORT / suffix-array family applied as a
+    compressibility probe: BWT clusters equal characters that share a
+    right-context, so ``runs_bwt ≪ runs_orig`` exactly when the text is
+    repetitive, the signal run-length coders and repetitiveness
+    detectors (dup_token_stats' char-level sibling) act on.  This uses
+    the SENTINEL-FREE cyclic BWT (last column of the sorted rotation
+    matrix): equal rotations of a periodic string are identical
+    strings, so their relative order cannot change the output — the
+    transform is deterministic on both engines without a sentinel
+    character the SQL mirror couldn't spell.
+    ``run_gain = runs_orig / runs_bwt`` is the one float division.
+
+    Scale shape: shares the distributed argmax gather
+    (``_argmax_doc_head``: blocks × 1 pre-capped short row); the O(L²
+    log L) rotation sort runs on the driver over the CAPPED string.
+    The DuckDB mirror builds the same rotation matrix via substr
+    concatenation and ORDER BY — the honest quadratic replay.
+
+    Reference anchor: M1's probe slicing (SURVEY.md §2.3), fourth
+    member of the capped-string structure suite (suffix automaton,
+    Manacher, KMP, BWT)."""
+    empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()),
+         "cap_len": pa.array([], pa.int64()),
+         "runs_orig": pa.array([], pa.int64()),
+         "runs_bwt": pa.array([], pa.int64()),
+         "run_gain": pa.array([], pa.float64())}
+    )
+    hit = _argmax_doc_head(sf_dir)
+    if hit is None:
+        return empty
+    doc_id, s = hit
+    L = len(s)
+    if L == 0:
+        return empty
+    rot = sorted(s[i:] + s[:i] for i in range(L))
+    bwt = "".join(r[-1] for r in rot)
+
+    def runs(x: str) -> int:
+        return 1 + sum(1 for i in range(1, len(x)) if x[i] != x[i - 1])
+
+    ro, rb = runs(s), runs(bwt)
+    return pa.table(
+        {"doc_id": pa.array([doc_id], pa.int64()),
+         "cap_len": pa.array([L], pa.int64()),
+         "runs_orig": pa.array([ro], pa.int64()),
+         "runs_bwt": pa.array([rb], pa.int64()),
+         "run_gain": pa.array([float(ro) / float(rb)], pa.float64())}
+    )
+
+
+ORACLES["bwt_runs_cap"] = (
+    f"WITH d AS (SELECT doc_id, substr(text, 1, {SUBSTR_CAP}) AS s "
+    "FROM documents ORDER BY n_chars DESC, doc_id LIMIT 1), "
+    "rot AS (SELECT substr(d.s, i.i, length(d.s) - i.i + 1) || "
+    "substr(d.s, 1, i.i - 1) AS r "
+    f"FROM d, generate_series(1, {SUBSTR_CAP}) i(i) "
+    "WHERE i.i <= length(d.s)), "
+    "bwt AS (SELECT substr(r, length(r), 1) AS ch, "
+    "row_number() OVER (ORDER BY r) AS k FROM rot), "
+    "tb AS (SELECT sum(CASE WHEN ch <> pch THEN 1 ELSE 0 END)::BIGINT "
+    "+ 1 AS runs_bwt FROM (SELECT ch, lag(ch) OVER (ORDER BY k) AS pch "
+    "FROM bwt)), "
+    "oc AS (SELECT substr(d.s, i.i, 1) AS ch, i.i AS k "
+    f"FROM d, generate_series(1, {SUBSTR_CAP}) i(i) "
+    "WHERE i.i <= length(d.s)), "
+    "t0 AS (SELECT sum(CASE WHEN ch <> pch THEN 1 ELSE 0 END)::BIGINT "
+    "+ 1 AS runs_orig FROM (SELECT ch, lag(ch) OVER (ORDER BY k) AS pch "
+    "FROM oc)) "
+    "SELECT d.doc_id, length(d.s)::BIGINT AS cap_len, "
+    "t0.runs_orig, tb.runs_bwt, "
+    "CAST(t0.runs_orig AS DOUBLE) / CAST(tb.runs_bwt AS DOUBLE) "
+    "AS run_gain FROM d, t0, tb WHERE length(d.s) > 0"
+)
+
+
 # ---- lcsubstr_top2: longest common substring (local exact alignment) -------
 
 def _argmax2_doc_heads(sf_dir: str) -> list[tuple[int, str]]:

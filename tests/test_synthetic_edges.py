@@ -3174,6 +3174,45 @@ def test_token_trie_nodes_hand_trie(ray_session, tmp_path):
             int(r["total_token_chars"])) == (2, 12, 15)
 
 
+def test_bwt_runs_cap_banana_and_periodic(ray_session, tmp_path):
+    """Pin the sentinel-free cyclic BWT: 'banana' -> sorted rotations'
+    last column 'nnbaaa' (3 runs vs 6 in the original, gain 2.0); the
+    fully periodic 'abab' has EQUAL rotations whose order can't matter
+    (bwt 'bbaa', 2 runs vs 4); a single char is 1 run both ways."""
+    from langfilter_ray.pipelines import text_analysis
+
+    d = tmp_path / "banana"
+    d.mkdir()
+    got = _check_vs_oracle(
+        text_analysis.bwt_runs_cap,
+        text_analysis.ORACLES["bwt_runs_cap"],
+        d, "documents", _docs_table([(1, "en", 6, "banana")]),
+    )
+    r = got.iloc[0]
+    assert (int(r["runs_orig"]), int(r["runs_bwt"])) == (6, 3)
+    assert r["run_gain"] == 2.0
+
+    p = tmp_path / "periodic"
+    p.mkdir()
+    got_p = _check_vs_oracle(
+        text_analysis.bwt_runs_cap,
+        text_analysis.ORACLES["bwt_runs_cap"],
+        p, "documents", _docs_table([(1, "en", 4, "abab")]),
+    )
+    r = got_p.iloc[0]
+    assert (int(r["runs_orig"]), int(r["runs_bwt"])) == (4, 2)
+
+    s = tmp_path / "single"
+    s.mkdir()
+    got_s = _check_vs_oracle(
+        text_analysis.bwt_runs_cap,
+        text_analysis.ORACLES["bwt_runs_cap"],
+        s, "documents", _docs_table([(1, "en", 1, "x")]),
+    )
+    r = got_s.iloc[0]
+    assert (int(r["runs_orig"]), int(r["runs_bwt"])) == (1, 1)
+
+
 def test_lcsubstr_top2_alignment_and_ties(ray_session, tmp_path):
     """Pin the local-alignment semantics: the shared run 'abcde' wins
     over shorter overlaps; among equal-length maxima the
