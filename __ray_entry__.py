@@ -330,6 +330,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_trie_nodes": text_analysis.token_trie_nodes,
         "revenue_rank_cycles": windows.revenue_rank_cycles,
         "bwt_runs_cap": text_analysis.bwt_runs_cap,
+        "weighted_shipment_schedule": windows.weighted_shipment_schedule,
     }
 
 

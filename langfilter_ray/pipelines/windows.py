@@ -4688,6 +4688,142 @@ ORACLES["max_nonoverlap_shipments"] = (
 )
 
 
+# ---- weighted_shipment_schedule: weighted interval scheduling DP -----------
+
+def weighted_shipment_schedule(sf_dir: str) -> "pa.Table":
+    """WEIGHTED interval scheduling over weekly shipment reservations:
+    each lineitem reserves weeks ``[ship_week, ship_week + 1 + qty//7]``
+    with weight = revenue cents, and the engine finds the maximum TOTAL
+    REVENUE of a non-overlapping set (next start strictly after last
+    end) — the DP upgrade of max_nonoverlap_shipments' greedy: with
+    weights the exchange argument fails (a single heavy interval can
+    beat three light ones), so the answer needs the classic recurrence
+    ``W[e] = max(W[e−1], max over intervals ending at e of
+    (w + W[s−1]))`` — a sequential fold over the TIME SPAN, not a
+    groupby.  The weekly grain is the weekly_revenue_lis lesson: the
+    SQL replay pays per recursion step, and weeks bound the depth at
+    ~360 instead of ~2500.
+
+    The scale insight: two intervals with the SAME (start, end) weeks
+    overlap each other, so any chain picks at most one — the per-(s,e)
+    MAXIMUM weight is a sufficient statistic, bounding the exchange by
+    span × 9 cells (duration 1..8 weeks at qty ≤ 50) regardless of row
+    count.  ``keep_ratio = best/total`` is the one float division.
+
+    Scale shape: in-batch pyarrow (s, e) → (max w, count, sum w)
+    partials, span-bounded gather, O(span × cells) DP on the driver.
+    The DuckDB mirror replays the recurrence as a recursive CTE
+    carrying the W list with a correlated max per step.
+
+    Reference anchor: S4's storage writer admission (SURVEY.md §2.1)
+    asked as the revenue-optimal booking question."""
+    US_DAY = 86_400_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"s": pa.array([], pa.int64()),
+             "e": pa.array([], pa.int64()),
+             "w": pa.array([], pa.int64()),
+             "n": pa.array([], pa.int64()),
+             "ws": pa.array([], pa.int64())}
+        )
+        if len(t) == 0:
+            return empty
+        day = pc.cast(t["l_shipdate"], pa.int64()).to_numpy() // US_DAY
+        qty = np.floor(t["l_quantity"].to_numpy() + 0.5).astype(np.int64)
+        cents = np.floor(
+            t["l_extendedprice"].to_numpy() * 100.0 + 0.5
+        ).astype(np.int64)
+        s = day // 7
+        e = s + 1 + qty // 7
+        g = (
+            pa.table({"s": pa.array(s), "e": pa.array(e),
+                      "w": pa.array(cents),
+                      "n": pa.array(np.ones(len(s), np.int64)),
+                      "ws": pa.array(cents)})
+            .group_by(["s", "e"])
+            .aggregate([("w", "max"), ("n", "sum"), ("ws", "sum")])
+        )
+        return pa.table(
+            {"s": g["s"], "e": g["e"], "w": g["w_max"],
+             "n": g["n_sum"], "ws": g["ws_sum"]}
+        )
+
+    path = f"{sf_dir}/lineitem.parquet"
+    parts = (
+        ray.data.read_parquet(
+            path,
+            columns=["l_shipdate", "l_quantity", "l_extendedprice"],
+            schema=_clean_schema(
+                path, ["l_shipdate", "l_quantity", "l_extendedprice"]),
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()    # bounded: span x 9 cells x blocks
+    )
+    empty = pa.table(
+        {"n_intervals": pa.array([], pa.int64()),
+         "total_cents": pa.array([], pa.int64()),
+         "best_cents": pa.array([], pa.int64()),
+         "keep_ratio": pa.array([], pa.float64())}
+    )
+    if parts.empty:
+        return empty
+    g = parts.groupby(["s", "e"], sort=True).agg(
+        w=("w", "max"), n=("n", "sum"), ws=("ws", "sum")
+    ).reset_index()
+    n_total = int(g["n"].sum())
+    total = int(g["ws"].sum())
+    w0 = int(g["s"].min()) - 1
+    wmax = int(g["e"].max())
+    span = wmax - w0
+    W = np.zeros(span + 1, dtype=np.int64)      # W[k] = best through w0+k
+    by_end: dict[int, list[tuple[int, int]]] = {}
+    for s, e, w in zip(g["s"].to_numpy(np.int64),
+                       g["e"].to_numpy(np.int64),
+                       g["w"].to_numpy(np.int64)):
+        by_end.setdefault(int(e), []).append((int(s), int(w)))
+    for k in range(1, span + 1):
+        best = W[k - 1]
+        for s, w in by_end.get(w0 + k, ()):
+            cand = w + W[s - w0 - 1]
+            if cand > best:
+                best = cand
+        W[k] = best
+    best = int(W[span])
+    return pa.table(
+        {"n_intervals": pa.array([n_total], pa.int64()),
+         "total_cents": pa.array([total], pa.int64()),
+         "best_cents": pa.array([best], pa.int64()),
+         "keep_ratio": pa.array(
+             [float(best) / float(total)], pa.float64())}
+    )
+
+
+ORACLES["weighted_shipment_schedule"] = (
+    "WITH RECURSIVE rows_ AS (SELECT "
+    "epoch_us(l_shipdate) // 86400000000 // 7 AS s, "
+    "epoch_us(l_shipdate) // 86400000000 // 7 + 1 "
+    "+ CAST(floor(l_quantity + 0.5) AS BIGINT) // 7 AS e, "
+    "CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS w "
+    "FROM lineitem), "
+    "iv AS (SELECT s, e, max(w)::BIGINT AS w FROM rows_ GROUP BY 1, 2), "
+    "base AS (SELECT min(s) - 1 AS w0, max(e) AS wmax FROM iv), "
+    "r(d, ws) AS ("
+    "SELECT w0, [0::BIGINT] FROM base WHERE w0 IS NOT NULL "
+    "UNION ALL "
+    "SELECT r.d + 1, list_append(r.ws, GREATEST(r.ws[len(r.ws)], "
+    "COALESCE((SELECT max(iv.w + r.ws[iv.s - b.w0]) FROM iv, base b "
+    "WHERE iv.e = r.d + 1), 0))) "
+    "FROM r, base WHERE r.d < base.wmax), "
+    "fin AS (SELECT ws[len(ws)] AS best FROM r ORDER BY d DESC LIMIT 1) "
+    "SELECT (SELECT count(*) FROM rows_)::BIGINT AS n_intervals, "
+    "(SELECT sum(w) FROM rows_)::BIGINT AS total_cents, "
+    "fin.best::BIGINT AS best_cents, "
+    "CAST(fin.best AS DOUBLE) / "
+    "CAST((SELECT sum(w) FROM rows_) AS DOUBLE) AS keep_ratio FROM fin"
+)
+
+
 # ---- weekly_revenue_lis: longest-increasing-subsequence sequence DP --------
 
 def weekly_revenue_lis(sf_dir: str) -> "pa.Table":

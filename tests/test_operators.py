@@ -125,7 +125,7 @@ ORACLE_CHECKED = [
     "brand_mst_weight", "daily_revenue_kendall", "doc_period_cap",
     "max_nonoverlap_shipments", "lcsubstr_top2", "ffd_bin_count",
     "stable_match_brands", "brand_cheapest_path", "token_trie_nodes",
-    "revenue_rank_cycles", "bwt_runs_cap",
+    "revenue_rank_cycles", "bwt_runs_cap", "weighted_shipment_schedule",
 ]
 
 

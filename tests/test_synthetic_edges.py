@@ -1732,6 +1732,60 @@ def test_stable_match_brands_deferred_acceptance(ray_session, tmp_path,
     assert got_fb.equals(got)
 
 
+def test_weighted_shipment_schedule_dp_beats_greedy(ray_session, tmp_path):
+    """Pin the weighted DP: two light 1-week intervals (1000c each)
+    chain greedily, but one heavy 4-week interval (5000c) overlapping
+    both wins — the exchange argument fails under weights.  A duplicate
+    of the heavy span at 3000c collapses into the per-(s,e) max and
+    changes only the total.  Empty lineitem -> typed empty."""
+    from langfilter_ray.pipelines import windows
+
+    d = tmp_path / "main"
+    d.mkdir()
+    rows = [
+        # (shipdate, qty, price): weeks from 2024-01-01 (week w0)
+        ("2024-01-01", 1.0, 10.0),    # L1 [w0, w0+1]   1000c
+        ("2024-01-11", 1.0, 10.0),    # L2 [w0+2, w0+3] 1000c
+        ("2024-01-01", 14.0, 50.0),   # H  [w0, w0+3]   5000c
+        ("2024-01-01", 14.0, 30.0),   # H' same span    3000c -> max-collapsed
+    ]
+    n = len(rows)
+    pq.write_table(pa.table(
+        {"l_orderkey": pa.array(list(range(1, n + 1)), pa.int64()),
+         "l_partkey": pa.array([1] * n, pa.int64()),
+         "l_suppkey": pa.array([1] * n, pa.int64()),
+         "l_linenumber": pa.array([1] * n, pa.int32()),
+         "l_quantity": pa.array([q for _, q, _ in rows], pa.float64()),
+         "l_extendedprice": pa.array([p for _, _, p in rows], pa.float64()),
+         "l_discount": pa.array([0.0] * n, pa.float64()),
+         "l_tax": pa.array([0.0] * n, pa.float64()),
+         "l_returnflag": pa.array(["N"] * n, pa.string()),
+         "l_linestatus": pa.array(["O"] * n, pa.string()),
+         "l_shipdate": pa.array(
+             [np.datetime64(f"{dt}T00:00:00", "us") for dt, _, _ in rows],
+             pa.timestamp("us"))}
+    ), d / "lineitem.parquet")
+    got = _check_vs_oracle(
+        windows.weighted_shipment_schedule,
+        windows.ORACLES["weighted_shipment_schedule"],
+        d, "lineitem", pq.read_table(d / "lineitem.parquet"),
+    )
+    r = got.iloc[0]
+    assert int(r["n_intervals"]) == 4
+    assert int(r["total_cents"]) == 10000
+    assert int(r["best_cents"]) == 5000    # H alone beats L1+L2 = 2000
+    assert r["keep_ratio"] == 0.5
+
+    e = tmp_path / "empty"
+    e.mkdir()
+    _write_lineitem_ship(e, [])
+    got_e = _to_pandas(windows.weighted_shipment_schedule(str(e)))
+    assert len(got_e) == 0
+    assert list(got_e.columns) == [
+        "n_intervals", "total_cents", "best_cents", "keep_ratio"
+    ]
+
+
 def test_qty_return_twosample_ties_and_sentinel(ray_session, tmp_path):
     """Pin the tie handling (u2 = 2U keeps half-ranks integral: each
     cross-group tie contributes 1), the KS max over the step CDFs, and
