@@ -331,6 +331,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_rank_cycles": windows.revenue_rank_cycles,
         "bwt_runs_cap": text_analysis.bwt_runs_cap,
         "weighted_shipment_schedule": windows.weighted_shipment_schedule,
+        "order_backlog_lindley": relational.order_backlog_lindley,
     }
 
 

@@ -9084,3 +9084,109 @@ ORACLES["brand_mst_weight"] = (
     "f.acc::BIGINT AS n_edges, f.total::BIGINT AS forest_weight "
     "FROM fin f"
 )
+
+
+# ---- order_backlog_lindley: queueing backlog via the Lindley identity ------
+
+def order_backlog_lindley(sf_dir: str) -> "pa.Table":
+    """Daily fulfilment BACKLOG under a fixed processing capacity — the
+    single-server queue every ingest service runs: ``B_d = max(0,
+    B_{d-1} + arrivals_d - capacity)`` (Lindley's recursion), with
+    capacity fixed at the ceiling of the mean daily order count so the
+    queue is critically loaded and the excursions are informative.
+    The queueing family none of the scan statistics cover: the clamp at
+    zero makes the fold non-linear, but it is MAX-PLUS linear, so the
+    recursion collapses to the prefix-sum identity ``B_d = P_d -
+    min(0, min_{j<=d} P_j)`` with ``P`` the running sum of
+    (arrivals - capacity) — two associative scans, no sequential state.
+
+    Outputs one row of exact integers: day-span, capacity, the peak
+    backlog and its first day, the number of backlogged days, and the
+    total delay (sum of daily backlogs = order-days spent queueing).
+
+    Scale shape: in-batch pyarrow per-day count partials (bounded by
+    day span x blocks), one bounded gather, two numpy scans on the
+    DAY-SPAN axis (a few thousand entries regardless of row count).
+    The DuckDB mirror zero-fills the same grid with a lateral
+    generate_series and replays the identity with window cumsum +
+    running min — exact integer parity, no recursion.
+
+    Reference anchor: S4's storage-writer admission queue (SURVEY.md
+    §2.1) asked as the capacity-planning question."""
+    US_DAY = 86_400_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"d": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+        )
+        if len(t) == 0:
+            return empty
+        day = pc.cast(t["o_orderdate"], pa.int64()).to_numpy() // US_DAY
+        g = (
+            pa.table({"d": pa.array(day),
+                      "n": pa.array(np.ones(len(day), np.int64))})
+            .group_by("d")
+            .aggregate([("n", "sum")])
+        )
+        return pa.table({"d": g["d"], "n": g["n_sum"]})
+
+    parts = (
+        _read(sf_dir, "orders", ["o_orderdate"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()    # bounded: day span x blocks
+    )
+    empty = pa.table(
+        {"n_days": pa.array([], pa.int64()),
+         "capacity": pa.array([], pa.int64()),
+         "max_backlog": pa.array([], pa.int64()),
+         "peak_day": pa.array([], pa.int64()),
+         "busy_days": pa.array([], pa.int64()),
+         "total_delay": pa.array([], pa.int64())}
+    )
+    if parts.empty:
+        return empty
+    agg = parts.groupby("d", sort=True)["n"].sum()
+    d0 = int(agg.index.min())
+    d1 = int(agg.index.max())
+    ndays = d1 - d0 + 1
+    c = np.zeros(ndays, np.int64)
+    c[agg.index.to_numpy(np.int64) - d0] = agg.to_numpy(np.int64)
+    total = int(c.sum())
+    cap = max(1, (total + ndays - 1) // ndays)
+    p = np.cumsum(c - cap)
+    b = p - np.minimum(np.minimum.accumulate(p), 0)
+    mb = int(b.max())
+    return pa.table(
+        {"n_days": pa.array([ndays], pa.int64()),
+         "capacity": pa.array([cap], pa.int64()),
+         "max_backlog": pa.array([mb], pa.int64()),
+         "peak_day": pa.array([d0 + int(np.argmax(b))], pa.int64()),
+         "busy_days": pa.array([int((b > 0).sum())], pa.int64()),
+         "total_delay": pa.array([int(b.sum())], pa.int64())}
+    )
+
+
+ORACLES["order_backlog_lindley"] = (
+    "WITH b AS (SELECT min(epoch_us(o_orderdate) // 86400000000) AS d0, "
+    "max(epoch_us(o_orderdate) // 86400000000) AS d1, "
+    "count(*) AS n FROM orders), "
+    "cap AS (SELECT d0, d1, d1 - d0 + 1 AS nd, "
+    "GREATEST(1, (n + d1 - d0) // (d1 - d0 + 1)) AS c FROM b), "
+    "cnt AS (SELECT epoch_us(o_orderdate) // 86400000000 AS d, "
+    "count(*) AS k FROM orders GROUP BY 1), "
+    "grid AS (SELECT unnest(generate_series(cap.d0, cap.d1)) AS day "
+    "FROM cap), "
+    "x AS (SELECT grid.day, COALESCE(cnt.k, 0) - (SELECT c FROM cap) AS dx "
+    "FROM grid LEFT JOIN cnt ON cnt.d = grid.day), "
+    "p AS (SELECT day, sum(dx) OVER (ORDER BY day) AS ps FROM x), "
+    "bl AS (SELECT day, ps - LEAST(0, min(ps) OVER (ORDER BY day)) AS bk "
+    "FROM p), "
+    "fin AS (SELECT max(bk) AS mb FROM bl) "
+    "SELECT (SELECT nd FROM cap)::BIGINT AS n_days, "
+    "(SELECT c FROM cap)::BIGINT AS capacity, "
+    "fin.mb::BIGINT AS max_backlog, "
+    "(SELECT min(day) FROM bl WHERE bk = fin.mb)::BIGINT AS peak_day, "
+    "(SELECT count(*) FROM bl WHERE bk > 0)::BIGINT AS busy_days, "
+    "(SELECT COALESCE(sum(bk), 0) FROM bl)::BIGINT AS total_delay "
+    "FROM fin"
+)

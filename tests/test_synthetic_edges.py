@@ -3544,3 +3544,69 @@ def test_brand_mst_weight_cycle_and_two_components(ray_session, tmp_path):
     r = got.iloc[0]
     assert (int(r["n_nodes"]), int(r["n_components"]),
             int(r["n_edges"]), int(r["forest_weight"])) == (5, 2, 3, 27)
+
+
+def test_order_backlog_lindley_identity(ray_session, tmp_path):
+    """Hand-simulated Lindley queue: counts [5,0,1,0,1] over a 5-day
+    span (the span is [min,max] so the tail day carries one order),
+    capacity ceil(7/5)=2 -> backlog [3,1,0,0,0]: the burst drains over
+    two days and the clamp at zero HOLDS through the under-capacity
+    tail (P goes to -3 but B stays 0).  A second corpus pins the
+    FIRST-peak tie-break (B=[1,0,1,0] -> peak on the earliest day),
+    and a typed-empty orders file takes the empty path."""
+    from langfilter_ray.pipelines import relational
+
+    d = tmp_path / "main"
+    d.mkdir()
+    _write_orders_dates(
+        d,
+        [("2024-01-01", 1.0)] * 5 + [("2024-01-03", 1.0)]
+        + [("2024-01-05", 1.0)],
+    )
+    got = _check_vs_oracle(
+        relational.order_backlog_lindley,
+        relational.ORACLES["order_backlog_lindley"],
+        d, "orders", pq.read_table(d / "orders.parquet"),
+    )
+    r = got.iloc[0]
+    d0 = int(np.datetime64("2024-01-01").astype("datetime64[D]").astype(int))
+    assert int(r["n_days"]) == 5
+    assert int(r["capacity"]) == 2
+    assert int(r["max_backlog"]) == 3
+    assert int(r["peak_day"]) == d0
+    assert int(r["busy_days"]) == 2
+    assert int(r["total_delay"]) == 4
+
+    t = tmp_path / "tie"
+    t.mkdir()
+    _write_orders_dates(
+        t,
+        [("2024-01-01", 1.0)] * 3 + [("2024-01-02", 1.0)]
+        + [("2024-01-03", 1.0)] * 3 + [("2024-01-04", 1.0)],
+    )
+    got_t = _check_vs_oracle(
+        relational.order_backlog_lindley,
+        relational.ORACLES["order_backlog_lindley"],
+        t, "orders", pq.read_table(t / "orders.parquet"),
+    )
+    rt = got_t.iloc[0]
+    assert int(rt["max_backlog"]) == 1
+    assert int(rt["peak_day"]) == d0      # first of the two B=1 peaks
+    assert int(rt["busy_days"]) == 2
+
+    e = tmp_path / "empty"
+    e.mkdir()
+    pq.write_table(pa.table(
+        {"o_orderkey": pa.array([], pa.int64()),
+         "o_custkey": pa.array([], pa.int64()),
+         "o_orderstatus": pa.array([], pa.string()),
+         "o_totalprice": pa.array([], pa.float64()),
+         "o_orderdate": pa.array([], pa.timestamp("us")),
+         "o_orderpriority": pa.array([], pa.string())}
+    ), e / "orders.parquet")
+    got_e = _to_pandas(relational.order_backlog_lindley(str(e)))
+    assert len(got_e) == 0
+    assert list(got_e.columns) == [
+        "n_days", "capacity", "max_backlog", "peak_day",
+        "busy_days", "total_delay",
+    ]
