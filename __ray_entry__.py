@@ -332,6 +332,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bwt_runs_cap": text_analysis.bwt_runs_cap,
         "weighted_shipment_schedule": windows.weighted_shipment_schedule,
         "order_backlog_lindley": relational.order_backlog_lindley,
+        "region_banzhaf": relational.region_banzhaf,
     }
 
 

@@ -9190,3 +9190,187 @@ ORACLES["order_backlog_lindley"] = (
     "(SELECT COALESCE(sum(bk), 0) FROM bl)::BIGINT AS total_delay "
     "FROM fin"
 )
+
+
+# ---- region_banzhaf: exact Banzhaf power index over region coalitions -----
+
+def region_banzhaf(sf_dir: str) -> "pa.Table":
+    """Exact BANZHAF POWER INDEX of each region in the weighted voting
+    game where a region's weight is its total order revenue (cents via
+    customer -> nation -> region) and passing needs a strict majority
+    (quota = total//2 + 1): a region's power is NOT its weight share —
+    it is the fraction of coalition swings it provides (#coalitions S
+    of the other regions with sum(S) < quota <= sum(S) + w_i).  The
+    cooperative-game-theory family: weight shares and power indices
+    diverge exactly when one player dominates (a >50% region is a
+    dictator with index 1.0 while non-zero weights read 0), which no
+    share/concentration operator (supplier_concentration, market_share)
+    exposes.
+
+    Exactness: the region axis is BOUNDED (5 by spec, asserted <= 16),
+    so all 2^n coalition sums enumerate exactly in Python bignums —
+    no sampling.  ``banzhaf = swings / total_swings`` is the one float
+    division; a -1.0 sentinel replaces it when no swings exist (total
+    weight 0), mirrored in the SQL.
+
+    Scale shape: the revenue_by_nation exchange — customer broadcast
+    ONCE as sorted numpy via ray.put (hash-join fallback above
+    BROADCAST_DIM_MAX_ROWS), nation->region LUT in the closure, orders
+    stream through map_batches with per-batch regionkey partial sums;
+    the driver folds <= 5 weights and enumerates 32 masks.  The DuckDB
+    mirror enumerates the same masks via unnest(generate_series) with
+    bit tests.
+
+    Reference anchor: A4's gate-path distribution report (SURVEY.md
+    §2.6) asked as the who-actually-decides question."""
+    import pyarrow.parquet as pq
+
+    region = pq.read_table(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    )
+    empty = pa.table(
+        {"r_name": pa.array([], pa.string()),
+         "weight_cents": pa.array([], pa.int64()),
+         "swings": pa.array([], pa.int64()),
+         "banzhaf": pa.array([], pa.float64())}
+    )
+    if len(region) == 0:
+        return empty
+    rkeys = region["r_regionkey"].to_numpy().astype(np.int64)
+    order = np.argsort(rkeys)
+    rkeys = rkeys[order]
+    rnames = np.asarray(region["r_name"].to_pylist(), dtype=object)[order]
+    n = len(rkeys)
+    assert n <= 16, f"region axis no longer bounded ({n} rows)"
+
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"]
+    )
+    nk = nation["n_nationkey"].to_numpy().astype(np.int64)
+    # nationkey -> regionkey LUT (dense keys, spec-bounded); -1 -> None
+    region_lut = np.full(int(nk.max()) + 2 if len(nk) else 1, None, object)
+    if len(nk):
+        region_lut[nk] = [int(v) for v in nation["n_regionkey"].to_numpy()]
+
+    def _to_cents(t: pa.Table) -> np.ndarray:
+        return np.floor(
+            t["o_totalprice"].to_numpy() * 100 + 0.5
+        ).astype(np.int64)
+
+    if _dim_num_rows(sf_dir, "customer") <= BROADCAST_DIM_MAX_ROWS:
+        cust = pq.read_table(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+        )
+        keys = cust["c_custkey"].to_numpy()
+        corder = np.argsort(keys)
+        ref = ray.put(
+            (keys[corder],
+             cust["c_nationkey"].to_numpy()[corder].astype(np.int64))
+        )
+
+        def part(t: pa.Table) -> pa.Table:
+            rk = _probe_lookup(ref, region_lut, t["o_custkey"].to_numpy())
+            valid = np.not_equal(rk, None)
+            g = (
+                pa.table({"rk": pa.array(rk[valid].astype(np.int64)),
+                          "w": pa.array(_to_cents(t)[valid])})
+                .group_by("rk")
+                .aggregate([("w", "sum")])
+            )
+            return pa.table({"rk": g["rk"], "w": g["w_sum"]})
+
+        parts = (
+            _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+            .map_batches(part, batch_format="pyarrow")
+            .to_pandas()    # bounded: regions x blocks
+        )
+    else:
+        orders = _read(
+            sf_dir, "orders", ["o_custkey", "o_totalprice"]
+        ).map_batches(
+            lambda t: pa.table(
+                {"o_custkey": t["o_custkey"],
+                 "w": pa.array(_to_cents(t), pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+        customer = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+        def post(t: pa.Table) -> pa.Table:
+            rk = region_lut[t["c_nationkey"].to_numpy()]
+            valid = np.not_equal(rk, None)
+            g = (
+                pa.table({"rk": pa.array(rk[valid].astype(np.int64)),
+                          "w": t["w"].to_numpy()[valid]})
+                .group_by("rk")
+                .aggregate([("w", "sum")])
+            )
+            return pa.table({"rk": g["rk"], "w": g["w_sum"]})
+
+        parts = (
+            orders.join(
+                customer,
+                join_type="inner",
+                num_partitions=_join_parts(),
+                on=("o_custkey",),
+                right_on=("c_custkey",),
+            )
+            .map_batches(post, batch_format="pyarrow")
+            .to_pandas()    # bounded: regions x blocks
+        )
+
+    w = {int(k): 0 for k in rkeys}
+    if not parts.empty:
+        for k, v in parts.groupby("rk")["w"].sum().items():
+            if int(k) in w:
+                w[int(k)] += int(v)
+    wl = [w[int(k)] for k in rkeys]          # Python bignums
+    total = sum(wl)
+    quota = total // 2 + 1
+    s = [0] * (1 << n)
+    for m in range(1, 1 << n):
+        low = m & -m
+        s[m] = s[m ^ low] + wl[low.bit_length() - 1]
+    swings = []
+    for i in range(n):
+        c = 0
+        for m in range(1 << n):
+            if not (m >> i) & 1 and s[m] < quota <= s[m] + wl[i]:
+                c += 1
+        swings.append(c)
+    ts = sum(swings)
+    bz = [(-1.0 if ts == 0 else float(c) / float(ts)) for c in swings]
+    return pa.table(
+        {"r_name": pa.array(list(rnames), pa.string()),
+         "weight_cents": pa.array(wl, pa.int64()),
+         "swings": pa.array(swings, pa.int64()),
+         "banzhaf": pa.array(bz, pa.float64())}
+    )
+
+
+ORACLES["region_banzhaf"] = (
+    "WITH x AS (SELECT n_regionkey AS g, "
+    "sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))::BIGINT AS w "
+    "FROM orders JOIN customer ON o_custkey = c_custkey "
+    "JOIN nation ON c_nationkey = n_nationkey GROUP BY 1), "
+    "wt AS (SELECT r.r_name, "
+    "(row_number() OVER (ORDER BY r.r_regionkey) - 1) AS bit, "
+    "COALESCE(x.w, 0)::BIGINT AS w "
+    "FROM region r LEFT JOIN x ON x.g = r.r_regionkey), "
+    "tot AS (SELECT sum(w)::BIGINT AS t, count(*)::BIGINT AS n FROM wt), "
+    "q AS (SELECT t // 2 + 1 AS quota FROM tot), "
+    "masks AS (SELECT unnest(generate_series(0, "
+    "(SELECT (1::BIGINT << n) - 1 FROM tot))) AS m), "
+    "ms AS (SELECT masks.m, COALESCE(sum(wt.w), 0)::BIGINT AS s "
+    "FROM masks LEFT JOIN wt ON ((masks.m >> wt.bit) & 1) = 1 "
+    "GROUP BY masks.m), "
+    "sw AS (SELECT wt.r_name, wt.w, "
+    "(SELECT count(*) FROM ms, q "
+    "WHERE ((ms.m >> wt.bit) & 1) = 0 AND ms.s < q.quota "
+    "AND ms.s + wt.w >= q.quota)::BIGINT AS swings FROM wt), "
+    "tsw AS (SELECT sum(swings)::BIGINT AS ts FROM sw) "
+    "SELECT sw.r_name, sw.w AS weight_cents, sw.swings, "
+    "CASE WHEN tsw.ts = 0 THEN -1.0 ELSE "
+    "CAST(sw.swings AS DOUBLE) / CAST(tsw.ts AS DOUBLE) END AS banzhaf "
+    "FROM sw, tsw"
+)

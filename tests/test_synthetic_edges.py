@@ -3610,3 +3610,106 @@ def test_order_backlog_lindley_identity(ray_session, tmp_path):
         "n_days", "capacity", "max_backlog", "peak_day",
         "busy_days", "total_delay",
     ]
+
+
+def _write_banzhaf_corpus(d, region_rows, cust_region, order_cents):
+    """region_rows = [(rkey, name)]; cust_region = {custkey: rkey};
+    order_cents = [(custkey, cents)].  One nation per region (nationkey
+    = 100 + rkey) keeps the chain minimal."""
+    pq.write_table(pa.table(
+        {"r_regionkey": pa.array([k for k, _ in region_rows], pa.int32()),
+         "r_name": pa.array([n for _, n in region_rows], pa.string())}
+    ), d / "region.parquet")
+    pq.write_table(pa.table(
+        {"n_nationkey": pa.array(
+            [100 + k for k, _ in region_rows], pa.int32()),
+         "n_name": pa.array([f"N{k}" for k, _ in region_rows], pa.string()),
+         "n_regionkey": pa.array([k for k, _ in region_rows], pa.int32())}
+    ), d / "nation.parquet")
+    ck = sorted(cust_region)
+    pq.write_table(pa.table(
+        {"c_custkey": pa.array(ck, pa.int64()),
+         "c_name": pa.array([f"C{c}" for c in ck], pa.string()),
+         "c_nationkey": pa.array(
+             [100 + cust_region[c] for c in ck], pa.int32()),
+         "c_acctbal": pa.array([0.0] * len(ck), pa.float64()),
+         "c_mktsegment": pa.array(["BUILDING"] * len(ck), pa.string())}
+    ), d / "customer.parquet")
+    n = len(order_cents)
+    pq.write_table(pa.table(
+        {"o_orderkey": pa.array(list(range(1, n + 1)), pa.int64()),
+         "o_custkey": pa.array([c for c, _ in order_cents], pa.int64()),
+         "o_orderstatus": pa.array(["O"] * n, pa.string()),
+         "o_totalprice": pa.array(
+             [cents / 100.0 for _, cents in order_cents], pa.float64()),
+         "o_orderdate": pa.array(
+             [np.datetime64("2024-01-01T00:00:00", "us")] * n,
+             pa.timestamp("us")),
+         "o_orderpriority": pa.array(["1-URGENT"] * n, pa.string())}
+    ), d / "orders.parquet")
+
+
+def _banzhaf_check(d):
+    from langfilter_ray.pipelines import relational
+
+    got = _canon(_to_pandas(relational.region_banzhaf(str(d))))
+    c = duckdb.connect()
+    for t in ("region", "nation", "customer", "orders"):
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')"
+        )
+    want = _canon(c.execute(relational.ORACLES["region_banzhaf"]).df())
+    problems = compare_frames(got, want)
+    assert not problems, (problems, first_diff(got, want))
+    return _to_pandas(relational.region_banzhaf(str(d))).set_index("r_name")
+
+
+def test_region_banzhaf_dictator_and_sentinel(ray_session, tmp_path,
+                                              monkeypatch):
+    """Power is not weight share: RA holds 60% of revenue -> dictator
+    (index 1.0) while RB/RC with 25%/15% read 0.0 — every one of the 4
+    other-coalitions is a swing for RA only.  A balanced 3x equal-weight
+    game gives each region index 1/3 via 2 swings each.  Zero revenue
+    everywhere -> -1.0 sentinel (no swings).  The broadcast probe and
+    the native-join fallback must agree (zero-threshold re-run)."""
+    from langfilter_ray.pipelines import relational
+
+    d = tmp_path / "dict"
+    d.mkdir()
+    _write_banzhaf_corpus(
+        d,
+        [(0, "RA"), (1, "RB"), (2, "RC")],
+        {1: 0, 2: 1, 3: 2},
+        [(1, 6000), (2, 2500), (3, 1500)],
+    )
+    got = _banzhaf_check(d)
+    assert got.loc["RA", "banzhaf"] == 1.0
+    assert got.loc["RB", "banzhaf"] == 0.0
+    assert got.loc["RC", "banzhaf"] == 0.0
+    assert int(got.loc["RB", "weight_cents"]) == 2500
+    assert int(got.loc["RA", "swings"]) == 4
+
+    b = tmp_path / "balanced"
+    b.mkdir()
+    _write_banzhaf_corpus(
+        b,
+        [(0, "RA"), (1, "RB"), (2, "RC")],
+        {1: 0, 2: 1, 3: 2},
+        [(1, 1000), (2, 1000), (3, 1000)],
+    )
+    got_b = _banzhaf_check(b)
+    assert list(got_b["banzhaf"]) == [1 / 3, 1 / 3, 1 / 3]
+    assert list(got_b["swings"]) == [2, 2, 2]
+
+    z = tmp_path / "zero"
+    z.mkdir()
+    _write_banzhaf_corpus(
+        z, [(0, "RA"), (1, "RB")], {1: 0}, [],
+    )
+    got_z = _banzhaf_check(z)
+    assert list(got_z["banzhaf"]) == [-1.0, -1.0]
+    assert list(got_z["swings"]) == [0, 0]
+
+    monkeypatch.setattr(relational, "BROADCAST_DIM_MAX_ROWS", 0)
+    got_fb = _banzhaf_check(d)
+    assert got_fb.equals(got)
