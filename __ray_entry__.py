@@ -333,6 +333,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_shipment_schedule": windows.weighted_shipment_schedule,
         "order_backlog_lindley": relational.order_backlog_lindley,
         "region_banzhaf": relational.region_banzhaf,
+        "prime_price_census": relational.prime_price_census,
     }
 
 

@@ -9374,3 +9374,114 @@ ORACLES["region_banzhaf"] = (
     "CAST(sw.swings AS DOUBLE) / CAST(tsw.ts AS DOUBLE) END AS banzhaf "
     "FROM sw, tsw"
 )
+
+
+# ---- prime_price_census: number-theory primality census over cents --------
+
+def prime_price_census(sf_dir: str) -> "pa.Table":
+    """Primality census over order totals in cents — the NUMBER-THEORY
+    family beyond gcd (price_tick_gcd): how many order totals are prime
+    numbers of cents, and the extreme primes.  Useless as a business
+    question, load-bearing as an operator shape: a per-row predicate
+    whose cost is a NON-TRIVIAL pure function (trial division by all
+    primes <= sqrt(v)), the archetype of expensive row-local scoring.
+
+    Vectorization: each batch sieves primes up to isqrt(batch max)
+    (a few-KB boolean sieve, microseconds) and folds ``composite |=
+    (v % p == 0) & (p*p <= v)`` over ~900 primes as whole-batch numpy
+    masks — no per-row Python.  The ``p*p <= v`` guard is what keeps
+    v == p prime, mirrored exactly in the SQL.
+
+    Outputs one row: n_orders, n_prime, min/max prime cents (-1
+    sentinels when no prime exists), prime_share (the one float
+    division).  The DuckDB mirror runs the same two stages: a sieve
+    CTE (candidates 2..isqrt(max) minus those with a smaller prime
+    divisor) and a per-value NOT EXISTS over it.
+
+    Scale shape: map-only — four scalars per batch cross the exchange;
+    cost is rows x pi(sqrt(max_cents)) vectorized ops, embarrassingly
+    parallel at any scale."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"n": pa.array([], pa.int64()),
+             "k": pa.array([], pa.int64()),
+             "mn": pa.array([], pa.int64()),
+             "mx": pa.array([], pa.int64())}
+        )
+        if len(t) == 0:
+            return empty
+        v = np.floor(
+            t["o_totalprice"].to_numpy() * 100.0 + 0.5
+        ).astype(np.int64)
+        vmax = int(v.max())
+        r = int(np.sqrt(vmax)) + 1
+        while r * r > vmax:
+            r -= 1
+        # boolean sieve of Eratosthenes up to isqrt(max cents)
+        sieve = np.ones(max(r + 1, 2), dtype=bool)
+        sieve[:2] = False
+        for p in range(2, int(np.sqrt(r)) + 1):
+            if sieve[p]:
+                sieve[p * p :: p] = False
+        primes = np.flatnonzero(sieve)
+        composite = v < 2
+        for p in primes:
+            composite |= (v % p == 0) & (p * p <= v)
+        pv = v[~composite & (v >= 2)]
+        return pa.table(
+            {"n": pa.array([len(v)], pa.int64()),
+             "k": pa.array([len(pv)], pa.int64()),
+             "mn": pa.array(
+                 [int(pv.min()) if len(pv) else np.iinfo(np.int64).max],
+                 pa.int64()),
+             "mx": pa.array([int(pv.max()) if len(pv) else -1], pa.int64())}
+        )
+
+    parts = (
+        _read(sf_dir, "orders", ["o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()    # bounded: 4 scalars x blocks
+    )
+    empty = pa.table(
+        {"n_orders": pa.array([], pa.int64()),
+         "n_prime": pa.array([], pa.int64()),
+         "min_prime_cents": pa.array([], pa.int64()),
+         "max_prime_cents": pa.array([], pa.int64()),
+         "prime_share": pa.array([], pa.float64())}
+    )
+    if parts.empty:
+        return empty
+    n = int(parts["n"].sum())
+    k = int(parts["k"].sum())
+    mn = int(parts["mn"].min())
+    mx = int(parts["mx"].max())
+    return pa.table(
+        {"n_orders": pa.array([n], pa.int64()),
+         "n_prime": pa.array([k], pa.int64()),
+         "min_prime_cents": pa.array(
+             [mn if k else -1], pa.int64()),
+         "max_prime_cents": pa.array([mx if k else -1], pa.int64()),
+         "prime_share": pa.array([float(k) / float(n)], pa.float64())}
+    )
+
+
+ORACLES["prime_price_census"] = (
+    "WITH v AS (SELECT CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) "
+    "AS c FROM orders), "
+    "mx AS (SELECT CAST(floor(sqrt(COALESCE(max(c), 0))) AS BIGINT) AS r "
+    "FROM v), "
+    "cand AS (SELECT unnest(generate_series(2, (SELECT r FROM mx))) AS p), "
+    "pr AS (SELECT p FROM cand WHERE NOT EXISTS "
+    "(SELECT 1 FROM cand d WHERE d.p * d.p <= cand.p "
+    "AND cand.p % d.p = 0)), "
+    "flags AS (SELECT c, (c >= 2 AND NOT EXISTS "
+    "(SELECT 1 FROM pr WHERE pr.p * pr.p <= v.c AND v.c % pr.p = 0)) "
+    "AS is_p FROM v) "
+    "SELECT count(*)::BIGINT AS n_orders, "
+    "count(*) FILTER (WHERE is_p)::BIGINT AS n_prime, "
+    "COALESCE(min(c) FILTER (WHERE is_p), -1)::BIGINT AS min_prime_cents, "
+    "COALESCE(max(c) FILTER (WHERE is_p), -1)::BIGINT AS max_prime_cents, "
+    "CAST(count(*) FILTER (WHERE is_p) AS DOUBLE) / "
+    "CAST(count(*) AS DOUBLE) AS prime_share FROM flags"
+)

@@ -126,7 +126,7 @@ ORACLE_CHECKED = [
     "max_nonoverlap_shipments", "lcsubstr_top2", "ffd_bin_count",
     "stable_match_brands", "brand_cheapest_path", "token_trie_nodes",
     "revenue_rank_cycles", "bwt_runs_cap", "weighted_shipment_schedule",
-    "order_backlog_lindley", "region_banzhaf",
+    "order_backlog_lindley", "region_banzhaf", "prime_price_census",
 ]
 
 

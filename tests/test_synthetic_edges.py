@@ -3713,3 +3713,49 @@ def test_region_banzhaf_dictator_and_sentinel(ray_session, tmp_path,
     monkeypatch.setattr(relational, "BROADCAST_DIM_MAX_ROWS", 0)
     got_fb = _banzhaf_check(d)
     assert got_fb.equals(got)
+
+
+def test_prime_price_census_hand_values(ray_session, tmp_path):
+    """Hand-audited primality set: 0.02 -> 2 (smallest prime), 0.01 ->
+    1 (NOT prime), 2.11 -> 211 (prime), 0.49 -> 49 = 7^2 (the p*p <= v
+    boundary: 7 divides and 49 > 49 is false only for p=7 itself at
+    p*p = 49 <= 49 -> composite), 79.19 -> 7919 (the 1000th prime),
+    64.09 -> 6409 = 13*17*29 (composite with no small-prime shortcut).
+    An all-composite corpus pins the -1 sentinels."""
+    from langfilter_ray.pipelines import relational
+
+    d = tmp_path / "main"
+    d.mkdir()
+    _write_orders_dates(
+        d,
+        [("2024-01-01", 0.02), ("2024-01-01", 0.01),
+         ("2024-01-01", 2.11), ("2024-01-01", 0.49),
+         ("2024-01-01", 79.19), ("2024-01-01", 64.09)],
+    )
+    got = _check_vs_oracle(
+        relational.prime_price_census,
+        relational.ORACLES["prime_price_census"],
+        d, "orders", pq.read_table(d / "orders.parquet"),
+    )
+    r = got.iloc[0]
+    assert int(r["n_orders"]) == 6
+    assert int(r["n_prime"]) == 3          # 2, 211, 7919
+    assert int(r["min_prime_cents"]) == 2
+    assert int(r["max_prime_cents"]) == 7919
+    assert r["prime_share"] == 0.5
+
+    e = tmp_path / "composite"
+    e.mkdir()
+    _write_orders_dates(
+        e, [("2024-01-01", 0.04), ("2024-01-01", 0.09)],
+    )
+    got_e = _check_vs_oracle(
+        relational.prime_price_census,
+        relational.ORACLES["prime_price_census"],
+        e, "orders", pq.read_table(e / "orders.parquet"),
+    )
+    re_ = got_e.iloc[0]
+    assert int(re_["n_prime"]) == 0
+    assert int(re_["min_prime_cents"]) == -1
+    assert int(re_["max_prime_cents"]) == -1
+    assert re_["prime_share"] == 0.0
