@@ -334,6 +334,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_backlog_lindley": relational.order_backlog_lindley,
         "region_banzhaf": relational.region_banzhaf,
         "prime_price_census": relational.prime_price_census,
+        "lru_event_misses": windows.lru_event_misses,
     }
 
 

@@ -5496,3 +5496,143 @@ ORACLES["dow_hour_max_block"] = (
     "h1 AS hour_lo, h2 AS hour_hi "
     "FROM rect ORDER BY s DESC, d1, d2, h1, h2 LIMIT 1"
 )
+
+
+# ---- lru_event_misses: LRU stack-distance census over per-user streams ----
+
+# the bounded event-type alphabet (the dataset spec's five types); the
+# SQL mirror pivots one window column per type, so an unknown type must
+# fail loudly rather than silently diverge from the oracle.
+LRU_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def lru_event_misses(sf_dir: str) -> "pa.Table":
+    """LRU cache-miss census over each user's event-type stream — the
+    CACHE / STACK-DISTANCE analysis family (Mattson et al.'s classic
+    result): one pass computes the miss count for EVERY cache size at
+    once, because an access hits a size-k LRU cache iff its stack
+    distance d (number of DISTINCT other types touched since the
+    previous access of the same type) is < k.  Misses(k) for k=1..4
+    over the 5-type alphabet; cold first accesses miss at every size.
+
+    Vectorization: per user-partition, one forward-fill of
+    last-seen-position per type (|alphabet| masked ``maximum.accumulate``
+    passes over the partition backbone, reset at user boundaries by the
+    segment-start comparison), ``prev_same`` by fancy-indexing the own
+    type's column, and d as a sum of five boolean masks — no per-row
+    Python, cost |alphabet| x rows.
+
+    Scale shape: the per-user partition exchange (complete users per
+    callback); partials are (k, misses, n) triples bounded by 4 x
+    partitions.  ``miss_rate = misses/n`` is the one float division.
+    The DuckDB mirror pivots five ``max(CASE) OVER (... ROWS BETWEEN
+    UNBOUNDED PRECEDING AND 1 PRECEDING)`` columns and replays the same
+    comparisons — NULL window maxes fall out of the CASE arms exactly
+    like the -1 sentinels.
+
+    Reference anchor: T1's model-singleton cache (SURVEY.md §2.4) asked
+    as the what-hit-rate-would-a-size-k-cache-get question."""
+
+    def per_partition(g: "pd.DataFrame") -> "pd.DataFrame":
+        if g.empty:
+            return pd.DataFrame(
+                {"k": pd.array([], dtype="int64"),
+                 "m": pd.array([], dtype="int64"),
+                 "n": pd.array([], dtype="int64")}
+            )
+        g, starts, ends = _user_segments(g)
+        n = len(g)
+        r = np.arange(n, dtype=np.int64)
+        seg_id = np.zeros(n, dtype=np.int64)
+        seg_id[starts[1:]] = 1
+        seg_id = np.cumsum(seg_id)
+        seg_start = starts[seg_id]
+        code = pd.Categorical(
+            g["event_type"], categories=list(LRU_TYPES)
+        ).codes.astype(np.int64)
+        assert (code >= 0).all(), "event_type outside the LRU_TYPES alphabet"
+        na = len(LRU_TYPES)
+        L = np.full((na, n), -1, dtype=np.int64)
+        for t in range(na):
+            masked = np.where(code == t, r, -1)
+            ff = np.maximum.accumulate(masked)
+            L[t, 1:] = ff[:-1]
+            L[t][L[t] < seg_start] = -1     # never seen in THIS user yet
+        prev_same = L[code, r]
+        cold = prev_same == -1
+        d = np.zeros(n, dtype=np.int64)
+        for t in range(na):
+            d += ((L[t] > prev_same) & (code != t)).astype(np.int64)
+        ks = np.arange(1, na, dtype=np.int64)           # k = 1..4
+        m = np.array(
+            [int((cold | (d >= k)).sum()) for k in ks], dtype=np.int64
+        )
+        return pd.DataFrame(
+            {"k": ks, "m": m, "n": np.full(len(ks), n, dtype=np.int64)}
+        )
+
+    parts = (
+        _user_partition_map(
+            _events(sf_dir, ["user_id", "ts", "event_id", "event_type"]),
+            _window_parts(sf_dir),
+            per_partition,
+        )
+        .to_pandas()    # bounded: 4 cache sizes x partitions
+    )
+    if parts.empty:
+        return pa.table(
+            {"k": pa.array([], pa.int64()),
+             "misses": pa.array([], pa.int64()),
+             "n_events": pa.array([], pa.int64()),
+             "miss_rate": pa.array([], pa.float64())}
+        )
+    agg = parts.groupby("k", sort=True).agg(
+        m=("m", "sum"), n=("n", "sum")
+    ).reset_index()
+    mr = agg["m"].to_numpy(np.int64)
+    nn = agg["n"].to_numpy(np.int64)
+    return pa.table(
+        {"k": pa.array(agg["k"].to_numpy(np.int64)),
+         "misses": pa.array(mr),
+         "n_events": pa.array(nn),
+         "miss_rate": pa.array(
+             mr.astype(np.float64) / nn.astype(np.float64), pa.float64())}
+    )
+
+
+def _lru_case(col: str) -> str:
+    return (
+        "CASE event_type "
+        + " ".join(f"WHEN '{t}' THEN l_{t}" for t in LRU_TYPES)
+        + f" END AS {col}"
+    )
+
+
+ORACLES["lru_event_misses"] = (
+    "WITH p AS (SELECT user_id, event_type, "
+    "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+    "AS pos FROM events), "
+    "L AS (SELECT user_id, event_type, pos, "
+    + ", ".join(
+        f"max(CASE WHEN event_type = '{t}' THEN pos END) OVER w AS l_{t}"
+        for t in LRU_TYPES
+    )
+    + " FROM p WINDOW w AS (PARTITION BY user_id ORDER BY pos "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)), "
+    "ps AS (SELECT *, " + _lru_case("prev_same") + " FROM L), "
+    "dd AS (SELECT prev_same, "
+    + " + ".join(
+        f"(CASE WHEN event_type <> '{t}' AND l_{t} > prev_same "
+        f"THEN 1 ELSE 0 END)"
+        for t in LRU_TYPES
+    )
+    + " AS d FROM ps), "
+    "ks AS (SELECT unnest([1, 2, 3, 4]) AS k) "
+    "SELECT ks.k::BIGINT AS k, "
+    "count(*) FILTER (WHERE dd.prev_same IS NULL OR dd.d >= ks.k)::BIGINT "
+    "AS misses, "
+    "count(*)::BIGINT AS n_events, "
+    "CAST(count(*) FILTER (WHERE dd.prev_same IS NULL OR dd.d >= ks.k) "
+    "AS DOUBLE) / CAST(count(*) AS DOUBLE) AS miss_rate "
+    "FROM dd, ks GROUP BY ks.k"
+)

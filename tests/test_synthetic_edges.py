@@ -3759,3 +3759,36 @@ def test_prime_price_census_hand_values(ray_session, tmp_path):
     assert int(re_["min_prime_cents"]) == -1
     assert int(re_["max_prime_cents"]) == -1
     assert re_["prime_share"] == 0.0
+
+
+def test_lru_event_misses_stack_distance(ray_session, tmp_path):
+    """Hand-traced Mattson census.  User 1 runs [view, click, view,
+    purchase, view, click]: stack distances for the re-accesses are
+    view@3 -> 1 (click since), view@5 -> 1 (purchase since; click is
+    OLDER than the previous view and must NOT count), click@6 -> 2
+    (view, purchase since).  User 2's lone view is cold and must not
+    leak into user 1's fill.  misses(k): 3 cold + |{d >= k}| ->
+    k=1: 7, k=2: 5, k=3: 4, k=4: 4 over n=7."""
+    from langfilter_ray.pipelines import windows
+
+    d = tmp_path / "main"
+    d.mkdir()
+    rows = [
+        (1, 1, 0, "view", 0.0),
+        (2, 1, 1_000_000, "click", 0.0),
+        (3, 1, 2_000_000, "view", 0.0),
+        (4, 1, 3_000_000, "purchase", 0.0),
+        (5, 1, 4_000_000, "view", 0.0),
+        (6, 1, 5_000_000, "click", 0.0),
+        (7, 2, 0, "view", 0.0),
+    ]
+    got = _check_vs_oracle(
+        windows.lru_event_misses,
+        windows.ORACLES["lru_event_misses"],
+        d, "events", _events_table(rows),
+    ).sort_values("k").reset_index(drop=True)
+    assert list(got["k"]) == [1, 2, 3, 4]
+    assert list(got["misses"]) == [7, 5, 4, 4]
+    assert list(got["n_events"]) == [7, 7, 7, 7]
+    assert got["miss_rate"].iloc[0] == 1.0
+    assert got["miss_rate"].iloc[1] == 5 / 7
