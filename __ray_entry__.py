@@ -335,6 +335,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "region_banzhaf": relational.region_banzhaf,
         "prime_price_census": relational.prime_price_census,
         "lru_event_misses": windows.lru_event_misses,
+        "nation_dhondt_seats": relational.nation_dhondt_seats,
     }
 
 

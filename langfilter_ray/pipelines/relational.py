@@ -9485,3 +9485,111 @@ ORACLES["prime_price_census"] = (
     "CAST(count(*) FILTER (WHERE is_p) AS DOUBLE) / "
     "CAST(count(*) AS DOUBLE) AS prime_share FROM flags"
 )
+
+
+# ---- nation_dhondt_seats: D'Hondt apportionment of a fixed house ----------
+
+DHONDT_SEATS = 100
+
+
+def nation_dhondt_seats(sf_dir: str) -> "pa.Table":
+    """D'Hondt (Jefferson) apportionment of a fixed ``DHONDT_SEATS``-seat
+    house among nations, populations = customer counts — the
+    APPORTIONMENT / divisor-method family: seats go to the
+    ``DHONDT_SEATS`` largest quotients pop/k (k = 1, 2, ...), which no
+    share or rank operator expresses because the allocation is a
+    GLOBAL competition among (nation, divisor) pairs.
+
+    Exactness: quotients are compared as EXACT FRACTIONS —
+    ``fractions.Fraction(pop, k)`` on the driver, cross-multiplied
+    HUGEINT products in the SQL mirror — never floats (pop_a/k_a ==
+    pop_b/k_b ties are real: pop 2 divisor 66 vs pop 1 divisor 33).
+    Ties break by (nationkey, divisor), pinned on both sides; zero-
+    population nations rank purely by the tie order, so the allocation
+    is total and deterministic on ANY input.
+
+    Scale shape: one bounded combiner groupby (25 nation keys) feeds a
+    driver-side sort of 25 x DHONDT_SEATS pairs — the fact table
+    streams, the competition is O(nations x seats) regardless of rows.
+    The SQL mirror ranks each pair by counting strictly-better pairs
+    (6.25M exact comparisons), selected iff rank < DHONDT_SEATS.
+
+    Reference anchor: J2's owner/prefix routing (SURVEY.md §2.5) asked
+    as the how-many-shards-does-each-tenant-deserve question."""
+    import pyarrow.parquet as pq
+    from fractions import Fraction
+
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    empty = pa.table(
+        {"n_name": pa.array([], pa.string()),
+         "customers": pa.array([], pa.int64()),
+         "seats": pa.array([], pa.int64())}
+    )
+    if len(nation) == 0:
+        return empty
+
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {"nk": pa.array([], pa.int64()),
+                 "n": pa.array([], pa.int64())}
+            )
+        g = (
+            pa.table({"nk": pc.cast(t["c_nationkey"], pa.int64()),
+                      "n": pa.array(np.ones(len(t), np.int64))})
+            .group_by("nk")
+            .aggregate([("n", "sum")])
+        )
+        return pa.table({"nk": g["nk"], "n": g["n_sum"]})
+
+    parts = (
+        _read(sf_dir, "customer", ["c_nationkey"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()    # bounded: 25 nations x blocks
+    )
+    pop = {int(k): 0 for k in nation["n_nationkey"].to_numpy()}
+    if not parts.empty:
+        for k, v in parts.groupby("nk")["n"].sum().items():
+            if int(k) in pop:
+                pop[int(k)] += int(v)
+    nks = sorted(pop)
+    pairs = [
+        (Fraction(pop[nk], k), nk, k)
+        for nk in nks
+        for k in range(1, DHONDT_SEATS + 1)
+    ]
+    pairs.sort(key=lambda x: (-x[0], x[1], x[2]))
+    seats = {nk: 0 for nk in nks}
+    for _, nk, _k in pairs[:DHONDT_SEATS]:
+        seats[nk] += 1
+    names = dict(zip(
+        [int(v) for v in nation["n_nationkey"].to_numpy()],
+        nation["n_name"].to_pylist(),
+    ))
+    return pa.table(
+        {"n_name": pa.array([names[nk] for nk in nks], pa.string()),
+         "customers": pa.array([pop[nk] for nk in nks], pa.int64()),
+         "seats": pa.array([seats[nk] for nk in nks], pa.int64())}
+    )
+
+
+ORACLES["nation_dhondt_seats"] = (
+    f"WITH pop AS (SELECT n_nationkey AS nk, n_name, "
+    f"COALESCE(c.cnt, 0)::BIGINT AS p FROM nation LEFT JOIN "
+    f"(SELECT c_nationkey AS ck, count(*) AS cnt FROM customer "
+    f"GROUP BY 1) c ON c.ck = n_nationkey), "
+    f"pairs AS (SELECT nk, p, "
+    f"unnest(generate_series(1, {DHONDT_SEATS})) AS k FROM pop), "
+    f"sel AS (SELECT a.nk FROM pairs a WHERE "
+    f"(SELECT count(*) FROM pairs b WHERE "
+    f"CAST(b.p AS HUGEINT) * a.k > CAST(a.p AS HUGEINT) * b.k "
+    f"OR (CAST(b.p AS HUGEINT) * a.k = CAST(a.p AS HUGEINT) * b.k "
+    f"AND (b.nk < a.nk OR (b.nk = a.nk AND b.k < a.k)))) "
+    f"< {DHONDT_SEATS}), "
+    f"sc AS (SELECT nk, count(*)::BIGINT AS s FROM sel GROUP BY 1) "
+    f"SELECT pop.n_name, pop.p AS customers, "
+    f"COALESCE(sc.s, 0)::BIGINT AS seats "
+    f"FROM pop LEFT JOIN sc ON sc.nk = pop.nk"
+)

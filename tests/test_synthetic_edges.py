@@ -3792,3 +3792,64 @@ def test_lru_event_misses_stack_distance(ray_session, tmp_path):
     assert list(got["n_events"]) == [7, 7, 7, 7]
     assert got["miss_rate"].iloc[0] == 1.0
     assert got["miss_rate"].iloc[1] == 5 / 7
+
+
+def _write_dhondt_corpus(d, nations, cust_nation):
+    """nations = [(nk, name)]; cust_nation = [nk per customer]."""
+    pq.write_table(pa.table(
+        {"n_nationkey": pa.array([k for k, _ in nations], pa.int32()),
+         "n_name": pa.array([n for _, n in nations], pa.string()),
+         "n_regionkey": pa.array([0] * len(nations), pa.int32())}
+    ), d / "nation.parquet")
+    n = len(cust_nation)
+    pq.write_table(pa.table(
+        {"c_custkey": pa.array(list(range(1, n + 1)), pa.int64()),
+         "c_name": pa.array([f"C{i}" for i in range(n)], pa.string()),
+         "c_nationkey": pa.array(cust_nation, pa.int32()),
+         "c_acctbal": pa.array([0.0] * n, pa.float64()),
+         "c_mktsegment": pa.array(["BUILDING"] * n, pa.string())}
+    ), d / "customer.parquet")
+
+
+def _dhondt_check(d):
+    from langfilter_ray.pipelines import relational
+
+    got = _canon(_to_pandas(relational.nation_dhondt_seats(str(d))))
+    c = duckdb.connect()
+    for t in ("nation", "customer"):
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')"
+        )
+    want = _canon(c.execute(relational.ORACLES["nation_dhondt_seats"]).df())
+    problems = compare_frames(got, want)
+    assert not problems, (problems, first_diff(got, want))
+    out = _to_pandas(relational.nation_dhondt_seats(str(d)))
+    assert int(out["seats"].sum()) == relational.DHONDT_SEATS
+    return out.set_index("n_name")
+
+
+def test_nation_dhondt_seats_fractions_and_ties(ray_session, tmp_path):
+    """Pop 2:1 over 100 seats -> the exact-fraction competition gives
+    67/33 (the boundary quotients 2/67 vs 1/34 differ only in the 4th
+    decimal — a float comparator is one ulp from wrong).  Equal pops
+    -> every quotient pair ties and the (nationkey, divisor) order
+    interleaves to a 50/50 split.  A zero-pop nation gets 0 seats but
+    keeps its row."""
+    d = tmp_path / "ratio"
+    d.mkdir()
+    _write_dhondt_corpus(
+        d, [(0, "NA"), (1, "NB"), (2, "NZ")],
+        [0, 0, 1],
+    )
+    got = _dhondt_check(d)
+    assert int(got.loc["NA", "seats"]) == 67
+    assert int(got.loc["NB", "seats"]) == 33
+    assert int(got.loc["NZ", "seats"]) == 0
+    assert int(got.loc["NZ", "customers"]) == 0
+
+    t = tmp_path / "tie"
+    t.mkdir()
+    _write_dhondt_corpus(t, [(0, "NA"), (1, "NB")], [0, 1])
+    got_t = _dhondt_check(t)
+    assert int(got_t.loc["NA", "seats"]) == 50
+    assert int(got_t.loc["NB", "seats"]) == 50
