@@ -336,6 +336,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prime_price_census": relational.prime_price_census,
         "lru_event_misses": windows.lru_event_misses,
         "nation_dhondt_seats": relational.nation_dhondt_seats,
+        "qty_price_hull": relational.qty_price_hull,
     }
 
 

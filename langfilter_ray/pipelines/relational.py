@@ -9593,3 +9593,145 @@ ORACLES["nation_dhondt_seats"] = (
     f"COALESCE(sc.s, 0)::BIGINT AS seats "
     f"FROM pop LEFT JOIN sc ON sc.nk = pop.nk"
 )
+
+
+# ---- qty_price_hull: exact convex hull of the (qty, price) cloud ----------
+
+def qty_price_hull(sf_dir: str) -> "pa.Table":
+    """Exact CONVEX HULL of the (quantity, price-cents) point cloud —
+    the computational-geometry family beyond pairwise distances
+    (part_cloud_diameter, embedding_closest_pair): how many EXTREME
+    price points bound the whole cloud, and the doubled hull area
+    (shoelace, exact integer).  A point is a hull VERTEX only if no
+    convex combination of others reaches it, so collinear boundary
+    points do NOT count.
+
+    The scale insight: for fixed x only the min and max y can be
+    extreme, so the per-quantity (min, max) cents pair is a SUFFICIENT
+    STATISTIC — the integer quantity axis (1..50 by spec) bounds the
+    candidate set at ~100 points regardless of row count.
+
+    Exactness: Andrew's monotone chain with strict turns (cross <= 0
+    pops) over Python ints on the driver; the DuckDB mirror uses the
+    O(n^3) extreme-point characterization instead of replaying the
+    stack — boundary iff some q sees every other point on one side
+    (cross >= 0), vertex iff boundary and not strictly inside any
+    segment of two other points — and orders vertices around the
+    lexicographic-min vertex by CROSS-PRODUCT-SIGN counting (no
+    atan2 floats; three collinear strict vertices are impossible, so
+    the comparator is total), then takes the same |shoelace| sum.
+
+    Scale shape: in-batch pyarrow (qty -> min,max cents) partials,
+    bounded gather, O(h log h) driver fold.
+
+    Reference anchor: S3's upload validator bounds (SURVEY.md §2.1)
+    asked as the what-envelope-contains-every-order question."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"q": pa.array([], pa.int64()),
+             "mn": pa.array([], pa.int64()),
+             "mx": pa.array([], pa.int64())}
+        )
+        if len(t) == 0:
+            return empty
+        q = np.floor(t["l_quantity"].to_numpy() + 0.5).astype(np.int64)
+        c = np.floor(
+            t["l_extendedprice"].to_numpy() * 100.0 + 0.5
+        ).astype(np.int64)
+        g = (
+            pa.table({"q": pa.array(q), "mn": pa.array(c), "mx": pa.array(c)})
+            .group_by("q")
+            .aggregate([("mn", "min"), ("mx", "max")])
+        )
+        return pa.table({"q": g["q"], "mn": g["mn_min"], "mx": g["mx_max"]})
+
+    parts = (
+        _read(sf_dir, "lineitem", ["l_quantity", "l_extendedprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()    # bounded: qty domain x blocks
+    )
+    empty = pa.table(
+        {"n_points": pa.array([], pa.int64()),
+         "hull_vertices": pa.array([], pa.int64()),
+         "area2": pa.array([], pa.int64())}
+    )
+    if parts.empty:
+        return empty
+    g = parts.groupby("q").agg(mn=("mn", "min"), mx=("mx", "max"))
+    pts = sorted(
+        {(int(q), int(v))
+         for q, r in g.iterrows() for v in (r["mn"], r["mx"])}
+    )
+
+    def cross(o, a, b):
+        return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+    if len(pts) <= 2:
+        hull = list(pts)
+    else:
+        lower: list = []
+        for p in pts:
+            while len(lower) >= 2 and cross(lower[-2], lower[-1], p) <= 0:
+                lower.pop()
+            lower.append(p)
+        upper: list = []
+        for p in reversed(pts):
+            while len(upper) >= 2 and cross(upper[-2], upper[-1], p) <= 0:
+                upper.pop()
+            upper.append(p)
+        hull = lower[:-1] + upper[:-1]
+    a2 = 0
+    for i in range(len(hull)):
+        x1, y1 = hull[i]
+        x2, y2 = hull[(i + 1) % len(hull)]
+        a2 += x1 * y2 - x2 * y1
+    return pa.table(
+        {"n_points": pa.array([len(pts)], pa.int64()),
+         "hull_vertices": pa.array([len(hull)], pa.int64()),
+         "area2": pa.array([abs(a2)], pa.int64())}
+    )
+
+
+ORACLES["qty_price_hull"] = (
+    "WITH pts AS (SELECT DISTINCT q, c FROM ("
+    "SELECT CAST(floor(l_quantity + 0.5) AS BIGINT) AS q, "
+    "min(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS c "
+    "FROM lineitem GROUP BY 1 "
+    "UNION ALL "
+    "SELECT CAST(floor(l_quantity + 0.5) AS BIGINT) AS q, "
+    "max(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS c "
+    "FROM lineitem GROUP BY 1)), "
+    # boundary: some q sees every other point on the non-negative side
+    "bd AS (SELECT p.q AS x, p.c AS y FROM pts p WHERE "
+    "(SELECT count(*) FROM pts) = 1 OR EXISTS ("
+    "SELECT 1 FROM pts qq WHERE (qq.q <> p.q OR qq.c <> p.c) "
+    "AND NOT EXISTS (SELECT 1 FROM pts r WHERE "
+    "(r.q <> p.q OR r.c <> p.c) AND (r.q <> qq.q OR r.c <> qq.c) "
+    "AND (qq.q - p.q) * (r.c - p.c) - (qq.c - p.c) * (r.q - p.q) < 0))), "
+    # vertex: boundary and not strictly inside a segment of two others
+    "v AS (SELECT x, y FROM bd p WHERE NOT EXISTS ("
+    "SELECT 1 FROM pts a, pts b WHERE "
+    "(a.q <> p.x OR a.c <> p.y) AND (b.q <> p.x OR b.c <> p.y) "
+    "AND (b.q - a.q) * (p.y - a.c) - (b.c - a.c) * (p.x - a.q) = 0 "
+    "AND (a.q - p.x) * (b.q - p.x) + (a.c - p.y) * (b.c - p.y) < 0)), "
+    "p0 AS (SELECT x, y FROM v ORDER BY x, y LIMIT 1), "
+    "rest AS (SELECT v.x, v.y FROM v, p0 "
+    "WHERE NOT (v.x = p0.x AND v.y = p0.y)), "
+    "rk AS (SELECT r.x, r.y, (SELECT count(*) FROM rest s, p0 WHERE "
+    "(s.x - p0.x) * (r.y - p0.y) - (s.y - p0.y) * (r.x - p0.x) > 0) "
+    "AS rnk FROM rest r), "
+    "ring AS (SELECT x, y, -1 AS o FROM p0 "
+    "UNION ALL SELECT x, y, rnk FROM rk), "
+    "sl AS (SELECT x, y, "
+    "COALESCE(lead(x) OVER (ORDER BY o), first_value(x) OVER "
+    "(ORDER BY o ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED "
+    "FOLLOWING)) AS nx, "
+    "COALESCE(lead(y) OVER (ORDER BY o), first_value(y) OVER "
+    "(ORDER BY o ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED "
+    "FOLLOWING)) AS ny FROM ring) "
+    "SELECT (SELECT count(*) FROM pts)::BIGINT AS n_points, "
+    "(SELECT count(*) FROM v)::BIGINT AS hull_vertices, "
+    "COALESCE(abs((SELECT sum(x * ny - nx * y) FROM sl)), 0)::BIGINT "
+    "AS area2"
+)

@@ -127,7 +127,7 @@ ORACLE_CHECKED = [
     "stable_match_brands", "brand_cheapest_path", "token_trie_nodes",
     "revenue_rank_cycles", "bwt_runs_cap", "weighted_shipment_schedule",
     "order_backlog_lindley", "region_banzhaf", "prime_price_census",
-    "lru_event_misses", "nation_dhondt_seats",
+    "lru_event_misses", "nation_dhondt_seats", "qty_price_hull",
 ]
 
 

@@ -3853,3 +3853,88 @@ def test_nation_dhondt_seats_fractions_and_ties(ray_session, tmp_path):
     got_t = _dhondt_check(t)
     assert int(got_t.loc["NA", "seats"]) == 50
     assert int(got_t.loc["NB", "seats"]) == 50
+
+
+def _write_lineitem_qty_price(d, rows):
+    """rows = [(qty, price_dollars)]."""
+    n = len(rows)
+    pq.write_table(pa.table(
+        {"l_orderkey": pa.array(list(range(1, n + 1)), pa.int64()),
+         "l_partkey": pa.array([1] * n, pa.int64()),
+         "l_suppkey": pa.array([1] * n, pa.int64()),
+         "l_linenumber": pa.array([1] * n, pa.int32()),
+         "l_quantity": pa.array([q for q, _ in rows], pa.float64()),
+         "l_extendedprice": pa.array([p for _, p in rows], pa.float64()),
+         "l_discount": pa.array([0.0] * n, pa.float64()),
+         "l_tax": pa.array([0.0] * n, pa.float64()),
+         "l_returnflag": pa.array(["N"] * n, pa.string()),
+         "l_linestatus": pa.array(["O"] * n, pa.string()),
+         "l_shipdate": pa.array(
+             [np.datetime64("2024-01-01T00:00:00", "us")] * n,
+             pa.timestamp("us"))}
+    ), d / "lineitem.parquet")
+
+
+def test_qty_price_hull_vertices_and_collinear(ray_session, tmp_path):
+    """Square hull: extremes at qty 1 and 3 (0c/400c) are the 4
+    corners; qty 2's 100c/300c extremes are strictly interior and the
+    collinear variant puts qty 2's extremes ON the edges — neither may
+    count as a vertex (strict hull).  All-collinear -> 2 endpoint
+    vertices, area 0.  Single point -> 1 vertex."""
+    from langfilter_ray.pipelines import relational
+
+    d = tmp_path / "square"
+    d.mkdir()
+    _write_lineitem_qty_price(
+        d,
+        [(1.0, 0.0), (1.0, 4.0), (3.0, 0.0), (3.0, 4.0),
+         (2.0, 1.0), (2.0, 3.0)],
+    )
+    got = _check_vs_oracle(
+        relational.qty_price_hull,
+        relational.ORACLES["qty_price_hull"],
+        d, "lineitem", pq.read_table(d / "lineitem.parquet"),
+    ).iloc[0]
+    assert int(got["n_points"]) == 6
+    assert int(got["hull_vertices"]) == 4
+    assert int(got["area2"]) == 1600      # 2 * (2 qty x 400 cents)
+
+    c = tmp_path / "edge_collinear"
+    c.mkdir()
+    _write_lineitem_qty_price(
+        c,
+        [(1.0, 0.0), (1.0, 4.0), (3.0, 0.0), (3.0, 4.0),
+         (2.0, 0.0), (2.0, 4.0)],
+    )
+    got_c = _check_vs_oracle(
+        relational.qty_price_hull,
+        relational.ORACLES["qty_price_hull"],
+        c, "lineitem", pq.read_table(c / "lineitem.parquet"),
+    ).iloc[0]
+    assert int(got_c["n_points"]) == 6
+    assert int(got_c["hull_vertices"]) == 4   # edge-collinear excluded
+    assert int(got_c["area2"]) == 1600
+
+    l = tmp_path / "line"
+    l.mkdir()
+    _write_lineitem_qty_price(l, [(1.0, 5.0), (2.0, 5.0), (3.0, 5.0)])
+    got_l = _check_vs_oracle(
+        relational.qty_price_hull,
+        relational.ORACLES["qty_price_hull"],
+        l, "lineitem", pq.read_table(l / "lineitem.parquet"),
+    ).iloc[0]
+    assert int(got_l["n_points"]) == 3
+    assert int(got_l["hull_vertices"]) == 2
+    assert int(got_l["area2"]) == 0
+
+    s = tmp_path / "single"
+    s.mkdir()
+    _write_lineitem_qty_price(s, [(7.0, 1.23)])
+    got_s = _check_vs_oracle(
+        relational.qty_price_hull,
+        relational.ORACLES["qty_price_hull"],
+        s, "lineitem", pq.read_table(s / "lineitem.parquet"),
+    ).iloc[0]
+    assert int(got_s["n_points"]) == 1
+    assert int(got_s["hull_vertices"]) == 1
+    assert int(got_s["area2"]) == 0
