@@ -337,6 +337,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lru_event_misses": windows.lru_event_misses,
         "nation_dhondt_seats": relational.nation_dhondt_seats,
         "qty_price_hull": relational.qty_price_hull,
+        "lz78_phrases_cap": text_analysis.lz78_phrases_cap,
     }
 
 

@@ -5257,3 +5257,96 @@ ORACLES["longest_palindrome_cap"] = (
     "FROM subs WHERE sub = reverse(sub) "
     "ORDER BY len DESC, start_pos LIMIT 1"
 )
+
+
+# ---- lz78_phrases_cap: LZ78 dictionary parse of the capped argmax doc -----
+
+def lz78_phrases_cap(sf_dir: str) -> "pa.Table":
+    """LZ78 (Lempel-Ziv 1978) dictionary parse of the longest document's
+    first ``SUBSTR_CAP`` characters — the DICTIONARY-COMPRESSION family
+    that complements the entropy-coding (huffman_cost_top64) and
+    transform (bwt_runs_cap) operators: greedily split the text into
+    phrases, each ``longest already-seen phrase + one new character``,
+    and census the parse.  The phrase count is the classic Lempel-Ziv
+    complexity estimate: ~L/log L for random text, far smaller for
+    repetitive text.
+
+    Semantics pinned: the dictionary starts empty; each step matches
+    the LONGEST dictionary phrase prefixing the remainder (the LZ78
+    dictionary is prefix-closed, so trie-walk greed and global longest
+    match coincide), emits match+next-char, and adds it; the FINAL
+    phrase may truncate at end-of-string and duplicate an existing
+    entry (counted as a phrase, not as a dictionary entry).
+
+    Scale shape: the shared distributed-argmax gather
+    (_argmax_doc_head: blocks x 1 capped row), then an O(L^2/ log)
+    driver parse of a CAPPED string.  The DuckDB mirror replays the
+    parse as a list-state recursive CTE — ``list_filter(dict, x -> x =
+    substr(s, pos, length(x)))`` finds the longest match, recursion
+    depth = phrase count, bounded by the cap.
+
+    Reference anchor: M1's probe slicing (SURVEY.md §2.3) — bound the
+    text, then run the expensive sequential analysis on the probe."""
+    empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()),
+         "cap_chars": pa.array([], pa.int64()),
+         "n_phrases": pa.array([], pa.int64()),
+         "dict_size": pa.array([], pa.int64()),
+         "max_phrase_len": pa.array([], pa.int64())}
+    )
+    best = _argmax_doc_head(sf_dir)
+    if best is None:
+        return empty
+    doc_id, s = best
+    phrases = 0
+    max_len = 0
+    d: set[str] = set()
+    i = 0
+    while i < len(s):
+        m = 0
+        for w in d:
+            lw = len(w)
+            if lw > m and s.startswith(w, i):
+                m = lw
+        ph = s[i : i + m + 1]
+        phrases += 1
+        max_len = max(max_len, len(ph))
+        d.add(ph)
+        i += len(ph)
+    return pa.table(
+        {"doc_id": pa.array([doc_id], pa.int64()),
+         "cap_chars": pa.array([len(s)], pa.int64()),
+         "n_phrases": pa.array([phrases], pa.int64()),
+         "dict_size": pa.array([len(d)], pa.int64()),
+         "max_phrase_len": pa.array([max_len], pa.int64())}
+    )
+
+
+ORACLES["lz78_phrases_cap"] = (
+    f"WITH RECURSIVE d AS (SELECT doc_id, "
+    f"substr(text, 1, {SUBSTR_CAP}) AS s "
+    "FROM documents ORDER BY n_chars DESC, doc_id LIMIT 1), "
+    "r(pos, dict, n, ml) AS ("
+    "SELECT 1, []::VARCHAR[], 0::BIGINT, 0::BIGINT FROM d "
+    "UNION ALL "
+    "SELECT r.pos + length(substr(d.s, r.pos, COALESCE(list_max("
+    "list_transform(list_filter(r.dict, "
+    "x -> x = substr(d.s, r.pos, length(x))), x -> length(x))), 0) + 1)), "
+    "CASE WHEN list_contains(r.dict, substr(d.s, r.pos, COALESCE(list_max("
+    "list_transform(list_filter(r.dict, "
+    "x -> x = substr(d.s, r.pos, length(x))), x -> length(x))), 0) + 1)) "
+    "THEN r.dict ELSE list_append(r.dict, substr(d.s, r.pos, "
+    "COALESCE(list_max(list_transform(list_filter(r.dict, "
+    "x -> x = substr(d.s, r.pos, length(x))), x -> length(x))), 0) + 1)) "
+    "END, "
+    "r.n + 1, "
+    "GREATEST(r.ml, length(substr(d.s, r.pos, COALESCE(list_max("
+    "list_transform(list_filter(r.dict, "
+    "x -> x = substr(d.s, r.pos, length(x))), x -> length(x))), 0) + 1))) "
+    "FROM r, d WHERE r.pos <= length(d.s)) "
+    "SELECT d.doc_id, length(d.s)::BIGINT AS cap_chars, "
+    "r.n AS n_phrases, len(r.dict)::BIGINT AS dict_size, "
+    "r.ml AS max_phrase_len "
+    "FROM r, d WHERE r.pos = length(d.s) + 1 "
+    "ORDER BY r.n DESC LIMIT 1"
+)

@@ -3938,3 +3938,45 @@ def test_qty_price_hull_vertices_and_collinear(ray_session, tmp_path):
     assert int(got_s["n_points"]) == 1
     assert int(got_s["hull_vertices"]) == 1
     assert int(got_s["area2"]) == 0
+
+
+def _lz78_docs(d, text):
+    pq.write_table(pa.table(
+        {"doc_id": pa.array([1], pa.int64()),
+         "text": pa.array([text], pa.string()),
+         "lang": pa.array(["en"], pa.string()),
+         "source": pa.array(["s1"], pa.string()),
+         "n_chars": pa.array([len(text)], pa.int64())}
+    ), d / "documents.parquet")
+
+
+def test_lz78_phrases_cap_parse(ray_session, tmp_path):
+    """Hand-traced LZ78 parses: 'aaaaaa' -> a|aa|aaa (3 phrases, max
+    3); 'ababab' -> a|b|ab|ab where the FINAL phrase truncates at
+    end-of-string and duplicates the dictionary entry (4 phrases but
+    dict_size 3 — the emit-vs-insert distinction)."""
+    from langfilter_ray.pipelines import text_analysis
+
+    d = tmp_path / "runs"
+    d.mkdir()
+    _lz78_docs(d, "aaaaaa")
+    got = _check_vs_oracle(
+        text_analysis.lz78_phrases_cap,
+        text_analysis.ORACLES["lz78_phrases_cap"],
+        d, "documents", pq.read_table(d / "documents.parquet"),
+    ).iloc[0]
+    assert int(got["n_phrases"]) == 3
+    assert int(got["dict_size"]) == 3
+    assert int(got["max_phrase_len"]) == 3
+
+    e = tmp_path / "dup_tail"
+    e.mkdir()
+    _lz78_docs(e, "ababab")
+    got_e = _check_vs_oracle(
+        text_analysis.lz78_phrases_cap,
+        text_analysis.ORACLES["lz78_phrases_cap"],
+        e, "documents", pq.read_table(e / "documents.parquet"),
+    ).iloc[0]
+    assert int(got_e["n_phrases"]) == 4
+    assert int(got_e["dict_size"]) == 3
+    assert int(got_e["max_phrase_len"]) == 2
