@@ -338,6 +338,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_dhondt_seats": relational.nation_dhondt_seats,
         "qty_price_hull": relational.qty_price_hull,
         "lz78_phrases_cap": text_analysis.lz78_phrases_cap,
+        "johnson_flowshop": windows.johnson_flowshop,
     }
 
 

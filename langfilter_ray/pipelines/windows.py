@@ -5636,3 +5636,111 @@ ORACLES["lru_event_misses"] = (
     "AS DOUBLE) / CAST(count(*) AS DOUBLE) AS miss_rate "
     "FROM dd, ks GROUP BY ks.k"
 )
+
+
+# ---- johnson_flowshop: two-machine flow-shop makespan (Johnson's rule) ----
+
+def johnson_flowshop(sf_dir: str) -> "pa.Table":
+    """Two-machine FLOW-SHOP makespan under Johnson's rule — the
+    scheduling-theory family beyond single-machine interval selection
+    (max_nonoverlap_shipments, weighted_shipment_schedule): each ship
+    WEEK is a job that must pass pick (machine A, time = total
+    quantity) then pack (machine B, time = line count), and Johnson's
+    exchange-optimal order (jobs with a < b first by a ascending, the
+    rest by b descending, week ascending on ties) minimizes the
+    makespan.  Exactness leans on the CLOSED FORM ``C_max = max_k
+    (prefix_a(k) + suffix_b(k))`` — the critical-path identity for
+    2-machine permutation shops — so neither side replays the
+    sequential ``tB = max(tB, tA) + b`` fold: the engine takes two
+    numpy cumsums, the SQL mirror two window sums, over the SAME
+    pinned order.
+
+    Outputs one row of exact integers: n_jobs, total pick and pack
+    time, the optimal makespan, and machine B's idle time
+    (makespan - total_b, the schedule-quality number).
+
+    Scale shape: in-batch pyarrow (week -> sum qty, count) partials
+    bounded by the week span x blocks; the Johnson sort runs on the
+    bounded week axis, never on rows.
+
+    Reference anchor: S4+S6 (SURVEY.md §2.1) — the decode-then-write
+    two-stage pipeline asked as the what-order-minimizes-the-tail
+    question."""
+    US_DAY = 86_400_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"w": pa.array([], pa.int64()),
+             "a": pa.array([], pa.int64()),
+             "b": pa.array([], pa.int64())}
+        )
+        if len(t) == 0:
+            return empty
+        wk = pc.cast(t["l_shipdate"], pa.int64()).to_numpy() // US_DAY // 7
+        qty = np.floor(t["l_quantity"].to_numpy() + 0.5).astype(np.int64)
+        g = (
+            pa.table({"w": pa.array(wk), "a": pa.array(qty),
+                      "b": pa.array(np.ones(len(wk), np.int64))})
+            .group_by("w")
+            .aggregate([("a", "sum"), ("b", "sum")])
+        )
+        return pa.table({"w": g["w"], "a": g["a_sum"], "b": g["b_sum"]})
+
+    path = f"{sf_dir}/lineitem.parquet"
+    parts = (
+        ray.data.read_parquet(
+            path,
+            columns=["l_shipdate", "l_quantity"],
+            schema=_clean_schema(path, ["l_shipdate", "l_quantity"]),
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()    # bounded: week span x blocks
+    )
+    empty = pa.table(
+        {"n_jobs": pa.array([], pa.int64()),
+         "total_pick": pa.array([], pa.int64()),
+         "total_pack": pa.array([], pa.int64()),
+         "makespan": pa.array([], pa.int64()),
+         "idle_pack": pa.array([], pa.int64())}
+    )
+    if parts.empty:
+        return empty
+    g = parts.groupby("w", sort=True).agg(
+        a=("a", "sum"), b=("b", "sum")
+    ).reset_index()
+    a = g["a"].to_numpy(np.int64)
+    b = g["b"].to_numpy(np.int64)
+    w = g["w"].to_numpy(np.int64)
+    # Johnson order: (a<b group first) x (a asc | b desc) x week asc
+    key2 = np.where(a < b, a, -b)
+    order = np.lexsort((w, key2, (a >= b).astype(np.int64)))
+    a, b = a[order], b[order]
+    pa_ = np.cumsum(a)
+    sb = np.cumsum(b[::-1])[::-1]            # suffix sums of b
+    makespan = int((pa_ + sb).max())
+    return pa.table(
+        {"n_jobs": pa.array([len(a)], pa.int64()),
+         "total_pick": pa.array([int(a.sum())], pa.int64()),
+         "total_pack": pa.array([int(b.sum())], pa.int64()),
+         "makespan": pa.array([makespan], pa.int64()),
+         "idle_pack": pa.array([makespan - int(b.sum())], pa.int64())}
+    )
+
+
+ORACLES["johnson_flowshop"] = (
+    "WITH jobs AS (SELECT epoch_us(l_shipdate) // 86400000000 // 7 AS w, "
+    "sum(CAST(floor(l_quantity + 0.5) AS BIGINT))::BIGINT AS a, "
+    "count(*)::BIGINT AS b FROM lineitem GROUP BY 1), "
+    "ord AS (SELECT a, b, row_number() OVER (ORDER BY "
+    "CASE WHEN a < b THEN 0 ELSE 1 END, "
+    "CASE WHEN a < b THEN a ELSE -b END, w) AS rn FROM jobs), "
+    "pf AS (SELECT rn, "
+    "sum(a) OVER (ORDER BY rn) AS pa_, "
+    "sum(b) OVER (ORDER BY rn DESC) AS sb FROM ord) "
+    "SELECT (SELECT count(*) FROM jobs)::BIGINT AS n_jobs, "
+    "(SELECT sum(a) FROM jobs)::BIGINT AS total_pick, "
+    "(SELECT sum(b) FROM jobs)::BIGINT AS total_pack, "
+    "max(pa_ + sb)::BIGINT AS makespan, "
+    "(max(pa_ + sb) - (SELECT sum(b) FROM jobs))::BIGINT AS idle_pack "
+    "FROM pf"
+)

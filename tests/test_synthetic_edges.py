@@ -3980,3 +3980,42 @@ def test_lz78_phrases_cap_parse(ray_session, tmp_path):
     assert int(got_e["n_phrases"]) == 4
     assert int(got_e["dict_size"]) == 3
     assert int(got_e["max_phrase_len"]) == 2
+
+
+def test_johnson_flowshop_rule_and_identity(ray_session, tmp_path):
+    """Classic 3-job Johnson instance built from weekly (qty-sum, line
+    -count) pairs: W1 (3,2), W2 (1,4), W3 (4,3) -> order W2, W3, W1
+    (a<b group first by a, rest by b desc), makespan 10 via the
+    critical-path identity max_k(prefix_a + suffix_b) = max(10, 10, 10)
+    ... = 10, idle_pack 1.  The 0.4-quantity lines pin the floor(q+0.5)
+    rounding to 0 on both sides.  Empty lineitem -> typed empty."""
+    from langfilter_ray.pipelines import windows
+
+    d = tmp_path / "main"
+    d.mkdir()
+    rows = [
+        ("2024-01-01", 2.0), ("2024-01-01", 1.0),                  # W1 a=3 b=2
+        ("2024-01-08", 0.4), ("2024-01-08", 0.4),
+        ("2024-01-08", 0.4), ("2024-01-08", 1.0),                  # W2 a=1 b=4
+        ("2024-01-15", 2.0), ("2024-01-15", 1.0), ("2024-01-15", 1.0),
+    ]                                                              # W3 a=4 b=3
+    _write_lineitem_ship(d, rows)
+    got = _check_vs_oracle(
+        windows.johnson_flowshop,
+        windows.ORACLES["johnson_flowshop"],
+        d, "lineitem", pq.read_table(d / "lineitem.parquet"),
+    ).iloc[0]
+    assert int(got["n_jobs"]) == 3
+    assert int(got["total_pick"]) == 8
+    assert int(got["total_pack"]) == 9
+    assert int(got["makespan"]) == 10
+    assert int(got["idle_pack"]) == 1
+
+    e = tmp_path / "empty"
+    e.mkdir()
+    _write_lineitem_ship(e, [])
+    got_e = _to_pandas(windows.johnson_flowshop(str(e)))
+    assert len(got_e) == 0
+    assert list(got_e.columns) == [
+        "n_jobs", "total_pick", "total_pack", "makespan", "idle_pack"
+    ]
