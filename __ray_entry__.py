@@ -339,6 +339,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "qty_price_hull": relational.qty_price_hull,
         "lz78_phrases_cap": text_analysis.lz78_phrases_cap,
         "johnson_flowshop": windows.johnson_flowshop,
+        "event_weekday_assignment": windows.event_weekday_assignment,
     }
 
 

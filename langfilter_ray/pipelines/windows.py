@@ -5744,3 +5744,114 @@ ORACLES["johnson_flowshop"] = (
     "(max(pa_ + sb) - (SELECT sum(b) FROM jobs))::BIGINT AS idle_pack "
     "FROM pf"
 )
+
+
+# ---- event_weekday_assignment: exact assignment over a bounded matrix -----
+
+def event_weekday_assignment(sf_dir: str) -> "pa.Table":
+    """Exact ASSIGNMENT PROBLEM over a bounded cost matrix: give each
+    of the five event types a dedicated maintenance WEEKDAY (Mon..Fri,
+    all distinct) minimizing the total disturbed traffic (event count
+    of that type on that weekday) — the combinatorial-optimization
+    family where per-row greedy fails (two types wanting the same cheap
+    day force a global trade, the classic assignment structure that
+    otherwise needs the Hungarian algorithm).
+
+    Exactness: the matrix is BOUNDED (5 types x 5 weekdays by spec),
+    so all 5! = 120 permutations enumerate exactly on both sides —
+    ties broken by the lexicographically smallest day vector in
+    LRU_TYPES (alphabetical) order, pinned in engine and SQL.
+
+    Scale shape: one in-batch combiner bounds partials at 25 cells x
+    blocks; the fact table streams, the optimization is O(5!) driver
+    work.  Weekday derivation is the events_dow_hour integer idiom
+    (epoch day 0 = Thursday = 4, matching DuckDB's Sunday-0
+    dayofweek) — no calendar library.
+
+    Reference anchor: A4's gate-path distribution (SURVEY.md §2.6)
+    asked as the when-can-we-take-each-gate-offline question."""
+    from itertools import permutations
+
+    US_DAY = 86_400_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"t": pa.array([], pa.string()),
+             "d": pa.array([], pa.int64()),
+             "n": pa.array([], pa.int64())}
+        )
+        if len(t) == 0:
+            return empty
+        us = t["ts"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        dow = ((us // US_DAY) + 4) % 7
+        m = (dow >= 1) & (dow <= 5)
+        if not m.any():
+            return empty
+        g = (
+            pa.table({"t": pc.array_filter(t["event_type"], pa.array(m)),
+                      "d": pa.array(dow[m]),
+                      "n": pa.array(np.ones(int(m.sum()), np.int64))})
+            .group_by(["t", "d"])
+            .aggregate([("n", "sum")])
+        )
+        return pa.table({"t": g["t"], "d": g["d"], "n": g["n_sum"]})
+
+    parts = (
+        _events(sf_dir, ["ts", "event_type"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()    # bounded: 25 cells x blocks
+    )
+    cost = {(ti, d): 0 for ti in range(len(LRU_TYPES)) for d in range(1, 6)}
+    if not parts.empty:
+        idx = {t: i for i, t in enumerate(LRU_TYPES)}
+        agg = parts.groupby(["t", "d"])["n"].sum()
+        for (t, d), v in agg.items():
+            assert t in idx, f"event_type outside the LRU_TYPES alphabet: {t}"
+            cost[(idx[t], int(d))] += int(v)
+    best = None
+    for perm in permutations(range(1, 6)):
+        tot = sum(cost[(i, perm[i])] for i in range(5))
+        key = (tot, perm)
+        if best is None or key < best:
+            best = key
+    _, perm = best
+    return pa.table(
+        {"event_type": pa.array(list(LRU_TYPES), pa.string()),
+         "dow": pa.array(list(perm), pa.int64()),
+         "n_events": pa.array(
+             [cost[(i, perm[i])] for i in range(5)], pa.int64())}
+    )
+
+
+ORACLES["event_weekday_assignment"] = (
+    "WITH tl AS (SELECT unnest(['"
+    + "', '".join(LRU_TYPES)
+    + "']) AS t, unnest([0, 1, 2, 3, 4]) AS ti), "
+    "days AS (SELECT unnest([1, 2, 3, 4, 5]) AS d), "
+    "cnt AS (SELECT event_type AS t, dayofweek(ts)::BIGINT AS d, "
+    "count(*) AS c FROM events WHERE dayofweek(ts) BETWEEN 1 AND 5 "
+    "GROUP BY 1, 2), "
+    "grid AS (SELECT tl.t, tl.ti, days.d FROM tl CROSS JOIN days), "
+    "ct AS (SELECT g.ti, g.d, COALESCE(cnt.c, 0)::BIGINT AS c "
+    "FROM grid g LEFT JOIN cnt ON cnt.t = g.t AND cnt.d = g.d), "
+    "pm AS (SELECT a.d AS d0, b.d AS d1, c_.d AS d2, e.d AS d3, "
+    "f.d AS d4, "
+    "(SELECT c FROM ct WHERE ti = 0 AND d = a.d) + "
+    "(SELECT c FROM ct WHERE ti = 1 AND d = b.d) + "
+    "(SELECT c FROM ct WHERE ti = 2 AND d = c_.d) + "
+    "(SELECT c FROM ct WHERE ti = 3 AND d = e.d) + "
+    "(SELECT c FROM ct WHERE ti = 4 AND d = f.d) AS tot "
+    "FROM days a, days b, days c_, days e, days f "
+    "WHERE a.d <> b.d AND a.d <> c_.d AND a.d <> e.d AND a.d <> f.d "
+    "AND b.d <> c_.d AND b.d <> e.d AND b.d <> f.d "
+    "AND c_.d <> e.d AND c_.d <> f.d AND e.d <> f.d), "
+    "best AS (SELECT * FROM pm "
+    "ORDER BY tot, d0, d1, d2, d3, d4 LIMIT 1) "
+    "SELECT tl.t AS event_type, "
+    "([b.d0, b.d1, b.d2, b.d3, b.d4][tl.ti + 1])::BIGINT AS dow, "
+    "(SELECT c FROM ct WHERE ct.ti = tl.ti "
+    "AND ct.d = [b.d0, b.d1, b.d2, b.d3, b.d4][tl.ti + 1])::BIGINT "
+    "AS n_events "
+    "FROM tl, best b"
+)

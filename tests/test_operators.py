@@ -128,7 +128,7 @@ ORACLE_CHECKED = [
     "revenue_rank_cycles", "bwt_runs_cap", "weighted_shipment_schedule",
     "order_backlog_lindley", "region_banzhaf", "prime_price_census",
     "lru_event_misses", "nation_dhondt_seats", "qty_price_hull",
-    "lz78_phrases_cap", "johnson_flowshop",
+    "lz78_phrases_cap", "johnson_flowshop", "event_weekday_assignment",
 ]
 
 

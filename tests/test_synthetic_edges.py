@@ -4019,3 +4019,54 @@ def test_johnson_flowshop_rule_and_identity(ray_session, tmp_path):
     assert list(got_e.columns) == [
         "n_jobs", "total_pick", "total_pack", "makespan", "idle_pack"
     ]
+
+
+def test_event_weekday_assignment_forced_trade(ray_session, tmp_path):
+    """Assignment structure greedy can't see: every (type, weekday)
+    cell costs 10 events EXCEPT click@Mon = 0, error@Mon = 1,
+    error@Tue = 2.  Greedy-by-type gives click Mon, then error pays 10;
+    the exact optimum is click->Mon (0) + error->Tue (2), the three
+    flat types filling Wed/Thu/Fri by the lexicographic tie-break."""
+    from langfilter_ray.pipelines import windows
+
+    d = tmp_path / "main"
+    d.mkdir()
+    # 2024-03-04 is a Monday (DuckDB dayofweek = 1)
+    monday = np.datetime64("2024-03-04T00:00:00", "us")
+    rows = []
+    eid = 0
+    for ti, t in enumerate(windows.LRU_TYPES):
+        for day in range(5):                 # Mon..Fri offsets
+            if t == "click" and day == 0:
+                n = 0
+            elif t == "error" and day == 0:
+                n = 1
+            elif t == "error" and day == 1:
+                n = 2
+            else:
+                n = 10
+            for _ in range(n):
+                eid += 1
+                rows.append((eid, 1, day * 86_400_000_000 + eid, t, 0.0))
+    tbl = _events_table(rows)
+    # rebase ts onto the Monday
+    base = np.datetime64("2024-03-01T00:00:00", "us")
+    shift = (monday - base).astype("timedelta64[us]")
+    tbl = tbl.set_column(
+        tbl.schema.get_field_index("ts"), "ts",
+        pa.array(tbl["ts"].to_numpy(zero_copy_only=False) + shift,
+                 pa.timestamp("us")),
+    )
+    got = _check_vs_oracle(
+        windows.event_weekday_assignment,
+        windows.ORACLES["event_weekday_assignment"],
+        d, "events", tbl,
+    ).set_index("event_type")
+    assert int(got.loc["click", "dow"]) == 1
+    assert int(got.loc["click", "n_events"]) == 0
+    assert int(got.loc["error", "dow"]) == 2
+    assert int(got.loc["error", "n_events"]) == 2
+    # flat types fill remaining days lexicographically: purchase 3,
+    # signup 4, view 5 — each at the flat 10
+    assert list(got.loc[["purchase", "signup", "view"], "dow"]) == [3, 4, 5]
+    assert int(got["n_events"].sum()) == 32
