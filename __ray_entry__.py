@@ -340,6 +340,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lz78_phrases_cap": text_analysis.lz78_phrases_cap,
         "johnson_flowshop": windows.johnson_flowshop,
         "event_weekday_assignment": windows.event_weekday_assignment,
+        "matrix_chain_weeks": windows.matrix_chain_weeks,
     }
 
 

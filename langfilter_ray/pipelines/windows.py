@@ -5855,3 +5855,120 @@ ORACLES["event_weekday_assignment"] = (
     "AS n_events "
     "FROM tl, best b"
 )
+
+
+# ---- matrix_chain_weeks: interval DP (optimal parenthesization) -----------
+
+MCM_CAP = 17    # dims = first MCM_CAP weekly counts -> <=16 matrices
+
+
+def matrix_chain_weeks(sf_dir: str) -> "pa.Table":
+    """Matrix-chain multiplication over the first ``MCM_CAP`` weekly
+    order counts as dimensions — INTERVAL dynamic programming, the DP
+    family where ``m[i][j] = min_k (m[i][k] + m[k][j] +
+    d_i d_k d_j)`` couples every split point of every subinterval:
+    sequence DPs (LIS, Kadane) scan left-to-right, weighted-interval
+    DP folds one axis, but interval DP fills the triangle by SPAN, so
+    the SQL replay must carry the whole O(n^2) cost table per step.
+
+    Outputs exact integers: n_mats, the optimal scalar-multiplication
+    cost, and the naive LEFT-ASSOCIATION cost (their gap is what the
+    optimization buys).  Degenerate chains (< 2 matrices) cost 0.
+
+    Scale shape: a bounded combiner (week -> count) feeds a driver DP
+    on a CAPPED chain (MCM_CAP dims regardless of rows — the
+    weekly_revenue_lis bounded-axis lesson).  The DuckDB mirror
+    replays the span recursion as a list-state recursive CTE over the
+    FLATTENED n x n table with nested lambdas for the split-point min
+    (prototype-verified against the CLRS [30,35,15,5,10,20,25] =
+    15125 instance).
+
+    Reference anchor: T3's staged re-scoring (SURVEY.md §2.4) asked as
+    the what-join-order-minimizes-intermediate-size question."""
+    US_DAY = 86_400_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"w": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+        )
+        if len(t) == 0:
+            return empty
+        wk = pc.cast(t["o_orderdate"], pa.int64()).to_numpy() // US_DAY // 7
+        g = (
+            pa.table({"w": pa.array(wk),
+                      "n": pa.array(np.ones(len(wk), np.int64))})
+            .group_by("w")
+            .aggregate([("n", "sum")])
+        )
+        return pa.table({"w": g["w"], "n": g["n_sum"]})
+
+    path = f"{sf_dir}/orders.parquet"
+    parts = (
+        ray.data.read_parquet(
+            path,
+            columns=["o_orderdate"],
+            schema=_clean_schema(path, ["o_orderdate"]),
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()    # bounded: week span x blocks
+    )
+    empty = pa.table(
+        {"n_mats": pa.array([], pa.int64()),
+         "min_cost": pa.array([], pa.int64()),
+         "left_cost": pa.array([], pa.int64())}
+    )
+    if parts.empty:
+        return empty
+    g = parts.groupby("w", sort=True)["n"].sum()
+    d = [int(v) for v in g.to_numpy(np.int64)[:MCM_CAP]]
+    nd = len(d)
+    if nd <= 2:
+        return pa.table(
+            {"n_mats": pa.array([max(nd - 1, 0)], pa.int64()),
+             "min_cost": pa.array([0], pa.int64()),
+             "left_cost": pa.array([0], pa.int64())}
+        )
+    m = [[0] * (nd + 1) for _ in range(nd + 1)]     # 1-based (i, j)
+    for span in range(2, nd):
+        for i in range(1, nd - span + 1):
+            j = i + span
+            m[i][j] = min(
+                m[i][k] + m[k][j] + d[i - 1] * d[k - 1] * d[j - 1]
+                for k in range(i + 1, j)
+            )
+    left = sum(d[0] * d[j - 2] * d[j - 1] for j in range(3, nd + 1))
+    return pa.table(
+        {"n_mats": pa.array([nd - 1], pa.int64()),
+         "min_cost": pa.array([m[1][nd]], pa.int64()),
+         "left_cost": pa.array([left], pa.int64())}
+    )
+
+
+ORACLES["matrix_chain_weeks"] = (
+    f"WITH RECURSIVE wk AS (SELECT epoch_us(o_orderdate) // 86400000000 "
+    f"// 7 AS w, count(*)::BIGINT AS c FROM orders GROUP BY 1 "
+    f"ORDER BY w LIMIT {MCM_CAP}), "
+    "ds AS (SELECT list(c ORDER BY w) AS d, count(*)::BIGINT AS nd "
+    "FROM wk), "
+    "r(s, m) AS ("
+    "SELECT 1::BIGINT, list_transform(generate_series(1, "
+    "(SELECT nd * nd FROM ds)), x -> 0::BIGINT) FROM ds "
+    "UNION ALL "
+    "SELECT r.s + 1, "
+    "list_transform(generate_series(1, ds.nd * ds.nd), idx -> "
+    "CASE WHEN ((idx - 1) % ds.nd + 1) - ((idx - 1) // ds.nd + 1) "
+    "= r.s + 1 "
+    "THEN list_min(list_transform("
+    "generate_series((idx - 1) // ds.nd + 2, (idx - 1) % ds.nd), "
+    "k -> r.m[((idx - 1) // ds.nd) * ds.nd + k] "
+    "+ r.m[(k - 1) * ds.nd + ((idx - 1) % ds.nd + 1)] "
+    "+ ds.d[(idx - 1) // ds.nd + 1] * ds.d[k] "
+    "* ds.d[(idx - 1) % ds.nd + 1])) "
+    "ELSE r.m[idx] END) "
+    "FROM r, ds WHERE r.s < ds.nd - 1) "
+    "SELECT (ds.nd - 1)::BIGINT AS n_mats, "
+    "COALESCE(r.m[ds.nd], 0)::BIGINT AS min_cost, "
+    "COALESCE(list_sum(list_transform(generate_series(3, ds.nd), "
+    "j -> ds.d[1] * ds.d[j - 1] * ds.d[j])), 0)::BIGINT AS left_cost "
+    "FROM r, ds WHERE r.s = GREATEST(ds.nd - 1, 1) AND ds.nd >= 1"
+)

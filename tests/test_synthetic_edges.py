@@ -4070,3 +4070,40 @@ def test_event_weekday_assignment_forced_trade(ray_session, tmp_path):
     # signup 4, view 5 — each at the flat 10
     assert list(got.loc[["purchase", "signup", "view"], "dow"]) == [3, 4, 5]
     assert int(got["n_events"].sum()) == 32
+
+
+def test_matrix_chain_weeks_clrs_instance(ray_session, tmp_path):
+    """The CLRS dims [30,35,15,5,10,20,25] as seven weekly order
+    counts: optimal parenthesization 15125 vs left-association 40500
+    (the gap is what interval DP buys).  A 2-week chain (one matrix)
+    and an empty orders file pin the degenerate paths."""
+    from langfilter_ray.pipelines import windows
+
+    d = tmp_path / "clrs"
+    d.mkdir()
+    dims = [30, 35, 15, 5, 10, 20, 25]
+    rows = []
+    for wi, c in enumerate(dims):
+        day = str(np.datetime64("2024-01-01") + np.timedelta64(7 * wi, "D"))
+        rows += [(day, 1.0)] * c
+    _write_orders_dates(d, rows)
+    got = _check_vs_oracle(
+        windows.matrix_chain_weeks,
+        windows.ORACLES["matrix_chain_weeks"],
+        d, "orders", pq.read_table(d / "orders.parquet"),
+    ).iloc[0]
+    assert int(got["n_mats"]) == 6
+    assert int(got["min_cost"]) == 15125
+    assert int(got["left_cost"]) == 40500
+
+    t = tmp_path / "two"
+    t.mkdir()
+    _write_orders_dates(t, [("2024-01-01", 1.0), ("2024-01-08", 1.0)])
+    got_t = _check_vs_oracle(
+        windows.matrix_chain_weeks,
+        windows.ORACLES["matrix_chain_weeks"],
+        t, "orders", pq.read_table(t / "orders.parquet"),
+    ).iloc[0]
+    assert int(got_t["n_mats"]) == 1
+    assert int(got_t["min_cost"]) == 0
+    assert int(got_t["left_cost"]) == 0
