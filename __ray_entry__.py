@@ -341,6 +341,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "johnson_flowshop": windows.johnson_flowshop,
         "event_weekday_assignment": windows.event_weekday_assignment,
         "matrix_chain_weeks": windows.matrix_chain_weeks,
+        "life_step_grid": windows.life_step_grid,
+        "secretary_stop": windows.secretary_stop,
     }
 
 

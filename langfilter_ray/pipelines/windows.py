@@ -5972,3 +5972,223 @@ ORACLES["matrix_chain_weeks"] = (
     "j -> ds.d[1] * ds.d[j - 1] * ds.d[j])), 0)::BIGINT AS left_cost "
     "FROM r, ds WHERE r.s = GREATEST(ds.nd - 1, 1) AND ds.nd >= 1"
 )
+
+
+# ---- life_step_grid: one Conway step on the thresholded activity grid ----
+
+def life_step_grid(sf_dir: str) -> "pa.Table":
+    """One CELLULAR-AUTOMATON step (Conway's Life) on the thresholded
+    (day-of-week x hour) activity grid: a cell is ALIVE iff its event
+    count exceeds the grid mean (compared as ``count * 168 > total`` —
+    exact integers, no division), then one synchronous Life step
+    (survive on 2-3 neighbours, birth on exactly 3; 8-neighbourhood,
+    NON-toroidal edges) — the synchronous-local-update family: every
+    cell's next state depends on a NEIGHBOURHOOD snapshot, not a scan
+    order, which no window/prefix operator expresses.
+
+    Outputs exact integers: alive cells at gen 0 and gen 1, births,
+    deaths.
+
+    Scale shape: the events_dow_hour 168-cell combiner (constant-size
+    shuffle at any corpus scale); the automaton step is numpy shifted
+    sums on the driver's 7 x 24 array.  The DuckDB mirror zero-fills
+    the grid and counts neighbours with a |dr|<=1 x |dc|<=1 self-join.
+
+    Reference anchor: A4's load-profile heatmap (SURVEY.md §2.6) asked
+    as the where-does-the-hot-set-move-next question."""
+    US_HOUR = 3_600_000_000
+    US_DAY = 86_400_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"dow": pa.array([], pa.int64()),
+             "hour": pa.array([], pa.int64()),
+             "n": pa.array([], pa.int64())}
+        )
+        if len(t) == 0:
+            return empty
+        us = t["ts"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        g = (
+            pa.table({"dow": pa.array(((us // US_DAY) + 4) % 7),
+                      "hour": pa.array((us // US_HOUR) % 24),
+                      "n": pa.array(np.ones(len(us), np.int64))})
+            .group_by(["dow", "hour"])
+            .aggregate([("n", "sum")])
+        )
+        return pa.table({"dow": g["dow"], "hour": g["hour"], "n": g["n_sum"]})
+
+    parts = (
+        _events(sf_dir, ["ts"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()    # bounded: 168 cells x blocks
+    )
+    empty = pa.table(
+        {"alive_gen0": pa.array([], pa.int64()),
+         "alive_gen1": pa.array([], pa.int64()),
+         "births": pa.array([], pa.int64()),
+         "deaths": pa.array([], pa.int64())}
+    )
+    if parts.empty:
+        return empty
+    grid = np.zeros((7, 24), dtype=np.int64)
+    agg = parts.groupby(["dow", "hour"])["n"].sum()
+    for (r, c), v in agg.items():
+        grid[int(r), int(c)] = int(v)
+    total = int(grid.sum())
+    alive = grid * 168 > total
+    nb = np.zeros((7, 24), dtype=np.int64)
+    a = alive.astype(np.int64)
+    for dr in (-1, 0, 1):
+        for dc in (-1, 0, 1):
+            if dr == 0 and dc == 0:
+                continue
+            sr = np.roll(np.roll(a, dr, axis=0), dc, axis=1)
+            # non-toroidal: zero the wrapped edge
+            if dr == 1:
+                sr[0, :] = 0
+            elif dr == -1:
+                sr[-1, :] = 0
+            if dc == 1:
+                sr[:, 0] = 0
+            elif dc == -1:
+                sr[:, -1] = 0
+            nb += sr
+    nxt = (alive & ((nb == 2) | (nb == 3))) | (~alive & (nb == 3))
+    return pa.table(
+        {"alive_gen0": pa.array([int(alive.sum())], pa.int64()),
+         "alive_gen1": pa.array([int(nxt.sum())], pa.int64()),
+         "births": pa.array([int((nxt & ~alive).sum())], pa.int64()),
+         "deaths": pa.array([int((alive & ~nxt).sum())], pa.int64())}
+    )
+
+
+ORACLES["life_step_grid"] = (
+    "WITH cnt AS (SELECT dayofweek(ts)::BIGINT AS r, hour(ts)::BIGINT "
+    "AS c, count(*)::BIGINT AS n FROM events GROUP BY 1, 2), "
+    "rows_ AS (SELECT unnest(generate_series(0, 6)) AS r), "
+    "cols AS (SELECT unnest(generate_series(0, 23)) AS c), "
+    "grid0 AS (SELECT rows_.r, cols.c FROM rows_ CROSS JOIN cols), "
+    "grid AS (SELECT g.r, g.c, COALESCE(cnt.n, 0)::BIGINT AS n "
+    "FROM grid0 g LEFT JOIN cnt ON cnt.r = g.r AND cnt.c = g.c), "
+    "tot AS (SELECT sum(n)::BIGINT AS t FROM grid), "
+    "al AS (SELECT r, c, (n * 168 > (SELECT t FROM tot)) AS a FROM grid), "
+    "nb AS (SELECT p.r, p.c, p.a, "
+    "count(*) FILTER (WHERE q.a) AS k FROM al p LEFT JOIN al q "
+    "ON abs(p.r - q.r) <= 1 AND abs(p.c - q.c) <= 1 "
+    "AND NOT (p.r = q.r AND p.c = q.c) GROUP BY 1, 2, 3), "
+    "nx AS (SELECT a, ((a AND k IN (2, 3)) OR (NOT a AND k = 3)) AS b "
+    "FROM nb) "
+    "SELECT count(*) FILTER (WHERE a)::BIGINT AS alive_gen0, "
+    "count(*) FILTER (WHERE b)::BIGINT AS alive_gen1, "
+    "count(*) FILTER (WHERE b AND NOT a)::BIGINT AS births, "
+    "count(*) FILTER (WHERE a AND NOT b)::BIGINT AS deaths FROM nx"
+)
+
+
+# ---- secretary_stop: the 1/e optimal-stopping rule on daily revenue -------
+
+def secretary_stop(sf_dir: str) -> "pa.Table":
+    """The SECRETARY PROBLEM's 1/e rule replayed on the daily revenue
+    series — the optimal-stopping family: observe the first
+    ``floor(n/e)`` days without committing, then accept the first day
+    whose revenue strictly beats everything seen in the sample (the
+    last day if none does).  Did the rule catch the best day?
+
+    Determinism: n/e is ONE double division of an int by the same
+    nearest-double of e on both sides (the source_simpson exact-float
+    lesson), floored to an integer sample size; all revenue comparisons
+    are integer cents.  Empty-sample max uses a -1 sentinel (daily
+    sums are non-negative), so k = 0 accepts the first day.
+
+    Outputs: n_days, sample_n, pick_day, pick_cents, best_cents, and
+    hit (1 iff the picked VALUE equals the global max).
+
+    Scale shape: in-batch (day -> cents) sum partials bounded by the
+    day span x blocks; the stopping replay is one prefix-max pass on
+    the bounded day axis.  The SQL mirror is two window functions over
+    the same series.
+
+    Reference anchor: A3's rolling trend report (SURVEY.md §2.6) asked
+    as the when-should-we-have-sold question."""
+    import math
+
+    US_DAY = 86_400_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"d": pa.array([], pa.int64()), "v": pa.array([], pa.int64())}
+        )
+        if len(t) == 0:
+            return empty
+        day = pc.cast(t["o_orderdate"], pa.int64()).to_numpy() // US_DAY
+        cents = np.floor(
+            t["o_totalprice"].to_numpy() * 100.0 + 0.5
+        ).astype(np.int64)
+        g = (
+            pa.table({"d": pa.array(day), "v": pa.array(cents)})
+            .group_by("d")
+            .aggregate([("v", "sum")])
+        )
+        return pa.table({"d": g["d"], "v": g["v_sum"]})
+
+    path = f"{sf_dir}/orders.parquet"
+    parts = (
+        ray.data.read_parquet(
+            path,
+            columns=["o_orderdate", "o_totalprice"],
+            schema=_clean_schema(path, ["o_orderdate", "o_totalprice"]),
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()    # bounded: day span x blocks
+    )
+    empty = pa.table(
+        {"n_days": pa.array([], pa.int64()),
+         "sample_n": pa.array([], pa.int64()),
+         "pick_day": pa.array([], pa.int64()),
+         "pick_cents": pa.array([], pa.int64()),
+         "best_cents": pa.array([], pa.int64()),
+         "hit": pa.array([], pa.int64())}
+    )
+    if parts.empty:
+        return empty
+    g = parts.groupby("d", sort=True)["v"].sum()
+    days = g.index.to_numpy(np.int64)
+    vals = g.to_numpy(np.int64)
+    n = len(days)
+    k = int(np.floor(n / math.e))
+    bar = int(vals[:k].max()) if k else -1
+    after = np.flatnonzero(vals[k:] > bar)
+    i = k + int(after[0]) if len(after) else n - 1
+    best = int(vals.max())
+    return pa.table(
+        {"n_days": pa.array([n], pa.int64()),
+         "sample_n": pa.array([k], pa.int64()),
+         "pick_day": pa.array([int(days[i])], pa.int64()),
+         "pick_cents": pa.array([int(vals[i])], pa.int64()),
+         "best_cents": pa.array([best], pa.int64()),
+         "hit": pa.array([1 if int(vals[i]) == best else 0], pa.int64())}
+    )
+
+
+ORACLES["secretary_stop"] = (
+    "WITH dv AS (SELECT epoch_us(o_orderdate) // 86400000000 AS d, "
+    "sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))::BIGINT AS v "
+    "FROM orders GROUP BY 1), "
+    "nn AS (SELECT count(*)::BIGINT AS n, "
+    "CAST(floor(count(*) / exp(1)) AS BIGINT) AS k, "
+    "max(v)::BIGINT AS best FROM dv), "
+    "seq AS (SELECT d, v, row_number() OVER (ORDER BY d) AS rn FROM dv), "
+    "bar AS (SELECT COALESCE(max(v), -1)::BIGINT AS b "
+    "FROM seq, nn WHERE rn <= nn.k), "
+    "cand AS (SELECT d, v FROM seq, nn, bar "
+    "WHERE rn > nn.k AND v > bar.b ORDER BY rn LIMIT 1), "
+    "lastd AS (SELECT d, v FROM seq, nn WHERE rn = nn.n), "
+    "pick AS (SELECT COALESCE(c.d, l.d) AS d, COALESCE(c.v, l.v) AS v "
+    "FROM lastd l LEFT JOIN cand c ON TRUE) "
+    "SELECT nn.n AS n_days, nn.k AS sample_n, "
+    "pick.d::BIGINT AS pick_day, pick.v::BIGINT AS pick_cents, "
+    "nn.best AS best_cents, "
+    "(CASE WHEN pick.v = nn.best THEN 1 ELSE 0 END)::BIGINT AS hit "
+    "FROM pick, nn"
+)

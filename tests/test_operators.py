@@ -129,7 +129,7 @@ ORACLE_CHECKED = [
     "order_backlog_lindley", "region_banzhaf", "prime_price_census",
     "lru_event_misses", "nation_dhondt_seats", "qty_price_hull",
     "lz78_phrases_cap", "johnson_flowshop", "event_weekday_assignment",
-    "matrix_chain_weeks",
+    "matrix_chain_weeks", "life_step_grid", "secretary_stop",
 ]
 
 

@@ -4107,3 +4107,81 @@ def test_matrix_chain_weeks_clrs_instance(ray_session, tmp_path):
     assert int(got_t["n_mats"]) == 1
     assert int(got_t["min_cost"]) == 0
     assert int(got_t["left_cost"]) == 0
+
+
+def test_life_step_grid_blinker(ray_session, tmp_path):
+    """A horizontal BLINKER on the (dow, hour) grid: Monday hours
+    5/6/7 get 2 events each (alive: 2*168 > 6), everything else 0.
+    One Life step rotates it vertical around (1,6): 3 alive, 2 births
+    (Sun/Tue hour 6), 2 deaths (Mon 5 and 7)."""
+    from langfilter_ray.pipelines import windows
+
+    d = tmp_path / "main"
+    d.mkdir()
+    # 2024-03-04 is a Monday (dow 1); _events_table bases at 2024-03-01,
+    # so offset by 3 days to land on Monday.
+    day3 = 3 * 86_400_000_000
+    hour = 3_600_000_000
+    rows = []
+    eid = 0
+    for h in (5, 6, 7):
+        for rep in range(2):
+            eid += 1
+            rows.append((eid, 1, day3 + h * hour + eid, "view", 0.0))
+    got = _check_vs_oracle(
+        windows.life_step_grid,
+        windows.ORACLES["life_step_grid"],
+        d, "events", _events_table(rows),
+    ).iloc[0]
+    assert int(got["alive_gen0"]) == 3
+    assert int(got["alive_gen1"]) == 3
+    assert int(got["births"]) == 2
+    assert int(got["deaths"]) == 2
+
+
+def test_secretary_stop_rule(ray_session, tmp_path):
+    """1/e rule on hand series: [5,3,9,4,7] with n=5 -> sample 1 day
+    (bar 500), first beat is day 3 at 900 = the max (hit).  [9,3,5,4,7]
+    puts the best day IN the sample -> falls through to the last day,
+    hit 0.  n=2 -> sample_n 0, -1 sentinel bar accepts day 1."""
+    from langfilter_ray.pipelines import windows
+
+    d = tmp_path / "hit"
+    d.mkdir()
+    _write_orders_dates(
+        d,
+        [("2024-01-01", 5.0), ("2024-01-02", 3.0), ("2024-01-03", 9.0),
+         ("2024-01-04", 4.0), ("2024-01-05", 7.0)],
+    )
+    got = _check_vs_oracle(
+        windows.secretary_stop, windows.ORACLES["secretary_stop"],
+        d, "orders", pq.read_table(d / "orders.parquet"),
+    ).iloc[0]
+    assert int(got["sample_n"]) == 1
+    assert int(got["pick_cents"]) == 900
+    assert int(got["hit"]) == 1
+
+    m = tmp_path / "miss"
+    m.mkdir()
+    _write_orders_dates(
+        m,
+        [("2024-01-01", 9.0), ("2024-01-02", 3.0), ("2024-01-03", 5.0),
+         ("2024-01-04", 4.0), ("2024-01-05", 7.0)],
+    )
+    got_m = _check_vs_oracle(
+        windows.secretary_stop, windows.ORACLES["secretary_stop"],
+        m, "orders", pq.read_table(m / "orders.parquet"),
+    ).iloc[0]
+    assert int(got_m["pick_cents"]) == 700     # last day fallback
+    assert int(got_m["hit"]) == 0
+
+    z = tmp_path / "zero_sample"
+    z.mkdir()
+    _write_orders_dates(z, [("2024-01-01", 3.0), ("2024-01-02", 8.0)])
+    got_z = _check_vs_oracle(
+        windows.secretary_stop, windows.ORACLES["secretary_stop"],
+        z, "orders", pq.read_table(z / "orders.parquet"),
+    ).iloc[0]
+    assert int(got_z["sample_n"]) == 0
+    assert int(got_z["pick_cents"]) == 300     # first day accepted
+    assert int(got_z["hit"]) == 0
