@@ -343,6 +343,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "matrix_chain_weeks": windows.matrix_chain_weeks,
         "life_step_grid": windows.life_step_grid,
         "secretary_stop": windows.secretary_stop,
+        "collatz_steps_census": relational.collatz_steps_census,
     }
 
 

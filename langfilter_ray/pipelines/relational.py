@@ -9735,3 +9735,113 @@ ORACLES["qty_price_hull"] = (
     "COALESCE(abs((SELECT sum(x * ny - nx * y) FROM sl)), 0)::BIGINT "
     "AS area2"
 )
+
+
+# ---- collatz_steps_census: capped iterated-map trajectories over cents ----
+
+COLLATZ_CAP = 100
+
+
+def collatz_steps_census(sf_dir: str) -> "pa.Table":
+    """Capped COLLATZ trajectory census over order totals in cents —
+    the iterated-integer-map family: for each value, count the steps
+    of ``c -> c/2 (even) | 3c+1 (odd)`` until reaching 1, capped at
+    ``COLLATZ_CAP`` (values that do not reach 1 within the cap —
+    including 0 — count as not-reached).  Like prime_price_census this
+    is an operator SHAPE: an expensive data-dependent per-row loop
+    whose trip count varies wildly between neighbouring values.
+
+    Vectorization: each batch iterates the map ``COLLATZ_CAP`` times
+    as whole-array numpy selects, freezing rows that hit 1 (every
+    iteration is O(rows), no per-row Python).  Overflow-safe in int64:
+    an odd step's 3c+1 is even, so two steps grow at most 1.5x and the
+    cap bounds the excursion at c * 1.5^50 (~6e8 x) — far under 2^63
+    for cent-scale inputs.
+
+    Outputs one row: n_orders, n_reached, max_steps / total_steps
+    over the reached set (-1 / 0 when none).  The DuckDB mirror
+    iterates a recursive CTE over DISTINCT cents (bounded recursion
+    width) and joins step counts back to rows.
+
+    Scale shape: map-only; four scalars per batch cross the exchange.
+
+    Reference anchor: S5's multi-backend decoder (SURVEY.md §2.1) —
+    per-item work with unpredictable trip counts — asked as a pure
+    arithmetic census."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"n": pa.array([], pa.int64()),
+             "k": pa.array([], pa.int64()),
+             "mx": pa.array([], pa.int64()),
+             "ts": pa.array([], pa.int64())}
+        )
+        if len(t) == 0:
+            return empty
+        c = np.floor(
+            t["o_totalprice"].to_numpy() * 100.0 + 0.5
+        ).astype(np.int64)
+        cur = c.copy()
+        steps = np.zeros(len(c), np.int64)
+        done = cur == 1
+        for _ in range(COLLATZ_CAP):
+            act = ~done & (cur != 1)
+            if not act.any():
+                break
+            odd = act & (cur % 2 == 1)
+            ev = act & ~odd
+            cur[ev] //= 2
+            cur[odd] = 3 * cur[odd] + 1
+            steps[act] += 1
+            done |= cur == 1
+        reached = cur == 1
+        sr = steps[reached]
+        return pa.table(
+            {"n": pa.array([len(c)], pa.int64()),
+             "k": pa.array([int(reached.sum())], pa.int64()),
+             "mx": pa.array([int(sr.max()) if len(sr) else -1], pa.int64()),
+             "ts": pa.array([int(sr.sum())], pa.int64())}
+        )
+
+    parts = (
+        _read(sf_dir, "orders", ["o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()    # bounded: 4 scalars x blocks
+    )
+    empty = pa.table(
+        {"n_orders": pa.array([], pa.int64()),
+         "n_reached": pa.array([], pa.int64()),
+         "max_steps": pa.array([], pa.int64()),
+         "total_steps": pa.array([], pa.int64())}
+    )
+    if parts.empty:
+        return empty
+    k = int(parts["k"].sum())
+    return pa.table(
+        {"n_orders": pa.array([int(parts["n"].sum())], pa.int64()),
+         "n_reached": pa.array([k], pa.int64()),
+         "max_steps": pa.array(
+             [int(parts["mx"].max()) if k else -1], pa.int64()),
+         "total_steps": pa.array([int(parts["ts"].sum())], pa.int64())}
+    )
+
+
+ORACLES["collatz_steps_census"] = (
+    f"WITH RECURSIVE v AS (SELECT CAST(floor(o_totalprice * 100.0 + 0.5) "
+    f"AS BIGINT) AS c FROM orders), "
+    f"dv AS (SELECT DISTINCT c FROM v), "
+    f"r(c0, c, k) AS ("
+    f"SELECT c, c, 0::BIGINT FROM dv "
+    f"UNION ALL "
+    f"SELECT r.c0, CASE WHEN r.c % 2 = 0 THEN r.c // 2 "
+    f"ELSE 3 * r.c + 1 END, r.k + 1 "
+    f"FROM r WHERE r.c <> 1 AND r.k < {COLLATZ_CAP}), "
+    f"fin AS (SELECT c0, max(k) AS steps, "
+    f"bool_or(c = 1) AS reached FROM r GROUP BY c0), "
+    f"j AS (SELECT fin.steps, fin.reached FROM v JOIN fin ON v.c = fin.c0) "
+    f"SELECT count(*)::BIGINT AS n_orders, "
+    f"count(*) FILTER (WHERE reached)::BIGINT AS n_reached, "
+    f"COALESCE(max(steps) FILTER (WHERE reached), -1)::BIGINT AS max_steps, "
+    f"COALESCE(sum(steps) FILTER (WHERE reached), 0)::BIGINT "
+    f"AS total_steps FROM j"
+)

@@ -4185,3 +4185,40 @@ def test_secretary_stop_rule(ray_session, tmp_path):
     assert int(got_z["sample_n"]) == 0
     assert int(got_z["pick_cents"]) == 300     # first day accepted
     assert int(got_z["hit"]) == 0
+
+
+def test_collatz_steps_census_cap_and_trajectories(ray_session, tmp_path):
+    """Hand trajectories: 1 cent -> 0 steps; 6 cents -> 8 steps
+    (6,3,10,5,16,8,4,2,1); 27 cents needs 111 steps so the 100-step cap
+    leaves it UNREACHED (the famous slow starter); 0 cents loops at 0
+    forever.  All-unreached corpus pins the -1/0 sentinels."""
+    from langfilter_ray.pipelines import relational
+
+    d = tmp_path / "main"
+    d.mkdir()
+    _write_orders_dates(
+        d,
+        [("2024-01-01", 0.01), ("2024-01-01", 0.27),
+         ("2024-01-01", 0.06), ("2024-01-01", 0.00)],
+    )
+    got = _check_vs_oracle(
+        relational.collatz_steps_census,
+        relational.ORACLES["collatz_steps_census"],
+        d, "orders", pq.read_table(d / "orders.parquet"),
+    ).iloc[0]
+    assert int(got["n_orders"]) == 4
+    assert int(got["n_reached"]) == 2
+    assert int(got["max_steps"]) == 8
+    assert int(got["total_steps"]) == 8
+
+    e = tmp_path / "unreached"
+    e.mkdir()
+    _write_orders_dates(e, [("2024-01-01", 0.27), ("2024-01-01", 0.00)])
+    got_e = _check_vs_oracle(
+        relational.collatz_steps_census,
+        relational.ORACLES["collatz_steps_census"],
+        e, "orders", pq.read_table(e / "orders.parquet"),
+    ).iloc[0]
+    assert int(got_e["n_reached"]) == 0
+    assert int(got_e["max_steps"]) == -1
+    assert int(got_e["total_steps"]) == 0
