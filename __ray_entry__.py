@@ -344,6 +344,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "life_step_grid": windows.life_step_grid,
         "secretary_stop": windows.secretary_stop,
         "collatz_steps_census": relational.collatz_steps_census,
+        "euler_session_walk": windows.euler_session_walk,
     }
 
 

@@ -6192,3 +6192,145 @@ ORACLES["secretary_stop"] = (
     "(CASE WHEN pick.v = nn.best THEN 1 ELSE 0 END)::BIGINT AS hit "
     "FROM pick, nn"
 )
+
+
+# ---- euler_session_walk: Eulerian-path feasibility of the flow graph ------
+
+def euler_session_walk(sf_dir: str) -> "pa.Table":
+    """Eulerian-path feasibility of the DIRECTED session-flow
+    multigraph (nodes = event types, one edge per consecutive-pair
+    transition per user) — the Eulerian graph-theory family: can one
+    walk traverse EVERY observed transition exactly once?  Needs (a)
+    degree balance — at most one node with out−in = +1 (start), one
+    with in−out = +1 (end), the rest balanced — and (b) all edges in
+    one weakly connected component.  A circuit additionally needs full
+    balance.  The zero-edge graph is vacuously both (pinned).
+
+    Outputs exact integers: n_edges, n_active_nodes, n_unbalanced,
+    weakly_connected, eulerian_path, eulerian_circuit (0/1 flags).
+
+    Scale shape: the event_transitions exchange (per-user partition,
+    in-partition pair combine, ≤ |types|² rows shuffled); degrees and
+    the BFS run on the ≤ 5-node driver matrix.  The DuckDB mirror
+    derives transitions with lag() and closes weak reachability with a
+    recursive CTE from the lexicographically-first active node.
+
+    Reference anchor: A4's gate-path audit (SURVEY.md §2.6) asked as
+    the can-one-test-session-cover-every-observed-transition
+    question."""
+
+    def per_partition(g: "pd.DataFrame") -> "pd.DataFrame":
+        if g.empty:
+            return pd.DataFrame(
+                {"from_type": pd.array([], dtype="object"),
+                 "to_type": pd.array([], dtype="object"),
+                 "n_p": pd.array([], dtype="int64")}
+            )
+        g, starts, ends = _user_segments(g)
+        et = g["event_type"].to_numpy()
+        n = len(g)
+        first = np.zeros(n, dtype=bool)
+        first[starts] = True
+        keep = ~first
+        prev = np.empty(n, dtype=object)
+        prev[1:] = et[:-1]
+        out = pd.DataFrame({"from_type": prev[keep], "to_type": et[keep]})
+        out = (
+            out.groupby(["from_type", "to_type"], sort=False)
+            .size()
+            .reset_index(name="n_p")
+        )
+        return out.astype({"n_p": "int64"})
+
+    parts = (
+        _user_partition_map(
+            _events(sf_dir, ["user_id", "ts", "event_id", "event_type"]),
+            _window_parts(sf_dir),
+            per_partition,
+        )
+        .to_pandas()    # bounded: |types|^2 x partitions
+    )
+    # the oracle's scalar-subquery spine always yields ONE row, so the
+    # zero-edge graph (including a schemaless all-empty parts gather —
+    # the Ray empty-stream quirk) returns the vacuous row, never empty
+    if parts.empty:
+        agg = {}
+    else:
+        agg = parts.groupby(["from_type", "to_type"])["n_p"].sum()
+    outd: dict[str, int] = {}
+    ind: dict[str, int] = {}
+    adj: dict[str, set[str]] = {}
+    n_edges = 0
+    for (a, b), v in agg.items():
+        v = int(v)
+        n_edges += v
+        outd[a] = outd.get(a, 0) + v
+        ind[b] = ind.get(b, 0) + v
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    active = sorted(set(outd) | set(ind))
+    if n_edges == 0:
+        return pa.table(
+            {"n_edges": pa.array([0], pa.int64()),
+             "n_active_nodes": pa.array([0], pa.int64()),
+             "n_unbalanced": pa.array([0], pa.int64()),
+             "weakly_connected": pa.array([1], pa.int64()),
+             "eulerian_path": pa.array([1], pa.int64()),
+             "eulerian_circuit": pa.array([1], pa.int64())}
+        )
+    deltas = [outd.get(t, 0) - ind.get(t, 0) for t in active]
+    n_unbal = sum(1 for d in deltas if d != 0)
+    plus1 = sum(1 for d in deltas if d == 1)
+    minus1 = sum(1 for d in deltas if d == -1)
+    seen = {active[0]}
+    stack = [active[0]]
+    while stack:
+        for nb in adj.get(stack.pop(), ()):
+            if nb not in seen:
+                seen.add(nb)
+                stack.append(nb)
+    connected = 1 if len(seen) == len(active) else 0
+    balanced = n_unbal == 0
+    path_ok = connected and (
+        balanced or (plus1 == 1 and minus1 == 1 and n_unbal == 2)
+    )
+    return pa.table(
+        {"n_edges": pa.array([n_edges], pa.int64()),
+         "n_active_nodes": pa.array([len(active)], pa.int64()),
+         "n_unbalanced": pa.array([n_unbal], pa.int64()),
+         "weakly_connected": pa.array([connected], pa.int64()),
+         "eulerian_path": pa.array([1 if path_ok else 0], pa.int64()),
+         "eulerian_circuit": pa.array(
+             [1 if (connected and balanced) else 0], pa.int64())}
+    )
+
+
+ORACLES["euler_session_walk"] = (
+    "WITH RECURSIVE tr AS (SELECT prev AS a, event_type AS b, "
+    "count(*)::BIGINT AS n FROM (SELECT event_type, lag(event_type) "
+    "OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev "
+    "FROM events) WHERE prev IS NOT NULL GROUP BY 1, 2), "
+    "nodes AS (SELECT DISTINCT t FROM (SELECT a AS t FROM tr UNION ALL SELECT b FROM tr)), "
+    "deg AS (SELECT nodes.t, "
+    "COALESCE((SELECT sum(n) FROM tr WHERE a = nodes.t), 0) - "
+    "COALESCE((SELECT sum(n) FROM tr WHERE b = nodes.t), 0) AS delta "
+    "FROM nodes), "
+    "und AS (SELECT DISTINCT a, b FROM (SELECT a, b FROM tr UNION ALL SELECT b AS a, a AS b FROM tr)), "
+    "reach(t) AS (SELECT min(t) FROM nodes "
+    "UNION SELECT und.b FROM reach JOIN und ON und.a = reach.t), "
+    "m AS (SELECT (SELECT COALESCE(sum(n), 0) FROM tr) AS ne, "
+    "(SELECT count(*) FROM nodes) AS na, "
+    "(SELECT count(*) FROM deg WHERE delta <> 0) AS nu, "
+    "(SELECT count(*) FROM deg WHERE delta = 1) AS p1, "
+    "(SELECT count(*) FROM deg WHERE delta = -1) AS m1, "
+    "(SELECT count(*) FROM reach WHERE t IS NOT NULL) AS nr) "
+    "SELECT ne::BIGINT AS n_edges, na::BIGINT AS n_active_nodes, "
+    "(CASE WHEN ne = 0 THEN 0 ELSE nu END)::BIGINT AS n_unbalanced, "
+    "(CASE WHEN ne = 0 OR nr = na THEN 1 ELSE 0 END)::BIGINT "
+    "AS weakly_connected, "
+    "(CASE WHEN ne = 0 OR (nr = na AND (nu = 0 "
+    "OR (p1 = 1 AND m1 = 1 AND nu = 2))) THEN 1 ELSE 0 END)::BIGINT "
+    "AS eulerian_path, "
+    "(CASE WHEN ne = 0 OR (nr = na AND nu = 0) THEN 1 ELSE 0 END)::BIGINT "
+    "AS eulerian_circuit FROM m"
+)

@@ -130,7 +130,7 @@ ORACLE_CHECKED = [
     "lru_event_misses", "nation_dhondt_seats", "qty_price_hull",
     "lz78_phrases_cap", "johnson_flowshop", "event_weekday_assignment",
     "matrix_chain_weeks", "life_step_grid", "secretary_stop",
-    "collatz_steps_census",
+    "collatz_steps_census", "euler_session_walk",
 ]
 
 

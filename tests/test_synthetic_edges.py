@@ -4222,3 +4222,58 @@ def test_collatz_steps_census_cap_and_trajectories(ray_session, tmp_path):
     assert int(got_e["n_reached"]) == 0
     assert int(got_e["max_steps"]) == -1
     assert int(got_e["total_steps"]) == 0
+
+
+def _euler_check(tmp_path, name, rows):
+    from langfilter_ray.pipelines import windows
+
+    d = tmp_path / name
+    d.mkdir()
+    return _check_vs_oracle(
+        windows.euler_session_walk, windows.ORACLES["euler_session_walk"],
+        d, "events", _events_table(rows),
+    ).iloc[0]
+
+
+def test_euler_session_walk_conditions(ray_session, tmp_path):
+    """The four Euler regimes: a 2-cycle (circuit AND path), a simple
+    chain (+1/-1 ends: path only), two balanced but DISCONNECTED
+    cycles (neither), a 3-way fan (4 unbalanced nodes: neither), and
+    the zero-edge graph (vacuously both)."""
+    r = _euler_check(tmp_path, "circuit", [
+        (1, 1, 0, "view", 0.0), (2, 1, 1, "click", 0.0),
+        (3, 1, 2, "view", 0.0),
+    ])
+    assert (int(r["eulerian_circuit"]), int(r["eulerian_path"])) == (1, 1)
+    assert int(r["n_edges"]) == 2
+
+    r = _euler_check(tmp_path, "path", [
+        (1, 1, 0, "view", 0.0), (2, 1, 1, "click", 0.0),
+        (3, 1, 2, "purchase", 0.0),
+    ])
+    assert (int(r["eulerian_circuit"]), int(r["eulerian_path"])) == (0, 1)
+    assert int(r["n_unbalanced"]) == 2
+
+    r = _euler_check(tmp_path, "disconnected", [
+        (1, 1, 0, "view", 0.0), (2, 1, 1, "click", 0.0),
+        (3, 1, 2, "view", 0.0),
+        (4, 2, 0, "purchase", 0.0), (5, 2, 1, "signup", 0.0),
+        (6, 2, 2, "purchase", 0.0),
+    ])
+    assert int(r["weakly_connected"]) == 0
+    assert (int(r["eulerian_circuit"]), int(r["eulerian_path"])) == (0, 0)
+    assert int(r["n_active_nodes"]) == 4
+    assert int(r["n_unbalanced"]) == 0
+
+    r = _euler_check(tmp_path, "fan", [
+        (1, 1, 0, "view", 0.0), (2, 1, 1, "click", 0.0),
+        (3, 2, 0, "view", 0.0), (4, 2, 1, "purchase", 0.0),
+        (5, 3, 0, "view", 0.0), (6, 3, 1, "signup", 0.0),
+    ])
+    assert int(r["n_unbalanced"]) == 4
+    assert int(r["eulerian_path"]) == 0
+
+    r = _euler_check(tmp_path, "no_edges", [(1, 1, 0, "view", 0.0)])
+    assert int(r["n_edges"]) == 0
+    assert (int(r["eulerian_circuit"]), int(r["eulerian_path"])) == (1, 1)
+    assert int(r["weakly_connected"]) == 1
