@@ -345,6 +345,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "secretary_stop": windows.secretary_stop,
         "collatz_steps_census": relational.collatz_steps_census,
         "euler_session_walk": windows.euler_session_walk,
+        "stern_brocot_return_ratio": relational.stern_brocot_return_ratio,
     }
 
 

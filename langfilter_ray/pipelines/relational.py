@@ -9845,3 +9845,154 @@ ORACLES["collatz_steps_census"] = (
     f"COALESCE(sum(steps) FILTER (WHERE reached), 0)::BIGINT "
     f"AS total_steps FROM j"
 )
+
+
+# ---- stern_brocot_return_ratio: bounded-denominator best approximation ----
+
+SB_DEN_CAP = 64
+
+
+def stern_brocot_return_ratio(sf_dir: str) -> "pa.Table":
+    """Best rational approximation with denominator <= ``SB_DEN_CAP``
+    of the RETURN RATIO (returned revenue cents / total revenue cents)
+    via a STERN-BROCOT mediant descent — the continued-fraction /
+    Diophantine-approximation family: "the return rate is almost
+    exactly 3/64" is a statement no decimal rounding can certify,
+    because the best bounded-denominator approximant is a number-
+    theoretic object (a convergent/semiconvergent), not a truncation.
+
+    Exactness: the walk keeps enclosing fractions lo < a/b < hi and
+    replaces one endpoint by their MEDIANT until its denominator
+    passes the cap (denominators strictly increase, bounding the walk
+    at ~2·cap steps); every comparison is a cross product in exact
+    integers, including the final lo-vs-hi pick (|a·q − p·b| cross-
+    multiplied; ties to the smaller denominator then numerator —
+    NEVER an e/q float, whose ulp at 100 TB cent-sums exceeds the
+    1/(q1·q2) separation).  ``err_cross = |a·best_den − best_num·b|``
+    reports the error exactly (0 iff the ratio is exactly
+    representable).
+
+    Scale shape: two in-batch integer sums (returned, total) per
+    batch; the walk is O(cap) driver arithmetic.  The DuckDB mirror
+    replays the descent as a recursive CTE over six BIGINTs and picks
+    the winner with the same CASE chain.
+
+    Reference anchor: A1's status-count report (SURVEY.md §2.6) asked
+    as the express-the-rate-as-a-simple-fraction question."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"r": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+        )
+        if len(t) == 0:
+            return empty
+        cents = np.floor(
+            t["l_extendedprice"].to_numpy() * 100.0 + 0.5
+        ).astype(np.int64)
+        ret = t["l_returnflag"].to_numpy(zero_copy_only=False) == "R"
+        return pa.table(
+            {"r": pa.array([int(cents[ret].sum())], pa.int64()),
+             "b": pa.array([int(cents.sum())], pa.int64())}
+        )
+
+    parts = (
+        _read(sf_dir, "lineitem", ["l_extendedprice", "l_returnflag"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()    # bounded: 2 scalars x blocks
+    )
+    empty = pa.table(
+        {"returned_cents": pa.array([], pa.int64()),
+         "total_cents": pa.array([], pa.int64()),
+         "best_num": pa.array([], pa.int64()),
+         "best_den": pa.array([], pa.int64()),
+         "err_cross": pa.array([], pa.int64())}
+    )
+    if parts.empty:
+        return empty
+    a = int(parts["r"].sum())
+    b = int(parts["b"].sum())
+    if b <= 0:
+        return empty
+    ln, ld, hn, hd = 0, 1, 1, 1
+    ex = None
+    while True:
+        mn, md = ln + hn, ld + hd
+        if md > SB_DEN_CAP:
+            break
+        c = mn * b - a * md
+        if c == 0:
+            ex = (mn, md)
+            break
+        if c < 0:
+            ln, ld = mn, md
+        else:
+            hn, hd = mn, md
+    if ex is not None:
+        p, q = ex
+    else:
+        el = abs(a * ld - ln * b)
+        eh = abs(a * hd - hn * b)
+        # compare el/ld vs eh/hd exactly; ties -> smaller den, then num
+        if el * hd < eh * ld or (
+            el * hd == eh * ld
+            and (ld < hd or (ld == hd and ln < hn))
+        ):
+            p, q = ln, ld
+        else:
+            p, q = hn, hd
+    return pa.table(
+        {"returned_cents": pa.array([a], pa.int64()),
+         "total_cents": pa.array([b], pa.int64()),
+         "best_num": pa.array([p], pa.int64()),
+         "best_den": pa.array([q], pa.int64()),
+         "err_cross": pa.array([abs(a * q - p * b)], pa.int64())}
+    )
+
+
+ORACLES["stern_brocot_return_ratio"] = (
+    f"WITH RECURSIVE ab AS (SELECT "
+    f"sum(CASE WHEN l_returnflag = 'R' THEN "
+    f"CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) ELSE 0 "
+    f"END)::BIGINT AS a, "
+    f"sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT))::BIGINT "
+    f"AS b FROM lineitem), "
+    f"r(ln, ld, hn, hd, exn, exd) AS ("
+    f"SELECT 0::BIGINT, 1::BIGINT, 1::BIGINT, 1::BIGINT, "
+    f"NULL::BIGINT, NULL::BIGINT FROM ab WHERE b > 0 "
+    f"UNION ALL "
+    f"SELECT CASE WHEN (r.ln + r.hn) * ab.b - ab.a * (r.ld + r.hd) < 0 "
+    f"THEN r.ln + r.hn ELSE r.ln END, "
+    f"CASE WHEN (r.ln + r.hn) * ab.b - ab.a * (r.ld + r.hd) < 0 "
+    f"THEN r.ld + r.hd ELSE r.ld END, "
+    f"CASE WHEN (r.ln + r.hn) * ab.b - ab.a * (r.ld + r.hd) > 0 "
+    f"THEN r.ln + r.hn ELSE r.hn END, "
+    f"CASE WHEN (r.ln + r.hn) * ab.b - ab.a * (r.ld + r.hd) > 0 "
+    f"THEN r.ld + r.hd ELSE r.hd END, "
+    f"CASE WHEN (r.ln + r.hn) * ab.b - ab.a * (r.ld + r.hd) = 0 "
+    f"THEN r.ln + r.hn ELSE NULL END, "
+    f"CASE WHEN (r.ln + r.hn) * ab.b - ab.a * (r.ld + r.hd) = 0 "
+    f"THEN r.ld + r.hd ELSE NULL END "
+    f"FROM r, ab WHERE r.exn IS NULL "
+    f"AND r.ld + r.hd <= {SB_DEN_CAP}), "
+    f"fin AS (SELECT * FROM r "
+    f"ORDER BY (exn IS NOT NULL) DESC, ld + hd DESC LIMIT 1), "
+    f"pick AS (SELECT ab.a, ab.b, "
+    f"CASE WHEN f.exn IS NOT NULL THEN f.exn "
+    f"WHEN abs(ab.a * f.ld - f.ln * ab.b) * f.hd "
+    f"< abs(ab.a * f.hd - f.hn * ab.b) * f.ld "
+    f"OR (abs(ab.a * f.ld - f.ln * ab.b) * f.hd "
+    f"= abs(ab.a * f.hd - f.hn * ab.b) * f.ld "
+    f"AND (f.ld < f.hd OR (f.ld = f.hd AND f.ln < f.hn))) "
+    f"THEN f.ln ELSE f.hn END AS p, "
+    f"CASE WHEN f.exd IS NOT NULL THEN f.exd "
+    f"WHEN abs(ab.a * f.ld - f.ln * ab.b) * f.hd "
+    f"< abs(ab.a * f.hd - f.hn * ab.b) * f.ld "
+    f"OR (abs(ab.a * f.ld - f.ln * ab.b) * f.hd "
+    f"= abs(ab.a * f.hd - f.hn * ab.b) * f.ld "
+    f"AND (f.ld < f.hd OR (f.ld = f.hd AND f.ln < f.hn))) "
+    f"THEN f.ld ELSE f.hd END AS q "
+    f"FROM fin f, ab) "
+    f"SELECT a AS returned_cents, b AS total_cents, "
+    f"p::BIGINT AS best_num, q::BIGINT AS best_den, "
+    f"abs(a * q - p * b)::BIGINT AS err_cross FROM pick"
+)

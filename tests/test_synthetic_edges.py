@@ -4277,3 +4277,61 @@ def test_euler_session_walk_conditions(ray_session, tmp_path):
     assert int(r["n_edges"]) == 0
     assert (int(r["eulerian_circuit"]), int(r["eulerian_path"])) == (1, 1)
     assert int(r["weakly_connected"]) == 1
+
+
+def _write_lineitem_flag_price(d, rows):
+    """rows = [(returnflag, price_dollars)]."""
+    n = len(rows)
+    pq.write_table(pa.table(
+        {"l_orderkey": pa.array(list(range(1, n + 1)), pa.int64()),
+         "l_partkey": pa.array([1] * n, pa.int64()),
+         "l_suppkey": pa.array([1] * n, pa.int64()),
+         "l_linenumber": pa.array([1] * n, pa.int32()),
+         "l_quantity": pa.array([1.0] * n, pa.float64()),
+         "l_extendedprice": pa.array([p for _, p in rows], pa.float64()),
+         "l_discount": pa.array([0.0] * n, pa.float64()),
+         "l_tax": pa.array([0.0] * n, pa.float64()),
+         "l_returnflag": pa.array([f for f, _ in rows], pa.string()),
+         "l_linestatus": pa.array(["O"] * n, pa.string()),
+         "l_shipdate": pa.array(
+             [np.datetime64("2024-01-01T00:00:00", "us")] * n,
+             pa.timestamp("us"))}
+    ), d / "lineitem.parquet")
+
+
+def test_stern_brocot_return_ratio_descent(ray_session, tmp_path):
+    """Exact hit: ratio 500/1000 terminates on the 1/2 mediant with
+    err 0.  Approximation: 333/1000 walks to enclosure [21/64, 1/3]
+    and the exact cross-multiplied compare picks 1/3 (err 1) over the
+    cap-edge 21/64 (err 312) — the 1/3 convergent beating the larger-
+    denominator semiconvergent is the continued-fraction fact the op
+    exists for.  Zero total revenue -> empty (no ratio)."""
+    from langfilter_ray.pipelines import relational
+
+    d = tmp_path / "exact"
+    d.mkdir()
+    _write_lineitem_flag_price(d, [("R", 5.0), ("N", 5.0)])
+    got = _check_vs_oracle(
+        relational.stern_brocot_return_ratio,
+        relational.ORACLES["stern_brocot_return_ratio"],
+        d, "lineitem", pq.read_table(d / "lineitem.parquet"),
+    ).iloc[0]
+    assert (int(got["best_num"]), int(got["best_den"])) == (1, 2)
+    assert int(got["err_cross"]) == 0
+
+    t = tmp_path / "third"
+    t.mkdir()
+    _write_lineitem_flag_price(t, [("R", 3.33), ("N", 6.67)])
+    got_t = _check_vs_oracle(
+        relational.stern_brocot_return_ratio,
+        relational.ORACLES["stern_brocot_return_ratio"],
+        t, "lineitem", pq.read_table(t / "lineitem.parquet"),
+    ).iloc[0]
+    assert (int(got_t["best_num"]), int(got_t["best_den"])) == (1, 3)
+    assert int(got_t["err_cross"]) == 1
+
+    z = tmp_path / "zero"
+    z.mkdir()
+    _write_lineitem_flag_price(z, [("N", 0.0), ("R", 0.0)])
+    got_z = _to_pandas(relational.stern_brocot_return_ratio(str(z)))
+    assert len(got_z) == 0
