@@ -346,6 +346,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "collatz_steps_census": relational.collatz_steps_census,
         "euler_session_walk": windows.euler_session_walk,
         "stern_brocot_return_ratio": relational.stern_brocot_return_ratio,
+        "hamming_syndrome_census": relational.hamming_syndrome_census,
     }
 
 

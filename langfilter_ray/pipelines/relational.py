@@ -9996,3 +9996,81 @@ ORACLES["stern_brocot_return_ratio"] = (
     f"p::BIGINT AS best_num, q::BIGINT AS best_den, "
     f"abs(a * q - p * b)::BIGINT AS err_cross FROM pick"
 )
+
+
+# ---- hamming_syndrome_census: Hamming(7,4) parity-check census ------------
+
+def hamming_syndrome_census(sf_dir: str) -> "pa.Table":
+    """Hamming(7,4) SYNDROME census over the low 7 bits of every order
+    key — the error-correcting-codes family: each 7-bit word is run
+    through the three parity checks ``s1 = b1^b3^b5^b7, s2 =
+    b2^b3^b6^b7, s3 = b4^b5^b6^b7`` (1-indexed bit positions) and the
+    census counts words per syndrome 0..7; syndrome 0 marks valid
+    codewords, any other value names the bit a single-error decoder
+    would flip.  The operator shape is pure vectorized bit
+    manipulation — shifts, masks and XORs over whole arrays, no
+    arithmetic on values.
+
+    Outputs 8 zero-filled rows: (syndrome, n_keys).
+
+    Scale shape: map-only — an 8-bin bincount partial per batch; the
+    final fold is constant-size.  The DuckDB mirror computes the same
+    shifts with ``>>``/``&``/``xor()`` and zero-fills the syndrome
+    axis with a generate_series left join.
+
+    Reference anchor: S3's upload validator (SURVEY.md §2.1) asked as
+    the how-would-a-parity-check-bucket-the-ids question."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"s": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+        )
+        if len(t) == 0:
+            return empty
+        v = t["o_orderkey"].to_numpy() & 127
+        b = [(v >> i) & 1 for i in range(7)]          # b[i] = bit i+1
+        s1 = b[0] ^ b[2] ^ b[4] ^ b[6]
+        s2 = b[1] ^ b[2] ^ b[5] ^ b[6]
+        s3 = b[3] ^ b[4] ^ b[5] ^ b[6]
+        syn = s1 + 2 * s2 + 4 * s3
+        cnt = np.bincount(syn, minlength=8).astype(np.int64)
+        return pa.table(
+            {"s": pa.array(np.arange(8, dtype=np.int64)),
+             "n": pa.array(cnt)}
+        )
+
+    parts = (
+        _read(sf_dir, "orders", ["o_orderkey"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()    # bounded: 8 bins x blocks
+    )
+    empty = pa.table(
+        {"syndrome": pa.array([], pa.int64()),
+         "n_keys": pa.array([], pa.int64())}
+    )
+    if parts.empty:
+        return empty
+    agg = parts.groupby("s", sort=True)["n"].sum()
+    out = np.zeros(8, np.int64)
+    out[agg.index.to_numpy(np.int64)] = agg.to_numpy(np.int64)
+    return pa.table(
+        {"syndrome": pa.array(np.arange(8, dtype=np.int64)),
+         "n_keys": pa.array(out)}
+    )
+
+
+ORACLES["hamming_syndrome_census"] = (
+    "WITH syn AS (SELECT "
+    "xor(xor(o_orderkey & 1, (o_orderkey >> 2) & 1), "
+    "xor((o_orderkey >> 4) & 1, (o_orderkey >> 6) & 1)) "
+    "+ 2 * xor(xor((o_orderkey >> 1) & 1, (o_orderkey >> 2) & 1), "
+    "xor((o_orderkey >> 5) & 1, (o_orderkey >> 6) & 1)) "
+    "+ 4 * xor(xor((o_orderkey >> 3) & 1, (o_orderkey >> 4) & 1), "
+    "xor((o_orderkey >> 5) & 1, (o_orderkey >> 6) & 1)) AS s "
+    "FROM orders), "
+    "g AS (SELECT s, count(*)::BIGINT AS n FROM syn GROUP BY 1), "
+    "grid AS (SELECT unnest(generate_series(0, 7)) AS s) "
+    "SELECT grid.s::BIGINT AS syndrome, "
+    "COALESCE(g.n, 0)::BIGINT AS n_keys "
+    "FROM grid LEFT JOIN g ON g.s = grid.s"
+)

@@ -131,7 +131,7 @@ ORACLE_CHECKED = [
     "lz78_phrases_cap", "johnson_flowshop", "event_weekday_assignment",
     "matrix_chain_weeks", "life_step_grid", "secretary_stop",
     "collatz_steps_census", "euler_session_walk",
-    "stern_brocot_return_ratio",
+    "stern_brocot_return_ratio", "hamming_syndrome_census",
 ]
 
 

@@ -4335,3 +4335,34 @@ def test_stern_brocot_return_ratio_descent(ray_session, tmp_path):
     _write_lineitem_flag_price(z, [("N", 0.0), ("R", 0.0)])
     got_z = _to_pandas(relational.stern_brocot_return_ratio(str(z)))
     assert len(got_z) == 0
+
+
+def test_hamming_syndrome_census_hand_words(ray_session, tmp_path):
+    """Hand syndromes: key 0 -> 0 (codeword), key 1 (b1 set) -> 1, key
+    64 (b7 set) -> 7 (all three checks fire), key 128 wraps to 0 via
+    the &127 mask, key 85 = 1010101b passes all checks -> 0."""
+    from langfilter_ray.pipelines import relational
+
+    d = tmp_path / "main"
+    d.mkdir()
+    keys = [0, 1, 64, 128, 85]
+    n = len(keys)
+    pq.write_table(pa.table(
+        {"o_orderkey": pa.array(keys, pa.int64()),
+         "o_custkey": pa.array([1] * n, pa.int64()),
+         "o_orderstatus": pa.array(["O"] * n, pa.string()),
+         "o_totalprice": pa.array([1.0] * n, pa.float64()),
+         "o_orderdate": pa.array(
+             [np.datetime64("2024-01-01T00:00:00", "us")] * n,
+             pa.timestamp("us")),
+         "o_orderpriority": pa.array(["1-URGENT"] * n, pa.string())}
+    ), d / "orders.parquet")
+    got = _check_vs_oracle(
+        relational.hamming_syndrome_census,
+        relational.ORACLES["hamming_syndrome_census"],
+        d, "orders", pq.read_table(d / "orders.parquet"),
+    ).set_index("syndrome")
+    assert int(got.loc[0, "n_keys"]) == 3     # 0, 128, 85
+    assert int(got.loc[1, "n_keys"]) == 1     # key 1
+    assert int(got.loc[7, "n_keys"]) == 1     # key 64
+    assert int(got["n_keys"].sum()) == 5
