@@ -347,6 +347,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "euler_session_walk": windows.euler_session_walk,
         "stern_brocot_return_ratio": relational.stern_brocot_return_ratio,
         "hamming_syndrome_census": relational.hamming_syndrome_census,
+        "brand_bipartite_parity": relational.brand_bipartite_parity,
     }
 
 

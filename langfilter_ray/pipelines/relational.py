@@ -10074,3 +10074,101 @@ ORACLES["hamming_syndrome_census"] = (
     "COALESCE(g.n, 0)::BIGINT AS n_keys "
     "FROM grid LEFT JOIN g ON g.s = grid.s"
 )
+
+
+# ---- brand_bipartite_parity: 2-colorability of the strong brand graph -----
+
+def brand_bipartite_parity(sf_dir: str) -> "pa.Table":
+    """BIPARTITENESS (2-colorability) of the strong brand co-purchase
+    graph — the graph-parity family: a graph is bipartite iff it has
+    no ODD CLOSED WALK, a global parity obstruction that neither the
+    peeling (k-core), spanning (MST), nor reachability (components,
+    hub distances) operators detect — a graph can pass all of those
+    and still fail 2-coloring on one triangle.
+
+    Edges are brand_graph_kcore's exact strong set (``5·w·D >= 6·S``
+    integer inequality).  Outputs one row: n_nodes, n_edges,
+    n_components (over strong nodes, min-label components), bipartite
+    (0/1).  The empty strong graph is vacuously bipartite with zero
+    components (pinned on both sides).
+
+    Scale shape: pair weights from ``_brand_pair_census`` (broadcast
+    dim probe + one hash-tag partition-fold exchange); the parity BFS
+    runs on the ≤ 25-node driver graph.  The DuckDB mirror closes the
+    odd-walk relation with a (node, node, parity) recursive CTE
+    (states bounded by 2·|brands|²) and labels components by min
+    reachable brand.
+
+    Reference anchor: A4's gate-path distribution (SURVEY.md §2.6)
+    asked as the can-the-gates-be-split-into-two-shifts question."""
+    brands, w = _brand_pair_census(sf_dir)
+    empty_row = pa.table(
+        {"n_nodes": pa.array([0], pa.int64()),
+         "n_edges": pa.array([0], pa.int64()),
+         "n_components": pa.array([0], pa.int64()),
+         "bipartite": pa.array([1], pa.int64())}
+    )
+    if w is None:
+        return empty_row
+    S = int(w.sum())
+    D = int(len(w))
+    strong = [
+        (int(k) // 64, int(k) % 64)
+        for k, ww in w.items() if 5 * int(ww) * D >= 6 * S
+    ]
+    if not strong:
+        return empty_row
+    adj: dict[int, set] = {}
+    for a, b in strong:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    color: dict[int, int] = {}
+    n_comp = 0
+    bip = 1
+    for start in sorted(adj):
+        if start in color:
+            continue
+        n_comp += 1
+        color[start] = 0
+        stack = [start]
+        while stack:
+            u = stack.pop()
+            for v in adj[u]:
+                if v not in color:
+                    color[v] = 1 - color[u]
+                    stack.append(v)
+                elif color[v] == color[u]:
+                    bip = 0
+    return pa.table(
+        {"n_nodes": pa.array([len(adj)], pa.int64()),
+         "n_edges": pa.array([len(strong)], pa.int64()),
+         "n_components": pa.array([n_comp], pa.int64()),
+         "bipartite": pa.array([bip], pa.int64())}
+    )
+
+
+ORACLES["brand_bipartite_parity"] = (
+    "WITH RECURSIVE ob AS (SELECT DISTINCT l.l_orderkey AS o, "
+    "p.p_brand AS b FROM lineitem l "
+    "JOIN part p ON l.l_partkey = p.p_partkey), "
+    "pw AS (SELECT a.b AS b1, b.b AS b2, count(*)::BIGINT AS w "
+    "FROM ob a JOIN ob b ON a.o = b.o AND a.b < b.b GROUP BY 1, 2), "
+    "tot AS (SELECT sum(w)::BIGINT AS s, count(*)::BIGINT AS d FROM pw), "
+    "strong AS (SELECT b1, b2 FROM pw, tot WHERE 5 * w * d >= 6 * s), "
+    "und AS (SELECT b1 AS a, b2 AS b FROM strong "
+    "UNION ALL SELECT b2, b1 FROM strong), "
+    "walk(a, b, par) AS ("
+    "SELECT a, b, 1 FROM und "
+    "UNION "
+    "SELECT w.a, u.b, 1 - w.par FROM walk w JOIN und u ON u.a = w.b), "
+    "nodes AS (SELECT DISTINCT a AS x FROM und), "
+    "lab AS (SELECT x, LEAST(x, (SELECT min(w.b) FROM walk w "
+    "WHERE w.a = nodes.x)) AS l FROM nodes), "
+    "m AS (SELECT (SELECT count(*) FROM nodes) AS nn, "
+    "(SELECT count(*) FROM strong) AS ne, "
+    "(SELECT count(DISTINCT l) FROM lab) AS nc, "
+    "(SELECT count(*) FROM walk WHERE a = b AND par = 1) AS odd) "
+    "SELECT nn::BIGINT AS n_nodes, ne::BIGINT AS n_edges, "
+    "nc::BIGINT AS n_components, "
+    "(CASE WHEN odd = 0 THEN 1 ELSE 0 END)::BIGINT AS bipartite FROM m"
+)

@@ -4366,3 +4366,105 @@ def test_hamming_syndrome_census_hand_words(ray_session, tmp_path):
     assert int(got.loc[1, "n_keys"]) == 1     # key 1
     assert int(got.loc[7, "n_keys"]) == 1     # key 64
     assert int(got["n_keys"].sum()) == 5
+
+
+def _write_brand_orders(d, brand_parts, order_brandsets):
+    """brand_parts = [brand, ...] (one part per brand, pk = idx+1);
+    order_brandsets = [set-of-brand-indices per order]."""
+    nb = len(brand_parts)
+    pq.write_table(pa.table(
+        {"p_partkey": pa.array(list(range(1, nb + 1)), pa.int64()),
+         "p_name": pa.array([f"part {b}" for b in brand_parts], pa.string()),
+         "p_brand": pa.array(brand_parts, pa.string()),
+         "p_type": pa.array(["T"] * nb, pa.string()),
+         "p_size": pa.array([1] * nb, pa.int32()),
+         "p_retailprice": pa.array([1.0] * nb, pa.float64())}
+    ), d / "part.parquet")
+    ok, pk = [], []
+    for oi, bs in enumerate(order_brandsets, start=1):
+        for bi in bs:
+            ok.append(oi)
+            pk.append(bi + 1)
+    n = len(ok)
+    pq.write_table(pa.table(
+        {"l_orderkey": pa.array(ok, pa.int64()),
+         "l_partkey": pa.array(pk, pa.int64()),
+         "l_suppkey": pa.array([1] * n, pa.int64()),
+         "l_linenumber": pa.array([1] * n, pa.int32()),
+         "l_quantity": pa.array([1.0] * n, pa.float64()),
+         "l_extendedprice": pa.array([1.0] * n, pa.float64()),
+         "l_discount": pa.array([0.0] * n, pa.float64()),
+         "l_tax": pa.array([0.0] * n, pa.float64()),
+         "l_returnflag": pa.array(["N"] * n, pa.string()),
+         "l_linestatus": pa.array(["O"] * n, pa.string()),
+         "l_shipdate": pa.array(
+             [np.datetime64("2024-01-01T00:00:00", "us")] * n,
+             pa.timestamp("us"))}
+    ), d / "lineitem.parquet")
+
+
+def _bipartite_check(tmp_path, name, brand_parts, order_brandsets):
+    from langfilter_ray.pipelines import relational
+
+    d = tmp_path / name
+    d.mkdir()
+    _write_brand_orders(d, brand_parts, order_brandsets)
+    got = _canon(_to_pandas(relational.brand_bipartite_parity(str(d))))
+    c = duckdb.connect()
+    for t in ("lineitem", "part"):
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')"
+        )
+    want = _canon(
+        c.execute(relational.ORACLES["brand_bipartite_parity"]).df())
+    problems = compare_frames(got, want)
+    assert not problems, (problems, first_diff(got, want))
+    return _to_pandas(relational.brand_bipartite_parity(str(d))).iloc[0]
+
+
+def test_brand_bipartite_parity_cycles(ray_session, tmp_path):
+    """Strong-edge arithmetic (5wD >= 6S): target edges get weight 2,
+    weight-1 dummy pairs lift the mean so exactly the weight-2 edges
+    qualify.  A triangle (odd cycle) fails 2-coloring; a 4-cycle
+    passes; two disjoint edges give 2 components; no strong edges is
+    vacuously bipartite."""
+    # triangle A-B-C + 3 dummies: k=3 weight-2 edges, m=3 weight-1
+    tri = _bipartite_check(
+        tmp_path, "tri",
+        ["BA", "BB", "BC", "D1", "D2", "D3", "D4", "D5", "D6"],
+        [{0, 1}, {0, 1}, {1, 2}, {1, 2}, {0, 2}, {0, 2},
+         {3, 4}, {5, 6}, {7, 8}],
+    )
+    assert (int(tri["n_nodes"]), int(tri["n_edges"])) == (3, 3)
+    assert int(tri["n_components"]) == 1
+    assert int(tri["bipartite"]) == 0
+
+    # square A-B-C-D-A + 2 dummies: k=4, m=2 (m >= k/2 holds)
+    sq = _bipartite_check(
+        tmp_path, "square",
+        ["BA", "BB", "BC", "BD", "D1", "D2", "D3", "D4"],
+        [{0, 1}, {0, 1}, {1, 2}, {1, 2}, {2, 3}, {2, 3},
+         {0, 3}, {0, 3}, {4, 5}, {6, 7}],
+    )
+    assert (int(sq["n_nodes"]), int(sq["n_edges"])) == (4, 4)
+    assert int(sq["bipartite"]) == 1
+    assert int(sq["n_components"]) == 1
+
+    # two disjoint strong edges
+    two = _bipartite_check(
+        tmp_path, "two",
+        ["BA", "BB", "BC", "BD", "D1", "D2"],
+        [{0, 1}, {0, 1}, {2, 3}, {2, 3}, {4, 5}],
+    )
+    assert int(two["n_components"]) == 2
+    assert int(two["bipartite"]) == 1
+
+    # all pairs equal weight -> no strong edges -> vacuous
+    none = _bipartite_check(
+        tmp_path, "none",
+        ["BA", "BB", "BC", "BD"],
+        [{0, 1}, {2, 3}],
+    )
+    assert (int(none["n_nodes"]), int(none["n_edges"])) == (0, 0)
+    assert int(none["bipartite"]) == 1
+    assert int(none["n_components"]) == 0
