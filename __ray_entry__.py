@@ -348,6 +348,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stern_brocot_return_ratio": relational.stern_brocot_return_ratio,
         "hamming_syndrome_census": relational.hamming_syndrome_census,
         "brand_bipartite_parity": relational.brand_bipartite_parity,
+        "hilbert_locality": relational.hilbert_locality,
     }
 
 

@@ -10172,3 +10172,120 @@ ORACLES["brand_bipartite_parity"] = (
     "nc::BIGINT AS n_components, "
     "(CASE WHEN odd = 0 THEN 1 ELSE 0 END)::BIGINT AS bipartite FROM m"
 )
+
+
+# ---- hilbert_locality: space-filling-curve index census -------------------
+
+HILBERT_ORDER = 6    # 64 x 64 grid
+
+
+def hilbert_locality(sf_dir: str) -> "pa.Table":
+    """HILBERT-CURVE index census of the occupied (quantity, price)
+    grid cells — the space-filling-curve family, the math behind
+    Hilbert-clustered table layouts: map each occupied cell of the
+    64 x 64 grid (x = qty bucket, y = $100-price bucket, both clamped)
+    to its order-6 Hilbert index and measure LOCALITY — the total
+    index jump a row-major scan pays (``rowmajor_jump = Σ|Δd|`` over
+    (x, y)-sorted cells) versus the curve's own span (d_max − d_min).
+    The gap is exactly why engines sort by Hilbert index instead of
+    row-major key order.
+
+    Exactness: the standard xy2d bit transform (reflect + swap per
+    level) over exact integers; the engine runs it as 6 vectorized
+    numpy passes over the DISTINCT cells, the DuckDB mirror replays
+    the same 6 levels as a recursive CTE carrying (x, y, d, s) per
+    cell — convention pinned by the (0,1)->3 / (1,0)->1 anchor.
+
+    Scale shape: an in-batch distinct-cell combiner bounds partials at
+    4096 cells x blocks; everything downstream is cell-bounded.
+
+    Reference anchor: J2's owner/prefix routing (SURVEY.md §2.5) asked
+    as the what-layout-keeps-neighbours-together question."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"x": pa.array([], pa.int64()), "y": pa.array([], pa.int64())}
+        )
+        if len(t) == 0:
+            return empty
+        q = np.floor(t["l_quantity"].to_numpy() + 0.5).astype(np.int64)
+        c = np.floor(
+            t["l_extendedprice"].to_numpy() * 100.0 + 0.5
+        ).astype(np.int64)
+        x = np.minimum(q, 63)
+        y = np.minimum(c // 10000, 63)
+        g = pa.table({"x": pa.array(x), "y": pa.array(y)}).group_by(
+            ["x", "y"]).aggregate([])
+        return g
+
+    parts = (
+        _read(sf_dir, "lineitem", ["l_quantity", "l_extendedprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()    # bounded: 4096 cells x blocks
+    )
+    empty = pa.table(
+        {"n_cells": pa.array([], pa.int64()),
+         "d_min": pa.array([], pa.int64()),
+         "d_max": pa.array([], pa.int64()),
+         "rowmajor_jump": pa.array([], pa.int64())}
+    )
+    if parts.empty:
+        return empty
+    cells = parts.drop_duplicates().sort_values(["x", "y"])
+    x = cells["x"].to_numpy(np.int64).copy()
+    y = cells["y"].to_numpy(np.int64).copy()
+    d = np.zeros(len(x), np.int64)
+    s = 1 << (HILBERT_ORDER - 1)
+    # in-quadrant reduction form: x, y stay in [0, s) after each level,
+    # so // and % never see a negative operand (numpy floors, DuckDB
+    # truncates — they only agree on non-negatives; the reflect-in-place
+    # form goes negative mid-descent and diverged between the engines)
+    while s > 0:
+        rx = x // s
+        ry = y // s
+        d += s * s * ((3 * rx) ^ ry)
+        x = x % s
+        y = y % s
+        refl = (ry == 0) & (rx == 1)
+        x2 = np.where(refl, s - 1 - x, x)
+        y2 = np.where(refl, s - 1 - y, y)
+        swap = ry == 0
+        x, y = np.where(swap, y2, x2), np.where(swap, x2, y2)
+        s //= 2
+    jump = int(np.abs(np.diff(d)).sum()) if len(d) > 1 else 0
+    return pa.table(
+        {"n_cells": pa.array([len(d)], pa.int64()),
+         "d_min": pa.array([int(d.min())], pa.int64()),
+         "d_max": pa.array([int(d.max())], pa.int64()),
+         "rowmajor_jump": pa.array([jump], pa.int64())}
+    )
+
+
+ORACLES["hilbert_locality"] = (
+    f"WITH RECURSIVE cells AS (SELECT DISTINCT "
+    f"LEAST(CAST(floor(l_quantity + 0.5) AS BIGINT), 63) AS cx, "
+    f"LEAST(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) "
+    f"// 10000, 63) AS cy FROM lineitem), "
+    f"r(cx, cy, x, y, d, s) AS ("
+    f"SELECT cx, cy, cx, cy, 0::BIGINT, "
+    f"{1 << (HILBERT_ORDER - 1)}::BIGINT FROM cells "
+    f"UNION ALL "
+    f"SELECT r.cx, r.cy, "
+    f"CASE WHEN r.y // r.s = 0 THEN "
+    f"CASE WHEN r.x // r.s = 1 THEN r.s - 1 - (r.y % r.s) "
+    f"ELSE r.y % r.s END ELSE r.x % r.s END, "
+    f"CASE WHEN r.y // r.s = 0 THEN "
+    f"CASE WHEN r.x // r.s = 1 THEN r.s - 1 - (r.x % r.s) "
+    f"ELSE r.x % r.s END ELSE r.y % r.s END, "
+    f"r.d + r.s * r.s * xor(3 * (r.x // r.s), r.y // r.s), "
+    f"r.s // 2 FROM r WHERE r.s > 0), "
+    f"fin AS (SELECT cx, cy, d FROM r WHERE s = 0), "
+    f"ord AS (SELECT d, row_number() OVER (ORDER BY cx, cy) AS rn "
+    f"FROM fin), "
+    f"jmp AS (SELECT COALESCE(sum(abs(d - prev)), 0)::BIGINT AS j FROM "
+    f"(SELECT d, lag(d) OVER (ORDER BY rn) AS prev FROM ord) "
+    f"WHERE prev IS NOT NULL) "
+    f"SELECT count(*)::BIGINT AS n_cells, min(d)::BIGINT AS d_min, "
+    f"max(d)::BIGINT AS d_max, (SELECT j FROM jmp) AS rowmajor_jump "
+    f"FROM fin"
+)

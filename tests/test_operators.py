@@ -132,7 +132,7 @@ ORACLE_CHECKED = [
     "matrix_chain_weeks", "life_step_grid", "secretary_stop",
     "collatz_steps_census", "euler_session_walk",
     "stern_brocot_return_ratio", "hamming_syndrome_census",
-    "brand_bipartite_parity",
+    "brand_bipartite_parity", "hilbert_locality",
 ]
 
 

@@ -4468,3 +4468,39 @@ def test_brand_bipartite_parity_cycles(ray_session, tmp_path):
     assert (int(none["n_nodes"]), int(none["n_edges"])) == (0, 0)
     assert int(none["bipartite"]) == 1
     assert int(none["n_components"]) == 0
+
+
+def test_hilbert_locality_anchors(ray_session, tmp_path):
+    """Pin the curve convention and the locality gap: the unit square
+    cells (0,0),(0,1),(1,0),(1,1) map to d = 0,3,1,2 (row-major jump
+    |0-3|+|3-1|+|1-2| = 6 vs curve span 3), and the far corner (63,0)
+    is the curve's END at d = 4095.  Values above the 63-bucket clamp
+    collapse onto the boundary cell."""
+    from langfilter_ray.pipelines import relational
+
+    d = tmp_path / "square"
+    d.mkdir()
+    _write_lineitem_qty_price(
+        d, [(0.0, 0.0), (0.0, 100.0), (1.0, 0.0), (1.0, 100.0)])
+    got = _check_vs_oracle(
+        relational.hilbert_locality,
+        relational.ORACLES["hilbert_locality"],
+        d, "lineitem", pq.read_table(d / "lineitem.parquet"),
+    ).iloc[0]
+    assert int(got["n_cells"]) == 4
+    assert int(got["d_min"]) == 0
+    assert int(got["d_max"]) == 3
+    assert int(got["rowmajor_jump"]) == 6
+
+    e = tmp_path / "corner"
+    e.mkdir()
+    # qty 63 exactly, plus a 99.0-qty row that clamps onto the same cell
+    _write_lineitem_qty_price(e, [(63.0, 0.0), (99.0, 0.0), (0.0, 0.0)])
+    got_e = _check_vs_oracle(
+        relational.hilbert_locality,
+        relational.ORACLES["hilbert_locality"],
+        e, "lineitem", pq.read_table(e / "lineitem.parquet"),
+    ).iloc[0]
+    assert int(got_e["n_cells"]) == 2      # clamp collapses 99 -> 63
+    assert int(got_e["d_min"]) == 0
+    assert int(got_e["d_max"]) == 4095     # curve end
