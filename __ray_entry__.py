@@ -349,6 +349,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hamming_syndrome_census": relational.hamming_syndrome_census,
         "brand_bipartite_parity": relational.brand_bipartite_parity,
         "hilbert_locality": relational.hilbert_locality,
+        "consistent_hash_balance": relational.consistent_hash_balance,
     }
 
 

@@ -10289,3 +10289,112 @@ ORACLES["hilbert_locality"] = (
     f"max(d)::BIGINT AS d_max, (SELECT j FROM jmp) AS rowmajor_jump "
     f"FROM fin"
 )
+
+
+# ---- consistent_hash_balance: vnode ring placement census -----------------
+
+CH_SHARDS = 8
+CH_VNODES = 16
+
+
+def consistent_hash_balance(sf_dir: str) -> "pa.Table":
+    """CONSISTENT-HASHING ring census — the distributed-systems
+    placement family: 8 shards x 16 virtual nodes land on a 48-bit
+    ring at md5-derived positions, every order key routes to its
+    clockwise successor vnode, and the census reports keys per shard —
+    the imbalance a vnode ring actually delivers (vs the 1/K ideal)
+    made exact.  md5 because the repo LCG is low-discrepancy over
+    consecutive ids (the user_activity_f2 lesson) AND DuckDB's md5()
+    mirrors hashlib exactly.
+
+    Determinism: vnode position = first 12 md5 hex chars of
+    ``shard{s}:{v}`` as an integer (48 bits, int64-safe); ring order
+    and the successor scan tie-break on (pos, shard, vnode) on both
+    sides; a key position past the last vnode wraps to the ring's
+    first entry.
+
+    Scale shape: the ring is 128 driver-side entries riding the
+    closure; per batch the md5 positions are the expensive row-local
+    step (no vectorized md5 exists — the prime-census cost archetype,
+    embarrassingly parallel) and routing is one searchsorted; 8-bin
+    bincount partials cross the exchange.  The DuckDB mirror parses
+    the same hex via strpos/shift arithmetic and routes with a
+    correlated successor lookup over the 128-row ring.
+
+    Reference anchor: J2's owner/prefix routing (SURVEY.md §2.5) asked
+    as the how-even-is-the-ring question."""
+    import hashlib
+
+    ring = sorted(
+        (int(hashlib.md5(f"shard{s}:{v}".encode()).hexdigest()[:12], 16),
+         s, v)
+        for s in range(CH_SHARDS) for v in range(CH_VNODES)
+    )
+    ring_pos = np.array([r[0] for r in ring], dtype=np.int64)
+    ring_shard = np.array([r[1] for r in ring], dtype=np.int64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"s": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+        )
+        if len(t) == 0:
+            return empty
+        keys = t["o_orderkey"].to_numpy()
+        pos = np.fromiter(
+            (int(hashlib.md5(str(int(k)).encode()).hexdigest()[:12], 16)
+             for k in keys),
+            dtype=np.int64, count=len(keys),
+        )
+        idx = np.searchsorted(ring_pos, pos, side="left")
+        idx[idx == len(ring_pos)] = 0          # wrap
+        cnt = np.bincount(
+            ring_shard[idx], minlength=CH_SHARDS).astype(np.int64)
+        return pa.table(
+            {"s": pa.array(np.arange(CH_SHARDS, dtype=np.int64)),
+             "n": pa.array(cnt)}
+        )
+
+    parts = (
+        _read(sf_dir, "orders", ["o_orderkey"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()    # bounded: 8 bins x blocks
+    )
+    empty = pa.table(
+        {"shard": pa.array([], pa.int64()),
+         "n_keys": pa.array([], pa.int64())}
+    )
+    if parts.empty:
+        return empty
+    agg = parts.groupby("s", sort=True)["n"].sum()
+    out = np.zeros(CH_SHARDS, np.int64)
+    out[agg.index.to_numpy(np.int64)] = agg.to_numpy(np.int64)
+    return pa.table(
+        {"shard": pa.array(np.arange(CH_SHARDS, dtype=np.int64)),
+         "n_keys": pa.array(out)}
+    )
+
+
+_CH_HEX12 = (
+    "list_sum(list_transform(generate_series(1, 12), "
+    "i -> (strpos('0123456789abcdef', substr({h}, i, 1)) - 1) "
+    "* (1::BIGINT << (4 * (12 - i)))))"
+)
+
+ORACLES["consistent_hash_balance"] = (
+    f"WITH ring AS (SELECT s.s AS shard, v.v AS vnode, "
+    + _CH_HEX12.format(h="md5('shard' || s.s || ':' || v.v)")
+    + f" AS pos FROM generate_series(0, {CH_SHARDS - 1}) s(s), "
+    f"generate_series(0, {CH_VNODES - 1}) v(v)), "
+    f"first_v AS (SELECT shard FROM ring "
+    f"ORDER BY pos, shard, vnode LIMIT 1), "
+    f"kp AS (SELECT "
+    + _CH_HEX12.format(h="md5(CAST(o_orderkey AS VARCHAR))")
+    + f" AS p FROM orders), "
+    f"routed AS (SELECT COALESCE((SELECT r.shard FROM ring r "
+    f"WHERE r.pos >= kp.p ORDER BY r.pos, r.shard, r.vnode LIMIT 1), "
+    f"(SELECT shard FROM first_v)) AS shard FROM kp), "
+    f"g AS (SELECT shard, count(*)::BIGINT AS n FROM routed GROUP BY 1), "
+    f"grid AS (SELECT unnest(generate_series(0, {CH_SHARDS - 1})) AS s) "
+    f"SELECT grid.s::BIGINT AS shard, COALESCE(g.n, 0)::BIGINT AS n_keys "
+    f"FROM grid LEFT JOIN g ON g.shard = grid.s"
+)

@@ -4504,3 +4504,35 @@ def test_hilbert_locality_anchors(ray_session, tmp_path):
     assert int(got_e["n_cells"]) == 2      # clamp collapses 99 -> 63
     assert int(got_e["d_min"]) == 0
     assert int(got_e["d_max"]) == 4095     # curve end
+
+
+def test_consistent_hash_balance_routing(ray_session, tmp_path):
+    """Hand-routed keys on the 128-vnode ring: key 1 -> shard 4, key 2
+    -> shard 2, and key 373's position lies past the LAST vnode so it
+    WRAPS to the ring's first entry (shard 5) — the successor-with-
+    wrap semantics pinned; counts always sum to the key count."""
+    from langfilter_ray.pipelines import relational
+
+    d = tmp_path / "main"
+    d.mkdir()
+    keys = [1, 2, 373]
+    n = len(keys)
+    pq.write_table(pa.table(
+        {"o_orderkey": pa.array(keys, pa.int64()),
+         "o_custkey": pa.array([1] * n, pa.int64()),
+         "o_orderstatus": pa.array(["O"] * n, pa.string()),
+         "o_totalprice": pa.array([1.0] * n, pa.float64()),
+         "o_orderdate": pa.array(
+             [np.datetime64("2024-01-01T00:00:00", "us")] * n,
+             pa.timestamp("us")),
+         "o_orderpriority": pa.array(["1-URGENT"] * n, pa.string())}
+    ), d / "orders.parquet")
+    got = _check_vs_oracle(
+        relational.consistent_hash_balance,
+        relational.ORACLES["consistent_hash_balance"],
+        d, "orders", pq.read_table(d / "orders.parquet"),
+    ).set_index("shard")
+    assert int(got.loc[4, "n_keys"]) == 1      # key 1
+    assert int(got.loc[2, "n_keys"]) == 1      # key 2
+    assert int(got.loc[5, "n_keys"]) == 1      # key 373 wraps to first vnode
+    assert int(got["n_keys"].sum()) == 3
