@@ -350,6 +350,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "brand_bipartite_parity": relational.brand_bipartite_parity,
         "hilbert_locality": relational.hilbert_locality,
         "consistent_hash_balance": relational.consistent_hash_balance,
+        "sign_test_monthly": windows.sign_test_monthly,
     }
 
 

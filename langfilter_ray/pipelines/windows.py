@@ -6334,3 +6334,128 @@ ORACLES["euler_session_walk"] = (
     "(CASE WHEN ne = 0 OR (nr = na AND nu = 0) THEN 1 ELSE 0 END)::BIGINT "
     "AS eulerian_circuit FROM m"
 )
+
+
+# ---- sign_test_monthly: exact binomial sign test on revenue changes -------
+
+SIGN_TEST_MAX_N = 100    # Pascal-row HUGEINT replay bound (2^120 < 2^127)
+
+
+def sign_test_monthly(sf_dir: str) -> "pa.Table":
+    """EXACT SIGN TEST on 30-day-bucket revenue changes — the exact
+    combinatorial hypothesis-testing family: under H0 (no trend) each
+    non-tie change is an independent fair coin, so the one-sided tail
+    probability is the EXACT dyadic rational ``Σ_{k>=max(up,down)}
+    C(n,k) / 2^n`` — no normal approximation, no resampling (the
+    permutation/rank tests' complement).  Reported as ``tail_ppm =
+    (tail · 10^6) // 2^n`` so every emitted value is an integer; both
+    numerator and denominator come from the SAME Pascal row (2^n =
+    row sum), keeping the SQL replay in HUGEINT (n asserted <=
+    ``SIGN_TEST_MAX_N``; a longer corpus needs a coarser bucket — the
+    documented production knob).
+
+    Zero-fill semantics: the bucket grid is DENSE over [min, max], so
+    an empty month contributes revenue 0 and real sign changes around
+    it (pinned by test).
+
+    Scale shape: (bucket -> cents) combiner partials bounded by span;
+    diffs/counts/comb on the bounded driver axis (math.comb exact).
+    The DuckDB mirror builds the Pascal row as a HUGEINT-list
+    recursive CTE and takes the same floor division.
+
+    Reference anchor: A3's trend report (SURVEY.md §2.6) asked as the
+    is-the-drift-statistically-real question."""
+    US_DAY = 86_400_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"b": pa.array([], pa.int64()), "v": pa.array([], pa.int64())}
+        )
+        if len(t) == 0:
+            return empty
+        b = pc.cast(t["o_orderdate"], pa.int64()).to_numpy() // US_DAY // 30
+        cents = np.floor(
+            t["o_totalprice"].to_numpy() * 100.0 + 0.5
+        ).astype(np.int64)
+        g = (
+            pa.table({"b": pa.array(b), "v": pa.array(cents)})
+            .group_by("b")
+            .aggregate([("v", "sum")])
+        )
+        return pa.table({"b": g["b"], "v": g["v_sum"]})
+
+    path = f"{sf_dir}/orders.parquet"
+    parts = (
+        ray.data.read_parquet(
+            path,
+            columns=["o_orderdate", "o_totalprice"],
+            schema=_clean_schema(path, ["o_orderdate", "o_totalprice"]),
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()    # bounded: 30-day span x blocks
+    )
+    empty = pa.table(
+        {"n_changes": pa.array([], pa.int64()),
+         "n_up": pa.array([], pa.int64()),
+         "n_down": pa.array([], pa.int64()),
+         "tail_ppm": pa.array([], pa.int64())}
+    )
+    if parts.empty:
+        return empty
+    g = parts.groupby("b", sort=True)["v"].sum()
+    b0, b1 = int(g.index.min()), int(g.index.max())
+    dense = np.zeros(b1 - b0 + 1, np.int64)
+    dense[g.index.to_numpy(np.int64) - b0] = g.to_numpy(np.int64)
+    d = np.diff(dense)
+    up = int((d > 0).sum())
+    down = int((d < 0).sum())
+    n = up + down
+    assert n <= SIGN_TEST_MAX_N, (
+        f"sign test n={n} exceeds the HUGEINT replay bound "
+        f"{SIGN_TEST_MAX_N}; coarsen the bucket"
+    )
+    import math
+
+    m = max(up, down)
+    tail = sum(math.comb(n, k) for k in range(m, n + 1))
+    ppm = (tail * 1_000_000) // (1 << n)
+    return pa.table(
+        {"n_changes": pa.array([n], pa.int64()),
+         "n_up": pa.array([up], pa.int64()),
+         "n_down": pa.array([down], pa.int64()),
+         "tail_ppm": pa.array([ppm], pa.int64())}
+    )
+
+
+ORACLES["sign_test_monthly"] = (
+    "WITH RECURSIVE bv AS (SELECT epoch_us(o_orderdate) // 86400000000 "
+    "// 30 AS b, sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))"
+    "::BIGINT AS v FROM orders GROUP BY 1), "
+    "bounds AS (SELECT min(b) AS b0, max(b) AS b1 FROM bv), "
+    "grid AS (SELECT unnest(generate_series(bounds.b0, bounds.b1)) AS b "
+    "FROM bounds), "
+    "dense AS (SELECT grid.b, COALESCE(bv.v, 0) AS v FROM grid "
+    "LEFT JOIN bv ON bv.b = grid.b), "
+    "dd AS (SELECT v - lag(v) OVER (ORDER BY b) AS d FROM dense), "
+    "st AS (SELECT count(*) FILTER (WHERE d > 0)::BIGINT AS up_, "
+    "count(*) FILTER (WHERE d < 0)::BIGINT AS down_ FROM dd "
+    "WHERE d IS NOT NULL), "
+    "nn AS (SELECT up_, down_, up_ + down_ AS n, "
+    "GREATEST(up_, down_) AS m FROM st), "
+    "pas(i, row_) AS ("
+    "SELECT 0::BIGINT, [CAST(1 AS HUGEINT)] "
+    "UNION ALL "
+    "SELECT pas.i + 1, list_transform(generate_series(1, pas.i + 2), "
+    "j -> CASE WHEN j = 1 OR j = pas.i + 2 THEN CAST(1 AS HUGEINT) "
+    "ELSE pas.row_[j - 1] + pas.row_[j] END) "
+    "FROM pas, nn WHERE pas.i < nn.n), "
+    "rown AS (SELECT row_ FROM pas, nn WHERE pas.i = nn.n), "
+    "fin AS (SELECT nn.n, nn.up_, nn.down_, "
+    "list_sum(list_filter(list_transform(generate_series(1, nn.n + 1), "
+    "j -> CASE WHEN j >= nn.m + 1 THEN rown.row_[j] "
+    "ELSE CAST(0 AS HUGEINT) END), x -> TRUE)) AS tail, "
+    "list_sum(rown.row_) AS denom FROM rown, nn) "
+    "SELECT n::BIGINT AS n_changes, up_::BIGINT AS n_up, "
+    "down_::BIGINT AS n_down, "
+    "CAST((tail * 1000000) // denom AS BIGINT) AS tail_ppm FROM fin"
+)

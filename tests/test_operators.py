@@ -133,7 +133,7 @@ ORACLE_CHECKED = [
     "collatz_steps_census", "euler_session_walk",
     "stern_brocot_return_ratio", "hamming_syndrome_census",
     "brand_bipartite_parity", "hilbert_locality",
-    "consistent_hash_balance",
+    "consistent_hash_balance", "sign_test_monthly",
 ]
 
 

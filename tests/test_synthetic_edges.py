@@ -4536,3 +4536,46 @@ def test_consistent_hash_balance_routing(ray_session, tmp_path):
     assert int(got.loc[2, "n_keys"]) == 1      # key 2
     assert int(got.loc[5, "n_keys"]) == 1      # key 373 wraps to first vnode
     assert int(got["n_keys"].sum()) == 3
+
+
+def test_sign_test_monthly_exact_tail(ray_session, tmp_path):
+    """Hand tails: revenue [1,3,2,5] over consecutive 30-day buckets ->
+    diffs +,-,+ -> n=3, m=2, tail = C(3,2)+C(3,3) = 4 -> ppm 500000.
+    A missing bucket ZERO-FILLS ([5,_,5] -> dense [5,0,5] -> one down,
+    one up, tail 3/4 -> 750000).  All-tie series -> n=0, tail 1/1 ->
+    ppm 1000000."""
+    from langfilter_ray.pipelines import windows
+
+    d = tmp_path / "updown"
+    d.mkdir()
+    days = [str(np.datetime64("2024-01-05") + np.timedelta64(30 * i, "D"))
+            for i in range(4)]
+    _write_orders_dates(
+        d, [(days[0], 0.01), (days[1], 0.03), (days[2], 0.02),
+            (days[3], 0.05)])
+    got = _check_vs_oracle(
+        windows.sign_test_monthly, windows.ORACLES["sign_test_monthly"],
+        d, "orders", pq.read_table(d / "orders.parquet"),
+    ).iloc[0]
+    assert (int(got["n_up"]), int(got["n_down"])) == (2, 1)
+    assert int(got["tail_ppm"]) == 500_000
+
+    z = tmp_path / "zerofill"
+    z.mkdir()
+    _write_orders_dates(z, [(days[0], 0.05), (days[2], 0.05)])
+    got_z = _check_vs_oracle(
+        windows.sign_test_monthly, windows.ORACLES["sign_test_monthly"],
+        z, "orders", pq.read_table(z / "orders.parquet"),
+    ).iloc[0]
+    assert (int(got_z["n_up"]), int(got_z["n_down"])) == (1, 1)
+    assert int(got_z["tail_ppm"]) == 750_000
+
+    t = tmp_path / "ties"
+    t.mkdir()
+    _write_orders_dates(t, [(days[0], 0.05), (days[1], 0.05)])
+    got_t = _check_vs_oracle(
+        windows.sign_test_monthly, windows.ORACLES["sign_test_monthly"],
+        t, "orders", pq.read_table(t / "orders.parquet"),
+    ).iloc[0]
+    assert int(got_t["n_changes"]) == 0
+    assert int(got_t["tail_ppm"]) == 1_000_000
