@@ -351,6 +351,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hilbert_locality": relational.hilbert_locality,
         "consistent_hash_balance": relational.consistent_hash_balance,
         "sign_test_monthly": windows.sign_test_monthly,
+        "scc_session_graph": windows.scc_session_graph,
     }
 
 

@@ -6459,3 +6459,128 @@ ORACLES["sign_test_monthly"] = (
     "down_::BIGINT AS n_down, "
     "CAST((tail * 1000000) // denom AS BIGINT) AS tail_ppm FROM fin"
 )
+
+
+# ---- scc_session_graph: strong connectivity of the flow digraph -----------
+
+def scc_session_graph(sf_dir: str) -> "pa.Table":
+    """STRONGLY CONNECTED COMPONENTS of the directed session-flow
+    graph (nodes = event types, an edge per observed DISTINCT
+    transition) — the strong-connectivity family: euler_session_walk
+    checks WEAK connectivity (direction-blind), but mutual
+    reachability is the directional question — which gates can reach
+    each other both ways?  Outputs the SCC census: n_nodes, n_edges
+    (distinct), n_scc, max_scc_size, and the condensation's edge
+    count (distinct SCC pairs with a crossing edge — always a DAG).
+
+    Scale shape: the event_transitions exchange shuffles ≤ |types|²
+    rows; the SCC fold is a ≤ 5-node driver pass (mutual-reachability
+    closure — Tarjan is overkill at this bound and the closure is
+    what the SQL replays).  The DuckDB mirror closes reachability
+    with a recursive CTE, labels each node by the min node mutually
+    reachable with it, and counts distinct label pairs for the
+    condensation.
+
+    Reference anchor: A4's gate-path audit (SURVEY.md §2.6) asked as
+    the which-gates-form-feedback-loops question."""
+
+    def per_partition(g: "pd.DataFrame") -> "pd.DataFrame":
+        if g.empty:
+            return pd.DataFrame(
+                {"from_type": pd.array([], dtype="object"),
+                 "to_type": pd.array([], dtype="object"),
+                 "n_p": pd.array([], dtype="int64")}
+            )
+        g, starts, ends = _user_segments(g)
+        et = g["event_type"].to_numpy()
+        n = len(g)
+        first = np.zeros(n, dtype=bool)
+        first[starts] = True
+        keep = ~first
+        prev = np.empty(n, dtype=object)
+        prev[1:] = et[:-1]
+        out = pd.DataFrame({"from_type": prev[keep], "to_type": et[keep]})
+        out = (
+            out.groupby(["from_type", "to_type"], sort=False)
+            .size()
+            .reset_index(name="n_p")
+        )
+        return out.astype({"n_p": "int64"})
+
+    parts = (
+        _user_partition_map(
+            _events(sf_dir, ["user_id", "ts", "event_id", "event_type"]),
+            _window_parts(sf_dir),
+            per_partition,
+        )
+        .to_pandas()    # bounded: |types|^2 x partitions
+    )
+    if parts.empty:
+        return pa.table(
+            {"n_nodes": pa.array([0], pa.int64()),
+             "n_edges": pa.array([0], pa.int64()),
+             "n_scc": pa.array([0], pa.int64()),
+             "max_scc_size": pa.array([0], pa.int64()),
+             "condensation_edges": pa.array([0], pa.int64())}
+        )
+    edges = set(
+        (a, b) for (a, b) in
+        parts.groupby(["from_type", "to_type"]).groups.keys()
+    )
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    # reachability closure over the bounded node set
+    reach = {n_: {n_} for n_ in nodes}
+    changed = True
+    while changed:
+        changed = False
+        for a, b in edges:
+            new = reach[b] - reach[a]
+            if new:
+                reach[a] |= new
+                changed = True
+    label = {
+        n_: min(m for m in nodes if m in reach[n_] and n_ in reach[m])
+        for n_ in nodes
+    }
+    sizes: dict[str, int] = {}
+    for n_ in nodes:
+        sizes[label[n_]] = sizes.get(label[n_], 0) + 1
+    cond = {
+        (label[a], label[b]) for a, b in edges if label[a] != label[b]
+    }
+    return pa.table(
+        {"n_nodes": pa.array([len(nodes)], pa.int64()),
+         "n_edges": pa.array([len(edges)], pa.int64()),
+         "n_scc": pa.array([len(sizes)], pa.int64()),
+         "max_scc_size": pa.array([max(sizes.values())], pa.int64()),
+         "condensation_edges": pa.array([len(cond)], pa.int64())}
+    )
+
+
+ORACLES["scc_session_graph"] = (
+    "WITH RECURSIVE tr AS (SELECT DISTINCT prev AS a, event_type AS b "
+    "FROM (SELECT event_type, lag(event_type) OVER "
+    "(PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events) "
+    "WHERE prev IS NOT NULL), "
+    "nodes AS (SELECT DISTINCT x AS t FROM "
+    "(SELECT a AS x FROM tr UNION ALL SELECT b FROM tr)), "
+    "reach(a, b) AS ("
+    "SELECT t, t FROM nodes "
+    "UNION "
+    "SELECT reach.a, tr.b FROM reach JOIN tr ON tr.a = reach.b), "
+    "lab AS (SELECT n.t, (SELECT min(r1.b) FROM reach r1 "
+    "JOIN reach r2 ON r2.a = r1.b AND r2.b = n.t "
+    "WHERE r1.a = n.t) AS l FROM nodes n), "
+    "sz AS (SELECT l, count(*)::BIGINT AS s FROM lab GROUP BY 1), "
+    "cond AS (SELECT DISTINCT la.l AS x, lb.l AS y FROM tr "
+    "JOIN lab la ON la.t = tr.a JOIN lab lb ON lb.t = tr.b "
+    "WHERE la.l <> lb.l), "
+    "m AS (SELECT (SELECT count(*) FROM nodes) AS nn, "
+    "(SELECT count(*) FROM tr) AS ne, "
+    "(SELECT count(*) FROM sz) AS ns, "
+    "(SELECT COALESCE(max(s), 0) FROM sz) AS mx, "
+    "(SELECT count(*) FROM cond) AS ce) "
+    "SELECT nn::BIGINT AS n_nodes, ne::BIGINT AS n_edges, "
+    "ns::BIGINT AS n_scc, mx::BIGINT AS max_scc_size, "
+    "ce::BIGINT AS condensation_edges FROM m"
+)

@@ -4579,3 +4579,50 @@ def test_sign_test_monthly_exact_tail(ray_session, tmp_path):
     ).iloc[0]
     assert int(got_t["n_changes"]) == 0
     assert int(got_t["tail_ppm"]) == 1_000_000
+
+
+def test_scc_session_graph_condensation(ray_session, tmp_path):
+    """view<->click form one SCC via the 2-cycle, purchase (entered
+    from click, never leaving) is its own SCC; the condensation has
+    exactly one cross edge.  A pure chain gives singleton SCCs.  A
+    single event (no transitions) gives the all-zero row."""
+    from langfilter_ray.pipelines import windows
+
+    d = tmp_path / "loop"
+    d.mkdir()
+    rows = [
+        (1, 1, 0, "view", 0.0), (2, 1, 1, "click", 0.0),
+        (3, 1, 2, "view", 0.0),
+        (4, 2, 0, "click", 0.0), (5, 2, 1, "purchase", 0.0),
+    ]
+    got = _check_vs_oracle(
+        windows.scc_session_graph, windows.ORACLES["scc_session_graph"],
+        d, "events", _events_table(rows),
+    ).iloc[0]
+    assert int(got["n_nodes"]) == 3
+    assert int(got["n_edges"]) == 3
+    assert int(got["n_scc"]) == 2
+    assert int(got["max_scc_size"]) == 2
+    assert int(got["condensation_edges"]) == 1
+
+    c = tmp_path / "chain"
+    c.mkdir()
+    got_c = _check_vs_oracle(
+        windows.scc_session_graph, windows.ORACLES["scc_session_graph"],
+        c, "events", _events_table([
+            (1, 1, 0, "view", 0.0), (2, 1, 1, "click", 0.0),
+            (3, 1, 2, "purchase", 0.0),
+        ]),
+    ).iloc[0]
+    assert int(got_c["n_scc"]) == 3
+    assert int(got_c["max_scc_size"]) == 1
+    assert int(got_c["condensation_edges"]) == 2
+
+    z = tmp_path / "single"
+    z.mkdir()
+    got_z = _check_vs_oracle(
+        windows.scc_session_graph, windows.ORACLES["scc_session_graph"],
+        z, "events", _events_table([(1, 1, 0, "view", 0.0)]),
+    ).iloc[0]
+    assert int(got_z["n_nodes"]) == 0
+    assert int(got_z["n_scc"]) == 0
