@@ -352,6 +352,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "consistent_hash_balance": relational.consistent_hash_balance,
         "sign_test_monthly": windows.sign_test_monthly,
         "scc_session_graph": windows.scc_session_graph,
+        "lyndon_factors_cap": text_analysis.lyndon_factors_cap,
     }
 
 

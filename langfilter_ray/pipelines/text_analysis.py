@@ -5350,3 +5350,106 @@ ORACLES["lz78_phrases_cap"] = (
     "FROM r, d WHERE r.pos = length(d.s) + 1 "
     "ORDER BY r.n DESC LIMIT 1"
 )
+
+
+# ---- lyndon_factors_cap: Duval factorization of the capped argmax doc -----
+
+def lyndon_factors_cap(sf_dir: str) -> "pa.Table":
+    """LYNDON FACTORIZATION (Duval's algorithm) of the longest
+    document's first ``SUBSTR_CAP`` characters — the combinatorics-on-
+    words family that underpins BWT theory (bwt_runs_cap's sibling):
+    every string factors UNIQUELY into a lexicographically
+    non-increasing product of Lyndon words, and the census reports
+    how that factorization looks (factor count, longest factor,
+    distinct factors).  ``banana = (b)(an)(an)(a)`` is the canonical
+    instance.
+
+    Scale shape: the shared _argmax_doc_head gather, then Duval's
+    O(L) amortized two-pointer scan on the driver.  The DuckDB mirror
+    replays the scan ONE INNER ITERATION PER RECURSION STEP — the
+    scan phase advances (j, k), the emit phase closes a run of
+    ``(k-i)//L + 1`` equal factors arithmetically and jumps i — so
+    the recursion depth stays O(L) (Duval's own bound), with the
+    distinct set carried as a list.
+
+    Reference anchor: M1's probe slicing (SURVEY.md §2.3), the
+    bounded-probe analysis pattern."""
+    empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()),
+         "cap_chars": pa.array([], pa.int64()),
+         "n_factors": pa.array([], pa.int64()),
+         "max_factor_len": pa.array([], pa.int64()),
+         "distinct_factors": pa.array([], pa.int64())}
+    )
+    best = _argmax_doc_head(sf_dir)
+    if best is None:
+        return empty
+    doc_id, s = best
+    n = len(s)
+    i = 0
+    nf = 0
+    ml = 0
+    fs: set[str] = set()
+    while i < n:
+        j = i + 1
+        k = i
+        while j < n and s[k] <= s[j]:
+            k = i if s[k] < s[j] else k + 1
+            j += 1
+        L = j - k
+        m = (k - i) // L + 1
+        nf += m
+        ml = max(ml, L)
+        fs.add(s[i : i + L])
+        i += m * L
+    return pa.table(
+        {"doc_id": pa.array([doc_id], pa.int64()),
+         "cap_chars": pa.array([n], pa.int64()),
+         "n_factors": pa.array([nf], pa.int64()),
+         "max_factor_len": pa.array([ml], pa.int64()),
+         "distinct_factors": pa.array([len(fs)], pa.int64())}
+    )
+
+
+ORACLES["lyndon_factors_cap"] = (
+    f"WITH RECURSIVE d AS (SELECT doc_id, "
+    f"substr(text, 1, {SUBSTR_CAP}) AS s "
+    "FROM documents ORDER BY n_chars DESC, doc_id LIMIT 1), "
+    "r(i, j, k, nf, ml, fs) AS ("
+    "SELECT 0::BIGINT, 1::BIGINT, 0::BIGINT, 0::BIGINT, 0::BIGINT, "
+    "[]::VARCHAR[] FROM d WHERE length(d.s) > 0 "
+    "UNION ALL "
+    "SELECT "
+    "CASE WHEN r.j < length(d.s) "
+    "AND substr(d.s, r.k + 1, 1) <= substr(d.s, r.j + 1, 1) "
+    "THEN r.i ELSE r.i + ((r.k - r.i) // (r.j - r.k) + 1) "
+    "* (r.j - r.k) END, "
+    "CASE WHEN r.j < length(d.s) "
+    "AND substr(d.s, r.k + 1, 1) <= substr(d.s, r.j + 1, 1) "
+    "THEN r.j + 1 ELSE r.i + ((r.k - r.i) // (r.j - r.k) + 1) "
+    "* (r.j - r.k) + 1 END, "
+    "CASE WHEN r.j < length(d.s) "
+    "AND substr(d.s, r.k + 1, 1) <= substr(d.s, r.j + 1, 1) "
+    "THEN (CASE WHEN substr(d.s, r.k + 1, 1) < substr(d.s, r.j + 1, 1) "
+    "THEN r.i ELSE r.k + 1 END) "
+    "ELSE r.i + ((r.k - r.i) // (r.j - r.k) + 1) * (r.j - r.k) END, "
+    "CASE WHEN r.j < length(d.s) "
+    "AND substr(d.s, r.k + 1, 1) <= substr(d.s, r.j + 1, 1) "
+    "THEN r.nf ELSE r.nf + (r.k - r.i) // (r.j - r.k) + 1 END, "
+    "CASE WHEN r.j < length(d.s) "
+    "AND substr(d.s, r.k + 1, 1) <= substr(d.s, r.j + 1, 1) "
+    "THEN r.ml ELSE GREATEST(r.ml, r.j - r.k) END, "
+    "CASE WHEN r.j < length(d.s) "
+    "AND substr(d.s, r.k + 1, 1) <= substr(d.s, r.j + 1, 1) "
+    "THEN r.fs "
+    "WHEN list_contains(r.fs, substr(d.s, r.i + 1, r.j - r.k)) "
+    "THEN r.fs "
+    "ELSE list_append(r.fs, substr(d.s, r.i + 1, r.j - r.k)) END "
+    "FROM r, d WHERE r.i < length(d.s)) "
+    "SELECT d.doc_id, length(d.s)::BIGINT AS cap_chars, "
+    "COALESCE(f.nf, 0) AS n_factors, "
+    "COALESCE(f.ml, 0) AS max_factor_len, "
+    "COALESCE(len(f.fs), 0)::BIGINT AS distinct_factors "
+    "FROM d LEFT JOIN (SELECT nf, ml, fs FROM r, d "
+    "WHERE r.i >= length(d.s) LIMIT 1) f ON TRUE"
+)

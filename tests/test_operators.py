@@ -134,7 +134,7 @@ ORACLE_CHECKED = [
     "stern_brocot_return_ratio", "hamming_syndrome_census",
     "brand_bipartite_parity", "hilbert_locality",
     "consistent_hash_balance", "sign_test_monthly",
-    "scc_session_graph",
+    "scc_session_graph", "lyndon_factors_cap",
 ]
 
 

@@ -4626,3 +4626,26 @@ def test_scc_session_graph_condensation(ray_session, tmp_path):
     ).iloc[0]
     assert int(got_z["n_nodes"]) == 0
     assert int(got_z["n_scc"]) == 0
+
+
+def test_lyndon_factors_cap_duval(ray_session, tmp_path):
+    """Canonical factorizations: banana = (b)(an)(an)(a) -> 4 factors,
+    max 2, distinct 3; aaaa -> four (a) via the equal-run arithmetic
+    emit; dcba -> four singletons (strictly decreasing product)."""
+    from langfilter_ray.pipelines import text_analysis
+
+    for name, text, want in [
+        ("banana", "banana", (4, 2, 3)),
+        ("runs", "aaaa", (4, 1, 1)),
+        ("desc", "dcba", (4, 1, 4)),
+    ]:
+        d = tmp_path / name
+        d.mkdir()
+        _lz78_docs(d, text)
+        got = _check_vs_oracle(
+            text_analysis.lyndon_factors_cap,
+            text_analysis.ORACLES["lyndon_factors_cap"],
+            d, "documents", pq.read_table(d / "documents.parquet"),
+        ).iloc[0]
+        assert (int(got["n_factors"]), int(got["max_factor_len"]),
+                int(got["distinct_factors"])) == want, (name, got)
