@@ -353,6 +353,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sign_test_monthly": windows.sign_test_monthly,
         "scc_session_graph": windows.scc_session_graph,
         "lyndon_factors_cap": text_analysis.lyndon_factors_cap,
+        "revenue_water_fill": windows.revenue_water_fill,
     }
 
 

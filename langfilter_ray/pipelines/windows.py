@@ -6584,3 +6584,115 @@ ORACLES["scc_session_graph"] = (
     "ns::BIGINT AS n_scc, mx::BIGINT AS max_scc_size, "
     "ce::BIGINT AS condensation_edges FROM m"
 )
+
+
+# ---- revenue_water_fill: two-sided envelope scan (trapping water) ----------
+
+def revenue_water_fill(sf_dir: str) -> "pa.Table":
+    """Water trapped by the daily-revenue skyline — the TWO-SIDED
+    ENVELOPE SCAN family: over the dense zero-filled day grid, each
+    day holds ``min(max(h[0..i]), max(h[i..n-1])) − h[i]`` cents of
+    "water" between the running peaks on either side.  The scan
+    statistics so far are one-directional (Kadane's prefix minimum,
+    the changepoint split, Lindley's backlog recursion); this is the
+    canonical statistic that needs BOTH directions' running extrema at
+    every point, and no window/groupby operator expresses it.
+
+    Outputs ONE row: n_days, trapped_cents (total water), n_wet_days
+    (days holding any), max_depth_cents, deepest_day (the FIRST day
+    reaching the maximum depth; -1 sentinel when the series is
+    monotone-enveloped and holds no water).  All exact int64 — depth
+    is min-of-two-running-maxima minus the value, never negative
+    because each running max includes the current day.
+
+    Scale shape: revenue_best_run's exact skeleton — in-batch pyarrow
+    (day, cents) sum partials, gather bounded by the corpus TIME SPAN
+    (never rows), two `np.maximum.accumulate` passes on the driver.
+    The SQL mirror computes the same envelopes as window maxima over
+    ascending and descending day order.
+
+    Reference anchor: SURVEY.md §2.6 scan statistics (A2/A3 ask "how
+    much lately?"; this asks "how much slack below the peaks?")."""
+    US_DAY = 86_400_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {"day": pa.array([], pa.int64()),
+                 "rev": pa.array([], pa.int64())}
+            )
+        day = pc.cast(t["o_orderdate"], pa.int64()).to_numpy() // US_DAY
+        cents = np.floor(
+            t["o_totalprice"].to_numpy() * 100.0 + 0.5
+        ).astype(np.int64)
+        g = (
+            pa.table({"day": pa.array(day), "rev": pa.array(cents)})
+            .group_by("day")
+            .aggregate([("rev", "sum")])
+        )
+        return pa.table({"day": g["day"], "rev": g["rev_sum"]})
+
+    path = f"{sf_dir}/orders.parquet"
+    parts = (
+        ray.data.read_parquet(
+            path,
+            columns=["o_orderdate", "o_totalprice"],
+            schema=_clean_schema(path, ["o_orderdate", "o_totalprice"]),
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()    # bounded: days x blocks, never rows
+    )
+    empty = pa.table(
+        {"n_days": pa.array([], pa.int64()),
+         "trapped_cents": pa.array([], pa.int64()),
+         "n_wet_days": pa.array([], pa.int64()),
+         "max_depth_cents": pa.array([], pa.int64()),
+         "deepest_day": pa.array([], pa.int64())}
+    )
+    if parts.empty:
+        return empty
+    daily = parts.groupby("day", sort=True)["rev"].sum()
+    days = daily.index.to_numpy(np.int64)
+    d0, d1 = int(days[0]), int(days[-1])
+    dense = np.zeros(d1 - d0 + 1, dtype=np.int64)
+    dense[days - d0] = daily.to_numpy(np.int64)
+    lm = np.maximum.accumulate(dense)
+    rm = np.maximum.accumulate(dense[::-1])[::-1]
+    depth = np.minimum(lm, rm) - dense
+    trapped = int(depth.sum())
+    max_depth = int(depth.max())
+    deepest = d0 + int(np.argmax(depth)) if max_depth > 0 else -1
+    return pa.table(
+        {"n_days": pa.array([len(dense)], pa.int64()),
+         "trapped_cents": pa.array([trapped], pa.int64()),
+         "n_wet_days": pa.array([int((depth > 0).sum())], pa.int64()),
+         "max_depth_cents": pa.array([max_depth], pa.int64()),
+         "deepest_day": pa.array([deepest], pa.int64())}
+    )
+
+
+ORACLES["revenue_water_fill"] = (
+    "WITH daily AS (SELECT epoch_us(o_orderdate) // 86400000000 AS day, "
+    "sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))::BIGINT AS rev "
+    "FROM orders GROUP BY 1), "
+    "b AS (SELECT min(day) AS dlo, max(day) AS dhi FROM daily), "
+    "grid AS (SELECT UNNEST(range(dlo, dhi + 1)) AS day FROM b), "
+    "dense AS (SELECT grid.day, COALESCE(daily.rev, 0)::BIGINT AS rev "
+    "FROM grid LEFT JOIN daily ON grid.day = daily.day), "
+    "lr AS (SELECT day, rev, "
+    "max(rev) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)::BIGINT AS lm, "
+    "max(rev) OVER (ORDER BY day DESC "
+    "ROWS UNBOUNDED PRECEDING)::BIGINT AS rm FROM dense), "
+    "w AS (SELECT day, "
+    "(CASE WHEN lm < rm THEN lm ELSE rm END - rev)::BIGINT AS depth "
+    "FROM lr), "
+    "agg AS (SELECT count(*)::BIGINT AS n_days, "
+    "sum(depth)::BIGINT AS trapped_cents, "
+    "count(*) FILTER (WHERE depth > 0)::BIGINT AS n_wet_days, "
+    "max(depth)::BIGINT AS max_depth_cents FROM w HAVING count(*) > 0) "
+    "SELECT agg.n_days, agg.trapped_cents, agg.n_wet_days, "
+    "agg.max_depth_cents, "
+    "(CASE WHEN agg.max_depth_cents = 0 THEN -1 ELSE "
+    "(SELECT min(day) FROM w WHERE depth = agg.max_depth_cents) "
+    "END)::BIGINT AS deepest_day FROM agg"
+)

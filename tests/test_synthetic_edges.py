@@ -4649,3 +4649,51 @@ def test_lyndon_factors_cap_duval(ray_session, tmp_path):
         ).iloc[0]
         assert (int(got["n_factors"]), int(got["max_factor_len"]),
                 int(got["distinct_factors"])) == want, (name, got)
+
+
+def test_revenue_water_fill_hand_values(ray_session, tmp_path):
+    """Hand-traced skyline [3, 0, 2, 0, 4] cents over five consecutive
+    days (days 2 and 4 are zero-filled grid gaps, not rows): left
+    maxima [3,3,3,3,4], right maxima [4,4,4,4,4], depths [0,3,1,3,0]
+    -> trapped 7, three wet days, max depth 3 FIRST reached on day 2
+    (the tie with day 4 must resolve to the earlier day).  A monotone
+    series holds no water and pins the -1 deepest_day sentinel."""
+    from langfilter_ray.pipelines import windows
+
+    d = tmp_path / "main"
+    d.mkdir()
+    _write_orders_dates(
+        d,
+        [("2024-01-01", 0.03), ("2024-01-03", 0.02),
+         ("2024-01-05", 0.04)],
+    )
+    got = _check_vs_oracle(
+        windows.revenue_water_fill,
+        windows.ORACLES["revenue_water_fill"],
+        d, "orders", pq.read_table(d / "orders.parquet"),
+    )
+    r = got.iloc[0]
+    d0 = int(
+        np.datetime64("2024-01-01T00:00:00", "us").astype(np.int64)
+        // 86_400_000_000
+    )
+    assert int(r["n_days"]) == 5
+    assert int(r["trapped_cents"]) == 7
+    assert int(r["n_wet_days"]) == 3
+    assert int(r["max_depth_cents"]) == 3
+    assert int(r["deepest_day"]) == d0 + 1
+
+    m = tmp_path / "monotone"
+    m.mkdir()
+    _write_orders_dates(
+        m, [("2024-01-01", 0.01), ("2024-01-02", 0.02)],
+    )
+    got_m = _check_vs_oracle(
+        windows.revenue_water_fill,
+        windows.ORACLES["revenue_water_fill"],
+        m, "orders", pq.read_table(m / "orders.parquet"),
+    )
+    rm_ = got_m.iloc[0]
+    assert int(rm_["trapped_cents"]) == 0
+    assert int(rm_["n_wet_days"]) == 0
+    assert int(rm_["deepest_day"]) == -1
