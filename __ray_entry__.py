@@ -354,6 +354,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scc_session_graph": windows.scc_session_graph,
         "lyndon_factors_cap": text_analysis.lyndon_factors_cap,
         "revenue_water_fill": windows.revenue_water_fill,
+        "dyck_balance_census": windows.dyck_balance_census,
     }
 
 

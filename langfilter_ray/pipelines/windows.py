@@ -6696,3 +6696,118 @@ ORACLES["revenue_water_fill"] = (
     "(SELECT min(day) FROM w WHERE depth = agg.max_depth_cents) "
     "END)::BIGINT AS deepest_day FROM agg"
 )
+
+
+# ---- dyck_balance_census: ballot / lattice-path prefix census --------------
+
+def dyck_balance_census(sf_dir: str) -> "pa.Table":
+    """Ballot-problem census over per-user event walks — the LATTICE
+    PATH family: each user's (ts, event_id)-ordered stream of views
+    (+1, an "open") and purchases (-1, a "close") is a walk; a user
+    satisfies the BALLOT property when no prefix dips below zero
+    (purchases never outrun views so far), and is BALANCED when the
+    walk also ends at zero.  The per-user statistics are functionals
+    of every PREFIX of the ordered walk — not expressible as any
+    groupby aggregate or fixed window.
+
+    Outputs ONE row: n_users (users with >= 1 view/purchase event),
+    n_ballot_users, n_balanced_users, max_depth (the highest prefix
+    any user reaches — net open views at the peak; can be negative
+    when every user closes first), net_balance (sum of final walk
+    heights, exact int64).  Typed empty when no user qualifies.
+
+    Scale shape: the event stream is FILTERED to the two step types
+    before the exchange (~2.5x less shuffle volume), then the standard
+    per-user backbone — hash(user) partition tag, one callback per
+    partition, segmented cumsum + `np.minimum/maximum.reduceat` inside
+    — emits 5 scalars per partition; the driver folds a parts-bounded
+    frame.  The SQL mirror is a per-user window cumsum over the same
+    (ts, event_id) total order.
+
+    Reference anchor: SURVEY.md §2.6 per-user sessionization (the
+    walk order is A3's rolling order); the ballot property itself is
+    the classic Bertrand/Catalan statistic."""
+
+    def keep_steps(t: pa.Table) -> pa.Table:
+        mask = pc.is_in(
+            t["event_type"],
+            value_set=pa.array(["view", "purchase"], pa.string()),
+        )
+        return t.filter(mask)
+
+    _SENTINEL = np.iinfo(np.int64).min
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"n_users": pd.array([], dtype="int64"),
+             "n_ballot": pd.array([], dtype="int64"),
+             "n_balanced": pd.array([], dtype="int64"),
+             "mx": pd.array([], dtype="int64"),
+             "net": pd.array([], dtype="int64")}
+        )
+        if g.empty:
+            return empty
+        g, starts, ends = _user_segments(g)
+        delta = np.where(
+            g["event_type"].to_numpy() == "view", 1, -1
+        ).astype(np.int64)
+        cs = np.cumsum(delta)
+        base = cs[starts] - delta[starts]
+        pre = cs - np.repeat(base, ends - starts)
+        mins = np.minimum.reduceat(pre, starts)
+        maxs = np.maximum.reduceat(pre, starts)
+        fins = pre[ends - 1]
+        ballot = mins >= 0
+        return pd.DataFrame(
+            {"n_users": pd.array([len(starts)], dtype="int64"),
+             "n_ballot": pd.array([int(ballot.sum())], dtype="int64"),
+             "n_balanced": pd.array(
+                 [int((ballot & (fins == 0)).sum())], dtype="int64"),
+             "mx": pd.array([int(maxs.max())], dtype="int64"),
+             "net": pd.array([int(fins.sum())], dtype="int64")}
+        )
+
+    steps = _events(
+        sf_dir, ["user_id", "ts", "event_id", "event_type"]
+    ).map_batches(keep_steps, batch_format="pyarrow")
+    parts = _user_partition_map(
+        steps, _window_parts(sf_dir), per_partition
+    ).to_pandas()    # bounded: 5 scalars x partitions
+    empty = pa.table(
+        {"n_users": pa.array([], pa.int64()),
+         "n_ballot_users": pa.array([], pa.int64()),
+         "n_balanced_users": pa.array([], pa.int64()),
+         "max_depth": pa.array([], pa.int64()),
+         "net_balance": pa.array([], pa.int64())}
+    )
+    if parts.empty or int(parts["n_users"].sum()) == 0:
+        return empty
+    return pa.table(
+        {"n_users": pa.array([int(parts["n_users"].sum())], pa.int64()),
+         "n_ballot_users": pa.array(
+             [int(parts["n_ballot"].sum())], pa.int64()),
+         "n_balanced_users": pa.array(
+             [int(parts["n_balanced"].sum())], pa.int64()),
+         "max_depth": pa.array([int(parts["mx"].max())], pa.int64()),
+         "net_balance": pa.array([int(parts["net"].sum())], pa.int64())}
+    )
+
+
+ORACLES["dyck_balance_census"] = (
+    "WITH e AS (SELECT user_id, ts, event_id, "
+    "CASE WHEN event_type = 'view' THEN 1 ELSE -1 END AS d "
+    "FROM events WHERE event_type IN ('view', 'purchase')), "
+    "p AS (SELECT user_id, sum(d) OVER (PARTITION BY user_id "
+    "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)::BIGINT AS pre "
+    "FROM e), "
+    "u AS (SELECT user_id, min(pre)::BIGINT AS mn, max(pre)::BIGINT AS mx "
+    "FROM p GROUP BY 1), "
+    "f AS (SELECT user_id, sum(d)::BIGINT AS fin FROM e GROUP BY 1) "
+    "SELECT count(*)::BIGINT AS n_users, "
+    "count(*) FILTER (WHERE mn >= 0)::BIGINT AS n_ballot_users, "
+    "count(*) FILTER (WHERE mn >= 0 AND fin = 0)::BIGINT "
+    "AS n_balanced_users, "
+    "max(mx)::BIGINT AS max_depth, "
+    "sum(fin)::BIGINT AS net_balance "
+    "FROM u JOIN f USING (user_id) HAVING count(*) > 0"
+)

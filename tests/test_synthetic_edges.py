@@ -4697,3 +4697,63 @@ def test_revenue_water_fill_hand_values(ray_session, tmp_path):
     assert int(rm_["trapped_cents"]) == 0
     assert int(rm_["n_wet_days"]) == 0
     assert int(rm_["deepest_day"]) == -1
+
+
+def test_dyck_balance_census_hand_values(ray_session, tmp_path):
+    """Hand-traced walks: user 1 [v,v,p,p] is ballot AND balanced with
+    peak 2; user 2 [p,v] dips to -1 (not ballot) though it ends at 0;
+    user 3 [v,click,v] ignores the click and ends +2 (ballot, not
+    balanced); user 4 has only clicks and must not count at all; user
+    5 has a purchase and a view at the SAME timestamp — the (ts,
+    event_id) tie order puts the purchase (lower event_id) first, so
+    the walk dips and is NOT ballot.  A purchases-only corpus pins the
+    negative max_depth."""
+    from langfilter_ray.pipelines import windows
+
+    d = tmp_path / "main"
+    d.mkdir()
+    rows = [
+        (1, 1, 10, "view", 1.0), (2, 1, 20, "view", 1.0),
+        (3, 1, 30, "purchase", 1.0), (4, 1, 40, "purchase", 1.0),
+        (5, 2, 10, "purchase", 1.0), (6, 2, 20, "view", 1.0),
+        (7, 3, 10, "view", 1.0), (8, 3, 20, "click", 1.0),
+        (9, 3, 30, "view", 1.0),
+        (10, 4, 10, "click", 1.0), (11, 4, 20, "error", 1.0),
+        (50, 5, 99, "purchase", 1.0), (51, 5, 99, "view", 1.0),
+    ]
+    got = _check_vs_oracle(
+        windows.dyck_balance_census,
+        windows.ORACLES["dyck_balance_census"],
+        d, "events", _events_table(rows),
+    )
+    r = got.iloc[0]
+    assert int(r["n_users"]) == 4
+    assert int(r["n_ballot_users"]) == 2
+    assert int(r["n_balanced_users"]) == 1
+    assert int(r["max_depth"]) == 2
+    assert int(r["net_balance"]) == 2
+
+    n = tmp_path / "neg"
+    n.mkdir()
+    got_n = _check_vs_oracle(
+        windows.dyck_balance_census,
+        windows.ORACLES["dyck_balance_census"],
+        n, "events",
+        _events_table([(1, 7, 10, "purchase", 1.0),
+                       (2, 7, 20, "purchase", 1.0)]),
+    )
+    rn = got_n.iloc[0]
+    assert int(rn["n_users"]) == 1
+    assert int(rn["n_ballot_users"]) == 0
+    assert int(rn["max_depth"]) == -1
+    assert int(rn["net_balance"]) == -2
+
+    z = tmp_path / "none"
+    z.mkdir()
+    got_z = _check_vs_oracle(
+        windows.dyck_balance_census,
+        windows.ORACLES["dyck_balance_census"],
+        z, "events",
+        _events_table([(1, 9, 10, "click", 1.0)]),
+    )
+    assert len(got_z) == 0
