@@ -355,6 +355,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lyndon_factors_cap": text_analysis.lyndon_factors_cap,
         "revenue_water_fill": windows.revenue_water_fill,
         "dyck_balance_census": windows.dyck_balance_census,
+        "zeckendorf_census": relational.zeckendorf_census,
     }
 
 

@@ -10398,3 +10398,110 @@ ORACLES["consistent_hash_balance"] = (
     f"SELECT grid.s::BIGINT AS shard, COALESCE(g.n, 0)::BIGINT AS n_keys "
     f"FROM grid LEFT JOIN g ON g.shard = grid.s"
 )
+
+
+# ---- zeckendorf_census: Fibonacci-base numeration census -------------------
+
+def zeckendorf_census(sf_dir: str) -> "pa.Table":
+    """Zeckendorf representation census over order totals in cents —
+    the NUMERATION-SYSTEM family beyond primality (prime_price_census)
+    and gcd (price_tick_gcd): every positive integer has a UNIQUE
+    decomposition as a sum of non-consecutive Fibonacci numbers
+    (Zeckendorf's theorem), found by the greedy algorithm (always
+    subtract the largest Fibonacci number that fits).  Census: how
+    many orders need k summands, with the extreme cents values per k.
+
+    Vectorization: ONE descending pass over the ~37 Fibonacci numbers
+    below max-cents, each a whole-batch numpy mask fold (``take =
+    rem >= f; k += take; rem -= f·take``) — the prime-census shape
+    (rows x tiny-constant vectorized ops), no per-row Python.  Greedy
+    correctness needs no backtracking, so a single pass is exact.
+
+    Outputs (n_summands, n_orders, min_cents, max_cents) ordered by
+    n_summands — BOUNDED at ~45 rows for any int64 input (k grows
+    like log_phi^2... strictly: max k for cents < 2^63 is 45).  The
+    SQL mirror generates the Fibonacci CTE recursively and replays
+    the greedy descent per DISTINCT cents value with a scalar
+    max-that-fits subquery.
+
+    Scale shape: map-only — each batch emits its bounded (k, count,
+    min, max) histogram partial; the driver folds k-bounded rows.
+
+    Reference anchor: SURVEY.md §2.9 scalar functions (an expensive
+    pure per-row score, like the primality predicate)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"k": pa.array([], pa.int64()),
+             "n": pa.array([], pa.int64()),
+             "mn": pa.array([], pa.int64()),
+             "mx": pa.array([], pa.int64())}
+        )
+        if len(t) == 0:
+            return empty
+        v = np.floor(
+            t["o_totalprice"].to_numpy() * 100.0 + 0.5
+        ).astype(np.int64)
+        vmax = int(v.max())
+        fibs = [1, 2]
+        while fibs[-1] <= vmax:
+            fibs.append(fibs[-1] + fibs[-2])
+        rem = v.copy()
+        k = np.zeros(len(v), dtype=np.int64)
+        for f in reversed(fibs):
+            take = rem >= f
+            k += take
+            rem -= np.where(take, f, 0)
+        g = (
+            pa.table({"k": pa.array(k), "c": pa.array(v)})
+            .group_by("k")
+            .aggregate([("c", "count"), ("c", "min"), ("c", "max")])
+        )
+        return pa.table(
+            {"k": g["k"],
+             "n": pc.cast(g["c_count"], pa.int64()),
+             "mn": g["c_min"], "mx": g["c_max"]}
+        )
+
+    parts = (
+        _read(sf_dir, "orders", ["o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()    # bounded: <=45 summand counts x blocks
+    )
+    empty = pa.table(
+        {"n_summands": pa.array([], pa.int64()),
+         "n_orders": pa.array([], pa.int64()),
+         "min_cents": pa.array([], pa.int64()),
+         "max_cents": pa.array([], pa.int64())}
+    )
+    if parts.empty:
+        return empty
+    g = parts.groupby("k", sort=True).agg(
+        n=("n", "sum"), mn=("mn", "min"), mx=("mx", "max")
+    ).reset_index()
+    return pa.table(
+        {"n_summands": pa.array(g["k"].to_numpy(np.int64)),
+         "n_orders": pa.array(g["n"].to_numpy(np.int64)),
+         "min_cents": pa.array(g["mn"].to_numpy(np.int64)),
+         "max_cents": pa.array(g["mx"].to_numpy(np.int64))}
+    )
+
+
+ORACLES["zeckendorf_census"] = (
+    "WITH RECURSIVE v AS (SELECT CAST(floor(o_totalprice * 100.0 + 0.5) "
+    "AS BIGINT) AS c FROM orders), "
+    "d AS (SELECT c, count(*)::BIGINT AS n FROM v GROUP BY 1), "
+    "fib(a, b) AS (SELECT 1::BIGINT, 2::BIGINT UNION ALL "
+    "SELECT b, a + b FROM fib "
+    "WHERE a <= (SELECT COALESCE(max(c), 0) FROM d)), "
+    "fv AS (SELECT a AS f FROM fib), "
+    "walk(c, rem, k) AS ("
+    "SELECT c, c, 0::BIGINT FROM d "
+    "UNION ALL "
+    "SELECT c, rem - (SELECT max(f) FROM fv WHERE f <= rem), k + 1 "
+    "FROM walk WHERE rem > 0), "
+    "fin AS (SELECT c, k FROM walk WHERE rem = 0) "
+    "SELECT fin.k AS n_summands, sum(d.n)::BIGINT AS n_orders, "
+    "min(fin.c)::BIGINT AS min_cents, max(fin.c)::BIGINT AS max_cents "
+    "FROM fin JOIN d USING (c) GROUP BY 1 ORDER BY 1"
+)

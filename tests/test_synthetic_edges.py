@@ -4757,3 +4757,36 @@ def test_dyck_balance_census_hand_values(ray_session, tmp_path):
         _events_table([(1, 9, 10, "click", 1.0)]),
     )
     assert len(got_z) == 0
+
+
+def test_zeckendorf_census_hand_values(ray_session, tmp_path):
+    """Hand-audited decompositions: 0 -> no summands; 1 and 2 are
+    single Fibonacci numbers (2 must NOT split as 1+1 — greedy takes
+    the largest fit); 4 = 3+1 (k=2); 12 = 8+3+1 and 100 = 89+8+3
+    (k=3); 33 = 21+8+3+1 (k=4)."""
+    from langfilter_ray.pipelines import relational
+
+    d = tmp_path / "main"
+    d.mkdir()
+    _write_orders_dates(
+        d,
+        [("2024-01-01", 0.00), ("2024-01-01", 0.01),
+         ("2024-01-01", 0.02), ("2024-01-01", 0.04),
+         ("2024-01-01", 0.12), ("2024-01-01", 0.33),
+         ("2024-01-01", 1.00)],
+    )
+    got = _check_vs_oracle(
+        relational.zeckendorf_census,
+        relational.ORACLES["zeckendorf_census"],
+        d, "orders", pq.read_table(d / "orders.parquet"),
+    ).set_index("n_summands").sort_index()
+    assert list(got.index) == [0, 1, 2, 3, 4]
+    assert int(got.loc[0, "n_orders"]) == 1
+    assert int(got.loc[1, "n_orders"]) == 2
+    assert (int(got.loc[1, "min_cents"]), int(got.loc[1, "max_cents"])) == (1, 2)
+    assert int(got.loc[2, "n_orders"]) == 1
+    assert int(got.loc[2, "min_cents"]) == 4
+    assert int(got.loc[3, "n_orders"]) == 2
+    assert (int(got.loc[3, "min_cents"]), int(got.loc[3, "max_cents"])) == (12, 100)
+    assert int(got.loc[4, "n_orders"]) == 1
+    assert int(got.loc[4, "min_cents"]) == 33
