@@ -356,6 +356,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_water_fill": windows.revenue_water_fill,
         "dyck_balance_census": windows.dyck_balance_census,
         "zeckendorf_census": relational.zeckendorf_census,
+        "qty_sum_convolution": relational.qty_sum_convolution,
     }
 
 

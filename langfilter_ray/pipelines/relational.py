@@ -10505,3 +10505,88 @@ ORACLES["zeckendorf_census"] = (
     "min(fin.c)::BIGINT AS min_cents, max(fin.c)::BIGINT AS max_cents "
     "FROM fin JOIN d USING (c) GROUP BY 1 ORDER BY 1"
 )
+
+
+# ---- qty_sum_convolution: exact histogram self-convolution ------------------
+
+def qty_sum_convolution(sf_dir: str) -> "pa.Table":
+    """Distribution of ``qty_i + qty_j`` over all UNORDERED pairs of
+    distinct lineitem rows — the exact DISCRETE CONVOLUTION family:
+    the pair-sum histogram is the self-convolution of the quantity
+    histogram, so an all-pairs census over N rows collapses to an
+    O(D²) outer product on the BOUNDED value domain (D = 50 integral
+    quantities) — the polynomial-multiplication identity that turns a
+    quadratic pair census into a domain-bounded one.  No join ever
+    touches row pairs: ``pairs(s) = (Σ_{a+b=s} h[a]·h[b] − [s even]
+    h[s/2]) / 2`` (subtract self-pairs, halve the ordered count —
+    always even by symmetry).
+
+    Outputs (qty_sum, n_pairs) for every reachable sum 2..100,
+    INCLUDING sums whose count drops to zero after the self-pair
+    correction (a single row at quantity q still makes sum 2q
+    reachable) — both engines emit the row with n_pairs = 0.
+
+    Exactness bound: counts are int64-exact below ~3e9 rows per
+    quantity value (h² < 2^63), the same documented bound as the
+    rank statistics; past that the SQL mirror needs HUGEINT.
+
+    Scale shape: map-only bounded-histogram partials (the
+    sufficient-statistic reduction), one np.convolve of a 50-vector
+    on the driver.
+
+    Reference anchor: SURVEY.md §2.7 aggregation — the pair census
+    dual of copurchase_pairs, with the quadratic blowup absorbed by
+    the bounded domain instead of a self-join."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {"q": pa.array([], pa.int64()),
+                 "n": pa.array([], pa.int64())}
+            )
+        q = t["l_quantity"].to_numpy().astype(np.int64)
+        g = (
+            pa.table({"q": pa.array(q)})
+            .group_by("q")
+            .aggregate([("q", "count")])
+        )
+        return pa.table(
+            {"q": g["q"], "n": pc.cast(g["q_count"], pa.int64())}
+        )
+
+    parts = (
+        _read(sf_dir, "lineitem", ["l_quantity"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()    # bounded: 50 values x blocks
+    )
+    empty = pa.table(
+        {"qty_sum": pa.array([], pa.int64()),
+         "n_pairs": pa.array([], pa.int64())}
+    )
+    if parts.empty:
+        return empty
+    hist = parts.groupby("q", sort=True)["n"].sum()
+    qmax = int(hist.index.max())
+    h = np.zeros(qmax + 1, dtype=np.int64)
+    h[hist.index.to_numpy(np.int64)] = hist.to_numpy(np.int64)
+    ordered = np.convolve(h, h)          # index = a + b, exact int64
+    diag = np.zeros(len(ordered), dtype=np.int64)
+    diag[2 * np.arange(qmax + 1)] = h    # self-pairs land on even sums
+    pairs = (ordered - diag) // 2
+    s = np.flatnonzero(ordered)          # reachable sums (incl. 0-pair)
+    return pa.table(
+        {"qty_sum": pa.array(s.astype(np.int64)),
+         "n_pairs": pa.array(pairs[s])}
+    )
+
+
+ORACLES["qty_sum_convolution"] = (
+    "WITH h AS (SELECT CAST(l_quantity AS BIGINT) AS q, "
+    "count(*)::BIGINT AS n FROM lineitem GROUP BY 1), "
+    "conv AS (SELECT a.q + b.q AS s, sum(a.n * b.n)::BIGINT AS op "
+    "FROM h a, h b GROUP BY 1), "
+    "diag AS (SELECT 2 * q AS s, n FROM h) "
+    "SELECT conv.s::BIGINT AS qty_sum, "
+    "((conv.op - COALESCE(diag.n, 0)) // 2)::BIGINT AS n_pairs "
+    "FROM conv LEFT JOIN diag ON diag.s = conv.s ORDER BY 1"
+)

@@ -4790,3 +4790,25 @@ def test_zeckendorf_census_hand_values(ray_session, tmp_path):
     assert (int(got.loc[3, "min_cents"]), int(got.loc[3, "max_cents"])) == (12, 100)
     assert int(got.loc[4, "n_orders"]) == 1
     assert int(got.loc[4, "min_cents"]) == 33
+
+
+def test_qty_sum_convolution_hand_values(ray_session, tmp_path):
+    """Quantities [1, 1, 2, 5]: unordered distinct-row pair sums are
+    1+1=2 (x1), 1+2=3 (x2), 1+5=6 (x2), 2+5=7 (x1) — and sums 4 (2+2)
+    and 10 (5+5) are REACHABLE by a self-pair only, so both engines
+    must emit them with n_pairs = 0 (the diagonal correction), while
+    unreachable sums (5, 8, 9) must not appear."""
+    from langfilter_ray.pipelines import relational
+
+    d = tmp_path / "main"
+    d.mkdir()
+    _write_lineitem_qty(
+        d, [("N", 1.0), ("N", 1.0), ("N", 2.0), ("N", 5.0)],
+    )
+    got = _check_vs_oracle(
+        relational.qty_sum_convolution,
+        relational.ORACLES["qty_sum_convolution"],
+        d, "lineitem", pq.read_table(d / "lineitem.parquet"),
+    ).set_index("qty_sum").sort_index()
+    assert list(got.index) == [2, 3, 4, 6, 7, 10]
+    assert list(got["n_pairs"]) == [1, 2, 0, 2, 1, 0]
