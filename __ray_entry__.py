@@ -357,6 +357,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dyck_balance_census": windows.dyck_balance_census,
         "zeckendorf_census": relational.zeckendorf_census,
         "qty_sum_convolution": relational.qty_sum_convolution,
+        "josephus_census": relational.josephus_census,
     }
 
 

@@ -10590,3 +10590,76 @@ ORACLES["qty_sum_convolution"] = (
     "((conv.op - COALESCE(diag.n, 0)) // 2)::BIGINT AS n_pairs "
     "FROM conv LEFT JOIN diag ON diag.s = conv.s ORDER BY 1"
 )
+
+
+# ---- josephus_census: iterated-elimination survivor census ------------------
+
+JOSEPHUS_K = 3
+
+
+def josephus_census(sf_dir: str) -> "pa.Table":
+    """Josephus survivor census — the ITERATED-ELIMINATION family:
+    each customer's n orders stand in a circle (order-date positions
+    1..n); every ``JOSEPHUS_K``-th is eliminated until one survives.
+    The survivor position is a pure function of the group size through
+    the classic recurrence ``J(1) = 0; J(n) = (J(n−1) + k) mod n``
+    (0-indexed), which no aggregate or window expresses — the state
+    threads through EVERY smaller group size.
+
+    Outputs (group_size, survivor_pos, n_customers) for every observed
+    per-customer order count (survivor_pos is 1-indexed).  Exact: the
+    recurrence is integer arithmetic on non-negative operands, where
+    numpy % and SQL % agree.
+
+    Scale shape: cust_order_histogram's combiner-backed double groupby
+    (orders → ≤ distinct custkeys → ≤ distinct counts) yields the
+    BOUNDED size histogram; the driver replays the O(max_n) recurrence
+    once — max_n is the largest single-customer order count, a data
+    constant (~tens), never rows.  The SQL mirror replays the same
+    recurrence as a linear recursive CTE joined to the histogram.
+
+    Reference anchor: SURVEY.md §2.7 aggregation (the histogram) +
+    the iterated-map census family (collatz_steps_census)."""
+    hist = (
+        _read(sf_dir, "orders", ["o_custkey"])
+        .map_batches(_partial_group_agg(["o_custkey"]), batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("n_partial", alias_name="n_orders"))
+        .map_batches(_partial_group_agg(["n_orders"]), batch_format="pyarrow")
+        .groupby("n_orders")
+        .aggregate(Sum("n_partial", alias_name="n_customers"))
+        .to_pandas()    # bounded: distinct per-customer counts (~tens)
+    )
+    empty = pa.table(
+        {"group_size": pa.array([], pa.int64()),
+         "survivor_pos": pa.array([], pa.int64()),
+         "n_customers": pa.array([], pa.int64())}
+    )
+    if hist.empty:
+        return empty
+    sizes = hist["n_orders"].to_numpy(np.int64)
+    max_n = int(sizes.max())
+    j = np.zeros(max_n + 1, dtype=np.int64)    # j[n] = J(n, k), 0-indexed
+    for n in range(2, max_n + 1):
+        j[n] = (j[n - 1] + JOSEPHUS_K) % n
+    order = np.argsort(sizes)
+    sizes = sizes[order]
+    return pa.table(
+        {"group_size": pa.array(sizes),
+         "survivor_pos": pa.array(j[sizes] + 1),
+         "n_customers": pa.array(
+             hist["n_customers"].to_numpy(np.int64)[order])}
+    )
+
+
+ORACLES["josephus_census"] = (
+    "WITH RECURSIVE cnt AS (SELECT o_custkey, count(*)::BIGINT AS n "
+    "FROM orders GROUP BY 1), "
+    "hist AS (SELECT n, count(*)::BIGINT AS n_customers FROM cnt "
+    "GROUP BY 1), "
+    "j(n, pos) AS (SELECT 1::BIGINT, 0::BIGINT "
+    "UNION ALL SELECT n + 1, (pos + 3) % (n + 1) FROM j "
+    "WHERE n < (SELECT max(n) FROM hist)) "
+    "SELECT hist.n AS group_size, (j.pos + 1)::BIGINT AS survivor_pos, "
+    "hist.n_customers FROM hist JOIN j ON j.n = hist.n ORDER BY 1"
+)

@@ -4812,3 +4812,45 @@ def test_qty_sum_convolution_hand_values(ray_session, tmp_path):
     ).set_index("qty_sum").sort_index()
     assert list(got.index) == [2, 3, 4, 6, 7, 10]
     assert list(got["n_pairs"]) == [1, 2, 0, 2, 1, 0]
+
+
+def _write_orders_cust(tmp_path, custkeys):
+    """One order row per entry of ``custkeys`` — minimal orders schema."""
+    n = len(custkeys)
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array(list(range(1, n + 1)), pa.int64()),
+            "o_custkey": pa.array(list(custkeys), pa.int64()),
+            "o_orderstatus": pa.array(["O"] * n, pa.string()),
+            "o_totalprice": pa.array([1.0] * n, pa.float64()),
+            "o_orderdate": pa.array(
+                [np.datetime64("2024-01-01T00:00:00", "us")] * n,
+                pa.timestamp("us"),
+            ),
+            "o_orderpriority": pa.array(["1-URGENT"] * n, pa.string()),
+        }
+    )
+    pq.write_table(orders, tmp_path / "orders.parquet")
+
+
+def test_josephus_census_hand_values(ray_session, tmp_path):
+    """Classic k=3 survivors (1-indexed): n=1 -> 1, n=2 -> 2, n=3 -> 2,
+    n=7 -> 4 (the textbook Josephus instance).  Customers: one with a
+    single order, two with two orders each, one with three, one with
+    seven."""
+    from langfilter_ray.pipelines import relational
+
+    d = tmp_path / "main"
+    d.mkdir()
+    _write_orders_cust(
+        d,
+        [1] + [2] * 2 + [3] * 2 + [4] * 3 + [5] * 7,
+    )
+    got = _check_vs_oracle(
+        relational.josephus_census,
+        relational.ORACLES["josephus_census"],
+        d, "orders", pq.read_table(d / "orders.parquet"),
+    ).set_index("group_size").sort_index()
+    assert list(got.index) == [1, 2, 3, 7]
+    assert list(got["survivor_pos"]) == [1, 2, 2, 4]
+    assert list(got["n_customers"]) == [1, 2, 1, 1]
