@@ -358,6 +358,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zeckendorf_census": relational.zeckendorf_census,
         "qty_sum_convolution": relational.qty_sum_convolution,
         "josephus_census": relational.josephus_census,
+        "interval_cover_days": relational.interval_cover_days,
     }
 
 

@@ -10663,3 +10663,131 @@ ORACLES["josephus_census"] = (
     "SELECT hist.n AS group_size, (j.pos + 1)::BIGINT AS survivor_pos, "
     "hist.n_customers FROM hist JOIN j ON j.n = hist.n ORDER BY 1"
 )
+
+
+# ---- interval_cover_days: union-of-intervals measure per supplier ----------
+
+_COVER_PARTS_ROWS = 2_000_000
+
+
+def interval_cover_days(sf_dir: str) -> ray.data.Dataset:
+    """Union-of-intervals measure per supplier — the INTERVAL MEASURE
+    family: each lineitem occupies its supplier for ``l_quantity``
+    days starting at the ship date (the interval ``[ship_day,
+    ship_day + qty)``); overlapping shipments don't stack.  Per
+    supplier: busy_days (the LENGTH OF THE UNION of its intervals),
+    n_islands (maximal contiguous busy stretches), span_days, and
+    max_gap_days (longest idle stretch inside the span).  Sessionizing
+    (session_windows) merges POINTS by gap; this measures the union of
+    EXTENTS — overlap, containment and partial overlap all collapse,
+    which no gap rule over points reproduces.
+
+    Algorithm: per supplier, sort intervals by (start, end); the
+    running maximum of ends is the coverage frontier — each row
+    contributes ``max(0, end − max(start, frontier))`` busy days,
+    opens an island iff ``start > frontier``, and the idle gap is
+    ``max(0, start − frontier)``.  Equal-start ties are provably
+    order-insensitive (any prior same-start row pushes the frontier
+    to at least the shared start).
+
+    Scale shape: the per-user windows backbone re-keyed to suppliers —
+    hash(suppkey) partition tag, one pandas callback per partition,
+    segmented numpy inside (banded cummax so one `np.maximum.
+    accumulate` serves every segment; the band product is asserted
+    below int64 overflow per the rolling_24h lesson).  Output is one
+    row per supplier (dimension-proportional, like
+    supplier_return_rate); the exchange ships 3 int64s per lineitem.
+
+    Reference anchor: SURVEY.md §2.6 sessionization, extended from
+    point-gap merging to interval measure."""
+    import pyarrow.parquet as pq_mod
+
+    US_DAY = 86_400_000_000
+    n_rows = pq_mod.ParquetFile(
+        f"{sf_dir}/lineitem.parquet"
+    ).metadata.num_rows
+    parts = max(8, n_rows // _COVER_PARTS_ROWS)
+
+    def tag(t: pa.Table) -> pa.Table:
+        day = pc.cast(t["l_shipdate"], pa.int64()).to_numpy() // US_DAY
+        qty = t["l_quantity"].to_numpy().astype(np.int64)
+        supp = t["l_suppkey"].to_numpy().astype(np.int64)
+        h = supp.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        part = ((h >> np.uint64(33)) % np.uint64(parts)).astype(np.int64)
+        return pa.table(
+            {"s": pa.array(supp), "a": pa.array(day),
+             "e": pa.array(day + qty), "part": pa.array(part)}
+        )
+
+    def per_partition(g: "pd.DataFrame") -> "pd.DataFrame":
+        empty = pd.DataFrame(
+            {"suppkey": pd.array([], dtype="int64"),
+             "n_shipments": pd.array([], dtype="int64"),
+             "busy_days": pd.array([], dtype="int64"),
+             "n_islands": pd.array([], dtype="int64"),
+             "span_days": pd.array([], dtype="int64"),
+             "max_gap_days": pd.array([], dtype="int64")}
+        )
+        if g.empty:
+            return empty
+        g = g.sort_values(["s", "a", "e"]).reset_index(drop=True)
+        s = g["s"].to_numpy(np.int64)
+        a = g["a"].to_numpy(np.int64)
+        e = g["e"].to_numpy(np.int64)
+        new_seg = np.empty(len(g), dtype=bool)
+        new_seg[0] = True
+        new_seg[1:] = s[1:] != s[:-1]
+        starts = np.flatnonzero(new_seg)
+        ends = np.append(starts[1:], len(g))
+        seg_id = np.cumsum(new_seg) - 1
+        amin = int(a.min())
+        ee = e - amin
+        band = int(ee.max()) + 2
+        assert band * len(starts) + band < 2**62, "banded cummax overflow"
+        shifted = ee + seg_id * band
+        run = np.maximum.accumulate(shifted)
+        f = np.empty(len(g), dtype=np.int64)
+        f[0] = 0
+        f[1:] = run[:-1] - seg_id[1:] * band + amin   # garbage on starts
+        f_eff = np.where(new_seg, a, f)
+        cover = np.maximum(0, e - np.maximum(a, f_eff))
+        island = new_seg | (a > f_eff)
+        gap = np.where(new_seg, 0, np.maximum(0, a - f))
+        return pd.DataFrame(
+            {"suppkey": s[starts],
+             "n_shipments": (ends - starts).astype(np.int64),
+             "busy_days": np.add.reduceat(cover, starts).astype(np.int64),
+             "n_islands": np.add.reduceat(
+                 island.astype(np.int64), starts).astype(np.int64),
+             "span_days": (np.maximum.reduceat(e, starts)
+                           - a[starts]).astype(np.int64),
+             "max_gap_days": np.maximum.reduceat(gap, starts).astype(
+                 np.int64)}
+        )
+
+    return (
+        _read(sf_dir, "lineitem", ["l_suppkey", "l_shipdate", "l_quantity"])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(per_partition, batch_format="pandas")
+    )
+
+
+ORACLES["interval_cover_days"] = (
+    "WITH iv AS (SELECT l_suppkey AS s, "
+    "epoch_us(l_shipdate) // 86400000000 AS a, "
+    "epoch_us(l_shipdate) // 86400000000 + CAST(l_quantity AS BIGINT) "
+    "AS e FROM lineitem), "
+    "w AS (SELECT s, a, e, max(e) OVER (PARTITION BY s ORDER BY a, e "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS f FROM iv), "
+    "c AS (SELECT s, a, e, "
+    "CASE WHEN f IS NULL OR a > f THEN 1 ELSE 0 END AS isl, "
+    "GREATEST(0, e - GREATEST(a, COALESCE(f, a))) AS cover, "
+    "CASE WHEN f IS NULL THEN 0 ELSE GREATEST(0, a - f) END AS gap "
+    "FROM w) "
+    "SELECT s AS suppkey, count(*)::BIGINT AS n_shipments, "
+    "sum(cover)::BIGINT AS busy_days, sum(isl)::BIGINT AS n_islands, "
+    "(max(e) - min(a))::BIGINT AS span_days, "
+    "max(gap)::BIGINT AS max_gap_days "
+    "FROM c GROUP BY 1 ORDER BY 1"
+)

@@ -4854,3 +4854,59 @@ def test_josephus_census_hand_values(ray_session, tmp_path):
     assert list(got.index) == [1, 2, 3, 7]
     assert list(got["survivor_pos"]) == [1, 2, 2, 4]
     assert list(got["n_customers"]) == [1, 2, 1, 1]
+
+
+def _write_lineitem_supp_ship(tmp_path, rows):
+    """rows = [(suppkey, shipdate 'YYYY-MM-DD', quantity), ...]"""
+    n = len(rows)
+    lineitem = pa.table(
+        {
+            "l_orderkey": pa.array(list(range(1, n + 1)), pa.int64()),
+            "l_partkey": pa.array([1] * n, pa.int64()),
+            "l_suppkey": pa.array([s for s, _, _ in rows], pa.int64()),
+            "l_linenumber": pa.array([1] * n, pa.int32()),
+            "l_quantity": pa.array([q for _, _, q in rows], pa.float64()),
+            "l_extendedprice": pa.array([1.0] * n, pa.float64()),
+            "l_discount": pa.array([0.0] * n, pa.float64()),
+            "l_tax": pa.array([0.0] * n, pa.float64()),
+            "l_returnflag": pa.array(["N"] * n, pa.string()),
+            "l_linestatus": pa.array(["O"] * n, pa.string()),
+            "l_shipdate": pa.array(
+                [np.datetime64(f"{d}T00:00:00", "us") for _, d, _ in rows],
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    pq.write_table(lineitem, tmp_path / "lineitem.parquet")
+
+
+def test_interval_cover_days_hand_values(ray_session, tmp_path):
+    """Hand-traced unions.  Supplier 1: [0,3)+[2,4) merge, [1,2) is
+    contained, the same-start pair [10,11)/[10,12) collapses to [10,12)
+    -> busy 6, two islands, span 12, max gap 6.  Supplier 2: one
+    7-day interval.  Supplier 3: [0,2) then [2,3) TOUCH — a start equal
+    to the frontier must NOT open an island (busy 3, one island, no
+    gap)."""
+    from langfilter_ray.pipelines import relational
+
+    d = tmp_path / "main"
+    d.mkdir()
+    _write_lineitem_supp_ship(
+        d,
+        [(1, "2024-01-01", 3.0), (1, "2024-01-03", 2.0),
+         (1, "2024-01-11", 1.0), (1, "2024-01-11", 2.0),
+         (1, "2024-01-02", 1.0),
+         (2, "2024-01-06", 7.0),
+         (3, "2024-01-01", 2.0), (3, "2024-01-03", 1.0)],
+    )
+    got = _check_vs_oracle(
+        relational.interval_cover_days,
+        relational.ORACLES["interval_cover_days"],
+        d, "lineitem", pq.read_table(d / "lineitem.parquet"),
+    ).set_index("suppkey").sort_index()
+    assert list(got.index) == [1, 2, 3]
+    assert list(got["n_shipments"]) == [5, 1, 2]
+    assert list(got["busy_days"]) == [6, 7, 3]
+    assert list(got["n_islands"]) == [2, 1, 1]
+    assert list(got["span_days"]) == [12, 7, 3]
+    assert list(got["max_gap_days"]) == [6, 0, 0]
