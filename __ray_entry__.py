@@ -359,6 +359,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "qty_sum_convolution": relational.qty_sum_convolution,
         "josephus_census": relational.josephus_census,
         "interval_cover_days": relational.interval_cover_days,
+        "merkle_root_by_source": text_analysis.merkle_root_by_source,
     }
 
 

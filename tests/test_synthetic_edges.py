@@ -4910,3 +4910,44 @@ def test_interval_cover_days_hand_values(ray_session, tmp_path):
     assert list(got["n_islands"]) == [2, 1, 1]
     assert list(got["span_days"]) == [12, 7, 3]
     assert list(got["max_gap_days"]) == [6, 0, 0]
+
+
+def test_merkle_root_by_source_hand_values(ray_session, tmp_path):
+    """Bit-for-bit roots vs an independent hashlib replay: a singleton
+    source (depth 0, root = leaf), a two-doc source (one pairing), and
+    a THREE-doc source where the odd leaf is promoted UNCHANGED into
+    round 2 (root = md5(md5(h1 h2) h3)); doc_ids are written out of
+    order to pin the doc_id sort."""
+    import hashlib
+
+    from langfilter_ray.pipelines import text_analysis
+
+    def h(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    d = tmp_path / "main"
+    d.mkdir()
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([30, 10, 20, 1, 2, 3], pa.int64()),
+            "text": pa.array(["cc", "aa", "bb", "x", "solo", "y"],
+                             pa.string()),
+            "lang": pa.array(["en"] * 6, pa.string()),
+            "source": pa.array(
+                ["tri", "tri", "tri", "duo", "uno", "duo"], pa.string()),
+            "n_chars": pa.array([2, 2, 2, 1, 4, 1], pa.int64()),
+        }
+    )
+    got = _check_vs_oracle(
+        text_analysis.merkle_root_by_source,
+        text_analysis.ORACLES["merkle_root_by_source"],
+        d, "documents", tbl,
+    ).set_index("source")
+    assert int(got.loc["uno", "n_docs"]) == 1
+    assert int(got.loc["uno", "tree_depth"]) == 0
+    assert got.loc["uno", "merkle_root"] == h("solo")
+    assert int(got.loc["duo", "tree_depth"]) == 1
+    assert got.loc["duo", "merkle_root"] == h(h("x") + h("y"))
+    assert int(got.loc["tri", "n_docs"]) == 3
+    assert int(got.loc["tri", "tree_depth"]) == 2
+    assert got.loc["tri", "merkle_root"] == h(h(h("aa") + h("bb")) + h("cc"))
