@@ -360,6 +360,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "josephus_census": relational.josephus_census,
         "interval_cover_days": relational.interval_cover_days,
         "merkle_root_by_source": text_analysis.merkle_root_by_source,
+        "levenshtein_top2": text_analysis.levenshtein_top2,
     }
 
 

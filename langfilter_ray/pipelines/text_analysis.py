@@ -5562,3 +5562,109 @@ ORACLES["merkle_root_by_source"] = (
     "rec.hs[1] AS merkle_root "
     "FROM rec JOIN l USING (source) WHERE len(rec.hs) = 1 ORDER BY 1"
 )
+
+
+# ---- levenshtein_top2: edit distance between the two longest docs ----------
+
+LEV_CAP = 128
+
+
+def levenshtein_top2(sf_dir: str) -> "pa.Table":
+    """Levenshtein EDIT DISTANCE between the two longest documents'
+    capped heads — GLOBAL alignment with substitutions, completing the
+    alignment trio (user_lcs_top2 = subsequences, lcsubstr_top2 =
+    contiguous runs): the minimum number of single-character inserts,
+    deletes and substitutions turning one head into the other.  Note
+    edit distance is NOT derivable from LCS (``n + m − 2·LCS`` is the
+    indel-only distance; substitutions cost 1 here, not 2).
+
+    Vectorization: the within-row dependency ``cur[j] = min(tmp[j],
+    cur[j−1]+1)`` unrolls to the PREFIX-MIN identity ``cur[j] =
+    min_{k≤j}(tmp[k] − k) + j`` (tmp = the dependency-free delete/
+    substitute candidates), so each DP row is two numpy kernels
+    (element-wise min, then `np.minimum.accumulate`) — no per-cell
+    Python.  The SQL mirror replays the SAME identity per row with a
+    nested list lambda (list_min over a prefix slice), keeping both
+    engines on one algorithm with one tie semantics.
+
+    Outputs one row: doc_a, doc_b (the n_chars-DESC, doc_id-ASC top
+    2), len_a, len_b (capped-head lengths), edit_distance, and
+    similarity = 1 − d/max(len) (ONE float division of exact ints,
+    mirrored cast order; −1.0 sentinel when both heads are empty).
+
+    Scale shape: the shared distributed top-2 argmax gather (blocks ×
+    2 short rows cross the exchange; text pre-capped), then an
+    O(LEV_CAP²) driver DP — 128² cells, microseconds."""
+    empty = pa.table(
+        {"doc_a": pa.array([], pa.int64()),
+         "doc_b": pa.array([], pa.int64()),
+         "len_a": pa.array([], pa.int64()),
+         "len_b": pa.array([], pa.int64()),
+         "edit_distance": pa.array([], pa.int64()),
+         "similarity": pa.array([], pa.float64())}
+    )
+    top = _argmax2_doc_heads(sf_dir)
+    if len(top) < 2:
+        return empty
+    (id_a, a), (id_b, b) = top
+    a, b = a[:LEV_CAP], b[:LEV_CAP]
+    n, m = len(a), len(b)
+    bb = np.array([ord(c) for c in b], dtype=np.int64)
+    idx = np.arange(m + 1, dtype=np.int64)
+    prev = idx.copy()                      # D[0][j] = j
+    for i in range(1, n + 1):
+        sub = prev[:-1] + (np.int64(ord(a[i - 1])) != bb)
+        tmp = np.empty(m + 1, dtype=np.int64)
+        tmp[0] = i
+        tmp[1:] = np.minimum(prev[1:] + 1, sub)
+        prev = np.minimum.accumulate(tmp - idx) + idx
+    d = int(prev[m])
+    mx = max(n, m)
+    sim = -1.0 if mx == 0 else 1.0 - float(d) / float(mx)
+    return pa.table(
+        {"doc_a": pa.array([id_a], pa.int64()),
+         "doc_b": pa.array([id_b], pa.int64()),
+         "len_a": pa.array([n], pa.int64()),
+         "len_b": pa.array([m], pa.int64()),
+         "edit_distance": pa.array([d], pa.int64()),
+         "similarity": pa.array([sim], pa.float64())}
+    )
+
+
+ORACLES["levenshtein_top2"] = (
+    "WITH RECURSIVE t2 AS (SELECT doc_id, "
+    f"substr(text, 1, {LEV_CAP}) AS s, "
+    "row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rk "
+    "FROM documents ORDER BY n_chars DESC, doc_id LIMIT 2), "
+    "ab AS (SELECT "
+    "(SELECT doc_id FROM t2 WHERE rk = 1) AS ida, "
+    "(SELECT s FROM t2 WHERE rk = 1) AS sa, "
+    "(SELECT doc_id FROM t2 WHERE rk = 2) AS idb, "
+    "(SELECT s FROM t2 WHERE rk = 2) AS sb "
+    "WHERE (SELECT count(*) FROM t2) = 2), "
+    "rec(i, r, sa, sb, n, m, ida, idb) AS ("
+    "SELECT 0::BIGINT, "
+    "list_transform(generate_series(0, length(sb)), j -> j), "
+    "sa, sb, length(sa)::BIGINT, length(sb)::BIGINT, ida, idb FROM ab "
+    "UNION ALL "
+    "SELECT i + 1, "
+    "list_transform(generate_series(1, m + 1), "
+    "u -> list_min(list_slice("
+    "list_transform(generate_series(1, m + 1), "
+    "k -> (CASE WHEN k = 1 THEN i + 1 "
+    "ELSE least(r[k] + 1, r[k - 1] + "
+    "CASE WHEN substr(sa, CAST(i + 1 AS INT), 1) = "
+    "substr(sb, CAST(k - 1 AS INT), 1) "
+    "THEN 0 ELSE 1 END) END) - (k - 1)), "
+    "1, u)) + (u - 1)), "
+    "sa, sb, n, m, ida, idb "
+    "FROM rec WHERE i < n) "
+    "SELECT ida AS doc_a, idb AS doc_b, "
+    "n AS len_a, m AS len_b, "
+    "r[CAST(m + 1 AS INT)]::BIGINT AS edit_distance, "
+    "CASE WHEN greatest(n, m) = 0 THEN -1.0 ELSE "
+    "1.0 - CAST(r[CAST(m + 1 AS INT)] AS DOUBLE) / "
+    "CAST(greatest(n, m) AS DOUBLE) END AS similarity "
+    "FROM rec WHERE i = n"
+)
+

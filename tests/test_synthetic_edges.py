@@ -4951,3 +4951,44 @@ def test_merkle_root_by_source_hand_values(ray_session, tmp_path):
     assert int(got.loc["tri", "n_docs"]) == 3
     assert int(got.loc["tri", "tree_depth"]) == 2
     assert got.loc["tri", "merkle_root"] == h(h(h("aa") + h("bb")) + h("cc"))
+
+
+def test_levenshtein_top2_hand_values(ray_session, tmp_path):
+    """kitten -> sitting = 3 (the classic); abc -> axc = 1 pins
+    unit-cost SUBSTITUTION (an indel-only metric would say 2); an
+    empty second doc costs its full length in deletes."""
+    from langfilter_ray.pipelines import text_analysis
+
+    d = tmp_path / "k"
+    d.mkdir()
+    got = _check_vs_oracle(
+        text_analysis.levenshtein_top2,
+        text_analysis.ORACLES["levenshtein_top2"],
+        d, "documents",
+        _docs_table([(1, "en", 7, "sitting"), (2, "en", 6, "kitten"),
+                     (3, "en", 1, "x")]),
+    ).iloc[0]
+    assert (int(got["doc_a"]), int(got["doc_b"])) == (1, 2)
+    assert int(got["edit_distance"]) == 3
+    assert got["similarity"] == 1.0 - 3.0 / 7.0
+
+    s = tmp_path / "sub"
+    s.mkdir()
+    got_s = _check_vs_oracle(
+        text_analysis.levenshtein_top2,
+        text_analysis.ORACLES["levenshtein_top2"],
+        s, "documents",
+        _docs_table([(1, "en", 3, "abc"), (2, "en", 3, "axc")]),
+    ).iloc[0]
+    assert int(got_s["edit_distance"]) == 1
+
+    e = tmp_path / "empty"
+    e.mkdir()
+    got_e = _check_vs_oracle(
+        text_analysis.levenshtein_top2,
+        text_analysis.ORACLES["levenshtein_top2"],
+        e, "documents",
+        _docs_table([(1, "en", 2, "ab"), (2, "en", 0, "")]),
+    ).iloc[0]
+    assert int(got_e["edit_distance"]) == 2
+    assert got_e["similarity"] == 0.0
