@@ -10791,3 +10791,191 @@ ORACLES["interval_cover_days"] = (
     "max(gap)::BIGINT AS max_gap_days "
     "FROM c GROUP BY 1 ORDER BY 1"
 )
+
+
+# ---- brand_condorcet: pairwise-majority social choice over weeks -----------
+
+def brand_condorcet(sf_dir: str) -> "pa.Table":
+    """Condorcet / Copeland tournament over brands, one "ballot" per
+    ship week — the SOCIAL-CHOICE family beyond seat apportionment
+    (nation_dhondt_seats) and coalition power (region_banzhaf): brand
+    A BEATS brand B when A out-earned B in strictly more weeks than B
+    out-earned A (per-week ties count to neither side).  The Copeland
+    score (pairs beaten − pairs lost) and the existence of a Condorcet
+    winner (beats EVERY rival) are properties of the full pairwise
+    duel matrix — a genuinely relational statistic no single groupby
+    or window reaches (aggregate → per-pair compare → per-brand fold).
+
+    Outputs per brand: n_beaten, n_lost_to, copeland, is_condorcet
+    (0/1; typed empty when fewer than two brands or zero ship weeks).
+    The brand axis is every DISTINCT p_brand (a brand with parts but
+    no sales revenues 0 every week — it ties other zero brands and
+    loses to every active one, on both engines).
+
+    Scale shape: the (week, brand, cents) table is DOUBLY bounded
+    (time span × 25-brand catalog); each batch emits in-batch-combined
+    partials, so the gather is bounded by span × brands × blocks.
+    partkey → brand resolves against the ray.put-broadcast sorted dim
+    below BROADCAST_DIM_MAX_ROWS and falls back to the hash-
+    partitioned native join above (zero-threshold parity test); the
+    duel matrix is a 25×25×weeks numpy broadcast on the driver.
+
+    Reference anchor: A4's gate-path distribution (SURVEY.md §2.6)
+    asked as a tournament: which pipeline variant wins most weeks?"""
+    import pyarrow.parquet as pq_mod
+
+    US_WEEK = 7 * 86_400_000_000
+
+    brand_parts = (
+        _read(sf_dir, "part", ["p_brand"])
+        .map_batches(
+            lambda t: pa.table(
+                {"b": pc.unique(t["p_brand"])}
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()    # bounded: 25-brand catalog x blocks
+    )
+    all_brands = np.sort(brand_parts["b"].unique()) if not brand_parts.empty \
+        else np.array([], dtype=object)
+
+    if _dim_num_rows(sf_dir, "part") <= BROADCAST_DIM_MAX_ROWS:
+        part = pq_mod.read_table(
+            f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+        )
+        pk = part["p_partkey"].to_numpy()
+        codes, uniques = pd.factorize(part["p_brand"].to_pandas())
+        order = np.argsort(pk)
+        lut = np.asarray(list(uniques) + [None], dtype=object)
+        ref = ray.put((pk[order], codes[order].astype(np.int64)))
+
+        def partial(t: pa.Table) -> pa.Table:
+            empty = pa.table(
+                {"wk": pa.array([], pa.int64()),
+                 "brand": pa.array([], pa.string()),
+                 "rev": pa.array([], pa.int64())}
+            )
+            if len(t) == 0:
+                return empty
+            wk = pc.cast(t["l_shipdate"], pa.int64()).to_numpy() // US_WEEK
+            cents = np.floor(
+                t["l_extendedprice"].to_numpy() * 100.0 + 0.5
+            ).astype(np.int64)
+            brands = _probe_lookup(ref, lut, t["l_partkey"].to_numpy())
+            ok = np.not_equal(brands, None)
+            g = (
+                pa.table(
+                    {"wk": pa.array(wk[ok]),
+                     "brand": pa.array(brands[ok].astype(str), pa.string()),
+                     "rev": pa.array(cents[ok])}
+                )
+                .group_by(["wk", "brand"])
+                .aggregate([("rev", "sum")])
+            )
+            return pa.table(
+                {"wk": g["wk"], "brand": g["brand"], "rev": g["rev_sum"]}
+            )
+
+        frame = (
+            _read(sf_dir, "lineitem",
+                  ["l_partkey", "l_shipdate", "l_extendedprice"])
+            .map_batches(partial, batch_format="pyarrow")
+            .to_pandas()    # bounded: weeks x brands x blocks
+        )
+    else:
+        joined = _read(
+            sf_dir, "lineitem",
+            ["l_partkey", "l_shipdate", "l_extendedprice"],
+        ).join(
+            _read(sf_dir, "part", ["p_partkey", "p_brand"]),
+            join_type="inner",
+            num_partitions=_join_parts(1),
+            on=("l_partkey",),
+            right_on=("p_partkey",),
+        )
+
+        def joined_partial(t: pa.Table) -> pa.Table:
+            empty = pa.table(
+                {"wk": pa.array([], pa.int64()),
+                 "brand": pa.array([], pa.string()),
+                 "rev": pa.array([], pa.int64())}
+            )
+            if len(t) == 0 or "l_shipdate" not in t.column_names:
+                return empty
+            wk = pc.cast(t["l_shipdate"], pa.int64()).to_numpy() // US_WEEK
+            cents = np.floor(
+                t["l_extendedprice"].to_numpy() * 100.0 + 0.5
+            ).astype(np.int64)
+            g = (
+                pa.table(
+                    {"wk": pa.array(wk), "brand": t["p_brand"],
+                     "rev": pa.array(cents)}
+                )
+                .group_by(["wk", "brand"])
+                .aggregate([("rev", "sum")])
+            )
+            return pa.table(
+                {"wk": g["wk"], "brand": g["brand"], "rev": g["rev_sum"]}
+            )
+
+        frame = joined.map_batches(
+            joined_partial, batch_format="pyarrow"
+        ).to_pandas()
+
+    empty = pa.table(
+        {"brand": pa.array([], pa.string()),
+         "n_beaten": pa.array([], pa.int64()),
+         "n_lost_to": pa.array([], pa.int64()),
+         "copeland": pa.array([], pa.int64()),
+         "is_condorcet": pa.array([], pa.int64())}
+    )
+    nb = len(all_brands)
+    if frame.empty or nb < 2:
+        return empty
+    g = frame.groupby(["wk", "brand"], sort=True)["rev"].sum().reset_index()
+    weeks = np.sort(g["wk"].unique())
+    widx = {w: i for i, w in enumerate(weeks)}
+    bidx = {b: i for i, b in enumerate(all_brands)}
+    rev = np.zeros((len(weeks), nb), dtype=np.int64)
+    rev[g["wk"].map(widx).to_numpy(), g["brand"].map(bidx).to_numpy()] = \
+        g["rev"].to_numpy(np.int64)
+    wins = (rev[:, :, None] > rev[:, None, :]).sum(axis=0)
+    s = np.sign(wins - wins.T).astype(np.int64)
+    n_beaten = (s > 0).sum(axis=1).astype(np.int64)
+    n_lost = (s < 0).sum(axis=1).astype(np.int64)
+    return pa.table(
+        {"brand": pa.array(all_brands.astype(str), pa.string()),
+         "n_beaten": pa.array(n_beaten),
+         "n_lost_to": pa.array(n_lost),
+         "copeland": pa.array(s.sum(axis=1).astype(np.int64)),
+         "is_condorcet": pa.array(
+             (n_beaten == nb - 1).astype(np.int64))}
+    )
+
+
+ORACLES["brand_condorcet"] = (
+    "WITH li AS (SELECT epoch_us(l_shipdate) // 604800000000 AS wk, "
+    "l_partkey, CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) "
+    "AS cents FROM lineitem), "
+    "r AS (SELECT wk, p_brand AS brand, sum(cents)::BIGINT AS rev "
+    "FROM li JOIN part ON p_partkey = l_partkey GROUP BY 1, 2), "
+    "wks AS (SELECT DISTINCT wk FROM li), "
+    "brands AS (SELECT DISTINCT p_brand AS brand FROM part), "
+    "dense AS (SELECT w.wk, b.brand, COALESCE(r.rev, 0)::BIGINT AS rev "
+    "FROM wks w CROSS JOIN brands b "
+    "LEFT JOIN r ON r.wk = w.wk AND r.brand = b.brand), "
+    "wins AS (SELECT a.brand AS x, b.brand AS y, "
+    "count(*) FILTER (WHERE a.rev > b.rev)::BIGINT AS w "
+    "FROM dense a JOIN dense b ON a.wk = b.wk AND a.brand <> b.brand "
+    "GROUP BY 1, 2), "
+    "duel AS (SELECT w1.x, CASE WHEN w1.w > w2.w THEN 1 "
+    "WHEN w1.w < w2.w THEN -1 ELSE 0 END AS s "
+    "FROM wins w1 JOIN wins w2 ON w1.x = w2.y AND w1.y = w2.x) "
+    "SELECT x AS brand, "
+    "count(*) FILTER (WHERE s = 1)::BIGINT AS n_beaten, "
+    "count(*) FILTER (WHERE s = -1)::BIGINT AS n_lost_to, "
+    "sum(s)::BIGINT AS copeland, "
+    "(CASE WHEN count(*) FILTER (WHERE s = 1) = "
+    "(SELECT count(*) FROM brands) - 1 THEN 1 ELSE 0 END)::BIGINT "
+    "AS is_condorcet FROM duel GROUP BY 1 ORDER BY 1"
+)

@@ -4992,3 +4992,96 @@ def test_levenshtein_top2_hand_values(ray_session, tmp_path):
     ).iloc[0]
     assert int(got_e["edit_distance"]) == 2
     assert got_e["similarity"] == 0.0
+
+
+def _condorcet_corpus(d, li_rows, brands):
+    """li_rows = [(partkey, shipdate 'YYYY-MM-DD', extendedprice), ...];
+    brands = [(partkey, brand), ...]"""
+    n = len(li_rows)
+    pq.write_table(pa.table(
+        {"l_orderkey": pa.array(list(range(1, n + 1)), pa.int64()),
+         "l_partkey": pa.array([p for p, _, _ in li_rows], pa.int64()),
+         "l_suppkey": pa.array([1] * n, pa.int64()),
+         "l_linenumber": pa.array([1] * n, pa.int32()),
+         "l_quantity": pa.array([1.0] * n, pa.float64()),
+         "l_extendedprice": pa.array(
+             [x for _, _, x in li_rows], pa.float64()),
+         "l_discount": pa.array([0.0] * n, pa.float64()),
+         "l_tax": pa.array([0.0] * n, pa.float64()),
+         "l_returnflag": pa.array(["N"] * n, pa.string()),
+         "l_linestatus": pa.array(["O"] * n, pa.string()),
+         "l_shipdate": pa.array(
+             [np.datetime64(f"{s}T00:00:00", "us") for _, s, _ in li_rows],
+             pa.timestamp("us"))}
+    ), d / "lineitem.parquet")
+    m = len(brands)
+    pq.write_table(pa.table(
+        {"p_partkey": pa.array([p for p, _ in brands], pa.int64()),
+         "p_name": pa.array(["x"] * m, pa.string()),
+         "p_brand": pa.array([b for _, b in brands], pa.string()),
+         "p_type": pa.array(["t"] * m, pa.string()),
+         "p_size": pa.array([1] * m, pa.int32()),
+         "p_retailprice": pa.array([1.0] * m, pa.float64())}
+    ), d / "part.parquet")
+
+
+def _condorcet_check(d):
+    import duckdb
+
+    from langfilter_ray.pipelines import relational
+
+    got = _canon(_to_pandas(relational.brand_condorcet(str(d))))
+    c = duckdb.connect()
+    for t in ("lineitem", "part"):
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')"
+        )
+    want = _canon(c.execute(relational.ORACLES["brand_condorcet"]).df())
+    problems = compare_frames(got, want)
+    assert not problems, (problems, first_diff(got, want))
+    return got
+
+
+def test_brand_condorcet_hand_values(ray_session, tmp_path, monkeypatch):
+    """Hand-traced duels over three weeks: A beats B 2 weeks to 1, both
+    beat the partless-sales brand C (zero every week) -> A is the
+    Condorcet winner (copeland +2), C loses every duel (-2).  A second
+    corpus builds the classic ROCK-PAPER-SCISSORS cycle (A>B, B>C,
+    C>A week-majorities) -> every copeland 0, NO Condorcet winner.
+    The zero-threshold monkeypatch pins the native-join fallback equal
+    to the broadcast path."""
+    from langfilter_ray.pipelines import relational
+
+    d = tmp_path / "main"
+    d.mkdir()
+    _condorcet_corpus(
+        d,
+        [(1, "2024-01-01", 3.00), (2, "2024-01-01", 2.00),
+         (1, "2024-01-08", 1.00), (2, "2024-01-08", 3.00),
+         (1, "2024-01-15", 3.00), (2, "2024-01-15", 1.00)],
+        [(1, "A"), (2, "B"), (3, "C")],
+    )
+    got = _condorcet_check(d).set_index("brand")
+    assert list(got.loc["A", ["n_beaten", "n_lost_to", "copeland",
+                              "is_condorcet"]]) == [2, 0, 2, 1]
+    assert list(got.loc["B", ["n_beaten", "n_lost_to", "copeland",
+                              "is_condorcet"]]) == [1, 1, 0, 0]
+    assert list(got.loc["C", ["n_beaten", "n_lost_to", "copeland",
+                              "is_condorcet"]]) == [0, 2, -2, 0]
+
+    cyc = tmp_path / "cycle"
+    cyc.mkdir()
+    _condorcet_corpus(
+        cyc,
+        [(1, "2024-01-01", 0.02), (2, "2024-01-01", 0.01),
+         (2, "2024-01-08", 0.02), (3, "2024-01-08", 0.01),
+         (3, "2024-01-15", 0.02), (1, "2024-01-15", 0.01)],
+        [(1, "A"), (2, "B"), (3, "C")],
+    )
+    got_c = _condorcet_check(cyc)
+    assert list(got_c["copeland"]) == [0, 0, 0]
+    assert list(got_c["is_condorcet"]) == [0, 0, 0]
+
+    monkeypatch.setattr(relational, "BROADCAST_DIM_MAX_ROWS", 0)
+    got_fb = _condorcet_check(d).set_index("brand")
+    assert got_fb.equals(got)
