@@ -10979,3 +10979,113 @@ ORACLES["brand_condorcet"] = (
     "(SELECT count(*) FROM brands) - 1 THEN 1 ELSE 0 END)::BIGINT "
     "AS is_condorcet FROM duel GROUP BY 1 ORDER BY 1"
 )
+
+
+# ---- erdos_gallai_check: graphical degree-sequence feasibility --------------
+
+def erdos_gallai_check(sf_dir: str) -> "pa.Table":
+    """Erdős–Gallai graphicality of the per-customer order-count
+    sequence — the DEGREE-SEQUENCE REALIZABILITY family: could a
+    simple graph exist in which every customer's friend count equals
+    their order count?  A sequence d_1 ≥ … ≥ d_n is graphical iff the
+    degree sum is even AND for every k: ``Σ_{i≤k} d_i ≤ k(k−1) +
+    Σ_{i>k} min(d_i, k)`` — a statement about every PREFIX of the
+    sorted sequence against a truncated tail, reachable by no
+    aggregate.  Classic sharpening: the inequality need only be
+    checked at the BOUNDARY indices k where d_k > d_{k+1} (and k = n),
+    i.e. at the cumulative count of each DISTINCT degree value —
+    which makes the whole test a fold over the bounded degree
+    HISTOGRAM, never the n-length sequence.
+
+    Outputs one row: n_nodes (all customers; zero-order ones carry
+    degree 0 from parquet metadata, no customer column read),
+    sum_degrees, sum_is_even, is_graphical, first_violation_k (the
+    smallest failing boundary k; −1 when the inequalities all hold —
+    note an odd sum alone does NOT set a violation k).
+
+    Scale shape: cust_order_histogram's combiner-backed double
+    groupby (orders → ≤ distinct custkeys → ≤ distinct counts); the
+    driver folds the D-row histogram with an O(D²) vectorized check
+    (D = distinct degree values, ~tens).  The SQL mirror checks the
+    same boundary set via window cumulatives + one correlated tail
+    sum per distinct value.
+
+    Reference anchor: SURVEY.md §2.7 aggregation, asked as a
+    combinatorial feasibility certificate over the census."""
+    hist = (
+        _read(sf_dir, "orders", ["o_custkey"])
+        .map_batches(_partial_group_agg(["o_custkey"]), batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("n_partial", alias_name="n_orders"))
+        .map_batches(_partial_group_agg(["n_orders"]), batch_format="pyarrow")
+        .groupby("n_orders")
+        .aggregate(Sum("n_partial", alias_name="n_customers"))
+        .to_pandas()    # bounded: distinct per-customer counts (~tens)
+    )
+    n_zero = _dim_num_rows(sf_dir, "customer") - (
+        0 if hist.empty else int(hist["n_customers"].sum())
+    )
+    v = hist["n_orders"].to_numpy(np.int64) if not hist.empty \
+        else np.array([], dtype=np.int64)
+    c = hist["n_customers"].to_numpy(np.int64) if not hist.empty \
+        else np.array([], dtype=np.int64)
+    if n_zero > 0:
+        v = np.append(v, 0)
+        c = np.append(c, n_zero)
+    empty = pa.table(
+        {"n_nodes": pa.array([], pa.int64()),
+         "sum_degrees": pa.array([], pa.int64()),
+         "sum_is_even": pa.array([], pa.int64()),
+         "is_graphical": pa.array([], pa.int64()),
+         "first_violation_k": pa.array([], pa.int64())}
+    )
+    if len(v) == 0:
+        return empty
+    order = np.argsort(-v)               # distinct values, descending
+    v, c = v[order], c[order]
+    ncum = np.cumsum(c)                  # boundary k for each value
+    scum = np.cumsum(v * c)              # Σ_{i≤k} d_i at each boundary
+    # tail(j, k) = Σ_{l>j} c_l · min(v_l, k) for k = ncum[j]
+    k = ncum
+    tail = np.array(
+        [int(np.sum(c[j + 1:] * np.minimum(v[j + 1:], k[j])))
+         for j in range(len(v))],
+        dtype=np.int64,
+    )
+    lhs = scum
+    rhs = k * (k - 1) + tail
+    bad = lhs > rhs
+    total = int(scum[-1])
+    first_bad = int(k[bad][0]) if bad.any() else -1
+    even = int(total % 2 == 0)
+    return pa.table(
+        {"n_nodes": pa.array([int(ncum[-1])], pa.int64()),
+         "sum_degrees": pa.array([total], pa.int64()),
+         "sum_is_even": pa.array([even], pa.int64()),
+         "is_graphical": pa.array(
+             [int(even == 1 and not bad.any())], pa.int64()),
+         "first_violation_k": pa.array([first_bad], pa.int64())}
+    )
+
+
+ORACLES["erdos_gallai_check"] = (
+    "WITH deg AS (SELECT c_custkey, count(o_orderkey)::BIGINT AS d "
+    "FROM customer LEFT JOIN orders ON c_custkey = o_custkey GROUP BY 1), "
+    "hist AS (SELECT d AS v, count(*)::BIGINT AS c FROM deg GROUP BY 1), "
+    "b AS (SELECT v, c, "
+    "sum(c) OVER (ORDER BY v DESC ROWS UNBOUNDED PRECEDING)::BIGINT AS k, "
+    "sum(v * c) OVER (ORDER BY v DESC "
+    "ROWS UNBOUNDED PRECEDING)::BIGINT AS lhs FROM hist), "
+    "chk AS (SELECT k, lhs, k * (k - 1) + COALESCE((SELECT "
+    "sum(h2.c * least(h2.v, b.k)) FROM hist h2 WHERE h2.v < b.v), "
+    "0)::BIGINT AS rhs FROM b), "
+    "m AS (SELECT max(k)::BIGINT AS n, "
+    "(SELECT max(lhs) FROM chk)::BIGINT AS total, "
+    "count(*) FILTER (WHERE lhs > rhs)::BIGINT AS n_bad, "
+    "COALESCE(min(k) FILTER (WHERE lhs > rhs), -1)::BIGINT AS fb "
+    "FROM chk) "
+    "SELECT n AS n_nodes, total AS sum_degrees, "
+    "(CASE WHEN total % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS sum_is_even, "
+    "(CASE WHEN total % 2 = 0 AND n_bad = 0 THEN 1 ELSE 0 END)::BIGINT "
+    "AS is_graphical, fb AS first_violation_k FROM m WHERE n IS NOT NULL"
+)

@@ -5085,3 +5085,63 @@ def test_brand_condorcet_hand_values(ray_session, tmp_path, monkeypatch):
     monkeypatch.setattr(relational, "BROADCAST_DIM_MAX_ROWS", 0)
     got_fb = _condorcet_check(d).set_index("brand")
     assert got_fb.equals(got)
+
+
+def _eg_corpus(d, custkeys_with_orders, n_customers):
+    _write_orders_cust(d, custkeys_with_orders)
+    n = n_customers
+    pq.write_table(pa.table(
+        {"c_custkey": pa.array(list(range(1, n + 1)), pa.int64()),
+         "c_name": pa.array([f"c{i}" for i in range(n)], pa.string()),
+         "c_nationkey": pa.array([0] * n, pa.int32()),
+         "c_acctbal": pa.array([0.0] * n, pa.float64()),
+         "c_mktsegment": pa.array(["B"] * n, pa.string())}
+    ), d / "customer.parquet")
+
+
+def _eg_check(d):
+    import duckdb
+
+    from langfilter_ray.pipelines import relational
+
+    got = _canon(_to_pandas(relational.erdos_gallai_check(str(d))))
+    c = duckdb.connect()
+    for t in ("orders", "customer"):
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')"
+        )
+    want = _canon(c.execute(relational.ORACLES["erdos_gallai_check"]).df())
+    problems = compare_frames(got, want)
+    assert not problems, (problems, first_diff(got, want))
+    return got.iloc[0]
+
+
+def test_erdos_gallai_check_hand_values(ray_session, tmp_path):
+    """K4-plus-isolated degrees [3,3,3,3,0] are graphical (the zero
+    row comes from customer-table metadata, no order rows); [3,1]
+    fails at boundary k=1 (3 > 0 + min(1,1)); [1,1,1] passes every
+    inequality but has an ODD sum — not graphical with violation
+    sentinel -1."""
+    d = tmp_path / "k4"
+    d.mkdir()
+    _eg_corpus(d, [1] * 3 + [2] * 3 + [3] * 3 + [4] * 3, 5)
+    r = _eg_check(d)
+    assert (int(r["n_nodes"]), int(r["sum_degrees"])) == (5, 12)
+    assert (int(r["sum_is_even"]), int(r["is_graphical"])) == (1, 1)
+    assert int(r["first_violation_k"]) == -1
+
+    v = tmp_path / "star31"
+    v.mkdir()
+    _eg_corpus(v, [1] * 3 + [2], 2)
+    rv = _eg_check(v)
+    assert int(rv["is_graphical"]) == 0
+    assert int(rv["sum_is_even"]) == 1
+    assert int(rv["first_violation_k"]) == 1
+
+    o = tmp_path / "odd"
+    o.mkdir()
+    _eg_corpus(o, [1, 2, 3], 3)
+    ro = _eg_check(o)
+    assert int(ro["sum_is_even"]) == 0
+    assert int(ro["is_graphical"]) == 0
+    assert int(ro["first_violation_k"]) == -1
