@@ -11089,3 +11089,243 @@ ORACLES["erdos_gallai_check"] = (
     "(CASE WHEN total % 2 = 0 AND n_bad = 0 THEN 1 ELSE 0 END)::BIGINT "
     "AS is_graphical, fb AS first_violation_k FROM m WHERE n IS NOT NULL"
 )
+
+
+# ---- region_trade_min_cut: exact max-flow/min-cut via cut duality ----------
+
+def region_trade_min_cut(sf_dir: str) -> "pa.Table":
+    """Minimum cut of the inter-region trade network — the NETWORK
+    FLOW family: nodes are regions, the undirected capacity between
+    two regions is the total bilateral trade (revenue cents of
+    lineitems whose supplier sits in one region and ordering customer
+    in the other, both directions summed), and the question is the
+    max-flow/min-cut value between the lowest- and highest-key
+    regions.  By LP duality max flow EQUALS the minimum cut, and the
+    region axis is BOUNDED (5 by TPC-H spec), so the exact answer is
+    an exhaustive fold over the 2^(R−2) source-containing subsets —
+    no augmenting-path state machine to replay, just the dual.
+
+    Outputs one row: n_regions, source_region, sink_region,
+    min_cut_cents (= the max flow), best_mask (the bitmask over
+    ascending regionkeys of the minimizing source side; ties → the
+    smallest mask), source_side_size.
+
+    Scale shape: nation→region resolves in the driver closure
+    (bounded by spec); below BROADCAST_DIM_MAX_ROWS the supplier,
+    customer AND orders dims broadcast once via ray.put, so the
+    lineitem stream probes suppkey → supplier region and orderkey →
+    custkey → customer region with NO JOIN AT ALL, emitting bounded
+    R×R in-batch partials.  Above the bound the plan is three
+    hash-partitioned native joins (lineitem⋈supplier⋈orders⋈customer)
+    with the same post-join partials — both paths pinned equal by the
+    zero-threshold test.  The driver fold enumerates ≤ 2^(R−1) masks
+    over the R×R matrix.
+
+    Reference anchor: A6's cross-node metric merge (SURVEY.md §2.6)
+    asked as the capacity question: where does inter-region traffic
+    bottleneck?"""
+    import pyarrow.parquet as pq_mod
+
+    region = pq_mod.read_table(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    )
+    rkeys = np.sort(region["r_regionkey"].to_numpy().astype(np.int64))
+    rname = {
+        int(k): v
+        for k, v in zip(
+            region["r_regionkey"].to_numpy(),
+            region["r_name"].to_pylist(),
+        )
+    }
+    nation = pq_mod.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"]
+    )
+    nk = nation["n_nationkey"].to_numpy().astype(np.int64)
+    n2r = np.full(int(nk.max()) + 1 if len(nk) else 1, -1, dtype=np.int64)
+    n2r[nk] = nation["n_regionkey"].to_numpy().astype(np.int64)
+
+    empty = pa.table(
+        {"n_regions": pa.array([], pa.int64()),
+         "source_region": pa.array([], pa.string()),
+         "sink_region": pa.array([], pa.int64()).cast(pa.string()),
+         "min_cut_cents": pa.array([], pa.int64()),
+         "best_mask": pa.array([], pa.int64()),
+         "source_side_size": pa.array([], pa.int64())}
+    )
+    R = len(rkeys)
+    if R < 2:
+        return empty
+    ridx = np.full(int(rkeys.max()) + 1, -1, dtype=np.int64)
+    ridx[rkeys] = np.arange(R)
+
+    small = max(
+        _dim_num_rows(sf_dir, "supplier"),
+        _dim_num_rows(sf_dir, "customer"),
+        _dim_num_rows(sf_dir, "orders"),
+    ) <= BROADCAST_DIM_MAX_ROWS
+    if small:
+        sref = _broadcast_int_dim(
+            pq_mod.read_table(
+                f"{sf_dir}/supplier.parquet",
+                columns=["s_suppkey", "s_nationkey"],
+            ), "s_suppkey", "s_nationkey",
+        )
+        oref = _broadcast_int_dim(
+            pq_mod.read_table(
+                f"{sf_dir}/orders.parquet",
+                columns=["o_orderkey", "o_custkey"],
+            ), "o_orderkey", "o_custkey",
+        )
+        cref = _broadcast_int_dim(
+            pq_mod.read_table(
+                f"{sf_dir}/customer.parquet",
+                columns=["c_custkey", "c_nationkey"],
+            ), "c_custkey", "c_nationkey",
+        )
+
+        def partial(t: pa.Table) -> pa.Table:
+            e = pa.table(
+                {"sr": pa.array([], pa.int64()),
+                 "cr": pa.array([], pa.int64()),
+                 "cents": pa.array([], pa.int64())}
+            )
+            if len(t) == 0:
+                return e
+            sn = _probe_int(sref, t["l_suppkey"].to_numpy())
+            cust = _probe_int(oref, t["l_orderkey"].to_numpy())
+            cn = _probe_int(cref, np.maximum(cust, 0))
+            ok = (sn >= 0) & (cust >= 0) & (cn >= 0)
+            if not ok.any():
+                return e
+            cents = np.floor(
+                t["l_extendedprice"].to_numpy()[ok] * 100.0 + 0.5
+            ).astype(np.int64)
+            g = (
+                pa.table(
+                    {"sr": pa.array(n2r[sn[ok]]),
+                     "cr": pa.array(n2r[cn[ok]]),
+                     "cents": pa.array(cents)}
+                )
+                .group_by(["sr", "cr"])
+                .aggregate([("cents", "sum")])
+            )
+            return pa.table(
+                {"sr": g["sr"], "cr": g["cr"], "cents": g["cents_sum"]}
+            )
+
+        frame = (
+            _read(sf_dir, "lineitem",
+                  ["l_orderkey", "l_suppkey", "l_extendedprice"])
+            .map_batches(partial, batch_format="pyarrow")
+            .to_pandas()    # bounded: R x R x blocks
+        )
+    else:
+        n_parts = _join_parts(3)
+        joined = (
+            _read(sf_dir, "lineitem",
+                  ["l_orderkey", "l_suppkey", "l_extendedprice"])
+            .join(
+                _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]),
+                join_type="inner", num_partitions=n_parts,
+                on=("l_suppkey",), right_on=("s_suppkey",),
+            )
+            .join(
+                _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]),
+                join_type="inner", num_partitions=n_parts,
+                on=("l_orderkey",), right_on=("o_orderkey",),
+            )
+            .join(
+                _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]),
+                join_type="inner", num_partitions=n_parts,
+                on=("o_custkey",), right_on=("c_custkey",),
+            )
+        )
+
+        def joined_partial(t: pa.Table) -> pa.Table:
+            e = pa.table(
+                {"sr": pa.array([], pa.int64()),
+                 "cr": pa.array([], pa.int64()),
+                 "cents": pa.array([], pa.int64())}
+            )
+            if len(t) == 0 or "l_extendedprice" not in t.column_names:
+                return e
+            cents = np.floor(
+                t["l_extendedprice"].to_numpy() * 100.0 + 0.5
+            ).astype(np.int64)
+            sr = n2r[t["s_nationkey"].to_numpy().astype(np.int64)]
+            cr = n2r[t["c_nationkey"].to_numpy().astype(np.int64)]
+            g = (
+                pa.table(
+                    {"sr": pa.array(sr), "cr": pa.array(cr),
+                     "cents": pa.array(cents)}
+                )
+                .group_by(["sr", "cr"])
+                .aggregate([("cents", "sum")])
+            )
+            return pa.table(
+                {"sr": g["sr"], "cr": g["cr"], "cents": g["cents_sum"]}
+            )
+
+        frame = joined.map_batches(
+            joined_partial, batch_format="pyarrow"
+        ).to_pandas()
+
+    vol = np.zeros((R, R), dtype=np.int64)
+    if not frame.empty:
+        g = frame.groupby(["sr", "cr"])["cents"].sum().reset_index()
+        vol[ridx[g["sr"].to_numpy(np.int64)],
+            ridx[g["cr"].to_numpy(np.int64)]] = g["cents"].to_numpy(np.int64)
+    src, snk = 0, R - 1
+    best_cut, best_mask = None, None
+    for mask in range(1 << R):
+        if not (mask >> src) & 1 or (mask >> snk) & 1:
+            continue
+        side = (mask >> np.arange(R)) & 1
+        s_in = side.astype(bool)
+        cut = int(vol[s_in][:, ~s_in].sum() + vol[~s_in][:, s_in].sum())
+        if best_cut is None or cut < best_cut:
+            best_cut, best_mask = cut, mask
+    size = bin(best_mask).count("1")
+    return pa.table(
+        {"n_regions": pa.array([R], pa.int64()),
+         "source_region": pa.array([rname[int(rkeys[src])]], pa.string()),
+         "sink_region": pa.array([rname[int(rkeys[snk])]], pa.string()),
+         "min_cut_cents": pa.array([best_cut], pa.int64()),
+         "best_mask": pa.array([best_mask], pa.int64()),
+         "source_side_size": pa.array([size], pa.int64())}
+    )
+
+
+ORACLES["region_trade_min_cut"] = (
+    "WITH reg AS (SELECT r_regionkey::BIGINT AS rk, r_name, "
+    "row_number() OVER (ORDER BY r_regionkey) - 1 AS pos "
+    "FROM region), "
+    "m AS (SELECT count(*)::BIGINT AS r FROM reg), "
+    "vol AS (SELECT sn.n_regionkey::BIGINT AS sr, "
+    "cn.n_regionkey::BIGINT AS cr, "
+    "sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT))::BIGINT "
+    "AS cents FROM lineitem "
+    "JOIN supplier ON s_suppkey = l_suppkey "
+    "JOIN nation sn ON sn.n_nationkey = s_nationkey "
+    "JOIN orders ON o_orderkey = l_orderkey "
+    "JOIN customer ON c_custkey = o_custkey "
+    "JOIN nation cn ON cn.n_nationkey = c_nationkey "
+    "GROUP BY 1, 2), "
+    "pv AS (SELECT a.pos AS pa_, b.pos AS pb, vol.cents FROM vol "
+    "JOIN reg a ON a.rk = vol.sr JOIN reg b ON b.rk = vol.cr), "
+    "masks AS (SELECT unnest(generate_series(0, "
+    "(1 << (SELECT CAST(r AS INT) FROM m)) - 1)) AS k FROM m), "
+    "valid AS (SELECT k FROM masks, m "
+    "WHERE (k >> 0) & 1 = 1 AND (k >> CAST(m.r - 1 AS INT)) & 1 = 0), "
+    "cuts AS (SELECT v.k, COALESCE(sum(pv.cents) FILTER (WHERE "
+    "((v.k >> CAST(pv.pa_ AS INT)) & 1) <> "
+    "((v.k >> CAST(pv.pb AS INT)) & 1)), 0)::BIGINT AS cut "
+    "FROM valid v LEFT JOIN pv ON TRUE GROUP BY 1), "
+    "best AS (SELECT k, cut FROM cuts ORDER BY cut, k LIMIT 1) "
+    "SELECT m.r AS n_regions, "
+    "(SELECT r_name FROM reg WHERE pos = 0) AS source_region, "
+    "(SELECT r_name FROM reg, m WHERE pos = m.r - 1) AS sink_region, "
+    "best.cut AS min_cut_cents, best.k::BIGINT AS best_mask, "
+    "bit_count(best.k)::BIGINT AS source_side_size "
+    "FROM best, m WHERE m.r >= 2"
+)

@@ -5145,3 +5145,111 @@ def test_erdos_gallai_check_hand_values(ray_session, tmp_path):
     assert int(ro["sum_is_even"]) == 0
     assert int(ro["is_graphical"]) == 0
     assert int(ro["first_violation_k"]) == -1
+
+
+def _mincut_corpus(d, li_rows):
+    """Three regions R0/R1/R2, one nation each, suppliers 1->n0 2->n1,
+    customers 1->n1 2->n2.  li_rows = [(suppkey, orderkey, price), ...]
+    with orders 1->cust1, 2->cust2, 3->cust2."""
+    pq.write_table(pa.table(
+        {"r_regionkey": pa.array([0, 1, 2], pa.int32()),
+         "r_name": pa.array(["R0", "R1", "R2"], pa.string())}
+    ), d / "region.parquet")
+    pq.write_table(pa.table(
+        {"n_nationkey": pa.array([0, 1, 2], pa.int32()),
+         "n_name": pa.array(["N0", "N1", "N2"], pa.string()),
+         "n_regionkey": pa.array([0, 1, 2], pa.int32())}
+    ), d / "nation.parquet")
+    pq.write_table(pa.table(
+        {"s_suppkey": pa.array([1, 2], pa.int64()),
+         "s_name": pa.array(["s1", "s2"], pa.string()),
+         "s_nationkey": pa.array([0, 1], pa.int32()),
+         "s_acctbal": pa.array([0.0, 0.0], pa.float64())}
+    ), d / "supplier.parquet")
+    pq.write_table(pa.table(
+        {"c_custkey": pa.array([1, 2], pa.int64()),
+         "c_name": pa.array(["c1", "c2"], pa.string()),
+         "c_nationkey": pa.array([1, 2], pa.int32()),
+         "c_acctbal": pa.array([0.0, 0.0], pa.float64()),
+         "c_mktsegment": pa.array(["B", "B"], pa.string())}
+    ), d / "customer.parquet")
+    pq.write_table(pa.table(
+        {"o_orderkey": pa.array([1, 2, 3], pa.int64()),
+         "o_custkey": pa.array([1, 2, 2], pa.int64()),
+         "o_orderstatus": pa.array(["O"] * 3, pa.string()),
+         "o_totalprice": pa.array([1.0] * 3, pa.float64()),
+         "o_orderdate": pa.array(
+             [np.datetime64("2024-01-01T00:00:00", "us")] * 3,
+             pa.timestamp("us")),
+         "o_orderpriority": pa.array(["1-URGENT"] * 3, pa.string())}
+    ), d / "orders.parquet")
+    n = len(li_rows)
+    pq.write_table(pa.table(
+        {"l_orderkey": pa.array([o for _, o, _ in li_rows], pa.int64()),
+         "l_partkey": pa.array([1] * n, pa.int64()),
+         "l_suppkey": pa.array([s for s, _, _ in li_rows], pa.int64()),
+         "l_linenumber": pa.array([1] * n, pa.int32()),
+         "l_quantity": pa.array([1.0] * n, pa.float64()),
+         "l_extendedprice": pa.array([p for _, _, p in li_rows],
+                                     pa.float64()),
+         "l_discount": pa.array([0.0] * n, pa.float64()),
+         "l_tax": pa.array([0.0] * n, pa.float64()),
+         "l_returnflag": pa.array(["N"] * n, pa.string()),
+         "l_linestatus": pa.array(["O"] * n, pa.string()),
+         "l_shipdate": pa.array(
+             [np.datetime64("2024-01-02T00:00:00", "us")] * n,
+             pa.timestamp("us"))}
+    ), d / "lineitem.parquet")
+
+
+def _mincut_check(d):
+    import duckdb
+
+    from langfilter_ray.pipelines import relational
+
+    got = _canon(_to_pandas(relational.region_trade_min_cut(str(d))))
+    c = duckdb.connect()
+    for t in ("region", "nation", "supplier", "customer", "orders",
+              "lineitem"):
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')"
+        )
+    want = _canon(c.execute(relational.ORACLES["region_trade_min_cut"]).df())
+    problems = compare_frames(got, want)
+    assert not problems, (problems, first_diff(got, want))
+    return got.iloc[0]
+
+
+def test_region_trade_min_cut_hand_values(ray_session, tmp_path,
+                                          monkeypatch):
+    """Path network R0 --10-- R1 --3-- R2 with a 2-cent shortcut
+    R0--R2: the bottleneck cut is {R0,R1}|{R2} = 3+2 = 5 (NOT the
+    source cut 10+2=12) -> mask 0b011.  Re-pricing the first edge to 3
+    makes both cuts equal 5 and the TIE must resolve to the smallest
+    mask (source-only, 0b001).  The zero-threshold monkeypatch pins
+    the triple-native-join fallback equal to the no-join broadcast
+    path."""
+    from langfilter_ray.pipelines import relational
+
+    d = tmp_path / "main"
+    d.mkdir()
+    # s1(n0)->o1(c1,n1) 10c ; s2(n1)->o2(c2,n2) 3c ; s1(n0)->o3(c2,n2) 2c
+    _mincut_corpus(d, [(1, 1, 0.10), (2, 2, 0.03), (1, 3, 0.02)])
+    r = _mincut_check(d)
+    assert int(r["min_cut_cents"]) == 5
+    assert int(r["best_mask"]) == 3
+    assert int(r["source_side_size"]) == 2
+    assert (r["source_region"], r["sink_region"]) == ("R0", "R2")
+
+    t = tmp_path / "tie"
+    t.mkdir()
+    _mincut_corpus(t, [(1, 1, 0.03), (2, 2, 0.03), (1, 3, 0.02)])
+    rt = _mincut_check(t)
+    assert int(rt["min_cut_cents"]) == 5
+    assert int(rt["best_mask"]) == 1
+    assert int(rt["source_side_size"]) == 1
+
+    monkeypatch.setattr(relational, "BROADCAST_DIM_MAX_ROWS", 0)
+    rf = _mincut_check(d)
+    assert int(rf["min_cut_cents"]) == 5
+    assert int(rf["best_mask"]) == 3
