@@ -6811,3 +6811,107 @@ ORACLES["dyck_balance_census"] = (
     "sum(fin)::BIGINT AS net_balance "
     "FROM u JOIN f USING (user_id) HAVING count(*) > 0"
 )
+
+
+# ---- daily_revenue_theilsen: robust median-of-slopes trend ------------------
+
+def daily_revenue_theilsen(sf_dir: str) -> "pa.Table":
+    """Theil–Sen slope of the observed daily revenue series — the
+    ROBUST ESTIMATION family: the median over ALL day pairs of the
+    pairwise slope ``(rev_j − rev_i)/(day_j − day_i)``, the classic
+    50%-breakdown trend estimator (Kendall's tau, already here, is its
+    significance dual; this is the magnitude).  A median over the
+    O(span²) pair set is reachable by no aggregate/window composition.
+
+    Determinism & parity: slopes are RATIONALS (int64 dy over positive
+    int64 dx).  Both engines select the LOWER MEDIAN under the
+    IDENTICAL total order ``(dy/dx as float64, dy, dx)`` — the float
+    key is the same IEEE division on both sides, and the integer
+    tiebreak pins every equal-quotient case, so the selected pair
+    matches bit for bit (the returned slope_num/slope_den are the
+    median PAIR's components, not a reduced fraction).
+
+    Outputs one row: n_days (observed), n_pairs, slope_num, slope_den,
+    slope (the ONE float division, mirrored cast order).  Typed empty
+    below two observed days.
+
+    Scale shape: the daily_revenue_kendall gather — in-batch (day,
+    cents) sum partials bounded by the TIME SPAN × blocks; the driver
+    builds the triangular pair set over the span-bounded series (~3M
+    pairs for 2.4k days) with one lexsort.  The SQL mirror is the
+    honest self-join + window rank over the same order."""
+    US_DAY = 86_400_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {"day": pa.array([], pa.int64()),
+                 "rev": pa.array([], pa.int64())}
+            )
+        day = pc.cast(t["o_orderdate"], pa.int64()).to_numpy() // US_DAY
+        cents = np.floor(
+            t["o_totalprice"].to_numpy() * 100.0 + 0.5
+        ).astype(np.int64)
+        g = (
+            pa.table({"day": pa.array(day), "rev": pa.array(cents)})
+            .group_by("day")
+            .aggregate([("rev", "sum")])
+        )
+        return pa.table({"day": g["day"], "rev": g["rev_sum"]})
+
+    path = f"{sf_dir}/orders.parquet"
+    parts = (
+        ray.data.read_parquet(
+            path,
+            columns=["o_orderdate", "o_totalprice"],
+            schema=_clean_schema(path, ["o_orderdate", "o_totalprice"]),
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()    # bounded: days x blocks, never rows
+    )
+    empty = pa.table(
+        {"n_days": pa.array([], pa.int64()),
+         "n_pairs": pa.array([], pa.int64()),
+         "slope_num": pa.array([], pa.int64()),
+         "slope_den": pa.array([], pa.int64()),
+         "slope": pa.array([], pa.float64())}
+    )
+    if parts.empty:
+        return empty
+    daily = parts.groupby("day", sort=True)["rev"].sum()
+    d = daily.index.to_numpy(np.int64)
+    r = daily.to_numpy(np.int64)
+    n = len(d)
+    if n < 2:
+        return empty
+    i, j = np.triu_indices(n, 1)
+    dy = r[j] - r[i]
+    dx = d[j] - d[i]
+    q = dy.astype(np.float64) / dx.astype(np.float64)
+    order = np.lexsort((dx, dy, q))
+    mid = order[(len(order) - 1) // 2]
+    num, den = int(dy[mid]), int(dx[mid])
+    return pa.table(
+        {"n_days": pa.array([n], pa.int64()),
+         "n_pairs": pa.array([len(order)], pa.int64()),
+         "slope_num": pa.array([num], pa.int64()),
+         "slope_den": pa.array([den], pa.int64()),
+         "slope": pa.array([float(num) / float(den)], pa.float64())}
+    )
+
+
+ORACLES["daily_revenue_theilsen"] = (
+    "WITH daily AS (SELECT epoch_us(o_orderdate) // 86400000000 AS day, "
+    "sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))::BIGINT AS rev "
+    "FROM orders GROUP BY 1), "
+    "p AS (SELECT b.rev - a.rev AS dy, b.day - a.day AS dx "
+    "FROM daily a JOIN daily b ON b.day > a.day), "
+    "s AS (SELECT dy, dx, row_number() OVER (ORDER BY "
+    "CAST(dy AS DOUBLE) / CAST(dx AS DOUBLE), dy, dx) AS rn, "
+    "count(*) OVER () AS np FROM p) "
+    "SELECT (SELECT count(*) FROM daily)::BIGINT AS n_days, "
+    "np::BIGINT AS n_pairs, dy::BIGINT AS slope_num, "
+    "dx::BIGINT AS slope_den, "
+    "CAST(dy AS DOUBLE) / CAST(dx AS DOUBLE) AS slope "
+    "FROM s WHERE rn = (np - 1) // 2 + 1"
+)

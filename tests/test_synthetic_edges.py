@@ -5253,3 +5253,43 @@ def test_region_trade_min_cut_hand_values(ray_session, tmp_path,
     rf = _mincut_check(d)
     assert int(rf["min_cut_cents"]) == 5
     assert int(rf["best_mask"]) == 3
+
+
+def test_daily_revenue_theilsen_hand_values(ray_session, tmp_path):
+    """Revenues [0,10,2,9] on four consecutive days: the six pairwise
+    slopes sort to [-8, -0.5, 1, 3, 7, 10]; the lower median (index 2
+    of 6) is slope 1 carried by the UNREDUCED pair dy=2/dx=2.  A
+    perfectly linear series has all quotients EQUAL — the (dy, dx)
+    tiebreak must put the doubled pair (10,2) after both (5,1)s."""
+    from langfilter_ray.pipelines import windows
+
+    d = tmp_path / "main"
+    d.mkdir()
+    _write_orders_dates(
+        d,
+        [("2024-01-01", 0.00), ("2024-01-02", 0.10),
+         ("2024-01-03", 0.02), ("2024-01-04", 0.09)],
+    )
+    r = _check_vs_oracle(
+        windows.daily_revenue_theilsen,
+        windows.ORACLES["daily_revenue_theilsen"],
+        d, "orders", pq.read_table(d / "orders.parquet"),
+    ).iloc[0]
+    assert (int(r["n_days"]), int(r["n_pairs"])) == (4, 6)
+    assert (int(r["slope_num"]), int(r["slope_den"])) == (2, 2)
+    assert r["slope"] == 1.0
+
+    lin = tmp_path / "linear"
+    lin.mkdir()
+    _write_orders_dates(
+        lin,
+        [("2024-01-01", 0.00), ("2024-01-02", 0.05),
+         ("2024-01-03", 0.10)],
+    )
+    rl = _check_vs_oracle(
+        windows.daily_revenue_theilsen,
+        windows.ORACLES["daily_revenue_theilsen"],
+        lin, "orders", pq.read_table(lin / "orders.parquet"),
+    ).iloc[0]
+    assert (int(rl["slope_num"]), int(rl["slope_den"])) == (5, 1)
+    assert rl["slope"] == 5.0
