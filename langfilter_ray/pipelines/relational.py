@@ -11329,3 +11329,114 @@ ORACLES["region_trade_min_cut"] = (
     "bit_count(best.k)::BIGINT AS source_side_size "
     "FROM best, m WHERE m.r >= 2"
 )
+
+
+# ---- nim_winner_census: Sprague-Grundy nimber census ------------------------
+
+_NIM_PARTS_ROWS = 2_000_000
+
+
+def nim_winner_census(sf_dir: str) -> "pa.Table":
+    """Sprague–Grundy census over orders-as-Nim-games — the
+    COMBINATORIAL GAME THEORY family: each order's lineitem quantities
+    are Nim heaps; the Grundy value of the position is their XOR
+    (Bouton's theorem), and the first player wins iff it is nonzero.
+    XOR is the one aggregate the engine's sum/min/max/count kernels
+    don't cover, and Bouton's theorem makes it semantically loaded.
+
+    Outputs (grundy, n_orders) for every occurring Grundy value —
+    BOUNDED at 64 rows (quantities ≤ 50 < 2^6, and XOR never leaves
+    the 6-bit lattice).  First-player-win share is the nonzero mass.
+
+    Scale shape: XOR is associative/commutative, so each batch
+    pre-combines per-orderkey partial XORs (sort + `np.bitwise_xor.
+    reduceat` — ~4 lineitems/order collapse before the exchange); a
+    hash(orderkey) partition tag co-locates each order's partials
+    (one pandas callback per partition, segmented reduceat inside),
+    and each partition emits its ≤64-row histogram — the driver folds
+    partitions × 64 rows.  The SQL mirror is DuckDB's bit_xor per
+    order over the same BIGINT casts.
+
+    Reference anchor: SURVEY.md §2.7 aggregation with a non-standard
+    combiner — the archetype for plugging ANY commutative monoid into
+    the partial-combine + partition-exchange skeleton."""
+    import pyarrow.parquet as pq_mod
+
+    n_rows = pq_mod.ParquetFile(
+        f"{sf_dir}/lineitem.parquet"
+    ).metadata.num_rows
+    parts = max(8, n_rows // _NIM_PARTS_ROWS)
+
+    def combine(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"ok": pa.array([], pa.int64()),
+             "g": pa.array([], pa.int64()),
+             "part": pa.array([], pa.int64())}
+        )
+        if len(t) == 0:
+            return empty
+        ok = t["l_orderkey"].to_numpy().astype(np.int64)
+        q = t["l_quantity"].to_numpy().astype(np.int64)
+        order = np.argsort(ok, kind="stable")
+        oks = ok[order]
+        new = np.empty(len(oks), dtype=bool)
+        new[0] = True
+        new[1:] = oks[1:] != oks[:-1]
+        starts = np.flatnonzero(new)
+        g = np.bitwise_xor.reduceat(q[order], starts)
+        keys = oks[starts]
+        h = keys.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        return pa.table(
+            {"ok": pa.array(keys),
+             "g": pa.array(g.astype(np.int64)),
+             "part": pa.array(
+                 ((h >> np.uint64(33)) % np.uint64(parts)).astype(np.int64))}
+        )
+
+    def per_partition(df: "pd.DataFrame") -> "pd.DataFrame":
+        empty = pd.DataFrame(
+            {"g": pd.array([], dtype="int64"),
+             "n": pd.array([], dtype="int64")}
+        )
+        if df.empty:
+            return empty
+        df = df.sort_values("ok")
+        ok = df["ok"].to_numpy(np.int64)
+        gx = df["g"].to_numpy(np.int64)
+        new = np.empty(len(ok), dtype=bool)
+        new[0] = True
+        new[1:] = ok[1:] != ok[:-1]
+        starts = np.flatnonzero(new)
+        grundy = np.bitwise_xor.reduceat(gx, starts)
+        vals, counts = np.unique(grundy, return_counts=True)
+        return pd.DataFrame(
+            {"g": vals.astype(np.int64), "n": counts.astype(np.int64)}
+        )
+
+    frame = (
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+        .map_batches(combine, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(per_partition, batch_format="pandas")
+        .to_pandas()    # bounded: 64 grundy values x partitions
+    )
+    empty = pa.table(
+        {"grundy": pa.array([], pa.int64()),
+         "n_orders": pa.array([], pa.int64())}
+    )
+    if frame.empty:
+        return empty
+    g = frame.groupby("g", sort=True)["n"].sum().reset_index()
+    return pa.table(
+        {"grundy": pa.array(g["g"].to_numpy(np.int64)),
+         "n_orders": pa.array(g["n"].to_numpy(np.int64))}
+    )
+
+
+ORACLES["nim_winner_census"] = (
+    "WITH o AS (SELECT l_orderkey, "
+    "bit_xor(CAST(l_quantity AS BIGINT))::BIGINT AS g "
+    "FROM lineitem GROUP BY 1) "
+    "SELECT g AS grundy, count(*)::BIGINT AS n_orders "
+    "FROM o GROUP BY 1 ORDER BY 1"
+)

@@ -5293,3 +5293,37 @@ def test_daily_revenue_theilsen_hand_values(ray_session, tmp_path):
     ).iloc[0]
     assert (int(rl["slope_num"]), int(rl["slope_den"])) == (5, 1)
     assert rl["slope"] == 5.0
+
+
+def test_nim_winner_census_hand_values(ray_session, tmp_path):
+    """Bouton positions: heaps [3,5,6] XOR to 0 (a second-player win),
+    [1] -> 1, [7,2] -> 5 and [5] -> 5 collapse into one census row."""
+    from langfilter_ray.pipelines import relational
+
+    d = tmp_path / "main"
+    d.mkdir()
+    rows = [(1, 3.0), (1, 5.0), (1, 6.0), (2, 1.0),
+            (3, 7.0), (3, 2.0), (4, 5.0)]
+    n = len(rows)
+    pq.write_table(pa.table(
+        {"l_orderkey": pa.array([o for o, _ in rows], pa.int64()),
+         "l_partkey": pa.array([1] * n, pa.int64()),
+         "l_suppkey": pa.array([1] * n, pa.int64()),
+         "l_linenumber": pa.array([1] * n, pa.int32()),
+         "l_quantity": pa.array([q for _, q in rows], pa.float64()),
+         "l_extendedprice": pa.array([1.0] * n, pa.float64()),
+         "l_discount": pa.array([0.0] * n, pa.float64()),
+         "l_tax": pa.array([0.0] * n, pa.float64()),
+         "l_returnflag": pa.array(["N"] * n, pa.string()),
+         "l_linestatus": pa.array(["O"] * n, pa.string()),
+         "l_shipdate": pa.array(
+             [np.datetime64("2024-01-01T00:00:00", "us")] * n,
+             pa.timestamp("us"))}
+    ), d / "lineitem.parquet")
+    got = _check_vs_oracle(
+        relational.nim_winner_census,
+        relational.ORACLES["nim_winner_census"],
+        d, "lineitem", pq.read_table(d / "lineitem.parquet"),
+    ).set_index("grundy").sort_index()
+    assert list(got.index) == [0, 1, 5]
+    assert list(got["n_orders"]) == [1, 1, 2]
