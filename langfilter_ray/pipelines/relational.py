@@ -11440,3 +11440,123 @@ ORACLES["nim_winner_census"] = (
     "SELECT g AS grundy, count(*)::BIGINT AS n_orders "
     "FROM o GROUP BY 1 ORDER BY 1"
 )
+
+
+# ---- h_index_census: rank-value crossing (Hirsch) census --------------------
+
+_HINDEX_PARTS_ROWS = 2_000_000
+
+
+def h_index_census(sf_dir: str) -> "pa.Table":
+    """Hirsch-index census over customers — the RANK-VALUE CROSSING
+    family: a customer's h-index is the largest h such that they
+    placed at least h orders worth at least h whole dollars each
+    (``h = max_i min(i, ⌊v_i⌋)`` over the value-descending order
+    list), the classic quantity-quality tradeoff statistic.  It is a
+    functional of the JOINT rank-value profile — neither a count nor
+    a quantile reaches it.
+
+    Outputs (h, n_customers) — bounded by the max per-customer order
+    count; customers with no orders carry h = 0 via parquet metadata
+    (no customer column read).
+
+    Scale shape: hash(custkey) partition exchange over orders (2
+    int64s per row), one pandas callback per partition (segmented
+    descending sort + positional min + `np.maximum.reduceat`), each
+    emitting its bounded h histogram; driver folds partitions × ~tens
+    rows.  The SQL mirror is the same identity via a per-customer
+    row_number window (any tie order among equal values yields the
+    same h, so the window needs no tiebreak).
+
+    Reference anchor: SURVEY.md §2.7 — A3's rolling quality window
+    asked as a per-entity lifetime profile statistic."""
+    import pyarrow.parquet as pq_mod
+
+    n_rows = pq_mod.ParquetFile(
+        f"{sf_dir}/orders.parquet"
+    ).metadata.num_rows
+    parts = max(8, n_rows // _HINDEX_PARTS_ROWS)
+
+    def tag(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {"ck": pa.array([], pa.int64()),
+                 "fv": pa.array([], pa.int64()),
+                 "part": pa.array([], pa.int64())}
+            )
+        ck = t["o_custkey"].to_numpy().astype(np.int64)
+        fv = np.floor(t["o_totalprice"].to_numpy()).astype(np.int64)
+        h = ck.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        return pa.table(
+            {"ck": pa.array(ck), "fv": pa.array(fv),
+             "part": pa.array(
+                 ((h >> np.uint64(33)) % np.uint64(parts)).astype(np.int64))}
+        )
+
+    def per_partition(df: "pd.DataFrame") -> "pd.DataFrame":
+        empty = pd.DataFrame(
+            {"h": pd.array([], dtype="int64"),
+             "n": pd.array([], dtype="int64")}
+        )
+        if df.empty:
+            return empty
+        df = df.sort_values(["ck", "fv"], ascending=[True, False])
+        ck = df["ck"].to_numpy(np.int64)
+        fv = df["fv"].to_numpy(np.int64)
+        new = np.empty(len(ck), dtype=bool)
+        new[0] = True
+        new[1:] = ck[1:] != ck[:-1]
+        starts = np.flatnonzero(new)
+        seg = np.cumsum(new) - 1
+        pos = np.arange(len(ck), dtype=np.int64) - starts[seg] + 1
+        score = np.minimum(pos, fv)
+        hvals = np.maximum.reduceat(score, starts)
+        hvals = np.maximum(hvals, 0)     # all-negative-floor guard
+        vals, counts = np.unique(hvals, return_counts=True)
+        return pd.DataFrame(
+            {"h": vals.astype(np.int64), "n": counts.astype(np.int64)}
+        )
+
+    frame = (
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(per_partition, batch_format="pandas")
+        .to_pandas()    # bounded: max-order-count values x partitions
+    )
+    n_with = 0 if frame.empty else int(frame["n"].sum())
+    n_zero_extra = _dim_num_rows(sf_dir, "customer") - n_with
+    empty = pa.table(
+        {"h": pa.array([], pa.int64()),
+         "n_customers": pa.array([], pa.int64())}
+    )
+    if frame.empty and n_zero_extra <= 0:
+        return empty
+    g = frame.groupby("h", sort=True)["n"].sum() if not frame.empty \
+        else pd.Series(dtype="int64")
+    hs = g.index.to_numpy(np.int64) if len(g) else np.array([], np.int64)
+    ns = g.to_numpy(np.int64) if len(g) else np.array([], np.int64)
+    if n_zero_extra > 0:
+        if len(hs) and hs[0] == 0:
+            ns = ns.copy()
+            ns[0] += n_zero_extra
+        else:
+            hs = np.concatenate([[0], hs])
+            ns = np.concatenate([[n_zero_extra], ns])
+    return pa.table(
+        {"h": pa.array(hs), "n_customers": pa.array(ns)}
+    )
+
+
+ORACLES["h_index_census"] = (
+    "WITH r AS (SELECT o_custkey, "
+    "CAST(floor(o_totalprice) AS BIGINT) AS fv, "
+    "row_number() OVER (PARTITION BY o_custkey "
+    "ORDER BY floor(o_totalprice) DESC) AS rk FROM orders), "
+    "hx AS (SELECT o_custkey, "
+    "greatest(max(least(rk, fv)), 0)::BIGINT AS h FROM r GROUP BY 1), "
+    "allh AS (SELECT COALESCE(hx.h, 0)::BIGINT AS h FROM customer "
+    "LEFT JOIN hx ON hx.o_custkey = c_custkey) "
+    "SELECT h, count(*)::BIGINT AS n_customers FROM allh "
+    "GROUP BY 1 ORDER BY 1"
+)

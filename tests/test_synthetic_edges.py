@@ -5327,3 +5327,48 @@ def test_nim_winner_census_hand_values(ray_session, tmp_path):
     ).set_index("grundy").sort_index()
     assert list(got.index) == [0, 1, 5]
     assert list(got["n_orders"]) == [1, 1, 2]
+
+
+def test_h_index_census_hand_values(ray_session, tmp_path):
+    """Hand-computed Hirsch indices: order values [10.5, 3.2, 3.0, 1]
+    floor to [10,3,3,1] -> h=3 (three orders >= 3 dollars); [2,2] ->
+    h=2; [0.5] floors to 0 -> h=0 and must MERGE with the metadata
+    zero row of the orderless customer 4."""
+    import duckdb
+
+    from langfilter_ray.pipelines import relational
+
+    d = tmp_path / "main"
+    d.mkdir()
+    vals = {1: [10.5, 3.2, 3.0, 1.0], 2: [2.0, 2.0], 3: [0.5]}
+    rows = [(ck, v) for ck, vs in vals.items() for v in vs]
+    n = len(rows)
+    pq.write_table(pa.table(
+        {"o_orderkey": pa.array(list(range(1, n + 1)), pa.int64()),
+         "o_custkey": pa.array([c for c, _ in rows], pa.int64()),
+         "o_orderstatus": pa.array(["O"] * n, pa.string()),
+         "o_totalprice": pa.array([v for _, v in rows], pa.float64()),
+         "o_orderdate": pa.array(
+             [np.datetime64("2024-01-01T00:00:00", "us")] * n,
+             pa.timestamp("us")),
+         "o_orderpriority": pa.array(["1-URGENT"] * n, pa.string())}
+    ), d / "orders.parquet")
+    pq.write_table(pa.table(
+        {"c_custkey": pa.array([1, 2, 3, 4], pa.int64()),
+         "c_name": pa.array(["a", "b", "c", "d"], pa.string()),
+         "c_nationkey": pa.array([0] * 4, pa.int32()),
+         "c_acctbal": pa.array([0.0] * 4, pa.float64()),
+         "c_mktsegment": pa.array(["B"] * 4, pa.string())}
+    ), d / "customer.parquet")
+    got = _canon(_to_pandas(relational.h_index_census(str(d))))
+    c = duckdb.connect()
+    for t in ("orders", "customer"):
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')"
+        )
+    want = _canon(c.execute(relational.ORACLES["h_index_census"]).df())
+    problems = compare_frames(got, want)
+    assert not problems, (problems, first_diff(got, want))
+    by = got.set_index("h").sort_index()
+    assert list(by.index) == [0, 2, 3]
+    assert list(by["n_customers"]) == [2, 1, 1]
