@@ -11560,3 +11560,80 @@ ORACLES["h_index_census"] = (
     "SELECT h, count(*)::BIGINT AS n_customers FROM allh "
     "GROUP BY 1 ORDER BY 1"
 )
+
+
+# ---- luhn_mod_census: digit-arithmetic checksum census ----------------------
+
+def luhn_mod_census(sf_dir: str) -> "pa.Table":
+    """Luhn checksum census over order keys — the DIGIT-ARITHMETIC
+    CHECKSUM family (mod-10 doubling code, the card-number standard):
+    reading digits right to left, every second digit doubles (minus 9
+    when the double exceeds 9); the checksum is the digit sum mod 10
+    and the key "validates" when it lands on 0.  Distinct from the
+    linear-parity family (hamming_syndrome_census): the doubling map
+    is NONLINEAR over Z_10, which is exactly why transpositions are
+    caught.
+
+    Outputs (luhn_mod, n_orders) — ten bounded rows; the valid share
+    is the mod-0 mass.
+
+    Vectorization: a fixed 19-step unroll over int64 digit positions
+    (``k // 10^i % 10``), whole-batch numpy masks — the prime-census
+    shape.  The SQL mirror unrolls the same positions with
+    generate_series and integer arithmetic (no string round-trip on
+    either side).
+
+    Scale shape: map-only bounded-histogram partials; ten scalars per
+    batch cross the exchange."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {"m": pa.array([], pa.int64()),
+                 "n": pa.array([], pa.int64())}
+            )
+        k = t["o_orderkey"].to_numpy().astype(np.int64)
+        total = np.zeros(len(k), dtype=np.int64)
+        p = np.ones(len(k), dtype=np.int64)
+        for i in range(19):
+            d = (k // (10 ** i)) % 10
+            if i % 2 == 1:                 # every second digit from the right
+                d = d * 2
+                d = np.where(d > 9, d - 9, d)
+            total += d
+        m = total % 10
+        vals, counts = np.unique(m, return_counts=True)
+        return pa.table(
+            {"m": pa.array(vals.astype(np.int64)),
+             "n": pa.array(counts.astype(np.int64))}
+        )
+
+    parts = (
+        _read(sf_dir, "orders", ["o_orderkey"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()    # bounded: 10 values x blocks
+    )
+    empty = pa.table(
+        {"luhn_mod": pa.array([], pa.int64()),
+         "n_orders": pa.array([], pa.int64())}
+    )
+    if parts.empty:
+        return empty
+    g = parts.groupby("m", sort=True)["n"].sum().reset_index()
+    return pa.table(
+        {"luhn_mod": pa.array(g["m"].to_numpy(np.int64)),
+         "n_orders": pa.array(g["n"].to_numpy(np.int64))}
+    )
+
+
+ORACLES["luhn_mod_census"] = (
+    "WITH digs AS (SELECT o_orderkey AS k, i, "
+    "(o_orderkey // CAST(power(10, i) AS BIGINT)) % 10 AS d "
+    "FROM orders, unnest(generate_series(0, 18)) t(i)), "
+    "dd AS (SELECT k, CASE WHEN i % 2 = 1 THEN "
+    "CASE WHEN d * 2 > 9 THEN d * 2 - 9 ELSE d * 2 END ELSE d END AS v "
+    "FROM digs), "
+    "s AS (SELECT k, sum(v) % 10 AS m FROM dd GROUP BY 1) "
+    "SELECT m::BIGINT AS luhn_mod, count(*)::BIGINT AS n_orders "
+    "FROM s GROUP BY 1 ORDER BY 1"
+)

@@ -5372,3 +5372,33 @@ def test_h_index_census_hand_values(ray_session, tmp_path):
     by = got.set_index("h").sort_index()
     assert list(by.index) == [0, 2, 3]
     assert list(by["n_customers"]) == [2, 1, 1]
+
+
+def test_luhn_mod_census_hand_values(ray_session, tmp_path):
+    """The textbook valid number 79927398713 lands on mod 0, its
+    unit-digit neighbor 79927398714 on mod 1; 18 doubles the 1 to 2
+    (8+2=10, valid) and 91 doubles the 9 to 18 -> 9 (the subtract-9
+    branch: 1+9=10, valid)."""
+    from langfilter_ray.pipelines import relational
+
+    d = tmp_path / "main"
+    d.mkdir()
+    keys = [79927398713, 79927398714, 18, 91]
+    n = len(keys)
+    pq.write_table(pa.table(
+        {"o_orderkey": pa.array(keys, pa.int64()),
+         "o_custkey": pa.array([1] * n, pa.int64()),
+         "o_orderstatus": pa.array(["O"] * n, pa.string()),
+         "o_totalprice": pa.array([1.0] * n, pa.float64()),
+         "o_orderdate": pa.array(
+             [np.datetime64("2024-01-01T00:00:00", "us")] * n,
+             pa.timestamp("us")),
+         "o_orderpriority": pa.array(["1-URGENT"] * n, pa.string())}
+    ), d / "orders.parquet")
+    got = _check_vs_oracle(
+        relational.luhn_mod_census,
+        relational.ORACLES["luhn_mod_census"],
+        d, "orders", pq.read_table(d / "orders.parquet"),
+    ).set_index("luhn_mod").sort_index()
+    assert list(got.index) == [0, 1]
+    assert list(got["n_orders"]) == [3, 1]
