@@ -6915,3 +6915,97 @@ ORACLES["daily_revenue_theilsen"] = (
     "CAST(dy AS DOUBLE) / CAST(dx AS DOUBLE) AS slope "
     "FROM s WHERE rn = (np - 1) // 2 + 1"
 )
+
+
+# ---- event_walk_counts: algebraic path counting (matrix power) --------------
+
+WALK_K = 8
+
+
+def event_walk_counts(sf_dir: str) -> "pa.Table":
+    """Directed walk counts of length ``WALK_K`` over the observed
+    event-type transition graph — the ALGEBRAIC PATH-COUNTING family:
+    the adjacency matrix A has a 1 where some user made the
+    consecutive transition, and (A^k)[a][b] counts the distinct
+    length-k walks a→b.  Reachability (scc_session_graph) asks IF you
+    can get there; this asks HOW MANY WAYS — the matrix-power
+    semiring (ℕ, +, ×) instead of the boolean one, which no closure
+    or groupby computes.
+
+    Outputs (from_type, to_type, n_walks) for nonzero entries of A^k
+    — bounded |types|² rows, values ≤ |types|^(k−1) (a few 100k for
+    the 5-type axis, exact int64).
+
+    Scale shape: the event_transitions partition skeleton reduced to
+    its DISTINCT pair set (each partition emits ≤ |types|² pairs);
+    the driver folds a 5×5 boolean matrix and takes k−1 integer
+    matmuls.  The SQL mirror UNROLLS the walks as recursive-CTE rows
+    (one row per walk, ≤ |types|^(k+1) at the 5-type axis) and groups
+    at step k — the honest row-expansion dual of the matrix power.
+
+    Reference anchor: SURVEY.md §2.7 sequence statistics
+    (event_transitions' Markov counts, lifted from 1 step to k)."""
+
+    def per_partition(g: "pd.DataFrame") -> "pd.DataFrame":
+        if g.empty:
+            return pd.DataFrame(
+                {"a": pd.array([], dtype="object"),
+                 "b": pd.array([], dtype="object")}
+            )
+        g, starts, ends = _user_segments(g)
+        et = g["event_type"].to_numpy()
+        n = len(g)
+        first = np.zeros(n, dtype=bool)
+        first[starts] = True
+        keep = ~first
+        prev = np.empty(n, dtype=object)
+        prev[1:] = et[:-1]
+        return pd.DataFrame(
+            {"a": prev[keep], "b": et[keep]}
+        ).drop_duplicates()
+
+    pairs = _user_partition_map(
+        _events(sf_dir, ["user_id", "ts", "event_id", "event_type"]),
+        _window_parts(sf_dir),
+        per_partition,
+    ).to_pandas()    # bounded: |types|^2 x partitions
+    empty = pa.table(
+        {"from_type": pa.array([], pa.string()),
+         "to_type": pa.array([], pa.string()),
+         "n_walks": pa.array([], pa.int64())}
+    )
+    pairs = pairs.drop_duplicates() if not pairs.empty else pairs
+    if pairs.empty:
+        return empty
+    types = np.sort(
+        np.unique(np.concatenate([pairs["a"].to_numpy(),
+                                  pairs["b"].to_numpy()]))
+    )
+    idx = {t: i for i, t in enumerate(types)}
+    nT = len(types)
+    A = np.zeros((nT, nT), dtype=np.int64)
+    A[pairs["a"].map(idx).to_numpy(), pairs["b"].map(idx).to_numpy()] = 1
+    M = A.copy()
+    for _ in range(WALK_K - 1):
+        M = M @ A
+    a_i, b_i = np.nonzero(M)
+    return pa.table(
+        {"from_type": pa.array(types[a_i].astype(str), pa.string()),
+         "to_type": pa.array(types[b_i].astype(str), pa.string()),
+         "n_walks": pa.array(M[a_i, b_i].astype(np.int64))}
+    )
+
+
+ORACLES["event_walk_counts"] = (
+    "WITH RECURSIVE e AS (SELECT event_type, lag(event_type) OVER "
+    "(PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events), "
+    "adj AS (SELECT DISTINCT prev AS a, event_type AS b FROM e "
+    "WHERE prev IS NOT NULL), "
+    "rec(step, a, b) AS ("
+    "SELECT 1, a, b FROM adj "
+    "UNION ALL "
+    f"SELECT step + 1, rec.a, adj.b FROM rec JOIN adj ON adj.a = rec.b "
+    f"WHERE step < {WALK_K}) "
+    f"SELECT a AS from_type, b AS to_type, count(*)::BIGINT AS n_walks "
+    f"FROM rec WHERE step = {WALK_K} GROUP BY 1, 2 ORDER BY 1, 2"
+)

@@ -5402,3 +5402,47 @@ def test_luhn_mod_census_hand_values(ray_session, tmp_path):
     ).set_index("luhn_mod").sort_index()
     assert list(got.index) == [0, 1]
     assert list(got["n_orders"]) == [3, 1]
+
+
+def test_event_walk_counts_hand_values(ray_session, tmp_path):
+    """A two-cycle view<->purchase has exactly ONE length-8 walk from
+    each node back to itself (8 is even) and none across; a self-loop
+    plus a dead-end edge {v->v, v->p} has one v->v walk (all loops)
+    and one v->p walk (loop 7 times, then exit); a 3-chain with no
+    cycle has NO length-8 walks at all (typed empty both engines)."""
+    from langfilter_ray.pipelines import windows
+
+    d = tmp_path / "cycle"
+    d.mkdir()
+    got = _check_vs_oracle(
+        windows.event_walk_counts,
+        windows.ORACLES["event_walk_counts"],
+        d, "events",
+        _events_table([(1, 1, 10, "view", 1.0), (2, 1, 20, "purchase", 1.0),
+                       (3, 1, 30, "view", 1.0)]),
+    ).set_index(["from_type", "to_type"]).sort_index()
+    assert list(got.index) == [("purchase", "purchase"), ("view", "view")]
+    assert list(got["n_walks"]) == [1, 1]
+
+    s = tmp_path / "loop"
+    s.mkdir()
+    got_s = _check_vs_oracle(
+        windows.event_walk_counts,
+        windows.ORACLES["event_walk_counts"],
+        s, "events",
+        _events_table([(1, 1, 10, "view", 1.0), (2, 1, 20, "view", 1.0),
+                       (3, 1, 30, "purchase", 1.0)]),
+    ).set_index(["from_type", "to_type"]).sort_index()
+    assert list(got_s.index) == [("view", "purchase"), ("view", "view")]
+    assert list(got_s["n_walks"]) == [1, 1]
+
+    c = tmp_path / "chain"
+    c.mkdir()
+    got_c = _check_vs_oracle(
+        windows.event_walk_counts,
+        windows.ORACLES["event_walk_counts"],
+        c, "events",
+        _events_table([(1, 1, 10, "view", 1.0), (2, 1, 20, "click", 1.0),
+                       (3, 1, 30, "purchase", 1.0)]),
+    )
+    assert len(got_c) == 0
