@@ -135,6 +135,13 @@ ORACLE_CHECKED = [
     "brand_bipartite_parity", "hilbert_locality",
     "consistent_hash_balance", "sign_test_monthly",
     "scc_session_graph", "lyndon_factors_cap",
+    # tenth sitting
+    "revenue_water_fill", "dyck_balance_census", "zeckendorf_census",
+    "qty_sum_convolution", "josephus_census", "interval_cover_days",
+    "merkle_root_by_source", "levenshtein_top2", "brand_condorcet",
+    "erdos_gallai_check", "region_trade_min_cut", "daily_revenue_theilsen",
+    "nim_winner_census", "h_index_census", "luhn_mod_census",
+    "event_walk_counts",
 ]
 
 
