@@ -7009,3 +7009,120 @@ ORACLES["event_walk_counts"] = (
     f"SELECT a AS from_type, b AS to_type, count(*)::BIGINT AS n_walks "
     f"FROM rec WHERE step = {WALK_K} GROUP BY 1, 2 ORDER BY 1, 2"
 )
+
+
+# ---- event_weekday_matching_census: matching counting (bipartite) ----------
+
+def event_weekday_matching_census(sf_dir: str) -> "pa.Table":
+    """Maximum-matching CENSUS of the observed (event type, weekday)
+    bipartite graph — the MATCHING-COUNTING family:
+    event_weekday_assignment OPTIMIZES one weighted assignment; this
+    counts — the maximum number of event types that can be given
+    DISTINCT weekdays on which they were actually observed, and HOW
+    MANY maximum matchings exist (the counting analog, permanent-
+    style, which no optimization replay yields).
+
+    Exact enumeration over the bounded axes (≤5 types × 7 weekdays):
+    types are processed in sorted order, each either skipped or
+    matched to an unused observed day — a state DP over (type index,
+    used-day bitmask, matched count) whose path counts are matchings
+    exactly once.  ≤ 8^5 states even on the complete graph.
+
+    Outputs one row: n_types (observed), n_days_active, max_matching,
+    n_max_matchings, is_perfect (max == n_types).  Typed empty when
+    no events exist.
+
+    Scale shape: a distinct-pair combiner bounds the gather at 35
+    rows × blocks; the driver DP collapses states with counts.  The
+    SQL mirror expands the SAME DP as recursive-CTE rows via an
+    options table (one synthetic skip row per type, adjacency rows
+    otherwise) — single recursive term, no aggregation inside.
+
+    Reference anchor: SURVEY.md §2.6 gate-scheduling, asked as the
+    feasibility-count dual of the assignment optimum."""
+    US_DAY = 86_400_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {"t": pa.array([], pa.string()),
+                 "d": pa.array([], pa.int64())}
+            )
+        us = t["ts"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        dow = ((us // US_DAY) + 4) % 7
+        return (
+            pa.table({"t": t["event_type"], "d": pa.array(dow)})
+            .group_by(["t", "d"])
+            .aggregate([])
+        )
+
+    pairs = (
+        _events(sf_dir, ["ts", "event_type"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()    # bounded: 35 pairs x blocks
+    )
+    empty = pa.table(
+        {"n_types": pa.array([], pa.int64()),
+         "n_days_active": pa.array([], pa.int64()),
+         "max_matching": pa.array([], pa.int64()),
+         "n_max_matchings": pa.array([], pa.int64()),
+         "is_perfect": pa.array([], pa.int64())}
+    )
+    if pairs.empty:
+        return empty
+    pairs = pairs.drop_duplicates()
+    types = sorted(pairs["t"].unique())
+    adj = {
+        ty: sorted(pairs.loc[pairs["t"] == ty, "d"].astype(int))
+        for ty in types
+    }
+    states: dict[tuple[int, int], int] = {(0, 0): 1}   # (mask, k) -> paths
+    for ty in types:
+        nxt: dict[tuple[int, int], int] = {}
+        for (mask, k), c in states.items():
+            nxt[(mask, k)] = nxt.get((mask, k), 0) + c      # skip
+            for d in adj[ty]:
+                bit = 1 << d
+                if not mask & bit:
+                    key = (mask | bit, k + 1)
+                    nxt[key] = nxt.get(key, 0) + c
+        states = nxt
+    mx = max(k for (_, k) in states)
+    n_max = sum(c for (_, k), c in states.items() if k == mx)
+    return pa.table(
+        {"n_types": pa.array([len(types)], pa.int64()),
+         "n_days_active": pa.array(
+             [int(pairs["d"].nunique())], pa.int64()),
+         "max_matching": pa.array([mx], pa.int64()),
+         "n_max_matchings": pa.array([n_max], pa.int64()),
+         "is_perfect": pa.array([int(mx == len(types))], pa.int64())}
+    )
+
+
+ORACLES["event_weekday_matching_census"] = (
+    "WITH RECURSIVE adj AS (SELECT DISTINCT event_type AS t, "
+    "dayofweek(ts)::BIGINT AS d FROM events), "
+    "tl AS (SELECT t, row_number() OVER (ORDER BY t) - 1 AS ti "
+    "FROM (SELECT DISTINCT t FROM adj)), "
+    "m AS (SELECT count(*)::BIGINT AS nt FROM tl), "
+    "opt AS (SELECT tl.ti, (1 << CAST(adj.d AS INT))::BIGINT AS dbit, "
+    "1::BIGINT AS add_k FROM adj JOIN tl ON tl.t = adj.t "
+    "UNION ALL SELECT ti, 0::BIGINT, 0::BIGINT FROM tl), "
+    "rec(i, mask, k) AS ("
+    "SELECT 0::BIGINT, 0::BIGINT, 0::BIGINT WHERE EXISTS "
+    "(SELECT 1 FROM adj) "
+    "UNION ALL "
+    "SELECT rec.i + 1, rec.mask | opt.dbit, rec.k + opt.add_k "
+    "FROM rec JOIN opt ON opt.ti = rec.i AND (rec.mask & opt.dbit) = 0 "
+    "WHERE rec.i < (SELECT nt FROM m)), "
+    "fin AS (SELECT k FROM rec, m WHERE rec.i = m.nt), "
+    "mxk AS (SELECT max(k)::BIGINT AS mx FROM fin) "
+    "SELECT m.nt AS n_types, "
+    "(SELECT count(DISTINCT d) FROM adj)::BIGINT AS n_days_active, "
+    "mxk.mx AS max_matching, "
+    "(SELECT count(*) FROM fin, mxk WHERE fin.k = mxk.mx)::BIGINT "
+    "AS n_max_matchings, "
+    "(CASE WHEN mxk.mx = m.nt THEN 1 ELSE 0 END)::BIGINT AS is_perfect "
+    "FROM m, mxk"
+)

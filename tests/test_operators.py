@@ -141,7 +141,7 @@ ORACLE_CHECKED = [
     "merkle_root_by_source", "levenshtein_top2", "brand_condorcet",
     "erdos_gallai_check", "region_trade_min_cut", "daily_revenue_theilsen",
     "nim_winner_census", "h_index_census", "luhn_mod_census",
-    "event_walk_counts",
+    "event_walk_counts", "event_weekday_matching_census",
 ]
 
 

@@ -5446,3 +5446,42 @@ def test_event_walk_counts_hand_values(ray_session, tmp_path):
                        (3, 1, 30, "purchase", 1.0)]),
     )
     assert len(got_c) == 0
+
+
+def test_event_weekday_matching_census_hand_values(ray_session, tmp_path):
+    """Two types both observed ONLY on Monday: max matching 1 with TWO
+    maximum matchings (either type takes the day).  Giving view a
+    Tuesday as well makes the matching perfect and UNIQUE (purchase
+    must take Monday)."""
+    from langfilter_ray.pipelines import windows
+
+    MON = 4 * US_DAY       # epoch day 4 -> dayofweek 1 (Monday)
+    TUE = 5 * US_DAY
+
+    d = tmp_path / "conflict"
+    d.mkdir()
+    got = _check_vs_oracle(
+        windows.event_weekday_matching_census,
+        windows.ORACLES["event_weekday_matching_census"],
+        d, "events",
+        _events_table([(1, 1, MON, "view", 1.0),
+                       (2, 2, MON + 1, "purchase", 1.0)]),
+    ).iloc[0]
+    assert (int(got["n_types"]), int(got["n_days_active"])) == (2, 1)
+    assert int(got["max_matching"]) == 1
+    assert int(got["n_max_matchings"]) == 2
+    assert int(got["is_perfect"]) == 0
+
+    p = tmp_path / "perfect"
+    p.mkdir()
+    got_p = _check_vs_oracle(
+        windows.event_weekday_matching_census,
+        windows.ORACLES["event_weekday_matching_census"],
+        p, "events",
+        _events_table([(1, 1, MON, "view", 1.0),
+                       (2, 2, MON + 1, "purchase", 1.0),
+                       (3, 1, TUE, "view", 1.0)]),
+    ).iloc[0]
+    assert int(got_p["max_matching"]) == 2
+    assert int(got_p["n_max_matchings"]) == 1
+    assert int(got_p["is_perfect"]) == 1
