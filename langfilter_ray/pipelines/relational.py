@@ -11637,3 +11637,167 @@ ORACLES["luhn_mod_census"] = (
     "SELECT m::BIGINT AS luhn_mod, count(*)::BIGINT AS n_orders "
     "FROM s GROUP BY 1 ORDER BY 1"
 )
+
+
+# ---- qty_kmedians_exact: optimal 1-D k-medians segmentation ----------------
+
+KMEDIANS_K = 4
+
+
+def qty_kmedians_exact(sf_dir: str) -> "pa.Table":
+    """EXACT optimal 1-D k-medians clustering of the quantity
+    distribution — the exact-clustering family: kmeans_fit iterates to
+    a local optimum in d dimensions; on a 1-D BOUNDED domain the
+    GLOBAL optimum is computable because optimal clusters are
+    contiguous in value order, so the answer is the best of
+    C(D−1, k−1) contiguous segmentations of the D≤50 distinct
+    quantities (≈18k candidates at k=4 — exhaustive, no DP recursion
+    to replay).  Segment cost is the weighted L1 deviation from the
+    segment's weighted LOWER median (any weighted median minimizes;
+    the cost value is median-choice-invariant on the flat minimum, so
+    both engines agree without pinning the median itself).
+
+    Outputs one row: n_distinct, k_eff (= min(k, D)), total_cost
+    (exact int64 cents of... units: quantity units × rows), and the
+    segment-start VALUES s1..s4 (s1 = min value; −1 pads when D < k).
+    Ties among equal-cost segmentations break to the lexicographically
+    smallest split positions — mirrored exactly in the SQL ORDER BY.
+
+    Scale shape: the 50-bin histogram sufficient statistic (map-only
+    bounded partials); the driver builds the O(D²) segment-cost matrix
+    from prefix sums and evaluates all splits vectorized (one
+    lexsort).  The SQL mirror materializes the same W(i,j) cost table
+    (correlated lower-median subquery + prefix-sum identity) and
+    enumerates the same splits.
+
+    Reference anchor: §2.8 embedding dedup / kmeans_fit (SURVEY.md) —
+    the exact 1-D anchor the iterative clusterer can be sanity-checked
+    against."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {"q": pa.array([], pa.int64()),
+                 "n": pa.array([], pa.int64())}
+            )
+        q = t["l_quantity"].to_numpy().astype(np.int64)
+        g = pa.table({"q": pa.array(q)}).group_by("q").aggregate(
+            [("q", "count")]
+        )
+        return pa.table(
+            {"q": g["q"], "n": pc.cast(g["q_count"], pa.int64())}
+        )
+
+    parts = (
+        _read(sf_dir, "lineitem", ["l_quantity"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()    # bounded: 50 values x blocks
+    )
+    empty = pa.table(
+        {"n_distinct": pa.array([], pa.int64()),
+         "k_eff": pa.array([], pa.int64()),
+         "total_cost": pa.array([], pa.int64()),
+         "s1_value": pa.array([], pa.int64()),
+         "s2_value": pa.array([], pa.int64()),
+         "s3_value": pa.array([], pa.int64()),
+         "s4_value": pa.array([], pa.int64())}
+    )
+    if parts.empty:
+        return empty
+    hist = parts.groupby("q", sort=True)["n"].sum()
+    v = hist.index.to_numpy(np.int64)
+    w = hist.to_numpy(np.int64)
+    D = len(v)
+    k = min(KMEDIANS_K, D)
+    cw = np.concatenate([[0], np.cumsum(w)])          # cw[p] = Σ_{<=p}
+    cs = np.concatenate([[0], np.cumsum(v * w)])
+
+    W = np.zeros((D + 1, D + 1), dtype=np.int64)       # W[i][j], 1-based
+    for i in range(1, D + 1):
+        seg_w = cw[i:] - cw[i - 1]                     # totals for j>=i
+        # lower median position per j: smallest p with 2(cw[p]-cw[i-1])
+        # >= seg_w  — vectorized via searchsorted on the cw slice
+        half = seg_w                                   # compare 2x form
+        cc = 2 * (cw[i:] - cw[i - 1])
+        for jx in range(len(seg_w)):
+            j = i + jx
+            m = i + int(np.searchsorted(cc[: jx + 1], half[jx]))
+            med = v[m - 1]
+            W[i][j] = (
+                med * (cw[m] - cw[i - 1]) - (cs[m] - cs[i - 1])
+                + (cs[j] - cs[m]) - med * (cw[j] - cw[m])
+            )
+
+    from itertools import combinations
+
+    best = None
+    for splits in combinations(range(2, D + 1), k - 1):
+        bounds = [1, *splits, D + 1]
+        cost = sum(
+            int(W[bounds[t]][bounds[t + 1] - 1]) for t in range(k)
+        )
+        key = (cost, *splits)
+        if best is None or key < best:
+            best = key
+    cost = best[0]
+    starts = [int(v[0])] + [int(v[s - 1]) for s in best[1:]]
+    starts += [-1] * (KMEDIANS_K - len(starts))
+    return pa.table(
+        {"n_distinct": pa.array([D], pa.int64()),
+         "k_eff": pa.array([k], pa.int64()),
+         "total_cost": pa.array([cost], pa.int64()),
+         "s1_value": pa.array([starts[0]], pa.int64()),
+         "s2_value": pa.array([starts[1]], pa.int64()),
+         "s3_value": pa.array([starts[2]], pa.int64()),
+         "s4_value": pa.array([starts[3]], pa.int64())}
+    )
+
+
+ORACLES["qty_kmedians_exact"] = (
+    "WITH hist AS (SELECT CAST(l_quantity AS BIGINT) AS v, "
+    "count(*)::BIGINT AS w FROM lineitem GROUP BY 1), "
+    "pos AS (SELECT v, w, row_number() OVER (ORDER BY v) AS p, "
+    "sum(w) OVER (ORDER BY v)::BIGINT AS cw, "
+    "sum(v * w) OVER (ORDER BY v)::BIGINT AS cs FROM hist), "
+    "m AS (SELECT count(*)::BIGINT AS d FROM pos), "
+    "k AS (SELECT least(4, d)::BIGINT AS k FROM m), "
+    "wt AS (SELECT i.p AS i, j.p AS j, "
+    "COALESCE((SELECT min(x.p) FROM pos x WHERE x.p >= i.p "
+    "AND x.p <= j.p AND 2 * (x.cw - i.cw + i.w) >= j.cw - i.cw + i.w), "
+    "i.p) AS mp FROM pos i, pos j WHERE j.p >= i.p), "
+    "wcost AS (SELECT wt.i, wt.j, "
+    "(mv.v * (mv.cw - ip.cw + ip.w) - (mv.cs - ip.cs + ip.v * ip.w) "
+    "+ (jp.cs - mv.cs) - mv.v * (jp.cw - mv.cw))::BIGINT AS c "
+    "FROM wt JOIN pos mv ON mv.p = wt.mp "
+    "JOIN pos ip ON ip.p = wt.i JOIN pos jp ON jp.p = wt.j), "
+    "splits AS ("
+    "SELECT s2.p AS s2, s3.p AS s3, s4.p AS s4 FROM pos s2, pos s3, "
+    "pos s4, m WHERE m.d >= 4 AND s2.p >= 2 AND s3.p > s2.p "
+    "AND s4.p > s3.p "
+    "UNION ALL SELECT s2.p, s3.p, NULL FROM pos s2, pos s3, m "
+    "WHERE m.d = 3 AND s2.p >= 2 AND s3.p > s2.p "
+    "UNION ALL SELECT s2.p, NULL, NULL FROM pos s2, m "
+    "WHERE m.d = 2 AND s2.p >= 2 "
+    "UNION ALL SELECT NULL, NULL, NULL FROM m WHERE m.d = 1), "
+    "scored AS (SELECT s2, s3, s4, "
+    "(SELECT c FROM wcost WHERE i = 1 AND "
+    "j = COALESCE(s2 - 1, (SELECT d FROM m))) "
+    "+ COALESCE((SELECT c FROM wcost WHERE i = s2 AND "
+    "j = COALESCE(s3 - 1, (SELECT d FROM m))), 0) "
+    "+ COALESCE((SELECT c FROM wcost WHERE i = s3 AND "
+    "j = COALESCE(s4 - 1, (SELECT d FROM m))), 0) "
+    "+ COALESCE((SELECT c FROM wcost WHERE i = s4 AND "
+    "j = (SELECT d FROM m)), 0) AS cost FROM splits), "
+    "best AS (SELECT * FROM scored "
+    "ORDER BY cost, s2 NULLS LAST, s3 NULLS LAST, s4 NULLS LAST "
+    "LIMIT 1) "
+    "SELECT m.d AS n_distinct, k.k AS k_eff, best.cost AS total_cost, "
+    "(SELECT v FROM pos WHERE p = 1)::BIGINT AS s1_value, "
+    "COALESCE((SELECT v FROM pos WHERE p = best.s2), -1)::BIGINT "
+    "AS s2_value, "
+    "COALESCE((SELECT v FROM pos WHERE p = best.s3), -1)::BIGINT "
+    "AS s3_value, "
+    "COALESCE((SELECT v FROM pos WHERE p = best.s4), -1)::BIGINT "
+    "AS s4_value "
+    "FROM best, m, k"
+)

@@ -5485,3 +5485,51 @@ def test_event_weekday_matching_census_hand_values(ray_session, tmp_path):
     assert int(got_p["max_matching"]) == 2
     assert int(got_p["n_max_matchings"]) == 1
     assert int(got_p["is_perfect"]) == 1
+
+
+def test_qty_kmedians_exact_hand_values(ray_session, tmp_path):
+    """Four well-separated value pairs {1,2},{10,11},{20,21},{30,31}
+    (weights 3:1) cluster exactly as expected — each segment's lower
+    weighted median is the heavy value, cost 1 per segment, total 4.
+    D=2 pins k_eff=2 with -1 pads; a single distinct value costs 0."""
+    from langfilter_ray.pipelines import relational
+
+    def corpus(dd, qty_counts):
+        rows = [("N", float(q)) for q, c in qty_counts for _ in range(c)]
+        _write_lineitem_qty(dd, rows)
+
+    d = tmp_path / "four"
+    d.mkdir()
+    corpus(d, [(1, 3), (2, 1), (10, 3), (11, 1),
+               (20, 3), (21, 1), (30, 3), (31, 1)])
+    r = _check_vs_oracle(
+        relational.qty_kmedians_exact,
+        relational.ORACLES["qty_kmedians_exact"],
+        d, "lineitem", pq.read_table(d / "lineitem.parquet"),
+    ).iloc[0]
+    assert (int(r["n_distinct"]), int(r["k_eff"])) == (8, 4)
+    assert int(r["total_cost"]) == 4
+    assert [int(r[f"s{i}_value"]) for i in (1, 2, 3, 4)] == [1, 10, 20, 30]
+
+    two = tmp_path / "two"
+    two.mkdir()
+    corpus(two, [(5, 2), (9, 1)])
+    rt = _check_vs_oracle(
+        relational.qty_kmedians_exact,
+        relational.ORACLES["qty_kmedians_exact"],
+        two, "lineitem", pq.read_table(two / "lineitem.parquet"),
+    ).iloc[0]
+    assert (int(rt["n_distinct"]), int(rt["k_eff"])) == (2, 2)
+    assert int(rt["total_cost"]) == 0
+    assert [int(rt[f"s{i}_value"]) for i in (1, 2, 3, 4)] == [5, 9, -1, -1]
+
+    one = tmp_path / "one"
+    one.mkdir()
+    corpus(one, [(7, 4)])
+    ro = _check_vs_oracle(
+        relational.qty_kmedians_exact,
+        relational.ORACLES["qty_kmedians_exact"],
+        one, "lineitem", pq.read_table(one / "lineitem.parquet"),
+    ).iloc[0]
+    assert (int(ro["k_eff"]), int(ro["total_cost"])) == (1, 0)
+    assert [int(ro[f"s{i}_value"]) for i in (1, 2, 3, 4)] == [7, -1, -1, -1]
