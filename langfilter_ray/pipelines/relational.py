@@ -11801,3 +11801,199 @@ ORACLES["qty_kmedians_exact"] = (
     "AS s4_value "
     "FROM best, m, k"
 )
+
+
+# ---- shapley_regions: Shapley-Shubik power index ----------------------------
+
+def shapley_regions(sf_dir: str) -> "pa.Table":
+    """Exact SHAPLEY–SHUBIK power index over the same weighted voting
+    game as region_banzhaf (weights = regional order revenue, strict-
+    majority quota) — the ORDERED dual in the cooperative-game pair:
+    Banzhaf counts swings over coalitions uniformly; Shapley–Shubik
+    weights each swing by the permutations that realize it
+    (``|S|!·(n−1−|S|)!`` of n!), i.e. the probability of being the
+    PIVOT in a uniformly random joining order.  The two indices
+    genuinely diverge on asymmetric weights, so this is not a
+    re-parametrization of the existing row.
+
+    Exactness: the numerator Σ|S|!(n−1−|S|)! is an exact integer
+    (n ≤ 15 asserted: 14!·2^15 < 2^63 keeps the SQL mirror in
+    BIGINT); outputs ss_num, ss_den (= n!), and the ONE float
+    division ``shapley = ss_num/ss_den`` (−1.0 sentinel when the
+    grand coalition itself cannot pass — zero total weight — where no
+    permutation has a pivot).
+
+    Scale shape: region_banzhaf's exact exchange — customer broadcast
+    below BROADCAST_DIM_MAX_ROWS (native hash-join fallback above,
+    zero-threshold test), nation→region LUT in the closure, bounded
+    per-batch regionkey partials; the driver enumerates 2^n masks
+    with factorial weights.  The SQL mirror adds a factorial CTE to
+    the banzhaf mask enumeration.
+
+    Reference anchor: A4 (SURVEY.md §2.6) — the who-decides question
+    under random arrival order instead of uniform coalitions."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    region = pq.read_table(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    )
+    empty = pa.table(
+        {"r_name": pa.array([], pa.string()),
+         "weight_cents": pa.array([], pa.int64()),
+         "ss_num": pa.array([], pa.int64()),
+         "ss_den": pa.array([], pa.int64()),
+         "shapley": pa.array([], pa.float64())}
+    )
+    if len(region) == 0:
+        return empty
+    rkeys = region["r_regionkey"].to_numpy().astype(np.int64)
+    order = np.argsort(rkeys)
+    rkeys = rkeys[order]
+    rnames = np.asarray(region["r_name"].to_pylist(), dtype=object)[order]
+    n = len(rkeys)
+    assert n <= 15, f"region axis no longer bounded ({n} rows)"
+
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"]
+    )
+    nk = nation["n_nationkey"].to_numpy().astype(np.int64)
+    region_lut = np.full(int(nk.max()) + 2 if len(nk) else 1, None, object)
+    if len(nk):
+        region_lut[nk] = nation["n_regionkey"].to_numpy().astype(np.int64)
+
+    def _to_cents(t: pa.Table) -> np.ndarray:
+        return np.floor(
+            t["o_totalprice"].to_numpy() * 100 + 0.5
+        ).astype(np.int64)
+
+    if _dim_num_rows(sf_dir, "customer") <= BROADCAST_DIM_MAX_ROWS:
+        cust = pq.read_table(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+        )
+        keys = cust["c_custkey"].to_numpy()
+        corder = np.argsort(keys)
+        ref = ray.put(
+            (keys[corder],
+             cust["c_nationkey"].to_numpy()[corder].astype(np.int64))
+        )
+
+        def part(t: pa.Table) -> pa.Table:
+            rk = _probe_lookup(ref, region_lut, t["o_custkey"].to_numpy())
+            valid = np.not_equal(rk, None)
+            g = (
+                pa.table({"rk": pa.array(rk[valid].astype(np.int64)),
+                          "w": pa.array(_to_cents(t)[valid])})
+                .group_by("rk")
+                .aggregate([("w", "sum")])
+            )
+            return pa.table({"rk": g["rk"], "w": g["w_sum"]})
+
+        parts = (
+            _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+            .map_batches(part, batch_format="pyarrow")
+            .to_pandas()    # bounded: regions x blocks
+        )
+    else:
+        orders = _read(
+            sf_dir, "orders", ["o_custkey", "o_totalprice"]
+        ).map_batches(
+            lambda t: pa.table(
+                {"o_custkey": t["o_custkey"],
+                 "w": pa.array(_to_cents(t), pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+
+        def post(t: pa.Table) -> pa.Table:
+            rk = region_lut[t["c_nationkey"].to_numpy()]
+            valid = np.not_equal(rk, None)
+            g = (
+                pa.table({"rk": pa.array(rk[valid].astype(np.int64)),
+                          "w": t["w"].to_numpy()[valid]})
+                .group_by("rk")
+                .aggregate([("w", "sum")])
+            )
+            return pa.table({"rk": g["rk"], "w": g["w_sum"]})
+
+        parts = (
+            orders.join(
+                _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]),
+                join_type="inner",
+                num_partitions=_join_parts(),
+                on=("o_custkey",),
+                right_on=("c_custkey",),
+            )
+            .map_batches(post, batch_format="pyarrow")
+            .to_pandas()    # bounded: regions x blocks
+        )
+
+    w = {int(k): 0 for k in rkeys}
+    if not parts.empty:
+        for k, v in parts.groupby("rk")["w"].sum().items():
+            if int(k) in w:
+                w[int(k)] += int(v)
+    wl = [w[int(k)] for k in rkeys]
+    total = sum(wl)
+    quota = total // 2 + 1
+    s = [0] * (1 << n)
+    for m in range(1, 1 << n):
+        low = m & -m
+        s[m] = s[m ^ low] + wl[low.bit_length() - 1]
+    den = math.factorial(n)
+    nums = []
+    for i in range(n):
+        acc = 0
+        for m in range(1 << n):
+            if not (m >> i) & 1 and s[m] < quota <= s[m] + wl[i]:
+                bc = bin(m).count("1")
+                acc += math.factorial(bc) * math.factorial(n - 1 - bc)
+        nums.append(acc)
+    return pa.table(
+        {"r_name": pa.array(list(rnames), pa.string()),
+         "weight_cents": pa.array(wl, pa.int64()),
+         "ss_num": pa.array(nums, pa.int64()),
+         "ss_den": pa.array([den] * n, pa.int64()),
+         "shapley": pa.array(
+             [(-1.0 if sum(nums) == 0 else float(a) / float(den))
+              for a in nums], pa.float64())}
+    )
+
+
+ORACLES["shapley_regions"] = (
+    "WITH RECURSIVE w AS (SELECT n_regionkey::BIGINT AS rk, "
+    "sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))::BIGINT "
+    "AS wc FROM orders JOIN customer ON c_custkey = o_custkey "
+    "JOIN nation ON n_nationkey = c_nationkey GROUP BY 1), "
+    "players AS (SELECT r_regionkey::BIGINT AS rk, r_name, "
+    "row_number() OVER (ORDER BY r_regionkey) - 1 AS i, "
+    "COALESCE(w.wc, 0)::BIGINT AS wc FROM region "
+    "LEFT JOIN w ON w.rk = region.r_regionkey), "
+    "m AS (SELECT count(*)::BIGINT AS n, sum(wc)::BIGINT AS total "
+    "FROM players), "
+    "fact(k, f) AS (SELECT 0::BIGINT, 1::BIGINT UNION ALL "
+    "SELECT k + 1, f * (k + 1) FROM fact, m WHERE k < m.n), "
+    "masks AS (SELECT unnest(generate_series(0, "
+    "(1 << CAST((SELECT n FROM m) AS INT)) - 1))::BIGINT AS k), "
+    "msum AS (SELECT k.k, COALESCE(sum(p.wc) FILTER (WHERE "
+    "((k.k >> CAST(p.i AS INT)) & 1) = 1), 0)::BIGINT AS s, "
+    "COALESCE(sum(((k.k >> CAST(p.i AS INT)) & 1)), 0)::BIGINT AS bc "
+    "FROM masks k LEFT JOIN players p ON TRUE GROUP BY 1), "
+    "sw AS (SELECT p.i, p.rk, sum(fb.f * fa.f)::BIGINT AS num "
+    "FROM players p JOIN msum ON ((msum.k >> CAST(p.i AS INT)) & 1) = 0 "
+    "AND msum.s < (SELECT total // 2 + 1 FROM m) "
+    "AND msum.s + p.wc >= (SELECT total // 2 + 1 FROM m) "
+    "JOIN fact fb ON fb.k = msum.bc "
+    "JOIN fact fa ON fa.k = (SELECT n FROM m) - 1 - msum.bc "
+    "GROUP BY 1, 2), "
+    "tot AS (SELECT COALESCE(sum(num), 0)::BIGINT AS ts FROM sw) "
+    "SELECT p.r_name, p.wc AS weight_cents, "
+    "COALESCE(sw.num, 0)::BIGINT AS ss_num, "
+    "(SELECT f FROM fact, m WHERE fact.k = m.n)::BIGINT AS ss_den, "
+    "CASE WHEN (SELECT ts FROM tot) = 0 THEN -1.0 ELSE "
+    "CAST(COALESCE(sw.num, 0) AS DOUBLE) / "
+    "CAST((SELECT f FROM fact, m WHERE fact.k = m.n) AS DOUBLE) END "
+    "AS shapley FROM players p LEFT JOIN sw ON sw.i = p.i "
+    "ORDER BY p.rk"
+)

@@ -5533,3 +5533,60 @@ def test_qty_kmedians_exact_hand_values(ray_session, tmp_path):
     ).iloc[0]
     assert (int(ro["k_eff"]), int(ro["total_cost"])) == (1, 0)
     assert [int(ro[f"s{i}_value"]) for i in (1, 2, 3, 4)] == [7, -1, -1, -1]
+
+
+def test_shapley_regions_hand_values(ray_session, tmp_path, monkeypatch):
+    """The classic [2,1,1] majority game (quota 3): the big player
+    pivots in 4 of 6 joining orders, each small one in 1 — Shapley
+    (2/3, 1/6, 1/6), which DIFFERS from the weight shares (1/2, 1/4,
+    1/4).  A dictator (weight > half) takes index 1.0; zero total
+    weight pins the -1.0 sentinel.  Zero-threshold monkeypatch pins
+    the join fallback."""
+    import duckdb
+
+    from langfilter_ray.pipelines import relational
+
+    def check(dd):
+        got = _canon(_to_pandas(relational.shapley_regions(str(dd))))
+        c = duckdb.connect()
+        for t in ("region", "nation", "customer", "orders"):
+            c.execute(
+                f"CREATE VIEW {t} AS SELECT * "
+                f"FROM read_parquet('{dd}/{t}.parquet')"
+            )
+        want = _canon(c.execute(relational.ORACLES["shapley_regions"]).df())
+        problems = compare_frames(got, want)
+        assert not problems, (problems, first_diff(got, want))
+        return got.set_index("r_name")
+
+    d = tmp_path / "main"
+    d.mkdir()
+    _write_banzhaf_corpus(
+        d, [(0, "RA"), (1, "RB"), (2, "RC")],
+        {1: 0, 2: 1, 3: 2},
+        [(1, 200), (2, 100), (3, 100)],
+    )
+    got = check(d)
+    assert list(got["ss_num"]) == [4, 1, 1]
+    assert list(got["ss_den"]) == [6, 6, 6]
+    assert got.loc["RA", "shapley"] == 4.0 / 6.0
+
+    dic = tmp_path / "dictator"
+    dic.mkdir()
+    _write_banzhaf_corpus(
+        dic, [(0, "RA"), (1, "RB")], {1: 0, 2: 1},
+        [(1, 300), (2, 100)],
+    )
+    got_d = check(dic)
+    assert got_d.loc["RA", "shapley"] == 1.0
+    assert got_d.loc["RB", "shapley"] == 0.0
+
+    z = tmp_path / "zero"
+    z.mkdir()
+    _write_banzhaf_corpus(z, [(0, "RA"), (1, "RB")], {1: 0}, [])
+    got_z = check(z)
+    assert list(got_z["shapley"]) == [-1.0, -1.0]
+
+    monkeypatch.setattr(relational, "BROADCAST_DIM_MAX_ROWS", 0)
+    got_fb = check(d)
+    assert got_fb.equals(got)
