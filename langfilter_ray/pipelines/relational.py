@@ -11997,3 +11997,101 @@ ORACLES["shapley_regions"] = (
     "AS shapley FROM players p LEFT JOIN sw ON sw.i = p.i "
     "ORDER BY p.rk"
 )
+
+
+# ---- partition_count_census: integer partitions via pentagonal recurrence --
+
+def partition_count_census(sf_dir: str) -> "pa.Table":
+    """Integer-partition census — the PARTITION-COUNTING family: for
+    each observed per-customer order count n, the number p(n) of ways
+    to write n as an unordered sum of positive integers ("how many
+    shapes could this customer's n orders take across distinct
+    days?"), computed by EULER'S PENTAGONAL-NUMBER recurrence
+    ``p(n) = Σ_k (−1)^{k−1} [p(n − k(3k−1)/2) + p(n − k(3k+1)/2)]``
+    — a recurrence over ALL smaller values with irregular strides,
+    which no window frame expresses.  Zeckendorf/Josephus replay
+    single-state recurrences; this one carries the FULL prefix.
+
+    Outputs (group_size, p_partitions, n_customers) for every
+    observed count; p(n) is exact int64 far beyond any realistic
+    per-customer order count (p(100) ≈ 1.9e8, p(400) > 2^63 — max n
+    asserted ≤ 300 where p(n) < 2^63).
+
+    Scale shape: the cust_order_histogram double-groupby to the
+    bounded size histogram; the driver replays O(max_n·√max_n)
+    recurrence steps.  The SQL mirror carries the p-prefix as LIST
+    STATE in a recursive CTE, each step appending one value via a
+    pentagonal-offset lambda sum.
+
+    Reference anchor: SURVEY.md §2.7 aggregation — the combinatorial
+    dual of cust_order_histogram's plain counts."""
+    hist = (
+        _read(sf_dir, "orders", ["o_custkey"])
+        .map_batches(_partial_group_agg(["o_custkey"]), batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("n_partial", alias_name="n_orders"))
+        .map_batches(_partial_group_agg(["n_orders"]), batch_format="pyarrow")
+        .groupby("n_orders")
+        .aggregate(Sum("n_partial", alias_name="n_customers"))
+        .to_pandas()    # bounded: distinct per-customer counts (~tens)
+    )
+    empty = pa.table(
+        {"group_size": pa.array([], pa.int64()),
+         "p_partitions": pa.array([], pa.int64()),
+         "n_customers": pa.array([], pa.int64())}
+    )
+    if hist.empty:
+        return empty
+    sizes = hist["n_orders"].to_numpy(np.int64)
+    max_n = int(sizes.max())
+    assert max_n <= 300, "p(n) leaves int64 past ~n=400; shard the census"
+    p = [1] + [0] * max_n
+    for i in range(1, max_n + 1):
+        acc, k = 0, 1
+        while True:
+            g1 = k * (3 * k - 1) // 2
+            g2 = k * (3 * k + 1) // 2
+            if g1 > i and g2 > i:
+                break
+            sgn = 1 if k % 2 == 1 else -1
+            if g1 <= i:
+                acc += sgn * p[i - g1]
+            if g2 <= i:
+                acc += sgn * p[i - g2]
+            k += 1
+        p[i] = acc
+    order = np.argsort(sizes)
+    sizes = sizes[order]
+    return pa.table(
+        {"group_size": pa.array(sizes),
+         "p_partitions": pa.array(
+             np.array([p[int(s)] for s in sizes], dtype=np.int64)),
+         "n_customers": pa.array(
+             hist["n_customers"].to_numpy(np.int64)[order])}
+    )
+
+
+ORACLES["partition_count_census"] = (
+    "WITH RECURSIVE cnt AS (SELECT o_custkey, count(*)::BIGINT AS n "
+    "FROM orders GROUP BY 1), "
+    "hist AS (SELECT n, count(*)::BIGINT AS n_customers FROM cnt "
+    "GROUP BY 1), "
+    "mx AS (SELECT max(n)::BIGINT AS m FROM hist), "
+    "rec(i, ps) AS ("
+    "SELECT 0::BIGINT, [1::BIGINT] "
+    "UNION ALL "
+    "SELECT i + 1, list_append(ps, "
+    "list_sum(list_transform(generate_series(1, 20), k -> "
+    "(CASE WHEN k % 2 = 1 THEN 1 ELSE -1 END) * ("
+    "(CASE WHEN i + 1 - k * (3 * k - 1) // 2 >= 0 "
+    "THEN ps[CAST(i + 1 - k * (3 * k - 1) // 2 AS INT) + 1] "
+    "ELSE 0 END) + "
+    "(CASE WHEN i + 1 - k * (3 * k + 1) // 2 >= 0 "
+    "THEN ps[CAST(i + 1 - k * (3 * k + 1) // 2 AS INT) + 1] "
+    "ELSE 0 END))))) "
+    "FROM rec, mx WHERE i < mx.m) "
+    "SELECT hist.n AS group_size, "
+    "rec.ps[CAST(hist.n AS INT) + 1]::BIGINT AS p_partitions, "
+    "hist.n_customers FROM hist, rec, mx "
+    "WHERE rec.i = mx.m ORDER BY 1"
+)

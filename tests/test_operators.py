@@ -142,7 +142,7 @@ ORACLE_CHECKED = [
     "erdos_gallai_check", "region_trade_min_cut", "daily_revenue_theilsen",
     "nim_winner_census", "h_index_census", "luhn_mod_census",
     "event_walk_counts", "event_weekday_matching_census",
-    "qty_kmedians_exact", "shapley_regions",
+    "qty_kmedians_exact", "shapley_regions", "partition_count_census",
 ]
 
 

@@ -5590,3 +5590,22 @@ def test_shapley_regions_hand_values(ray_session, tmp_path, monkeypatch):
     monkeypatch.setattr(relational, "BROADCAST_DIM_MAX_ROWS", 0)
     got_fb = check(d)
     assert got_fb.equals(got)
+
+
+def test_partition_count_census_hand_values(ray_session, tmp_path):
+    """Textbook partition numbers: p(1)=1, p(4)=5, p(7)=15 — the n=7
+    case exercises BOTH pentagonal strides (g=1,2,5,7) including the
+    exact-hit p(0) term."""
+    from langfilter_ray.pipelines import relational
+
+    d = tmp_path / "main"
+    d.mkdir()
+    _write_orders_cust(d, [1] + [2] * 4 + [3] * 7)
+    got = _check_vs_oracle(
+        relational.partition_count_census,
+        relational.ORACLES["partition_count_census"],
+        d, "orders", pq.read_table(d / "orders.parquet"),
+    ).set_index("group_size").sort_index()
+    assert list(got.index) == [1, 4, 7]
+    assert list(got["p_partitions"]) == [1, 5, 15]
+    assert list(got["n_customers"]) == [1, 1, 1]
