@@ -11093,70 +11093,29 @@ ORACLES["erdos_gallai_check"] = (
 
 # ---- region_trade_min_cut: exact max-flow/min-cut via cut duality ----------
 
-def region_trade_min_cut(sf_dir: str) -> "pa.Table":
-    """Minimum cut of the inter-region trade network — the NETWORK
-    FLOW family: nodes are regions, the undirected capacity between
-    two regions is the total bilateral trade (revenue cents of
-    lineitems whose supplier sits in one region and ordering customer
-    in the other, both directions summed), and the question is the
-    max-flow/min-cut value between the lowest- and highest-key
-    regions.  By LP duality max flow EQUALS the minimum cut, and the
-    region axis is BOUNDED (5 by TPC-H spec), so the exact answer is
-    an exhaustive fold over the 2^(R−2) source-containing subsets —
-    no augmenting-path state machine to replay, just the dual.
-
-    Outputs one row: n_regions, source_region, sink_region,
-    min_cut_cents (= the max flow), best_mask (the bitmask over
-    ascending regionkeys of the minimizing source side; ties → the
-    smallest mask), source_side_size.
-
-    Scale shape: nation→region resolves in the driver closure
-    (bounded by spec); below BROADCAST_DIM_MAX_ROWS the supplier,
-    customer AND orders dims broadcast once via ray.put, so the
-    lineitem stream probes suppkey → supplier region and orderkey →
-    custkey → customer region with NO JOIN AT ALL, emitting bounded
-    R×R in-batch partials.  Above the bound the plan is three
-    hash-partitioned native joins (lineitem⋈supplier⋈orders⋈customer)
-    with the same post-join partials — both paths pinned equal by the
-    zero-threshold test.  The driver fold enumerates ≤ 2^(R−1) masks
-    over the R×R matrix.
-
-    Reference anchor: A6's cross-node metric merge (SURVEY.md §2.6)
-    asked as the capacity question: where does inter-region traffic
-    bottleneck?"""
+def _region_volume(sf_dir: str) -> "np.ndarray":
+    """R x R directed trade-volume cents matrix (ascending regionkey
+    order): supplier region -> customer region revenue, the shared
+    exchange of region_trade_min_cut and region_tsp_tour.  Below
+    BROADCAST_DIM_MAX_ROWS the supplier/orders/customer dims broadcast
+    once via ray.put (NO join); above, three hash-partitioned native
+    joins — both paths pinned equal by the zero-threshold tests."""
     import pyarrow.parquet as pq_mod
 
     region = pq_mod.read_table(
-        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+        f"{sf_dir}/region.parquet", columns=["r_regionkey"]
     )
     rkeys = np.sort(region["r_regionkey"].to_numpy().astype(np.int64))
-    rname = {
-        int(k): v
-        for k, v in zip(
-            region["r_regionkey"].to_numpy(),
-            region["r_name"].to_pylist(),
-        )
-    }
+    R = len(rkeys)
     nation = pq_mod.read_table(
         f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"]
     )
     nk = nation["n_nationkey"].to_numpy().astype(np.int64)
     n2r = np.full(int(nk.max()) + 1 if len(nk) else 1, -1, dtype=np.int64)
     n2r[nk] = nation["n_regionkey"].to_numpy().astype(np.int64)
-
-    empty = pa.table(
-        {"n_regions": pa.array([], pa.int64()),
-         "source_region": pa.array([], pa.string()),
-         "sink_region": pa.array([], pa.int64()).cast(pa.string()),
-         "min_cut_cents": pa.array([], pa.int64()),
-         "best_mask": pa.array([], pa.int64()),
-         "source_side_size": pa.array([], pa.int64())}
-    )
-    R = len(rkeys)
-    if R < 2:
-        return empty
-    ridx = np.full(int(rkeys.max()) + 1, -1, dtype=np.int64)
-    ridx[rkeys] = np.arange(R)
+    ridx = np.full(int(rkeys.max()) + 1 if R else 1, -1, dtype=np.int64)
+    if R:
+        ridx[rkeys] = np.arange(R)
 
     small = max(
         _dim_num_rows(sf_dir, "supplier"),
@@ -11275,6 +11234,72 @@ def region_trade_min_cut(sf_dir: str) -> "pa.Table":
         g = frame.groupby(["sr", "cr"])["cents"].sum().reset_index()
         vol[ridx[g["sr"].to_numpy(np.int64)],
             ridx[g["cr"].to_numpy(np.int64)]] = g["cents"].to_numpy(np.int64)
+    return vol
+
+
+def region_trade_min_cut(sf_dir: str) -> "pa.Table":
+    """Minimum cut of the inter-region trade network — the NETWORK
+    FLOW family: nodes are regions, the undirected capacity between
+    two regions is the total bilateral trade (revenue cents of
+    lineitems whose supplier sits in one region and ordering customer
+    in the other, both directions summed), and the question is the
+    max-flow/min-cut value between the lowest- and highest-key
+    regions.  By LP duality max flow EQUALS the minimum cut, and the
+    region axis is BOUNDED (5 by TPC-H spec), so the exact answer is
+    an exhaustive fold over the 2^(R−2) source-containing subsets —
+    no augmenting-path state machine to replay, just the dual.
+
+    Outputs one row: n_regions, source_region, sink_region,
+    min_cut_cents (= the max flow), best_mask (the bitmask over
+    ascending regionkeys of the minimizing source side; ties → the
+    smallest mask), source_side_size.
+
+    Scale shape: nation→region resolves in the driver closure
+    (bounded by spec); below BROADCAST_DIM_MAX_ROWS the supplier,
+    customer AND orders dims broadcast once via ray.put, so the
+    lineitem stream probes suppkey → supplier region and orderkey →
+    custkey → customer region with NO JOIN AT ALL, emitting bounded
+    R×R in-batch partials.  Above the bound the plan is three
+    hash-partitioned native joins (lineitem⋈supplier⋈orders⋈customer)
+    with the same post-join partials — both paths pinned equal by the
+    zero-threshold test.  The driver fold enumerates ≤ 2^(R−1) masks
+    over the R×R matrix.
+
+    Reference anchor: A6's cross-node metric merge (SURVEY.md §2.6)
+    asked as the capacity question: where does inter-region traffic
+    bottleneck?"""
+    import pyarrow.parquet as pq_mod
+
+    region = pq_mod.read_table(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    )
+    rkeys = np.sort(region["r_regionkey"].to_numpy().astype(np.int64))
+    rname = {
+        int(k): v
+        for k, v in zip(
+            region["r_regionkey"].to_numpy(),
+            region["r_name"].to_pylist(),
+        )
+    }
+    nation = pq_mod.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"]
+    )
+    nk = nation["n_nationkey"].to_numpy().astype(np.int64)
+    n2r = np.full(int(nk.max()) + 1 if len(nk) else 1, -1, dtype=np.int64)
+    n2r[nk] = nation["n_regionkey"].to_numpy().astype(np.int64)
+
+    empty = pa.table(
+        {"n_regions": pa.array([], pa.int64()),
+         "source_region": pa.array([], pa.string()),
+         "sink_region": pa.array([], pa.int64()).cast(pa.string()),
+         "min_cut_cents": pa.array([], pa.int64()),
+         "best_mask": pa.array([], pa.int64()),
+         "source_side_size": pa.array([], pa.int64())}
+    )
+    R = len(rkeys)
+    if R < 2:
+        return empty
+    vol = _region_volume(sf_dir)
     src, snk = 0, R - 1
     best_cut, best_mask = None, None
     for mask in range(1 << R):
@@ -12094,4 +12119,119 @@ ORACLES["partition_count_census"] = (
     "rec.ps[CAST(hist.n AS INT) + 1]::BIGINT AS p_partitions, "
     "hist.n_customers FROM hist, rec, mx "
     "WHERE rec.i = mx.m ORDER BY 1"
+)
+
+
+# ---- region_tsp_tour: max-weight Hamiltonian cycle over regions -------------
+
+def region_tsp_tour(sf_dir: str) -> "pa.Table":
+    """Maximum-weight Hamiltonian cycle over the region trade graph —
+    the TRAVELING-SALESMAN family, exact on the bounded region axis:
+    the tour visiting every region once whose summed UNDIRECTED
+    bilateral trade (both directions of each hop) is largest — "the
+    richest ring route through all trade zones".  Completes the
+    region-graph trio: min-cut (bottleneck), Banzhaf/Shapley (power),
+    and now the Hamiltonian optimum — a global constraint
+    (permutation feasibility) no join/groupby composition expresses.
+
+    Exactness: tours enumerate as permutations anchored at the
+    lowest-key region ((R−1)! = 24 at the spec-bounded R=5 axis,
+    which both engines REQUIRE — typed empty otherwise); each
+    direction of a cycle scores equally, and ties break to the
+    lexicographically smallest visit order — pinned on both engines.
+
+    Outputs one row: n_regions, tour (the visit order as a ' -> '
+    joined name string, returning to start implied), tour_cents.
+    Typed empty below 3 regions (no cycle).
+
+    Scale shape: region_trade_min_cut's exchange — supplier/orders/
+    customer broadcast below the bound (NO join; triple-join fallback
+    above, zero-threshold test), bounded R×R partials; the driver
+    enumerates 24 permutations.  The SQL mirror enumerates the same
+    permutations as (R−1) nested self-joins with distinct
+    constraints."""
+    import pyarrow.parquet as pq_mod
+    from itertools import permutations
+
+    region = pq_mod.read_table(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    )
+    empty = pa.table(
+        {"n_regions": pa.array([], pa.int64()),
+         "tour": pa.array([], pa.string()),
+         "tour_cents": pa.array([], pa.int64())}
+    )
+    rkeys = np.sort(region["r_regionkey"].to_numpy().astype(np.int64))
+    R = len(rkeys)
+    # the SQL mirror unrolls exactly the spec-bounded 5-region axis;
+    # both engines return typed empty on any other region count
+    if R != 5:
+        return empty
+    rname = {
+        int(k): v
+        for k, v in zip(region["r_regionkey"].to_numpy(),
+                        region["r_name"].to_pylist())
+    }
+    vol = _region_volume(sf_dir)        # R x R cents, ascending key order
+    und = vol + vol.T                   # undirected hop weights
+    best = None
+    for perm in permutations(range(1, R)):
+        route = (0, *perm)
+        score = int(
+            sum(und[route[i], route[i + 1]] for i in range(R - 1))
+            + und[route[-1], 0]
+        )
+        key = (-score, perm)
+        if best is None or key < best:
+            best = key
+    score = -best[0]
+    route = (0, *best[1])
+    tour = " -> ".join(rname[int(rkeys[i])] for i in route)
+    return pa.table(
+        {"n_regions": pa.array([R], pa.int64()),
+         "tour": pa.array([tour], pa.string()),
+         "tour_cents": pa.array([score], pa.int64())}
+    )
+
+
+ORACLES["region_tsp_tour"] = (
+    "WITH reg AS (SELECT r_regionkey::BIGINT AS rk, r_name, "
+    "row_number() OVER (ORDER BY r_regionkey) - 1 AS pos FROM region), "
+    "m AS (SELECT count(*)::BIGINT AS r FROM reg), "
+    "vol AS (SELECT sn.n_regionkey::BIGINT AS sr, "
+    "cn.n_regionkey::BIGINT AS cr, "
+    "sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT))::BIGINT "
+    "AS cents FROM lineitem "
+    "JOIN supplier ON s_suppkey = l_suppkey "
+    "JOIN nation sn ON sn.n_nationkey = s_nationkey "
+    "JOIN orders ON o_orderkey = l_orderkey "
+    "JOIN customer ON c_custkey = o_custkey "
+    "JOIN nation cn ON cn.n_nationkey = c_nationkey "
+    "GROUP BY 1, 2), "
+    "pv AS (SELECT a.pos AS pa_, b.pos AS pb, sum(vol.cents)::BIGINT "
+    "AS c FROM vol JOIN reg a ON a.rk = vol.sr "
+    "JOIN reg b ON b.rk = vol.cr GROUP BY 1, 2), "
+    "und AS (SELECT p1.pos AS x, p2.pos AS y, "
+    "(COALESCE((SELECT c FROM pv WHERE pa_ = p1.pos AND pb = p2.pos), 0) "
+    "+ COALESCE((SELECT c FROM pv WHERE pa_ = p2.pos AND pb = p1.pos), 0)"
+    ")::BIGINT AS w FROM reg p1, reg p2), "
+    "tours AS (SELECT a.pos AS v1, b.pos AS v2, c_.pos AS v3, d.pos AS v4, "
+    "(SELECT w FROM und WHERE x = 0 AND y = a.pos) + "
+    "(SELECT w FROM und WHERE x = a.pos AND y = b.pos) + "
+    "(SELECT w FROM und WHERE x = b.pos AND y = c_.pos) + "
+    "(SELECT w FROM und WHERE x = c_.pos AND y = d.pos) + "
+    "(SELECT w FROM und WHERE x = d.pos AND y = 0) AS score "
+    "FROM reg a, reg b, reg c_, reg d, m "
+    "WHERE m.r = 5 AND a.pos <> 0 AND b.pos <> 0 AND c_.pos <> 0 "
+    "AND d.pos <> 0 AND b.pos <> a.pos AND c_.pos NOT IN (a.pos, b.pos) "
+    "AND d.pos NOT IN (a.pos, b.pos, c_.pos)), "
+    "best AS (SELECT * FROM tours ORDER BY score DESC, v1, v2, v3, v4 "
+    "LIMIT 1) "
+    "SELECT m.r AS n_regions, "
+    "(SELECT r_name FROM reg WHERE pos = 0) || ' -> ' || "
+    "(SELECT r_name FROM reg WHERE pos = best.v1) || ' -> ' || "
+    "(SELECT r_name FROM reg WHERE pos = best.v2) || ' -> ' || "
+    "(SELECT r_name FROM reg WHERE pos = best.v3) || ' -> ' || "
+    "(SELECT r_name FROM reg WHERE pos = best.v4) AS tour, "
+    "best.score::BIGINT AS tour_cents FROM best, m"
 )

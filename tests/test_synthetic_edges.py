@@ -5609,3 +5609,105 @@ def test_partition_count_census_hand_values(ray_session, tmp_path):
     assert list(got.index) == [1, 4, 7]
     assert list(got["p_partitions"]) == [1, 5, 15]
     assert list(got["n_customers"]) == [1, 1, 1]
+
+
+def _tsp_corpus(d, edges):
+    """5 regions R0..R4, one nation/supplier/customer per region;
+    edges = [(supp_region, cust_region, cents), ...] one lineitem each."""
+    pq.write_table(pa.table(
+        {"r_regionkey": pa.array(list(range(5)), pa.int32()),
+         "r_name": pa.array([f"R{i}" for i in range(5)], pa.string())}
+    ), d / "region.parquet")
+    pq.write_table(pa.table(
+        {"n_nationkey": pa.array(list(range(5)), pa.int32()),
+         "n_name": pa.array([f"N{i}" for i in range(5)], pa.string()),
+         "n_regionkey": pa.array(list(range(5)), pa.int32())}
+    ), d / "nation.parquet")
+    pq.write_table(pa.table(
+        {"s_suppkey": pa.array([i + 1 for i in range(5)], pa.int64()),
+         "s_name": pa.array([f"s{i}" for i in range(5)], pa.string()),
+         "s_nationkey": pa.array(list(range(5)), pa.int32()),
+         "s_acctbal": pa.array([0.0] * 5, pa.float64())}
+    ), d / "supplier.parquet")
+    pq.write_table(pa.table(
+        {"c_custkey": pa.array([i + 1 for i in range(5)], pa.int64()),
+         "c_name": pa.array([f"c{i}" for i in range(5)], pa.string()),
+         "c_nationkey": pa.array(list(range(5)), pa.int32()),
+         "c_acctbal": pa.array([0.0] * 5, pa.float64()),
+         "c_mktsegment": pa.array(["B"] * 5, pa.string())}
+    ), d / "customer.parquet")
+    pq.write_table(pa.table(
+        {"o_orderkey": pa.array([i + 1 for i in range(5)], pa.int64()),
+         "o_custkey": pa.array([i + 1 for i in range(5)], pa.int64()),
+         "o_orderstatus": pa.array(["O"] * 5, pa.string()),
+         "o_totalprice": pa.array([1.0] * 5, pa.float64()),
+         "o_orderdate": pa.array(
+             [np.datetime64("2024-01-01T00:00:00", "us")] * 5,
+             pa.timestamp("us")),
+         "o_orderpriority": pa.array(["1-URGENT"] * 5, pa.string())}
+    ), d / "orders.parquet")
+    n = len(edges)
+    pq.write_table(pa.table(
+        {"l_orderkey": pa.array([c + 1 for _, c, _ in edges], pa.int64()),
+         "l_partkey": pa.array([1] * n, pa.int64()),
+         "l_suppkey": pa.array([s + 1 for s, _, _ in edges], pa.int64()),
+         "l_linenumber": pa.array([1] * n, pa.int32()),
+         "l_quantity": pa.array([1.0] * n, pa.float64()),
+         "l_extendedprice": pa.array(
+             [w / 100.0 for _, _, w in edges], pa.float64()),
+         "l_discount": pa.array([0.0] * n, pa.float64()),
+         "l_tax": pa.array([0.0] * n, pa.float64()),
+         "l_returnflag": pa.array(["N"] * n, pa.string()),
+         "l_linestatus": pa.array(["O"] * n, pa.string()),
+         "l_shipdate": pa.array(
+             [np.datetime64("2024-01-02T00:00:00", "us")] * n,
+             pa.timestamp("us"))}
+    ), d / "lineitem.parquet")
+
+
+def _tsp_check(d):
+    import duckdb
+
+    from langfilter_ray.pipelines import relational
+
+    got = _canon(_to_pandas(relational.region_tsp_tour(str(d))))
+    c = duckdb.connect()
+    for t in ("region", "nation", "supplier", "customer", "orders",
+              "lineitem"):
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')"
+        )
+    want = _canon(c.execute(relational.ORACLES["region_tsp_tour"]).df())
+    problems = compare_frames(got, want)
+    assert not problems, (problems, first_diff(got, want))
+    return got.iloc[0]
+
+
+def test_region_tsp_tour_hand_values(ray_session, tmp_path, monkeypatch):
+    """A weight-10 pentagon ring (one ring edge written in the REVERSE
+    direction to pin the undirected sum) over weight-1 chords: the
+    optimal tour is the ring itself, score 50.  A uniform complete
+    graph TIES every tour at 5 and must resolve to the lexicographically
+    smallest visit order.  Zero-threshold monkeypatch pins the
+    triple-join fallback."""
+    from langfilter_ray.pipelines import relational
+
+    d = tmp_path / "ring"
+    d.mkdir()
+    ring = [(1, 0, 10), (1, 2, 10), (2, 3, 10), (3, 4, 10), (4, 0, 10)]
+    chords = [(0, 2, 1), (0, 3, 1), (1, 3, 1), (1, 4, 1), (2, 4, 1)]
+    _tsp_corpus(d, ring + chords)
+    r = _tsp_check(d)
+    assert int(r["tour_cents"]) == 50
+    assert r["tour"] == "R0 -> R1 -> R2 -> R3 -> R4"
+
+    u = tmp_path / "uniform"
+    u.mkdir()
+    _tsp_corpus(u, [(a, b, 1) for a in range(5) for b in range(5) if a < b])
+    ru = _tsp_check(u)
+    assert int(ru["tour_cents"]) == 5
+    assert ru["tour"] == "R0 -> R1 -> R2 -> R3 -> R4"
+
+    monkeypatch.setattr(relational, "BROADCAST_DIM_MAX_ROWS", 0)
+    rf = _tsp_check(d)
+    assert int(rf["tour_cents"]) == 50
