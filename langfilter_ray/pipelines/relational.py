@@ -12235,3 +12235,125 @@ ORACLES["region_tsp_tour"] = (
     "(SELECT r_name FROM reg WHERE pos = best.v4) AS tour, "
     "best.score::BIGINT AS tour_cents FROM best, m"
 )
+
+
+# ---- region_spanning_trees: Kirchhoff matrix-tree count ----------------------
+
+def region_spanning_trees(sf_dir: str) -> "pa.Table":
+    """Number of spanning trees of the region trade graph — the
+    ALGEBRAIC GRAPH COUNTING family via KIRCHHOFF'S MATRIX-TREE
+    THEOREM: t(G) = det of the reduced Laplacian (delete node 0's row
+    and column), an integer determinant that counts every spanning
+    tree at once — brand_mst_weight finds ONE optimal tree, this
+    counts ALL of them (the redundancy measure of the trade network:
+    how many single-link backbones exist).
+
+    Exactness: the adjacency is binary (bilateral trade > 0); on the
+    spec-bounded 5-region axis (REQUIRED, like region_tsp_tour —
+    typed empty otherwise) the reduced Laplacian is 4×4 and both
+    engines expand the SAME 24-term signed permutation sum (sign via
+    inversion-count parity) — no floating determinant anywhere;
+    t(K5) = 125 bounds the value.
+
+    Outputs one row: n_regions, n_edges, n_spanning_trees,
+    is_connected (Kirchhoff: t(G) > 0 iff connected).
+
+    Scale shape: the shared _region_volume exchange (broadcast/no-join
+    below the dim bound, triple-join fallback above); the driver
+    expands 24 integer terms.  The SQL mirror builds the 16 reduced-
+    Laplacian entries and the same signed expansion over 4-element
+    permutations."""
+    import pyarrow.parquet as pq_mod
+    from itertools import permutations
+
+    region = pq_mod.read_table(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey"]
+    )
+    empty = pa.table(
+        {"n_regions": pa.array([], pa.int64()),
+         "n_edges": pa.array([], pa.int64()),
+         "n_spanning_trees": pa.array([], pa.int64()),
+         "is_connected": pa.array([], pa.int64())}
+    )
+    R = len(region)
+    if R != 5:
+        return empty
+    vol = _region_volume(sf_dir)
+    und = vol + vol.T
+    np.fill_diagonal(und, 0)
+    A = (und > 0).astype(np.int64)
+    n_edges = int(A.sum()) // 2
+    L = np.diag(A.sum(axis=1)) - A
+    M = L[1:, 1:]
+    det = 0
+    for perm in permutations(range(4)):
+        inv = sum(
+            1
+            for a in range(4)
+            for b in range(a + 1, 4)
+            if perm[a] > perm[b]
+        )
+        sgn = 1 if inv % 2 == 0 else -1
+        term = sgn
+        for r_i in range(4):
+            term *= int(M[r_i, perm[r_i]])
+        det += term
+    return pa.table(
+        {"n_regions": pa.array([R], pa.int64()),
+         "n_edges": pa.array([n_edges], pa.int64()),
+         "n_spanning_trees": pa.array([det], pa.int64()),
+         "is_connected": pa.array([int(det > 0)], pa.int64())}
+    )
+
+
+ORACLES["region_spanning_trees"] = (
+    "WITH reg AS (SELECT r_regionkey::BIGINT AS rk, "
+    "row_number() OVER (ORDER BY r_regionkey) - 1 AS pos FROM region), "
+    "m AS (SELECT count(*)::BIGINT AS r FROM reg), "
+    "vol AS (SELECT sn.n_regionkey::BIGINT AS sr, "
+    "cn.n_regionkey::BIGINT AS cr, "
+    "sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT))::BIGINT "
+    "AS cents FROM lineitem "
+    "JOIN supplier ON s_suppkey = l_suppkey "
+    "JOIN nation sn ON sn.n_nationkey = s_nationkey "
+    "JOIN orders ON o_orderkey = l_orderkey "
+    "JOIN customer ON c_custkey = o_custkey "
+    "JOIN nation cn ON cn.n_nationkey = c_nationkey "
+    "GROUP BY 1, 2), "
+    "adj AS (SELECT p1.pos AS x, p2.pos AS y, "
+    "(CASE WHEN p1.pos <> p2.pos AND "
+    "COALESCE((SELECT c2.cents FROM vol c2 JOIN reg a2 ON a2.rk = c2.sr "
+    "JOIN reg b2 ON b2.rk = c2.cr WHERE a2.pos = p1.pos "
+    "AND b2.pos = p2.pos), 0) + "
+    "COALESCE((SELECT c3.cents FROM vol c3 JOIN reg a3 ON a3.rk = c3.sr "
+    "JOIN reg b3 ON b3.rk = c3.cr WHERE a3.pos = p2.pos "
+    "AND b3.pos = p1.pos), 0) > 0 THEN 1 ELSE 0 END)::BIGINT AS a "
+    "FROM reg p1, reg p2), "
+    "deg AS (SELECT x, sum(a)::BIGINT AS d FROM adj GROUP BY 1), "
+    "lap AS (SELECT adj.x, adj.y, "
+    "(CASE WHEN adj.x = adj.y THEN deg.d ELSE -adj.a END)::BIGINT AS v "
+    "FROM adj JOIN deg ON deg.x = adj.x "
+    "WHERE adj.x >= 1 AND adj.y >= 1), "
+    "perms AS (SELECT a.y AS p1, b.y AS p2, c_.y AS p3, d.y AS p4, "
+    "(CASE WHEN ((CASE WHEN a.y > b.y THEN 1 ELSE 0 END) + "
+    "(CASE WHEN a.y > c_.y THEN 1 ELSE 0 END) + "
+    "(CASE WHEN a.y > d.y THEN 1 ELSE 0 END) + "
+    "(CASE WHEN b.y > c_.y THEN 1 ELSE 0 END) + "
+    "(CASE WHEN b.y > d.y THEN 1 ELSE 0 END) + "
+    "(CASE WHEN c_.y > d.y THEN 1 ELSE 0 END)) % 2 = 0 "
+    "THEN 1 ELSE -1 END)::BIGINT AS sgn "
+    "FROM (SELECT DISTINCT y FROM lap) a, (SELECT DISTINCT y FROM lap) b, "
+    "(SELECT DISTINCT y FROM lap) c_, (SELECT DISTINCT y FROM lap) d "
+    "WHERE b.y <> a.y AND c_.y NOT IN (a.y, b.y) "
+    "AND d.y NOT IN (a.y, b.y, c_.y)), "
+    "det AS (SELECT COALESCE(sum(perms.sgn * l1.v * l2.v * l3.v * l4.v), "
+    "0)::BIGINT AS t FROM perms "
+    "JOIN lap l1 ON l1.x = 1 AND l1.y = perms.p1 "
+    "JOIN lap l2 ON l2.x = 2 AND l2.y = perms.p2 "
+    "JOIN lap l3 ON l3.x = 3 AND l3.y = perms.p3 "
+    "JOIN lap l4 ON l4.x = 4 AND l4.y = perms.p4), "
+    "ne AS (SELECT (sum(a) // 2)::BIGINT AS e FROM adj) "
+    "SELECT m.r AS n_regions, ne.e AS n_edges, det.t AS n_spanning_trees, "
+    "(CASE WHEN det.t > 0 THEN 1 ELSE 0 END)::BIGINT AS is_connected "
+    "FROM m, ne, det WHERE m.r = 5"
+)

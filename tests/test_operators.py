@@ -143,7 +143,7 @@ ORACLE_CHECKED = [
     "nim_winner_census", "h_index_census", "luhn_mod_census",
     "event_walk_counts", "event_weekday_matching_census",
     "qty_kmedians_exact", "shapley_regions", "partition_count_census",
-    "region_tsp_tour",
+    "region_tsp_tour", "region_spanning_trees",
 ]
 
 

@@ -5711,3 +5711,54 @@ def test_region_tsp_tour_hand_values(ray_session, tmp_path, monkeypatch):
     monkeypatch.setattr(relational, "BROADCAST_DIM_MAX_ROWS", 0)
     rf = _tsp_check(d)
     assert int(rf["tour_cents"]) == 50
+
+
+def test_region_spanning_trees_hand_values(ray_session, tmp_path,
+                                           monkeypatch):
+    """Kirchhoff anchors: the pentagon CYCLE C5 has exactly 5 spanning
+    trees (drop any one edge); the complete K5 has 5^3 = 125
+    (Cayley); a disconnected graph (one isolated region) counts 0.
+    Zero-threshold monkeypatch pins the join fallback."""
+    import duckdb
+
+    from langfilter_ray.pipelines import relational
+
+    def check(dd):
+        got = _canon(_to_pandas(relational.region_spanning_trees(str(dd))))
+        c = duckdb.connect()
+        for t in ("region", "nation", "supplier", "customer", "orders",
+                  "lineitem"):
+            c.execute(
+                f"CREATE VIEW {t} AS SELECT * "
+                f"FROM read_parquet('{dd}/{t}.parquet')"
+            )
+        want = _canon(
+            c.execute(relational.ORACLES["region_spanning_trees"]).df()
+        )
+        problems = compare_frames(got, want)
+        assert not problems, (problems, first_diff(got, want))
+        return got.iloc[0]
+
+    ring = tmp_path / "c5"
+    ring.mkdir()
+    _tsp_corpus(ring, [(i, (i + 1) % 5, 10) for i in range(5)])
+    r = check(ring)
+    assert (int(r["n_edges"]), int(r["n_spanning_trees"])) == (5, 5)
+    assert int(r["is_connected"]) == 1
+
+    k5 = tmp_path / "k5"
+    k5.mkdir()
+    _tsp_corpus(k5, [(a, b, 1) for a in range(5) for b in range(5) if a < b])
+    rk = check(k5)
+    assert (int(rk["n_edges"]), int(rk["n_spanning_trees"])) == (10, 125)
+
+    disc = tmp_path / "disc"
+    disc.mkdir()
+    _tsp_corpus(disc, [(0, 1, 1), (1, 2, 1), (2, 3, 1), (3, 0, 1)])
+    rd = check(disc)
+    assert int(rd["n_spanning_trees"]) == 0
+    assert int(rd["is_connected"]) == 0
+
+    monkeypatch.setattr(relational, "BROADCAST_DIM_MAX_ROWS", 0)
+    rf = check(ring)
+    assert int(rf["n_spanning_trees"]) == 5
